@@ -1,13 +1,385 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.Tables
+import graft.ops._
+
+/** Driver contract — the declared operator surface (SURVEY.md §2).
+  *
+  * Every query here has a DuckDB-oracle twin in [[oracleSql]] unless
+  * the operation is genuinely not SQL-expressible (sketches, LSH with
+  * engine-side PRNG, streaming, connector ingestion) — those get the
+  * driver's rows-only check plus a ScalaTest spec.
+  *
+  * SQL twins follow the [[graft.ops.Exact]] portability contract:
+  * decimal sums, floor-quantization, micros-precision time arithmetic,
+  * md5 hex-string hashing, total ORDER BY with id tiebreaks.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def entry(spark: SparkSession): DataFrame = {
+    val t = Tables.load(spark, "/root/testdata/sf0.001")
+    Relational.segmentRevenue(t.lineitem, t.orders, t.customer)
+  }
+
+  // quantization fragments for the SQL twins (see Exact.scala)
+  private def mny(x: String): String =
+    s"floor(CAST(sum(CAST($x AS DECIMAL(18,4))) AS DOUBLE)*100.0+0.5)/100.0"
+  private def mean(x: String): String =
+    s"floor(CAST(sum(CAST($x AS DECIMAL(18,6))) AS DOUBLE)/count(*)*10000.0+0.5)/10000.0"
+  private def meanL(x: String): String =
+    s"floor(CAST(sum($x) AS DOUBLE)/count(*)*10000.0+0.5)/10000.0"
+  private def q4(x: String): String = s"floor(($x)*10000.0+0.5)/10000.0"
+  private val rev = "l_extendedprice*(1.0-l_discount)"
+  private val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.pricingSummary(t.lineitem) }),
+    "q02_filter_pushdown" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.filterPushdown(t.lineitem) }),
+    "q03_segment_revenue" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.segmentRevenue(t.lineitem, t.orders, t.customer) }),
+    "q04_region_revenue" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.regionRevenue(t.lineitem, t.supplier, t.nation, t.region) }),
+    "q05_exists_priority" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.existsPriority(t.orders, t.lineitem) }),
+    "q06_anti_no_orders" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.antiNoOrders(t.customer, t.orders) }),
+    "q07_order_count_hist" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.orderCountHistogram(t.customer, t.orders) }),
+    "q08_top3_per_brand" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.topPartsPerBrand(t.lineitem, t.part) }),
+    "q09_running_total" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.runningTotal(t.lineitem) }),
+    "q10_topk_parts" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.topkParts(t.lineitem, t.part) }),
+    "q11_distinct_counts" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.distinctCounts(t.lineitem) }),
+    "q12_rollup_qty" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.rollupQty(t.lineitem) }),
+    "q13_setops_status" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.setopsStatus(t.orders) }),
+    "q14_nation_f_share" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.nationStatusShare(t.orders, t.customer, t.nation) }),
+    "q15_monthly_orders" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.monthlyOrders(t.orders) }),
+    "q16_type_word_stats" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.typeWordStats(t.part) }),
+    "q17_part_pairs" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.partPairs(t.lineitem) }),
+    "q18_event_bursts" -> ((s, d) => { val t = Tables.load(s, d)
+      EventOps.eventBursts(t.events) }),
+    "q19_asof_last_order" -> ((s, d) => { val t = Tables.load(s, d)
+      EventOps.asofLastOrder(t.events, t.orders) }),
+    "q20_json_props" -> ((s, d) => { val t = Tables.load(s, d)
+      EventOps.jsonProps(t.events) }),
+    "q21_events_hourly" -> ((s, d) => { val t = Tables.load(s, d)
+      EventOps.hourlyStats(t.events) }),
+    "q22_sessionize" -> ((s, d) => { val t = Tables.load(s, d)
+      EventOps.sessionize(t.events) }),
+    "q38_approx_distinct" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.approxDistinctCounts(t.lineitem) }),
+    "t23_dedup_exact" -> ((s, d) => { val t = Tables.load(s, d)
+      Dedup.exactDedup(t.documents) }),
+    "t24_jaccard_pairs" -> ((s, d) => { val t = Tables.load(s, d)
+      Dedup.jaccardPairs(t.documents) }),
+    "t25_minhash_lsh" -> ((s, d) => { val t = Tables.load(s, d)
+      Dedup.minhashLshPairs(t.documents) }),
+    "t26_simhash_pairs" -> ((s, d) => { val t = Tables.load(s, d)
+      Dedup.simhashPairs(t.documents) }),
+    "t27_langid" -> ((s, d) => { val t = Tables.load(s, d)
+      TextOps.langIdReport(t.documents) }),
+    "t28_quality" -> ((s, d) => { val t = Tables.load(s, d)
+      TextOps.qualityScores(t.documents) }),
+    "t29_token_counts" -> ((s, d) => { val t = Tables.load(s, d)
+      TextOps.tokenCounts(t.documents) }),
+    "t30_fingerprints" -> ((s, d) => { val t = Tables.load(s, d)
+      TextOps.fingerprints(t.documents) }),
+    "s31_cosine_topk" -> ((s, d) => { val t = Tables.load(s, d)
+      Similarity.cosineTopK(t.embeddings) }),
+    "s32_embedding_neardup" -> ((s, d) => { val t = Tables.load(s, d)
+      Similarity.embeddingNearDup(t.embeddings) }),
+    "s33_ann_lsh" -> ((s, d) => { val t = Tables.load(s, d)
+      Similarity.annLsh(t.embeddings) }),
+    "s34_knn_classify" -> ((s, d) => { val t = Tables.load(s, d)
+      Similarity.knnClassify(t.embeddings) })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | ${mny("l_quantity")} AS sum_qty,
+         | ${mny("l_extendedprice")} AS sum_base_price,
+         | ${mny(rev)} AS sum_disc_price,
+         | ${mny(rev + "*(1.0+l_tax)")} AS sum_charge,
+         | ${mean("l_quantity")} AS avg_qty,
+         | ${mean("l_discount")} AS avg_disc,
+         | count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+        |  AND l_quantity <= 2.0 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_partkey, l_linenumber""".stripMargin,
+    "q03_segment_revenue" ->
+      s"""SELECT c_mktsegment, ${mny(rev)} AS revenue,
+         | count(DISTINCT o_orderkey) AS n_orders, count(*) AS n_lines
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q04_region_revenue" ->
+      s"""SELECT r_name, n_name, ${mny(rev)} AS revenue, count(*) AS n_lines
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q05_exists_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 30.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q06_anti_no_orders" ->
+      s"""SELECT c_mktsegment, count(*) AS n_customers, ${mean("c_acctbal")} AS avg_acctbal
+         |FROM customer c
+         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q07_order_count_hist" ->
+      """WITH pc AS (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1)
+        |SELECT n_orders, count(*) AS n_customers FROM pc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q08_top3_per_brand" ->
+      s"""WITH rv AS (
+         |  SELECT p_brand, p_partkey, ${mny(rev)} AS revenue
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1,2)
+         |SELECT p_brand, rnk, p_partkey, revenue FROM (
+         |  SELECT p_brand, p_partkey, revenue,
+         |    row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rnk
+         |  FROM rv)
+         |WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
+    "q09_running_total" ->
+      """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
+        | floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+        |   PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ROWS UNBOUNDED PRECEDING) AS DOUBLE)*100.0+0.5)/100.0 AS running_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+    "q10_topk_parts" ->
+      s"""WITH t AS (SELECT l_partkey, ${mny("l_quantity")} AS total_qty
+         |  FROM lineitem GROUP BY 1)
+         |SELECT l_partkey, p_name, total_qty FROM t JOIN part ON l_partkey = p_partkey
+         |ORDER BY total_qty DESC, l_partkey LIMIT 10""".stripMargin,
+    "q11_distinct_counts" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_suppliers,
+        | count(DISTINCT l_partkey) AS n_parts, count(*) AS n_lines
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_rollup_qty" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         | ${mny("l_quantity")} AS sum_qty, count(*) AS n_lines
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q13_setops_status" ->
+      """WITH o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |     f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM o INTERSECT SELECT * FROM f)
+        |UNION ALL
+        |SELECT o_custkey, 'only_o' AS tag FROM (SELECT * FROM o EXCEPT SELECT * FROM f)
+        |UNION ALL
+        |SELECT o_custkey, 'only_f' AS tag FROM (SELECT * FROM f EXCEPT SELECT * FROM o)
+        |ORDER BY o_custkey, tag""".stripMargin,
+    "q14_nation_f_share" ->
+      s"""SELECT n_name,
+         | ${meanL("CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END")} AS f_share,
+         | count(*) AS n_orders
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_monthly_orders" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         | CAST(month(o_orderdate) AS BIGINT) AS mth,
+         | count(*) AS n_orders, ${mny("o_totalprice")} AS total_price
+         |FROM orders GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q16_type_word_stats" ->
+      s"""SELECT string_split(p_type, ' ')[1] AS type_word, count(*) AS n_parts,
+         | ${mean("p_retailprice")} AS avg_price, max(p_size) AS max_size
+         |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q17_part_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+        |SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_orders
+        |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |GROUP BY 1,2 ORDER BY n_orders DESC, pa, pb LIMIT 20""".stripMargin,
+    "q18_event_bursts" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events)
+        |SELECT a.event_type AS type_first, b.event_type AS type_next, count(*) AS n_pairs
+        |FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id <> b.event_id
+        |  AND b.us > a.us AND b.us <= a.us + 600000000
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q19_asof_last_order" ->
+      """WITH r AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1,2)
+        |SELECT e.event_id, e.user_id, e.event_type, r.o_orderkey
+        |FROM events e ASOF JOIN r
+        |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    "q20_json_props" ->
+      s"""SELECT event_type, ${meanL("k")} AS avg_k, min(k) AS min_k, max(k) AS max_k,
+         | count(*) AS n_events
+         |FROM (SELECT event_type, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |      FROM events)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_events_hourly" ->
+      s"""SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
+         | ${mny("value")} AS sum_value, ${mean("value")} AS avg_value
+         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q22_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT user_id, event_id, us,
+        |  CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT user_id, us,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                    ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g),
+        |sess AS (SELECT user_id, session_id, count(*) AS n_events,
+        |  max(us) - min(us) AS dur_us FROM s GROUP BY 1,2)
+        |SELECT user_id, count(*) AS n_sessions,
+        | floor(CAST(sum(n_events) AS DOUBLE)/count(*)*10000.0+0.5)/10000.0 AS avg_events,
+        | max(dur_us) AS max_dur_us
+        |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t23_dedup_exact" ->
+      """WITH fp AS (SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |c AS (SELECT fp, min(doc_id) AS canonical_id FROM fp GROUP BY 1)
+        |SELECT f.doc_id, c.canonical_id, f.doc_id <> c.canonical_id AS is_dup
+        |FROM fp f JOIN c ON f.fp = c.fp ORDER BY f.doc_id""".stripMargin,
+    "t24_jaccard_pairs" ->
+      s"""WITH w AS (SELECT DISTINCT doc_id, tok FROM
+         |  (SELECT doc_id, unnest($toks) AS tok FROM documents)),
+         |n AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1,2)
+         |SELECT doc_a, doc_b,
+         | ${q4("CAST(inter AS DOUBLE)/(na.n+nb.n-inter)")} AS jac
+         |FROM p JOIN n na ON na.doc_id = p.doc_a JOIN n nb ON nb.doc_id = p.doc_b
+         |WHERE ${q4("CAST(inter AS DOUBLE)/(na.n+nb.n-inter)")} >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "t25_minhash_lsh" ->
+      s"""WITH w AS (SELECT DISTINCT doc_id, tok FROM
+         |  (SELECT doc_id, unnest($toks) AS tok FROM documents)),
+         |sig AS (SELECT doc_id,
+         |  min(md5('0:'||tok)) AS h0, min(md5('1:'||tok)) AS h1,
+         |  min(md5('2:'||tok)) AS h2, min(md5('3:'||tok)) AS h3,
+         |  min(md5('4:'||tok)) AS h4, min(md5('5:'||tok)) AS h5,
+         |  min(md5('6:'||tok)) AS h6, min(md5('7:'||tok)) AS h7
+         |  FROM w GROUP BY 1),
+         |band AS (
+         |  SELECT doc_id, 0 AS b, md5(h0||h1) AS k FROM sig UNION ALL
+         |  SELECT doc_id, 1, md5(h2||h3) FROM sig UNION ALL
+         |  SELECT doc_id, 2, md5(h4||h5) FROM sig UNION ALL
+         |  SELECT doc_id, 3, md5(h6||h7) FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band a JOIN band b ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id),
+         |n AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+         |p AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c JOIN w wa ON wa.doc_id = c.doc_a
+         |  JOIN w wb ON wb.doc_id = c.doc_b AND wb.tok = wa.tok GROUP BY 1,2)
+         |SELECT p.doc_a, p.doc_b,
+         | ${q4("CAST(inter AS DOUBLE)/(na.n+nb.n-inter)")} AS jac
+         |FROM p JOIN n na ON na.doc_id = p.doc_a JOIN n nb ON nb.doc_id = p.doc_b
+         |WHERE ${q4("CAST(inter AS DOUBLE)/(na.n+nb.n-inter)")} >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "t27_langid" ->
+      s"""WITH t AS (SELECT lang, $toks AS tk FROM documents),
+         |s AS (SELECT lang,
+         |  CAST(len(list_filter(tk, x -> list_contains(['the','a','of','and','is'], x))) AS BIGINT) AS s_en,
+         |  CAST(len(list_filter(tk, x -> list_contains(['el','la','de','que','los'], x))) AS BIGINT) AS s_es,
+         |  CAST(len(list_filter(tk, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS s_de,
+         |  CAST(len(list_filter(tk, x -> list_contains(['le','les','des','et','est'], x))) AS BIGINT) AS s_fr
+         |  FROM t),
+         |p AS (SELECT lang,
+         |  CASE WHEN greatest(s_en,s_es,s_de,s_fr) > 0 THEN
+         |    CASE WHEN s_en = greatest(s_en,s_es,s_de,s_fr) THEN 'en'
+         |         WHEN s_es = greatest(s_en,s_es,s_de,s_fr) THEN 'es'
+         |         WHEN s_de = greatest(s_en,s_es,s_de,s_fr) THEN 'de'
+         |         ELSE 'fr' END
+         |  ELSE 'unknown' END AS pred_lang FROM s)
+         |SELECT lang, pred_lang, count(*) AS n_docs FROM p GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "t28_quality" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq,
+         |  CAST(list_aggregate(list_transform(tk, x -> length(x)), 'sum') AS BIGINT) AS sum_len,
+         |  CAST(len(list_filter(tk, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS BIGINT) AS n_stop
+         |  FROM t)
+         |SELECT doc_id, n_tokens, n_uniq,
+         | ${q4("CAST(sum_len AS DOUBLE)/n_tokens")} AS avg_token_len,
+         | ${q4("CAST(n_uniq AS DOUBLE)/n_tokens")} AS uniq_ratio,
+         | ${q4("CAST(n_stop AS DOUBLE)/n_tokens")} AS stop_ratio,
+         | ${q4("CAST(n_uniq AS DOUBLE)/n_tokens*0.5 + least(CAST(n_tokens AS DOUBLE)/100.0, 1.0)*0.3 + (1.0 - CAST(n_stop AS DOUBLE)/n_tokens)*0.2")} AS quality_score
+         |FROM m WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
+    "t29_token_counts" ->
+      s"""SELECT source, CAST(sum(n) AS BIGINT) AS total_tokens,
+         | ${meanL("n")} AS avg_tokens, count(*) AS n_docs
+         |FROM (SELECT source, CAST(len($toks) AS BIGINT) AS n FROM documents)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t30_fingerprints" ->
+      """SELECT doc_id,
+        | md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+        | n_chars - n_chars % 100 AS len_bucket
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "s31_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id, i, v[i] AS val FROM e, (SELECT unnest(range(1,65)) AS i)),
+        |nr AS (SELECT vec_id, sqrt(sum(val*val)) AS nrm FROM x GROUP BY 1),
+        |d AS (SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.val*b.val) AS dp
+        |  FROM x a JOIN x b ON a.i = b.i AND a.vec_id < 5 AND b.vec_id >= 5 GROUP BY 1,2),
+        |r AS (SELECT qid AS query_id, cid AS vec_id,
+        |  floor(dp/(na.nrm*nb.nrm)*1000000.0+0.5)/1000000.0 AS cos
+        |  FROM d JOIN nr na ON na.vec_id = qid JOIN nr nb ON nb.vec_id = cid)
+        |SELECT query_id, rnk, vec_id, cos FROM (
+        |  SELECT query_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        |  FROM r)
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "s32_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id, i, v[i] AS val FROM e, (SELECT unnest(range(1,65)) AS i)),
+        |nr AS (SELECT vec_id, sqrt(sum(val*val)) AS nrm FROM x GROUP BY 1),
+        |d AS (SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.val*b.val) AS dp
+        |  FROM x a JOIN x b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1,2),
+        |r AS (SELECT va AS vec_a, vb AS vec_b,
+        |  floor(dp/(na.nrm*nb.nrm)*1000000.0+0.5)/1000000.0 AS cos
+        |  FROM d JOIN nr na ON na.vec_id = va JOIN nr nb ON nb.vec_id = vb)
+        |SELECT vec_a, vec_b, cos FROM r WHERE cos >= 0.95 ORDER BY vec_a, vec_b""".stripMargin,
+    "s34_knn_classify" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id, i, v[i] AS val FROM e, (SELECT unnest(range(1,65)) AS i)),
+        |nr AS (SELECT vec_id, sqrt(sum(val*val)) AS nrm FROM x GROUP BY 1),
+        |d AS (SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.val*b.val) AS dp
+        |  FROM x a JOIN x b ON a.i = b.i AND a.vec_id < 5 AND b.vec_id >= 5 GROUP BY 1,2),
+        |r AS (SELECT qid AS query_id, cid AS vec_id,
+        |  floor(dp/(na.nrm*nb.nrm)*1000000.0+0.5)/1000000.0 AS cos
+        |  FROM d JOIN nr na ON na.vec_id = qid JOIN nr nb ON nb.vec_id = cid),
+        |topk AS (SELECT query_id, vec_id FROM (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        |  FROM r) WHERE rnk <= 5),
+        |v AS (SELECT t.query_id, emb.label, count(*) AS votes
+        |  FROM topk t JOIN embeddings emb ON t.vec_id = emb.vec_id GROUP BY 1,2)
+        |SELECT query_id, CAST(label AS BIGINT) AS pred_label, votes FROM (
+        |  SELECT query_id, label, votes,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+        |  FROM v)
+        |WHERE rn = 1 ORDER BY query_id""".stripMargin
+  )
 }

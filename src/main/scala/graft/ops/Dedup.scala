@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for training-data pipelines: exact, MinHash+LSH,
+  * n-gram Jaccard with prefix filtering, SimHash. Scale design notes:
+  *
+  *  - Exact dedup groups on a 128-bit md5 fingerprint, never on the
+  *    full text — the shuffle carries 16 bytes + ids, not documents.
+  *  - Jaccard pair-finding uses PPJoin-style prefix filtering: for
+  *    threshold t a pair with jaccard ≥ t MUST share a token among the
+  *    ⌊(1-t)·n⌋+1 globally-rarest tokens of each document, so only
+  *    those tokens generate join candidates. Lossless, and candidate
+  *    volume is driven by rare-token document frequency, not corpus².
+  *  - MinHash/LSH buckets candidates by banded signatures: cost is
+  *    O(corpus · K) for signatures plus near-duplicate bucket joins —
+  *    the standard 100 TB algorithm. Exact Jaccard verifies candidates.
+  *  - All hashing is md5 hex strings (engine-portable, oracle-checkable).
+  */
+object Dedup {
+
+  /** Distinct token set per doc: (doc_id, toks array, n). */
+  private def docTokens(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      array_distinct(TextOps.tokens(col("text"))).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+
+  /** Exact dedup on normalized-text fingerprint. Output: every doc with
+    * its canonical (minimum) doc_id; `is_dup` marks non-canonical rows.
+    */
+  def exactDedup(documents: DataFrame): DataFrame = {
+    val fp = documents.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+    val canon = fp.groupBy("fp").agg(min("doc_id").as("canonical_id"))
+    fp.join(canon, "fp")
+      .select(
+        col("doc_id"), col("canonical_id"),
+        (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** All pairs with token-set Jaccard ≥ `threshold`, via prefix
+    * filtering. Returns (doc_a, doc_b, jac) with doc_a < doc_b.
+    */
+  def jaccardPairs(documents: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val toks = docTokens(documents)
+    // global document frequency per token — the rarity order
+    val df = toks.select(explode(col("toks")).as("tok")).groupBy("tok")
+      .agg(count(lit(1)).as("tok_df"))
+    // per-doc tokens sorted rarest-first; keep the prefix
+    val prefix = toks
+      .select(col("doc_id"), col("n"), explode(col("toks")).as("tok"))
+      .join(broadcast(df), "tok")
+      .groupBy("doc_id", "n")
+      .agg(array_sort(collect_list(struct(col("tok_df"), col("tok")))).as("ranked"))
+      .select(
+        col("doc_id"), col("n"),
+        explode(slice(transform(col("ranked"), r => r.getField("tok")), lit(1),
+          (floor(col("n") * (1 - threshold)) + 1).cast("int"))).as("tok"))
+    // candidate pairs: share >= 1 prefix token
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, toks, threshold)
+  }
+
+  /** Exact Jaccard over candidate pairs; keeps pairs ≥ threshold. */
+  private def verifyJaccard(cand: DataFrame, toks: DataFrame, threshold: Double): DataFrame = {
+    val ta = toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"), col("n").as("na"))
+    val tb = toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"), col("n").as("nb"))
+    cand.join(ta, "doc_a").join(tb, "doc_b")
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      .withColumn("jac",
+        Exact.quant4(col("inter").cast("double") / (col("na") + col("nb") - col("inter"))))
+      .filter(col("jac") >= threshold)
+      .select("doc_a", "doc_b", "jac")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash signature columns h0..h{k-1}: min over tokens of
+    * md5("<i>:<token>") — portable string-min minhash.
+    */
+  def minhashSignatures(documents: DataFrame, k: Int = 8): DataFrame = {
+    val exploded = docTokens(documents)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+    val sigCols = (0 until k).map(i =>
+      min(md5(concat_ws(":", lit(i), col("tok")))).as(s"h$i"))
+    exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** MinHash + banded LSH near-dup pairs, verified by exact Jaccard.
+    * k signatures in `bands` bands of k/bands rows: docs sharing any
+    * band key become candidates. Probability of a pair with jaccard j
+    * becoming a candidate: 1-(1-j^(k/bands))^bands.
+    */
+  def minhashLshPairs(
+      documents: DataFrame, threshold: Double = 0.5,
+      k: Int = 8, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val rows = k / bands
+    val sigs = minhashSignatures(documents, k)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)).as("bkey"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, docTokens(documents), threshold)
+  }
+
+  /** 60-bit SimHash per document from md5-derived token hashes: bit j
+    * of the signature is the sign of Σ_tokens (2·bit_j(h(token)) - 1).
+    * Near-dup pairs found by 4-chunk pigeonhole LSH (hamming ≤ 3 ⇒ at
+    * least one 15-bit chunk identical), verified by exact hamming.
+    */
+  def simhash(documents: DataFrame): DataFrame = {
+    val toks = docTokens(documents)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      // 60 bits of md5 as a long (15 hex chars)
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    toks
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("j"))
+      .withColumn("bit", expr("shiftright(h, j) & CAST(1 AS BIGINT)"))
+      .groupBy("doc_id", "j")
+      .agg(sum(col("bit") * 2 - 1).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L)).as("simhash"))
+  }
+
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(documents)
+    val chunked = sh.select(
+      col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * 15).bitwiseAND((1L << 15) - 1).as("ckey"))): _*)).as("ck"))
+      .select(col("doc_id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.ckey").as("ckey"))
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+}

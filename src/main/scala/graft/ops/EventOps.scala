@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-oriented operators over the `events` table — the timeline /
+  * event-processing capability the reference's README implies
+  * (SURVEY.md §0.1: match timelines, gold curves, teamfight windows).
+  *
+  * The two non-trivial operators Spark lacks natively — bounded range
+  * join and as-of join — are built the scalable way:
+  *  - range join: bucketize time, explode one side into adjacent
+  *    buckets, equi-join on (key, bucket), post-filter the exact
+  *    predicate. Turns an O(n·m) theta join into a co-partitioned
+  *    equi-join; this is what Databricks' range-join hint does.
+  *  - as-of join: union both sides, one window pass per key carrying
+  *    the last right-side value forward. One shuffle, no point lookups.
+  */
+object EventOps {
+
+  /** JSON property extraction + aggregation. `get_json_object` is a
+    * codegen'd path expression — no UDF; at scale prefer parsing once
+    * with `from_json` into a struct column if many keys are read.
+    */
+  def jsonProps(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        Exact.meanOfLong(col("k")).as("avg_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** Tumbling-hour aggregation (batch twin of the streaming pipeline). */
+  def hourlyStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Exact.moneySum(col("value")).as("sum_value"),
+        Exact.meanOf(col("value")).as("avg_value"))
+      .orderBy("hour", "event_type")
+
+  /** Bounded range join: pairs of events of the same user within
+    * `windowSec` after each other. Bucket width == window so a right
+    * row at bucket b only ever matches left rows in {b-1, b}; the left
+    * side explodes into 2 buckets and the join is a plain equi-join on
+    * (user_id, bucket) — co-partitioned, AQE-skew-splittable.
+    */
+  def eventBursts(events: DataFrame, windowSec: Long = 600L): DataFrame = {
+    val wus = windowSec * 1000000L // window in microseconds (timestamp precision)
+    val a = events.select(
+      col("user_id").as("ua"), col("event_id").as("ea"),
+      col("event_type").as("ta"), unix_micros(col("ts")).as("tsa"))
+    val b = events.select(
+      col("user_id").as("ub"), col("event_id").as("eb"),
+      col("event_type").as("tb"), unix_micros(col("ts")).as("tsb"))
+    val aExpl = a.withColumn(
+      "bucket",
+      explode(array((col("tsa") / wus).cast("long"), (col("tsa") / wus).cast("long") + 1)))
+    val bBuck = b.withColumn("bucket", (col("tsb") / wus).cast("long"))
+    aExpl
+      .join(bBuck, Seq("bucket"))
+      .filter(
+        col("ua") === col("ub") && col("ea") =!= col("eb") &&
+          col("tsb") > col("tsa") && col("tsb") <= col("tsa") + wus)
+      .groupBy(col("ta").as("type_first"), col("tb").as("type_next"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("type_first", "type_next")
+  }
+
+  /** Generic as-of join: for each left row, the latest right row with
+    * `right.time <= left.time` on the same key. Implementation: union
+    * the two sides, a single window pass per key ordered by (time,
+    * side) carries the last right value forward; right rows sort
+    * before left rows at equal time (>= semantics). One shuffle on the
+    * key; at 100 TB this beats per-row lookups or a theta join by
+    * orders of magnitude and never materializes candidate pairs.
+    *
+    * `right` must be unique per (key, time) — dedupe first, as the tie
+    * winner is otherwise engine-dependent.
+    */
+  def asofJoin(
+      left: DataFrame, leftKey: String, leftTime: String,
+      right: DataFrame, rightKey: String, rightTime: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val lCols = left.columns
+    val l = left
+      .withColumn("_k", col(leftKey)).withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1))
+    val r0 = right
+      .withColumn("_k", col(rightKey)).withColumn("_t", col(rightTime))
+      .withColumn("_side", lit(0))
+    // align schemas: each side carries nulls for the other's columns
+    val l2 = rightPayload.foldLeft(l)((d, c) =>
+      d.withColumn(s"_p_$c", lit(null).cast(right.schema(c).dataType)))
+    val r2 = rightPayload.foldLeft(r0.drop(lCols.filter(r0.columns.contains): _*))(
+      (d, c) => d.withColumn(s"_p_$c", col(c)))
+    val lNames = Seq("_k", "_t", "_side") ++ lCols ++ rightPayload.map(c => s"_p_$c")
+    val unioned = l2.select(lNames.map(col): _*)
+      .unionByName(r2.select(("_k" +: "_t" +: "_side" +: rightPayload.map(c => s"_p_$c")).map(col): _*),
+        allowMissingColumns = true)
+    val w = Window.partitionBy("_k").orderBy("_t", "_side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightPayload.foldLeft(unioned)((d, c) =>
+      d.withColumn(s"_p_$c", last(col(s"_p_$c"), ignoreNulls = true).over(w)))
+    filled
+      .filter(col("_side") === 1)
+      .select((lCols.map(col) ++ rightPayload.map(c => col(s"_p_$c").as(c))): _*)
+  }
+
+  /** As-of enrichment: each event gets the customer's most recent order
+    * at or before the event time (user_id ⋈ o_custkey). Orders are
+    * deduped to max(o_orderkey) per (custkey, orderdate) so the tie
+    * winner is well-defined. Inner semantics: unmatched events drop.
+    */
+  def asofLastOrder(events: DataFrame, orders: DataFrame): DataFrame = {
+    val r = orders
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max("o_orderkey").as("o_orderkey"))
+    asofJoin(
+      events.select("event_id", "user_id", "ts", "event_type"), "user_id", "ts",
+      r, "o_custkey", "o_orderdate", Seq("o_orderkey"))
+      .filter(col("o_orderkey").isNotNull)
+      .select("event_id", "user_id", "event_type", "o_orderkey")
+      .orderBy("event_id")
+  }
+
+  /** Gap-based sessionization: a new session starts after `gapMin`
+    * minutes of inactivity. Two window passes, both over the same
+    * (user_id, ts) partitioning — one shuffle total.
+    */
+  def sessionize(events: DataFrame, gapMin: Long = 30L): DataFrame = {
+    val gapUs = gapMin * 60000000L // gap in microseconds — exact int math
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val run = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag("us", 1).over(byUser))
+      .withColumn(
+        "is_new",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum("is_new").over(run))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), (max("us") - min("us")).as("dur_us"))
+    sessions
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        Exact.meanOfLong(col("n_events")).as("avg_events"),
+        max("dur_us").as("max_dur_us"))
+      .orderBy("user_id")
+  }
+}

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Engine-portable deterministic numerics.
+  *
+  * The correctness gate hash-compares our values against a DuckDB
+  * oracle, so every emitted double must be bit-identical across
+  * engines AND across runs. Two hazards are eliminated here:
+  *
+  *  1. Double-sum order: parallel aggregation sums in nondeterministic
+  *     order → last-ulp noise. Fix: quantize each addend to a DECIMAL
+  *     (exact integer arithmetic, order-independent) and convert the
+  *     exact sum back to double (exact while |v·10^scale| < 2^53).
+  *  2. round() semantics: Spark rounds via BigDecimal.valueOf (shortest
+  *     decimal repr, HALF_UP) while DuckDB multiplies and rounds the
+  *     binary value — they disagree on ties like 0.325. Fix: quantize
+  *     with floor(x·s + 0.5)/s, which is pure IEEE arithmetic and
+  *     therefore identical everywhere given identical input bits.
+  *
+  * The SQL twin of quant(x, s) is `floor(x * s + 0.5) / s`.
+  */
+object Exact {
+
+  /** floor(x·scale + 0.5)/scale — portable quantization. */
+  def quant(x: Column, scale: Double): Column =
+    floor(x * lit(scale) + lit(0.5)) / lit(scale)
+
+  def quant2(x: Column): Column = quant(x, 100.0)
+  def quant4(x: Column): Column = quant(x, 10000.0)
+  def quant6(x: Column): Column = quant(x, 1000000.0)
+
+  /** Order-independent sum of a double expression: quantize per-row to
+    * 4 decimals (DECIMAL(18,4)), sum exactly, emit as double with 2-dp
+    * quantization. SQL twin:
+    * `floor(CAST(sum(CAST(x AS DECIMAL(18,4))) AS DOUBLE)*100.0+0.5)/100.0`.
+    */
+  def moneySum(x: Column): Column =
+    quant2(sum(x.cast(DecimalType(18, 4))).cast("double"))
+
+  /** Exact mean of a double expression, 4-dp output. Counts ALL rows in
+    * the group (count(*) semantics) — callers must ensure non-null x.
+    * SQL twin: `floor(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)/count(*)*10000.0+0.5)/10000.0`.
+    */
+  def meanOf(x: Column): Column =
+    quant4(sum(x.cast(DecimalType(18, 6))).cast("double") / count(lit(1)))
+
+  /** Exact mean of an integral expression, 4-dp output.
+    * SQL twin: `floor(CAST(sum(x) AS DOUBLE)/count(*)*10000.0+0.5)/10000.0`.
+    */
+  def meanOfLong(x: Column): Column =
+    quant4(sum(x).cast("double") / count(lit(1)))
+}

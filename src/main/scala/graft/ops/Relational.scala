@@ -1,0 +1,260 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import Exact._
+
+/** Relational query library — the analytics surface implied by the
+  * reference's README contract (SURVEY.md §0.1, §2.4–2.9): grouped
+  * aggregation, dimension joins, window functions, top-k, set ops.
+  *
+  * Everything here is declarative DataFrame code: Catalyst handles
+  * predicate pushdown / column pruning / join selection, AQE handles
+  * runtime broadcast demotion and skew. Scale notes per operator.
+  *
+  * Determinism rules (the DuckDB-oracle gate hashes values):
+  *  - double aggregates go through [[Exact]] (order-independent decimal
+  *    sums, IEEE-portable quantization),
+  *  - ranking is computed over quantized values + an id tiebreak, so
+  *    rank never depends on last-ulp float noise,
+  *  - every query ends in a total order, matching the oracle's ORDER BY.
+  */
+object Relational {
+
+  private def revenueExpr: Column =
+    col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** TPC-H Q1 shape: one wide hash aggregation over the fact table.
+    * Scale: partial (map-side) agg then final — shuffle carries only
+    * |groups| rows per partition; no repartition needed at any SF.
+    */
+  def pricingSummary(lineitem: DataFrame, cutoff: String = "2000-12-01"): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= to_timestamp(lit(cutoff)))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(revenueExpr).as("sum_disc_price"),
+        moneySum(revenueExpr * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        meanOf(col("l_quantity")).as("avg_qty"),
+        meanOf(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Selective filter + narrow projection. The point at scale: both the
+    * predicate and the 5-column read schema reach the parquet scan
+    * (PushedFilters / ReadSchema in explain) — a 100 TB table is read
+    * as only the row groups and columns that survive.
+    */
+  def filterPushdown(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(
+        col("l_shipdate").between(to_timestamp(lit("1997-01-01")), to_timestamp(lit("1997-12-31"))) &&
+          col("l_quantity") <= 2.0 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_partkey", "l_linenumber")
+
+  /** Fact ⋈ fact ⋈ dim revenue rollup. `customer` is broadcast (dim);
+    * lineitem⋈orders is the one real shuffle, on the join key both
+    * sides already share. countDistinct adds its own expand — kept
+    * because the oracle needs exact counts (approx variant below).
+    */
+  def segmentRevenue(lineitem: DataFrame, orders: DataFrame, customer: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        moneySum(revenueExpr).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("c_mktsegment")
+
+  /** 3-dim star join: fact ⋈ supplier ⋈ nation ⋈ region, all dims
+    * broadcast — zero shuffles on the fact side at any scale.
+    */
+  def regionRevenue(lineitem: DataFrame, supplier: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        moneySum(revenueExpr).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("r_name", "n_name")
+
+  /** EXISTS as a left-semi join (no row multiplication, no distinct). */
+  def existsPriority(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .join(
+        lineitem.filter(col("l_quantity") > 30.0).select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  /** NOT EXISTS as a left-anti join. */
+  def antiNoOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"), meanOf(col("c_acctbal")).as("avg_acctbal"))
+      .orderBy("c_mktsegment")
+
+  /** Left outer join preserving zero-order customers, then a histogram
+    * of order counts — two aggregations, the second over tiny data.
+    */
+  def orderCountHistogram(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy("n_orders")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("n_orders")
+
+  /** Per-group top-k via ranking window. Revenue is quantized BEFORE
+    * the rank so order can't flip on float noise; p_partkey breaks
+    * ties. Scale: one shuffle on p_brand for the window; the pre-agg
+    * by (brand, partkey) shrinks rows first.
+    */
+  def topPartsPerBrand(lineitem: DataFrame, part: DataFrame, k: Int = 3): DataFrame = {
+    val rev = lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_partkey")
+      .agg(moneySum(revenueExpr).as("revenue"))
+    val w = Window.partitionBy("p_brand").orderBy(col("revenue").desc, col("p_partkey"))
+    rev
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("p_brand", "rnk", "p_partkey", "revenue")
+      .orderBy("p_brand", "rnk")
+  }
+
+  /** Running total per supplier — frame-based analytic window. The
+    * addends are quantized to DECIMAL(18,4), so the running sum is
+    * exact integer arithmetic: identical regardless of the engine's
+    * window-aggregation structure (Spark streams the frame, DuckDB
+    * uses segment trees — float would differ in ulps).
+    */
+  def runningTotal(lineitem: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lineitem
+      .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .withColumn("running_qty",
+        quant2(sum(col("l_quantity").cast(DecimalType(18, 4))).over(w).cast("double")))
+      .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+  }
+
+  /** Global top-k: orderBy+limit compiles to TakeOrderedAndProject —
+    * each partition keeps k rows, driver merges k·p, never a full sort.
+    */
+  def topkParts(lineitem: DataFrame, part: DataFrame, k: Int = 10): DataFrame =
+    lineitem
+      .groupBy("l_partkey")
+      .agg(moneySum(col("l_quantity")).as("total_qty"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("p_name"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("l_partkey"))
+      .limit(k)
+
+  /** Exact distinct counts per group (expand-based). */
+  def distinctCounts(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("l_returnflag")
+
+  /** Approximate distinct via HLL++ — the 100 TB path (constant memory,
+    * single pass, no expand). No SQL oracle: sketch internals are not
+    * portable across engines; the spec bounds the error vs exact.
+    */
+  def approxDistinctCounts(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_suppkey")).as("n_suppliers"),
+        approx_count_distinct(col("l_partkey")).as("n_parts"))
+      .orderBy("l_returnflag")
+
+  /** ROLLUP hierarchy with grouping_id — one pass, Expand-based. */
+  def rollupQty(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        moneySum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** INTERSECT / EXCEPT over customer key sets, tagged and unioned. */
+  def setopsStatus(orders: DataFrame): DataFrame = {
+    def keys(status: String) =
+      orders.filter(col("o_orderstatus") === status).select("o_custkey").distinct()
+    val o = keys("O"); val f = keys("F")
+    o.intersect(f).withColumn("tag", lit("both"))
+      .unionByName(o.except(f).withColumn("tag", lit("only_o")))
+      .unionByName(f.except(o).withColumn("tag", lit("only_f")))
+      .orderBy("o_custkey", "tag")
+  }
+
+  /** Conditional aggregation (the hero-win-rate shape from the
+    * reference's README): share of 'F' orders per nation.
+    */
+  def nationStatusShare(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        meanOfLong(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("f_share"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("n_name")
+
+  /** Calendar bucketing: orders per year/month. */
+  def monthlyOrders(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mth"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total_price"))
+      .orderBy("yr", "mth")
+
+  /** String functions: first word of p_type + aggregates per word. */
+  def typeWordStats(part: DataFrame): DataFrame =
+    part
+      .groupBy(split(col("p_type"), " ").getItem(0).as("type_word"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        meanOf(col("p_retailprice")).as("avg_price"),
+        max("p_size").as("max_size"))
+      .orderBy("type_word")
+
+  /** Part-pair co-occurrence (the reference's "hero combinations"
+    * capability): self-join on the order key with a `<` guard. Scale:
+    * lines-per-order is small and bounded, so the self-join output is
+    * ~|orders|·avg_lines² — linear in the fact table, and the join key
+    * is the natural partitioning.
+    */
+  def partPairs(lineitem: DataFrame, k: Int = 20): DataFrame = {
+    val a = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa")).distinct()
+    val b = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb")).distinct()
+    a.join(b, Seq("ok"))
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("pa"), col("pb"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (ARRAY<FLOAT>).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query
+  * set against the corpus; one narrow pass, no shuffle until the
+  * per-query top-k (TakeOrdered-style via ranking window over
+  * query-partitioned rows).
+  *
+  * Scale path: random-hyperplane LSH — a deterministic 16-bit
+  * signature per vector buckets the corpus; queries probe their own
+  * bucket plus all hamming-1 neighbors. Candidates per query drop from
+  * |corpus| to |corpus|/2^bits · probes, turning the cross product
+  * into an equi-join. For true 100 TB use the same structure with
+  * more bits + IVF-style re-ranking; recall is tested in
+  * SimilaritySpec against the brute-force oracle.
+  *
+  * Numeric portability: vectors are cast float→double BEFORE any
+  * arithmetic, and dot/norm accumulate left-to-right — bitwise
+  * identical to the DuckDB oracle's `::DOUBLE[]` math.
+  */
+object Similarity {
+
+  /** Σ a_i·b_i over two double arrays, sequential fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Brute-force cosine top-k: queries = vec_id < nQueries, corpus =
+    * the rest. Ranking uses the ROUNDED cosine + vec_id tiebreak so
+    * order is stable under float noise.
+    */
+  def cosineTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.filter(col("vec_id") >= nQueries)
+    val scored = c.join(broadcast(q))
+      .withColumn("cos", Exact.quant6(dot(col("qv"), col("v")) / (col("qn") * col("nrm"))))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "vec_id", "cos")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Near-duplicate embedding pairs: cosine ≥ threshold, a < b.
+    * Brute force O(n²/2) — correct baseline; LSH variant below is the
+    * scale path. The n² here is the corpus against itself, so at real
+    * scale ALWAYS go through [[annLsh]]-style bucketing first.
+    */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.95): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", Exact.quant6(dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Deterministic random hyperplanes: `bits` planes × `dim` components
+    * from a seeded PRNG (driver-side constants, baked into the plan).
+    */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(bits, dim)(rng.nextGaussian())
+  }
+
+  /** LSH bucket id: sign-bit signature against the hyperplanes. */
+  def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(v, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: candidates share the query's bucket or any
+    * hamming-1 neighbor bucket (multiprobe). Equi-join on bucket —
+    * shuffle-partitioned by bucket, no cross product.
+    */
+  def annLsh(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5,
+             bits: Int = 12, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(bits, dim)
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+    val corpus = e.filter(col("vec_id") >= nQueries)
+    val probes = array(lit(0L) +: (0 until bits).map(i => lit(1L << i)): _*)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(transform(probes, m => col("bucket").bitwiseXOR(m))).as("bucket"))
+    val scored = q.join(corpus, Seq("bucket"))
+      .withColumn("cos", Exact.quant6(dot(col("qv"), col("v")) / (col("qn") * col("nrm"))))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .select("query_id", "vec_id", "cos").distinct()
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy("query_id", "rnk")
+      .select("query_id", "rnk", "vec_id", "cos")
+  }
+
+  /** k-NN label vote: classify each query vector by majority label of
+    * its brute-force top-k neighbors (ties → smaller label).
+    */
+  def knnClassify(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val top = cosineTopK(embeddings, nQueries, k)
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val w = Window.partitionBy("query_id").orderBy(col("votes").desc, col("label"))
+    top.join(labels, "vec_id")
+      .groupBy("query_id", "label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("label").cast("long").as("pred_label"), col("votes"))
+      .orderBy("query_id")
+  }
+}

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for large-scale training-data pipelines: tokenization,
+  * language ID, quality scoring, fingerprinting. All pure Column
+  * expressions (codegen'd, no UDFs) — each stays inside whole-stage
+  * codegen and runs as a single narrow pass over the corpus, which is
+  * the only shape that survives 100 TB.
+  *
+  * Portability contract with the DuckDB oracle: tokenization is
+  * `regexp_extract_all(lower(text), '[a-z0-9]+')`, hashing is `md5`
+  * hex strings (identical in every engine), ratios are exact integer
+  * divisions rounded at the end.
+  */
+object TextOps {
+
+  /** Canonical token list (lowercased alphanumeric runs). */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** Normalized text: lowercase, non-alphanumeric collapsed to single
+    * spaces, trimmed — the canonical form for exact-dup fingerprints.
+    */
+  def normText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Deterministic 128-bit content fingerprint of the normalized text. */
+  def fingerprint(text: Column): Column = md5(normText(text))
+
+  /** Language ID by marker-token counting — an n-gram/stopword
+    * heuristic. Returns the language with the highest marker hit
+    * count; precedence order breaks ties deterministically.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "des", "et", "est"))
+
+  def langScores(toks: Column): Seq[(String, Column)] =
+    langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => array_contains(lit(markers.toArray), t))).cast("long")
+    }
+
+  def predictLang(text: Column): Column = {
+    val scores = langScores(tokens(text))
+    val best = greatest(scores.map(_._2): _*)
+    // first language (in declared precedence) achieving the max score
+    scores.reverse.foldLeft(lit("unknown")) { case (acc, (lang, s)) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Confusion counts: declared lang vs heuristic prediction. */
+  def langIdReport(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("pred_lang", predictLang(col("text")))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "pred_lang")
+
+  /** Per-document quality metrics + a composite score. All arithmetic
+    * is integer-derived then divided once — deterministic across
+    * engines; rounded at the end for hash-stable output.
+    */
+  def qualityScores(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val nUniq = size(array_distinct(toks)).cast("long")
+    val sumLen = aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (acc, x) => acc + x)
+    val stopList = lit(Array("the", "a", "of", "and", "is", "to", "in"))
+    val nStop = size(filter(toks, t => array_contains(stopList, t))).cast("long")
+    documents
+      .select(col("doc_id"), nTok.as("n_tokens"), nUniq.as("n_uniq"), sumLen.as("sum_len"), nStop.as("n_stop"))
+      .filter(col("n_tokens") > 0)
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_uniq"),
+        Exact.quant4(col("sum_len").cast("double") / col("n_tokens")).as("avg_token_len"),
+        Exact.quant4(col("n_uniq").cast("double") / col("n_tokens")).as("uniq_ratio"),
+        Exact.quant4(col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+        Exact.quant4(
+          col("n_uniq").cast("double") / col("n_tokens") * 0.5
+            + least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * 0.3
+            + (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.2)
+          .as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counts per source — the "how many tokens is this corpus"
+    * question every training pipeline asks. Single narrow pass + tiny
+    * aggregation.
+    */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n"))
+      .groupBy("source")
+      .agg(
+        sum("n").as("total_tokens"),
+        Exact.meanOfLong(col("n")).as("avg_tokens"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("source")
+
+  /** Content fingerprint + coarse length bucket per document. */
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents
+      .select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp"),
+        (col("n_chars") - col("n_chars") % 100).as("len_bucket"))
+      .orderBy("doc_id")
+}
