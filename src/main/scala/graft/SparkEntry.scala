@@ -24,11 +24,12 @@ object SparkEntry {
     Relational.segmentRevenue(t.lineitem, t.orders, t.customer)
   }
 
-  // quantization fragments for the SQL twins (see Exact.scala)
+  // quantization fragments for the SQL twins (see Exact.scala):
+  // per-row floor-quantize in pure IEEE, exact integer-decimal sum.
   private def mny(x: String): String =
-    s"floor(CAST(sum(CAST($x AS DECIMAL(18,4))) AS DOUBLE)*100.0+0.5)/100.0"
+    s"floor(CAST(sum(CAST(floor(($x)*10000.0+0.5) AS DECIMAL(18,0))) AS DOUBLE)/10000.0*100.0+0.5)/100.0"
   private def mean(x: String): String =
-    s"floor(CAST(sum(CAST($x AS DECIMAL(18,6))) AS DOUBLE)/count(*)*10000.0+0.5)/10000.0"
+    s"floor(CAST(sum(CAST(floor(($x)*1000000.0+0.5) AS DECIMAL(18,0))) AS DOUBLE)/1000000.0/count(*)*10000.0+0.5)/10000.0"
   private def meanL(x: String): String =
     s"floor(CAST(sum($x) AS DOUBLE)/count(*)*10000.0+0.5)/10000.0"
   private def q4(x: String): String = s"floor(($x)*10000.0+0.5)/10000.0"
@@ -146,7 +147,8 @@ object SparkEntry {
     "q06_anti_no_orders" ->
       s"""SELECT c_mktsegment, count(*) AS n_customers, ${mean("c_acctbal")} AS avg_acctbal
          |FROM customer c
-         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+         |  AND o.o_orderdate >= TIMESTAMP '1998-01-01')
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q07_order_count_hist" ->
       """WITH pc AS (
@@ -235,7 +237,7 @@ object SparkEntry {
          |      FROM events)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q21_events_hourly" ->
-      s"""SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
+      s"""SELECT epoch_us(date_trunc('hour', ts)) AS hour, event_type, count(*) AS n_events,
          | ${mny("value")} AS sum_value, ${mean("value")} AS avg_value
          |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q22_sessionize" ->

@@ -1,39 +1,57 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Typed handles to the driver-generated test tables (TESTDATA.md).
+/** Lazy handles to the driver-generated test tables (TESTDATA.md).
   *
-  * One parquet file per table under `dir`. At 100 TB these would be
-  * date-partitioned parquet/iceberg directories; everything downstream
-  * takes a [[DataFrame]] so the swap is purely a change of path here.
+  * Each parquet file is read only when a query actually touches it —
+  * one unreadable table must never fail queries that don't reference
+  * it (round-1 lesson: an events-only format issue failed all 35
+  * declared queries through the old eager loader).
+  *
+  * At 100 TB these would be date-partitioned parquet/iceberg
+  * directories; everything downstream takes a [[DataFrame]] so the
+  * swap is purely a change of path here.
   */
-final case class Tables(
-    region: DataFrame,
-    nation: DataFrame,
-    customer: DataFrame,
-    supplier: DataFrame,
-    part: DataFrame,
-    orders: DataFrame,
-    lineitem: DataFrame,
-    events: DataFrame,
-    documents: DataFrame,
-    embeddings: DataFrame
-)
+final class Tables(spark: SparkSession, dir: String) {
+  private def t(n: String): DataFrame = spark.read.parquet(s"$dir/$n.parquet")
+
+  lazy val region: DataFrame = t("region")
+  lazy val nation: DataFrame = t("nation")
+  lazy val customer: DataFrame = t("customer")
+  lazy val supplier: DataFrame = t("supplier")
+  lazy val part: DataFrame = t("part")
+  lazy val orders: DataFrame = t("orders")
+  lazy val lineitem: DataFrame = t("lineitem")
+  lazy val documents: DataFrame = t("documents")
+  lazy val embeddings: DataFrame = t("embeddings")
+
+  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects as a timestamp. With
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set here and in
+    * [[GraftSession]]) the column surfaces as a nanos LongType; we
+    * convert to a micros TIMESTAMP via floor division — `ns div 1000`
+    * truncates toward zero == floor for the all-positive epoch range,
+    * matching DuckDB's `epoch_us` truncation so comparisons against
+    * micro-aligned thresholds (order dates, hour buckets) agree.
+    */
+  lazy val events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = t("events")
+    import org.apache.spark.sql.types.LongType
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw // already a readable timestamp (e.g. rewritten fixtures)
+  }
+}
 
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String): Tables = {
-    def t(n: String) = spark.read.parquet(s"$dir/$n.parquet")
-    Tables(
-      region = t("region"), nation = t("nation"), customer = t("customer"),
-      supplier = t("supplier"), part = t("part"), orders = t("orders"),
-      lineitem = t("lineitem"), events = t("events"),
-      documents = t("documents"), embeddings = t("embeddings"))
-  }
+  def load(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
 }
 
 /** Session factory with the scale-oriented defaults every entry point
@@ -52,5 +70,6 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 }

@@ -34,10 +34,15 @@ object EventOps {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
-  /** Tumbling-hour aggregation (batch twin of the streaming pipeline). */
+  /** Tumbling-hour aggregation (batch twin of the streaming pipeline).
+    * The hour bucket is emitted as epoch MICROS (BIGINT), not a
+    * timestamp: parquet/arrow timestamp columns carry tz-awareness
+    * metadata that differs between engines (LTZ vs naive) and fails
+    * the value compare even when the instants are identical.
+    */
   def hourlyStats(events: DataFrame): DataFrame =
     events
-      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         Exact.moneySum(col("value")).as("sum_value"),
@@ -118,8 +123,12 @@ object EventOps {
     * winner is well-defined. Inner semantics: unmatched events drop.
     */
   def asofLastOrder(events: DataFrame, orders: DataFrame): DataFrame = {
+    // events.ts is TIMESTAMP_LTZ (nanos→micros ingestion); o_orderdate
+    // reads back as TIMESTAMP_NTZ. Align the time axis explicitly —
+    // identity under the UTC session tz — so the union in asofJoin
+    // doesn't depend on implicit NTZ/LTZ coercion.
     val r = orders
-      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .groupBy(col("o_custkey"), col("o_orderdate").cast("timestamp_ltz").as("o_orderdate"))
       .agg(max("o_orderkey").as("o_orderkey"))
     asofJoin(
       events.select("event_id", "user_id", "ts", "event_type"), "user_id", "ts",

@@ -33,19 +33,29 @@ object Exact {
   def quant6(x: Column): Column = quant(x, 1000000.0)
 
   /** Order-independent sum of a double expression: quantize per-row to
-    * 4 decimals (DECIMAL(18,4)), sum exactly, emit as double with 2-dp
-    * quantization. SQL twin:
-    * `floor(CAST(sum(CAST(x AS DECIMAL(18,4))) AS DOUBLE)*100.0+0.5)/100.0`.
+    * 4 decimals in PURE IEEE arithmetic — `floor(x·10⁴ + 0.5)` — THEN
+    * cast the (exactly integral) double to DECIMAL(18,0) and sum. The
+    * direct `cast(double as decimal(18,4))` is NOT portable: Spark
+    * rounds the shortest decimal representation (BigDecimal.valueOf)
+    * while DuckDB rounds the true binary value, and near-tie rows in
+    * multi-factor products round differently (hazard #2 above —
+    * round-1 q01 failed on exactly this). floor/·/+ are IEEE-identical
+    * everywhere, and the integral-double→decimal cast is exact.
+    * SQL twin:
+    * `floor(CAST(sum(CAST(floor(x*10000.0+0.5) AS DECIMAL(18,0))) AS DOUBLE)/10000.0*100.0+0.5)/100.0`.
     */
   def moneySum(x: Column): Column =
-    quant2(sum(x.cast(DecimalType(18, 4))).cast("double"))
+    quant2(sum(floor(x * lit(10000.0) + lit(0.5)).cast(DecimalType(18, 0)))
+      .cast("double") / lit(10000.0))
 
   /** Exact mean of a double expression, 4-dp output. Counts ALL rows in
     * the group (count(*) semantics) — callers must ensure non-null x.
-    * SQL twin: `floor(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)/count(*)*10000.0+0.5)/10000.0`.
+    * Same pure-IEEE per-row quantization as [[moneySum]], at 6 dp.
+    * SQL twin: `floor(CAST(sum(CAST(floor(x*1000000.0+0.5) AS DECIMAL(18,0))) AS DOUBLE)/1000000.0/count(*)*10000.0+0.5)/10000.0`.
     */
   def meanOf(x: Column): Column =
-    quant4(sum(x.cast(DecimalType(18, 6))).cast("double") / count(lit(1)))
+    quant4(sum(floor(x * lit(1000000.0) + lit(0.5)).cast(DecimalType(18, 0)))
+      .cast("double") / lit(1000000.0) / count(lit(1)))
 
   /** Exact mean of an integral expression, 4-dp output.
     * SQL twin: `floor(CAST(sum(x) AS DOUBLE)/count(*)*10000.0+0.5)/10000.0`.

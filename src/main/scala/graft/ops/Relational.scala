@@ -98,10 +98,16 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
 
-  /** NOT EXISTS as a left-anti join. */
-  def antiNoOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+  /** NOT EXISTS as a left-anti join: customers with no orders since
+    * `since`. The date bound keeps the result non-vacuous on the test
+    * corpus (every customer has SOME order, none-by-date is rarer) —
+    * an anti-join gate on 0 rows proves nothing.
+    */
+  def antiNoOrders(customer: DataFrame, orders: DataFrame, since: String = "1998-01-01"): DataFrame =
     customer
-      .join(orders.select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(
+        orders.filter(col("o_orderdate") >= to_timestamp(lit(since))).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_customers"), meanOf(col("c_acctbal")).as("avg_acctbal"))
       .orderBy("c_mktsegment")
