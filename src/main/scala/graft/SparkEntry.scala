@@ -35,6 +35,11 @@ object SparkEntry {
   private def q4(x: String): String = s"floor(($x)*10000.0+0.5)/10000.0"
   private val rev = "l_extendedprice*(1.0-l_discount)"
   private val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+  // sequential-fold dot/norm over DOUBLE[] lists — bit-identical to
+  // Spark's aggregate() fold (see Similarity scaladoc)
+  private def sqlDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1,65), i -> $a.v[i]*$b.v[i]))"
+  private val sqlNorm = "sqrt(list_sum(list_transform(range(1,65), i -> v[i]*v[i])))"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> ((s, d) => { val t = Tables.load(s, d)
@@ -278,16 +283,12 @@ object SparkEntry {
       s"""WITH w AS (SELECT DISTINCT doc_id, tok FROM
          |  (SELECT doc_id, unnest($toks) AS tok FROM documents)),
          |sig AS (SELECT doc_id,
-         |  min(md5('0:'||tok)) AS h0, min(md5('1:'||tok)) AS h1,
-         |  min(md5('2:'||tok)) AS h2, min(md5('3:'||tok)) AS h3,
-         |  min(md5('4:'||tok)) AS h4, min(md5('5:'||tok)) AS h5,
-         |  min(md5('6:'||tok)) AS h6, min(md5('7:'||tok)) AS h7
+         |  ${(0 until 16).map(i => s"min(md5('$i:'||tok)) AS h$i").mkString(",\n         |  ")}
          |  FROM w GROUP BY 1),
          |band AS (
-         |  SELECT doc_id, 0 AS b, md5(h0||h1) AS k FROM sig UNION ALL
-         |  SELECT doc_id, 1, md5(h2||h3) FROM sig UNION ALL
-         |  SELECT doc_id, 2, md5(h4||h5) FROM sig UNION ALL
-         |  SELECT doc_id, 3, md5(h6||h7) FROM sig),
+         |  ${(0 until 4).map(b =>
+              s"SELECT doc_id, $b${if (b == 0) " AS b" else ""}, md5(${(4 * b until 4 * b + 4).map(i => s"h$i").mkString("||")})${if (b == 0) " AS k" else ""} FROM sig")
+              .mkString(" UNION ALL\n         |  ")}),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM band a JOIN band b ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id),
          |n AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
@@ -299,6 +300,34 @@ object SparkEntry {
          |FROM p JOIN n na ON na.doc_id = p.doc_a JOIN n nb ON nb.doc_id = p.doc_b
          |WHERE ${q4("CAST(inter AS DOUBLE)/(na.n+nb.n-inter)")} >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // HLL++ internals aren't oracle-portable; the declared output is
+    // exact counts + within-10%-of-exact booleans (see Relational
+    // scaladoc), which the oracle CAN check.
+    "q38_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_suppliers,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | TRUE AS suppliers_ok, TRUE AS parts_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // SimHash is deterministic md5 bit-math — fully SQL-expressible.
+    // DuckDB parses '0x…' hex strings in BIGINT casts; verified equal
+    // to Spark's conv(hex,16,10) on the same md5 prefix.
+    "t26_simhash_pairs" ->
+      s"""WITH w AS (SELECT DISTINCT doc_id, tok FROM
+         |  (SELECT doc_id, unnest($toks) AS tok FROM documents)),
+         |h AS (SELECT doc_id, CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) AS h FROM w),
+         |b AS (SELECT doc_id, j, sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM h, (SELECT unnest(range(0,60)) AS j) GROUP BY 1,2),
+         |sh AS (SELECT doc_id,
+         |  sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0::BIGINT END) AS simhash
+         |  FROM b GROUP BY 1),
+         |chunk AS (SELECT doc_id, simhash, c, (simhash >> (c*15)) & 32767 AS ckey
+         |  FROM sh, (SELECT unnest(range(0,4)) AS c)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |  FROM chunk a JOIN chunk b
+         |  ON a.c = b.c AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM cand
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     "t27_langid" ->
       s"""WITH t AS (SELECT lang, $toks AS tk FROM documents),
          |s AS (SELECT lang,
@@ -339,39 +368,55 @@ object SparkEntry {
         | md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
         | n_chars - n_chars % 100 AS len_bucket
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Similarity oracles compute dot products with
+    // list_sum(list_transform(...)) — a SEQUENTIAL left-to-right fold,
+    // bit-identical to Spark's `aggregate` higher-order function. A
+    // grouped sum() accumulates in engine-chosen order and differs by
+    // ulps (measured), which can flake across a quantization boundary.
     "s31_cosine_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |x AS (SELECT vec_id, i, v[i] AS val FROM e, (SELECT unnest(range(1,65)) AS i)),
-        |nr AS (SELECT vec_id, sqrt(sum(val*val)) AS nrm FROM x GROUP BY 1),
-        |d AS (SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.val*b.val) AS dp
-        |  FROM x a JOIN x b ON a.i = b.i AND a.vec_id < 5 AND b.vec_id >= 5 GROUP BY 1,2),
-        |r AS (SELECT qid AS query_id, cid AS vec_id,
-        |  floor(dp/(na.nrm*nb.nrm)*1000000.0+0.5)/1000000.0 AS cos
-        |  FROM d JOIN nr na ON na.vec_id = qid JOIN nr nb ON nb.vec_id = cid)
-        |SELECT query_id, rnk, vec_id, cos FROM (
-        |  SELECT query_id, vec_id, cos,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
-        |  FROM r)
-        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nr AS (SELECT vec_id, $sqlNorm AS nrm FROM e),
+         |d AS (SELECT a.vec_id AS qid, b.vec_id AS cid, ${sqlDot("a", "b")} AS dp
+         |  FROM e a JOIN e b ON a.vec_id < 5 AND b.vec_id >= 5),
+         |r AS (SELECT qid AS query_id, cid AS vec_id,
+         |  floor(dp/(na.nrm*nb.nrm)*1000000.0+0.5)/1000000.0 AS cos
+         |  FROM d JOIN nr na ON na.vec_id = qid JOIN nr nb ON nb.vec_id = cid)
+         |SELECT query_id, rnk, vec_id, cos FROM (
+         |  SELECT query_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM r)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // Twin of the sign-sketch banded-LSH near-dup: the candidate rule
+    // (4 bands × 16 sign bits, hamming ≤ 2 probes) is replicated
+    // exactly, so Spark and the oracle agree by construction at any
+    // recall level. Sign bits are float comparisons — no arithmetic,
+    // no ulp hazard.
     "s32_embedding_neardup" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |x AS (SELECT vec_id, i, v[i] AS val FROM e, (SELECT unnest(range(1,65)) AS i)),
-        |nr AS (SELECT vec_id, sqrt(sum(val*val)) AS nrm FROM x GROUP BY 1),
-        |d AS (SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.val*b.val) AS dp
-        |  FROM x a JOIN x b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1,2),
-        |r AS (SELECT va AS vec_a, vb AS vec_b,
-        |  floor(dp/(na.nrm*nb.nrm)*1000000.0+0.5)/1000000.0 AS cos
-        |  FROM d JOIN nr na ON na.vec_id = va JOIN nr nb ON nb.vec_id = vb)
-        |SELECT vec_a, vec_b, cos FROM r WHERE cos >= 0.95 ORDER BY vec_a, vec_b""".stripMargin,
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |x AS (SELECT vec_id, i, v[i] AS val FROM e, (SELECT unnest(range(1,65)) AS i)),
+         |keys AS (SELECT vec_id, CAST((i-1)//16 AS INT) AS band,
+         |  sum(CASE WHEN val > 0 THEN 1::BIGINT << ((i-1)%16) ELSE 0::BIGINT END) AS bkey
+         |  FROM x GROUP BY 1,2),
+         |probes AS (SELECT vec_id, band, xor(bkey, pm.m) AS pkey
+         |  FROM keys CROSS JOIN (SELECT unnest([${Similarity.probeMasks(16).mkString(",")}]) AS m) pm),
+         |cand AS (SELECT DISTINCT p.vec_id AS vec_a, k.vec_id AS vec_b
+         |  FROM probes p JOIN keys k
+         |  ON p.band = k.band AND p.pkey = k.bkey AND p.vec_id < k.vec_id),
+         |nr AS (SELECT vec_id, $sqlNorm AS nrm FROM e),
+         |d AS (SELECT c.vec_a, c.vec_b, ${sqlDot("a", "b")} AS dp
+         |  FROM cand c JOIN e a ON a.vec_id = c.vec_a JOIN e b ON b.vec_id = c.vec_b),
+         |r AS (SELECT vec_a, vec_b,
+         |  floor(dp/(na.nrm*nb.nrm)*1000000.0+0.5)/1000000.0 AS cos
+         |  FROM d JOIN nr na ON na.vec_id = vec_a JOIN nr nb ON nb.vec_id = vec_b)
+         |SELECT vec_a, vec_b, cos FROM r WHERE cos >= 0.9 ORDER BY vec_a, vec_b""".stripMargin,
     "s34_knn_classify" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |x AS (SELECT vec_id, i, v[i] AS val FROM e, (SELECT unnest(range(1,65)) AS i)),
-        |nr AS (SELECT vec_id, sqrt(sum(val*val)) AS nrm FROM x GROUP BY 1),
-        |d AS (SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.val*b.val) AS dp
-        |  FROM x a JOIN x b ON a.i = b.i AND a.vec_id < 5 AND b.vec_id >= 5 GROUP BY 1,2),
-        |r AS (SELECT qid AS query_id, cid AS vec_id,
-        |  floor(dp/(na.nrm*nb.nrm)*1000000.0+0.5)/1000000.0 AS cos
-        |  FROM d JOIN nr na ON na.vec_id = qid JOIN nr nb ON nb.vec_id = cid),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nr AS (SELECT vec_id, $sqlNorm AS nrm FROM e),
+         |d AS (SELECT a.vec_id AS qid, b.vec_id AS cid, ${sqlDot("a", "b")} AS dp
+         |  FROM e a JOIN e b ON a.vec_id < 5 AND b.vec_id >= 5),
+         |r AS (SELECT qid AS query_id, cid AS vec_id,
+         |  floor(dp/(na.nrm*nb.nrm)*1000000.0+0.5)/1000000.0 AS cos
+         |  FROM d JOIN nr na ON na.vec_id = qid JOIN nr nb ON nb.vec_id = cid),
         |topk AS (SELECT query_id, vec_id FROM (
         |  SELECT query_id, vec_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk

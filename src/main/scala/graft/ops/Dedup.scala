@@ -42,6 +42,11 @@ object Dedup {
 
   /** All pairs with token-set Jaccard ≥ `threshold`, via prefix
     * filtering. Returns (doc_a, doc_b, jac) with doc_a < doc_b.
+    *
+    * The token document-frequency table is joined with a SHUFFLE join
+    * (no broadcast hint): the vocabulary of a 100 TB corpus does not
+    * fit on the driver, and this one-time per-token join is cheap to
+    * shuffle. AQE may still choose broadcast at small SFs.
     */
   def jaccardPairs(documents: DataFrame, threshold: Double = 0.6): DataFrame = {
     val toks = docTokens(documents)
@@ -51,7 +56,7 @@ object Dedup {
     // per-doc tokens sorted rarest-first; keep the prefix
     val prefix = toks
       .select(col("doc_id"), col("n"), explode(col("toks")).as("tok"))
-      .join(broadcast(df), "tok")
+      .join(df, "tok")
       .groupBy("doc_id", "n")
       .agg(array_sort(collect_list(struct(col("tok_df"), col("tok")))).as("ranked"))
       .select(
@@ -67,12 +72,26 @@ object Dedup {
     verifyJaccard(cand, toks, threshold)
   }
 
-  /** Exact Jaccard over candidate pairs; keeps pairs ≥ threshold. */
+  /** Exact Jaccard over candidate pairs; keeps pairs ≥ threshold.
+    *
+    * Intersections are counted via an exploded-token equi-join —
+    * candidates fan out to (pair, token) rows and group-count —
+    * instead of hauling both full token arrays through the join and
+    * running array_intersect per pair (round-1 scale-killer: the
+    * arrays dominate the shuffle and the per-pair set intersect is
+    * O(|a|·|b|) work repeated per candidate).
+    */
   private def verifyJaccard(cand: DataFrame, toks: DataFrame, threshold: Double): DataFrame = {
-    val ta = toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"), col("n").as("na"))
-    val tb = toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"), col("n").as("nb"))
-    cand.join(ta, "doc_a").join(tb, "doc_b")
-      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+    val w = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val n = toks.select(col("doc_id"), col("n"))
+    val inter = cand
+      .join(w.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(w.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(n.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(n.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jac",
         Exact.quant4(col("inter").cast("double") / (col("na") + col("nb") - col("inter"))))
       .filter(col("jac") >= threshold)
@@ -83,7 +102,7 @@ object Dedup {
   /** MinHash signature columns h0..h{k-1}: min over tokens of
     * md5("<i>:<token>") — portable string-min minhash.
     */
-  def minhashSignatures(documents: DataFrame, k: Int = 8): DataFrame = {
+  def minhashSignatures(documents: DataFrame, k: Int = 16): DataFrame = {
     val exploded = docTokens(documents)
       .select(col("doc_id"), explode(col("toks")).as("tok"))
     val sigCols = (0 until k).map(i =>
@@ -92,13 +111,18 @@ object Dedup {
   }
 
   /** MinHash + banded LSH near-dup pairs, verified by exact Jaccard.
-    * k signatures in `bands` bands of k/bands rows: docs sharing any
-    * band key become candidates. Probability of a pair with jaccard j
-    * becoming a candidate: 1-(1-j^(k/bands))^bands.
+    * k signatures in `bands` bands of r = k/bands rows: docs sharing
+    * any band key become candidates. Probability of a pair with
+    * jaccard j becoming a candidate: 1-(1-j^r)^bands.
+    *
+    * r = 4 (k=16, bands=4) keeps candidate precision sane: a j=0.3
+    * pair is a candidate with p≈0.032 (vs 0.31 at the round-1 r=2),
+    * so the candidate set tracks genuinely similar pairs instead of
+    * exploding quadratically on a dup-heavy corpus.
     */
   def minhashLshPairs(
       documents: DataFrame, threshold: Double = 0.5,
-      k: Int = 8, bands: Int = 4): DataFrame = {
+      k: Int = 16, bands: Int = 4): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
     val sigs = minhashSignatures(documents, k)

@@ -183,15 +183,25 @@ object Relational {
       .orderBy("l_returnflag")
 
   /** Approximate distinct via HLL++ — the 100 TB path (constant memory,
-    * single pass, no expand). No SQL oracle: sketch internals are not
-    * portable across engines; the spec bounds the error vs exact.
+    * single pass, no expand). Sketch estimates are not portable across
+    * engines, so the DECLARED output is exact counts plus booleans
+    * asserting the HLL estimate landed within 10% of exact (rsd=0.02,
+    * so the 10% bound is 5σ — deterministic in practice). The oracle
+    * computes the exact counts and expects TRUE: a broken sketch path
+    * flips a boolean and fails the hash gate.
     */
   def approxDistinctCounts(lineitem: DataFrame): DataFrame =
     lineitem
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_suppkey")).as("n_suppliers"),
-        approx_count_distinct(col("l_partkey")).as("n_parts"))
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("_as"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("_ap"))
+      .select(
+        col("l_returnflag"), col("n_suppliers"), col("n_parts"),
+        (abs(col("_as") - col("n_suppliers")) <= col("n_suppliers") * 0.1).as("suppliers_ok"),
+        (abs(col("_ap") - col("n_parts")) <= col("n_parts") * 0.1).as("parts_ok"))
       .orderBy("l_returnflag")
 
   /** ROLLUP hierarchy with grouping_id — one pass, Expand-based. */

@@ -55,12 +55,66 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
-  /** Near-duplicate embedding pairs: cosine ≥ threshold, a < b.
-    * Brute force O(n²/2) — correct baseline; LSH variant below is the
-    * scale path. The n² here is the corpus against itself, so at real
-    * scale ALWAYS go through [[annLsh]]-style bucketing first.
+  /** Hamming-≤2 probe masks over `bits` bit positions: 0, all single
+    * bits, all bit pairs. 1 + bits + bits·(bits-1)/2 masks.
     */
-  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.95): DataFrame = {
+  def probeMasks(bits: Int): Array[Long] = {
+    val singles = (0 until bits).map(1L << _)
+    val pairs = for { i <- 0 until bits; j <- i + 1 until bits } yield (1L << i) | (1L << j)
+    (0L +: (singles ++ pairs)).toArray
+  }
+
+  /** Near-duplicate embedding pairs: cosine ≥ threshold, a < b,
+    * found via sign-sketch banded LSH + exact cosine verify.
+    *
+    * Signature: 64 sign bits (bit j = v[j] > 0 — axis-aligned random
+    * hyperplanes, valid for isotropic embeddings; bit-exact in every
+    * engine since it's a float comparison, no arithmetic). Split into
+    * 4 bands × 16 bits; a pair becomes a candidate when some band
+    * keys are within hamming ≤ 2 (left side explodes into the 137
+    * probe masks). For a true near-dup at cos 0.95 (per-bit disagree
+    * p = θ/π ≈ 0.101) recall is ≈ 99.8%; a random pair (p = 0.5)
+    * is a candidate with p ≈ 0.008 — the n² cross join never happens.
+    * Exact cosine over candidates keeps only real pairs.
+    *
+    * The DuckDB oracle twin implements the IDENTICAL candidate rule,
+    * so the gate is hash-exact by construction; recall vs brute force
+    * is bounded separately in SimilaritySpec (the driver corpus has
+    * no near-dups — max pairwise cos ≈ 0.51 at every SF — so the
+    * declared query is empty-but-consistent there).
+    */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    def bandKey(b: Int): Column =
+      (0 until 16).map(i =>
+        when(element_at(col("v"), b * 16 + i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _)
+    val banded = e.select(col("vec_id"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), bandKey(b).as("bkey"))): _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val masks = array(probeMasks(16).map(lit): _*)
+    val probed = banded.select(col("vec_id").as("vec_a"), col("band"),
+      explode(transform(masks, m => col("bkey").bitwiseXOR(m))).as("bkey"))
+    val cand = probed
+      .join(banded.select(col("vec_id").as("vec_b"), col("band"), col("bkey")), Seq("band", "bkey"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    cand.join(a, "vec_a").join(b, "vec_b")
+      .withColumn("cos", Exact.quant6(dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Brute-force near-dup (O(n²/2) cross join) — the recall ORACLE for
+    * [[embeddingNearDup]] in SimilaritySpec, never the declared query:
+    * at corpus scale the cross join is the one shape that can't run.
+    */
+  def embeddingNearDupBrute(embeddings: DataFrame, threshold: Double = 0.9): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
