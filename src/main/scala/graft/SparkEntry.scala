@@ -104,6 +104,24 @@ object SparkEntry {
       TextOps.tokenCounts(t.documents) }),
     "t30_fingerprints" -> ((s, d) => { val t = Tables.load(s, d)
       TextOps.fingerprints(t.documents) }),
+    // connector transforms under the gate: fixture payload (zero
+    // egress) -> normalize -> stable projection; oracle is the
+    // expected frame as VALUES
+    "q39_widen_arrays" -> ((s, _) => {
+      import org.apache.spark.sql.functions.col
+      val raw = graft.sources.RestSource.readJson(
+        s, graft.sources.Fixtures.publicMatchesJson,
+        Some(graft.sources.Endpoints.publicMatchesSchema))
+      graft.sources.Normalize.widenTeams(raw)
+        .select(
+          (Seq("match_id", "radiant_win", "duration") ++
+            (1 to 5).map(i => s"radiant_hero_$i") ++
+            (1 to 5).map(i => s"dire_hero_$i")).map(col): _*)
+        .orderBy("match_id")
+    }),
+    "q40_map_pivot" -> ((s, _) =>
+      graft.sources.Normalize.pivotConstantsMap(
+        s, graft.sources.Fixtures.lobbyTypesJson, "lobby_id")),
     "s31_cosine_topk" -> ((s, d) => { val t = Tables.load(s, d)
       Similarity.cosineTopK(t.embeddings) }),
     "s32_embedding_neardup" -> ((s, d) => { val t = Tables.load(s, d)
@@ -368,6 +386,20 @@ object SparkEntry {
         | md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
         | n_chars - n_chars % 100 AS len_bucket
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Golden frames for the connector-transform queries: the fixture
+    // payload is fixed, so the oracle is the expected output itself.
+    "q39_widen_arrays" ->
+      """SELECT * FROM (VALUES
+        | (8000000001, true, 2400, 14,21,34,51,86, 7,19,40,72,99),
+        | (8000000002, false, 1800, 1,2,3,4,5, 6,8,9,10,11),
+        | (8000000003, true, 3105, NULL,NULL,NULL,NULL,NULL, NULL,NULL,NULL,NULL,NULL)
+        |) AS t(match_id, radiant_win, duration,
+        |  radiant_hero_1, radiant_hero_2, radiant_hero_3, radiant_hero_4, radiant_hero_5,
+        |  dire_hero_1, dire_hero_2, dire_hero_3, dire_hero_4, dire_hero_5)
+        |ORDER BY match_id""".stripMargin,
+    "q40_map_pivot" ->
+      """SELECT * FROM (VALUES ('0','Normal'),('1','Practice'),('7','Ranked'))
+        |AS t(lobby_id, name) ORDER BY lobby_id""".stripMargin,
     // Similarity oracles compute dot products with
     // list_sum(list_transform(...)) — a SEQUENTIAL left-to-right fold,
     // bit-identical to Spark's `aggregate` higher-order function. A

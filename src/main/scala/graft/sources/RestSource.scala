@@ -33,10 +33,16 @@ object RestSource {
     */
   def normalizeBody(body: String): Seq[String] = {
     val trimmed = body.trim
-    if (trimmed.startsWith("[")) {
-      val node = mapper.readTree(trimmed)
-      node.elements().asScala.map(_.toString).toSeq
-    } else Seq(trimmed)
+    if (trimmed.startsWith("["))
+      try {
+        val node = mapper.readTree(trimmed)
+        node.elements().asScala.map(_.toString).toSeq
+      } catch {
+        // unsplittable array → single row; Spark's PERMISSIVE reader
+        // quarantines it in _corrupt_record instead of us throwing
+        case _: com.fasterxml.jackson.core.JacksonException => Seq(trimmed)
+      }
+    else Seq(trimmed)
   }
 
   /** Parse a payload into a DataFrame. With `schema` the read is

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+import graft.ops.Exact
+
+/** Streaming pipeline over the events stream — the timeline /
+  * event-time capability the reference's README implies (SURVEY.md
+  * §0.1, §2.10). Structured Streaming only: `readStream` sources,
+  * event-time windows + watermarks, `mapGroupsWithState` for custom
+  * state. Each operator takes a streaming DataFrame and returns one,
+  * so sources/sinks stay the caller's choice (file source in specs,
+  * kafka-shaped sources in production — same plan).
+  *
+  * The batch twin of [[hourlyStats]] is `EventOps.hourlyStats`; the
+  * differential spec asserts they agree on the same data, which is
+  * the correctness story Structured Streaming's unified model is
+  * built for.
+  */
+object EventStream {
+
+  /** Tumbling 1-hour event-time aggregation with a watermark: late
+    * rows beyond `watermark` are dropped, state is bounded (without a
+    * watermark, window state grows forever — the 100 TB failure mode).
+    * Output matches EventOps.hourlyStats: hour as epoch micros.
+    */
+  def hourlyStats(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Exact.moneySum(col("value")).as("sum_value"),
+        Exact.meanOf(col("value")).as("avg_value"))
+      .select(
+        unix_micros(col("window.start")).as("hour"),
+        col("event_type"), col("n_events"), col("sum_value"), col("avg_value"))
+
+  /** Gap-based session windows (native session_window — state merges
+    * adjacent windows, watermark evicts closed sessions).
+    */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes",
+                   watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        unix_micros(col("session_window.start")).as("session_start"),
+        unix_micros(col("session_window.end")).as("session_end"),
+        col("user_id"), col("n_events"))
+
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state via mapGroupsWithState: per-user running
+    * event count + value total, updated per micro-batch. The state is
+    * one tiny record per key — the shape that scales to any key
+    * cardinality because Spark shards state by key across executors.
+    */
+  def runningTotals(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          val next = rows.foldLeft(prev)((acc, e) =>
+            UserRunning(userId, acc.n_events + 1, acc.total_value + e.value))
+          state.update(next)
+          next
+      }
+  }
+
+  /** Convenience: run a streaming frame to completion against all
+    * currently-available input (Trigger.AvailableNow) into an
+    * in-memory table; used by specs and local smoke runs.
+    */
+  def runAvailableNow(df: DataFrame, queryName: String, outputMode: String = "append"): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Dedup family on a planted corpus: exact dups (normalization
+  * variants), near-dups (one-token edits), and unrelated docs.
+  * Everything here is deterministic — md5-derived hashing, no PRNG —
+  * so assertions are exact, not statistical.
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+  private val nearDup = (1 to 60).map(i => if (i == 30) "EDITED" else s"tok$i").mkString(" ")
+  private val other = (100 to 160).map(i => s"zzz$i").mkString(" ")
+
+  private lazy val docs = Seq(
+    (1L, base),
+    (2L, base.toUpperCase + "!!!"),   // exact dup after normalization
+    (3L, nearDup),                    // jaccard 59/61 ≈ 0.967 vs doc 1
+    (4L, other)
+  ).toDF("doc_id", "text")
+
+  test("exactDedup canonicalizes normalization variants to min doc_id") {
+    val out = Dedup.exactDedup(docs).collect()
+    assert(out.toSeq == Seq(
+      Row(1L, 1L, false), Row(2L, 1L, true), Row(3L, 3L, false), Row(4L, 4L, false)))
+  }
+
+  test("jaccardPairs finds planted near-dups via prefix filter, exact scores") {
+    val out = Dedup.jaccardPairs(docs, threshold = 0.6).collect()
+    // pairs among {1,2,3}: (1,2) j=1.0, (1,3)=(2,3) j=59/61
+    val j = math.floor(59.0 / 61.0 * 10000.0 + 0.5) / 10000.0
+    assert(out.toSeq == Seq(
+      Row(1L, 2L, 1.0), Row(1L, 3L, j), Row(2L, 3L, j)))
+  }
+
+  test("minhashLshPairs agrees with exact jaccard on high-similarity pairs") {
+    val out = Dedup.minhashLshPairs(docs, threshold = 0.5).collect()
+    // deterministic md5 minhash: the j≈0.97 planted pairs must bucket together
+    val j = math.floor(59.0 / 61.0 * 10000.0 + 0.5) / 10000.0
+    assert(out.toSeq == Seq(
+      Row(1L, 2L, 1.0), Row(1L, 3L, j), Row(2L, 3L, j)))
+  }
+
+  test("simhashPairs: exact dups at hamming 0, near-dups within 3, others out") {
+    val out = Dedup.simhashPairs(docs).collect()
+    val asMap = out.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(asMap.get((1L, 2L)).contains(0L)) // identical token sets
+    assert(!asMap.keySet.exists { case (a, b) => a == 4L || b == 4L }) // unrelated doc never pairs
+  }
+
+  test("simhash signature is stable and 60-bit bounded") {
+    val sigs = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L)) // same token set → same signature
+    assert(sigs.values.forall(s => s >= 0 && s < (1L << 60)))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class EventOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin picks the latest right row at-or-before each left time, per key") {
+    val left = Seq(
+      (1L, ts("2026-01-01 10:00:00"), "e1"),
+      (1L, ts("2026-01-01 12:00:00"), "e2"),
+      (2L, ts("2026-01-01 09:00:00"), "e3"), // before any right row for key 2
+      (3L, ts("2026-01-01 09:00:00"), "e4")  // key with no right rows at all
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2026-01-01 09:00:00"), 100L),
+      (1L, ts("2026-01-01 11:00:00"), 200L),
+      (1L, ts("2026-01-01 12:00:00"), 300L), // equal time → >= semantics take it
+      (2L, ts("2026-01-01 10:00:00"), 400L)
+    ).toDF("rk", "rt", "payload")
+
+    val out = EventOps.asofJoin(left, "k", "t", right, "rk", "rt", Seq("payload"))
+      .orderBy("tag").select("tag", "payload").collect()
+    assert(out.toSeq == Seq(
+      Row("e1", 100L),   // 10:00 → 09:00 row
+      Row("e2", 300L),   // 12:00 → equal-time row wins (>=)
+      Row("e3", null),   // right rows all later
+      Row("e4", null)))  // no right rows for key
+  }
+
+  test("sessionize splits on gaps > 30 min and aggregates per user") {
+    // user 1: 3 events 10 min apart (one session), then one 2 h later
+    // user 2: single event
+    val events = Seq(
+      (1L, 1L, ts("2026-01-01 10:00:00")),
+      (2L, 1L, ts("2026-01-01 10:10:00")),
+      (3L, 1L, ts("2026-01-01 10:20:00")),
+      (4L, 1L, ts("2026-01-01 12:20:00")),
+      (5L, 2L, ts("2026-01-01 10:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+
+    val out = EventOps.sessionize(events).collect()
+    // user 1: 2 sessions, avg 2 events, longest lasted 20 min
+    assert(out(0) == Row(1L, 2L, 2.0, 1200000000L))
+    assert(out(1) == Row(2L, 1L, 1.0, 0L))
+  }
+
+  test("eventBursts finds ordered pairs within the window across bucket boundaries") {
+    // b at +9:59 from a (inside 10 min), c at +10:01 (outside);
+    // a/b straddle the 600 s bucket boundary on purpose
+    val events = Seq(
+      (1L, 1L, "a", ts("2026-01-01 00:09:55")),
+      (2L, 1L, "b", ts("2026-01-01 00:19:54")),
+      (3L, 1L, "c", ts("2026-01-01 00:29:50")),
+      (4L, 2L, "a", ts("2026-01-01 00:00:00")) // other user — never pairs
+    ).toDF("event_id", "user_id", "event_type", "ts")
+
+    val out = EventOps.eventBursts(events).collect()
+    assert(out.toSeq == Seq(Row("a", "b", 1L), Row("b", "c", 1L)))
+  }
+
+  test("hourlyStats buckets by hour as epoch micros") {
+    val events = Seq(
+      (1L, "click", ts("2026-01-01 10:15:00"), 1.5),
+      (2L, "click", ts("2026-01-01 10:45:00"), 2.5),
+      (3L, "view", ts("2026-01-01 11:05:00"), 10.0)
+    ).toDF("event_id", "event_type", "ts", "value")
+    val out = EventOps.hourlyStats(events).collect()
+    val h10 = Timestamp.valueOf("2026-01-01 10:00:00").getTime * 1000L
+    val h11 = Timestamp.valueOf("2026-01-01 11:00:00").getTime * 1000L
+    assert(out.toSeq == Seq(
+      Row(h10, "click", 2L, 4.0, 2.0),
+      Row(h11, "view", 1L, 10.0, 10.0)))
+  }
+}

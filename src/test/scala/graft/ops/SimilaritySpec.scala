@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Similarity family on a planted corpus: deterministic pseudo-random
+  * base vectors plus small-perturbation near-duplicates. The LSH
+  * paths are graded on RECALL against the brute-force oracle — the
+  * check the driver's SQL gate can't express.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 64
+  private def vec(rng: scala.util.Random): Array[Float] =
+    Array.fill(dim)(rng.nextGaussian().toFloat)
+
+  /** 40 random vectors; ids 100+ are near-dups of ids 0..9 (base +
+    * 3% noise → cos ≈ 0.999).
+    */
+  private lazy val planted = {
+    val rng = new scala.util.Random(7)
+    val bases = (0 until 40).map(i => (i.toLong, vec(rng), i % 3))
+    val dups = (0 until 10).map { i =>
+      val b = bases(i)._2
+      val noisy = b.map(x => x + (rng.nextGaussian() * 0.03).toFloat)
+      ((100 + i).toLong, noisy, i % 3)
+    }
+    (bases ++ dups).toDF("vec_id", "embedding", "label")
+  }
+
+  test("embeddingNearDup (sign-LSH) recovers >= 90% of brute-force pairs") {
+    val lsh = Similarity.embeddingNearDup(planted, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.embeddingNearDupBrute(planted, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size >= 10, s"planting failed: only ${brute.size} true pairs")
+    assert(lsh.subsetOf(brute), "LSH must never invent pairs (exact verify)")
+    val recall = lsh.size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall: found ${lsh.size} of ${brute.size}")
+  }
+
+  test("cosineTopK matches brute-force ranking on the planted corpus") {
+    val top = Similarity.cosineTopK(planted, nQueries = 5, k = 3).collect()
+    assert(top.length == 15)
+    // rank-1 for query i must be its planted near-dup when one exists (i < 10 → dup id 100+i... queries are 0..4)
+    val rank1 = top.filter(_.getLong(1) == 1L).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (0 until 5).foreach(q => assert(rank1(q.toLong) == 100L + q, s"query $q"))
+  }
+
+  test("annLsh finds the planted near-dup with hamming-1 multiprobe") {
+    val ann = Similarity.annLsh(planted, nQueries = 5, k = 3)
+      .collect().groupBy(_.getLong(0))
+    // near-identical vectors share LSH buckets with overwhelming margin
+    (0 until 5).foreach { q =>
+      val hits = ann.getOrElse(q.toLong, Array.empty).map(_.getLong(2)).toSet
+      assert(hits.contains(100L + q), s"query $q missed its near-dup in $hits")
+    }
+  }
+
+  test("knnClassify assigns the nearest neighbour's label at k=1") {
+    val out = Similarity.knnClassify(planted, nQueries = 3, k = 1).collect()
+    assert(out.length == 3)
+    // query i's single nearest neighbour is its planted dup → same label
+    out.foreach(r => assert(r.getLong(1) == r.getLong(0) % 3, r.toString))
+  }
+
+  test("dot/norm are the sequential fold (golden value)") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    import org.apache.spark.sql.functions.col
+    val got = df.select(
+      Similarity.dot(col("a").cast("array<double>"), col("b").cast("array<double>")).as("d"),
+      Similarity.norm(col("a").cast("array<double>")).as("n")).collect()(0)
+    assert(got.getDouble(0) == 32.0)
+    assert(got.getDouble(1) == math.sqrt(14.0))
+  }
+}

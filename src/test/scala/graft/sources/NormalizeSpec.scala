@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class NormalizeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("normalizeBody splits arrays, passes objects and scalars through") {
+    assert(RestSource.normalizeBody("""[{"a":1},{"a":2}]""").size == 2)
+    assert(RestSource.normalizeBody("""{"a":1}""") == Seq("""{"a":1}"""))
+    assert(RestSource.normalizeBody("""  {"a":1} """) == Seq("""{"a":1}"""))
+  }
+
+  test("widenTeams flattens 5-hero arrays and keeps array-less rows with nulls") {
+    val df = RestSource.readJson(spark, Fixtures.publicMatchesJson,
+      Some(Endpoints.publicMatchesSchema))
+    val wide = Normalize.widenTeams(df).orderBy("match_id")
+    assert(!wide.columns.contains("radiant_team") && !wide.columns.contains("dire_team"))
+    val rows = wide.select("match_id", "radiant_hero_1", "dire_hero_5").collect()
+    assert(rows(0) == Row(8000000001L, 14L, 99L))
+    assert(rows(1) == Row(8000000002L, 1L, 11L))
+    assert(rows(2) == Row(8000000003L, null, null)) // existence-guard case
+  }
+
+  test("pivotConstantsMap unpivots {id: name} to long-form rows") {
+    val rows = Normalize.pivotConstantsMap(spark, Fixtures.lobbyTypesJson, "lobby_id").collect()
+    assert(rows.toSeq == Seq(
+      Row("0", "Normal"), Row("1", "Practice"), Row("7", "Ranked")))
+  }
+
+  test("explicit schema keeps reads deterministic; corrupt rows quarantine") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("_corrupt_record", StringType)))
+    val df = RestSource.readJson(spark, """[{"a":1},{"a":"not-a-number"}]""", Some(schema))
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(rows.count(_.getAs[String]("_corrupt_record") != null) == 1)
+  }
+
+  test("heroes fixture reads with array-typed roles") {
+    val df = RestSource.readJson(spark, Fixtures.heroesJson, Some(Endpoints.heroesSchema))
+    val axe = df.filter("id = 2").collect()(0)
+    assert(axe.getAs[scala.collection.Seq[String]]("roles").toSeq == Seq("Initiator", "Durable"))
+  }
+
+  test("property: widenArrays preserves rows, adds 2n columns, round-trips values") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    import spark.implicits._
+    val rowsGen = Gen.nonEmptyListOf(Gen.listOfN(5, Gen.chooseNum(1L, 150L)))
+    val prop = forAll(rowsGen) { xs =>
+      val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "team")
+      val wide = Normalize.widenArrays(df, Seq("team" -> "h"), 5)
+      val back = wide.orderBy("id").collect().map(r => (1 to 5).map(i => r.getAs[Long](s"h_$i")).toList)
+      wide.columns.length == 6 && back.toList == xs
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.ops.EventOps
+
+/** Streaming correctness via the unified-model differential: the same
+  * operator over readStream micro-batches must equal its batch twin
+  * on identical data. File source + AvailableNow trigger + memory
+  * sink — no timers, fully deterministic.
+  */
+class EventStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("events_stream").toString + "/data"
+    val events = Seq(
+      (1L, "click", ts("2026-01-01 10:05:00"), 1.5, 1L),
+      (2L, "click", ts("2026-01-01 10:55:00"), 2.5, 1L),
+      (3L, "view", ts("2026-01-01 11:10:00"), 10.0, 2L),
+      (4L, "view", ts("2026-01-01 11:40:00"), 4.0, 2L),
+      (5L, "click", ts("2026-01-01 12:01:00"), 8.0, 1L)
+    ).toDF("event_id", "event_type", "ts", "value", "user_id")
+    events.write.parquet(dir)
+    dir
+  }
+
+  private def streamingEvents = {
+    val schema = spark.read.parquet(eventsDir).schema
+    spark.readStream.schema(schema).parquet(eventsDir)
+  }
+
+  test("streaming hourlyStats equals the batch twin on the same data") {
+    // complete mode: append would hold back windows the (final)
+    // watermark hasn't passed — on a finite input that's ALL of them
+    EventStream.runAvailableNow(
+      EventStream.hourlyStats(streamingEvents), "hourly_diff", outputMode = "complete")
+    val streamed = spark.table("hourly_diff").orderBy("hour", "event_type").collect()
+    val batch = EventOps.hourlyStats(spark.read.parquet(eventsDir)).collect()
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.nonEmpty)
+  }
+
+  test("session windows close on gap and count events") {
+    EventStream.runAvailableNow(
+      EventStream.sessionStats(streamingEvents, gap = "30 minutes"), "sessions",
+      outputMode = "complete")
+    val out = spark.table("sessions").orderBy("user_id", "session_start").collect()
+    // user 1: 10:05 alone, 10:55 alone (50 min gap), 12:01 alone
+    // user 2: 11:10+11:40 → one session (exactly 30 min gap merges)
+    assert(out.count(_.getLong(2) == 1L) == 3)
+    val u2 = out.filter(_.getLong(2) == 2L)
+    assert(u2.length == 1 && u2(0).getLong(3) == 2L)
+  }
+
+  test("mapGroupsWithState running totals accumulate per user") {
+    val stream = streamingEvents
+      .selectExpr("user_id", "value").as[EventStream.UserEvent]
+    EventStream.runAvailableNow(
+      EventStream.runningTotals(stream).toDF(), "running", outputMode = "update")
+    val last = spark.table("running")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("n_events").as("n"),
+           org.apache.spark.sql.functions.max("total_value").as("t"))
+      .orderBy("user_id").collect()
+    assert(last(0) == Row(1L, 3L, 12.0))
+    assert(last(1) == Row(2L, 2L, 14.0))
+  }
+}
