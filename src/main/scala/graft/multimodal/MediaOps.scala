@@ -1,0 +1,115 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video as opaque BINARY + typed
+  * metadata, with decode/feature-extract/resize/frame-sample
+  * pipelines.
+  *
+  * The Spark-side plumbing is real — schema, partitioning, batched
+  * per-partition execution (the JVM analog of an Arrow-batched UDF:
+  * rows are processed in `batchSize` chunks so a decoder can amortize
+  * native-library setup per batch, and memory stays bounded by batch,
+  * not partition). The DECODE step itself is a pluggable strategy;
+  * this container ships only [[StubDecoder]], a clearly-marked
+  * deterministic fake (no image/audio libraries here). Production
+  * plugs a real decoder behind the same 'bytes in, planes out'
+  * signature without touching any plan.
+  */
+object MediaOps {
+
+  /** Canonical media-lake schema: payload stays opaque; everything
+    * queryable lives in typed columns. Partition discipline at 100 TB:
+    * store with `partitionBy(kind)` and size row groups so `bytes`
+    * doesn't blow the reader — metadata-only queries never touch the
+    * payload column thanks to parquet column pruning.
+    */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType),      // image | audio | video
+    StructField("bytes", BinaryType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType), // 0 for stills
+    StructField("codec", StringType)))
+
+  /** bytes → grayscale plane (row-major floats in [0,1]).
+    * Implementations MUST be deterministic for a given byte string.
+    */
+  trait ImageDecoder extends Serializable {
+    def decode(bytes: Array[Byte], width: Int, height: Int): Array[Float]
+  }
+
+  /** STUB: deterministic fake decode — hashes the payload into a
+    * repeatable pseudo-plane. Keeps every downstream shape honest
+    * (sizes, batching, feature math) without native codecs.
+    */
+  object StubDecoder extends ImageDecoder {
+    override def decode(bytes: Array[Byte], width: Int, height: Int): Array[Float] = {
+      val seed = java.util.Arrays.hashCode(bytes).toLong & 0xffffffffL
+      val rng = new scala.util.Random(seed)
+      Array.fill(math.max(width * height, 1))(rng.nextFloat())
+    }
+  }
+
+  /** Decode + feature-extract in batches: per-partition iterator →
+    * `batchSize` chunks → decoder → fixed-width feature vector
+    * (`bins`-bucket intensity histogram, L1-normalized). Output is an
+    * embedding column ready for the [[graft.ops.Similarity]] family.
+    */
+  def featurize(
+      media: DataFrame,
+      decoder: ImageDecoder = StubDecoder,
+      bins: Int = 16,
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType))))
+    val enc = Encoders.row(outSchema)
+    media.select("media_id", "bytes", "width", "height")
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val plane = decoder.decode(
+              r.getAs[Array[Byte]]("bytes"), r.getAs[Int]("width"), r.getAs[Int]("height"))
+            val hist = new Array[Float](bins)
+            plane.foreach { v =>
+              val b = math.min((v * bins).toInt, bins - 1)
+              hist(b) += 1f
+            }
+            val n = plane.length.toFloat
+            Row(r.getAs[Long]("media_id"), hist.map(_ / n).toSeq)
+          }
+        }
+      }(enc)
+  }
+
+  /** Aspect-preserving resize TARGETS as pure column math (the
+    * metadata half of a resize; the pixel half belongs to a decoder
+    * pipeline). No data movement, fully codegen'd.
+    */
+  def resizePlan(media: DataFrame, maxDim: Int): DataFrame = {
+    val scale = least(
+      lit(maxDim.toDouble) / col("width"),
+      lit(maxDim.toDouble) / col("height"), lit(1.0))
+    media.withColumn("target_width", floor(col("width") * scale).cast("int"))
+      .withColumn("target_height", floor(col("height") * scale).cast("int"))
+  }
+
+  /** Frame-sampling plan for video rows: one output row per sampled
+    * timestamp — explode over a sequence, pure Column math, no decode.
+    * The decoder pipeline then fetches only sampled frames.
+    */
+  def frameSample(media: DataFrame, everyMs: Long): DataFrame =
+    media.filter(col("kind") === "video" && col("duration_ms") > 0)
+      .withColumn("frame_ms",
+        explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs))))
+      .select(col("media_id"), col("frame_ms"), col("width"), col("height"), col("codec"))
+
+  /** Build a media frame from raw tuples (test/ingest helper). */
+  def fromRows(spark: SparkSession, rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), mediaSchema)
+}

@@ -93,28 +93,32 @@ object EventOps {
       right: DataFrame, rightKey: String, rightTime: String,
       rightPayload: Seq[String]): DataFrame = {
     val lCols = left.columns
-    val l = left
-      .withColumn("_k", col(leftKey)).withColumn("_t", col(leftTime))
-      .withColumn("_side", lit(1))
-    val r0 = right
-      .withColumn("_k", col(rightKey)).withColumn("_t", col(rightTime))
-      .withColumn("_side", lit(0))
-    // align schemas: each side carries nulls for the other's columns
-    val l2 = rightPayload.foldLeft(l)((d, c) =>
-      d.withColumn(s"_p_$c", lit(null).cast(right.schema(c).dataType)))
-    val r2 = rightPayload.foldLeft(r0.drop(lCols.filter(r0.columns.contains): _*))(
-      (d, c) => d.withColumn(s"_p_$c", col(c)))
-    val lNames = Seq("_k", "_t", "_side") ++ lCols ++ rightPayload.map(c => s"_p_$c")
-    val unioned = l2.select(lNames.map(col): _*)
-      .unionByName(r2.select(("_k" +: "_t" +: "_side" +: rightPayload.map(c => s"_p_$c")).map(col): _*),
-        allowMissingColumns = true)
+    val reserved = Set("_k", "_t", "_side")
+    require(!lCols.exists(c => reserved(c) || c.startsWith("_p_")),
+      s"left columns may not use reserved asof names (_k/_t/_side/_p_*): ${lCols.mkString(",")}")
+    // the right side is projected into prefixed temporaries BEFORE the
+    // union — a payload/key column sharing a name with a left column
+    // (both sides having `ts`, say) must never be dropped or rebound
+    val l2 = rightPayload.foldLeft(
+      left.withColumn("_k", col(leftKey)).withColumn("_t", col(leftTime))
+        .withColumn("_side", lit(1)))(
+      (d, c) => d.withColumn(s"_p_$c", lit(null).cast(right.schema(c).dataType)))
+    val r2 = right.select(
+      (Seq(col(rightKey).as("_k"), col(rightTime).as("_t"), lit(0).as("_side")) ++
+        rightPayload.map(c => col(c).as(s"_p_$c"))): _*)
+    val unioned = l2.unionByName(r2, allowMissingColumns = true)
     val w = Window.partitionBy("_k").orderBy("_t", "_side")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rightPayload.foldLeft(unioned)((d, c) =>
       d.withColumn(s"_p_$c", last(col(s"_p_$c"), ignoreNulls = true).over(w)))
     filled
       .filter(col("_side") === 1)
-      .select((lCols.map(col) ++ rightPayload.map(c => col(s"_p_$c").as(c))): _*)
+      .select((lCols.map(col) ++ rightPayload.map { c =>
+        // a payload sharing a left column's name surfaces as <c>_right
+        // instead of silently producing a duplicate/ambiguous column
+        val out = if (lCols.contains(c)) s"${c}_right" else c
+        col(s"_p_$c").as(out)
+      }): _*)
   }
 
   /** As-of enrichment: each event gets the customer's most recent order

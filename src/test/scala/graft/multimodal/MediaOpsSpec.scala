@@ -1,0 +1,56 @@
+package graft.multimodal
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class MediaOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def bytesOf(s: String) = s.getBytes("UTF-8")
+
+  private lazy val media = MediaOps.fromRows(spark, Seq(
+    Row(1L, "image", bytesOf("img-one"), 64, 48, 0L, "png"),
+    Row(2L, "image", bytesOf("img-two"), 1920, 1080, 0L, "jpeg"),
+    Row(3L, "video", bytesOf("vid-one"), 1280, 720, 2500L, "h264"),
+    Row(4L, "audio", bytesOf("aud-one"), 0, 0, 60000L, "opus")))
+
+  test("featurize emits one L1-normalized fixed-width vector per row, deterministically") {
+    val feats = MediaOps.featurize(media, bins = 16, batchSize = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats.keySet == Set(1L, 2L, 3L, 4L))
+    feats.values.foreach { v =>
+      assert(v.length == 16)
+      assert(math.abs(v.map(_.toDouble).sum - 1.0) < 1e-3) // histogram sums to 1
+    }
+    // decode is deterministic: same bytes → same features
+    val again = MediaOps.featurize(media, bins = 16, batchSize = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(again == feats)
+  }
+
+  test("resizePlan preserves aspect and never upscales") {
+    val out = MediaOps.resizePlan(media.filter("kind = 'image'"), maxDim = 256)
+      .select("media_id", "target_width", "target_height")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(out(1L) == (64, 48))    // small image untouched
+    assert(out(2L) == (256, 144))  // 1920x1080 → fit 256, aspect kept
+  }
+
+  test("frameSample explodes video rows only, at the sampling cadence") {
+    val frames = MediaOps.frameSample(media, everyMs = 1000L).collect()
+    assert(frames.forall(_.getLong(0) == 3L))
+    assert(frames.map(_.getLong(1)).toSeq == Seq(0L, 1000L, 2000L))
+  }
+
+  test("metadata-only queries prune the payload column at the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("media").toString + "/t"
+    media.write.partitionBy("kind").parquet(dir)
+    val q = spark.read.parquet(dir).filter("kind = 'image'").select("media_id", "width")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema") && !scan.contains("bytes"),
+      s"payload column must not be read:\n$scan")
+    assert(q.count() == 2)
+  }
+}

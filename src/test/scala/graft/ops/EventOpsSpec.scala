@@ -36,6 +36,16 @@ class EventOpsSpec extends AnyFunSuite {
       Row("e4", null)))  // no right rows for key
   }
 
+  test("asofJoin survives right-side columns colliding with left names") {
+    // both sides carry `ts` AND the payload is that colliding column
+    val left = Seq((1L, ts("2026-01-01 10:00:00"), "x")).toDF("k", "ts", "tag")
+    val right = Seq((1L, ts("2026-01-01 09:30:00"))).toDF("k", "ts")
+    val out = EventOps.asofJoin(left, "k", "ts", right, "k", "ts", Seq("ts"))
+    // left ts keeps its column; colliding payload surfaces as ts_right
+    val r = out.select("tag", "ts", "ts_right").collect()(0)
+    assert(r == Row("x", ts("2026-01-01 10:00:00"), ts("2026-01-01 09:30:00")))
+  }
+
   test("sessionize splits on gaps > 30 min and aggregates per user") {
     // user 1: 3 events 10 min apart (one session), then one 2 h later
     // user 2: single event
