@@ -96,6 +96,10 @@ object SparkEntry {
       Dedup.minhashLshPairs(t.documents) }),
     "t26_simhash_pairs" -> ((s, d) => { val t = Tables.load(s, d)
       Dedup.simhashPairs(t.documents) }),
+    "t41_ngram_jaccard" -> ((s, d) => { val t = Tables.load(s, d)
+      Dedup.ngramJaccardPairs(t.documents) }),
+    "t42_bpeish_tokens" -> ((s, d) => { val t = Tables.load(s, d)
+      TextOps.bpeishTokenCounts(t.documents) }),
     "t27_langid" -> ((s, d) => { val t = Tables.load(s, d)
       TextOps.langIdReport(t.documents) }),
     "t28_quality" -> ((s, d) => { val t = Tables.load(s, d)
@@ -346,6 +350,30 @@ object SparkEntry {
          |  ON a.c = b.c AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, hamming FROM cand
          |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    // word-3-gram shingles; DuckDB list_slice bounds are INCLUSIVE
+    // (tk[i:i+2] is 3 tokens) and docs under 3 tokens drop on both
+    // sides (empty shingle set can share nothing)
+    "t41_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |s AS (SELECT doc_id,
+         |  list_distinct(list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' '))) AS sh
+         |  FROM t WHERE len(tk) >= 3),
+         |w AS (SELECT DISTINCT doc_id, unnest(sh) AS tok FROM s),
+         |n AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1,2)
+         |SELECT doc_a, doc_b,
+         | ${q4("CAST(inter AS DOUBLE)/(na.n+nb.n-inter)")} AS jac
+         |FROM p JOIN n na ON na.doc_id = p.doc_a JOIN n nb ON nb.doc_id = p.doc_b
+         |WHERE ${q4("CAST(inter AS DOUBLE)/(na.n+nb.n-inter)")} >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "t42_bpeish_tokens" ->
+      s"""SELECT source, CAST(sum(n) AS BIGINT) AS total_tokens,
+         | ${meanL("n")} AS avg_tokens, count(*) AS n_docs
+         |FROM (SELECT source,
+         |   CAST(len(regexp_extract_all(lower(text), '${graft.ops.TextOps.bpeishPattern.replace("'", "''")}')) AS BIGINT) AS n
+         | FROM documents)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "t27_langid" ->
       s"""WITH t AS (SELECT lang, $toks AS tk FROM documents),
          |s AS (SELECT lang,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for training-data pipelines: exact, MinHash+LSH,
@@ -40,63 +41,167 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Canonicalize documents by IDENTICAL token set: all the pairwise
+    * set math (candidates, signatures, exact Jaccard) runs once per
+    * distinct set, not once per document — on dup-heavy corpora
+    * (exactly the corpora dedup exists for) that collapses the
+    * quadratic candidate space before any join happens. Returns
+    * (sets, members): sets keyed by a fingerprint of the sorted token
+    * array, members mapping each doc to its set. Empty docs are
+    * dropped — a doc with no tokens can never share one.
+    */
+  private def canonicalSets(toks: DataFrame): (DataFrame, DataFrame) = {
+    val keyed = toks
+      .filter(col("n") > 0)
+      .withColumn("sid", md5(concat_ws("", array_sort(col("toks")))))
+    val sets = keyed.groupBy("sid").agg(first(col("toks")).as("toks"), first(col("n")).as("n"))
+    val members = keyed.select(col("doc_id"), col("sid"))
+    (sets, members)
+  }
+
+  /** Expand set-level verified pairs back to doc pairs: cross-set
+    * pairs inherit the set pair's exact jaccard; co-members of one
+    * set are exact duplicates (jaccard 1.0, identical in IEEE on both
+    * engines). Output is the SAME frame a doc-level pass would emit.
+    */
+  private def expandSetPairs(setPairs: DataFrame, members: DataFrame): DataFrame = {
+    val cross = setPairs
+      .join(members.select(col("sid").as("sid_a"), col("doc_id").as("da")), "sid_a")
+      .join(members.select(col("sid").as("sid_b"), col("doc_id").as("db")), "sid_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jac"))
+    val same = members.as("x")
+      .join(members.as("y"),
+        col("x.sid") === col("y.sid") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), lit(1.0).as("jac"))
+    cross.unionByName(same).orderBy("doc_a", "doc_b")
+  }
+
   /** All pairs with token-set Jaccard ≥ `threshold`, via prefix
-    * filtering. Returns (doc_a, doc_b, jac) with doc_a < doc_b.
+    * filtering over canonical sets. Returns (doc_a, doc_b, jac) with
+    * doc_a < doc_b.
     *
     * The token document-frequency table is joined with a SHUFFLE join
     * (no broadcast hint): the vocabulary of a 100 TB corpus does not
     * fit on the driver, and this one-time per-token join is cheap to
     * shuffle. AQE may still choose broadcast at small SFs.
     */
-  def jaccardPairs(documents: DataFrame, threshold: Double = 0.6): DataFrame = {
-    val toks = docTokens(documents)
-    // global document frequency per token — the rarity order
-    val df = toks.select(explode(col("toks")).as("tok")).groupBy("tok")
-      .agg(count(lit(1)).as("tok_df"))
-    // per-doc tokens sorted rarest-first; keep the prefix
-    val prefix = toks
-      .select(col("doc_id"), col("n"), explode(col("toks")).as("tok"))
-      .join(df, "tok")
-      .groupBy("doc_id", "n")
-      .agg(array_sort(collect_list(struct(col("tok_df"), col("tok")))).as("ranked"))
-      .select(
-        col("doc_id"), col("n"),
-        explode(slice(transform(col("ranked"), r => r.getField("tok")), lit(1),
-          (floor(col("n") * (1 - threshold)) + 1).cast("int"))).as("tok"))
-    // candidate pairs: share >= 1 prefix token
-    val cand = prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    verifyJaccard(cand, toks, threshold)
+  def jaccardPairs(documents: DataFrame, threshold: Double = 0.6): DataFrame =
+    jaccardPairsFrom(docTokens(documents), threshold)
+
+  /** n-gram Jaccard: the same prefix-filtered pipeline over word
+    * n-gram SHINGLES instead of token sets — order-sensitive, so
+    * reshuffled near-copies score low while true near-copies stay
+    * high. Shingle universes are far larger than vocabularies, which
+    * makes the prefix filter sharper (rare shingles ⇒ few candidates).
+    */
+  def ngramJaccardPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.6): DataFrame =
+    jaccardPairsFrom(
+      documents.select(
+        col("doc_id"), TextOps.shingles(col("text"), n).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long")),
+      threshold)
+
+  private def jaccardPairsFrom(toksIn: DataFrame, threshold: Double): DataFrame = {
+    val (sets, members) = canonicalSets(toksIn)
+    val setsAsDocs = sets.select(col("sid").as("doc_id"), col("toks"), col("n"))
+    val w = setsAsDocs.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val dict = w.select("tok").distinct()
+    // representation probe (driver-side, two tiny aggregates): a
+    // ≤64-token vocabulary over few-enough distinct sets means the
+    // cheapest EXACT plan is a direct mask sweep over set pairs —
+    // pure codegen'd bit math, no token join, no candidate distinct.
+    val setPairs =
+      if (dict.count() <= 64 && sets.count() <= 16384) {
+        val masks = setMasks(w, dict)
+        val a = masks.select(col("doc_id").as("doc_a"), col("mask").as("ma"))
+        val b = masks.select(col("doc_id").as("doc_b"), col("mask").as("mb"))
+        scoreMaskPairs(a.join(b, col("doc_a") < col("doc_b")), threshold)
+      } else {
+        // general path: PPJoin prefix filter (lossless for any fixed
+        // global token order; rarity order minimizes candidates)
+        val df = w.groupBy("tok").agg(count(lit(1)).as("tok_df"))
+        val prefix = setsAsDocs
+          .select(col("doc_id"), col("n"), explode(col("toks")).as("tok"))
+          .join(df, "tok")
+          .groupBy("doc_id", "n")
+          .agg(array_sort(collect_list(struct(col("tok_df"), col("tok")))).as("ranked"))
+          .select(
+            col("doc_id"), col("n"),
+            explode(slice(transform(col("ranked"), r => r.getField("tok")), lit(1),
+              (floor(col("n") * (1 - threshold)) + 1).cast("int"))).as("tok"))
+        val cand = prefix.as("a")
+          .join(prefix.as("b"),
+            col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        verifyJaccard(cand, setsAsDocs, threshold)
+      }
+    expandSetPairs(
+      setPairs.select(col("doc_a").as("sid_a"), col("doc_b").as("sid_b"), col("jac")),
+      members)
   }
 
-  /** Exact Jaccard over candidate pairs; keeps pairs ≥ threshold.
-    *
-    * Intersections are counted via an exploded-token equi-join —
-    * candidates fan out to (pair, token) rows and group-count —
-    * instead of hauling both full token arrays through the join and
-    * running array_intersect per pair (round-1 scale-killer: the
-    * arrays dominate the shuffle and the per-pair set intersect is
-    * O(|a|·|b|) work repeated per candidate).
-    */
-  private def verifyJaccard(cand: DataFrame, toks: DataFrame, threshold: Double): DataFrame = {
-    val w = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
-    val n = toks.select(col("doc_id"), col("n"))
-    val inter = cand
-      .join(w.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-      .join(w.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b", "tok"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(n.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(n.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+  /** (doc_id, 64-bit mask) per set, given a ≤64-token dictionary. */
+  private def setMasks(w: DataFrame, dict: DataFrame): DataFrame = {
+    val bits = dict.withColumn(
+      "bit", row_number().over(Window.orderBy("tok")).cast("int") - 1)
+    w.join(broadcast(bits), "tok")
+      .groupBy("doc_id")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), bit)")).as("mask"))
+  }
+
+  /** Exact jaccard from mask columns ma/mb; keeps pairs ≥ threshold. */
+  private def scoreMaskPairs(pairs: DataFrame, threshold: Double): DataFrame =
+    pairs
+      .withColumn("inter", bit_count(col("ma").bitwiseAND(col("mb"))).cast("long"))
+      .withColumn("na", bit_count(col("ma")).cast("long"))
+      .withColumn("nb", bit_count(col("mb")).cast("long"))
       .withColumn("jac",
         Exact.quant4(col("inter").cast("double") / (col("na") + col("nb") - col("inter"))))
       .filter(col("jac") >= threshold)
       .select("doc_a", "doc_b", "jac")
-      .orderBy("doc_a", "doc_b")
+
+  /** Exact Jaccard over candidate pairs; keeps pairs ≥ threshold.
+    * Representation-adaptive, like parquet's dictionary encoding:
+    *
+    *  - realized vocabulary ≤ 64 tokens → each token set is a 64-bit
+    *    BITMASK; intersection is `bit_count(a & b)`, pure per-row bit
+    *    math with no fan-out at all. (Tiny-vocabulary corpora are a
+    *    real case — category/tag columns, template-generated text —
+    *    and on them the mask path turns a billion-row token join into
+    *    a few million single-row ops.)
+    *  - otherwise → exploded-token equi-join: candidates fan out to
+    *    (pair, token) rows and group-count. Still far better than
+    *    hauling token arrays through the join and re-hashing both
+    *    sets per pair (round-1 scale-killer).
+    *
+    * The dictionary probe is one cheap distinct-count over tokens.
+    */
+  private def verifyJaccard(cand: DataFrame, toks: DataFrame, threshold: Double): DataFrame = {
+    val w = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val dict = w.select("tok").distinct()
+    if (dict.count() <= 64) {
+      val masks = setMasks(w, dict)
+      scoreMaskPairs(
+        cand
+          .join(masks.select(col("doc_id").as("doc_a"), col("mask").as("ma")), "doc_a")
+          .join(masks.select(col("doc_id").as("doc_b"), col("mask").as("mb")), "doc_b"),
+        threshold)
+    } else {
+      val n = toks.select(col("doc_id"), col("n"))
+      cand
+        .join(w.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(w.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b", "tok"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("inter"))
+        .join(n.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(n.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .withColumn("jac",
+          Exact.quant4(col("inter").cast("double") / (col("na") + col("nb") - col("inter"))))
+        .filter(col("jac") >= threshold)
+        .select("doc_a", "doc_b", "jac")
+    }
   }
 
   /** MinHash signature columns h0..h{k-1}: min over tokens of
@@ -125,7 +230,14 @@ object Dedup {
       k: Int = 16, bands: Int = 4): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
-    val sigs = minhashSignatures(documents, k)
+    val (sets, members) = canonicalSets(docTokens(documents))
+    val setsAsDocs = sets.select(col("sid").as("doc_id"), col("toks"), col("n"))
+    // signatures once per distinct token set — identical sets have
+    // identical minhashes by definition
+    val exploded = setsAsDocs.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val sigCols = (0 until k).map(i =>
+      min(md5(concat_ws(":", lit(i), col("tok")))).as(s"h$i"))
+    val sigs = exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)).as("bkey"))
@@ -139,7 +251,9 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, docTokens(documents), threshold)
+    val setPairs = verifyJaccard(cand, setsAsDocs, threshold)
+      .select(col("doc_a").as("sid_a"), col("doc_b").as("sid_b"), col("jac"))
+    expandSetPairs(setPairs, members)
   }
 
   /** 60-bit SimHash per document from md5-derived token hashes: bit j

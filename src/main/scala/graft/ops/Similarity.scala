@@ -25,9 +25,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ a_i·b_i over two double arrays, sequential fold. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Σ a_i·b_i over two double arrays — the native codegen'd
+    * [[graft.plans.DotProduct]] when the graft extensions are
+    * installed (GraftSession always installs them), else the
+    * composable higher-order fold. Both are the same left-to-right
+    * sequential accumulation: bit-identical results, different speed
+    * (the native loop skips the intermediate array + lambda dispatch).
+    */
+  def dot(a: Column, b: Column): Column = {
+    val session = org.apache.spark.sql.SparkSession.active
+    if (session.catalog.functionExists("graft_dot")) call_function("graft_dot", a, b)
+    else aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -20,6 +20,45 @@ object TextOps {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
+  /** Word n-gram shingles (distinct, space-joined) — the unit for
+    * n-gram Jaccard dedup: order-sensitive where token sets aren't,
+    * so reshuffled near-copies stop looking identical. Documents with
+    * fewer than `n` tokens produce an empty array (no shingles — the
+    * guard avoids Spark's descending `sequence` when size < n).
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val tk = tokens(text)
+    when(size(tk) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(tk) - (n - 1)),
+        i => concat_ws(" ", slice(tk, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** BPE-ish sub-word tokenization: contractions, space-prefixed
+    * letter runs, digit runs, punctuation runs — the GPT-2-shaped
+    * regex family, restricted to RE2-safe constructs so the DuckDB
+    * oracle tokenizes identically. Counts from this are the closer
+    * proxy for LLM token budgets than whitespace words.
+    */
+  val bpeishPattern: String = "'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+"
+
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(bpeishPattern), lit(0))
+
+  /** BPE-ish token counts per source (the LLM-budget twin of
+    * [[tokenCounts]]).
+    */
+  def bpeishTokenCounts(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"), size(bpeishTokens(col("text"))).cast("long").as("n"))
+      .groupBy("source")
+      .agg(
+        sum("n").as("total_tokens"),
+        Exact.meanOfLong(col("n")).as("avg_tokens"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("source")
+
   /** Normalized text: lowercase, non-alphanumeric collapsed to single
     * spaces, trimmed — the canonical form for exact-dup fingerprints.
     */

@@ -1,0 +1,23 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+/** Engine extension point, installed via
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (GraftSession
+  * sets it). Registers the engine's native expressions so they're
+  * callable from both the Column API (`call_function("graft_dot", …)`)
+  * and plain SQL — the idiomatic way to extend Catalyst without
+  * touching internals at call sites.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      DotProduct.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "graft_dot takes exactly 2 arguments")
+        DotProduct(children.head, children(1))
+      }))
+  }
+}

@@ -44,6 +44,14 @@ object Normalize {
   def pivotMapColumn(df: DataFrame, jsonCol: Column, keyName: String, valueName: String): DataFrame =
     df.select(explode(from_json(jsonCol, MapType(StringType, StringType))).as(Seq(keyName, valueName)))
 
+  /** Epoch seconds → local calendar date string in `tz` — the
+    * reference derives its load-date partition from the first match's
+    * start_time rendered in America/Sao_Paulo. The session stays UTC
+    * (GraftSession); tz conversion is explicit per use, never ambient.
+    */
+  def epochToLocalDate(epochSeconds: Column, tz: String = "America/Sao_Paulo"): Column =
+    date_format(from_utc_timestamp(timestamp_seconds(epochSeconds), tz), "yyyy-MM-dd")
+
   /** Whole-payload variant: one JSON object body → rows. */
   def pivotConstantsMap(
       spark: org.apache.spark.sql.SparkSession,

@@ -47,6 +47,15 @@ class DedupSpec extends AnyFunSuite {
       Row(1L, 2L, 1.0), Row(1L, 3L, j), Row(2L, 3L, j)))
   }
 
+  test("bitmask fast path (vocab <= 64) agrees with exact jaccard") {
+    val small = Seq(
+      (1L, "a b c d e"), (2L, "a b c d f"), (3L, "f g h i j")
+    ).toDF("doc_id", "text")
+    val out = Dedup.jaccardPairs(small, threshold = 0.5).collect()
+    // only (1,2) qualifies: inter 4, union 6
+    assert(out.toSeq == Seq(Row(1L, 2L, math.floor(4.0 / 6.0 * 10000.0 + 0.5) / 10000.0)))
+  }
+
   test("simhashPairs: exact dups at hamming 0, near-dups within 3, others out") {
     val out = Dedup.simhashPairs(docs).collect()
     val asMap = out.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap

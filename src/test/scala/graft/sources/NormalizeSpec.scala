@@ -47,6 +47,16 @@ class NormalizeSpec extends AnyFunSuite {
     assert(axe.getAs[scala.collection.Seq[String]]("roles").toSeq == Seq("Initiator", "Durable"))
   }
 
+  test("epochToLocalDate renders the São Paulo calendar date (golden values)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // 2024-07-01 01:30 UTC is still 2024-06-30 22:30 in São Paulo (UTC-3)
+    val out = Seq(1719797400L, 1719847800L).toDF("epoch")
+      .select(Normalize.epochToLocalDate(col("epoch")).as("d"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("2024-06-30", "2024-07-01"))
+  }
+
   test("property: widenArrays preserves rows, adds 2n columns, round-trips values") {
     import org.scalacheck.{Gen, Test => SCTest}
     import org.scalacheck.Prop.forAll
