@@ -54,6 +54,12 @@ object Dedup {
     val keyed = toks
       .filter(col("n") > 0)
       .withColumn("sid", md5(concat_ws("", array_sort(col("toks")))))
+      // persisted: every downstream branch (dictionary probe, masks or
+      // prefix, verify, expansion) re-references this frame, and the
+      // tokenize+sort+md5 subtree is the most expensive narrow stage -
+      // recomputing it per branch dominated the wall clock. Size is
+      // O(corpus tokens); spills to disk.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sets = keyed.groupBy("sid").agg(first(col("toks")).as("toks"), first(col("n")).as("n"))
     val members = keyed.select(col("doc_id"), col("sid"))
     (sets, members)

@@ -176,6 +176,46 @@ object Similarity {
       .select("query_id", "rnk", "vec_id", "cos")
   }
 
+  /** IVF (inverted-file) approximate top-k: the corpus is assigned to
+    * its nearest of `nCells` coarse centroids once, and each query
+    * scores ONLY the lists of its `nProbe` nearest centroids — an
+    * equi-join on cell id, `nProbe/nCells` of the corpus touched per
+    * query. Centroids here are a deterministic corpus subsample (the
+    * first `nCells` vectors); at scale you'd run a few k-means
+    * iterations for tighter cells, but the PLAN — broadcast
+    * centroids, argmax assign, cell-partitioned join — is identical,
+    * and that plan is what survives a 100 TB corpus.
+    */
+  def ivfTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val corpus = e.filter(col("vec_id") >= nQueries)
+    val cents = corpus.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    def nearestCells(side: DataFrame, keep: Int): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
+      side.crossJoin(broadcast(cents))
+        .withColumn("sim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= keep)
+        .drop("cv", "cn", "sim", "rn")
+    }
+    val assigned = nearestCells(corpus, 1)
+    val probes = nearestCells(e.filter(col("vec_id") < nQueries), nProbe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("cid"))
+    val scored = probes
+      .join(assigned, "cid")
+      .withColumn("cos", Exact.quant6(dot(col("qv"), col("v")) / (col("qn") * col("nrm"))))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .select("query_id", "vec_id", "cos").distinct()
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy("query_id", "rnk")
+      .select("query_id", "rnk", "vec_id", "cos")
+  }
+
   /** k-NN label vote: classify each query vector by majority label of
     * its brute-force top-k neighbors (ties → smaller label).
     */

@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.{streaming => sstreaming}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -62,7 +63,7 @@ final class RestTable(props: Map[String, String]) extends Table with SupportsRea
     props.get("url").orElse(props.get("urls")).getOrElse("inline-body")
   override def schema(): StructType = RestTableProvider.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new RestScan(props ++ options.asScala)
@@ -110,6 +111,68 @@ final class RestScan(opts: Map[String, String]) extends Scan with Batch {
   }
 
   override def createReaderFactory(): PartitionReaderFactory = RestReaderFactory
+
+  override def toMicroBatchStream(checkpointLocation: String): sstreaming.MicroBatchStream =
+    new RestMicroBatchStream(opts)
+}
+
+/** Polled REST micro-batch source: each trigger's `latestOffset()`
+  * fetches the endpoint ONCE on the driver (same serial token-bucket
+  * discipline as the batch scan) and advances a monotonically
+  * increasing poll counter; the batch (start, end] replays exactly
+  * the bodies captured for those polls. Committed polls are dropped
+  * from the driver-side buffer, so state is bounded by
+  * (uncommitted triggers × payload size).
+  */
+final class RestMicroBatchStream(opts: Map[String, String])
+    extends sstreaming.MicroBatchStream {
+
+  private case class PollOffset(n: Long) extends sstreaming.Offset {
+    override def json(): String = n.toString
+  }
+
+  private val url = opts.getOrElse("url",
+    throw new IllegalArgumentException("graft-rest streaming requires url"))
+  private lazy val client = new RestClient(
+    RestTableProvider.transportOverride.getOrElse(new JavaHttpTransport()),
+    RetryPolicy(
+      maxRetries = opts.get("maxRetries").map(_.toInt).getOrElse(3),
+      backoffMillis = opts.get("backoffMillis").map(_.toLong).getOrElse(1000L),
+      minIntervalMillis = opts.get("minIntervalMillis").map(_.toLong).getOrElse(0L)))
+
+  private var polls = 0L
+  private val bodies = scala.collection.mutable.Map.empty[Long, Array[String]]
+
+  override def initialOffset(): sstreaming.Offset = PollOffset(0L)
+  override def deserializeOffset(json: String): sstreaming.Offset = PollOffset(json.toLong)
+
+  override def latestOffset(): sstreaming.Offset = synchronized {
+    client.fetch(url) match {
+      case Right(body) =>
+        polls += 1
+        bodies(polls) = RestSource.normalizeBody(body).toArray
+      case Left(err) =>
+        // a failed poll advances nothing; the next trigger retries
+        System.err.println(s"[graft-rest] poll failed: ${err.message}")
+    }
+    PollOffset(polls)
+  }
+
+  override def planInputPartitions(
+      start: sstreaming.Offset, end: sstreaming.Offset): Array[InputPartition] = synchronized {
+    val s = start.asInstanceOf[PollOffset].n
+    val e = end.asInstanceOf[PollOffset].n
+    ((s + 1) to e).flatMap(bodies.get).map(RestPartition(_): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = RestReaderFactory
+
+  override def commit(end: sstreaming.Offset): Unit = synchronized {
+    val e = end.asInstanceOf[PollOffset].n
+    bodies.keys.filter(_ <= e).toSeq.foreach(bodies.remove)
+  }
+
+  override def stop(): Unit = ()
 }
 
 object RestReaderFactory extends PartitionReaderFactory {

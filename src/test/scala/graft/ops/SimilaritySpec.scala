@@ -60,6 +60,17 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfTopK finds each planted near-dup within its probed cells") {
+    val ivf = Similarity.ivfTopK(planted, nQueries = 5, k = 3, nCells = 8, nProbe = 3)
+      .collect().groupBy(_.getLong(0))
+    (0 until 5).foreach { q =>
+      val hits = ivf.getOrElse(q.toLong, Array.empty).map(_.getLong(2)).toSet
+      // a near-identical vector sorts into (nearly) the same cell as
+      // its query, so a 3-of-8 probe must surface it
+      assert(hits.contains(100L + q), s"query $q got $hits")
+    }
+  }
+
   test("knnClassify assigns the nearest neighbour's label at k=1") {
     val out = Similarity.knnClassify(planted, nQueries = 3, k = 1).collect()
     assert(out.length == 3)

@@ -41,6 +41,28 @@ class RestTableProviderSpec extends AnyFunSuite {
     } finally RestTableProvider.transportOverride = None
   }
 
+  test("micro-batch polling: each trigger polls once, rows land in the sink") {
+    val polls = new java.util.concurrent.atomic.AtomicInteger(0)
+    RestTableProvider.transportOverride = Some(new Transport {
+      override def get(url: String, params: Map[String, String]): RestResponse = {
+        val p = polls.incrementAndGet()
+        RestResponse(200, s"""[{"poll":$p,"v":1},{"poll":$p,"v":2}]""")
+      }
+    })
+    try {
+      val q = spark.readStream.format("graft-rest")
+        .option("url", "http://x/stream").load()
+        .writeStream.format("memory").queryName("rest_polls")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val rows = spark.table("rest_polls").collect().map(_.getString(0))
+      assert(rows.length == 2)                     // one poll, two docs
+      assert(rows.forall(_.contains("\"poll\":1")))
+      assert(polls.get() == 1)
+    } finally RestTableProvider.transportOverride = None
+  }
+
   test("missing source option fails with a clear message") {
     val e = intercept[Exception] {
       spark.read.format("graft-rest").load().count()
