@@ -4,12 +4,15 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
+import com.fasterxml.jackson.core.{JsonFactory, JsonParser => JJsonParser}
+
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.json.{CreateJacksonParser, JSONOptions, JacksonParser}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.{streaming => sstreaming}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -19,61 +22,132 @@ import graft.sources.{JavaHttpTransport, RestClient, RestSource, RetryPolicy, Tr
 /** DataSource V2 `TableProvider` for REST payloads:
   *
   *   spark.read.format("graft-rest").option("url", …).load()
+  *   spark.read.format("graft-rest").schema(s).option("url", …).load()
+  *   spark.readStream.format("graft-rest").option("url", …).load()
   *
-  * Schema is one STRING column `value`, one row per JSON document
-  * (top-level arrays are split) — downstream does
-  * `from_json(value, schema)` / dot-paths, which keeps the connector
-  * orthogonal to every payload shape the endpoint catalog covers.
+  * Without a user schema, rows are one STRING column `value` (one row
+  * per JSON document; top-level arrays split) for downstream
+  * `from_json`. WITH a user schema, documents are parsed to typed
+  * rows in the readers (Catalyst's JacksonParser — the same engine
+  * behind `spark.read.json`), which unlocks real optimizer
+  * integration:
+  *
+  *  - column pruning: only the projected fields are parsed
+  *    (`SupportsPushDownRequiredColumns`),
+  *  - filter pushdown INTO THE ENDPOINT: comparison predicates on
+  *    columns mapped via `pushdown.<col>.<op>=<queryParam>` options
+  *    (op ∈ eq,lt,lte,gt,gte) become request query parameters — e.g.
+  *    `pushdown.match_id.lt=less_than_match_id` turns
+  *    `WHERE match_id < X` into `?less_than_match_id=X`, the paging
+  *    idiom of the reference's API. Pushed filters are still
+  *    re-evaluated by Spark (endpoints are untrusted about their own
+  *    filtering) — pushdown cuts bytes fetched, correctness never
+  *    depends on it.
   *
   * Rate-limit-correct by construction: ALL fetching happens on the
   * DRIVER at scan-planning time, serially through one retrying
-  * token-bucketed client (API limits are global — per-executor
-  * fetch loops would multiply pressure; SURVEY §7.4). Each URL's
-  * payload rides to executors INSIDE its `InputPartition`, so
-  * parallelism over multiple URLs/pages (`urls` option) costs zero
-  * extra calls. REST payloads are small; at true bulk-data scale the
-  * lake, not the API, is the distributed source.
-  *
-  * Options: `url` or `urls` (comma-separated) or `body` (inline
-  * payload — fixture/test path, zero egress); `maxRetries`,
-  * `backoffMillis`, `minIntervalMillis` tune the client.
+  * token-bucketed client (API limits are global — per-executor fetch
+  * loops would multiply pressure; SURVEY §7.4). Each URL's payload
+  * rides to executors INSIDE its `InputPartition`. Static request
+  * parameters come from `param.<name>` options.
   */
 class RestTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-rest"
+  override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    RestTableProvider.schema
+    RestTableProvider.rawSchema
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new RestTable(properties.asScala.toMap)
+    new RestTable(schema, properties.asScala.toMap)
 }
 
 object RestTableProvider {
-  val schema: StructType = StructType(Seq(StructField("value", StringType)))
+  val rawSchema: StructType = StructType(Seq(StructField("value", StringType)))
 
   /** Test seam: specs install a scripted transport here; `None` means
     * the real HTTP transport.
     */
   @volatile var transportOverride: Option[Transport] = None
+
+  private[v2] def clientFrom(opts: Map[String, String]): RestClient =
+    new RestClient(
+      transportOverride.getOrElse(new JavaHttpTransport()),
+      RetryPolicy(
+        maxRetries = opts.get("maxRetries").map(_.toInt).getOrElse(3),
+        backoffMillis = opts.get("backoffMillis").map(_.toLong).getOrElse(1000L),
+        minIntervalMillis = opts.get("minIntervalMillis").map(_.toLong).getOrElse(0L)))
+
+  private[v2] def staticParams(opts: Map[String, String]): Map[String, String] =
+    opts.collect { case (k, v) if k.startsWith("param.") => k.stripPrefix("param.") -> v }
 }
 
-final class RestTable(props: Map[String, String]) extends Table with SupportsRead {
+final class RestTable(tableSchema: StructType, props: Map[String, String])
+    extends Table with SupportsRead {
   override def name(): String =
     props.get("url").orElse(props.get("urls")).getOrElse("inline-body")
-  override def schema(): StructType = RestTableProvider.schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new RestScan(props ++ options.asScala)
+    new RestScanBuilder(tableSchema, props ++ options.asScala)
+}
+
+final class RestScanBuilder(tableSchema: StructType, opts: Map[String, String])
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = tableSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var pushedParams: Map[String, String] = Map.empty
+
+  /** col → (op → query param) from `pushdown.<col>.<op>` options. */
+  private val mappings: Map[(String, String), String] =
+    opts.collect { case (k, v) if k.startsWith("pushdown.") =>
+      k.stripPrefix("pushdown.").split('.') match {
+        case Array(c, op) => (c.toLowerCase, op.toLowerCase) -> v
+        case _ => throw new IllegalArgumentException(s"bad pushdown option: $k")
+      }
     }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val params = Seq.newBuilder[(String, String)]
+    val accepted = Seq.newBuilder[Filter]
+    filters.foreach { f =>
+      val mapped = f match {
+        case EqualTo(c, v)            => mappings.get((c.toLowerCase, "eq")).map(_ -> v)
+        case LessThan(c, v)           => mappings.get((c.toLowerCase, "lt")).map(_ -> v)
+        case LessThanOrEqual(c, v)    => mappings.get((c.toLowerCase, "lte")).map(_ -> v)
+        case GreaterThan(c, v)        => mappings.get((c.toLowerCase, "gt")).map(_ -> v)
+        case GreaterThanOrEqual(c, v) => mappings.get((c.toLowerCase, "gte")).map(_ -> v)
+        case _                        => None
+      }
+      mapped.foreach { case (param, v) =>
+        params += (param -> String.valueOf(v)); accepted += f
+      }
+    }
+    pushedParams = params.result().toMap
+    pushed = accepted.result().toArray
+    // endpoints are untrusted about their own filtering: everything is
+    // re-evaluated Spark-side; pushdown only shrinks the fetch
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new RestScan(opts, required, pushedParams)
 }
 
 final case class RestPartition(docs: Array[String]) extends InputPartition
 
-final class RestScan(opts: Map[String, String]) extends Scan with Batch {
-  override def readSchema(): StructType = RestTableProvider.schema
+final class RestScan(
+    opts: Map[String, String],
+    readSchemaV: StructType,
+    pushedParams: Map[String, String]) extends Scan with Batch {
+
+  override def readSchema(): StructType = readSchemaV
   override def toBatch: Batch = this
 
   /** Memoized: Spark calls planInputPartitions during planning AND
@@ -94,15 +168,11 @@ final class RestScan(opts: Map[String, String]) extends Scan with Batch {
           .orElse(opts.get("url").map(Seq(_)))
           .getOrElse(throw new IllegalArgumentException(
             "graft-rest requires one of: url, urls, body"))
-        val policy = RetryPolicy(
-          maxRetries = opts.get("maxRetries").map(_.toInt).getOrElse(3),
-          backoffMillis = opts.get("backoffMillis").map(_.toLong).getOrElse(1000L),
-          minIntervalMillis = opts.get("minIntervalMillis").map(_.toLong).getOrElse(0L))
-        val client = new RestClient(
-          RestTableProvider.transportOverride.getOrElse(new JavaHttpTransport()), policy)
+        val client = RestTableProvider.clientFrom(opts)
+        val params = RestTableProvider.staticParams(opts) ++ pushedParams
         // driver-side, serial, one token bucket — by design
         urls.map { u =>
-          client.fetch(u) match {
+          client.fetch(u, params) match {
             case Right(body) => RestPartition(RestSource.normalizeBody(body).toArray)
             case Left(err) => throw new RuntimeException(s"graft-rest fetch failed: ${err.message}")
           }
@@ -110,10 +180,11 @@ final class RestScan(opts: Map[String, String]) extends Scan with Batch {
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = RestReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RestReaderFactory(readSchemaV)
 
   override def toMicroBatchStream(checkpointLocation: String): sstreaming.MicroBatchStream =
-    new RestMicroBatchStream(opts)
+    new RestMicroBatchStream(opts, readSchemaV)
 }
 
 /** Polled REST micro-batch source: each trigger's `latestOffset()`
@@ -124,7 +195,7 @@ final class RestScan(opts: Map[String, String]) extends Scan with Batch {
   * from the driver-side buffer, so state is bounded by
   * (uncommitted triggers × payload size).
   */
-final class RestMicroBatchStream(opts: Map[String, String])
+final class RestMicroBatchStream(opts: Map[String, String], schema: StructType)
     extends sstreaming.MicroBatchStream {
 
   private case class PollOffset(n: Long) extends sstreaming.Offset {
@@ -133,12 +204,8 @@ final class RestMicroBatchStream(opts: Map[String, String])
 
   private val url = opts.getOrElse("url",
     throw new IllegalArgumentException("graft-rest streaming requires url"))
-  private lazy val client = new RestClient(
-    RestTableProvider.transportOverride.getOrElse(new JavaHttpTransport()),
-    RetryPolicy(
-      maxRetries = opts.get("maxRetries").map(_.toInt).getOrElse(3),
-      backoffMillis = opts.get("backoffMillis").map(_.toLong).getOrElse(1000L),
-      minIntervalMillis = opts.get("minIntervalMillis").map(_.toLong).getOrElse(0L)))
+  private lazy val client = RestTableProvider.clientFrom(opts)
+  private val params = RestTableProvider.staticParams(opts)
 
   private var polls = 0L
   private val bodies = scala.collection.mutable.Map.empty[Long, Array[String]]
@@ -147,7 +214,7 @@ final class RestMicroBatchStream(opts: Map[String, String])
   override def deserializeOffset(json: String): sstreaming.Offset = PollOffset(json.toLong)
 
   override def latestOffset(): sstreaming.Offset = synchronized {
-    client.fetch(url) match {
+    client.fetch(url, params) match {
       case Right(body) =>
         polls += 1
         bodies(polls) = RestSource.normalizeBody(body).toArray
@@ -165,7 +232,8 @@ final class RestMicroBatchStream(opts: Map[String, String])
     ((s + 1) to e).flatMap(bodies.get).map(RestPartition(_): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = RestReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RestReaderFactory(schema)
 
   override def commit(end: sstreaming.Offset): Unit = synchronized {
     val e = end.asInstanceOf[PollOffset].n
@@ -175,13 +243,39 @@ final class RestMicroBatchStream(opts: Map[String, String])
   override def stop(): Unit = ()
 }
 
-object RestReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PartitionReader[InternalRow] {
-      private val docs = partition.asInstanceOf[RestPartition].docs
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < docs.length }
-      override def get(): InternalRow = InternalRow(UTF8String.fromString(docs(i)))
-      override def close(): Unit = ()
-    }
+/** Executor-side readers. Raw schema emits documents as strings;
+  * typed schemas run Catalyst's JacksonParser per document (only the
+  * required/pruned fields are materialized).
+  */
+final class RestReaderFactory(schema: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val docs = partition.asInstanceOf[RestPartition].docs
+    if (schema == RestTableProvider.rawSchema)
+      new PartitionReader[InternalRow] {
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < docs.length }
+        override def get(): InternalRow = InternalRow(UTF8String.fromString(docs(i)))
+        override def close(): Unit = ()
+      }
+    else
+      new PartitionReader[InternalRow] {
+        private val parser = new JacksonParser(
+          schema,
+          new JSONOptions(Map.empty[String, String], "UTC"),
+          allowArrayAsStructs = true,
+          Nil)
+        private val iter: Iterator[InternalRow] = docs.iterator.flatMap { doc =>
+          parser.parse[String](
+            doc,
+            (jf: JsonFactory, s: String) => CreateJacksonParser.string(jf, s),
+            (s: String) => UTF8String.fromString(s))
+        }
+        private var row: InternalRow = _
+        override def next(): Boolean = {
+          if (iter.hasNext) { row = iter.next(); true } else false
+        }
+        override def get(): InternalRow = row
+        override def close(): Unit = ()
+      }
+  }
 }

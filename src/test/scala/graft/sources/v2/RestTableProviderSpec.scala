@@ -1,5 +1,7 @@
 package graft.sources.v2
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -61,6 +63,61 @@ class RestTableProviderSpec extends AnyFunSuite {
       assert(rows.forall(_.contains("\"poll\":1")))
       assert(polls.get() == 1)
     } finally RestTableProvider.transportOverride = None
+  }
+
+  test("user schema parses documents to typed rows in the reader") {
+    val df = spark.read.format("graft-rest")
+      .schema(graft.sources.Endpoints.publicMatchesSchema)
+      .option("body", Fixtures.publicMatchesJson).load()
+    val rows = df.select("match_id", "duration", "radiant_team")
+      .orderBy("match_id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getLong(0) == 8000000001L && rows(0).getLong(1) == 2400L)
+    assert(rows(0).getAs[scala.collection.Seq[Long]]("radiant_team").toSeq ==
+      Seq(14L, 21L, 34L, 51L, 86L))
+    assert(rows(2).isNullAt(2)) // match without team arrays
+  }
+
+  test("filter pushdown maps predicates to endpoint query params") {
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Map[String, String]]()
+    RestTableProvider.transportOverride = Some(new Transport {
+      override def get(url: String, params: Map[String, String]): RestResponse = {
+        seen.add(params)
+        // endpoint honours less_than_match_id like the real API
+        val cut = params.get("less_than_match_id").map(_.toLong).getOrElse(Long.MaxValue)
+        val rows = Seq(8000000001L, 8000000002L, 8000000003L).filter(_ < cut)
+          .map(id => s"""{"match_id":$id,"duration":100}""")
+        RestResponse(200, rows.mkString("[", ",", "]"))
+      }
+    })
+    try {
+      import org.apache.spark.sql.functions.col
+      val df = spark.read.format("graft-rest")
+        .schema("match_id BIGINT, duration BIGINT")
+        .option("url", "http://x/publicMatches")
+        .option("pushdown.match_id.lt", "less_than_match_id")
+        .load()
+        .filter(col("match_id") < 8000000003L)
+      val got = df.collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == Seq(8000000001L, 8000000002L))
+      // the param reached the endpoint (fetch shrank server-side)
+      assert(seen.asScala.exists(_.get("less_than_match_id").contains("8000000003")),
+        seen.toString)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("graft"), plan.take(400)) // scanned via the DSv2 table
+    } finally RestTableProvider.transportOverride = None
+  }
+
+  test("column pruning reaches the reader schema") {
+    val df = spark.read.format("graft-rest")
+      .schema(graft.sources.Endpoints.publicMatchesSchema)
+      .option("body", Fixtures.publicMatchesJson).load()
+      .select("match_id")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("match_id") && !scan.contains("radiant_team"),
+      s"pruned scan expected:\n$scan")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(8000000001L, 8000000002L, 8000000003L))
   }
 
   test("missing source option fails with a clear message") {
