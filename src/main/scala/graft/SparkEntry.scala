@@ -88,6 +88,8 @@ object SparkEntry {
       EventOps.sessionize(t.events) }),
     "q38_approx_distinct" -> ((s, d) => { val t = Tables.load(s, d)
       Relational.approxDistinctCounts(t.lineitem) }),
+    "q43_event_heatmap" -> ((s, d) => { val t = Tables.load(s, d)
+      EventOps.eventHeatmap(t.events) }),
     "t23_dedup_exact" -> ((s, d) => { val t = Tables.load(s, d)
       Dedup.exactDedup(t.documents) }),
     "t24_jaccard_pairs" -> ((s, d) => { val t = Tables.load(s, d)
@@ -330,6 +332,12 @@ object SparkEntry {
         | count(DISTINCT l_partkey) AS n_parts,
         | TRUE AS suppliers_ok, TRUE AS parts_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q43_event_heatmap" ->
+      """SELECT CAST(floor(value/25.0) AS BIGINT) AS x_bin,
+        | CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT)/2.0) AS BIGINT) AS y_bin,
+        | count(*) AS n
+        |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     // SimHash is deterministic md5 bit-math — fully SQL-expressible.
     // DuckDB parses '0x…' hex strings in BIGINT casts; verified equal
     // to Spark's conv(hex,16,10) on the same md5 prefix.

@@ -142,6 +142,29 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** 2-D binned histogram (the movement-heatmap capability,
+    * SURVEY §0.1): floor-bin two numeric axes, count per cell. One
+    * partial+final hash aggregation — shuffle carries only |cells|
+    * rows per partition, so a 100 TB event stream reduces to a
+    * heatmap-sized result with no intermediate blowup.
+    */
+  def histogram2d(
+      df: DataFrame, x: Column, y: Column,
+      xBinWidth: Double, yBinWidth: Double): DataFrame =
+    df.groupBy(
+        floor(x / xBinWidth).cast("long").as("x_bin"),
+        floor(y / yBinWidth).cast("long").as("y_bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("x_bin", "y_bin")
+
+  /** Heatmap over the events table: value × JSON property `k`. */
+  def eventHeatmap(events: DataFrame): DataFrame =
+    histogram2d(
+      events.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .filter(col("k").isNotNull),
+      col("value"), col("k").cast("double"),
+      xBinWidth = 25.0, yBinWidth = 2.0)
+
   /** Gap-based sessionization: a new session starts after `gapMin`
     * minutes of inactivity. Two window passes, both over the same
     * (user_id, ts) partitioning — one shuffle total.

@@ -31,6 +31,22 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
 
   def read(spark: SparkSession, entity: String): DataFrame =
     spark.read.parquet(s"$root/$entity")
+
+  /** Bucketed managed table: co-locates join keys at WRITE time so
+    * repeated joins/aggregations on `bucketCols` run with NO shuffle
+    * at all — the 100 TB answer for fact-to-fact joins that recur
+    * (lineitem⋈orders on the order key every day). Bucketing requires
+    * the table catalog (bucket metadata lives there), hence
+    * saveAsTable rather than a bare path.
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, buckets: Int, bucketCols: Seq[String]): Unit =
+    df.write
+      .mode(mode)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .option("path", s"$root/$table")
+      .saveAsTable(table)
 }
 
 object LakeWriter {

@@ -47,6 +47,20 @@ class NormalizeSpec extends AnyFunSuite {
     assert(axe.getAs[scala.collection.Seq[String]]("roles").toSeq == Seq("Initiator", "Durable"))
   }
 
+  test("typed entities: Dataset[PublicMatch] round-trips the fixture, modeStats aggregates") {
+    val df = RestSource.readJson(spark, Fixtures.publicMatchesJson,
+      Some(Endpoints.publicMatchesSchema))
+    val ds = Entities.publicMatches(df)
+    assert(ds.collect().map(_.match_id).sorted.toSeq ==
+      Seq(8000000001L, 8000000002L, 8000000003L))
+    val stats = Entities.modeStats(ds).collect().map(s => s.game_mode -> s).toMap
+    // mode 22: matches 1 (2400, radiant win) and 3 (3105, radiant win)
+    assert(stats(22L).n_matches == 2L)
+    assert(stats(22L).avg_duration == (2400.0 + 3105.0) / 2)
+    assert(stats(22L).radiant_win_rate == 1.0)
+    assert(stats(1L).radiant_win_rate == 0.0)
+  }
+
   test("epochToLocalDate renders the São Paulo calendar date (golden values)") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
