@@ -56,6 +56,53 @@ object Endpoints {
     StructField("roles", ArrayType(StringType)),
     StructField("legs", LongType)))
 
+  val teamsSchema: StructType = StructType(Seq(
+    StructField("team_id", LongType),
+    StructField("rating", DoubleType),
+    StructField("wins", LongType),
+    StructField("losses", LongType),
+    StructField("last_match_time", LongType),
+    StructField("name", StringType),
+    StructField("tag", StringType),
+    StructField("logo_url", StringType)))
+
+  val leaguesSchema: StructType = StructType(Seq(
+    StructField("leagueid", LongType),
+    StructField("ticket", StringType),
+    StructField("banner", StringType),
+    StructField("tier", StringType),
+    StructField("name", StringType)))
+
+  val proMatchesSchema: StructType = StructType(Seq(
+    StructField("match_id", LongType),
+    StructField("duration", LongType),
+    StructField("start_time", LongType),
+    StructField("radiant_team_id", LongType),
+    StructField("radiant_name", StringType),
+    StructField("dire_team_id", LongType),
+    StructField("dire_name", StringType),
+    StructField("leagueid", LongType),
+    StructField("league_name", StringType),
+    StructField("series_type", LongType),
+    StructField("radiant_score", LongType),
+    StructField("dire_score", LongType),
+    StructField("radiant_win", BooleanType)))
+
+  /** scenarios arrive with games/wins as STRINGS (API quirk) — the
+    * catalog keeps the wire shape and normalizes with casts.
+    */
+  val itemTimingsSchema: StructType = StructType(Seq(
+    StructField("hero_id", LongType),
+    StructField("item", StringType),
+    StructField("time", LongType),
+    StructField("games", StringType),
+    StructField("wins", StringType)))
+
+  /** Cast the numeric-as-string scenario counters. */
+  def castScenarioCounts(df: DataFrame): DataFrame =
+    df.withColumn("games", org.apache.spark.sql.functions.col("games").cast(LongType))
+      .withColumn("wins", org.apache.spark.sql.functions.col("wins").cast(LongType))
+
   /** publicMatches + the team-array widening (`opendotaapi.py:95-123`). */
   val publicMatches: EndpointSpec = EndpointSpec(
     "public_matches", "/publicMatches",
@@ -110,17 +157,28 @@ object Endpoints {
   val gameModes: EndpointSpec = constantsMap("game_mode", "mode_id")
   val clusters: EndpointSpec = constantsMap("cluster", "cluster_id")
 
+  // typed variants for the entities whose shapes are stable enough to
+  // pin (FIXTURES.md §B); the rest stay schema-on-read passthroughs
+  val teams: EndpointSpec =
+    EndpointSpec("teams", "/teams", schema = Some(teamsSchema))
+  val leagues: EndpointSpec =
+    EndpointSpec("leagues", "/leagues", schema = Some(leaguesSchema))
+  val proMatches: EndpointSpec =
+    EndpointSpec("pro_matches", "/proMatches", schema = Some(proMatchesSchema))
+  val itemTimings: EndpointSpec = EndpointSpec(
+    "scenarios_item_timings", "/scenarios/itemTimings",
+    schema = Some(itemTimingsSchema), normalize = castScenarioCounts)
+
   /** The 13-entity full-load set the orchestrator runs
     * (`extract-data-dota.py:126-199`).
     */
   val fullLoad: Seq[EndpointSpec] = Seq(
     publicMatches, lobbyTypes, gameModes, clusters, heroes,
     passthrough.find(_.name == "hero_stats").get,
-    passthrough.find(_.name == "leagues").get,
-    passthrough.find(_.name == "teams").get,
+    leagues, teams,
     passthrough.find(_.name == "pro_players").get,
-    passthrough.find(_.name == "pro_matches").get,
+    proMatches,
     passthrough.find(_.name == "distributions").get,
-    passthrough.find(_.name == "scenarios_item_timings").get,
+    itemTimings,
     passthrough.find(_.name == "scenarios_lane_roles").get)
 }

@@ -24,4 +24,65 @@ object Fixtures {
       |{"id":1,"name":"npc_dota_hero_antimage","localized_name":"Anti-Mage","primary_attr":"agi","attack_type":"Melee","roles":["Carry","Escape"],"legs":2},
       |{"id":2,"name":"npc_dota_hero_axe","localized_name":"Axe","primary_attr":"str","attack_type":"Melee","roles":["Initiator","Durable"],"legs":2}
       |]""".stripMargin
+
+  /** teams payload incl. the ragged-row case (null logo_url). */
+  val teamsJson: String =
+    """[
+      |{"team_id":101,"rating":1450.5,"wins":820,"losses":600,"last_match_time":1719700000,"name":"Team A","tag":"TA","logo_url":"https://x/a.png"},
+      |{"team_id":102,"rating":1301.2,"wins":500,"losses":520,"last_match_time":1719600000,"name":"Team B","tag":"TB","logo_url":null}
+      |]""".stripMargin
+
+  val leaguesJson: String =
+    """[
+      |{"leagueid":15001,"ticket":null,"banner":null,"tier":"premium","name":"The Big One"},
+      |{"leagueid":15002,"ticket":null,"banner":null,"tier":"amateur","name":"Open Qualifier"}
+      |]""".stripMargin
+
+  val proMatchesJson: String =
+    """[
+      |{"match_id":8000000001,"duration":2400,"start_time":1719700000,"radiant_team_id":101,"radiant_name":"Team A","dire_team_id":102,"dire_name":"Team B","leagueid":15001,"league_name":"The Big One","series_type":1,"radiant_score":35,"dire_score":22,"radiant_win":true}
+      |]""".stripMargin
+
+  /** scenarios payload with the reference API's numeric-as-string
+    * quirk (`games`/`wins` arrive as strings).
+    */
+  val itemTimingsJson: String =
+    """[
+      |{"hero_id":1,"item":"bfury","time":900,"games":"4312","wins":"2457"},
+      |{"hero_id":1,"item":"manta","time":1500,"games":"3107","wins":"1734"},
+      |{"hero_id":2,"item":"blink","time":720,"games":"9921","wins":"5210"}
+      |]""".stripMargin
+
+  /** misc scenarios across two API snapshots with DRIFTED schemas —
+    * the union-by-name case (second snapshot adds a field and drops
+    * another).
+    */
+  val miscScenariosV1Json: String =
+    """[
+      |{"scenario":"first_blood","is_roshan":false,"region":"EU","games":"1200","wins":"700"}
+      |]""".stripMargin
+  val miscScenariosV2Json: String =
+    """[
+      |{"scenario":"first_blood","is_roshan":false,"games":"1300","wins":"760","patch":"7.36"}
+      |]""".stripMargin
+
+  /** Deeply nested match-details document (players / picks_bans /
+    * objectives arrays of structs) — kept raw + projected, never
+    * force-structified (SURVEY §7.4.3).
+    */
+  val matchDetailsJson: String =
+    """{
+      |"match_id":8000000001,"duration":2400,"radiant_win":true,
+      |"players":[
+      |  {"account_id":900001,"hero_id":14,"kills":9,"deaths":2,"assists":12,"gold_per_min":612,"xp_per_min":704},
+      |  {"account_id":900002,"hero_id":7,"kills":3,"deaths":7,"assists":15,"gold_per_min":388,"xp_per_min":412}
+      |],
+      |"picks_bans":[
+      |  {"is_pick":true,"hero_id":14,"team":0,"order":0},
+      |  {"is_pick":false,"hero_id":99,"team":1,"order":1}
+      |],
+      |"objectives":[
+      |  {"time":840,"type":"CHAT_MESSAGE_TOWER_KILL"},
+      |  {"time":1460,"type":"CHAT_MESSAGE_ROSHAN_KILL"}
+      |]}""".stripMargin
 }

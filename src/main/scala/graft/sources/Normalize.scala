@@ -44,6 +44,18 @@ object Normalize {
   def pivotMapColumn(df: DataFrame, jsonCol: Column, keyName: String, valueName: String): DataFrame =
     df.select(explode(from_json(jsonCol, MapType(StringType, StringType))).as(Seq(keyName, valueName)))
 
+  /** Per-player rows from a nested match-details document: the deep
+    * payload stays one raw document (SURVEY §7.4.3 — don't force full
+    * structification of drifting JSON); consumers project with
+    * `explode` over the inferred array-of-struct columns. This is the
+    * "per-player performance" capability of the reference's README.
+    */
+  def explodePlayers(spark: org.apache.spark.sql.SparkSession, body: String): DataFrame = {
+    val doc = RestSource.readJson(spark, body)
+    doc.select(col("match_id"), explode(col("players")).as("p"))
+      .select(col("match_id"), col("p.*"))
+  }
+
   /** Epoch seconds → local calendar date string in `tz` — the
     * reference derives its load-date partition from the first match's
     * start_time rendered in America/Sao_Paulo. The session stays UTC

@@ -47,6 +47,45 @@ class NormalizeSpec extends AnyFunSuite {
     assert(axe.getAs[scala.collection.Seq[String]]("roles").toSeq == Seq("Initiator", "Durable"))
   }
 
+  test("teams fixture loads typed with ragged null field") {
+    val df = RestSource.readJson(spark, Fixtures.teamsJson, Some(Endpoints.teamsSchema))
+    val rows = df.orderBy("team_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("logo_url") == "https://x/a.png")
+    assert(rows(1).isNullAt(rows(1).fieldIndex("logo_url")))
+  }
+
+  test("scenario counters arrive as strings and normalize to longs") {
+    val df = Endpoints.castScenarioCounts(
+      RestSource.readJson(spark, Fixtures.itemTimingsJson, Some(Endpoints.itemTimingsSchema)))
+    assert(df.schema("games").dataType.typeName == "long")
+    val blink = df.filter("item = 'blink'").collect()(0)
+    assert(blink.getAs[Long]("games") == 9921L && blink.getAs[Long]("wins") == 5210L)
+  }
+
+  test("schema drift across snapshots unions by name with nulls for missing fields") {
+    val v1 = RestSource.readJson(spark, Fixtures.miscScenariosV1Json)
+    val v2 = RestSource.readJson(spark, Fixtures.miscScenariosV2Json)
+    val all = v1.unionByName(v2, allowMissingColumns = true)
+    assert(all.count() == 2)
+    assert(all.columns.contains("region") && all.columns.contains("patch"))
+    assert(all.filter("patch IS NULL").count() == 1) // v1 row
+    assert(all.filter("region IS NULL").count() == 1) // v2 row
+  }
+
+  test("nested match details explode to per-player rows") {
+    val players = Normalize.explodePlayers(spark, Fixtures.matchDetailsJson)
+      .orderBy("account_id").collect()
+    assert(players.length == 2)
+    assert(players(0).getAs[Long]("match_id") == 8000000001L)
+    assert(players(0).getAs[Long]("gold_per_min") == 612L)
+    // picks_bans / objectives project via dot paths on the same doc
+    val doc = RestSource.readJson(spark, Fixtures.matchDetailsJson)
+    import org.apache.spark.sql.functions.{col => c, explode => ex}
+    val bans = doc.select(ex(c("picks_bans")).as("pb")).filter("pb.is_pick = false").count()
+    assert(bans == 1)
+  }
+
   test("typed entities: Dataset[PublicMatch] round-trips the fixture, modeStats aggregates") {
     val df = RestSource.readJson(spark, Fixtures.publicMatchesJson,
       Some(Endpoints.publicMatchesSchema))
