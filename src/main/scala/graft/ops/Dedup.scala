@@ -140,7 +140,6 @@ object Dedup {
           .join(prefix.as("b"),
             col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
         verifyJaccard(cand, setsAsDocs, threshold)
       }
     expandSetPairs(
@@ -184,19 +183,27 @@ object Dedup {
     *
     * The dictionary probe is one cheap distinct-count over tokens.
     */
-  private def verifyJaccard(cand: DataFrame, toks: DataFrame, threshold: Double): DataFrame = {
+  /** Accepts candidates WITH possible duplicates (a pair matching in
+    * several LSH bands / prefix tokens); dedup placement is
+    * branch-specific: the mask path verifies per-row (duplicates are
+    * harmless) and dedups AFTER the threshold filter, when the set is
+    * smallest; the exploded path MUST dedup first — duplicated
+    * candidate rows would double-count intersections.
+    */
+  private def verifyJaccard(candDup: DataFrame, toks: DataFrame, threshold: Double): DataFrame = {
     val w = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
     val dict = w.select("tok").distinct()
     if (dict.count() <= 64) {
       val masks = setMasks(w, dict)
       scoreMaskPairs(
-        cand
+        candDup
           .join(masks.select(col("doc_id").as("doc_a"), col("mask").as("ma")), "doc_a")
           .join(masks.select(col("doc_id").as("doc_b"), col("mask").as("mb")), "doc_b"),
         threshold)
+        .distinct()
     } else {
       val n = toks.select(col("doc_id"), col("n"))
-      cand
+      candDup.distinct()
         .join(w.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(w.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b", "tok"))
         .groupBy("doc_a", "doc_b")
@@ -256,7 +263,6 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
     val setPairs = verifyJaccard(cand, setsAsDocs, threshold)
       .select(col("doc_a").as("sid_a"), col("doc_b").as("sid_b"), col("jac"))
     expandSetPairs(setPairs, members)
