@@ -90,6 +90,10 @@ object SparkEntry {
       Relational.approxDistinctCounts(t.lineitem) }),
     "q43_event_heatmap" -> ((s, d) => { val t = Tables.load(s, d)
       EventOps.eventHeatmap(t.events) }),
+    "q44_percentiles" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.groupedPercentiles(t.lineitem) }),
+    "q45_rank_variants" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.rankVariants(t.part) }),
     "t23_dedup_exact" -> ((s, d) => { val t = Tables.load(s, d)
       Dedup.exactDedup(t.documents) }),
     "t24_jaccard_pairs" -> ((s, d) => { val t = Tables.load(s, d)
@@ -332,6 +336,22 @@ object SparkEntry {
         | count(DISTINCT l_partkey) AS n_parts,
         | TRUE AS suppliers_ok, TRUE AS parts_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Spark `percentile` == DuckDB `quantile_cont` (SQL-standard
+    // rank interpolation; verified bit-identical on this data)
+    "q44_percentiles" ->
+      s"""SELECT l_returnflag,
+         | ${q4("quantile_cont(l_quantity, 0.5)")} AS med_qty,
+         | ${q4("quantile_cont(l_quantity, 0.9)")} AS p90_qty,
+         | ${q4("quantile_cont(l_extendedprice, 0.5)")} AS med_price,
+         | count(*) AS n_lines
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q45_rank_variants" ->
+      s"""SELECT p_brand, p_partkey,
+         | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+         | ${q4("percent_rank() OVER w")} AS pr,
+         | ${q4("cume_dist() OVER w")} AS cd
+         |FROM part WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+         |ORDER BY p_brand, p_partkey""".stripMargin,
     "q43_event_heatmap" ->
       """SELECT CAST(floor(value/25.0) AS BIGINT) AS x_bin,
         | CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT)/2.0) AS BIGINT) AS y_bin,

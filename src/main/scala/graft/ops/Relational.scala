@@ -257,6 +257,38 @@ object Relational {
         max("p_size").as("max_size"))
       .orderBy("type_word")
 
+  /** Grouped exact percentiles (rank-interpolated, the SQL-standard
+    * quantile_cont semantics — bit-identical across engines on equal
+    * input, verified). Exact percentile sorts within the group; for
+    * sketch-budget pipelines at extreme cardinality the approx twin
+    * is `percentile_approx`, kept out of the oracle for the same
+    * reason as HLL.
+    */
+  def groupedPercentiles(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        quant4(expr("percentile(l_quantity, 0.5)")).as("med_qty"),
+        quant4(expr("percentile(l_quantity, 0.9)")).as("p90_qty"),
+        quant4(expr("percentile(l_extendedprice, 0.5)")).as("med_price"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("l_returnflag")
+
+  /** Ranking-variant windows: quartile bucket (ntile), percent_rank,
+    * cume_dist per brand over (retailprice, partkey) — the tiebreak
+    * makes every rank deterministic.
+    */
+  def rankVariants(part: DataFrame): DataFrame = {
+    val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice"), col("p_partkey"))
+    part
+      .select(
+        col("p_brand"), col("p_partkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        quant4(percent_rank().over(w)).as("pr"),
+        quant4(cume_dist().over(w)).as("cd"))
+      .orderBy("p_brand", "p_partkey")
+  }
+
   /** Part-pair co-occurrence (the reference's "hero combinations"
     * capability): self-join on the order key with a `<` guard. Scale:
     * lines-per-order is small and bounded, so the self-join output is
