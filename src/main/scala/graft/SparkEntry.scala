@@ -92,6 +92,10 @@ object SparkEntry {
       EventOps.eventHeatmap(t.events) }),
     "q44_percentiles" -> ((s, d) => { val t = Tables.load(s, d)
       Relational.groupedPercentiles(t.lineitem) }),
+    "q46_status_pivot" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.statusPivot(t.orders) }),
+    "q47_ship_delay" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.shipDelayStats(t.lineitem, t.orders) }),
     "q45_rank_variants" -> ((s, d) => { val t = Tables.load(s, d)
       Relational.rankVariants(t.part) }),
     "t23_dedup_exact" -> ((s, d) => { val t = Tables.load(s, d)
@@ -345,6 +349,20 @@ object SparkEntry {
          | ${q4("quantile_cont(l_extendedprice, 0.5)")} AS med_price,
          | count(*) AS n_lines
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q46_status_pivot" ->
+      """SELECT o_orderpriority,
+        | sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS "F",
+        | sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS "O",
+        | sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS "P"
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q47_ship_delay" ->
+      s"""SELECT o_orderpriority,
+         | ${meanL("datediff('day', o_orderdate, l_shipdate)")} AS avg_delay,
+         | min(datediff('day', o_orderdate, l_shipdate)) AS min_delay,
+         | max(datediff('day', o_orderdate, l_shipdate)) AS max_delay,
+         | count(*) AS n_lines
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q45_rank_variants" ->
       s"""SELECT p_brand, p_partkey,
          | CAST(ntile(4) OVER w AS BIGINT) AS quartile,

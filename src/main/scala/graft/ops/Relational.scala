@@ -289,6 +289,34 @@ object Relational {
       .orderBy("p_brand", "p_partkey")
   }
 
+  /** Pivot: order counts per priority × status, statuses as columns.
+    * The value list is EXPLICIT — with it the pivot is one pass
+    * (conditional aggregation); without it Spark must first scan for
+    * distinct statuses (an extra job at 100 TB).
+    */
+  def statusPivot(orders: DataFrame): DataFrame =
+    orders
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy("o_orderpriority")
+
+  /** Date arithmetic over a join: shipping delay (days between order
+    * and ship date) statistics per priority.
+    */
+  def shipDelayStats(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_days", datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+      .groupBy("o_orderpriority")
+      .agg(
+        meanOfLong(col("delay_days")).as("avg_delay"),
+        min("delay_days").as("min_delay"),
+        max("delay_days").as("max_delay"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("o_orderpriority")
+
   /** Part-pair co-occurrence (the reference's "hero combinations"
     * capability): self-join on the order key with a `<` guard. Scale:
     * lines-per-order is small and bounded, so the self-join output is
