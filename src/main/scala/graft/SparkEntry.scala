@@ -110,6 +110,8 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t.documents) }),
     "t42_bpeish_tokens" -> ((s, d) => { val t = Tables.load(s, d)
       TextOps.bpeishTokenCounts(t.documents) }),
+    "t48_repetition" -> ((s, d) => { val t = Tables.load(s, d)
+      TextOps.repetitionScores(t.documents) }),
     "t27_langid" -> ((s, d) => { val t = Tables.load(s, d)
       TextOps.langIdReport(t.documents) }),
     "t28_quality" -> ((s, d) => { val t = Tables.load(s, d)
@@ -420,6 +422,18 @@ object SparkEntry {
          |   CAST(len(regexp_extract_all(lower(text), '${graft.ops.TextOps.bpeishPattern.replace("'", "''")}')) AS BIGINT) AS n
          | FROM documents)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // repeated-3-gram fraction; shingles WITH multiplicity
+    "t48_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |s AS (SELECT doc_id,
+         |  unnest(list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' '))) AS shingle
+         |  FROM t WHERE len(tk) >= 3),
+         |c AS (SELECT doc_id, shingle, count(*) AS c FROM s GROUP BY 1,2),
+         |m AS (SELECT doc_id, max(c) AS top_count, sum(c) AS n_shingles FROM c GROUP BY 1)
+         |SELECT doc_id, CAST(top_count AS BIGINT) AS top_count,
+         | CAST(n_shingles AS BIGINT) AS n_shingles,
+         | ${q4("CAST(top_count AS DOUBLE)/n_shingles")} AS rep_ratio
+         |FROM m ORDER BY doc_id""".stripMargin,
     "t27_langid" ->
       s"""WITH t AS (SELECT lang, $toks AS tk FROM documents),
          |s AS (SELECT lang,

@@ -59,6 +59,33 @@ object TextOps {
         count(lit(1)).as("n_docs"))
       .orderBy("source")
 
+  /** Repetition scoring: share of the document covered by its single
+    * most frequent word n-gram — boilerplate/template text scores
+    * high, natural prose low. The standard "repeated n-gram fraction"
+    * filter of training-data pipelines, as one narrow pass: per-doc
+    * shingle multiset (NOT distinct — repetition is the point),
+    * top-count via sort_array on (count, shingle) pairs built with
+    * higher-order functions only.
+    */
+  def repetitionScores(documents: DataFrame, n: Int = 3): DataFrame = {
+    val tk = tokens(col("text"))
+    // all shingles WITH multiplicity
+    val sh = when(size(tk) >= n,
+      transform(sequence(lit(1), size(tk) - (n - 1)),
+        i => concat_ws(" ", slice(tk, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    documents
+      .select(col("doc_id"), explode(sh).as("shingle"))
+      .groupBy("doc_id", "shingle")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("top_count"), sum("c").as("n_shingles"))
+      .select(
+        col("doc_id"), col("top_count"), col("n_shingles"),
+        Exact.quant4(col("top_count").cast("double") / col("n_shingles")).as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Normalized text: lowercase, non-alphanumeric collapsed to single
     * spaces, trimmed — the canonical form for exact-dup fingerprints.
     */

@@ -52,6 +52,24 @@ object EventStream {
         unix_micros(col("session_window.end")).as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** Stream-static enrichment: join the stream against a batch
+    * dimension (re-planned per micro-batch, broadcast when small —
+    * the standard way to decorate events with slowly-changing
+    * reference data), then a watermarked windowed rollup per
+    * enriched category.
+    */
+  def enrichedHourly(
+      events: DataFrame, dim: DataFrame, joinKey: String,
+      category: String, watermark: String = "2 hours"): DataFrame =
+    events
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq(joinKey))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col(category))
+      .agg(count(lit(1)).as("n_events"), Exact.moneySum(col("value")).as("sum_value"))
+      .select(
+        unix_micros(col("window.start")).as("hour"),
+        col(category), col("n_events"), col("sum_value"))
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

@@ -61,6 +61,19 @@ class EventStreamSpec extends AnyFunSuite {
     assert(u2.length == 1 && u2(0).getLong(3) == 2L)
   }
 
+  test("stream-static join enriches events against a batch dimension") {
+    val dim = Seq(("click", "interactive"), ("view", "passive")).toDF("event_type", "category")
+    EventStream.runAvailableNow(
+      EventStream.enrichedHourly(streamingEvents, dim, "event_type", "category"),
+      "enriched", outputMode = "complete")
+    val out = spark.table("enriched").orderBy("hour", "category").collect()
+    // clicks at 10:05+10:55 (interactive), views at 11:10+11:40
+    // (passive), click at 12:01 (interactive)
+    assert(out.map(_.getString(1)).toSeq == Seq("interactive", "passive", "interactive"))
+    assert(out.map(_.getLong(2)).toSeq == Seq(2L, 2L, 1L))
+    assert(out(1).getDouble(3) == 14.0)
+  }
+
   test("mapGroupsWithState running totals accumulate per user") {
     val stream = streamingEvents
       .selectExpr("user_id", "value").as[EventStream.UserEvent]
