@@ -112,6 +112,8 @@ object SparkEntry {
       TextOps.bpeishTokenCounts(t.documents) }),
     "t48_repetition" -> ((s, d) => { val t = Tables.load(s, d)
       TextOps.repetitionScores(t.documents) }),
+    "t49_dedup_clusters" -> ((s, d) => { val t = Tables.load(s, d)
+      Dedup.dedupClusters(Dedup.jaccardPairs(t.documents)) }),
     "t27_langid" -> ((s, d) => { val t = Tables.load(s, d)
       TextOps.langIdReport(t.documents) }),
     "t28_quality" -> ((s, d) => { val t = Tables.load(s, d)
@@ -422,6 +424,27 @@ object SparkEntry {
          |   CAST(len(regexp_extract_all(lower(text), '${graft.ops.TextOps.bpeishPattern.replace("'", "''")}')) AS BIGINT) AS n
          | FROM documents)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // connected components over the jaccard>=0.6 pair graph, as a
+    // recursive transitive closure (min reachable node per doc)
+    "t49_dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |w AS (SELECT DISTINCT doc_id, tok FROM
+         |  (SELECT doc_id, unnest($toks) AS tok FROM documents)),
+         |n AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1,2),
+         |pr AS (SELECT doc_a, doc_b
+         |  FROM p JOIN n na ON na.doc_id = p.doc_a JOIN n nb ON nb.doc_id = p.doc_b
+         |  WHERE ${q4("CAST(inter AS DOUBLE)/(na.n+nb.n-inter)")} >= 0.6),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+         |      UNION SELECT doc_b, doc_a FROM pr),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM e UNION SELECT src, dst FROM e
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
+         |SELECT id AS doc_id, min(r) AS cluster_id,
+         |  (id = min(r)) AS is_canonical
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     // repeated-3-gram fraction; shingles WITH multiplicity
     "t48_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),

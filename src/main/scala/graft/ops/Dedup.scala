@@ -268,6 +268,48 @@ object Dedup {
     expandSetPairs(setPairs, members)
   }
 
+  /** Duplicate CLUSTERS from near-dup pairs: connected components by
+    * iterative min-label propagation — the step that turns pairwise
+    * similarity into an actual dedup decision (keep one canonical doc
+    * per component). Each iteration is one fully-distributed
+    * join+aggregate sweep; the driver loop only checks convergence
+    * (Pregel-style — iteration count is bounded by component
+    * diameter, and near-dup graphs are dense near-cliques that
+    * converge in 2–3 sweeps). `localCheckpoint` cuts lineage per
+    * iteration so the plan doesn't grow with the loop.
+    *
+    * Output: (doc_id, cluster_id = min doc_id in component,
+    * is_canonical) for every doc that appears in some pair.
+    */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("label").as("nbr"))
+      val next = labels.join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** 60-bit SimHash per document from md5-derived token hashes: bit j
     * of the signature is the sign of Σ_tokens (2·bit_j(h(token)) - 1).
     * Near-dup pairs found by 4-chunk pigeonhole LSH (hamming ≤ 3 ⇒ at

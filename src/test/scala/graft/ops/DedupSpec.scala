@@ -63,6 +63,21 @@ class DedupSpec extends AnyFunSuite {
     assert(!asMap.keySet.exists { case (a, b) => a == 4L || b == 4L }) // unrelated doc never pairs
   }
 
+  test("dedupClusters finds connected components: chain, clique, pair") {
+    // chain 1-2-3-4-5 (worst case: diameter 4), clique {10,11,12}, pair {20,21}
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)
+    ).toDF("doc_a", "doc_b")
+    val out = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    Seq(1L, 2L, 3L, 4L, 5L).foreach(d => assert(out(d)._1 == 1L, s"doc $d"))
+    Seq(10L, 11L, 12L).foreach(d => assert(out(d)._1 == 10L))
+    Seq(20L, 21L).foreach(d => assert(out(d)._1 == 20L))
+    assert(out.count(_._2._2) == 3) // one canonical per component
+  }
+
   test("simhash signature is stable and 60-bit bounded") {
     val sigs = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sigs(1L) == sigs(2L)) // same token set → same signature
