@@ -54,6 +54,42 @@ object MediaOps {
     }
   }
 
+  /** REAL image decode via the JDK's built-in ImageIO readers
+    * (PNG/BMP/GIF/JPEG — zero extra dependencies): pixels → grayscale
+    * plane in [0,1] with Rec.601 luma weights, row-major. The
+    * metadata width/height parameters are advisory — the intrinsic
+    * image dimensions win (payload metadata can drift; pixels don't).
+    * Deterministic: same bytes, same plane. Undecodable payloads fail
+    * loudly; quarantine upstream if the corpus can carry garbage.
+    */
+  object ImageIoDecoder extends ImageDecoder {
+    override def decode(bytes: Array[Byte], width: Int, height: Int): Array[Float] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null)
+        throw new IllegalArgumentException(
+          s"undecodable image payload (${bytes.length} bytes)")
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Float](w * h)
+      var y = 0
+      var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          out(i) = (0.299f * r + 0.587f * g + 0.114f * b) / 255f
+          x += 1
+          i += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
   /** Decode + feature-extract in batches: per-partition iterator →
     * `batchSize` chunks → decoder → fixed-width feature vector
     * (`bins`-bucket intensity histogram, L1-normalized). Output is an

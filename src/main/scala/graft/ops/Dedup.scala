@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   *  - MinHash/LSH buckets candidates by banded signatures: cost is
   *    O(corpus · K) for signatures plus near-duplicate bucket joins —
   *    the standard 100 TB algorithm. Exact Jaccard verifies candidates.
-  *  - All hashing is md5 hex strings (engine-portable, oracle-checkable).
+  *  - Hashing is md5-derived (engine-portable, oracle-checkable):
+  *    fingerprints and band keys as md5 hex strings; minhash as ONE
+  *    md5 per token widened to k variants by a seeded affine family
+  *    (a·h + b mod 2^31-1) — pure integer math after the single hash.
   */
 object Dedup {
 
@@ -108,18 +111,38 @@ object Dedup {
         .withColumn("n", size(col("toks")).cast("long")),
       threshold)
 
+  /** Corpus-shape stats for strategy selection, computed as ONE
+    * aggregate job over the (persisted) canonical-set frame — the
+    * single driver-side action a representation-adaptive plan cannot
+    * avoid. Every downstream branch (mask sweep vs prefix filter,
+    * mask verify vs exploded verify) reuses this result instead of
+    * re-probing, so the dedup pipelines issue exactly one eager job
+    * before the real plan (round-2 fix: it used to be 2–3 full
+    * tokenize+distinct passes).
+    */
+  private case class SetStats(vocab: Long, nSets: Long) {
+    def smallVocab: Boolean = vocab <= 64
+  }
+
+  private def setStats(setsAsDocs: DataFrame): SetStats = {
+    val r = setsAsDocs
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .agg(countDistinct("tok"), countDistinct("doc_id"))
+      .head()
+    SetStats(r.getLong(0), r.getLong(1))
+  }
+
   private def jaccardPairsFrom(toksIn: DataFrame, threshold: Double): DataFrame = {
     val (sets, members) = canonicalSets(toksIn)
     val setsAsDocs = sets.select(col("sid").as("doc_id"), col("toks"), col("n"))
     val w = setsAsDocs.select(col("doc_id"), explode(col("toks")).as("tok"))
-    val dict = w.select("tok").distinct()
-    // representation probe (driver-side, two tiny aggregates): a
-    // ≤64-token vocabulary over few-enough distinct sets means the
+    val stats = setStats(setsAsDocs)
+    // a ≤64-token vocabulary over few-enough distinct sets means the
     // cheapest EXACT plan is a direct mask sweep over set pairs —
     // pure codegen'd bit math, no token join, no candidate distinct.
     val setPairs =
-      if (dict.count() <= 64 && sets.count() <= 16384) {
-        val masks = setMasks(w, dict)
+      if (stats.smallVocab && stats.nSets <= 16384) {
+        val masks = setMasks(w, w.select("tok").distinct())
         val a = masks.select(col("doc_id").as("doc_a"), col("mask").as("ma"))
         val b = masks.select(col("doc_id").as("doc_b"), col("mask").as("mb"))
         scoreMaskPairs(a.join(b, col("doc_a") < col("doc_b")), threshold)
@@ -140,7 +163,7 @@ object Dedup {
           .join(prefix.as("b"),
             col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        verifyJaccard(cand, setsAsDocs, threshold)
+        verifyJaccard(cand, setsAsDocs, threshold, stats.smallVocab)
       }
     expandSetPairs(
       setPairs.select(col("doc_a").as("sid_a"), col("doc_b").as("sid_b"), col("jac")),
@@ -181,20 +204,22 @@ object Dedup {
     *    hauling token arrays through the join and re-hashing both
     *    sets per pair (round-1 scale-killer).
     *
-    * The dictionary probe is one cheap distinct-count over tokens.
-    */
-  /** Accepts candidates WITH possible duplicates (a pair matching in
+    * The branch choice (`smallVocab`) is passed down from the one
+    * per-pipeline [[setStats]] probe — this method runs no eager jobs.
+    *
+    * Accepts candidates WITH possible duplicates (a pair matching in
     * several LSH bands / prefix tokens); dedup placement is
     * branch-specific: the mask path verifies per-row (duplicates are
     * harmless) and dedups AFTER the threshold filter, when the set is
     * smallest; the exploded path MUST dedup first — duplicated
     * candidate rows would double-count intersections.
     */
-  private def verifyJaccard(candDup: DataFrame, toks: DataFrame, threshold: Double): DataFrame = {
+  private def verifyJaccard(
+      candDup: DataFrame, toks: DataFrame, threshold: Double,
+      smallVocab: Boolean): DataFrame = {
     val w = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
-    val dict = w.select("tok").distinct()
-    if (dict.count() <= 64) {
-      val masks = setMasks(w, dict)
+    if (smallVocab) {
+      val masks = setMasks(w, w.select("tok").distinct())
       scoreMaskPairs(
         candDup
           .join(masks.select(col("doc_id").as("doc_a"), col("mask").as("ma")), "doc_a")
@@ -217,14 +242,46 @@ object Dedup {
     }
   }
 
-  /** MinHash signature columns h0..h{k-1}: min over tokens of
-    * md5("<i>:<token>") — portable string-min minhash.
+  /** Prime modulus for the affine minhash family: 2^31 - 1. Base
+    * hashes and coefficients live in [0, p), so a·h + b < 2^62 — no
+    * 64-bit overflow in either engine (DuckDB errors on BIGINT
+    * overflow rather than wrapping, so this bound is load-bearing
+    * for the oracle twin, not just politeness).
     */
+  val MinhashP: Long = 2147483647L
+
+  /** Seeded affine coefficients (a_i, b_i), a_i ∈ [1, p), b_i ∈ [0, p).
+    * Driver-side constants baked into both the Spark plan and the
+    * DuckDB twin — public so SparkEntry can serialize them into SQL.
+    */
+  def minhashCoeffs(k: Int, seed: Long = 7L): Array[(Long, Long)] = {
+    val rng = new scala.util.Random(seed)
+    def mod(x: Long, m: Long): Long = ((x % m) + m) % m
+    Array.fill(k)((1L + mod(rng.nextLong(), MinhashP - 1), mod(rng.nextLong(), MinhashP)))
+  }
+
+  /** 60-bit md5 prefix of a token as a long, reduced mod p — the ONE
+    * md5 per token from which all k minhash variants derive.
+    */
+  private def tokenBaseHash(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long") % MinhashP
+
+  /** min over tokens of (a_i·h + b_i) mod p for each coefficient pair:
+    * a proper universal-hash permutation family at 1/16th the hashing
+    * cost of the round-2 per-variant-md5 scheme (one md5 per token,
+    * then pure codegen'd integer math).
+    */
+  private def sigColumns(k: Int): Seq[Column] =
+    minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("hb") + lit(b)) % MinhashP).as(s"h$i")
+    }
+
+  /** MinHash signature columns h0..h{k-1} per document. */
   def minhashSignatures(documents: DataFrame, k: Int = 16): DataFrame = {
     val exploded = docTokens(documents)
       .select(col("doc_id"), explode(col("toks")).as("tok"))
-    val sigCols = (0 until k).map(i =>
-      min(md5(concat_ws(":", lit(i), col("tok")))).as(s"h$i"))
+      .withColumn("hb", tokenBaseHash(col("tok")))
+    val sigCols = sigColumns(k)
     exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
   }
 
@@ -245,15 +302,17 @@ object Dedup {
     val rows = k / bands
     val (sets, members) = canonicalSets(docTokens(documents))
     val setsAsDocs = sets.select(col("sid").as("doc_id"), col("toks"), col("n"))
+    val stats = setStats(setsAsDocs)
     // signatures once per distinct token set — identical sets have
     // identical minhashes by definition
     val exploded = setsAsDocs.select(col("doc_id"), explode(col("toks")).as("tok"))
-    val sigCols = (0 until k).map(i =>
-      min(md5(concat_ws(":", lit(i), col("tok")))).as(s"h$i"))
+      .withColumn("hb", tokenBaseHash(col("tok")))
+    val sigCols = sigColumns(k)
     val sigs = exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)).as("bkey"))
+        md5(concat_ws(",",
+          (b * rows until (b + 1) * rows).map(i => col(s"h$i").cast("string")): _*)).as("bkey"))
     }
     val banded = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
@@ -263,7 +322,7 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val setPairs = verifyJaccard(cand, setsAsDocs, threshold)
+    val setPairs = verifyJaccard(cand, setsAsDocs, threshold, stats.smallVocab)
       .select(col("doc_a").as("sid_a"), col("doc_b").as("sid_b"), col("jac"))
     expandSetPairs(setPairs, members)
   }
@@ -282,8 +341,13 @@ object Dedup {
     * is_canonical) for every doc that appears in some pair.
     */
   def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Materialize the pair frame ONCE before anything references it:
+    // `edges` reads it twice (both edge directions), and the
+    // pair-finding subtree above it (tokenize → candidates → verify)
+    // is far too expensive to evaluate per reference.
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
@@ -294,14 +358,17 @@ object Dedup {
     while (!converged && i < maxIter) {
       val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("label").as("nbr"))
+      // convergence detection rides along the propagation join — a
+      // `changed` flag lands in the SAME checkpointed frame the next
+      // iteration reads, so the check costs one cached scan instead
+      // of a second full join per sweep.
       val next = labels.join(prop, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+          (coalesce(col("nbr"), col("label")) < col("label")).as("changed"))
         .localCheckpoint()
-      converged = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.drop("changed")
       i += 1
     }
     labels

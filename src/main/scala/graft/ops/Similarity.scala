@@ -176,23 +176,58 @@ object Similarity {
       .select("query_id", "rnk", "vec_id", "cos")
   }
 
+  /** A few Lloyd (k-means) iterations over seed centroids: assign
+    * every corpus vector to its nearest centroid (broadcast join +
+    * ranking, same shape as the IVF assign itself), then recompute
+    * each cell's element-wise mean. The mean is a partial-aggregating
+    * groupBy — per-partition combines mean only |cells|·dim partial
+    * rows cross the shuffle, never vectors — so each iteration costs
+    * one broadcast pass + one tiny shuffle at any corpus size. Cells
+    * that lose all members drop out (standard k-means behavior;
+    * probing simply has fewer, tighter cells to choose from).
+    */
+  private def lloydRefine(corpus: DataFrame, seed: DataFrame, iters: Int): DataFrame = {
+    var cents = seed
+    for (_ <- 0 until iters) {
+      val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
+      val assigned = corpus.crossJoin(broadcast(cents))
+        .withColumn("sim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cid"), col("v"))
+      cents = assigned
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy("cid", "pos").agg(avg("col").as("m"))
+        .groupBy("cid").agg(collect_list(struct(col("pos"), col("m"))).as("pm"))
+        .select(col("cid"),
+          transform(array_sort(col("pm")), p => p.getField("m")).as("cv"))
+        .withColumn("cn", norm(col("cv")))
+    }
+    cents
+  }
+
   /** IVF (inverted-file) approximate top-k: the corpus is assigned to
     * its nearest of `nCells` coarse centroids once, and each query
     * scores ONLY the lists of its `nProbe` nearest centroids — an
     * equi-join on cell id, `nProbe/nCells` of the corpus touched per
-    * query. Centroids here are a deterministic corpus subsample (the
-    * first `nCells` vectors); at scale you'd run a few k-means
-    * iterations for tighter cells, but the PLAN — broadcast
-    * centroids, argmax assign, cell-partitioned join — is identical,
-    * and that plan is what survives a 100 TB corpus.
+    * query. Centroids seed from a deterministic corpus subsample (the
+    * first `nCells` vectors) and are tightened by `kmeansIters` Lloyd
+    * sweeps ([[lloydRefine]]) — tighter cells mean fewer misses at
+    * equal nProbe. The PLAN — broadcast centroids, argmax assign,
+    * cell-partitioned join — is what survives a 100 TB corpus.
     */
   def ivfTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+              nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 2): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     val corpus = e.filter(col("vec_id") >= nQueries)
-    val cents = corpus.orderBy("vec_id").limit(nCells)
+    val seed = corpus.orderBy("vec_id").limit(nCells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    // materialized once: both assign passes (corpus + queries) read
+    // the refined centroids, and the refinement subtree shouldn't
+    // re-run per pass — it's |cells| rows, trivially checkpointable
+    val cents =
+      if (kmeansIters == 0) seed else lloydRefine(corpus, seed, kmeansIters).localCheckpoint()
     def nearestCells(side: DataFrame, keep: Int): DataFrame = {
       val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
       side.crossJoin(broadcast(cents))

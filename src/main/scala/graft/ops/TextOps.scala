@@ -62,24 +62,40 @@ object TextOps {
   /** Repetition scoring: share of the document covered by its single
     * most frequent word n-gram — boilerplate/template text scores
     * high, natural prose low. The standard "repeated n-gram fraction"
-    * filter of training-data pipelines, as one narrow pass: per-doc
-    * shingle multiset (NOT distinct — repetition is the point),
-    * top-count via sort_array on (count, shingle) pairs built with
-    * higher-order functions only.
+    * filter of training-data pipelines, as ONE NARROW PASS: the
+    * per-doc shingle multiset (NOT distinct — repetition is the
+    * point) is sorted per row, so the max multiplicity of any shingle
+    * equals the max run length of equal neighbors — computed by a
+    * single `aggregate()` fold over the sorted array. No explode, no
+    * shuffle: the only exchange left is the final presentation sort.
+    * The DuckDB twin keeps its groupBy formulation — max run length
+    * of a sorted multiset and max group count are the same number.
     */
   def repetitionScores(documents: DataFrame, n: Int = 3): DataFrame = {
     val tk = tokens(col("text"))
-    // all shingles WITH multiplicity
+    // all shingles WITH multiplicity, sorted so equal ones are adjacent
     val sh = when(size(tk) >= n,
-      transform(sequence(lit(1), size(tk) - (n - 1)),
-        i => concat_ws(" ", slice(tk, i, lit(n)))))
+      array_sort(transform(sequence(lit(1), size(tk) - (n - 1)),
+        i => concat_ws(" ", slice(tk, i, lit(n))))))
       .otherwise(array().cast("array<string>"))
+    // fold state (prev shingle, current run, best run); shingles are
+    // never empty strings, so "" is a safe sentinel for prev
+    val st = aggregate(
+      col("sh"),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      })
     documents
-      .select(col("doc_id"), explode(sh).as("shingle"))
-      .groupBy("doc_id", "shingle")
-      .agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(max("c").as("top_count"), sum("c").as("n_shingles"))
+      .select(col("doc_id"), sh.as("sh"))
+      .select(
+        col("doc_id"),
+        st.getField("best").as("top_count"),
+        size(col("sh")).cast("long").as("n_shingles"))
+      .filter(col("n_shingles") > 0)
       .select(
         col("doc_id"), col("top_count"), col("n_shingles"),
         Exact.quant4(col("top_count").cast("double") / col("n_shingles")).as("rep_ratio"))

@@ -50,6 +50,13 @@ import graft.sources.{JavaHttpTransport, RestClient, RestSource, RetryPolicy, Tr
   * loops would multiply pressure; SURVEY §7.4). Each URL's payload
   * rides to executors INSIDE its `InputPartition`. Static request
   * parameters come from `param.<name>` options.
+  *
+  * Cursor paging (`page.param`, `page.cursorField`, optional
+  * `page.dir`=desc|asc and `page.maxPages`): the scan iterates
+  * cursor-advanced requests — each page one InputPartition — until an
+  * empty page, a stuck cursor, or the page bound. E.g.
+  * `page.param=less_than_match_id`, `page.cursorField=match_id` walks
+  * the reference API's descending match pages.
   */
 class RestTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-rest"
@@ -171,13 +178,73 @@ final class RestScan(
         val client = RestTableProvider.clientFrom(opts)
         val params = RestTableProvider.staticParams(opts) ++ pushedParams
         // driver-side, serial, one token bucket — by design
-        urls.map { u =>
-          client.fetch(u, params) match {
-            case Right(body) => RestPartition(RestSource.normalizeBody(body).toArray)
-            case Left(err) => throw new RuntimeException(s"graft-rest fetch failed: ${err.message}")
-          }
-        }.toArray
+        opts.get("page.param") match {
+          case Some(cursorParam) =>
+            val field = opts.getOrElse("page.cursorField",
+              throw new IllegalArgumentException(
+                "graft-rest paging requires page.cursorField"))
+            val desc = !opts.get("page.dir").contains("asc")
+            val maxPages = opts.get("page.maxPages").map(_.toInt).getOrElse(10)
+            urls.flatMap(u =>
+              fetchPages(client, u, params, cursorParam, field, desc, maxPages)).toArray
+          case None =>
+            urls.map { u =>
+              client.fetch(u, params) match {
+                case Right(body) => RestPartition(RestSource.normalizeBody(body).toArray)
+                case Left(err) => throw new RuntimeException(s"graft-rest fetch failed: ${err.message}")
+              }
+            }.toArray
+        }
     }
+  }
+
+  /** Cursor-paged fetch loop, one InputPartition per page: page N+1
+    * passes `cursorParam` = min (desc) / max (asc) of `field` over
+    * page N's documents — the reference API's `less_than_match_id`
+    * idiom (`opendotaapi.py:103` issues only the single unpaged GET;
+    * the loop is what a full load actually needs). Stops on an empty
+    * page, a missing/unchanged cursor, or the `maxPages` bound. If
+    * filter pushdown already mapped a predicate to `cursorParam`, the
+    * first page honors it and later pages advance past it.
+    */
+  private def fetchPages(
+      client: graft.sources.RestClient, url: String,
+      params: Map[String, String], cursorParam: String, field: String,
+      desc: Boolean, maxPages: Int): Seq[InputPartition] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def nextCursor(docs: Array[String]): Option[String] = {
+      val vals = docs.toSeq.flatMap { d =>
+        try {
+          Option(mapper.readTree(d).get(field)).filterNot(_.isNull).map(_.asText)
+        } catch { case _: com.fasterxml.jackson.core.JacksonException => None }
+      }
+      if (vals.isEmpty) None
+      else if (vals.forall(v => scala.util.Try(BigDecimal(v)).isSuccess)) {
+        val bd = vals.map(BigDecimal(_))
+        Some((if (desc) bd.min else bd.max).bigDecimal.toPlainString)
+      } else Some(if (desc) vals.min else vals.max)
+    }
+    val pages = Seq.newBuilder[InputPartition]
+    var cursor: Option[String] = None
+    var n = 0
+    var done = false
+    while (!done && n < maxPages) {
+      val p = params ++ cursor.map(cursorParam -> _)
+      client.fetch(url, p) match {
+        case Right(body) =>
+          val docs = RestSource.normalizeBody(body).toArray
+          if (docs.isEmpty) done = true
+          else {
+            pages += RestPartition(docs)
+            val next = nextCursor(docs)
+            if (next.isEmpty || next == cursor) done = true else cursor = next
+          }
+        case Left(err) =>
+          throw new RuntimeException(s"graft-rest fetch failed: ${err.message}")
+      }
+      n += 1
+    }
+    pages.result()
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -44,6 +44,45 @@ class MediaOpsSpec extends AnyFunSuite {
     assert(frames.map(_.getLong(1)).toSeq == Seq(0L, 1000L, 2000L))
   }
 
+  /** In-memory PNG: left half black, right half white, `w`×`h`. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageIoDecoder decodes a real PNG to the expected grayscale plane") {
+    val plane = MediaOps.ImageIoDecoder.decode(pngBytes(8, 4), 8, 4)
+    assert(plane.length == 32)
+    // row-major: first 4 pixels of each row black (0), last 4 white (1)
+    for (y <- 0 until 4; x <- 0 until 8) {
+      val v = plane(y * 8 + x)
+      if (x < 4) assert(v == 0f, s"($x,$y)=$v") else assert(v == 1f, s"($x,$y)=$v")
+    }
+  }
+
+  test("featurize over real PNGs produces the deterministic histogram") {
+    val rows = MediaOps.fromRows(spark, Seq(
+      Row(10L, "image", pngBytes(8, 4), 8, 4, 0L, "png"),
+      Row(11L, "image", pngBytes(16, 16), 16, 16, 0L, "png")))
+    val feats = MediaOps.featurize(rows, decoder = MediaOps.ImageIoDecoder, bins = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // half the pixels land in bin 0 (black), half in the top bin (white)
+    feats.values.foreach { v =>
+      assert(v.toSeq == Seq(0.5f, 0f, 0f, 0.5f), v.toSeq.toString)
+    }
+  }
+
+  test("ImageIoDecoder rejects undecodable payloads loudly") {
+    val e = intercept[IllegalArgumentException] {
+      MediaOps.ImageIoDecoder.decode(bytesOf("not-an-image"), 4, 4)
+    }
+    assert(e.getMessage.contains("undecodable"))
+  }
+
   test("metadata-only queries prune the payload column at the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("media").toString + "/t"
     media.write.partitionBy("kind").parquet(dir)

@@ -71,6 +71,22 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("k-means-refined IVF recall >= subsample-centroid recall at equal nProbe") {
+    def recall(kmeansIters: Int): Double = {
+      val ivf = Similarity.ivfTopK(planted, nQueries = 5, k = 3,
+        nCells = 8, nProbe = 2, kmeansIters = kmeansIters)
+        .collect().groupBy(_.getLong(0))
+      (0 until 5).count { q =>
+        ivf.getOrElse(q.toLong, Array.empty).map(_.getLong(2)).toSet.contains(100L + q)
+      }.toDouble / 5
+    }
+    val refined = recall(2)
+    val subsample = recall(0)
+    assert(refined >= subsample,
+      s"Lloyd refinement regressed recall: $refined < $subsample")
+    assert(refined >= 0.8, s"refined recall too low: $refined")
+  }
+
   test("knnClassify assigns the nearest neighbour's label at k=1") {
     val out = Similarity.knnClassify(planted, nQueries = 3, k = 1).collect()
     assert(out.length == 3)

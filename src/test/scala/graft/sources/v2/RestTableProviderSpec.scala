@@ -120,6 +120,62 @@ class RestTableProviderSpec extends AnyFunSuite {
       Seq(8000000001L, 8000000002L, 8000000003L))
   }
 
+  test("cursor paging walks less_than_match_id pages, one partition per page") {
+    val fetches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ids = Seq(8000000006L, 8000000005L, 8000000004L, 8000000003L, 8000000002L, 8000000001L)
+    RestTableProvider.transportOverride = Some(new Transport {
+      override def get(url: String, params: Map[String, String]): RestResponse = {
+        fetches.incrementAndGet()
+        val cut = params.get("less_than_match_id").map(_.toLong).getOrElse(Long.MaxValue)
+        val page = ids.filter(_ < cut).take(2) // server pages 2 at a time, descending
+        RestResponse(200,
+          page.map(id => s"""{"match_id":$id,"duration":100}""").mkString("[", ",", "]"))
+      }
+    })
+    try {
+      val df = spark.read.format("graft-rest")
+        .schema("match_id BIGINT, duration BIGINT")
+        .option("url", "http://x/publicMatches")
+        .option("page.param", "less_than_match_id")
+        .option("page.cursorField", "match_id")
+        .option("page.maxPages", "3")
+        .load()
+      assert(df.rdd.getNumPartitions == 3) // one partition per page
+      // each ACTION plans a fresh scan (snapshot-per-read, like files);
+      // within one action the page walk runs exactly once
+      fetches.set(0)
+      val got = df.collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == ids.sorted)            // union of the 3 pages
+      assert(fetches.get() == 3, s"fetches=${fetches.get()}")
+    } finally RestTableProvider.transportOverride = None
+  }
+
+  test("cursor paging stops on an empty page") {
+    val fetches = new java.util.concurrent.atomic.AtomicInteger(0)
+    RestTableProvider.transportOverride = Some(new Transport {
+      override def get(url: String, params: Map[String, String]): RestResponse = {
+        fetches.incrementAndGet()
+        val cut = params.get("less_than_match_id").map(_.toLong).getOrElse(Long.MaxValue)
+        val page = Seq(8000000002L, 8000000001L).filter(_ < cut)
+        RestResponse(200,
+          page.map(id => s"""{"match_id":$id}""").mkString("[", ",", "]"))
+      }
+    })
+    try {
+      val df = spark.read.format("graft-rest")
+        .schema("match_id BIGINT")
+        .option("url", "http://x/publicMatches")
+        .option("page.param", "less_than_match_id")
+        .option("page.cursorField", "match_id")
+        .option("page.maxPages", "10")
+        .load()
+      assert(df.collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(8000000001L, 8000000002L))
+      // page 1 (both rows) + page 2 (empty → stop), well under maxPages
+      assert(fetches.get() == 2, s"fetches=${fetches.get()}")
+    } finally RestTableProvider.transportOverride = None
+  }
+
   test("missing source option fails with a clear message") {
     val e = intercept[Exception] {
       spark.read.format("graft-rest").load().count()
