@@ -126,6 +126,10 @@ object SparkEntry {
       TextOps.repetitionScores(t.documents) }),
     "t49_dedup_clusters" -> ((s, d) => { val t = Tables.load(s, d)
       Dedup.dedupClusters(Dedup.jaccardPairs(t.documents)) }),
+    "t50_decontaminate" -> ((s, d) => { val t = Tables.load(s, d)
+      Dedup.containmentReport(t.documents) }),
+    "t51_split_assign" -> ((s, d) => { val t = Tables.load(s, d)
+      TextOps.splitAssign(t.documents) }),
     "t27_langid" -> ((s, d) => { val t = Tables.load(s, d)
       TextOps.langIdReport(t.documents) }),
     "t28_quality" -> ((s, d) => { val t = Tables.load(s, d)
@@ -481,6 +485,36 @@ object SparkEntry {
          | CAST(n_shingles AS BIGINT) AS n_shingles,
          | ${q4("CAST(top_count AS DOUBLE)/n_shingles")} AS rep_ratio
          |FROM m ORDER BY doc_id""".stripMargin,
+    // decontamination twin: same stop-shingle cap (df <= 150 over ALL
+    // docs), same kept-shingle denominator, same (containment DESC,
+    // train_id) tiebreak
+    "t50_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |s0 AS (SELECT doc_id,
+         |  unnest(list_distinct(list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' ')))) AS s
+         |  FROM t WHERE len(tk) >= 3),
+         |keep AS (SELECT s FROM (SELECT s, count(*) AS df FROM s0 GROUP BY 1) WHERE df <= 150),
+         |k AS (SELECT s0.doc_id, s0.s FROM s0 JOIN keep USING (s)),
+         |tn AS (SELECT doc_id, count(*) AS tn FROM k WHERE doc_id % 20 = 0 GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS test_id, b.doc_id AS train_id, count(*) AS inter
+         |  FROM k a JOIN k b ON a.s = b.s AND a.doc_id % 20 = 0 AND b.doc_id % 20 <> 0
+         |  GROUP BY 1,2),
+         |scored AS (SELECT test_id, train_id,
+         |  ${q4("CAST(inter AS DOUBLE)/tn.tn")} AS containment
+         |  FROM inter JOIN tn ON tn.doc_id = test_id)
+         |SELECT test_id AS doc_id, train_id, containment FROM (
+         |  SELECT test_id, train_id, containment,
+         |    row_number() OVER (PARTITION BY test_id ORDER BY containment DESC, train_id) AS rn
+         |  FROM scored) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // split twin: 16-bit md5 prefix of the normalized text, mod 10
+    "t51_split_assign" ->
+      """WITH b AS (SELECT source, n_chars,
+        |  CAST(('0x'||substr(md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))),1,4)) AS BIGINT) % 10 AS bucket
+        |  FROM documents)
+        |SELECT source,
+        | CASE WHEN bucket < 8 THEN 'train' WHEN bucket < 9 THEN 'val' ELSE 'test' END AS split,
+        | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM b GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "t27_langid" ->
       s"""WITH t AS (SELECT lang, $toks AS tk FROM documents),
          |s AS (SELECT lang,

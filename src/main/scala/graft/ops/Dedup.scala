@@ -377,6 +377,48 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Decontamination: for each TEST document (doc_id ≡ 0 mod `mod` —
+    * a deterministic holdout slice), the TRAIN document with the
+    * highest n-gram containment |shingles(test) ∩ shingles(train)| /
+    * |shingles(test)| — the standard "is my eval set inside the
+    * training corpus" check of LLM data pipelines (containment, not
+    * Jaccard: a short eval doc fully embedded in a long train doc
+    * must score 1.0, which symmetric similarity hides).
+    *
+    * Plan: inverted-index equi-join on shingles with a STOP-SHINGLE
+    * cap — shingles appearing in more than `dfCap` documents carry no
+    * contamination signal and would dominate candidate volume, so
+    * they are dropped globally (and the containment denominator
+    * counts only kept shingles; the oracle twin mirrors both rules).
+    * Candidate volume is Σ df² over kept shingles — bounded by
+    * dfCap·|corpus shingles| instead of |test|·|train|.
+    */
+  def containmentReport(
+      documents: DataFrame, n: Int = 3,
+      mod: Long = 20, dfCap: Long = 150): DataFrame = {
+    val sh = documents.select(
+      col("doc_id"), explode(TextOps.shingles(col("text"), n)).as("s"))
+    // shingles are distinct per doc, so count(*) per shingle == doc freq
+    val keep = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("s")
+    val kept = sh.join(keep, "s")
+    val test = kept.filter(col("doc_id") % mod === 0)
+    val train = kept.filter(col("doc_id") % mod =!= 0)
+    val testN = test.groupBy("doc_id").agg(count(lit(1)).as("tn"))
+    val inter = test.select(col("doc_id").as("test_id"), col("s"))
+      .join(train.select(col("doc_id").as("train_id"), col("s")), "s")
+      .groupBy("test_id", "train_id")
+      .agg(count(lit(1)).as("inter"))
+    val scored = inter
+      .join(testN.select(col("doc_id").as("test_id"), col("tn")), "test_id")
+      .withColumn("containment",
+        Exact.quant4(col("inter").cast("double") / col("tn")))
+    val w = Window.partitionBy("test_id").orderBy(col("containment").desc, col("train_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("test_id").as("doc_id"), col("train_id"), col("containment"))
+      .orderBy("doc_id")
+  }
+
   /** 60-bit SimHash per document from md5-derived token hashes: bit j
     * of the signature is the sign of Σ_tokens (2·bit_j(h(token)) - 1).
     * Near-dup pairs found by 4-chunk pigeonhole LSH (hamming ≤ 3 ⇒ at

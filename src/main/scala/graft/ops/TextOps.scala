@@ -78,22 +78,31 @@ object TextOps {
       array_sort(transform(sequence(lit(1), size(tk) - (n - 1)),
         i => concat_ws(" ", slice(tk, i, lit(n))))))
       .otherwise(array().cast("array<string>"))
-    // fold state (prev shingle, current run, best run); shingles are
-    // never empty strings, so "" is a safe sentinel for prev
-    val st = aggregate(
-      col("sh"),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + lit(1L))
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      })
+    // native codegen'd scan when the graft extensions are installed
+    // (GraftSession always installs them); else the composable
+    // `aggregate()` fold — same left-to-right scan, identical result.
+    // Shingles are never empty strings, so "" is a safe prev sentinel.
+    val session = org.apache.spark.sql.SparkSession.active
+    val best: Column =
+      if (session.catalog.functionExists("graft_max_sorted_run"))
+        call_function("graft_max_sorted_run", col("sh"))
+      else {
+        val st = aggregate(
+          col("sh"),
+          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+          (acc, x) => {
+            val run = when(x === acc.getField("prev"), acc.getField("run") + lit(1L))
+              .otherwise(lit(1L))
+            struct(x.as("prev"), run.as("run"),
+              greatest(acc.getField("best"), run).as("best"))
+          })
+        st.getField("best")
+      }
     documents
       .select(col("doc_id"), sh.as("sh"))
       .select(
         col("doc_id"),
-        st.getField("best").as("top_count"),
+        best.as("top_count"),
         size(col("sh")).cast("long").as("n_shingles"))
       .filter(col("n_shingles") > 0)
       .select(
@@ -183,6 +192,24 @@ object TextOps {
         Exact.meanOfLong(col("n")).as("avg_tokens"),
         count(lit(1)).as("n_docs"))
       .orderBy("source")
+
+  /** Deterministic train/val/test split assignment by CONTENT hash
+    * (16 bits of the normalized-text md5, mod 10 → 8/1/1): stable
+    * under re-ingestion and row reordering, and exact duplicates land
+    * in the same split by construction — the property that matters
+    * for leakage (id-based splits scatter dups across splits). Pure
+    * narrow pass + tiny aggregate; reports per (source, split) doc
+    * and char counts.
+    */
+  def splitAssign(documents: DataFrame): DataFrame = {
+    val bucket = conv(substring(fingerprint(col("text")), 1, 4), 16, 10).cast("long") % 10
+    documents
+      .withColumn("split",
+        when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("source", "split")
+  }
 
   /** Content fingerprint + coarse length bucket per document. */
   def fingerprints(documents: DataFrame): DataFrame =

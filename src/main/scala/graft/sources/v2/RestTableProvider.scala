@@ -102,11 +102,24 @@ final class RestTable(tableSchema: StructType, props: Map[String, String])
 }
 
 final class RestScanBuilder(tableSchema: StructType, opts: Map[String, String])
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var pushedParams: Map[String, String] = Map.empty
+  private var pushedLimit: Option[Int] = None
+
+  /** LIMIT pushdown stops the driver-side fetch early: the page walk
+    * (and the multi-url loop) quits once `limit` documents are in
+    * hand. `isPartiallyPushed` stays true (the default) so Spark
+    * keeps its own Limit on top — over-fetch within the last page is
+    * harmless, under-fetch impossible.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    pushedLimit = Some(limit)
+    true
+  }
 
   /** col → (op → query param) from `pushdown.<col>.<op>` options. */
   private val mappings: Map[(String, String), String] =
@@ -144,7 +157,7 @@ final class RestScanBuilder(tableSchema: StructType, opts: Map[String, String])
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new RestScan(opts, required, pushedParams)
+  override def build(): Scan = new RestScan(opts, required, pushedParams, pushedLimit)
 }
 
 final case class RestPartition(docs: Array[String]) extends InputPartition
@@ -152,7 +165,8 @@ final case class RestPartition(docs: Array[String]) extends InputPartition
 final class RestScan(
     opts: Map[String, String],
     readSchemaV: StructType,
-    pushedParams: Map[String, String]) extends Scan with Batch {
+    pushedParams: Map[String, String],
+    pushedLimit: Option[Int] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = readSchemaV
   override def toBatch: Batch = this
@@ -185,15 +199,34 @@ final class RestScan(
                 "graft-rest paging requires page.cursorField"))
             val desc = !opts.get("page.dir").contains("asc")
             val maxPages = opts.get("page.maxPages").map(_.toInt).getOrElse(10)
-            urls.flatMap(u =>
-              fetchPages(client, u, params, cursorParam, field, desc, maxPages)).toArray
+            val budget = pushedLimit.getOrElse(Int.MaxValue)
+            val out = Seq.newBuilder[InputPartition]
+            var fetched = 0
+            urls.iterator.takeWhile(_ => fetched < budget).foreach { u =>
+              val pages = fetchPages(client, u, params, cursorParam, field, desc,
+                maxPages, budget - fetched)
+              pages.foreach { p =>
+                out += p
+                fetched += p.asInstanceOf[RestPartition].docs.length
+              }
+            }
+            out.result().toArray
           case None =>
-            urls.map { u =>
+            val budget = pushedLimit.getOrElse(Int.MaxValue)
+            val out = Seq.newBuilder[InputPartition]
+            var fetched = 0
+            // pushed LIMIT stops the url loop as soon as enough
+            // documents are in hand (Spark re-applies the limit)
+            urls.iterator.takeWhile(_ => fetched < budget).foreach { u =>
               client.fetch(u, params) match {
-                case Right(body) => RestPartition(RestSource.normalizeBody(body).toArray)
+                case Right(body) =>
+                  val docs = RestSource.normalizeBody(body).toArray
+                  out += RestPartition(docs)
+                  fetched += docs.length
                 case Left(err) => throw new RuntimeException(s"graft-rest fetch failed: ${err.message}")
               }
-            }.toArray
+            }
+            out.result().toArray
         }
     }
   }
@@ -210,7 +243,7 @@ final class RestScan(
   private def fetchPages(
       client: graft.sources.RestClient, url: String,
       params: Map[String, String], cursorParam: String, field: String,
-      desc: Boolean, maxPages: Int): Seq[InputPartition] = {
+      desc: Boolean, maxPages: Int, docBudget: Int = Int.MaxValue): Seq[InputPartition] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def nextCursor(docs: Array[String]): Option[String] = {
       val vals = docs.toSeq.flatMap { d =>
@@ -227,8 +260,9 @@ final class RestScan(
     val pages = Seq.newBuilder[InputPartition]
     var cursor: Option[String] = None
     var n = 0
+    var got = 0
     var done = false
-    while (!done && n < maxPages) {
+    while (!done && n < maxPages && got < docBudget) {
       val p = params ++ cursor.map(cursorParam -> _)
       client.fetch(url, p) match {
         case Right(body) =>
@@ -236,6 +270,7 @@ final class RestScan(
           if (docs.isEmpty) done = true
           else {
             pages += RestPartition(docs)
+            got += docs.length
             val next = nextCursor(docs)
             if (next.isEmpty || next == cursor) done = true else cursor = next
           }

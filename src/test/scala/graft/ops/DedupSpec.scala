@@ -83,4 +83,18 @@ class DedupSpec extends AnyFunSuite {
     assert(sigs(1L) == sigs(2L)) // same token set → same signature
     assert(sigs.values.forall(s => s >= 0 && s < (1L << 60)))
   }
+
+  test("containmentReport surfaces the train doc containing a test doc") {
+    import spark.implicits._
+    // doc 0 is a TEST doc (id % 20 == 0) fully embedded in train doc 1
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "prefix alpha beta gamma delta suffix words here"),
+      (21L, "totally different content with other words going on")).toDF("doc_id", "text")
+    val out = Dedup.containmentReport(docs).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 0L)      // the test doc
+    assert(out(0).getLong(1) == 1L)      // its containing train doc
+    assert(out(0).getDouble(2) == 1.0)   // every test shingle present
+  }
 }

@@ -46,6 +46,42 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out.getDouble(6) == 0.62)
   }
 
+  test("repetitionScores: max shingle multiplicity on a known document") {
+    // tokens a b a b a b c → 3-shingles (a b a),(b a b),(a b a),(b a b),(a b c)
+    val out = TextOps.repetitionScores(
+      Seq((1L, "a b a b a b c")).toDF("doc_id", "text")).collect()(0)
+    assert(out.getLong(1) == 2L)      // top_count: "a b a" twice
+    assert(out.getLong(2) == 5L)      // n_shingles with multiplicity
+    assert(out.getDouble(3) == 0.4)   // 2/5
+    // documents under n tokens produce no shingles and drop
+    assert(TextOps.repetitionScores(
+      Seq((1L, "one two")).toDF("doc_id", "text")).count() == 0)
+  }
+
+  test("graft_max_sorted_run native expression: golden values") {
+    import org.apache.spark.sql.functions.{call_function, col}
+    val df = Seq(
+      (1L, Seq("a", "a", "b", "b", "b", "c")),
+      (2L, Seq.empty[String]),
+      (3L, Seq("x"))).toDF("id", "sh")
+    val got = df.select(col("id"), call_function("graft_max_sorted_run", col("sh")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("splitAssign is content-deterministic: duplicate docs share a split") {
+    val docs = Seq(
+      (1L, "same text here", "web", 14L),
+      (2L, "same text here", "web", 14L),
+      (3L, "other doc entirely", "web", 18L)).toDF("doc_id", "text", "source", "n_chars")
+    val counts = TextOps.splitAssign(docs).collect().map(_.getLong(2)).sorted.toSeq
+    // the two identical docs hash to one split: groups are {2,1} or {3}
+    assert(counts == Seq(1L, 2L) || counts == Seq(3L), counts.toString)
+    // and the assignment is stable across runs
+    val again = TextOps.splitAssign(docs).collect().map(_.getLong(2)).sorted.toSeq
+    assert(again == counts)
+  }
+
   test("tokenCounts aggregates per source") {
     val out = TextOps.tokenCounts(Seq(
       (1L, "one two three", "web"),

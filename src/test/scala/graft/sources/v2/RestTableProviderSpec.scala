@@ -176,6 +176,34 @@ class RestTableProviderSpec extends AnyFunSuite {
     } finally RestTableProvider.transportOverride = None
   }
 
+  test("limit pushdown stops the page walk early") {
+    val fetches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ids = (1L to 10L).map(8000000000L + _).sortBy(-_)
+    RestTableProvider.transportOverride = Some(new Transport {
+      override def get(url: String, params: Map[String, String]): RestResponse = {
+        fetches.incrementAndGet()
+        val cut = params.get("less_than_match_id").map(_.toLong).getOrElse(Long.MaxValue)
+        val page = ids.filter(_ < cut).take(2)
+        RestResponse(200,
+          page.map(id => s"""{"match_id":$id}""").mkString("[", ",", "]"))
+      }
+    })
+    try {
+      val df = spark.read.format("graft-rest")
+        .schema("match_id BIGINT")
+        .option("url", "http://x/publicMatches")
+        .option("page.param", "less_than_match_id")
+        .option("page.cursorField", "match_id")
+        .option("page.maxPages", "10")
+        .load()
+        .limit(3)
+      assert(df.collect().length == 3)
+      // 2-doc pages: the 3-row limit is covered after 2 fetches, not
+      // the 5 the full walk would take
+      assert(fetches.get() == 2, s"fetches=${fetches.get()}")
+    } finally RestTableProvider.transportOverride = None
+  }
+
   test("missing source option fails with a clear message") {
     val e = intercept[Exception] {
       spark.read.format("graft-rest").load().count()
