@@ -130,6 +130,14 @@ object SparkEntry {
       Dedup.containmentReport(t.documents) }),
     "t51_split_assign" -> ((s, d) => { val t = Tables.load(s, d)
       TextOps.splitAssign(t.documents) }),
+    "t52_sample_stratified" -> ((s, d) => { val t = Tables.load(s, d)
+      CorpusOps.stratifiedSample(t.documents) }),
+    "t53_tfidf_terms" -> ((s, d) => { val t = Tables.load(s, d)
+      CorpusOps.tfidfTopTerms(t.documents) }),
+    "t54_seq_pack" -> ((s, d) => { val t = Tables.load(s, d)
+      CorpusOps.packSequences(t.documents) }),
+    "t55_quality_filter" -> ((s, d) => { val t = Tables.load(s, d)
+      CorpusOps.gopherFilter(t.documents) }),
     "t27_langid" -> ((s, d) => { val t = Tables.load(s, d)
       TextOps.langIdReport(t.documents) }),
     "t28_quality" -> ((s, d) => { val t = Tables.load(s, d)
@@ -163,7 +171,14 @@ object SparkEntry {
     "s33_ann_lsh" -> ((s, d) => { val t = Tables.load(s, d)
       Similarity.annLsh(t.embeddings) }),
     "s34_knn_classify" -> ((s, d) => { val t = Tables.load(s, d)
-      Similarity.knnClassify(t.embeddings) })
+      Similarity.knnClassify(t.embeddings) }),
+    // gate pins kmeansIters=0: seed centroids are deterministic (first
+    // nCells corpus vectors), so the whole assign/probe/score rule is
+    // SQL-expressible; Lloyd refinement takes grouped double MEANS,
+    // which no engine accumulates in a guaranteed order — the refined
+    // variant is covered by SimilaritySpec's planted-dup recall test.
+    "s35_ivf_topk" -> ((s, d) => { val t = Tables.load(s, d)
+      Similarity.ivfTopK(t.embeddings, kmeansIters = 0) })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -515,6 +530,59 @@ object SparkEntry {
         | CASE WHEN bucket < 8 THEN 'train' WHEN bucket < 9 THEN 'val' ELSE 'test' END AS split,
         | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM b GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // stratified sample twin: same (content-hash, doc_id) order, same
+    // per-source quota — md5 hex strings compare identically (ASCII)
+    "t52_sample_stratified" ->
+      """WITH h AS (SELECT doc_id, source,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h
+        |  FROM documents)
+        |SELECT source, rnk, doc_id, h FROM (
+        |  SELECT source, doc_id, h,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rnk
+        |  FROM h) WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+    // linear-idf score tf/df: single IEEE division of exact integers —
+    // bit-identical in every engine (ln is libm-dependent, so no log)
+    "t53_tfidf_terms" ->
+      s"""WITH w AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1,2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+         |SELECT doc_id, rnk, term, score FROM (
+         |  SELECT tf.doc_id, tf.term, CAST(tf.tf AS DOUBLE)/df.df AS score,
+         |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY CAST(tf.tf AS DOUBLE)/df.df DESC, tf.term) AS BIGINT) AS rnk
+         |  FROM tf JOIN df USING (term))
+         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    // packing twin: same per-source doc_id-ordered cumulative sum; the
+    // integral-valued floor division is exact as DOUBLE (< 2^53)
+    "t54_seq_pack" ->
+      s"""WITH t AS (SELECT source, doc_id, CAST(len($toks) AS BIGINT) AS n FROM documents),
+         |o AS (SELECT source, doc_id, n,
+         |  CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n AS off
+         |  FROM t)
+         |SELECT source, CAST(floor(CAST(off AS DOUBLE)/512.0) AS BIGINT) AS seq_id,
+         | count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM o GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // filter twin: integer cross-multiplied rule bounds, coalesce(,0)
+    // because DuckDB list_aggregate of an empty list is NULL where
+    // Spark's aggregate returns the seed
+    "t55_quality_filter" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n,
+         |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq,
+         |  CAST(coalesce(list_aggregate(list_transform(tk, x -> length(x)), 'sum'), 0) AS BIGINT) AS sum_len,
+         |  CAST(len(list_filter(['the','a','of','and','is','to','in'], s -> list_contains(tk, s))) AS BIGINT) AS n_stop
+         |  FROM t)
+         |SELECT doc_id, n AS n_tokens,
+         | (n >= 20 AND n <= 400) AS ok_len,
+         | (sum_len >= 3*n AND sum_len <= 10*n) AS ok_word_len,
+         | (n_stop >= 2) AS ok_stopwords,
+         | (5*n_uniq >= n) AS ok_ttr,
+         | (n >= 20 AND n <= 400 AND sum_len >= 3*n AND sum_len <= 10*n
+         |   AND n_stop >= 2 AND 5*n_uniq >= n) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
     "t27_langid" ->
       s"""WITH t AS (SELECT lang, $toks AS tk FROM documents),
          |s AS (SELECT lang,
@@ -660,6 +728,39 @@ object SparkEntry {
         |  SELECT query_id, label, votes,
         |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
         |  FROM v)
-        |WHERE rn = 1 ORDER BY query_id""".stripMargin
+        |WHERE rn = 1 ORDER BY query_id""".stripMargin,
+    // IVF twin (kmeansIters=0 pinned — see the queries entry): seed
+    // centroids are the 16 lowest-id corpus vectors; every similarity
+    // is the sequential-fold dot over DOUBLE[], so assignment argmax,
+    // probe ranking, and final scores are bit-identical to the Spark
+    // plan by construction.
+    "s35_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nr AS (SELECT vec_id, $sqlNorm AS nrm FROM e),
+         |ev AS (SELECT e.vec_id, e.v, nr.nrm FROM e JOIN nr ON nr.vec_id = e.vec_id),
+         |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM ev
+         |  WHERE vec_id >= 5 ORDER BY vec_id LIMIT 16),
+         |asg AS (SELECT vec_id, v, nrm, cid FROM (
+         |  SELECT c.vec_id, c.v, c.nrm, ct.cid,
+         |    row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY list_sum(list_transform(range(1,65), j -> c.v[j]*ct.cv[j]))/(c.nrm*ct.cn) DESC,
+         |        ct.cid) AS rn
+         |  FROM ev c CROSS JOIN cent ct WHERE c.vec_id >= 5)
+         |  WHERE rn = 1),
+         |qp AS (SELECT query_id, qv, qn, cid FROM (
+         |  SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, ct.cid,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_sum(list_transform(range(1,65), j -> q.v[j]*ct.cv[j]))/(q.nrm*ct.cn) DESC,
+         |        ct.cid) AS rn
+         |  FROM ev q CROSS JOIN cent ct WHERE q.vec_id < 5)
+         |  WHERE rn <= 4),
+         |s AS (SELECT DISTINCT query_id, a.vec_id,
+         |  floor(list_sum(list_transform(range(1,65), j -> qv[j]*a.v[j]))/(qn*a.nrm)*1000000.0+0.5)/1000000.0 AS cos
+         |  FROM qp JOIN asg a ON qp.cid = a.cid)
+         |SELECT query_id, rnk, vec_id, cos FROM (
+         |  SELECT query_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM s)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
   )
 }

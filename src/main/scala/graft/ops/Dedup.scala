@@ -106,8 +106,9 @@ object Dedup {
     */
   def ngramJaccardPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.6): DataFrame =
     jaccardPairsFrom(
-      documents.select(
-        col("doc_id"), TextOps.shingles(col("text"), n).as("toks"))
+      documents
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), TextOps.shinglesFromTokens(col("tk"), n).as("toks"))
         .withColumn("n", size(col("toks")).cast("long")),
       threshold)
 
@@ -396,8 +397,9 @@ object Dedup {
   def containmentReport(
       documents: DataFrame, n: Int = 3,
       mod: Long = 20, dfCap: Long = 150): DataFrame = {
-    val sh = documents.select(
-      col("doc_id"), explode(TextOps.shingles(col("text"), n)).as("s"))
+    val sh = documents
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(TextOps.shinglesFromTokens(col("tk"), n)).as("s"))
     // shingles are distinct per doc, so count(*) per shingle == doc freq
     val keep = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("s")

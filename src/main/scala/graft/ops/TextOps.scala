@@ -25,15 +25,23 @@ object TextOps {
     * so reshuffled near-copies stop looking identical. Documents with
     * fewer than `n` tokens produce an empty array (no shingles — the
     * guard avoids Spark's descending `sequence` when size < n).
+    *
+    * `tk` MUST be a materialized token-array column (project
+    * [[tokens]] into a named column first), never the tokenizer
+    * expression inline: higher-order lambdas are CodegenFallback
+    * (interpreted), and a free subtree inside the lambda body is
+    * re-evaluated once PER ELEMENT — an inline `tokens(text)` here
+    * turns O(n) shingling into O(n²) regexp extractions per document
+    * (measured 5–10× wall-clock on the shingle family). A bound
+    * reference survives because CollapseProject refuses to re-inline
+    * a non-cheap expression referenced more than once.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val tk = tokens(text)
+  def shinglesFromTokens(tk: Column, n: Int = 3): Column =
     when(size(tk) >= n,
       array_distinct(transform(
         sequence(lit(1), size(tk) - (n - 1)),
         i => concat_ws(" ", slice(tk, i, lit(n))))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** BPE-ish sub-word tokenization: contractions, space-prefixed
     * letter runs, digit runs, punctuation runs — the GPT-2-shaped
@@ -72,8 +80,11 @@ object TextOps {
     * of a sorted multiset and max group count are the same number.
     */
   def repetitionScores(documents: DataFrame, n: Int = 3): DataFrame = {
-    val tk = tokens(col("text"))
-    // all shingles WITH multiplicity, sorted so equal ones are adjacent
+    // all shingles WITH multiplicity, sorted so equal ones are
+    // adjacent; `tk` is a bound reference, NOT the inline tokenizer —
+    // see [[shinglesFromTokens]] for why (interpreted lambda would
+    // re-tokenize per element)
+    val tk = col("tk")
     val sh = when(size(tk) >= n,
       array_sort(transform(sequence(lit(1), size(tk) - (n - 1)),
         i => concat_ws(" ", slice(tk, i, lit(n))))))
@@ -99,6 +110,7 @@ object TextOps {
         st.getField("best")
       }
     documents
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"), sh.as("sh"))
       .select(
         col("doc_id"),
@@ -135,8 +147,8 @@ object TextOps {
       lang -> size(filter(toks, t => array_contains(lit(markers.toArray), t))).cast("long")
     }
 
-  def predictLang(text: Column): Column = {
-    val scores = langScores(tokens(text))
+  def predictLangFromTokens(tk: Column): Column = {
+    val scores = langScores(tk)
     val best = greatest(scores.map(_._2): _*)
     // first language (in declared precedence) achieving the max score
     scores.reverse.foldLeft(lit("unknown")) { case (acc, (lang, s)) =>
@@ -144,10 +156,17 @@ object TextOps {
     }
   }
 
-  /** Confusion counts: declared lang vs heuristic prediction. */
+  def predictLang(text: Column): Column = predictLangFromTokens(tokens(text))
+
+  /** Confusion counts: declared lang vs heuristic prediction. The
+    * token array is materialized once — the four language scores are
+    * separate `filter` lambdas, each of which would otherwise
+    * re-evaluate an inline tokenizer.
+    */
   def langIdReport(documents: DataFrame): DataFrame =
     documents
-      .withColumn("pred_lang", predictLang(col("text")))
+      .select(col("lang"), tokens(col("text")).as("tk"))
+      .withColumn("pred_lang", predictLangFromTokens(col("tk")))
       .groupBy("lang", "pred_lang")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "pred_lang")
@@ -157,13 +176,16 @@ object TextOps {
     * engines; rounded at the end for hash-stable output.
     */
   def qualityScores(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    // four metrics over one MATERIALIZED token array (each would
+    // otherwise re-run the tokenizer — see shinglesFromTokens)
+    val toks = col("tk")
     val nTok = size(toks).cast("long")
     val nUniq = size(array_distinct(toks)).cast("long")
     val sumLen = aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (acc, x) => acc + x)
     val stopList = lit(Array("the", "a", "of", "and", "is", "to", "in"))
     val nStop = size(filter(toks, t => array_contains(stopList, t))).cast("long")
     documents
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"), nTok.as("n_tokens"), nUniq.as("n_uniq"), sumLen.as("sum_len"), nStop.as("n_stop"))
       .filter(col("n_tokens") > 0)
       .select(

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "source", "text")
+
+  test("stratifiedSample takes exactly `quota` docs per stratum, deterministically") {
+    val d = docs((1L to 20L).map(i =>
+      (i, if (i <= 10) "a" else "b", s"document number $i with words")): _*)
+    val s1 = CorpusOps.stratifiedSample(d, quota = 3).collect()
+    val s2 = CorpusOps.stratifiedSample(d, quota = 3).collect()
+    assert(s1.toSeq == s2.toSeq) // reproducible
+    val bySource = s1.groupBy(_.getString(0))
+    assert(bySource("a").length == 3 && bySource("b").length == 3)
+    assert(bySource("a").map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L)) // ranks
+  }
+
+  test("stratifiedSample is content-keyed: reordering rows changes nothing") {
+    val d = docs((1L to 12L).map(i => (i, "s", s"text payload $i")): _*)
+    val shuffled = docs((1L to 12L).reverse.map(i => (i, "s", s"text payload $i")): _*)
+    val a = CorpusOps.stratifiedSample(d, 4).collect().map(_.getLong(2)).toSeq
+    val b = CorpusOps.stratifiedSample(shuffled, 4).collect().map(_.getLong(2)).toSeq
+    assert(a == b)
+  }
+
+  test("tfidfTopTerms ranks rare terms above common ones") {
+    val d = docs(
+      (1L, "s", "shared shared shared zebra"),
+      (2L, "s", "shared common words here"),
+      (3L, "s", "shared common words there"))
+    val out = CorpusOps.tfidfTopTerms(d, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // doc 1: zebra df=1 beats shared (tf=3, df=3 → score 1.0 = tie w/ zebra 1/1;
+    // tie broken by term asc → "shared"... so check doc 2/3 instead)
+    assert(out(2L) == "here")   // df=1 → score 1.0, beats common (1/2) and words (1/2)
+    assert(out(3L) == "there")
+  }
+
+  test("tfidfTopTerms score is tf/df and ranking is dense top-k per doc") {
+    val d = docs((1L, "s", "x x y"), (2L, "s", "y z"))
+    val rows = CorpusOps.tfidfTopTerms(d, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    // doc1: x tf=2 df=1 → 2.0 ; y tf=1 df=2 → 0.5
+    assert(rows.contains((1L, 1L, "x", 2.0)))
+    assert(rows.contains((1L, 2L, "y", 0.5)))
+    // doc2: z tf=1 df=1 → 1.0 ; y → 0.5
+    assert(rows.contains((2L, 1L, "z", 1.0)))
+    assert(rows.contains((2L, 2L, "y", 0.5)))
+  }
+
+  test("packSequences assigns a doc to the sequence of its first token and conserves tokens") {
+    // tokens: 3, 4, 2, 5 → offsets 0,3,7,9 → with seqLen=5: seqs 0,0,1,1
+    val d = docs(
+      (1L, "s", "a b c"),
+      (2L, "s", "d e f g"),
+      (3L, "s", "h i"),
+      (4L, "s", "j k l m n"))
+    val out = CorpusOps.packSequences(d, seqLen = 5L).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq((0L, 2L, 7L, 1L, 2L), (1L, 2L, 7L, 3L, 4L)))
+    assert(out.map(_._3).sum == 14L) // every token lands in exactly one sequence
+  }
+
+  test("packSequences packs each source independently") {
+    val d = docs((1L, "a", "x y z"), (2L, "b", "x y z"))
+    val out = CorpusOps.packSequences(d, seqLen = 2L).collect()
+    assert(out.map(_.getString(0)).toSet == Set("a", "b"))
+    assert(out.forall(_.getLong(1) == 0L)) // both start their own seq 0
+  }
+
+  test("gopherFilter flags each rule independently") {
+    val stopRich = ("the quick brown fox of the hills is happy to run in " * 3).trim
+    val d = docs(
+      (1L, "s", stopRich),                          // passes everything
+      (2L, "s", "tiny doc"),                        // fails ok_len (2 tokens)
+      (3L, "s", ("a b c d e f g h i j " * 3).trim), // 30 toks, mean len 1 → fails ok_word_len
+      (4L, "s", ("verylongwords without anycommon stopwordshere atall moretext " * 4).trim))
+    val out = CorpusOps.gopherFilter(d, minTokens = 5L, maxTokens = 100L).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))
+      .toMap
+    assert(out(1L) == (true, true, true, true, true))
+    assert(out(2L)._1 == false && out(2L)._5 == false)
+    assert(out(3L)._2 == false && out(3L)._5 == false)
+    assert(out(4L)._3 == false && out(4L)._5 == false) // no 2 distinct stopwords
+  }
+
+  test("gopherFilter type-token ratio screens heavy repetition") {
+    val d = docs((1L, "s", ("the of is " * 20).trim)) // 60 tokens, 3 uniq → ttr 0.05
+    val r = CorpusOps.gopherFilter(d, minTokens = 5L, maxTokens = 100L).collect()(0)
+    assert(r.getBoolean(5) == false) // ok_ttr
+    assert(r.getBoolean(6) == false) // keep
+  }
+}
