@@ -15,7 +15,31 @@ import org.apache.spark.sql.functions._
   * swap is purely a change of path here.
   */
 final class Tables(spark: SparkSession, dir: String) {
-  private def t(n: String): DataFrame = spark.read.parquet(s"$dir/$n.parquet")
+  /** Scan with small-file fan-out. The gate tables are written as ONE
+    * parquet row group each, and a row group is the unit Spark can't
+    * split — `maxPartitionBytes` assigns it to a single task, so
+    * without this every narrow pass (tokenize, shingle, signature)
+    * would run on one core however many sit idle. Files under
+    * [[Tables.SmallFileBytes]] are fanned out to the full default
+    * parallelism right after the scan: the shuffle moves at most that
+    * many bytes (trivial by construction), predicates and pruning
+    * still push through the exchange to the scan, and a
+    * production-scale table — many files, many row groups — never
+    * enters the branch.
+    */
+  private def t(n: String): DataFrame = {
+    val path = s"$dir/$n.parquet"
+    val df = spark.read.parquet(path)
+    val bytes =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      } catch { case _: Throwable => Long.MaxValue }
+    if (bytes < Tables.SmallFileBytes)
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
+  }
 
   lazy val region: DataFrame = t("region")
   lazy val nation: DataFrame = t("nation")
@@ -47,6 +71,9 @@ final class Tables(spark: SparkSession, dir: String) {
 }
 
 object Tables {
+  /** Below this, a scan is fanned out to full parallelism (see [[Tables#t]]). */
+  val SmallFileBytes: Long = 64L * 1024 * 1024
+
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
