@@ -4,15 +4,29 @@ package graft
   * prints one JSON line. Results are fully materialized via the noop
   * sink (count() would let Catalyst prune most of the plan).
   *
+  * Statistical rigor (round-3 lesson: a single contended measurement
+  * fabricated 15× phantom regressions in the r03 driver artifact):
+  *
+  *  - each query runs `SPARK_GRAFT_BENCH_RUNS` times (default 3) and
+  *    the REPORTED number is the per-query MEDIAN; min and max ride
+  *    along in the artifact so contention is visible (median ≫ min
+  *    means a noisy window, not a slow plan);
+  *  - caches are released between runs ([[graft.core.GraftCaches]]),
+  *    so every run measures the full cold plan and no query inherits
+  *    another's persisted frames — this also closes the canonicalSets
+  *    storage leak for the duration of the pass.
+  *
   * Failures are first-class: a query that throws is recorded with
   * value -1 in the per-query map AND listed under "failed", and the
   * process exits nonzero — a broken run must never be mistakable for
-  * a green one (round-1 lesson).
+  * a green one (round-1 lesson). A query that fails its first run is
+  * not retried: 3× the cost of a broken plan buys nothing.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = math.max(sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3), 1)
     val spark = graft.core.GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT/codegen/shuffle-service spin-up otherwise
@@ -21,20 +35,33 @@ object Bench {
       .groupBy("r_name").count().write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
+      val times = Seq.newBuilder[Double]
+      var ok = true
+      var r = 0
+      while (ok && r < runs) {
+        graft.core.GraftCaches.release(spark)
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          times += (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
+          ok = false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+        r += 1
+      }
+      (name, times.result().sorted, ok)
     }
-    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1) }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
+    def qmap(f: Seq[Double] => Double): String = results.map { case (k, ts, ok) =>
+      "\"" + k + "\":" + (if (ok) fmt(f(ts)) else "-1")
+    }.mkString("{", ",", "}")
+    val med = qmap(ts => ts(ts.size / 2))
+    val mins = qmap(_.head)
+    val maxs = qmap(_.last)
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val total = results.filter(_._3).map { case (_, ts, _) => ts(ts.size / 2) }.sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"stat":"median","queries":$med,"queries_min":$mins,"queries_max":$maxs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(!_._3)) sys.exit(1)
   }

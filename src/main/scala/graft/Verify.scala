@@ -13,6 +13,10 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val failed = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      // storage back to baseline between queries — no query inherits
+      // another's persisted frames, and the dedup caches can't
+      // accumulate across the 50+ query dump
+      graft.core.GraftCaches.release(spark)
       try { fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name"); None }
       catch { case e: Throwable =>

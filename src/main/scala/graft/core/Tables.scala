@@ -35,7 +35,11 @@ final class Tables(spark: SparkSession, dir: String) {
         val p = new org.apache.hadoop.fs.Path(path)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .getContentSummary(p).getLength
-      } catch { case _: Throwable => Long.MaxValue }
+      } catch {
+        // size probe is best-effort (missing path surfaces on the real
+        // read) — but fatal VM errors and interrupts must propagate
+        case scala.util.control.NonFatal(_) => Long.MaxValue
+      }
     if (bytes < Tables.SmallFileBytes)
       df.repartition(spark.sparkContext.defaultParallelism)
     else df

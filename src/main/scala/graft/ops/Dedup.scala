@@ -24,6 +24,35 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Frames persisted by dedup pipelines, so callers can return
+    * executor storage to baseline after the terminal action without
+    * nuking unrelated caches ([[graft.core.GraftCaches.release]] is
+    * the session-wide hammer; this is the scoped screwdriver). A
+    * long-lived 100 TB pipeline calls [[releaseCaches]] between
+    * stages; Bench releases everything between queries.
+    */
+  private val persistedFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def persistTracked(df: DataFrame): DataFrame = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistedFrames.add(df)
+    df
+  }
+
+  /** Unpersist every frame a dedup pipeline persisted. Call AFTER the
+    * terminal action on the pipeline's result — the plans still
+    * reference the frames and would silently recompute them if freed
+    * mid-flight.
+    */
+  def releaseCaches(): Unit = {
+    var df = persistedFrames.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = persistedFrames.poll()
+    }
+  }
+
   /** Distinct token set per doc: (doc_id, toks array, n). */
   private def docTokens(documents: DataFrame): DataFrame =
     documents.select(
@@ -54,15 +83,15 @@ object Dedup {
     * dropped — a doc with no tokens can never share one.
     */
   private def canonicalSets(toks: DataFrame): (DataFrame, DataFrame) = {
-    val keyed = toks
+    // persisted (tracked - releaseCaches() frees it): every downstream
+    // branch (dictionary probe, masks or prefix, verify, expansion)
+    // re-references this frame, and the tokenize+sort+md5 subtree is
+    // the most expensive narrow stage - recomputing it per branch
+    // dominated the wall clock. Size is O(corpus tokens); spills to
+    // disk.
+    val keyed = persistTracked(toks
       .filter(col("n") > 0)
-      .withColumn("sid", md5(concat_ws("", array_sort(col("toks")))))
-      // persisted: every downstream branch (dictionary probe, masks or
-      // prefix, verify, expansion) re-references this frame, and the
-      // tokenize+sort+md5 subtree is the most expensive narrow stage -
-      // recomputing it per branch dominated the wall clock. Size is
-      // O(corpus tokens); spills to disk.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("sid", md5(concat_ws("", array_sort(col("toks"))))))
     val sets = keyed.groupBy("sid").agg(first(col("toks")).as("toks"), first(col("n")).as("n"))
     val members = keyed.select(col("doc_id"), col("sid"))
     (sets, members)
@@ -342,18 +371,34 @@ object Dedup {
     * is_canonical) for every doc that appears in some pair.
     */
   def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint persistence is RDD-level — invisible to the
+    // CacheManager — so intermediate iteration frames are freed HERE,
+    // eagerly, as soon as the next (eagerly materialized) checkpoint
+    // supersedes them: storage held at any moment is one labels frame
+    // + the edge list, not O(iterations) frames. Tracking is by
+    // persistent-RDD-id delta around each checkpoint call (the
+    // checkpoint API returns no handle to its RDD).
+    val sc = pairs.sparkSession.sparkContext
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint() // eager: materialized on return
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     // Materialize the pair frame ONCE before anything references it:
     // `edges` reads it twice (both edge directions), and the
     // pair-finding subtree above it (tokenize → candidates → verify)
     // is far too expensive to evaluate per reference.
-    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
-    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    val (p, pIds) = checkpointTracked(pairs.select(col("doc_a"), col("doc_b")))
+    val (edges, edgeIds) = checkpointTracked(
+      p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .distinct())
+    free(pIds) // edges is materialized; the raw pair frame is done
+    var (labels, labelIds) = checkpointTracked(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -363,15 +408,21 @@ object Dedup {
       // `changed` flag lands in the SAME checkpointed frame the next
       // iteration reads, so the check costs one cached scan instead
       // of a second full join per sweep.
-      val next = labels.join(prop, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
-          (coalesce(col("nbr"), col("label")) < col("label")).as("changed"))
-        .localCheckpoint()
+      val (next, nextIds) = checkpointTracked(
+        labels.join(prop, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+            (coalesce(col("nbr"), col("label")) < col("label")).as("changed")))
       converged = next.filter(col("changed")).isEmpty
+      free(labelIds) // next is materialized; the previous sweep is done
       labels = next.drop("changed")
+      labelIds = nextIds
       i += 1
     }
+    free(edgeIds)
+    // the final labels checkpoint stays alive — the caller's action
+    // reads it; GraftCaches.release (or Bench, between queries)
+    // reclaims it afterwards
     labels
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))

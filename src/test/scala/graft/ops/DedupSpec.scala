@@ -84,6 +84,18 @@ class DedupSpec extends AnyFunSuite {
     assert(sigs.values.forall(s => s >= 0 && s < (1L << 60)))
   }
 
+  test("cache lifecycle: storage returns to baseline after release") {
+    import graft.core.GraftCaches
+    GraftCaches.release(spark)
+    assert(GraftCaches.storageEmpty(spark))
+    // full pipeline: canonicalSets persists, dedupClusters checkpoints
+    Dedup.dedupClusters(Dedup.jaccardPairs(docs, threshold = 0.6)).collect()
+    assert(!GraftCaches.storageEmpty(spark)) // frames live until released
+    Dedup.releaseCaches()                    // scoped: tracked persists
+    GraftCaches.release(spark)               // final labels checkpoint
+    assert(GraftCaches.storageEmpty(spark))
+  }
+
   test("containmentReport surfaces the train doc containing a test doc") {
     import spark.implicits._
     // doc 0 is a TEST doc (id % 20 == 0) fully embedded in train doc 1
