@@ -21,8 +21,34 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftCaches {
 
+  /** Ledger of frames pipelines persisted mid-plan (dedup canonical
+    * sets, prefix-sum chunk frames), so a long-lived pipeline can
+    * release them between stages without nuking unrelated caches.
+    */
+  private val tracked =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.DataFrame]()
+
+  def persistTracked(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tracked.add(df)
+    df
+  }
+
+  /** Unpersist every tracked frame. Call AFTER the terminal action on
+    * the pipeline result — freed mid-flight, the plans would silently
+    * recompute them.
+    */
+  def releaseTracked(): Unit = {
+    var df = tracked.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = tracked.poll()
+    }
+  }
+
   /** Drop every cached dataset and persisted RDD in the session. */
   def release(spark: SparkSession): Unit = {
+    releaseTracked()
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))

@@ -31,18 +31,56 @@ object CorpusOps {
     *  - reproducible under re-ingestion and row reordering, and
     *  - exact-quota per stratum (unlike Bernoulli sampling, which
     *    only hits the rate in expectation).
-    * One window per stratum — strata sample in parallel; no global
-    * sort, no driver-side anything.
+    *
+    * Scale shape: the ranking window never sees the stratum — a
+    * hash-bound pre-filter ([[hashBounded]], exact by construction)
+    * first cuts each stratum to ~quota survivors, so the one-task-
+    * per-stratum sort ranks a handful of rows however large the
+    * source is. No global sort, no driver-side anything.
     */
   def stratifiedSample(documents: DataFrame, quota: Int = 5): DataFrame = {
+    val h = documents
+      .select(col("doc_id"), col("source"), TextOps.fingerprint(col("text")).as("h"))
     val w = Window.partitionBy("source")
       .orderBy(col("h"), col("doc_id"))
-    documents
-      .select(col("doc_id"), col("source"), TextOps.fingerprint(col("text")).as("h"))
+    hashBounded(h, quota)
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= quota)
       .select("source", "rnk", "doc_id", "h")
       .orderBy("source", "rnk")
+  }
+
+  /** EXACT pre-filter for per-stratum hash-smallest selection: keep
+    * only rows whose 16-bit hash prefix lands at or below the
+    * smallest bucket boundary where the stratum's cumulative count
+    * reaches `quota`. Because bucket order equals hash-prefix order
+    * (fixed-width lowercase hex compares identically as string and as
+    * integer), the kept set is prefix-closed and provably contains
+    * the quota hash-smallest rows; overshoot is bounded by one
+    * bucket's load (~stratum/65536 under md5 uniformity). Strata
+    * with fewer than `quota` rows keep everything (the boundary
+    * defaults to the last occupied bucket).
+    *
+    * Cost: one partial-aggregating shuffle over (source, bucket) —
+    * at most |sources|·65536 rows after combine — plus a broadcast
+    * of the per-source thresholds. The full-width window this
+    * replaces sorted EVERY row of a stratum in ONE task; this sorts
+    * ~quota rows per stratum.
+    */
+  private[ops] def hashBounded(h: DataFrame, quota: Int): DataFrame = {
+    val bucketed = h.withColumn("bucket",
+      conv(substring(col("h"), 1, 4), 16, 10).cast("int"))
+    val wc = Window.partitionBy("source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = bucketed.groupBy("source", "bucket").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wc))
+      .groupBy("source")
+      .agg(coalesce(
+        min(when(col("cum") >= quota, col("bucket"))),
+        max(col("bucket"))).as("thr"))
+    bucketed.join(broadcast(thr), "source")
+      .filter(col("bucket") <= col("thr"))
+      .drop("bucket", "thr")
   }
 
   /** Top-k distinctive terms per document by tf·idf with a LINEAR idf
@@ -78,28 +116,95 @@ object CorpusOps {
     * lands in. Reports per (source, seq_id): docs, tokens, doc range —
     * the shard manifest a trainer's data loader consumes.
     *
-    * One cumulative-sum window per source: strata pack in parallel,
-    * and the window carries two longs per row. A single stratum too
-    * large for one task generalizes to the two-phase prefix sum
-    * (per-partition subtotals broadcast as range offsets) — same
-    * numbers, one extra tiny shuffle; not needed at gate scale and the
-    * per-source form keeps the plan portable.
+    * Offsets come from the TWO-PHASE prefix sum ([[tokenOffsets]]),
+    * never a per-source window: a 10 TB single-source corpus packs
+    * across every core instead of serializing into one window task.
     */
-  def packSequences(documents: DataFrame, seqLen: Long = 512L): DataFrame = {
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    documents
-      .select(col("source"), col("doc_id"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("offset", sum("n_tokens").over(w) - col("n_tokens"))
+  def packSequences(documents: DataFrame, seqLen: Long = 512L): DataFrame =
+    packManifest(
+      documents.select(col("source"), col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+      Seq("source"), seqLen)
+
+  /** Manifest over a slim (strata…, doc_id, n_tokens) frame: global
+    * offsets → seq_id → per-sequence stats. Strata-generic so the
+    * corpus-build capstone can pack per (source, split).
+    */
+  private[ops] def packManifest(
+      slim: DataFrame, strata: Seq[String], seqLen: Long,
+      parts: Int = 0): DataFrame = {
+    val keys = strata.map(col) :+ col("seq_id")
+    tokenOffsets(slim, strata, parts)
       .withColumn("seq_id", floor(col("offset") / seqLen).cast("long"))
-      .groupBy("source", "seq_id")
+      .groupBy(keys: _*)
       .agg(
         count(lit(1)).as("n_docs"),
         sum("n_tokens").as("n_tokens"),
         min("doc_id").as("first_doc"),
         max("doc_id").as("last_doc"))
-      .orderBy("source", "seq_id")
+      .orderBy(keys: _*)
+  }
+
+  /** Per-document global token offset within its stratum's doc_id-
+    * ordered stream, as a TWO-PHASE PREFIX SUM — the distributed
+    * formulation of a running total that a `Window.partitionBy(
+    * stratum)` cannot give (one stratum = one window task = one
+    * straggler at 100×):
+    *
+    *  1. range-repartition by (strata…, doc_id) into `parts` chunks,
+    *     so chunk order equals global order and every chunk is
+    *     ~equal-sized REGARDLESS of stratum skew;
+    *  2. local running sums per chunk (window by chunk id — `parts`
+    *     parallel tasks, each over rows/parts rows);
+    *  3. per (chunk, stratum) subtotals — a tiny aggregate, at most
+    *     parts·|strata| rows — cumulated into per-chunk base offsets
+    *     by a window over that TINY frame and broadcast back;
+    *  4. global offset = local cumsum − own tokens + chunk base.
+    *
+    * Same numbers as the windowed form (asserted in CorpusOpsSpec),
+    * three extra exchanges, all either full-parallel or bounded by
+    * parts·|strata|. The range exchange is computed once — both the
+    * local-sum window and the subtotal aggregate read it, and Spark's
+    * ReuseExchange collapses the duplicate subtree.
+    *
+    * Output keeps the chunk id (`pid`) so the spec can assert >1 task
+    * carried a single-stratum corpus; callers drop it via groupBy.
+    */
+  private[ops] def tokenOffsets(
+      slim: DataFrame, strata: Seq[String], parts: Int = 0): DataFrame = {
+    val nParts =
+      if (parts > 0) parts
+      else slim.sparkSession.sessionState.conf.numShufflePartitions
+    val ord = strata.map(col) :+ col("doc_id")
+    // persisted (tracked — GraftCaches releases it): BOTH phases must
+    // see the IDENTICAL chunk assignment, and `spark_partition_id()`
+    // evaluated in two separate consumers of the range exchange is not
+    // guaranteed consistent (AQE may replan each consumer; measured:
+    // scrambled base offsets at sf0.01). One materialization of the
+    // slim (strata, doc_id, n_tokens, pid) frame pins the chunking —
+    // the honest cost of any two-phase prefix sum.
+    val ranged = graft.core.GraftCaches.persistTracked(
+      slim.repartitionByRange(nParts, ord: _*)
+        .withColumn("pid", spark_partition_id()))
+    // local sums are per (chunk, stratum) — a chunk spans multiple
+    // strata and a chunk-wide running total would leak the earlier
+    // strata's tokens into the later ones' offsets
+    val wLocal = Window.partitionBy(col("pid") +: strata.map(col): _*)
+      .orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("cum", sum("n_tokens").over(wLocal))
+    // chunk base offsets: subtotals of every EARLIER chunk touching
+    // the same stratum (range partitioning guarantees "earlier chunk"
+    // == "earlier rows in (strata, doc_id) order")
+    val wPrev = Window.partitionBy(strata.map(col): _*).orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = ranged.groupBy(col("pid") +: strata.map(col): _*)
+      .agg(sum("n_tokens").as("subtotal"))
+      .withColumn("base", coalesce(sum("subtotal").over(wPrev), lit(0L)))
+      .select(col("pid") +: strata.map(col) :+ col("base"): _*)
+    local.join(broadcast(bases), "pid" +: strata)
+      .withColumn("offset", col("cum") - col("n_tokens") + col("base"))
+      .drop("cum", "base")
   }
 
   /** Gopher-style rule-based quality filter: per-document pass/fail

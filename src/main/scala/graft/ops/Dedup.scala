@@ -31,27 +31,15 @@ object Dedup {
     * long-lived 100 TB pipeline calls [[releaseCaches]] between
     * stages; Bench releases everything between queries.
     */
-  private val persistedFrames =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private def persistTracked(df: DataFrame): DataFrame =
+    graft.core.GraftCaches.persistTracked(df)
 
-  private def persistTracked(df: DataFrame): DataFrame = {
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persistedFrames.add(df)
-    df
-  }
-
-  /** Unpersist every frame a dedup pipeline persisted. Call AFTER the
-    * terminal action on the pipeline's result — the plans still
-    * reference the frames and would silently recompute them if freed
-    * mid-flight.
+  /** Unpersist every frame the pipelines persisted mid-plan. Call
+    * AFTER the terminal action on the pipeline's result — the plans
+    * still reference the frames and would silently recompute them if
+    * freed mid-flight.
     */
-  def releaseCaches(): Unit = {
-    var df = persistedFrames.poll()
-    while (df != null) {
-      df.unpersist(blocking = false)
-      df = persistedFrames.poll()
-    }
-  }
+  def releaseCaches(): Unit = graft.core.GraftCaches.releaseTracked()
 
   /** Distinct token set per doc: (doc_id, toks array, n). */
   private def docTokens(documents: DataFrame): DataFrame =

@@ -30,6 +30,74 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("stratifiedSample pre-filter bounds the window input to ~quota rows per stratum") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val d = docs((1L to 400L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", s"payload text $i")): _*)
+    val h = d.select(col("doc_id"), col("source"),
+      TextOps.fingerprint(col("text")).as("h"))
+    val survivors = CorpusOps.hashBounded(h, quota = 5)
+    val bySrc = survivors.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the 200-row strata are cut to ≈quota before any window ranks them
+    assert(bySrc.keySet == Set("a", "b"))
+    assert(bySrc.values.forall(c => c >= 5 && c <= 10), s"survivors: $bySrc")
+    // and the bounded sample equals the unfiltered windowed formulation
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    val expected = h.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5).select("source", "rnk", "doc_id", "h")
+      .orderBy("source", "rnk").collect()
+    assert(CorpusOps.stratifiedSample(d, 5).collect().toSeq == expected.toSeq)
+  }
+
+  test("stratifiedSample keeps the whole stratum when it is smaller than the quota") {
+    val d = docs((1L, "tiny", "one doc"), (2L, "tiny", "two doc"), (3L, "tiny", "three doc"))
+    val out = CorpusOps.stratifiedSample(d, quota = 5).collect()
+    assert(out.length == 3)
+    assert(out.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("tokenOffsets: >1 chunk for a single-source corpus, same numbers as a window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val d = docs((1L to 200L).map(i => (i, "solo", s"tok$i word$i extra$i")): _*)
+    val slim = d.select(col("source"), col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    val off = CorpusOps.tokenOffsets(slim, Seq("source"), parts = 8)
+    // the single stratum spreads across chunks — no one-task serialization
+    assert(off.select("pid").distinct().count() > 1)
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = slim
+      .withColumn("offset", sum("n_tokens").over(w) - col("n_tokens"))
+      .select("doc_id", "offset").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = off.select("doc_id", "offset").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("tokenOffsets: strata straddling chunk boundaries keep exact per-stratum offsets") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // interleaved sources (i % 5) so every range chunk contains several
+    // strata — the regression that cross-contaminated local sums
+    val d = docs((1L to 300L).map(i => (i, s"src${i % 5}", s"w$i x$i y$i z$i")): _*)
+    val slim = d.select(col("source"), col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    val got = CorpusOps.tokenOffsets(slim, Seq("source"), parts = 7)
+      .select("doc_id", "offset").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = slim
+      .withColumn("offset", sum("n_tokens").over(w) - col("n_tokens"))
+      .select("doc_id", "offset").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("tfidfTopTerms ranks rare terms above common ones") {
     val d = docs(
       (1L, "s", "shared shared shared zebra"),
