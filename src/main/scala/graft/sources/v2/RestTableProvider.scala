@@ -239,12 +239,24 @@ final class RestScan(
     * page, a missing/unchanged cursor, or the `maxPages` bound. If
     * filter pushdown already mapped a predicate to `cursorParam`, the
     * first page honors it and later pages advance past it.
+    *
+    * `page.cursorField` MUST be unique per row (the reference API's
+    * match_id is): the next page strictly advances past the boundary
+    * value, so rows SHARING the boundary that the server held back
+    * would be skipped forever. A duplicated boundary inside one page
+    * is detected and warned about; cross-page duplication is
+    * undetectable client-side, hence the contract. The numeric-vs-
+    * lexicographic comparison mode is pinned by the FIRST page — a
+    * representation flip mid-walk (e.g. zero-padded ids appearing on
+    * one page) would change ordering semantics and re-fetch or skip
+    * pages, so it fails loudly instead.
     */
   private def fetchPages(
       client: graft.sources.RestClient, url: String,
       params: Map[String, String], cursorParam: String, field: String,
       desc: Boolean, maxPages: Int, docBudget: Int = Int.MaxValue): Seq[InputPartition] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    var numericCursor: Option[Boolean] = None // pinned on first page
     def nextCursor(docs: Array[String]): Option[String] = {
       val vals = docs.toSeq.flatMap { d =>
         try {
@@ -252,10 +264,32 @@ final class RestScan(
         } catch { case _: com.fasterxml.jackson.core.JacksonException => None }
       }
       if (vals.isEmpty) None
-      else if (vals.forall(v => scala.util.Try(BigDecimal(v)).isSuccess)) {
-        val bd = vals.map(BigDecimal(_))
-        Some((if (desc) bd.min else bd.max).bigDecimal.toPlainString)
-      } else Some(if (desc) vals.min else vals.max)
+      else {
+        val numeric = numericCursor.getOrElse {
+          val m = vals.forall(v => scala.util.Try(BigDecimal(v)).isSuccess)
+          numericCursor = Some(m)
+          m
+        }
+        val boundary =
+          if (numeric) {
+            val bd = vals.map(v => scala.util.Try(BigDecimal(v)).getOrElse(
+              throw new IllegalStateException(
+                s"graft-rest paging: cursor field '$field' switched from numeric to " +
+                  s"non-numeric representation mid-walk (value '$v') — ordering would " +
+                  "be inconsistent; fix the endpoint or use a lexicographic cursor")))
+            (if (desc) bd.min else bd.max).bigDecimal.toPlainString
+          } else if (desc) vals.min else vals.max
+        val dupes = if (numeric) {
+          val b = BigDecimal(boundary)
+          vals.count(v => BigDecimal(v) == b)
+        } else vals.count(_ == boundary)
+        if (dupes > 1)
+          System.err.println(
+            s"[graft-rest] page.cursorField '$field' is not unique (boundary value " +
+              s"'$boundary' appears $dupes times in one page) — rows sharing a page " +
+              "boundary value may be skipped; use a unique cursor field")
+        Some(boundary)
+      }
     }
     val pages = Seq.newBuilder[InputPartition]
     var cursor: Option[String] = None
@@ -286,18 +320,31 @@ final class RestScan(
     new RestReaderFactory(readSchemaV)
 
   override def toMicroBatchStream(checkpointLocation: String): sstreaming.MicroBatchStream =
-    new RestMicroBatchStream(opts, readSchemaV)
+    new RestMicroBatchStream(opts, readSchemaV, checkpointLocation)
 }
 
 /** Polled REST micro-batch source: each trigger's `latestOffset()`
   * fetches the endpoint ONCE on the driver (same serial token-bucket
   * discipline as the batch scan) and advances a monotonically
   * increasing poll counter; the batch (start, end] replays exactly
-  * the bodies captured for those polls. Committed polls are dropped
-  * from the driver-side buffer, so state is bounded by
-  * (uncommitted triggers × payload size).
+  * the bodies captured for those polls.
+  *
+  * DURABLE REPLAY: a REST payload cannot be re-fetched by offset, so
+  * every poll's body is written under the query's checkpoint location
+  * BEFORE the offset is handed to the engine — an offset range the
+  * checkpoint says is pending can always be replayed by a restarted
+  * driver, from memory or from those files. A range whose payload is
+  * truly gone (checkpoint files deleted out-of-band) THROWS instead
+  * of fabricating an empty batch: silent data loss is the one failure
+  * mode a streaming source must not have. The poll counter itself is
+  * persisted (watermark file) so a restart never re-issues an offset,
+  * even after commits have pruned the replay files.
+  *
+  * State is bounded on both sides: memory holds only uncommitted
+  * bodies, and `commit(end)` prunes the replay files through `end`.
   */
-final class RestMicroBatchStream(opts: Map[String, String], schema: StructType)
+final class RestMicroBatchStream(
+    opts: Map[String, String], schema: StructType, checkpointLocation: String)
     extends sstreaming.MicroBatchStream {
 
   private case class PollOffset(n: Long) extends sstreaming.Offset {
@@ -309,8 +356,57 @@ final class RestMicroBatchStream(opts: Map[String, String], schema: StructType)
   private lazy val client = RestTableProvider.clientFrom(opts)
   private val params = RestTableProvider.staticParams(opts)
 
-  private var polls = 0L
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val bodiesDir =
+    new org.apache.hadoop.fs.Path(checkpointLocation, "graft-rest-bodies")
+  private val fs = bodiesDir.getFileSystem(
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+  private val watermarkPath =
+    new org.apache.hadoop.fs.Path(bodiesDir, "watermark")
+  private def bodyPath(n: Long) =
+    new org.apache.hadoop.fs.Path(bodiesDir, s"poll-$n.json")
+
+  /** Restart recovery: resume the counter past every offset this
+    * checkpoint ever issued — max of the watermark (survives commit
+    * pruning) and any replay file (survives a crash between body
+    * write and watermark write).
+    */
+  private var polls: Long = {
+    fs.mkdirs(bodiesDir)
+    val bodyRe = "poll-([0-9]+)\\.json".r
+    val fromFiles = fs.listStatus(bodiesDir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case bodyRe(n) => Some(n.toLong)
+        case _ => None
+      }
+    }
+    val fromWatermark =
+      if (fs.exists(watermarkPath)) {
+        val in = fs.open(watermarkPath)
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      } else 0L
+    (fromWatermark +: fromFiles).max
+  }
+
   private val bodies = scala.collection.mutable.Map.empty[Long, Array[String]]
+
+  private def writeFile(path: org.apache.hadoop.fs.Path, bytes: Array[Byte]): Unit = {
+    // temp + rename: a crashed half-write never masquerades as a poll
+    val tmp = new org.apache.hadoop.fs.Path(bodiesDir, path.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    if (fs.exists(path)) fs.delete(path, false)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"graft-rest: cannot persist $path")
+  }
+
+  private def readBody(n: Long): Option[Array[String]] =
+    if (fs.exists(bodyPath(n))) {
+      val in = fs.open(bodyPath(n))
+      try Some(mapper.readValue(in: java.io.InputStream, classOf[Array[String]]))
+      finally in.close()
+    } else None
 
   override def initialOffset(): sstreaming.Offset = PollOffset(0L)
   override def deserializeOffset(json: String): sstreaming.Offset = PollOffset(json.toLong)
@@ -318,8 +414,14 @@ final class RestMicroBatchStream(opts: Map[String, String], schema: StructType)
   override def latestOffset(): sstreaming.Offset = synchronized {
     client.fetch(url, params) match {
       case Right(body) =>
+        val docs = RestSource.normalizeBody(body).toArray
+        // durability BEFORE visibility: body file, then watermark,
+        // then the in-memory map; only then is the offset observable
+        writeFile(bodyPath(polls + 1), mapper.writeValueAsBytes(docs))
+        writeFile(watermarkPath,
+          String.valueOf(polls + 1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
         polls += 1
-        bodies(polls) = RestSource.normalizeBody(body).toArray
+        bodies(polls) = docs
       case Left(err) =>
         // a failed poll advances nothing; the next trigger retries
         System.err.println(s"[graft-rest] poll failed: ${err.message}")
@@ -331,7 +433,15 @@ final class RestMicroBatchStream(opts: Map[String, String], schema: StructType)
       start: sstreaming.Offset, end: sstreaming.Offset): Array[InputPartition] = synchronized {
     val s = start.asInstanceOf[PollOffset].n
     val e = end.asInstanceOf[PollOffset].n
-    ((s + 1) to e).flatMap(bodies.get).map(RestPartition(_): InputPartition).toArray
+    ((s + 1) to e).map { n =>
+      val docs = bodies.get(n).orElse(readBody(n)).getOrElse(
+        throw new IllegalStateException(
+          s"graft-rest: offset range ($s, $e] needs poll $n but its payload is in " +
+            s"neither memory nor $bodiesDir — refusing to replay an empty batch " +
+            "(a REST payload cannot be re-fetched by offset; this range is lost)"))
+      bodies(n) = docs
+      RestPartition(docs): InputPartition
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -340,6 +450,15 @@ final class RestMicroBatchStream(opts: Map[String, String], schema: StructType)
   override def commit(end: sstreaming.Offset): Unit = synchronized {
     val e = end.asInstanceOf[PollOffset].n
     bodies.keys.filter(_ <= e).toSeq.foreach(bodies.remove)
+    // prune by directory listing, not the memory map — a restarted
+    // stream committing a replayed batch has an empty map but files
+    val bodyRe = "poll-([0-9]+)\\.json".r
+    fs.listStatus(bodiesDir).foreach { st =>
+      st.getPath.getName match {
+        case bodyRe(n) if n.toLong <= e => fs.delete(st.getPath, false)
+        case _ => ()
+      }
+    }
   }
 
   override def stop(): Unit = ()

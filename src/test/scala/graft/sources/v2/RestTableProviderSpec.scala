@@ -204,6 +204,56 @@ class RestTableProviderSpec extends AnyFunSuite {
     } finally RestTableProvider.transportOverride = None
   }
 
+  test("micro-batch restart replays pending payloads from the checkpoint, never regresses offsets") {
+    val polls = new java.util.concurrent.atomic.AtomicInteger(0)
+    RestTableProvider.transportOverride = Some(new Transport {
+      override def get(url: String, params: Map[String, String]): RestResponse = {
+        val p = polls.incrementAndGet()
+        RestResponse(200, s"""[{"poll":$p}]""")
+      }
+    })
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rest-ckpt").toString
+    val opts = Map("url" -> "http://x/stream")
+    try {
+      val s1 = new RestMicroBatchStream(opts, RestTableProvider.rawSchema, ckpt)
+      assert(s1.latestOffset().json() == "1")
+      // driver dies with batch (0, 1] pending — new instance, same checkpoint
+      val s2 = new RestMicroBatchStream(opts, RestTableProvider.rawSchema, ckpt)
+      val parts = s2.planInputPartitions(
+        s2.deserializeOffset("0"), s2.deserializeOffset("1"))
+      assert(parts.length == 1)
+      assert(parts(0).asInstanceOf[RestPartition].docs.toSeq == Seq("""{"poll":1}"""))
+      // the poll counter resumed past the replayed offset
+      assert(s2.latestOffset().json() == "2")
+      // committing prunes replay files but the watermark still guards
+      // the counter: a third incarnation continues at 3
+      s2.commit(s2.deserializeOffset("2"))
+      val s3 = new RestMicroBatchStream(opts, RestTableProvider.rawSchema, ckpt)
+      assert(s3.latestOffset().json() == "3")
+    } finally RestTableProvider.transportOverride = None
+  }
+
+  test("micro-batch restart with a lost payload fails loudly, no silent empty batch") {
+    RestTableProvider.transportOverride = Some(new Transport {
+      override def get(url: String, params: Map[String, String]): RestResponse =
+        RestResponse(200, """[{"v":1}]""")
+    })
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rest-ckpt").toString
+    val opts = Map("url" -> "http://x/stream")
+    try {
+      val s1 = new RestMicroBatchStream(opts, RestTableProvider.rawSchema, ckpt)
+      s1.latestOffset()
+      // the replay file vanishes out-of-band (the round-3 silent-loss hole)
+      val lost = new java.io.File(s"$ckpt/graft-rest-bodies/poll-1.json")
+      assert(lost.delete())
+      val s2 = new RestMicroBatchStream(opts, RestTableProvider.rawSchema, ckpt)
+      val e = intercept[IllegalStateException] {
+        s2.planInputPartitions(s2.deserializeOffset("0"), s2.deserializeOffset("1"))
+      }
+      assert(e.getMessage.contains("poll 1"))
+    } finally RestTableProvider.transportOverride = None
+  }
+
   test("missing source option fails with a clear message") {
     val e = intercept[Exception] {
       spark.read.format("graft-rest").load().count()
