@@ -45,6 +45,31 @@ object SparkEntry {
   // affine-minhash constants shared with Dedup (same seed → same values)
   private val mhP = graft.ops.Dedup.MinhashP
   private val mhCoeffs = graft.ops.Dedup.minhashCoeffs(16)
+  // centroid-component exact mean (Exact.meanOf6's SQL twin): quantize
+  // per row in pure IEEE, sum exactly as DECIMAL, divide once
+  private def cmean(x: String): String =
+    s"floor(CAST(sum(CAST(floor(($x)*1000000.0+0.5) AS DECIMAL(18,0))) AS DOUBLE)/1000000.0/count(*)*1000000.0+0.5)/1000000.0"
+
+  /** One unrolled Lloyd sweep for the s36 twin: assign the corpus to
+    * its argmax-similarity centroid from `prev`, then rebuild each
+    * surviving cell's centroid component-wise with [[cmean]] and
+    * re-derive the norm with the sequential fold. Emits CTEs
+    * a<i>, m<i>, cn<i>.
+    */
+  private def s36Iter(prev: String, it: Int): String =
+    s"""a$it AS (SELECT cid, v FROM (
+       |  SELECT c.v, ct.cid,
+       |    row_number() OVER (PARTITION BY c.vec_id
+       |      ORDER BY list_sum(list_transform(range(1,65), j -> c.v[j]*ct.cv[j]))/(c.nrm*ct.cn) DESC,
+       |        ct.cid) AS rn
+       |  FROM corpus c CROSS JOIN $prev ct) WHERE rn = 1),
+       |m$it AS (SELECT cid, pos, ${cmean("val")} AS m
+       |  FROM (SELECT cid, i AS pos, v[i] AS val FROM a$it, (SELECT unnest(range(1,65)) AS i))
+       |  GROUP BY 1,2),
+       |cn$it AS (SELECT cid, cv,
+       |  sqrt(list_sum(list_transform(range(1,65), j -> cv[j]*cv[j]))) AS cn
+       |  FROM (SELECT cid, list(m ORDER BY pos) AS cv FROM m$it GROUP BY 1))""".stripMargin
+
   // s33's seeded hyperplanes as DuckDB VALUES rows (i, DOUBLE[64]);
   // Double.toString round-trips exactly, so DuckDB parses the same
   // 64-bit values the Spark plan carries as literals
@@ -172,13 +197,17 @@ object SparkEntry {
       Similarity.annLsh(t.embeddings) }),
     "s34_knn_classify" -> ((s, d) => { val t = Tables.load(s, d)
       Similarity.knnClassify(t.embeddings) }),
-    // gate pins kmeansIters=0: seed centroids are deterministic (first
-    // nCells corpus vectors), so the whole assign/probe/score rule is
-    // SQL-expressible; Lloyd refinement takes grouped double MEANS,
-    // which no engine accumulates in a guaranteed order — the refined
-    // variant is covered by SimilaritySpec's planted-dup recall test.
+    // s35 pins kmeansIters=0: the plain seed-centroid IVF, fully
+    // SQL-expressible with zero refinement machinery.
     "s35_ivf_topk" -> ((s, d) => { val t = Tables.load(s, d)
-      Similarity.ivfTopK(t.embeddings, kmeansIters = 0) })
+      Similarity.ivfTopK(t.embeddings, kmeansIters = 0) }),
+    // s36 gates the LLOYD-REFINED variant: refinement means are
+    // Exact.meanOf6 (order-independent quantized decimal sums), so
+    // the twin's unrolled iterations rebuild the exact centroid bits
+    // and every downstream assignment/probe/score matches by
+    // construction.
+    "s36_ivf_lloyd" -> ((s, d) => { val t = Tables.load(s, d)
+      Similarity.ivfTopK(t.embeddings, kmeansIters = 2) })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -756,6 +785,40 @@ object SparkEntry {
          |  WHERE rn <= 4),
          |s AS (SELECT DISTINCT query_id, a.vec_id,
          |  floor(list_sum(list_transform(range(1,65), j -> qv[j]*a.v[j]))/(qn*a.nrm)*1000000.0+0.5)/1000000.0 AS cos
+         |  FROM qp JOIN asg a ON qp.cid = a.cid)
+         |SELECT query_id, rnk, vec_id, cos FROM (
+         |  SELECT query_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM s)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // Lloyd-refined IVF twin: two unrolled sweeps (s36Iter) rebuild
+    // the refined centroids with the SAME order-independent quantized
+    // means the Spark plan uses (Exact.meanOf6), so cell assignment,
+    // probe ranking and final scores are bit-identical by construction
+    "s36_ivf_lloyd" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nr AS (SELECT vec_id, $sqlNorm AS nrm FROM e),
+         |corpus AS (SELECT e.vec_id, e.v, nr.nrm FROM e JOIN nr ON nr.vec_id = e.vec_id
+         |  WHERE e.vec_id >= 5),
+         |cn0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM corpus ORDER BY vec_id LIMIT 16),
+         |${s36Iter("cn0", 1)},
+         |${s36Iter("cn1", 2)},
+         |qv AS (SELECT e.vec_id, e.v, nr.nrm FROM e JOIN nr ON nr.vec_id = e.vec_id
+         |  WHERE e.vec_id < 5),
+         |asg AS (SELECT vec_id, v, nrm, cid FROM (
+         |  SELECT c.vec_id, c.v, c.nrm, ct.cid,
+         |    row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY list_sum(list_transform(range(1,65), j -> c.v[j]*ct.cv[j]))/(c.nrm*ct.cn) DESC,
+         |        ct.cid) AS rn
+         |  FROM corpus c CROSS JOIN cn2 ct) WHERE rn = 1),
+         |qp AS (SELECT query_id, qvec, qn, cid FROM (
+         |  SELECT q.vec_id AS query_id, q.v AS qvec, q.nrm AS qn, ct.cid,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_sum(list_transform(range(1,65), j -> q.v[j]*ct.cv[j]))/(q.nrm*ct.cn) DESC,
+         |        ct.cid) AS rn
+         |  FROM qv q CROSS JOIN cn2 ct) WHERE rn <= 4),
+         |s AS (SELECT DISTINCT query_id, a.vec_id,
+         |  floor(list_sum(list_transform(range(1,65), j -> qvec[j]*a.v[j]))/(qn*a.nrm)*1000000.0+0.5)/1000000.0 AS cos
          |  FROM qp JOIN asg a ON qp.cid = a.cid)
          |SELECT query_id, rnk, vec_id, cos FROM (
          |  SELECT query_id, vec_id, cos,

@@ -62,4 +62,15 @@ object Exact {
     */
   def meanOfLong(x: Column): Column =
     quant4(sum(x).cast("double") / count(lit(1)))
+
+  /** [[meanOf]] at 6-dp output — centroid components for the
+    * oracle-gated Lloyd refinement: grouped double means accumulate
+    * in engine-chosen order, so the only gate-safe mean is this
+    * quantize-sum-exactly-divide form (order-independent by
+    * construction, identical in every engine).
+    * SQL twin: `floor(CAST(sum(CAST(floor(x*1000000.0+0.5) AS DECIMAL(18,0))) AS DOUBLE)/1000000.0/count(*)*1000000.0+0.5)/1000000.0`.
+    */
+  def meanOf6(x: Column): Column =
+    quant6(sum(floor(x * lit(1000000.0) + lit(0.5)).cast(DecimalType(18, 0)))
+      .cast("double") / lit(1000000.0) / count(lit(1)))
 }

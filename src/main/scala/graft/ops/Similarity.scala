@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -31,12 +31,18 @@ object Similarity {
     * composable higher-order fold. Both are the same left-to-right
     * sequential accumulation: bit-identical results, different speed
     * (the native loop skips the intermediate array + lambda dispatch).
+    *
+    * Resolves against the ACTIVE session; the DataFrame-taking entry
+    * points below use [[dotWith]] pinned to the frame's own session
+    * instead — a frame built while a different session is active must
+    * not silently lose the native path (or fail analysis if the
+    * active session lacks the extension).
     */
-  def dot(a: Column, b: Column): Column = {
-    val session = org.apache.spark.sql.SparkSession.active
+  def dot(a: Column, b: Column): Column = dotWith(SparkSession.active)(a, b)
+
+  private def dotWith(session: SparkSession)(a: Column, b: Column): Column =
     if (session.catalog.functionExists("graft_dot")) call_function("graft_dot", a, b)
     else aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -49,13 +55,14 @@ object Similarity {
     * order is stable under float noise.
     */
   def cosineTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val dp = dotWith(embeddings.sparkSession) _
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
+      .withColumn("nrm", sqrt(dp(col("v"), col("v"))))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val c = e.filter(col("vec_id") >= nQueries)
     val scored = c.join(broadcast(q))
-      .withColumn("cos", Exact.quant6(dot(col("qv"), col("v")) / (col("qn") * col("nrm"))))
+      .withColumn("cos", Exact.quant6(dp(col("qv"), col("v")) / (col("qn") * col("nrm"))))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     scored
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -93,8 +100,9 @@ object Similarity {
     * declared query is empty-but-consistent there).
     */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val dp = dotWith(embeddings.sparkSession) _
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
+      .withColumn("nrm", sqrt(dp(col("v"), col("v"))))
     def bandKey(b: Int): Column =
       (0 until 16).map(i =>
         when(element_at(col("v"), b * 16 + i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
@@ -113,7 +121,7 @@ object Similarity {
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     cand.join(a, "vec_a").join(b, "vec_b")
-      .withColumn("cos", Exact.quant6(dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+      .withColumn("cos", Exact.quant6(dp(col("va"), col("vb")) / (col("na") * col("nb"))))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
       .orderBy("vec_a", "vec_b")
@@ -124,12 +132,13 @@ object Similarity {
     * at corpus scale the cross join is the one shape that can't run.
     */
   def embeddingNearDupBrute(embeddings: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val dp = dotWith(embeddings.sparkSession) _
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
+      .withColumn("nrm", sqrt(dp(col("v"), col("v"))))
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos", Exact.quant6(dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+      .withColumn("cos", Exact.quant6(dp(col("va"), col("vb")) / (col("na") * col("nb"))))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
       .orderBy("vec_a", "vec_b")
@@ -145,9 +154,13 @@ object Similarity {
 
   /** LSH bucket id: sign-bit signature against the hyperplanes. */
   def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
+    lshBucketWith(SparkSession.active)(v, planes)
+
+  private def lshBucketWith(session: SparkSession)(
+      v: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val planeCol = array(p.map(lit): _*)
-      when(dot(v, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
+      when(dotWith(session)(v, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Approximate top-k: candidates share the query's bucket or any
@@ -156,17 +169,19 @@ object Similarity {
     */
   def annLsh(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5,
              bits: Int = 12, dim: Int = 64): DataFrame = {
+    val session = embeddings.sparkSession
+    val dp = dotWith(session) _
     val planes = hyperplanes(bits, dim)
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
-      .withColumn("bucket", lshBucket(col("v"), planes))
+      .withColumn("nrm", sqrt(dp(col("v"), col("v"))))
+      .withColumn("bucket", lshBucketWith(session)(col("v"), planes))
     val corpus = e.filter(col("vec_id") >= nQueries)
     val probes = array(lit(0L) +: (0 until bits).map(i => lit(1L << i)): _*)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
         explode(transform(probes, m => col("bucket").bitwiseXOR(m))).as("bucket"))
     val scored = q.join(corpus, Seq("bucket"))
-      .withColumn("cos", Exact.quant6(dot(col("qv"), col("v")) / (col("qn") * col("nrm"))))
+      .withColumn("cos", Exact.quant6(dp(col("qv"), col("v")) / (col("qn") * col("nrm"))))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     scored
       .select("query_id", "vec_id", "cos").distinct()
@@ -185,23 +200,32 @@ object Similarity {
     * one broadcast pass + one tiny shuffle at any corpus size. Cells
     * that lose all members drop out (standard k-means behavior;
     * probing simply has fewer, tighter cells to choose from).
+    *
+    * ORACLE-SAFE refinement: centroid components come from
+    * [[Exact.meanOf6]] — a per-component quantize → exact decimal sum
+    * → single division, order-independent by construction — never a
+    * raw `avg()` (grouped double means accumulate in engine-chosen
+    * order). The refined centroids are therefore bit-identical to the
+    * DuckDB twin's, which makes every downstream assignment, probe
+    * ranking and score identical too (s36 in the gate).
     */
   private def lloydRefine(corpus: DataFrame, seed: DataFrame, iters: Int): DataFrame = {
+    val dp = dotWith(corpus.sparkSession) _
     var cents = seed
     for (_ <- 0 until iters) {
       val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
       val assigned = corpus.crossJoin(broadcast(cents))
-        .withColumn("sim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .withColumn("sim", dp(col("v"), col("cv")) / (col("nrm") * col("cn")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("cid"), col("v"))
       cents = assigned
         .select(col("cid"), posexplode(col("v")))
-        .groupBy("cid", "pos").agg(avg("col").as("m"))
+        .groupBy("cid", "pos").agg(Exact.meanOf6(col("col")).as("m"))
         .groupBy("cid").agg(collect_list(struct(col("pos"), col("m"))).as("pm"))
         .select(col("cid"),
           transform(array_sort(col("pm")), p => p.getField("m")).as("cv"))
-        .withColumn("cn", norm(col("cv")))
+        .withColumn("cn", sqrt(dp(col("cv"), col("cv"))))
     }
     cents
   }
@@ -218,8 +242,9 @@ object Similarity {
     */
   def ivfTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5,
               nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 2): DataFrame = {
+    val dp = dotWith(embeddings.sparkSession) _
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
+      .withColumn("nrm", sqrt(dp(col("v"), col("v"))))
     val corpus = e.filter(col("vec_id") >= nQueries)
     val seed = corpus.orderBy("vec_id").limit(nCells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
@@ -231,7 +256,7 @@ object Similarity {
     def nearestCells(side: DataFrame, keep: Int): DataFrame = {
       val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
       side.crossJoin(broadcast(cents))
-        .withColumn("sim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .withColumn("sim", dp(col("v"), col("cv")) / (col("nrm") * col("cn")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= keep)
         .drop("cv", "cn", "sim", "rn")
@@ -241,7 +266,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("cid"))
     val scored = probes
       .join(assigned, "cid")
-      .withColumn("cos", Exact.quant6(dot(col("qv"), col("v")) / (col("qn") * col("nrm"))))
+      .withColumn("cos", Exact.quant6(dp(col("qv"), col("v")) / (col("qn") * col("nrm"))))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     scored
       .select("query_id", "vec_id", "cos").distinct()

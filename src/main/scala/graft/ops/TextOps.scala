@@ -93,7 +93,10 @@ object TextOps {
     // (GraftSession always installs them); else the composable
     // `aggregate()` fold — same left-to-right scan, identical result.
     // Shingles are never empty strings, so "" is a safe prev sentinel.
-    val session = org.apache.spark.sql.SparkSession.active
+    // Resolved against the session that OWNS the input frame, not
+    // SparkSession.active — a frame built while another session is
+    // active must not silently lose the native path.
+    val session = documents.sparkSession
     val best: Column =
       if (session.catalog.functionExists("graft_max_sorted_run"))
         call_function("graft_max_sorted_run", col("sh"))
