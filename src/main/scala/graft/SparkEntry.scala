@@ -163,6 +163,10 @@ object SparkEntry {
       CorpusOps.packSequences(t.documents) }),
     "t55_quality_filter" -> ((s, d) => { val t = Tables.load(s, d)
       CorpusOps.gopherFilter(t.documents) }),
+    // capstone: dedup → gopher filter → split assign → pack manifest,
+    // one composed pipeline over the operators gated individually
+    "t56_corpus_build" -> ((s, d) => { val t = Tables.load(s, d)
+      CorpusOps.corpusBuild(t.documents) }),
     "t27_langid" -> ((s, d) => { val t = Tables.load(s, d)
       TextOps.langIdReport(t.documents) }),
     "t28_quality" -> ((s, d) => { val t = Tables.load(s, d)
@@ -612,6 +616,36 @@ object SparkEntry {
          | (n >= 20 AND n <= 400 AND sum_len >= 3*n AND sum_len <= 10*n
          |   AND n_stop >= 2 AND 5*n_uniq >= n) AS keep
          |FROM m ORDER BY doc_id""".stripMargin,
+    // capstone twin: the t23 dedup CTE → t55 rule bounds → t51 split
+    // rule (same fingerprint) → t54 packing per (source, split)
+    "t56_corpus_build" ->
+      s"""WITH fp AS (SELECT doc_id, source, text,
+         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+         |  FROM documents),
+         |c AS (SELECT fp, min(doc_id) AS canonical_id FROM fp GROUP BY 1),
+         |canon AS (SELECT f.doc_id, f.source, f.text, f.fp
+         |  FROM fp f JOIN c ON f.fp = c.fp WHERE f.doc_id = c.canonical_id),
+         |t AS (SELECT doc_id, source,
+         |  CASE WHEN CAST(('0x'||substr(fp,1,4)) AS BIGINT) % 10 < 8 THEN 'train'
+         |       WHEN CAST(('0x'||substr(fp,1,4)) AS BIGINT) % 10 < 9 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  $toks AS tk FROM canon),
+         |m AS (SELECT doc_id, source, split,
+         |  CAST(len(tk) AS BIGINT) AS n,
+         |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq,
+         |  CAST(coalesce(list_aggregate(list_transform(tk, x -> length(x)), 'sum'), 0) AS BIGINT) AS sum_len,
+         |  CAST(len(list_filter(['the','a','of','and','is','to','in'], s -> list_contains(tk, s))) AS BIGINT) AS n_stop
+         |  FROM t),
+         |k AS (SELECT source, split, doc_id, n FROM m
+         |  WHERE n >= 20 AND n <= 400 AND sum_len >= 3*n AND sum_len <= 10*n
+         |    AND n_stop >= 2 AND 5*n_uniq >= n),
+         |o AS (SELECT source, split, doc_id, n,
+         |  CAST(sum(n) OVER (PARTITION BY source, split ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n AS off FROM k)
+         |SELECT source, split, CAST(floor(CAST(off AS DOUBLE)/512.0) AS BIGINT) AS seq_id,
+         | count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM o GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
     "t27_langid" ->
       s"""WITH t AS (SELECT lang, $toks AS tk FROM documents),
          |s AS (SELECT lang,

@@ -207,6 +207,54 @@ object CorpusOps {
       .drop("cum", "base")
   }
 
+  /** Capstone corpus build — the full path from raw documents to a
+    * training-shard manifest, composing the operators the gate checks
+    * individually, the way a real corpus build runs them:
+    *
+    *  1. exact dedup: keep each content fingerprint's canonical
+    *     (minimum-doc_id) document;
+    *  2. Gopher-style rule filter: keep documents passing all four
+    *     rules ([[gopherFilter]]'s bounds, integer cross-multiplied);
+    *  3. split assignment: train/val/test from the SAME fingerprint
+    *     computed for dedup (16-bit prefix mod 10 → 8/1/1) — dups
+    *     can't leak across splits by construction, and no re-hash;
+    *  4. sequence packing per (source, split) via the two-phase
+    *     prefix sum ([[packManifest]]).
+    *
+    * Plan discipline: the fingerprint is computed ONCE (dedup + split
+    * both read it) and the token array is materialized ONCE (filter
+    * metrics + packed token counts both read it) — no stage
+    * re-tokenizes. Dedup is the only corpus-wide shuffle before the
+    * slim manifest aggregation.
+    */
+  def corpusBuild(
+      documents: DataFrame, seqLen: Long = 512L,
+      minTokens: Long = 20L, maxTokens: Long = 400L): DataFrame = {
+    val fp = documents.select(col("doc_id"), col("source"), col("text"),
+      TextOps.fingerprint(col("text")).as("fp"))
+    val canon = fp.groupBy("fp").agg(min("doc_id").as("canonical_id"))
+    val kept0 = fp.join(canon, "fp").filter(col("doc_id") === col("canonical_id"))
+    val bucket = conv(substring(col("fp"), 1, 4), 16, 10).cast("long") % 10
+    val toks = col("tk")
+    val stopList = lit(Array("the", "a", "of", "and", "is", "to", "in"))
+    val metrics = kept0
+      .select(col("doc_id"), col("source"),
+        when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test").as("split"),
+        TextOps.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("source"), col("split"),
+        size(toks).cast("long").as("n"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"),
+        aggregate(transform(toks, t => length(t).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("sum_len"),
+        size(array_intersect(array_distinct(toks), stopList)).cast("long").as("n_stop_uniq"))
+    val kept = metrics.filter(
+      col("n") >= minTokens && col("n") <= maxTokens &&
+        col("sum_len") >= lit(3L) * col("n") && col("sum_len") <= lit(10L) * col("n") &&
+        col("n_stop_uniq") >= 2L && lit(5L) * col("n_uniq") >= col("n"))
+      .select(col("source"), col("split"), col("doc_id"), col("n").as("n_tokens"))
+    packManifest(kept, Seq("source", "split"), seqLen)
+  }
+
   /** Gopher-style rule-based quality filter: per-document pass/fail
     * flags plus the final keep decision. Rules (bounds fit the gate
     * corpus but are parameters in spirit):

@@ -143,6 +143,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(1) == 0L)) // both start their own seq 0
   }
 
+  test("corpusBuild composes dedup, filter, split and packing in one pipeline") {
+    val good = ("the quick brown fox of the hills is happy to run in sunny fields " * 2).trim
+    val d = docs(
+      (1L, "s", good),
+      (2L, "s", good.toUpperCase + "!!!"), // exact dup of 1 → dropped by dedup
+      (3L, "s", "tiny doc"))               // fails the token-count rule
+    val out = CorpusOps.corpusBuild(d).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getString(0) == "s")
+    assert(Set("train", "val", "test").contains(r.getString(1)))
+    assert(r.getLong(2) == 0L) // seq_id
+    assert(r.getLong(3) == 1L) // only the canonical survivor packs
+    assert(r.getLong(4) == 28L) // its full token count
+    assert(r.getLong(5) == 1L && r.getLong(6) == 1L) // doc range = {1}
+  }
+
   test("gopherFilter flags each rule independently") {
     val stopRich = ("the quick brown fox of the hills is happy to run in " * 3).trim
     val d = docs(
