@@ -57,10 +57,16 @@ object MediaOps {
   /** REAL image decode via the JDK's built-in ImageIO readers
     * (PNG/BMP/GIF/JPEG — zero extra dependencies): pixels → grayscale
     * plane in [0,1] with Rec.601 luma weights, row-major. The
-    * metadata width/height parameters are advisory — the intrinsic
-    * image dimensions win (payload metadata can drift; pixels don't).
-    * Deterministic: same bytes, same plane. Undecodable payloads fail
-    * loudly; quarantine upstream if the corpus can carry garbage.
+    * intrinsic image dimensions are authoritative, and positive
+    * metadata width/height that CONTRADICT them fail loudly — a
+    * caller sizing buffers from drifted metadata would otherwise get
+    * a plane of unexpected length (pass ≤0 to skip the check when
+    * metadata is unknown). Deterministic — same bytes, same plane —
+    * for PNG/BMP/GIF; JPEG and ICC-profiled images may decode with
+    * vendor-specific color management, so byte-exact reproducibility
+    * across JDK vendors is only claimed for the lossless formats.
+    * Undecodable payloads fail loudly; quarantine upstream if the
+    * corpus can carry garbage.
     */
   object ImageIoDecoder extends ImageDecoder {
     override def decode(bytes: Array[Byte], width: Int, height: Int): Array[Float] = {
@@ -70,6 +76,10 @@ object MediaOps {
           s"undecodable image payload (${bytes.length} bytes)")
       val w = img.getWidth
       val h = img.getHeight
+      if ((width > 0 && width != w) || (height > 0 && height != h))
+        throw new IllegalArgumentException(
+          s"image payload is ${w}x$h but row metadata claims ${width}x$height — " +
+            "drifted metadata; fix ingestion or quarantine the row")
       val out = new Array[Float](w * h)
       var y = 0
       var i = 0

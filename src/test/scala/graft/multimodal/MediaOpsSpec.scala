@@ -76,6 +76,15 @@ class MediaOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ImageIoDecoder fails loudly when metadata contradicts intrinsic dims") {
+    val e = intercept[IllegalArgumentException] {
+      MediaOps.ImageIoDecoder.decode(pngBytes(8, 4), 16, 16) // drifted metadata
+    }
+    assert(e.getMessage.contains("8x4") && e.getMessage.contains("16x16"))
+    // unknown metadata (≤0) skips the check — intrinsic dims win
+    assert(MediaOps.ImageIoDecoder.decode(pngBytes(8, 4), 0, 0).length == 32)
+  }
+
   test("ImageIoDecoder rejects undecodable payloads loudly") {
     val e = intercept[IllegalArgumentException] {
       MediaOps.ImageIoDecoder.decode(bytesOf("not-an-image"), 4, 4)
