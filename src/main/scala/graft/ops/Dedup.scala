@@ -129,25 +129,41 @@ object Dedup {
         .withColumn("n", size(col("toks")).cast("long")),
       threshold)
 
-  /** Corpus-shape stats for strategy selection, computed as ONE
-    * aggregate job over the (persisted) canonical-set frame — the
-    * single driver-side action a representation-adaptive plan cannot
-    * avoid. Every downstream branch (mask sweep vs prefix filter,
-    * mask verify vs exploded verify) reuses this result instead of
-    * re-probing, so the dedup pipelines issue exactly one eager job
-    * before the real plan (round-2 fix: it used to be 2–3 full
-    * tokenize+distinct passes).
+  /** Corpus-shape stats for strategy selection — the one eager probe
+    * a representation-adaptive plan cannot avoid, over the (persisted)
+    * canonical-set frame. Every downstream branch (mask sweep vs
+    * prefix filter, mask verify vs exploded verify) reuses this
+    * result instead of re-probing (round-2 fix: it used to be 2–3
+    * full tokenize+distinct passes; round-4: the probe itself is now
+    * approximate, with an exact confirmation only when the estimate
+    * says the correctness-sensitive mask path is plausible).
     */
   private case class SetStats(vocab: Long, nSets: Long) {
     def smallVocab: Boolean = vocab <= 64
   }
 
   private def setStats(setsAsDocs: DataFrame): SetStats = {
-    val r = setsAsDocs
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .agg(countDistinct("tok"), countDistinct("doc_id"))
-      .head()
-    SetStats(r.getLong(0), r.getLong(1))
+    val w = setsAsDocs.select(col("doc_id"), explode(col("toks")).as("tok"))
+    // the probe only picks a PLAN, so it runs on HLL estimates — a
+    // single partial-aggregating pass whose shuffle carries sketches,
+    // not the token universe (the exact two-column countDistinct was
+    // an expand + full distinct shuffle at corpus scale). EXCEPT: the
+    // ≤64-vocab mask path is a CORRECTNESS branch (65 tokens don't
+    // fit a 64-bit mask), so an estimate near the boundary is
+    // confirmed with an exact distinct — cheap precisely when it
+    // runs, because partial aggregation leaves ~vocab rows per
+    // partition. An estimate beyond 96 can't be a true ≤64 vocab
+    // (HLL++ is effectively exact at such cardinalities), and the
+    // error direction is safe: a missed mask path costs speed, never
+    // correctness.
+    val est = w.agg(
+      approx_count_distinct(col("tok"), 0.02),
+      approx_count_distinct(col("doc_id"), 0.02)).head()
+    val (estVocab, nSets) = (est.getLong(0), est.getLong(1))
+    val vocab =
+      if (estVocab <= 96) w.select("tok").distinct().count()
+      else estVocab
+    SetStats(vocab, nSets)
   }
 
   private def jaccardPairsFrom(toksIn: DataFrame, threshold: Double): DataFrame = {
