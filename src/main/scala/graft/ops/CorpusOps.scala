@@ -68,8 +68,12 @@ object CorpusOps {
     * ~quota rows per stratum.
     */
   private[ops] def hashBounded(h: DataFrame, quota: Int): DataFrame = {
-    val bucketed = h.withColumn("bucket",
-      conv(substring(col("h"), 1, 4), 16, 10).cast("int"))
+    // persisted (tracked): the bucket-count pass and the survivor
+    // filter both read this frame — without the persist each would
+    // re-scan and re-hash the corpus text; cached it is ~50 bytes/row
+    val bucketed = graft.core.GraftCaches.persistTracked(
+      h.withColumn("bucket",
+        conv(substring(col("h"), 1, 4), 16, 10).cast("int")))
     val wc = Window.partitionBy("source").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val thr = bucketed.groupBy("source", "bucket").agg(count(lit(1)).as("c"))
