@@ -167,6 +167,10 @@ object SparkEntry {
     // one composed pipeline over the operators gated individually
     "t56_corpus_build" -> ((s, d) => { val t = Tables.load(s, d)
       CorpusOps.corpusBuild(t.documents) }),
+    // mixture reweighting: uniform per-source budget, deterministic
+    // content-hash slice per source
+    "t57_mixture_sample" -> ((s, d) => { val t = Tables.load(s, d)
+      CorpusOps.mixtureSample(t.documents) }),
     "t27_langid" -> ((s, d) => { val t = Tables.load(s, d)
       TextOps.langIdReport(t.documents) }),
     "t28_quality" -> ((s, d) => { val t = Tables.load(s, d)
@@ -646,6 +650,24 @@ object SparkEntry {
          | count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
          | min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM o GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+    // mixture twin: identical arithmetic chain — integer floor-div
+    // budget/n_sources, exactly-rounded rate division, power-of-two
+    // scale, floor — then the same 32-bit hash-prefix threshold
+    "t57_mixture_sample" ->
+      """WITH h AS (SELECT doc_id, source,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h
+        |  FROM documents),
+        |c AS (SELECT source, count(*) AS n_docs FROM h GROUP BY 1),
+        |ns AS (SELECT count(*) AS n_sources FROM c),
+        |r AS (SELECT source, n_docs,
+        |  CAST(floor(CAST(200 AS DOUBLE) / n_sources) AS BIGINT) AS target,
+        |  floor(least(1.0, CAST(CAST(floor(CAST(200 AS DOUBLE) / n_sources) AS BIGINT) AS DOUBLE) / n_docs) * 4294967296.0) AS cut
+        |  FROM c CROSS JOIN ns)
+        |SELECT h.source, count(*) AS n_docs, r.target AS target,
+        | CAST(sum(CASE WHEN CAST(CAST(('0x'||substr(h.h,1,8)) AS BIGINT) AS DOUBLE) < r.cut
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM h JOIN r ON r.source = h.source
+        |GROUP BY 1, r.target ORDER BY 1""".stripMargin,
     "t27_langid" ->
       s"""WITH t AS (SELECT lang, $toks AS tk FROM documents),
          |s AS (SELECT lang,

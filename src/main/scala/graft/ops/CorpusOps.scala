@@ -211,6 +211,46 @@ object CorpusOps {
       .drop("cum", "base")
   }
 
+  /** Mixture (re-weighting) sample: given a total document `budget`
+    * spread uniformly across sources, keep each source's deterministic
+    * content-hash slice at rate target/n — the "data mixing" step of a
+    * training recipe (downsample overrepresented domains to hit a
+    * target mixture). Reports per source: population, target, kept.
+    *
+    * The keep rule is a pure hash threshold (first 32 fingerprint bits
+    * under floor(rate·2³²)) — reproducible under re-ingestion, exact
+    * duplicates always land on the same side, and every arithmetic
+    * step (integer division → exactly-rounded IEEE division →
+    * power-of-two scale → floor) is bit-identical across engines, so
+    * the twin matches by construction. Sources under target keep
+    * everything (rate caps at 1).
+    *
+    * Two narrow passes over a slim hash frame + a broadcast of the
+    * per-source rates; no corpus-wide shuffle at any size.
+    */
+  def mixtureSample(documents: DataFrame, budget: Long = 200L): DataFrame = {
+    val h = graft.core.GraftCaches.persistTracked(
+      documents.select(col("doc_id"), col("source"),
+        TextOps.fingerprint(col("text")).as("h")))
+    val counts = h.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val ns = counts.agg(count(lit(1)).as("n_sources"))
+    val rates = counts.crossJoin(broadcast(ns))
+      .withColumn("target",
+        floor(lit(budget).cast("double") / col("n_sources")).cast("long"))
+      .withColumn("cut",
+        floor(least(lit(1.0), col("target").cast("double") / col("n_docs"))
+          * lit(4294967296.0)))
+      .select("source", "target", "cut")
+    h.withColumn("u", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
+      .join(broadcast(rates), "source")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        first(col("target")).as("target"),
+        sum(when(col("u").cast("double") < col("cut"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
   /** Capstone corpus build — the full path from raw documents to a
     * training-shard manifest, composing the operators the gate checks
     * individually, the way a real corpus build runs them:

@@ -143,6 +143,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(1) == 0L)) // both start their own seq 0
   }
 
+  test("mixtureSample downsamples toward the per-source budget deterministically") {
+    val d = docs((1L to 100L).map(i =>
+      (i, if (i <= 80) "big" else "small", s"text of doc $i")): _*)
+    val out = CorpusOps.mixtureSample(d, budget = 20).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // 2 sources → target 10 each
+    assert(out("big")._1 == 80 && out("big")._2 == 10)
+    assert(out("small")._1 == 20 && out("small")._2 == 10)
+    // the hash slice keeps a strict subset of the big source
+    assert(out("big")._3 > 0 && out("big")._3 < 80)
+    // reproducible under row reordering (content-keyed)
+    val shuffled = docs((1L to 100L).reverse.map(i =>
+      (i, if (i <= 80) "big" else "small", s"text of doc $i")): _*)
+    assert(CorpusOps.mixtureSample(shuffled, 20).collect().toSeq ==
+      CorpusOps.mixtureSample(d, 20).collect().toSeq)
+    // a source smaller than its target keeps everything (rate caps at 1)
+    val tiny = docs((1L, "t", "alpha"), (2L, "t", "beta"))
+    assert(CorpusOps.mixtureSample(tiny, budget = 200).collect()(0).getLong(3) == 2L)
+  }
+
   test("corpusBuild composes dedup, filter, split and packing in one pipeline") {
     val good = ("the quick brown fox of the hills is happy to run in sunny fields " * 2).trim
     val d = docs(
