@@ -171,6 +171,9 @@ object SparkEntry {
     // content-hash slice per source
     "t57_mixture_sample" -> ((s, d) => { val t = Tables.load(s, d)
       CorpusOps.mixtureSample(t.documents) }),
+    // vocabulary construction: top-k tokens by occurrence, dense ids
+    "t58_vocabulary" -> ((s, d) => { val t = Tables.load(s, d)
+      CorpusOps.vocabulary(t.documents) }),
     "t27_langid" -> ((s, d) => { val t = Tables.load(s, d)
       TextOps.langIdReport(t.documents) }),
     "t28_quality" -> ((s, d) => { val t = Tables.load(s, d)
@@ -668,6 +671,14 @@ object SparkEntry {
         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM h JOIN r ON r.source = h.source
         |GROUP BY 1, r.target ORDER BY 1""".stripMargin,
+    // vocabulary twin: same (count desc, token) total order for both
+    // the top-k cut and the dense ids
+    "t58_vocabulary" ->
+      s"""WITH w AS (SELECT unnest($toks) AS token FROM documents),
+         |c AS (SELECT token, count(*) AS cnt FROM w GROUP BY 1)
+         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS token_id,
+         | token, cnt
+         |FROM c ORDER BY cnt DESC, token LIMIT 500""".stripMargin,
     "t27_langid" ->
       s"""WITH t AS (SELECT lang, $toks AS tk FROM documents),
          |s AS (SELECT lang,

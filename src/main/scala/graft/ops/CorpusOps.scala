@@ -299,6 +299,28 @@ object CorpusOps {
     packManifest(kept, Seq("source", "split"), seqLen)
   }
 
+  /** Vocabulary construction: the `k` most frequent corpus tokens
+    * (occurrences, not document frequency) with dense ids in
+    * (count desc, token) order — the table a tokenizer trainer or a
+    * frequency-cutoff filter consumes.
+    *
+    * Scale shape: one partial-aggregating shuffle to |vocabulary|
+    * rows, then a global top-k that compiles to
+    * `TakeOrderedAndProject` (no full sort — each partition keeps k
+    * candidates, the driver merges k·partitions rows); id assignment
+    * is a window over the k survivors only.
+    */
+  def vocabulary(documents: DataFrame, k: Int = 500): DataFrame = {
+    val counts = documents
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    counts.orderBy(col("cnt").desc, col("token")).limit(k)
+      .withColumn("token_id", row_number().over(w).cast("long"))
+      .select("token_id", "token", "cnt")
+      .orderBy("token_id")
+  }
+
   /** Gopher-style rule-based quality filter: per-document pass/fail
     * flags plus the final keep decision. Rules (bounds fit the gate
     * corpus but are parameters in spirit):

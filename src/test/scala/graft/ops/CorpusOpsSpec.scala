@@ -163,6 +163,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(CorpusOps.mixtureSample(tiny, budget = 200).collect()(0).getLong(3) == 2L)
   }
 
+  test("vocabulary ranks tokens by occurrence with dense ids and stable ties") {
+    val d = docs(
+      (1L, "s", "b b b a a c"),
+      (2L, "s", "a b d"))
+    val out = CorpusOps.vocabulary(d, k = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // b: 4, a: 3, then c/d tie at 1 → token order keeps c
+    assert(out.toSeq == Seq((1L, "b", 4L), (2L, "a", 3L), (3L, "c", 1L)))
+  }
+
+  test("vocabulary top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val d = docs((1L to 50L).map(i => (i, "s", s"tok$i word$i")): _*)
+    val plan = CorpusOps.vocabulary(d, k = 10).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+  }
+
   test("corpusBuild composes dedup, filter, split and packing in one pipeline") {
     val good = ("the quick brown fox of the hills is happy to run in sunny fields " * 2).trim
     val d = docs(
