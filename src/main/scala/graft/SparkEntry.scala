@@ -174,6 +174,9 @@ object SparkEntry {
     // vocabulary construction: top-k tokens by occurrence, dense ids
     "t58_vocabulary" -> ((s, d) => { val t = Tables.load(s, d)
       CorpusOps.vocabulary(t.documents) }),
+    // collocation mining: window-2 co-occurrence, PMI-monotone ratio
+    "t59_cooccurrence" -> ((s, d) => { val t = Tables.load(s, d)
+      CorpusOps.cooccurrence(t.documents) }),
     "t27_langid" -> ((s, d) => { val t = Tables.load(s, d)
       TextOps.langIdReport(t.documents) }),
     "t28_quality" -> ((s, d) => { val t = Tables.load(s, d)
@@ -679,6 +682,25 @@ object SparkEntry {
          |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS token_id,
          | token, cnt
          |FROM c ORDER BY cnt DESC, token LIMIT 500""".stripMargin,
+    // co-occurrence twin: parallel unnests zip positions with tokens;
+    // the ratio multiplies exactly-representable ints as doubles, so
+    // the single division (then quant) is bit-identical
+    "t59_cooccurrence" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS tks FROM documents),
+         |pos AS (SELECT doc_id, unnest(range(1, len(tks)+1)) AS pos, unnest(tks) AS tok FROM tk),
+         |p AS (SELECT least(a.tok, b.tok) AS ta, greatest(a.tok, b.tok) AS tb,
+         |    count(*) AS c_ab
+         |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+         |    AND b.pos > a.pos AND b.pos <= a.pos + 2
+         |  GROUP BY 1,2),
+         |c AS (SELECT tok, count(*) AS c FROM pos GROUP BY 1),
+         |n AS (SELECT count(*) AS n_tok FROM pos),
+         |s AS (SELECT ta, tb, c_ab,
+         |  floor((CAST(n_tok AS DOUBLE) * CAST(c_ab AS DOUBLE))
+         |    / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) * 1000000.0 + 0.5)/1000000.0 AS score
+         |  FROM p JOIN c ca ON ca.tok = p.ta JOIN c cb ON cb.tok = p.tb CROSS JOIN n)
+         |SELECT ta, tb, c_ab, score FROM s
+         |ORDER BY score DESC, ta, tb LIMIT 50""".stripMargin,
     "t27_langid" ->
       s"""WITH t AS (SELECT lang, $toks AS tk FROM documents),
          |s AS (SELECT lang,

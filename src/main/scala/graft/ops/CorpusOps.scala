@@ -321,6 +321,45 @@ object CorpusOps {
       .orderBy("token_id")
   }
 
+  /** Collocation mining: top-k unordered token pairs co-occurring
+    * within `window` positions, scored by the PMI-MONOTONE ratio
+    * N·c_ab / (c_a·c_b) — the same ranking PMI gives, without the
+    * engine-unportable `log` (libm last-ulp differences); every
+    * factor is an exactly-representable integer, so the one division
+    * is bit-identical everywhere.
+    *
+    * Scale shape: positions fan out to n·window rows via an EQUI-join
+    * on (doc_id, pos+d) — never a per-document cross product — then
+    * partial-aggregating pair counts and a TakeOrdered top-k. The
+    * unigram table joins by token (shuffle, vocabulary-sized); the
+    * corpus total broadcasts as one row.
+    */
+  def cooccurrence(documents: DataFrame, window: Int = 2, k: Int = 50): DataFrame = {
+    val pos = documents.select(col("doc_id"),
+      posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+    val left = pos.select(col("doc_id"), col("pos"), col("tok").as("tok_a"))
+      .withColumn("d", explode(sequence(lit(1), lit(window))))
+      .withColumn("pos_b", col("pos") + col("d"))
+    val pairs = left
+      .join(pos.select(col("doc_id"), col("pos").as("pos_b"), col("tok").as("tok_b")),
+        Seq("doc_id", "pos_b"))
+      .select(least(col("tok_a"), col("tok_b")).as("ta"),
+        greatest(col("tok_a"), col("tok_b")).as("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("c_ab"))
+    val unigrams = pos.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = pos.agg(count(lit(1)).as("n_tok"))
+    pairs
+      .join(unigrams.select(col("tok").as("ta"), col("c").as("ca")), "ta")
+      .join(unigrams.select(col("tok").as("tb"), col("c").as("cb")), "tb")
+      .crossJoin(broadcast(total))
+      .withColumn("score", Exact.quant6(
+        (col("n_tok").cast("double") * col("c_ab").cast("double"))
+          / (col("ca").cast("double") * col("cb").cast("double"))))
+      .orderBy(col("score").desc, col("ta"), col("tb")).limit(k)
+      .select("ta", "tb", "c_ab", "score")
+      .orderBy(col("score").desc, col("ta"), col("tb"))
+  }
+
   /** Gopher-style rule-based quality filter: per-document pass/fail
     * flags plus the final keep decision. Rules (bounds fit the gate
     * corpus but are parameters in spirit):

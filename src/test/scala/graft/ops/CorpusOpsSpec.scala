@@ -179,6 +179,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
   }
 
+  test("cooccurrence ranks tight collocations above frequent-but-independent pairs") {
+    // "alpha beta" always adjacent (4×); "x"/"y" frequent but loosely coupled
+    val d = docs(
+      (1L, "s", "alpha beta x x x x y y y y"),
+      (2L, "s", "alpha beta x x x x y y y y"),
+      (3L, "s", "alpha beta x x x y y y"),
+      (4L, "s", "alpha beta x y"))
+    val out = CorpusOps.cooccurrence(d, window = 2, k = 5).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // the collocation is the top pair
+    assert(out.head._1 == "alpha" && out.head._2 == "beta" && out.head._3 == 4L)
+  }
+
+  test("cooccurrence window bounds the pair fan-out") {
+    val d = docs((1L, "s", "a b c d e"))
+    // window 1: only adjacent pairs
+    val w1 = CorpusOps.cooccurrence(d, window = 1, k = 50).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(w1 == Set(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")))
+  }
+
   test("corpusBuild composes dedup, filter, split and packing in one pipeline") {
     val good = ("the quick brown fox of the hills is happy to run in sunny fields " * 2).trim
     val d = docs(
