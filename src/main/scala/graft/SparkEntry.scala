@@ -177,6 +177,13 @@ object SparkEntry {
     // collocation mining: window-2 co-occurrence, PMI-monotone ratio
     "t59_cooccurrence" -> ((s, d) => { val t = Tables.load(s, d)
       CorpusOps.cooccurrence(t.documents) }),
+    // context-window chunk sizing: windows/stride/padding per source
+    "t60_chunk_plan" -> ((s, d) => { val t = Tables.load(s, d)
+      CorpusOps.chunkPlan(t.documents) }),
+    // label centroids: the vector-centroid capability under the gate
+    // (order-independent exact means, unlike the pipeline Aggregator)
+    "s37_label_centroids" -> ((s, d) => { val t = Tables.load(s, d)
+      Similarity.labelCentroids(t.embeddings) }),
     "t27_langid" -> ((s, d) => { val t = Tables.load(s, d)
       TextOps.langIdReport(t.documents) }),
     "t28_quality" -> ((s, d) => { val t = Tables.load(s, d)
@@ -701,6 +708,26 @@ object SparkEntry {
          |  FROM p JOIN c ca ON ca.tok = p.ta JOIN c cb ON cb.tok = p.tb CROSS JOIN n)
          |SELECT ta, tb, c_ab, score FROM s
          |ORDER BY score DESC, ta, tb LIMIT 50""".stripMargin,
+    // chunk-plan twin: identical integer ceil arithmetic
+    "t60_chunk_plan" ->
+      s"""WITH t AS (SELECT source, CAST(len($toks) AS BIGINT) AS n FROM documents),
+         |c AS (SELECT source, n,
+         |  CASE WHEN n = 0 THEN 0
+         |       ELSE 1 + (greatest(n - 64, 0) + 31) // 32 END AS chunks
+         |  FROM t)
+         |SELECT source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+         | CAST(sum(chunks) AS BIGINT) AS n_chunks,
+         | CAST(sum(CASE WHEN chunks = 0 THEN 0
+         |   ELSE greatest((chunks-1)*32 + 64 - n, 0) END) AS BIGINT) AS pad_tokens
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // centroid twin: parallel unnests zip dims with components; the
+    // per-component mean is cmean (order-independent, engine-exact)
+    "s37_label_centroids" ->
+      s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |x AS (SELECT label, unnest(range(1,65)) AS dim, unnest(v) AS x FROM e)
+         |SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+         | ${cmean("x")} AS m, count(*) AS n
+         |FROM x GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "t27_langid" ->
       s"""WITH t AS (SELECT lang, $toks AS tk FROM documents),
          |s AS (SELECT lang,

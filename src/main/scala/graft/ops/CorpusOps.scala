@@ -360,6 +360,35 @@ object CorpusOps {
       .orderBy(col("score").desc, col("ta"), col("tb"))
   }
 
+  /** Context-window chunk plan: how many training windows of `win`
+    * tokens at stride `stride` each document yields (first window
+    * covers tokens 1..win; further windows start every `stride`
+    * until the tail is covered; empty docs yield none). Reports per
+    * source: docs, tokens, chunks, and the padding implied by the
+    * final partial windows — the sizing pass an embedding or
+    * long-context pipeline runs before sharding. All integer
+    * arithmetic (ceil by (a+b-1) div b), single narrow pass.
+    */
+  def chunkPlan(documents: DataFrame, win: Long = 64L, stride: Long = 32L): DataFrame = {
+    val n = size(TextOps.tokens(col("text"))).cast("long")
+    val chunks = when(n === 0L, 0L).otherwise(
+      lit(1L) + (greatest(n - win, lit(0L)) + stride - 1L) / stride)
+    documents
+      .select(col("source"), n.as("n"), chunks.cast("long").as("chunks"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n").as("n_tokens"),
+        sum("chunks").as("n_chunks"),
+        // the last window of a doc spans [(chunks-1)·stride,
+        // (chunks-1)·stride + win); whatever of that range lies past
+        // the doc's end is padding
+        sum(when(col("chunks") === 0L, 0L).otherwise(
+          greatest((col("chunks") - 1L) * stride + win - col("n"), lit(0L))))
+          .as("pad_tokens"))
+      .orderBy("source")
+  }
+
   /** Gopher-style rule-based quality filter: per-document pass/fail
     * flags plus the final keep decision. Rules (bounds fit the gate
     * corpus but are parameters in spirit):

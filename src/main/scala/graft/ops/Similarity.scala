@@ -276,6 +276,26 @@ object Similarity {
       .select("query_id", "rnk", "vec_id", "cos")
   }
 
+  /** Per-label centroid, dimension-wise — the batch-SQL twin of the
+    * [[graft.functions.VectorAggregates]] centroid `Aggregator` (that
+    * one folds floats in partition order, fine for pipelines but not
+    * for a bit-exact gate): each component is [[Exact.meanOf6]], an
+    * order-independent quantized-decimal mean, so the result is
+    * engine-portable. One narrow explode + a partial-aggregating
+    * shuffle of |labels|·dim component rows — never vectors.
+    * Emitted long — (label, dim, m, n) rows — rather than
+    * re-assembled arrays: downstream joins (nearest-centroid assign,
+    * drift checks) consume components directly.
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label").cast("long").as("label"),
+        posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("dim"), col("x"))
+      .groupBy("label", "dim")
+      .agg(Exact.meanOf6(col("x")).as("m"), count(lit(1)).as("n"))
+      .orderBy("label", "dim")
+
   /** k-NN label vote: classify each query vector by majority label of
     * its brute-force top-k neighbors (ties → smaller label).
     */

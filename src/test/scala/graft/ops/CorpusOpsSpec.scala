@@ -200,6 +200,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(w1 == Set(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")))
   }
 
+  test("chunkPlan counts stride windows and tail padding exactly") {
+    val d = docs(
+      (1L, "s", (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks
+      (2L, "s", (1 to 5).map(i => s"t$i").mkString(" ")),  // 5 toks
+      (3L, "s", "a b c"),                                  // 3 toks < win
+      (4L, "s", "!!!"))                                    // 0 tokens
+    val r = CorpusOps.chunkPlan(d, win = 4L, stride = 2L).collect()(0)
+    assert(r.getLong(1) == 4L)  // n_docs
+    assert(r.getLong(2) == 18L) // n_tokens
+    // chunks: 10→1+ceil(6/2)=4; 5→1+ceil(1/2)=2; 3→1; 0→0
+    assert(r.getLong(3) == 7L)
+    // pads: 10→(3·2+4)-10=0; 5→(1·2+4)-5=1; 3→4-3=1; 0→0
+    assert(r.getLong(4) == 2L)
+  }
+
   test("corpusBuild composes dedup, filter, split and packing in one pipeline") {
     val good = ("the quick brown fox of the hills is happy to run in sunny fields " * 2).trim
     val d = docs(

@@ -94,6 +94,20 @@ class SimilaritySpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(1) == r.getLong(0) % 3, r.toString))
   }
 
+  test("labelCentroids is the exact dimension-wise mean per label") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Array(1.0f, 4.0f), 0),
+      (2L, Array(3.0f, 8.0f), 0),
+      (3L, Array(10.0f, 20.0f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroids(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(out((0L, 1L)) == (2.0, 2L)) // mean(1,3)
+    assert(out((0L, 2L)) == (6.0, 2L)) // mean(4,8)
+    assert(out((1L, 1L)) == (10.0, 1L))
+    assert(out((1L, 2L)) == (20.0, 1L))
+  }
+
   test("dot/norm are the sequential fold (golden value)") {
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
     import org.apache.spark.sql.functions.col
