@@ -149,8 +149,11 @@ object SparkEntry {
       TextOps.bpeishTokenCounts(t.documents) }),
     "t48_repetition" -> ((s, d) => { val t = Tables.load(s, d)
       TextOps.repetitionScores(t.documents) }),
+    // set-graph clustering: identical output to
+    // dedupClusters(jaccardPairs(...)), propagation over distinct
+    // token sets instead of the expanded doc-pair graph
     "t49_dedup_clusters" -> ((s, d) => { val t = Tables.load(s, d)
-      Dedup.dedupClusters(Dedup.jaccardPairs(t.documents)) }),
+      Dedup.jaccardClusters(t.documents) }),
     "t50_decontaminate" -> ((s, d) => { val t = Tables.load(s, d)
       Dedup.containmentReport(t.documents) }),
     "t51_split_assign" -> ((s, d) => { val t = Tables.load(s, d)

@@ -167,6 +167,17 @@ object Dedup {
   }
 
   private def jaccardPairsFrom(toksIn: DataFrame, threshold: Double): DataFrame = {
+    val (setPairs, members) = setPairsFrom(toksIn, threshold)
+    expandSetPairs(setPairs, members)
+  }
+
+  /** Jaccard ≥ threshold pairs at SET granularity, plus the doc→set
+    * membership: the shared core of [[jaccardPairs]] (which expands
+    * to doc pairs) and [[jaccardClusters]] (which clusters the set
+    * graph directly and never materializes the doc-pair expansion).
+    * Returns (setPairs(sid_a, sid_b, jac), members(doc_id, sid)).
+    */
+  private def setPairsFrom(toksIn: DataFrame, threshold: Double): (DataFrame, DataFrame) = {
     val (sets, members) = canonicalSets(toksIn)
     val setsAsDocs = sets.select(col("sid").as("doc_id"), col("toks"), col("n"))
     val w = setsAsDocs.select(col("doc_id"), explode(col("toks")).as("tok"))
@@ -199,8 +210,7 @@ object Dedup {
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         verifyJaccard(cand, setsAsDocs, threshold, stats.smallVocab)
       }
-    expandSetPairs(
-      setPairs.select(col("doc_a").as("sid_a"), col("doc_b").as("sid_b"), col("jac")),
+    (setPairs.select(col("doc_a").as("sid_a"), col("doc_b").as("sid_b"), col("jac")),
       members)
   }
 
@@ -374,35 +384,89 @@ object Dedup {
     * Output: (doc_id, cluster_id = min doc_id in component,
     * is_canonical) for every doc that appears in some pair.
     */
-  def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // localCheckpoint persistence is RDD-level — invisible to the
-    // CacheManager — so intermediate iteration frames are freed HERE,
-    // eagerly, as soon as the next (eagerly materialized) checkpoint
-    // supersedes them: storage held at any moment is one labels frame
-    // + the edge list, not O(iterations) frames. Tracking is by
-    // persistent-RDD-id delta around each checkpoint call (the
-    // checkpoint API returns no handle to its RDD).
-    val sc = pairs.sparkSession.sparkContext
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val out = df.localCheckpoint() // eager: materialized on return
-      (out, sc.getPersistentRDDs.keySet.toSet -- before)
-    }
-    def free(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    propagateMin(pairs, "doc_a", "doc_b", maxIter,
+      edges => edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+
+  /** Duplicate clusters straight from documents, with the label
+    * propagation running on the SET graph — one node per DISTINCT
+    * token set — instead of the expanded doc-pair graph. Output is
+    * IDENTICAL to `dedupClusters(jaccardPairs(documents))` (the gate
+    * proves it against the same doc-level recursive-closure oracle):
+    * co-members of a set share a node, cross-set pairs connect nodes,
+    * and labels seed at each set's minimum member doc — so the
+    * converged set label IS the component's minimum doc id. On a
+    * dup-heavy corpus (exactly where clustering matters) this shrinks
+    * the iterated joins by the dup-multiplicity² factor and never
+    * materializes the doc-pair expansion — the largest frame of the
+    * pairs pipeline — at all. Multi-member sets with no cross-set
+    * edge (pure exact-dup groups) bypass propagation entirely and
+    * label directly.
+    */
+  def jaccardClusters(
+      documents: DataFrame, threshold: Double = 0.6, maxIter: Int = 20): DataFrame = {
+    val (setPairs, members) = setPairsFrom(docTokens(documents), threshold)
+    val minDoc = members.groupBy("sid")
+      .agg(min("doc_id").as("mdoc"), count(lit(1)).as("nm"))
+    val propagated = propagateMin(setPairs, "sid_a", "sid_b", maxIter,
+      edges => edges.select(col("src").as("id")).distinct()
+        .join(minDoc.select(col("sid").as("id"), col("mdoc").as("label")), "id"))
+      .select(col("id").as("sid"), col("label"))
+    val isolated = minDoc.filter(col("nm") >= 2)
+      .join(propagated, Seq("sid"), "left_anti")
+      .select(col("sid"), col("mdoc").as("label"))
+    members.join(propagated.unionByName(isolated), "sid")
+      .select(col("doc_id"), col("label").as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val out = df.localCheckpoint() // eager: materialized on return
+    (out, sc.getPersistentRDDs.keySet.toSet -- before)
+  }
+
+  private def freeRdds(df: DataFrame, ids: Set[Int]): Unit = {
+    val sc = df.sparkSession.sparkContext
+    ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
+  /** Iterative min-label propagation over an undirected pair frame:
+    * the connected-components core shared by [[dedupClusters]] (doc
+    * graph) and [[jaccardClusters]] (set graph). `seedFrom` builds
+    * the initial (id, label) frame FROM the checkpointed edges so the
+    * expensive pair subtree is evaluated exactly once.
+    *
+    * localCheckpoint persistence is RDD-level — invisible to the
+    * CacheManager — so intermediate iteration frames are freed HERE,
+    * eagerly, as soon as the next (eagerly materialized) checkpoint
+    * supersedes them: storage held at any moment is one labels frame
+    * + the edge list, not O(iterations) frames. Tracking is by
+    * persistent-RDD-id delta around each checkpoint call (the
+    * checkpoint API returns no handle to its RDD). The final labels
+    * checkpoint stays alive — the caller's action reads it;
+    * GraftCaches.release (or Bench, between queries) reclaims it.
+    */
+  private def propagateMin(
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int,
+      seedFrom: DataFrame => DataFrame): DataFrame = {
     // Materialize the pair frame ONCE before anything references it:
     // `edges` reads it twice (both edge directions), and the
     // pair-finding subtree above it (tokenize → candidates → verify)
     // is far too expensive to evaluate per reference.
-    val (p, pIds) = checkpointTracked(pairs.select(col("doc_a"), col("doc_b")))
+    val (p, pIds) = checkpointTracked(pairs.select(col(aCol), col(bCol)))
     val (edges, edgeIds) = checkpointTracked(
-      p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      p.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(p.select(col(bCol).as("src"), col(aCol).as("dst")))
         .distinct())
-    free(pIds) // edges is materialized; the raw pair frame is done
-    var (labels, labelIds) = checkpointTracked(
-      edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id")))
+    freeRdds(p, pIds) // edges is materialized; the raw pair frame is done
+    var (labels, labelIds) = checkpointTracked(seedFrom(edges))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -418,19 +482,13 @@ object Dedup {
             least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
             (coalesce(col("nbr"), col("label")) < col("label")).as("changed")))
       converged = next.filter(col("changed")).isEmpty
-      free(labelIds) // next is materialized; the previous sweep is done
+      freeRdds(next, labelIds) // next is materialized; previous sweep done
       labels = next.drop("changed")
       labelIds = nextIds
       i += 1
     }
-    free(edgeIds)
-    // the final labels checkpoint stays alive — the caller's action
-    // reads it; GraftCaches.release (or Bench, between queries)
-    // reclaims it afterwards
+    freeRdds(labels, edgeIds)
     labels
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
-      .orderBy("doc_id")
   }
 
   /** Decontamination: for each TEST document (doc_id ≡ 0 mod `mod` —

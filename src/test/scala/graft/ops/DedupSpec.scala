@@ -84,6 +84,24 @@ class DedupSpec extends AnyFunSuite {
     assert(sigs.values.forall(s => s >= 0 && s < (1L << 60)))
   }
 
+  test("jaccardClusters (set graph) equals dedupClusters over expanded doc pairs") {
+    // mixed case: exact-dup group {1,2} (one set, no cross edge needed),
+    // near-dup chain via doc 3, unrelated doc 4
+    val viaDocGraph = Dedup.dedupClusters(Dedup.jaccardPairs(docs, threshold = 0.6))
+      .collect().toSeq
+    val viaSetGraph = Dedup.jaccardClusters(docs, threshold = 0.6).collect().toSeq
+    assert(viaSetGraph == viaDocGraph)
+    // and a corpus whose only duplicates are EXACT (isolated multi-
+    // member set, no propagation edges at all)
+    val exactOnly = Seq(
+      (1L, "same text here"), (2L, "SAME text here!"), (3L, "different words entirely")
+    ).toDF("doc_id", "text")
+    val a = Dedup.dedupClusters(Dedup.jaccardPairs(exactOnly, 0.9)).collect().toSeq
+    val b = Dedup.jaccardClusters(exactOnly, 0.9).collect().toSeq
+    assert(b == a)
+    assert(b.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 1L), (2L, 1L)))
+  }
+
   test("cache lifecycle: storage returns to baseline after release") {
     import graft.core.GraftCaches
     GraftCaches.release(spark)
