@@ -52,15 +52,21 @@ object Bench {
       }
       (name, times.result().sorted, ok)
     }
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale would emit invalid
+    // JSON through the locale-sensitive f-interpolator
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // lower-middle for even run counts: this artifact exists to
+    // SUPPRESS one-off contention spikes, so with runs=2 report the
+    // quieter run, never the contended one
+    def median(ts: Seq[Double]): Double = ts((ts.size - 1) / 2)
     def qmap(f: Seq[Double] => Double): String = results.map { case (k, ts, ok) =>
       "\"" + k + "\":" + (if (ok) fmt(f(ts)) else "-1")
     }.mkString("{", ",", "}")
-    val med = qmap(ts => ts(ts.size / 2))
+    val med = qmap(median)
     val mins = qmap(_.head)
     val maxs = qmap(_.last)
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val total = results.filter(_._3).map { case (_, ts, _) => ts(ts.size / 2) }.sum
+    val total = results.filter(_._3).map { case (_, ts, _) => median(ts) }.sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"stat":"median","queries":$med,"queries_min":$mins,"queries_max":$maxs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(!_._3)) sys.exit(1)

@@ -1,11 +1,11 @@
 package graft.core
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session-wide cache reclamation.
   *
   * Two storage populations accumulate across a long-lived session (a
-  * 53-query bench pass, or a multi-stage 100 TB pipeline):
+  * 60-query bench pass, or a multi-stage 100 TB pipeline):
   *
   *  1. `Dataset.persist` entries — registered in the session's
   *     CacheManager, released by `spark.catalog.clearCache()`;
@@ -18,33 +18,50 @@ import org.apache.spark.sql.SparkSession
   * DataFrame whose plan still references a freed localCheckpoint RDD
   * cannot be recomputed (that is the point of a checkpoint — lineage
   * is cut).
+  *
+  * Mid-plan persists register through per-module [[Ledger]]s so a
+  * module-scoped release (e.g. `Dedup.releaseCaches()`) can never
+  * unpersist ANOTHER pipeline's load-bearing frame (the prefix-sum
+  * chunk frame pins `spark_partition_id`s — freeing it mid-flight
+  * would recompute them inconsistently).
   */
 object GraftCaches {
 
-  /** Ledger of frames pipelines persisted mid-plan (dedup canonical
-    * sets, prefix-sum chunk frames), so a long-lived pipeline can
-    * release them between stages without nuking unrelated caches.
-    */
-  private val tracked =
-    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.DataFrame]()
+  /** One module's ledger of frames it persisted mid-plan. */
+  final class Ledger private[GraftCaches] () {
+    private[GraftCaches] val frames =
+      new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  def persistTracked(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    tracked.add(df)
-    df
-  }
+    def persist(df: DataFrame): DataFrame = {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      frames.add(df)
+      df
+    }
 
-  /** Unpersist every tracked frame. Call AFTER the terminal action on
-    * the pipeline result — freed mid-flight, the plans would silently
-    * recompute them.
-    */
-  def releaseTracked(): Unit = {
-    var df = tracked.poll()
-    while (df != null) {
-      df.unpersist(blocking = false)
-      df = tracked.poll()
+    /** Unpersist every frame THIS module persisted. Call AFTER the
+      * terminal action on the pipeline result — freed mid-flight,
+      * the plans would silently recompute them.
+      */
+    def release(): Unit = {
+      var df = frames.poll()
+      while (df != null) {
+        df.unpersist(blocking = false)
+        df = frames.poll()
+      }
     }
   }
+
+  private val ledgers =
+    new java.util.concurrent.ConcurrentLinkedQueue[Ledger]()
+
+  def newLedger(): Ledger = {
+    val l = new Ledger
+    ledgers.add(l)
+    l
+  }
+
+  /** Unpersist every tracked frame across all module ledgers. */
+  def releaseTracked(): Unit = ledgers.forEach(_.release())
 
   /** Drop every cached dataset and persisted RDD in the session. */
   def release(spark: SparkSession): Unit = {
@@ -54,8 +71,11 @@ object GraftCaches {
       .foreach(_.unpersist(blocking = false))
   }
 
-  /** True when no dataset cache and no persisted RDD remains — the
-    * "storage returned to baseline" assertion of the lifecycle spec.
+  /** True when no persisted RDD remains — dataset caches included,
+    * PROVIDED they were materialized (a `persist` whose plan never
+    * ran leaves a CacheManager entry with no RDD; [[release]] clears
+    * those too, but this check cannot see them). The "storage
+    * returned to baseline" assertion of the lifecycle spec.
     */
   def storageEmpty(spark: SparkSession): Boolean =
     spark.sparkContext.getPersistentRDDs.isEmpty

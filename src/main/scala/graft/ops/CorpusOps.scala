@@ -24,6 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
+  /** Module-scoped ledger for mid-plan persists ([[graft.core.GraftCaches]]):
+    * releasing another module's caches can never free these (the
+    * prefix-sum chunk frame pins `spark_partition_id`s — a mid-flight
+    * free would recompute them inconsistently and corrupt offsets).
+    */
+  private val ledger = graft.core.GraftCaches.newLedger()
+
+  /** Unpersist every frame the corpus pipelines persisted mid-plan;
+    * call AFTER the terminal action on the pipeline result.
+    */
+  def releaseCaches(): Unit = ledger.release()
+
   /** Deterministic stratified sample: the `quota` hash-smallest
     * documents of each `source` stratum. Ordering by content hash
     * (md5 of normalized text, doc_id tiebreak) makes the sample
@@ -71,7 +83,7 @@ object CorpusOps {
     // persisted (tracked): the bucket-count pass and the survivor
     // filter both read this frame — without the persist each would
     // re-scan and re-hash the corpus text; cached it is ~50 bytes/row
-    val bucketed = graft.core.GraftCaches.persistTracked(
+    val bucketed = ledger.persist(
       h.withColumn("bucket",
         conv(substring(col("h"), 1, 4), 16, 10).cast("int")))
     val wc = Window.partitionBy("source").orderBy("bucket")
@@ -187,7 +199,7 @@ object CorpusOps {
     // scrambled base offsets at sf0.01). One materialization of the
     // slim (strata, doc_id, n_tokens, pid) frame pins the chunking —
     // the honest cost of any two-phase prefix sum.
-    val ranged = graft.core.GraftCaches.persistTracked(
+    val ranged = ledger.persist(
       slim.repartitionByRange(nParts, ord: _*)
         .withColumn("pid", spark_partition_id()))
     // local sums are per (chunk, stratum) — a chunk spans multiple
@@ -229,7 +241,7 @@ object CorpusOps {
     * per-source rates; no corpus-wide shuffle at any size.
     */
   def mixtureSample(documents: DataFrame, budget: Long = 200L): DataFrame = {
-    val h = graft.core.GraftCaches.persistTracked(
+    val h = ledger.persist(
       documents.select(col("doc_id"), col("source"),
         TextOps.fingerprint(col("text")).as("h")))
     val counts = h.groupBy("source").agg(count(lit(1)).as("n_docs"))
@@ -335,8 +347,11 @@ object CorpusOps {
     * corpus total broadcasts as one row.
     */
   def cooccurrence(documents: DataFrame, window: Int = 2, k: Int = 50): DataFrame = {
-    val pos = documents.select(col("doc_id"),
-      posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+    // persisted (tracked): FOUR consumers read the position frame
+    // (both pair sides, unigram counts, corpus total) — unpersisted,
+    // each would re-tokenize the corpus
+    val pos = ledger.persist(documents.select(col("doc_id"),
+      posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok"))))
     val left = pos.select(col("doc_id"), col("pos"), col("tok").as("tok_a"))
       .withColumn("d", explode(sequence(lit(1), lit(window))))
       .withColumn("pos_b", col("pos") + col("d"))

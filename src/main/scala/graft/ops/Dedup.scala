@@ -31,15 +31,18 @@ object Dedup {
     * long-lived 100 TB pipeline calls [[releaseCaches]] between
     * stages; Bench releases everything between queries.
     */
-  private def persistTracked(df: DataFrame): DataFrame =
-    graft.core.GraftCaches.persistTracked(df)
+  private val ledger = graft.core.GraftCaches.newLedger()
 
-  /** Unpersist every frame the pipelines persisted mid-plan. Call
-    * AFTER the terminal action on the pipeline's result — the plans
-    * still reference the frames and would silently recompute them if
-    * freed mid-flight.
+  private def persistTracked(df: DataFrame): DataFrame = ledger.persist(df)
+
+  /** Unpersist every frame the DEDUP pipelines persisted mid-plan —
+    * scoped to this module's ledger, so a between-stages release here
+    * can never free another pipeline's load-bearing frame. Call AFTER
+    * the terminal action on the pipeline's result — the plans still
+    * reference the frames and would silently recompute them if freed
+    * mid-flight.
     */
-  def releaseCaches(): Unit = graft.core.GraftCaches.releaseTracked()
+  def releaseCaches(): Unit = ledger.release()
 
   /** Distinct token set per doc: (doc_id, toks array, n). */
   private def docTokens(documents: DataFrame): DataFrame =
@@ -429,7 +432,13 @@ object Dedup {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
     val out = df.localCheckpoint() // eager: materialized on return
-    (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    // keep only RDDs that ARE checkpoints: a caller's lazy Dataset
+    // cache can materialize during this very job and would otherwise
+    // land in the delta and be freed out from under them (plain
+    // caches report isCheckpointed = false)
+    val added = (sc.getPersistentRDDs.keySet.toSet -- before).filter(id =>
+      sc.getPersistentRDDs.get(id).exists(_.isCheckpointed))
+    (out, added)
   }
 
   private def freeRdds(df: DataFrame, ids: Set[Int]): Unit = {

@@ -266,7 +266,18 @@ final class RestScan(
       if (vals.isEmpty) None
       else {
         val numeric = numericCursor.getOrElse {
-          val m = vals.forall(v => scala.util.Try(BigDecimal(v)).isSuccess)
+          val parses = vals.count(v => scala.util.Try(BigDecimal(v)).isSuccess)
+          val m = parses == vals.size
+          // a MIXED first page pins lexicographic mode over values
+          // that look numeric — almost certainly a malformed row on a
+          // numerically-ordered endpoint; say so instead of silently
+          // string-comparing ids for the rest of the walk
+          if (!m && parses > 0)
+            System.err.println(
+              s"[graft-rest] cursor field '$field' mixes numeric and non-numeric " +
+                s"values on the first page ($parses/${vals.size} parse) — pinning " +
+                "LEXICOGRAPHIC comparison for the whole walk; if the endpoint is " +
+                "numerically ordered this will re-fetch or skip ranges")
           numericCursor = Some(m)
           m
         }
