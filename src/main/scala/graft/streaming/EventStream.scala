@@ -70,6 +70,33 @@ object EventStream {
         unix_micros(col("window.start")).as("hour"),
         col(category), col("n_events"), col("sum_value"))
 
+  /** Watermarked STREAM-STREAM interval join: each `leftType` event
+    * pairs with the same user's `rightType` events that follow within
+    * `within`. Both sides carry watermarks and the join condition
+    * bounds event time on BOTH ends — the two requirements for Spark
+    * to evict buffered join state as the watermark advances. An
+    * un-ranged stream-stream join buffers an entire side forever;
+    * this shape runs with state bounded by (watermark + within) per
+    * key, at any input rate. Inner join ⇒ matches emit as they occur
+    * (append mode).
+    */
+  def correlatedPairs(
+      events: DataFrame, leftType: String = "click", rightType: String = "view",
+      within: String = "10 minutes", watermark: String = "2 hours"): DataFrame = {
+    val a = events.filter(col("event_type") === leftType)
+      .select(col("user_id").as("a_user"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", watermark)
+    val b = events.filter(col("event_type") === rightType)
+      .select(col("user_id").as("b_user"), col("event_id").as("b_id"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", watermark)
+    a.join(b,
+      col("a_user") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $within"))
+      .select(col("a_user").as("user_id"), col("a_id"), col("b_id"),
+        unix_micros(col("a_ts")).as("a_us"), unix_micros(col("b_ts")).as("b_us"))
+  }
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

@@ -74,6 +74,25 @@ class EventStreamSpec extends AnyFunSuite {
     assert(out(1).getDouble(3) == 14.0)
   }
 
+  test("stream-stream interval join pairs clicks with in-window views only") {
+    val dir = Files.createTempDirectory("events_ss").toString + "/data"
+    Seq(
+      (1L, "click", ts("2026-01-01 10:00:00"), 0.0, 1L),
+      (2L, "view", ts("2026-01-01 10:05:00"), 0.0, 1L), // within 10 min of click 1
+      (3L, "view", ts("2026-01-01 10:20:00"), 0.0, 1L), // 20 min later → out of window
+      (4L, "click", ts("2026-01-01 11:00:00"), 0.0, 2L),
+      (5L, "view", ts("2026-01-01 11:01:00"), 0.0, 2L), // within
+      (6L, "view", ts("2026-01-01 11:30:00"), 0.0, 3L) // no click for user 3
+    ).toDF("event_id", "event_type", "ts", "value", "user_id").write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    EventStream.runAvailableNow(
+      EventStream.correlatedPairs(stream), "ss_pairs", outputMode = "append")
+    val got = spark.table("ss_pairs").orderBy("a_id", "b_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L), (4L, 5L)))
+  }
+
   test("mapGroupsWithState running totals accumulate per user") {
     val stream = streamingEvents
       .selectExpr("user_id", "value").as[EventStream.UserEvent]
