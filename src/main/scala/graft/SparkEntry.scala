@@ -183,6 +183,9 @@ object SparkEntry {
     // context-window chunk sizing: windows/stride/padding per source
     "t60_chunk_plan" -> ((s, d) => { val t = Tables.load(s, d)
       CorpusOps.chunkPlan(t.documents) }),
+    // boilerplate detection: most-shared cross-document shingles
+    "t61_boilerplate" -> ((s, d) => { val t = Tables.load(s, d)
+      CorpusOps.boilerplateShingles(t.documents) }),
     // label centroids: the vector-centroid capability under the gate
     // (order-independent exact means, unlike the pipeline Aggregator)
     "s37_label_centroids" -> ((s, d) => { val t = Tables.load(s, d)
@@ -711,6 +714,17 @@ object SparkEntry {
          |  FROM p JOIN c ca ON ca.tok = p.ta JOIN c cb ON cb.tok = p.tb CROSS JOIN n)
          |SELECT ta, tb, c_ab, score FROM s
          |ORDER BY score DESC, ta, tb LIMIT 50""".stripMargin,
+    // boilerplate twin: t50's distinct-shingle CTE, df count, same
+    // (df desc, shingle) total order for cut and ranks
+    "t61_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |s AS (SELECT doc_id,
+         |  unnest(list_distinct(list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
+         |  FROM t WHERE len(tk) >= 3),
+         |c AS (SELECT shingle, count(*) AS df FROM s GROUP BY 1)
+         |SELECT CAST(row_number() OVER (ORDER BY df DESC, shingle) AS BIGINT) AS rnk,
+         | shingle, df
+         |FROM c WHERE df >= 2 ORDER BY df DESC, shingle LIMIT 50""".stripMargin,
     // chunk-plan twin: identical integer ceil arithmetic
     "t60_chunk_plan" ->
       s"""WITH t AS (SELECT source, CAST(len($toks) AS BIGINT) AS n FROM documents),

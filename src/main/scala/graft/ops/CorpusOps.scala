@@ -404,6 +404,29 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  /** Boilerplate detection: the `k` word n-gram shingles shared by
+    * the most documents (document frequency ≥ `minDf`) — repeated
+    * template text (headers, footers, navigation, license blurbs) is
+    * exactly the content a corpus cleaner strips before training, and
+    * cross-document shingle frequency is its standard signature.
+    * Shingles are distinct per document, so one partial-aggregating
+    * shuffle yields df directly; the top-k is a TakeOrdered, never a
+    * full sort.
+    */
+  def boilerplateShingles(
+      documents: DataFrame, n: Int = 3, minDf: Long = 2L, k: Int = 50): DataFrame = {
+    val sh = documents
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(TextOps.shinglesFromTokens(col("tk"), n)).as("shingle"))
+    val w = Window.orderBy(col("df").desc, col("shingle"))
+    sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("shingle")).limit(k)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select("rnk", "shingle", "df")
+      .orderBy("rnk")
+  }
+
   /** Gopher-style rule-based quality filter: per-document pass/fail
     * flags plus the final keep decision. Rules (bounds fit the gate
     * corpus but are parameters in spirit):

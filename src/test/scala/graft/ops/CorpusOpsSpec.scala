@@ -215,6 +215,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r.getLong(4) == 2L)
   }
 
+  test("boilerplateShingles surfaces the planted template text first") {
+    val footer = "all rights reserved worldwide"
+    val d = docs(
+      (1L, "s", s"unique alpha content one $footer"),
+      (2L, "s", s"unique beta content two $footer"),
+      (3L, "s", s"unique gamma content three $footer"),
+      (4L, "s", "totally unrelated words here"))
+    val out = CorpusOps.boilerplateShingles(d, n = 3, minDf = 2L, k = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // the footer's shingles appear in 3 docs; nothing else repeats
+    assert(out.nonEmpty)
+    assert(out.head._1 == 1L && out.head._3 == 3L)
+    assert(out.forall(_._2.split(" ").length == 3))
+    assert(out.head._2 == "all rights reserved") // (df 3, lexicographic first)
+  }
+
   test("corpusBuild composes dedup, filter, split and packing in one pipeline") {
     val good = ("the quick brown fox of the hills is happy to run in sunny fields " * 2).trim
     val d = docs(
