@@ -97,6 +97,24 @@ object EventStream {
         unix_micros(col("a_ts")).as("a_us"), unix_micros(col("b_ts")).as("b_us"))
   }
 
+  /** Streaming exact dedup with BOUNDED state: drops re-deliveries of
+    * the same `idCols` seen within the watermark horizon
+    * (`dropDuplicatesWithinWatermark` — state for an id is evicted
+    * once the watermark passes its first sighting, so state size is
+    * rate·horizon, not the full history). This is the ingest-side
+    * twin of the batch dedup family: at-least-once sources (REST
+    * polls, kafka replays) re-deliver, and deduping AT INGEST keeps
+    * re-deliveries out of the lake entirely. Exact-once per id is
+    * only guaranteed for duplicates arriving within the horizon —
+    * the documented (and the only state-bounded) contract.
+    */
+  def dedupedEvents(
+      events: DataFrame, idCols: Seq[String] = Seq("event_id"),
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

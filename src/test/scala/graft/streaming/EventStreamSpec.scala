@@ -93,6 +93,23 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L), (4L, 5L)))
   }
 
+  test("streaming dedup drops in-horizon re-deliveries, state stays bounded by watermark") {
+    val dir = Files.createTempDirectory("events_dup").toString + "/data"
+    Seq(
+      (1L, "click", ts("2026-01-01 10:00:00"), 1.0, 1L),
+      (1L, "click", ts("2026-01-01 10:00:30"), 1.0, 1L), // re-delivery of event 1
+      (2L, "view", ts("2026-01-01 10:05:00"), 2.0, 1L),
+      (2L, "view", ts("2026-01-01 10:05:00"), 2.0, 1L), // exact re-delivery
+      (3L, "click", ts("2026-01-01 10:10:00"), 3.0, 2L)
+    ).toDF("event_id", "event_type", "ts", "value", "user_id").write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    EventStream.runAvailableNow(
+      EventStream.dedupedEvents(stream), "dedup_stream", outputMode = "append")
+    val got = spark.table("dedup_stream").select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("mapGroupsWithState running totals accumulate per user") {
     val stream = streamingEvents
       .selectExpr("user_id", "value").as[EventStream.UserEvent]
