@@ -362,7 +362,9 @@ object CorpusOps {
         greatest(col("tok_a"), col("tok_b")).as("tb"))
       .groupBy("ta", "tb").agg(count(lit(1)).as("c_ab"))
     val unigrams = pos.groupBy("tok").agg(count(lit(1)).as("c"))
-    val total = pos.agg(count(lit(1)).as("n_tok"))
+    // corpus total from the vocabulary-sized unigram frame — a fourth
+    // full pass over the position frame would buy the same number
+    val total = unigrams.agg(sum("c").as("n_tok"))
     pairs
       .join(unigrams.select(col("tok").as("ta"), col("c").as("ca")), "ta")
       .join(unigrams.select(col("tok").as("tb"), col("c").as("cb")), "tb")
@@ -386,10 +388,14 @@ object CorpusOps {
     */
   def chunkPlan(documents: DataFrame, win: Long = 64L, stride: Long = 32L): DataFrame = {
     val n = size(TextOps.tokens(col("text"))).cast("long")
-    val chunks = when(n === 0L, 0L).otherwise(
-      lit(1L) + (greatest(n - win, lit(0L)) + stride - 1L) / stride)
     documents
-      .select(col("source"), n.as("n"), chunks.cast("long").as("chunks"))
+      .select(col("source"), n.as("n"))
+      // `div`, not `/`: Column `/` is IEEE double division, whose
+      // floor can cross an integer boundary at large n for
+      // non-power-of-two strides — true integer division keeps the
+      // all-integer contract for every parameter choice
+      .withColumn("chunks", when(col("n") === 0L, 0L).otherwise(
+        lit(1L) + expr(s"(greatest(n - ${win}L, 0L) + ${stride - 1}L) div ${stride}L")))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
