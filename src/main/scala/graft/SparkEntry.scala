@@ -186,6 +186,9 @@ object SparkEntry {
     // boilerplate detection: most-shared cross-document shingles
     "t61_boilerplate" -> ((s, d) => { val t = Tables.load(s, d)
       CorpusOps.boilerplateShingles(t.documents) }),
+    // winnowing: rolling-hash document fingerprint selection
+    "t62_winnow" -> ((s, d) => { val t = Tables.load(s, d)
+      TextOps.winnowFingerprints(t.documents) }),
     // label centroids: the vector-centroid capability under the gate
     // (order-independent exact means, unlike the pipeline Aggregator)
     "s37_label_centroids" -> ((s, d) => { val t = Tables.load(s, d)
@@ -714,6 +717,22 @@ object SparkEntry {
          |  FROM p JOIN c ca ON ca.tok = p.ta JOIN c cb ON cb.tok = p.tb CROSS JOIN n)
          |SELECT ta, tb, c_ab, score FROM s
          |ORDER BY score DESC, ta, tb LIMIT 50""".stripMargin,
+    // winnowing twin: same k-gram hash sequence (60-bit md5 prefix),
+    // same length-w window minima; DuckDB list slices are INCLUSIVE
+    // (hs[i:i+3] is 4 hashes) and both engines min over BIGINTs
+    "t62_winnow" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |h AS (SELECT doc_id,
+         |  list_transform(range(1, len(tk)-1), i -> CAST(('0x'||substr(md5(array_to_string(tk[i:i+2], ' ')),1,15)) AS BIGINT)) AS hs
+         |  FROM t WHERE len(tk) >= 3),
+         |s AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_shingles,
+         |  CASE WHEN len(hs) >= 4
+         |    THEN list_distinct(list_transform(range(1, len(hs)-2), i -> list_min(hs[i:i+3])))
+         |    ELSE [list_min(hs)] END AS fp
+         |  FROM h WHERE len(hs) > 0)
+         |SELECT doc_id, n_shingles, CAST(len(fp) AS BIGINT) AS n_fp,
+         | list_min(fp) AS fp_min, list_max(fp) AS fp_max
+         |FROM s ORDER BY doc_id""".stripMargin,
     // boilerplate twin: t50's distinct-shingle CTE, df count, same
     // (df desc, shingle) total order for cut and ranks
     "t61_boilerplate" ->

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Session-wide cache reclamation.
   *
   * Two storage populations accumulate across a long-lived session (a
-  * 61-query bench pass, or a multi-stage 100 TB pipeline):
+  * 62-query bench pass, or a multi-stage 100 TB pipeline):
   *
   *  1. `Dataset.persist` entries — registered in the session's
   *     CacheManager, released by `spark.catalog.clearCache()`;

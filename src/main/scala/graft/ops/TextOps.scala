@@ -236,6 +236,52 @@ object TextOps {
       .orderBy("source", "split")
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
+    * word k-gram, then keep the MINIMUM hash of each length-`w`
+    * sliding window over the hash sequence — the rolling-hash
+    * document fingerprinting scheme: any shared substring of
+    * ≥ w+k-1 tokens between two documents is guaranteed to share a
+    * selected fingerprint, at ~2/(w+1) of the shingle count stored.
+    * Reports per document: shingle count, selected-fingerprint count,
+    * and the min/max selected hash (60-bit md5-prefix integers —
+    * engine-portable). Pure per-row array expressions, one narrow
+    * pass; documents shorter than one window keep their single
+    * minimum.
+    */
+  def winnowFingerprints(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    winnowSets(documents, k, w)
+      .select(col("doc_id"), col("n_shingles"),
+        size(col("fp")).cast("long").as("n_fp"),
+        array_min(col("fp")).as("fp_min"),
+        array_max(col("fp")).as("fp_max"))
+      .orderBy("doc_id")
+
+  /** (doc_id, n_shingles, fp array) — the selected-fingerprint sets
+    * behind [[winnowFingerprints]]; the spec asserts the winnowing
+    * guarantee on them directly.
+    */
+  private[ops] def winnowSets(documents: DataFrame, k: Int, w: Int): DataFrame = {
+    // bound references (tk, hs) — see [[shinglesFromTokens]] for why
+    // inline subtrees inside higher-order lambdas are re-evaluated
+    // per element
+    val tk = col("tk")
+    val hashes = when(size(tk) >= k,
+      transform(sequence(lit(1), size(tk) - (k - 1)),
+        i => conv(substring(md5(concat_ws(" ", slice(tk, i, lit(k)))), 1, 15), 16, 10)
+          .cast("long")))
+      .otherwise(array().cast("array<long>"))
+    val hs = col("hs")
+    val sel = when(size(hs) >= w,
+      array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)),
+        i => array_min(slice(hs, i, lit(w))))))
+      .otherwise(array(array_min(hs)))
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), hashes.as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"), sel.as("fp"))
+  }
+
   /** Content fingerprint + coarse length bucket per document. */
   def fingerprints(documents: DataFrame): DataFrame =
     documents

@@ -82,6 +82,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(again == counts)
   }
 
+  test("winnowing guarantees shared fingerprints for long shared substrings") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val docs = Seq(
+      (1L, s"prefix words here $shared"),
+      (2L, s"$shared trailing other words"),
+      (3L, "completely different content with no overlap at all")
+    ).toDF("doc_id", "text")
+    val sets = TextOps.winnowSets(docs, k = 3, w = 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](2).toSet).toMap
+    // the guarantee: any shared token run of length >= w+k-1 = 6
+    // forces at least one common selected fingerprint (the shared
+    // run here is 8 tokens)
+    assert(sets(1L).intersect(sets(2L)).nonEmpty)
+    // the unrelated doc shares nothing with either
+    assert(sets(3L).intersect(sets(1L)).isEmpty)
+    assert(sets(3L).intersect(sets(2L)).isEmpty)
+    // summary op agrees with the sets
+    val out = TextOps.winnowFingerprints(docs, k = 3, w = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L)._2 == sets(1L).size)
+    assert(out(1L)._3 == sets(1L).min && out(1L)._4 == sets(1L).max)
+    assert(out.values.forall { case (ns, nf, _, _) => nf >= 1 && nf <= ns })
+  }
+
   test("tokenCounts aggregates per source") {
     val out = TextOps.tokenCounts(Seq(
       (1L, "one two three", "web"),
