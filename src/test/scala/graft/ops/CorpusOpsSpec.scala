@@ -98,6 +98,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("tokenOffsets equals the windowed running total on randomized corpora") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(seed)
+      val rows = (1L to 150L).map(i =>
+        (i, s"src${rng.nextInt(4)}", rng.nextInt(40).toLong))
+      val slim = rows.toDF("doc_id", "source", "n_tokens")
+      val parts = 2 + rng.nextInt(9)
+      val got = CorpusOps.tokenOffsets(slim, Seq("source"), parts)
+        .select("doc_id", "offset").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val expected = slim
+        .withColumn("offset", sum("n_tokens").over(w) - col("n_tokens"))
+        .select("doc_id", "offset").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed=$seed parts=$parts")
+      graft.core.GraftCaches.release(spark)
+    }
+  }
+
   test("tfidfTopTerms ranks rare terms above common ones") {
     val d = docs(
       (1L, "s", "shared shared shared zebra"),
