@@ -271,10 +271,19 @@ object TextOps {
           .cast("long")))
       .otherwise(array().cast("array<long>"))
     val hs = col("hs")
-    val sel = when(size(hs) >= w,
-      array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)),
-        i => array_min(slice(hs, i, lit(w))))))
-      .otherwise(array(array_min(hs)))
+    // native codegen'd sliding minima when the graft extensions are
+    // installed (GraftSession always installs them): the composable
+    // slice-per-window form is interpreted and O(m·w) allocations.
+    // Same values in the same order — gate hashes never move.
+    val windowMins: Column =
+      if (documents.sparkSession.catalog.functionExists("graft_window_min"))
+        call_function("graft_window_min", hs, lit(w))
+      else
+        when(size(hs) >= w,
+          transform(sequence(lit(1), size(hs) - (w - 1)),
+            i => array_min(slice(hs, i, lit(w)))))
+          .otherwise(array(array_min(hs)))
+    val sel = array_distinct(windowMins)
     documents
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"), hashes.as("hs"))

@@ -26,5 +26,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "graft_max_sorted_run takes exactly 1 argument")
         MaxSortedRun(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_window_min"),
+      WindowMin.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "graft_window_min takes exactly 2 arguments")
+        WindowMin(children.head, children(1))
+      }))
   }
 }

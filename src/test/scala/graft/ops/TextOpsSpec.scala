@@ -69,6 +69,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 0L, 3L -> 1L))
   }
 
+  test("graft_window_min native expression: golden values and fallback parity") {
+    import org.apache.spark.sql.functions.{array_min, call_function, col, lit, sequence, size, slice, transform, when, array}
+    val df = Seq(
+      (1L, Seq(5L, 3L, 8L, 1L, 9L, 2L)), // m=6, w=3 → [3,1,1,1]
+      (2L, Seq(7L, 4L)),                 // shorter than a window → [4]
+      (3L, Seq.empty[Long])              // empty → []
+    ).toDF("id", "hs")
+    val got = df.select(col("id"), call_function("graft_window_min", col("hs"), lit(3)))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(got == Map(1L -> Seq(3L, 1L, 1L, 1L), 2L -> Seq(4L), 3L -> Seq.empty))
+    // parity with the composable slice-per-window form on non-empty input
+    val hs = col("hs")
+    val fallback = when(size(hs) >= 3,
+      transform(sequence(lit(1), size(hs) - 2), i => array_min(slice(hs, i, lit(3)))))
+      .otherwise(array(array_min(hs)))
+    val fb = df.filter(size(col("hs")) > 0).select(col("id"), fallback)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(fb == got.filter(_._2.nonEmpty))
+  }
+
   test("splitAssign is content-deterministic: duplicate docs share a split") {
     val docs = Seq(
       (1L, "same text here", "web", 14L),
