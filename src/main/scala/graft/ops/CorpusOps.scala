@@ -347,9 +347,10 @@ object CorpusOps {
     * corpus total broadcasts as one row.
     */
   def cooccurrence(documents: DataFrame, window: Int = 2, k: Int = 50): DataFrame = {
-    // persisted (tracked): FOUR consumers read the position frame
-    // (both pair sides, unigram counts, corpus total) — unpersisted,
-    // each would re-tokenize the corpus
+    // persisted (tracked): THREE consumers read the position frame
+    // (both pair sides and the unigram counts; the corpus total sums
+    // the unigram frame) — unpersisted, each would re-tokenize the
+    // corpus
     val pos = ledger.persist(documents.select(col("doc_id"),
       posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok"))))
     val left = pos.select(col("doc_id"), col("pos"), col("tok").as("tok_a"))

@@ -20,6 +20,18 @@ object TextOps {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
+  /** Raw word n-gram sequence — in document order, WITH multiplicity
+    * — the shared core of the shingle family ([[shinglesFromTokens]]
+    * distincts it, [[repetitionScores]] sorts it, [[winnowSets]]
+    * hashes it; one definition so a tokenizer or separator change
+    * cannot silently desync the ops from their oracle twins). Callers
+    * guard `size(tk) >= n` (Spark's `sequence` descends otherwise).
+    */
+  private def kgrams(tk: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), size(tk) - (n - 1)),
+      i => concat_ws(" ", slice(tk, i, lit(n))))
+
   /** Word n-gram shingles (distinct, space-joined) — the unit for
     * n-gram Jaccard dedup: order-sensitive where token sets aren't,
     * so reshuffled near-copies stop looking identical. Documents with
@@ -37,10 +49,7 @@ object TextOps {
     * a non-cheap expression referenced more than once.
     */
   def shinglesFromTokens(tk: Column, n: Int = 3): Column =
-    when(size(tk) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(tk) - (n - 1)),
-        i => concat_ws(" ", slice(tk, i, lit(n))))))
+    when(size(tk) >= n, array_distinct(kgrams(tk, n)))
       .otherwise(array().cast("array<string>"))
 
   /** BPE-ish sub-word tokenization: contractions, space-prefixed
@@ -85,9 +94,7 @@ object TextOps {
     // see [[shinglesFromTokens]] for why (interpreted lambda would
     // re-tokenize per element)
     val tk = col("tk")
-    val sh = when(size(tk) >= n,
-      array_sort(transform(sequence(lit(1), size(tk) - (n - 1)),
-        i => concat_ws(" ", slice(tk, i, lit(n))))))
+    val sh = when(size(tk) >= n, array_sort(kgrams(tk, n)))
       .otherwise(array().cast("array<string>"))
     // native codegen'd scan when the graft extensions are installed
     // (GraftSession always installs them); else the composable
@@ -266,15 +273,17 @@ object TextOps {
     // per element
     val tk = col("tk")
     val hashes = when(size(tk) >= k,
-      transform(sequence(lit(1), size(tk) - (k - 1)),
-        i => conv(substring(md5(concat_ws(" ", slice(tk, i, lit(k)))), 1, 15), 16, 10)
-          .cast("long")))
+      transform(kgrams(tk, k),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
       .otherwise(array().cast("array<long>"))
     val hs = col("hs")
     // native codegen'd sliding minima when the graft extensions are
     // installed (GraftSession always installs them): the composable
     // slice-per-window form is interpreted and O(m·w) allocations.
-    // Same values in the same order — gate hashes never move.
+    // Same values in the same order FOR NULL-FREE input (the md5-
+    // derived hashes here are non-null by construction; with nulls
+    // the native form windows the compacted sequence while the
+    // fallback windows original positions) — gate hashes never move.
     val windowMins: Column =
       if (documents.sparkSession.catalog.functionExists("graft_window_min"))
         call_function("graft_window_min", hs, lit(w))
