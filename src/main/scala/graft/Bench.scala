@@ -70,7 +70,17 @@ object Bench {
     // name the statistic honestly: an even run count reports the
     // lower-middle (runs=2 → the min), which is NOT a median
     val stat = if (runs % 2 == 1) "median" else "lower-median"
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"stat":"$stat","queries":$med,"queries_min":$mins,"queries_max":$maxs,"failed":$failed,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"stat":"$stat","queries":$med,"queries_min":$mins,"queries_max":$maxs,"failed":$failed,"sf":"$sfDir"}"""
+    println(json)
+    // stdout capture windows truncate (~2 KB tails have eaten a whole
+    // round's headline number); the artifact must also survive on disk
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not persist $outPath: ${e.getMessage}")
+    }
     spark.stop()
     if (results.exists(!_._3)) sys.exit(1)
   }

@@ -189,6 +189,16 @@ object SparkEntry {
     // winnowing: rolling-hash document fingerprint selection
     "t62_winnow" -> ((s, d) => { val t = Tables.load(s, d)
       TextOps.winnowFingerprints(t.documents) }),
+    // incremental dedup: a new shard (doc_id ≡ 0 mod 5) probes a
+    // minhash index built from the REST of the corpus — old×old work
+    // is unrepresentable in the plan. The twin recomputes the full
+    // LSH and restricts to pairs with ≥1 new side: equal by
+    // construction (same band rule, same exact verify).
+    "t63_incremental_dedup" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      val newShard = t.documents.filter(col("doc_id") % 5 === 0)
+      val history = t.documents.filter(col("doc_id") % 5 =!= 0)
+      Dedup.incrementalMinhashPairs(newShard, Dedup.minhashIndexFrames(history)) }),
     // label centroids: the vector-centroid capability under the gate
     // (order-independent exact means, unlike the pipeline Aggregator)
     "s37_label_centroids" -> ((s, d) => { val t = Tables.load(s, d)
@@ -425,6 +435,36 @@ object SparkEntry {
               .mkString(" UNION ALL\n         |  ")}),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM band a JOIN band b ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id),
+         |n AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+         |p AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c JOIN w wa ON wa.doc_id = c.doc_a
+         |  JOIN w wb ON wb.doc_id = c.doc_b AND wb.tok = wa.tok GROUP BY 1,2)
+         |SELECT p.doc_a, p.doc_b,
+         | ${q4("CAST(inter AS DOUBLE)/(na.n+nb.n-inter)")} AS jac
+         |FROM p JOIN n na ON na.doc_id = p.doc_a JOIN n nb ON nb.doc_id = p.doc_b
+         |WHERE ${q4("CAST(inter AS DOUBLE)/(na.n+nb.n-inter)")} >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // incremental-dedup twin: the SAME affine family and band rule as
+    // t25, but the band index is folded INTO the key (md5("b,h..")) —
+    // one-column candidate join — and candidacy requires ≥1 side in
+    // the new shard (doc_id ≡ 0 mod 5). A full recompute restricted
+    // this way equals the incremental new×(old∪new) probe exactly.
+    "t63_incremental_dedup" ->
+      s"""WITH w AS (SELECT DISTINCT doc_id, tok FROM
+         |  (SELECT doc_id, unnest($toks) AS tok FROM documents)),
+         |hb AS (SELECT doc_id,
+         |  CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) % $mhP AS h FROM w),
+         |sig AS (SELECT doc_id,
+         |  ${mhCoeffs.zipWithIndex.map { case ((a, b), i) =>
+              s"min(($a*h+$b) % $mhP) AS h$i" }.mkString(",\n         |  ")}
+         |  FROM hb GROUP BY 1),
+         |band AS (
+         |  ${(0 until 4).map(b =>
+              s"SELECT doc_id, md5('$b,'||${(4 * b until 4 * b + 4).map(i => s"h$i::VARCHAR").mkString("||','||")})${if (b == 0) " AS k" else ""} FROM sig")
+              .mkString(" UNION ALL\n         |  ")}),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band a JOIN band b ON a.k = b.k AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0),
          |n AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
          |p AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
          |  FROM cand c JOIN w wa ON wa.doc_id = c.doc_a

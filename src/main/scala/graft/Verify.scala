@@ -7,12 +7,17 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional dev-time filter: comma-separated query-name substrings
+    // (the driver always passes exactly two args → full dump)
+    val only: String => Boolean =
+      if (args.length > 2) { val pats = args(2).split(","); n => pats.exists(n.contains) }
+      else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.core.GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val failed = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val failed = SparkEntry.queries.toSeq.sortBy(_._1).filter(q => only(q._1)).flatMap { case (name, fn) =>
       // storage back to baseline between queries — no query inherits
       // another's persisted frames, and the dedup caches can't
       // accumulate across the 50+ query dump

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -323,14 +323,17 @@ object Dedup {
       min((lit(a) * col("hb") + lit(b)) % MinhashP).as(s"h$i")
     }
 
-  /** MinHash signature columns h0..h{k-1} per document. */
-  def minhashSignatures(documents: DataFrame, k: Int = 16): DataFrame = {
-    val exploded = docTokens(documents)
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
+  /** Signature columns h0..h{k-1} from a (doc_id, toks) frame. */
+  private def sigsFrom(toks: DataFrame, k: Int): DataFrame = {
+    val exploded = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
       .withColumn("hb", tokenBaseHash(col("tok")))
     val sigCols = sigColumns(k)
     exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
   }
+
+  /** MinHash signature columns h0..h{k-1} per document. */
+  def minhashSignatures(documents: DataFrame, k: Int = 16): DataFrame =
+    sigsFrom(docTokens(documents), k)
 
   /** MinHash + banded LSH near-dup pairs, verified by exact Jaccard.
     * k signatures in `bands` bands of r = k/bands rows: docs sharing
@@ -498,6 +501,117 @@ object Dedup {
     }
     freeRdds(labels, edgeIds)
     labels
+  }
+
+  /** Persisted MinHash index over an already-ingested corpus — the
+    * substrate of INCREMENTAL dedup. Two frames:
+    *
+    *  - `bands`: (doc_id, bkey) — one row per document per LSH band,
+    *    where bkey = md5(band,"h_{br}..h_{br+r-1}") folds the band
+    *    index into the key so a single-column equi-join is the whole
+    *    candidate rule. Persist bucketed BY bkey: the daily new-shard
+    *    probe then scans the history's buckets in place, exchange-free.
+    *  - `toks`: (doc_id, toks, n) — distinct token sets, the exact-
+    *    Jaccard verification input. Persist bucketed BY doc_id so the
+    *    per-candidate semi-join never shuffles the history either.
+    *
+    * The index is append-only: shard N+1's own frames (the same
+    * [[minhashIndexFrames]] output) are what gets appended after its
+    * pairs are taken, so tomorrow's run sees today's shard as history.
+    */
+  final case class MinhashIndex(bands: DataFrame, toks: DataFrame)
+
+  /** Index frames for one corpus shard: per-document banded signature
+    * keys plus the token sets verification needs. Per-DOCUMENT, not
+    * per-canonical-set: an index must stay valid as shards append, and
+    * doc-keyed rows append trivially while set membership would need
+    * rewriting. Empty docs are dropped (they can never pair).
+    */
+  def minhashIndexFrames(documents: DataFrame, k: Int = 16, bands: Int = 4): MinhashIndex = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val rows = k / bands
+    val toks = docTokens(documents).filter(col("n") > 0)
+    val sigs = sigsFrom(toks, k)
+    val bandCols = (0 until bands).map { b =>
+      md5(concat_ws(",",
+        lit(b.toString) +: (b * rows until (b + 1) * rows).map(i => col(s"h$i").cast("string")): _*))
+    }
+    val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bkey"))
+    MinhashIndex(banded, toks.select("doc_id", "toks", "n"))
+  }
+
+  /** Persist an index as bucketed tables `<name>_bands` / `<name>_toks`
+    * (bucketed by bkey / doc_id respectively — see [[MinhashIndex]]).
+    * Use a LakeWriter with mode "append" to grow an existing index by
+    * one shard.
+    */
+  def writeMinhashIndex(
+      index: MinhashIndex, writer: graft.sinks.LakeWriter,
+      name: String, buckets: Int = 32): Unit = {
+    writer.writeBucketed(index.bands, s"${name}_bands", buckets, Seq("bkey"))
+    writer.writeBucketed(index.toks, s"${name}_toks", buckets, Seq("doc_id"))
+  }
+
+  def readMinhashIndex(spark: SparkSession, name: String): MinhashIndex =
+    MinhashIndex(spark.table(s"${name}_bands"), spark.table(s"${name}_toks"))
+
+  /** Near-dup pairs involving a NEW shard against an indexed history —
+    * the workflow a production pipeline actually runs daily: shard N+1
+    * arrives, and re-canonicalizing the preceding 100 TB to find its
+    * duplicates is not an option. Output is exactly
+    * `minhashLshPairs(old ∪ new)` RESTRICTED to pairs with ≥1 new
+    * side (same band-key candidate rule, same exact-Jaccard verify),
+    * but old×old work is UNREPRESENTABLE by construction:
+    *
+    *  - candidates = newBands ⋈ indexBands (the probe side is the
+    *    small shard; a bucketed index joins without shuffling history)
+    *    ∪ newBands ⋈ newBands (the shard's internal dups);
+    *  - verification reads history token sets ONLY for docs that are
+    *    actually candidates (semi-join, bucket-local on a persisted
+    *    index) plus the new shard's own.
+    *
+    * Contract: new doc_ids are disjoint from indexed doc_ids (a doc
+    * re-ingested under its old id pairs with nothing, not itself).
+    * The verify branch is pinned to the exploded-token path — no
+    * corpus-shape probe: an index worth building has a large realized
+    * vocabulary, and an eager probe per daily shard would cost more
+    * than the branch it picks.
+    */
+  /** Candidate pairs for the incremental probe: new×indexed plus
+    * new×new. The indexed side appears in exactly ONE join, as the
+    * build side of the new-shard probe — old×old candidacy has no
+    * plan node that could produce it. Package-visible so the spec can
+    * plan-assert the probe in isolation (bucketed index ⇒ zero
+    * exchange on the indexed side).
+    */
+  private[graft] def incrementalCandidates(
+      newBands: DataFrame, indexBands: DataFrame): DataFrame = {
+    val candOld = newBands.as("a")
+      .join(indexBands.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+    val candNew = newBands.as("a")
+      .join(newBands.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    candOld.unionByName(candNew)
+  }
+
+  def incrementalMinhashPairs(
+      newDocs: DataFrame, index: MinhashIndex,
+      threshold: Double = 0.5, k: Int = 16, bands: Int = 4): DataFrame = {
+    val newIdx = minhashIndexFrames(newDocs, k, bands)
+    // persisted (tracked): the candidate frame feeds both the
+    // history-toks semi-join and the verify join — recomputing the
+    // band joins per branch would double the probe cost
+    val cand = persistTracked(incrementalCandidates(newIdx.bands, index.bands))
+    val candIds = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val oldNeeded = index.toks.join(candIds, Seq("doc_id"), "left_semi")
+    val verifyToks = oldNeeded.unionByName(newIdx.toks)
+    verifyJaccard(cand, verifyToks, threshold, smallVocab = false)
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Decontamination: for each TEST document (doc_id ≡ 0 mod `mod` —
