@@ -45,6 +45,12 @@ object SparkEntry {
   // affine-minhash constants shared with Dedup (same seed → same values)
   private val mhP = graft.ops.Dedup.MinhashP
   private val mhCoeffs = graft.ops.Dedup.minhashCoeffs(16)
+  // t64/t65 media fixture as VALUES rows, generated from the SAME Seq
+  // the Spark-side frame is built from (Fixtures.mediaMeta)
+  private def mediaValues: String =
+    graft.sources.Fixtures.mediaMeta.map { case (id, kind, w, h, dur, codec) =>
+      s"(CAST($id AS BIGINT), '$kind', $w, $h, CAST($dur AS BIGINT), '$codec')"
+    }.mkString(",\n         |  ")
   // centroid-component exact mean (Exact.meanOf6's SQL twin): quantize
   // per row in pure IEEE, sum exactly as DECIMAL, divide once
   private def cmean(x: String): String =
@@ -199,6 +205,19 @@ object SparkEntry {
       val newShard = t.documents.filter(col("doc_id") % 5 === 0)
       val history = t.documents.filter(col("doc_id") % 5 =!= 0)
       Dedup.incrementalMinhashPairs(newShard, Dedup.minhashIndexFrames(history)) }),
+    // multimodal metadata plane under the gate (first oracle coverage
+    // for the family): resize targets and frame-sampling plans are
+    // pure integer/sequence math over the shared media fixture — the
+    // q39/q40 fixture pattern. Decode stays spec-covered.
+    "t64_resize_plan" -> ((s, _) => {
+      import org.apache.spark.sql.functions.col
+      graft.multimodal.MediaOps.resizePlan(
+        graft.sources.Fixtures.mediaFrame(s).filter(col("kind") === "image"), 256)
+        .select("media_id", "width", "height", "target_width", "target_height")
+        .orderBy("media_id") }),
+    "t65_frame_sample" -> ((s, _) =>
+      graft.multimodal.MediaOps.frameSample(graft.sources.Fixtures.mediaFrame(s), 1000L)
+        .orderBy("media_id", "frame_ms")),
     // label centroids: the vector-centroid capability under the gate
     // (order-independent exact means, unlike the pipeline Aggregator)
     "s37_label_centroids" -> ((s, d) => { val t = Tables.load(s, d)
@@ -233,6 +252,12 @@ object SparkEntry {
       Similarity.cosineTopK(t.embeddings) }),
     "s32_embedding_neardup" -> ((s, d) => { val t = Tables.load(s, d)
       Similarity.embeddingNearDup(t.embeddings) }),
+    // s32's fixture corpus has no near-dups (green-but-0-rows at every
+    // SF); s38 plants them in-query — perturbed copies at vec_id+1e6
+    // with the last component negated — so the gate checks REAL pairs
+    // through the same LSH machinery.
+    "s38_neardup_planted" -> ((s, d) => { val t = Tables.load(s, d)
+      Similarity.embeddingNearDup(Similarity.plantNearDups(t.embeddings)) }),
     "s33_ann_lsh" -> ((s, d) => { val t = Tables.load(s, d)
       Similarity.annLsh(t.embeddings) }),
     "s34_knn_classify" -> ((s, d) => { val t = Tables.load(s, d)
@@ -858,6 +883,30 @@ object SparkEntry {
     "q40_map_pivot" ->
       """SELECT * FROM (VALUES ('0','Normal'),('1','Practice'),('7','Ranked'))
         |AS t(lobby_id, name) ORDER BY lobby_id""".stripMargin,
+    // multimodal metadata twins: the VALUES list is GENERATED from
+    // Fixtures.mediaMeta (same Seq that builds the Spark frame), so
+    // fixture and oracle cannot drift. Division is forced to DOUBLE —
+    // a bare 256.0 literal is DECIMAL in DuckDB and divides by
+    // different rules than Spark's double math.
+    "t64_resize_plan" ->
+      s"""WITH m(media_id, kind, width, height, duration_ms, codec) AS (VALUES
+         |  $mediaValues),
+         |s AS (SELECT media_id, width, height,
+         |  least(CAST(256 AS DOUBLE)/width, CAST(256 AS DOUBLE)/height,
+         |        CAST(1 AS DOUBLE)) AS sc
+         |  FROM m WHERE kind = 'image')
+         |SELECT media_id, width, height,
+         |  CAST(floor(width*sc) AS INTEGER) AS target_width,
+         |  CAST(floor(height*sc) AS INTEGER) AS target_height
+         |FROM s ORDER BY media_id""".stripMargin,
+    "t65_frame_sample" ->
+      s"""WITH m(media_id, kind, width, height, duration_ms, codec) AS (VALUES
+         |  $mediaValues)
+         |SELECT media_id, frame_ms, width, height, codec FROM (
+         |  SELECT media_id, unnest(range(0, duration_ms, 1000)) AS frame_ms,
+         |    width, height, codec
+         |  FROM m WHERE kind = 'video' AND duration_ms > 0)
+         |ORDER BY media_id, frame_ms""".stripMargin,
     // Similarity oracles compute dot products with
     // list_sum(list_transform(...)) — a SEQUENTIAL left-to-right fold,
     // bit-identical to Spark's `aggregate` higher-order function. A
@@ -883,6 +932,36 @@ object SparkEntry {
     // no ulp hazard.
     "s32_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |x AS (SELECT vec_id, i, v[i] AS val FROM e, (SELECT unnest(range(1,65)) AS i)),
+         |keys AS (SELECT vec_id, CAST((i-1)//16 AS INT) AS band,
+         |  sum(CASE WHEN val > 0 THEN 1::BIGINT << ((i-1)%16) ELSE 0::BIGINT END) AS bkey
+         |  FROM x GROUP BY 1,2),
+         |probes AS (SELECT vec_id, band, xor(bkey, pm.m) AS pkey
+         |  FROM keys CROSS JOIN (SELECT unnest([${Similarity.probeMasks(16).mkString(",")}]) AS m) pm),
+         |cand AS (SELECT DISTINCT p.vec_id AS vec_a, k.vec_id AS vec_b
+         |  FROM probes p JOIN keys k
+         |  ON p.band = k.band AND p.pkey = k.bkey AND p.vec_id < k.vec_id),
+         |nr AS (SELECT vec_id, $sqlNorm AS nrm FROM e),
+         |d AS (SELECT c.vec_a, c.vec_b, ${sqlDot("a", "b")} AS dp
+         |  FROM cand c JOIN e a ON a.vec_id = c.vec_a JOIN e b ON b.vec_id = c.vec_b),
+         |r AS (SELECT vec_a, vec_b,
+         |  floor(dp/(na.nrm*nb.nrm)*1000000.0+0.5)/1000000.0 AS cos
+         |  FROM d JOIN nr na ON na.vec_id = vec_a JOIN nr nb ON nb.vec_id = vec_b)
+         |SELECT vec_a, vec_b, cos FROM r WHERE cos >= 0.9 ORDER BY vec_a, vec_b""".stripMargin,
+    // s38 twin: the identical planted-copy construction (negate last
+    // component — a sign-bit flip, exact in IEEE — and offset the id)
+    // followed by s32's candidate rule verbatim. The planted pairs
+    // sit at cos ≈ 0.97 with a 1-bit band-3 sketch difference, so
+    // both engines MUST surface them — a non-empty exact compare.
+    "s38_neardup_planted" ->
+      s"""WITH u AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS vec_id,
+         |    list_transform(range(1,65),
+         |      i -> CASE WHEN i = 64 THEN -embedding[i] ELSE embedding[i] END) AS embedding
+         |  FROM embeddings WHERE vec_id % 10 = 0),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM u),
          |x AS (SELECT vec_id, i, v[i] AS val FROM e, (SELECT unnest(range(1,65)) AS i)),
          |keys AS (SELECT vec_id, CAST((i-1)//16 AS INT) AS band,
          |  sum(CASE WHEN val > 0 THEN 1::BIGINT << ((i-1)%16) ELSE 0::BIGINT END) AS bkey

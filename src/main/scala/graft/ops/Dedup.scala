@@ -576,7 +576,25 @@ object Dedup {
     * corpus-shape probe: an index worth building has a large realized
     * vocabulary, and an eager probe per daily shard would cost more
     * than the branch it picks.
+    *
+    * Candidate generation lives in [[incrementalCandidates]].
     */
+  def incrementalMinhashPairs(
+      newDocs: DataFrame, index: MinhashIndex,
+      threshold: Double = 0.5, k: Int = 16, bands: Int = 4): DataFrame = {
+    val newIdx = minhashIndexFrames(newDocs, k, bands)
+    // persisted (tracked): the candidate frame feeds both the
+    // history-toks semi-join and the verify join — recomputing the
+    // band joins per branch would double the probe cost
+    val cand = persistTracked(incrementalCandidates(newIdx.bands, index.bands))
+    val candIds = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val oldNeeded = index.toks.join(candIds, Seq("doc_id"), "left_semi")
+    val verifyToks = oldNeeded.unionByName(newIdx.toks)
+    verifyJaccard(cand, verifyToks, threshold, smallVocab = false)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Candidate pairs for the incremental probe: new×indexed plus
     * new×new. The indexed side appears in exactly ONE join, as the
     * build side of the new-shard probe — old×old candidacy has no
@@ -596,22 +614,6 @@ object Dedup {
         col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     candOld.unionByName(candNew)
-  }
-
-  def incrementalMinhashPairs(
-      newDocs: DataFrame, index: MinhashIndex,
-      threshold: Double = 0.5, k: Int = 16, bands: Int = 4): DataFrame = {
-    val newIdx = minhashIndexFrames(newDocs, k, bands)
-    // persisted (tracked): the candidate frame feeds both the
-    // history-toks semi-join and the verify join — recomputing the
-    // band joins per branch would double the probe cost
-    val cand = persistTracked(incrementalCandidates(newIdx.bands, index.bands))
-    val candIds = cand
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
-    val oldNeeded = index.toks.join(candIds, Seq("doc_id"), "left_semi")
-    val verifyToks = oldNeeded.unionByName(newIdx.toks)
-    verifyJaccard(cand, verifyToks, threshold, smallVocab = false)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Decontamination: for each TEST document (doc_id ≡ 0 mod `mod` —

@@ -127,6 +127,30 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Derivation that makes the near-dup gate row NON-vacuous: the
+    * fixture corpus has no genuine near-dups (max pairwise cos ≈ 0.51
+    * at every SF), so [[embeddingNearDup]] over it can only ever
+    * compare empty frames — a gate that could never catch a broken
+    * candidate rule. This plants them IN-QUERY with pure column
+    * arithmetic both engines reproduce bit-exactly: every vec_id ≡ 0
+    * (mod `mod`) gains a copy at vec_id+`offset` whose LAST component
+    * is negated. cos(v, v') = 1 − 2·v₆₄²/|v|² ≈ 0.97 for isotropic
+    * 64-dim vectors — a true near-dup, not an identical row — and its
+    * sign sketch differs from the original's in exactly one bit of
+    * band 3, inside the hamming-≤2 probe radius, so the LSH MUST
+    * surface it. Float negation is sign-bit flip: exact in IEEE, so
+    * the planted vectors are bit-identical across engines.
+    */
+  def plantNearDups(
+      embeddings: DataFrame, mod: Long = 10, offset: Long = 1000000L): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+    val planted = embeddings.filter(col("vec_id") % mod === 0)
+      .select((col("vec_id") + offset).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 63, -x).otherwise(x)).as("embedding"))
+    base.unionByName(planted)
+  }
+
   /** Brute-force near-dup (O(n²/2) cross join) — the recall ORACLE for
     * [[embeddingNearDup]] in SimilaritySpec, never the declared query:
     * at corpus scale the cross join is the one shape that can't run.

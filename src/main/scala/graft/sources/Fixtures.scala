@@ -19,6 +19,31 @@ object Fixtures {
   val lobbyTypesJson: String =
     """{"0":"Normal","1":"Practice","7":"Ranked"}"""
 
+  /** Media METADATA fixture (media_id, kind, width, height,
+    * duration_ms, codec) — the single source of truth for the t64/t65
+    * gate rows: the Spark frame AND the oracle's VALUES list are both
+    * generated from this Seq, so they cannot drift. Payload bytes stay
+    * null — the metadata plane is pure column math; decode is
+    * spec-covered (media bytes can't ride a VALUES oracle). Edge rows:
+    * a tall image narrower than the resize target (3), a video shorter
+    * than one sampling stride (6), a zero-duration video (7 — excluded
+    * from frame sampling), an audio row (8 — excluded from both).
+    */
+  val mediaMeta: Seq[(Long, String, Int, Int, Long, String)] = Seq(
+    (1L, "image", 4096, 2160, 0L, "png"),
+    (2L, "image", 640, 480, 0L, "jpeg"),
+    (3L, "image", 120, 4000, 0L, "png"),
+    (4L, "video", 1920, 1080, 9500L, "h264"),
+    (5L, "video", 3840, 2160, 30000L, "av1"),
+    (6L, "video", 640, 360, 1L, "vp9"),
+    (7L, "video", 1280, 720, 0L, "h264"),
+    (8L, "audio", 0, 0, 60000L, "opus"))
+
+  def mediaFrame(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
+    graft.multimodal.MediaOps.fromRows(spark, mediaMeta.map { case (id, kind, w, h, dur, codec) =>
+      org.apache.spark.sql.Row(id, kind, null, w, h, dur, codec)
+    })
+
   val heroesJson: String =
     """[
       |{"id":1,"name":"npc_dota_hero_antimage","localized_name":"Anti-Mage","primary_attr":"agi","attack_type":"Melee","roles":["Carry","Escape"],"legs":2},
