@@ -195,26 +195,40 @@ object Dedup {
         val b = masks.select(col("doc_id").as("doc_b"), col("mask").as("mb"))
         scoreMaskPairs(a.join(b, col("doc_a") < col("doc_b")), threshold)
       } else {
-        // general path: PPJoin prefix filter (lossless for any fixed
-        // global token order; rarity order minimizes candidates)
-        val df = w.groupBy("tok").agg(count(lit(1)).as("tok_df"))
-        val prefix = setsAsDocs
-          .select(col("doc_id"), col("n"), explode(col("toks")).as("tok"))
-          .join(df, "tok")
-          .groupBy("doc_id", "n")
-          .agg(array_sort(collect_list(struct(col("tok_df"), col("tok")))).as("ranked"))
-          .select(
-            col("doc_id"), col("n"),
-            explode(slice(transform(col("ranked"), r => r.getField("tok")), lit(1),
-              (floor(col("n") * (1 - threshold)) + 1).cast("int"))).as("tok"))
-        val cand = prefix.as("a")
-          .join(prefix.as("b"),
-            col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        verifyJaccard(cand, setsAsDocs, threshold, stats.smallVocab)
+        verifyJaccard(prefixCandidates(setsAsDocs, threshold), setsAsDocs,
+          threshold, stats.smallVocab)
       }
     (setPairs.select(col("doc_a").as("sid_a"), col("doc_b").as("sid_b"), col("jac")),
       members)
+  }
+
+  /** PPJoin prefix-filtered candidate pairs (with duplicates) over a
+    * (doc_id, toks, n) frame — the general path's candidate rule,
+    * lossless for any fixed global token order; RARITY order minimizes
+    * candidates. This ranking is also the skew defense: a stop-word-
+    * grade token in every document has maximal df, so it ranks LAST
+    * and never enters a prefix of any document with more than
+    * ⌊(1-t)·n⌋+1 tokens — the one join key that could fan out to
+    * |corpus|² candidate rows generates none at all (SkewSpec plants
+    * exactly that corpus and bounds the candidate partitions).
+    * Package-visible for that spec.
+    */
+  private[graft] def prefixCandidates(setsAsDocs: DataFrame, threshold: Double): DataFrame = {
+    val w = setsAsDocs.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val df = w.groupBy("tok").agg(count(lit(1)).as("tok_df"))
+    val prefix = setsAsDocs
+      .select(col("doc_id"), col("n"), explode(col("toks")).as("tok"))
+      .join(df, "tok")
+      .groupBy("doc_id", "n")
+      .agg(array_sort(collect_list(struct(col("tok_df"), col("tok")))).as("ranked"))
+      .select(
+        col("doc_id"), col("n"),
+        explode(slice(transform(col("ranked"), r => r.getField("tok")), lit(1),
+          (floor(col("n") * (1 - threshold)) + 1).cast("int"))).as("tok"))
+    prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
   }
 
   /** (doc_id, 64-bit mask) per set, given a ≤64-token dictionary. */

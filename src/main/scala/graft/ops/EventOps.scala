@@ -92,13 +92,30 @@ object EventOps {
       left: DataFrame, leftKey: String, leftTime: String,
       right: DataFrame, rightKey: String, rightTime: String,
       rightPayload: Seq[String]): DataFrame = {
+    val (l2, r2, lCols) =
+      asofPrep(left, leftKey, leftTime, right, rightKey, rightTime, rightPayload)
+    val unioned = l2.unionByName(r2, allowMissingColumns = true)
+    val w = Window.partitionBy("_k").orderBy("_t", "_side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightPayload.foldLeft(unioned)((d, c) =>
+      d.withColumn(s"_p_$c", last(col(s"_p_$c"), ignoreNulls = true).over(w)))
+    asofProject(filled, lCols, rightPayload)
+  }
+
+  /** Shared prep for both as-of forms: left/right projected into the
+    * reserved `_k`/`_t`/`_side`/`_p_*` shape. The right side is
+    * projected into prefixed temporaries BEFORE any union — a
+    * payload/key column sharing a name with a left column (both sides
+    * having `ts`, say) must never be dropped or rebound.
+    */
+  private def asofPrep(
+      left: DataFrame, leftKey: String, leftTime: String,
+      right: DataFrame, rightKey: String, rightTime: String,
+      rightPayload: Seq[String]): (DataFrame, DataFrame, Array[String]) = {
     val lCols = left.columns
-    val reserved = Set("_k", "_t", "_side")
+    val reserved = Set("_k", "_t", "_side", "_b", "_tl", "_lt")
     require(!lCols.exists(c => reserved(c) || c.startsWith("_p_")),
-      s"left columns may not use reserved asof names (_k/_t/_side/_p_*): ${lCols.mkString(",")}")
-    // the right side is projected into prefixed temporaries BEFORE the
-    // union — a payload/key column sharing a name with a left column
-    // (both sides having `ts`, say) must never be dropped or rebound
+      s"left columns may not use reserved asof names (_k/_t/_side/_b/_tl/_lt/_p_*): ${lCols.mkString(",")}")
     val l2 = rightPayload.foldLeft(
       left.withColumn("_k", col(leftKey)).withColumn("_t", col(leftTime))
         .withColumn("_side", lit(1)))(
@@ -106,11 +123,11 @@ object EventOps {
     val r2 = right.select(
       (Seq(col(rightKey).as("_k"), col(rightTime).as("_t"), lit(0).as("_side")) ++
         rightPayload.map(c => col(c).as(s"_p_$c"))): _*)
-    val unioned = l2.unionByName(r2, allowMissingColumns = true)
-    val w = Window.partitionBy("_k").orderBy("_t", "_side")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightPayload.foldLeft(unioned)((d, c) =>
-      d.withColumn(s"_p_$c", last(col(s"_p_$c"), ignoreNulls = true).over(w)))
+    (l2, r2, lCols)
+  }
+
+  private def asofProject(
+      filled: DataFrame, lCols: Array[String], rightPayload: Seq[String]): DataFrame =
     filled
       .filter(col("_side") === 1)
       .select((lCols.map(col) ++ rightPayload.map { c =>
@@ -119,6 +136,79 @@ object EventOps {
         val out = if (lCols.contains(c)) s"${c}_right" else c
         col(s"_p_$c").as(out)
       }): _*)
+
+  /** [[asofJoin]] with time-range bucketing — the skew-resilient form.
+    * The window form serializes each key into one task, so a mega-hot
+    * key (one user with 10⁹ events) becomes one straggler at scale.
+    * Here the window partitions by (key, time-bucket): a hot key
+    * splits across as many tasks as it spans buckets. Identical
+    * output to [[asofJoin]] (the spec proves it differentially):
+    *
+    *  1. per (key, bucket): the LAST right row of that bucket — a
+    *     partial-aggregating groupBy (`max_by` per payload; ties
+    *     impossible, right is unique per (key, time));
+    *  2. carry-in: each bucket-summary becomes available from the
+    *     NEXT bucket onward (summaries shifted to bucket+1, merged
+    *     with the left's bucket list, one `last` sweep per key — rows
+    *     here are per-BUCKET, not per-event, so even a hot key's
+    *     serial sweep is trivial);
+    *  3. main pass: in-bucket rows plus one synthetic carry row per
+    *     (key, left-bucket) at `_tl` = MIN_VALUE, then the same
+    *     last-right-forward window as the plain form, now partitioned
+    *     by (key, bucket).
+    *
+    * `bucketUs` is in the time column's LONG units (micros for
+    * timestamps). Pick it so a bucket holds minutes-to-hours of a hot
+    * key's traffic: too fine costs carry rows, too coarse under-splits.
+    */
+  def asofJoinBucketed(
+      left: DataFrame, leftKey: String, leftTime: String,
+      right: DataFrame, rightKey: String, rightTime: String,
+      rightPayload: Seq[String], bucketUs: Long = 3600L * 1000000L): DataFrame = {
+    import org.apache.spark.sql.types.TimestampType
+    val (l2, r2, lCols) =
+      asofPrep(left, leftKey, leftTime, right, rightKey, rightTime, rightPayload)
+    def asLong(srcType: org.apache.spark.sql.types.DataType): Column =
+      srcType match {
+        case TimestampType => unix_micros(col("_t"))
+        case _ => col("_t").cast("long")
+      }
+    // exact integer FLOOR division (long `div` truncates toward zero,
+    // which mis-buckets negative times): (tl - pmod(tl, w)) / w
+    def bucketOf(tl: Column): Column =
+      ((tl - pmod(tl, lit(bucketUs))) / bucketUs).cast("long")
+    val l3 = l2.withColumn("_tl", asLong(left.schema(leftTime).dataType))
+      .withColumn("_b", bucketOf(col("_tl")))
+    val r3 = r2.withColumn("_tl", asLong(right.schema(rightTime).dataType))
+      .withColumn("_b", bucketOf(col("_tl")))
+    // (1) last right row per (key, bucket)
+    val lastAggs = rightPayload.map(c => max_by(col(s"_p_$c"), col("_tl")).as(s"_p_$c"))
+    val bucketLast = r3.groupBy(col("_k"), col("_b"))
+      .agg(lastAggs.head, lastAggs.tail: _*)
+    // (2) carry-in per left bucket: summaries shift to bucket+1, then
+    // one per-key last-sweep over BUCKET-granular rows
+    val leftBuckets = l3.select(col("_k"), col("_b")).distinct()
+      .withColumn("_lt", lit(1))
+    val shifted = bucketLast.withColumn("_b", col("_b") + 1).withColumn("_lt", lit(0))
+    val merged = shifted.unionByName(
+      rightPayload.foldLeft(leftBuckets)((d, c) =>
+        d.withColumn(s"_p_$c", lit(null).cast(right.schema(c).dataType))))
+    val wCarry = Window.partitionBy("_k").orderBy("_b", "_lt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry = rightPayload.foldLeft(merged)((d, c) =>
+      d.withColumn(s"_p_$c", last(col(s"_p_$c"), ignoreNulls = true).over(wCarry)))
+      .filter(col("_lt") === 1)
+      .select((Seq(col("_k"), col("_b"), lit(Long.MinValue).as("_tl"), lit(0).as("_side")) ++
+        rightPayload.map(c => col(s"_p_$c"))): _*)
+    // (3) per-(key, bucket) window over in-bucket rows + the carry row
+    val slim = Seq("_k", "_b", "_tl", "_side") ++ rightPayload.map(c => s"_p_$c")
+    val main = l3.unionByName(r3.select(slim.map(col): _*), allowMissingColumns = true)
+      .unionByName(carry, allowMissingColumns = true)
+    val w = Window.partitionBy("_k", "_b").orderBy("_tl", "_side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightPayload.foldLeft(main)((d, c) =>
+      d.withColumn(s"_p_$c", last(col(s"_p_$c"), ignoreNulls = true).over(w)))
+    asofProject(filled, lCols, rightPayload)
   }
 
   /** As-of enrichment: each event gets the customer's most recent order
@@ -126,7 +216,8 @@ object EventOps {
     * deduped to max(o_orderkey) per (custkey, orderdate) so the tie
     * winner is well-defined. Inner semantics: unmatched events drop.
     */
-  def asofLastOrder(events: DataFrame, orders: DataFrame): DataFrame = {
+  def asofLastOrder(
+      events: DataFrame, orders: DataFrame, bucketed: Boolean = false): DataFrame = {
     // events.ts is TIMESTAMP_LTZ (nanos→micros ingestion); o_orderdate
     // reads back as TIMESTAMP_NTZ. Align the time axis explicitly —
     // identity under the UTC session tz — so the union in asofJoin
@@ -134,9 +225,16 @@ object EventOps {
     val r = orders
       .groupBy(col("o_custkey"), col("o_orderdate").cast("timestamp_ltz").as("o_orderdate"))
       .agg(max("o_orderkey").as("o_orderkey"))
-    asofJoin(
-      events.select("event_id", "user_id", "ts", "event_type"), "user_id", "ts",
-      r, "o_custkey", "o_orderdate", Seq("o_orderkey"))
+    val l = events.select("event_id", "user_id", "ts", "event_type")
+    val joined =
+      if (bucketed)
+        // ~90-day buckets: order dates span years, events months — a
+        // hot user splits across buckets without drowning in carries
+        asofJoinBucketed(l, "user_id", "ts", r, "o_custkey", "o_orderdate",
+          Seq("o_orderkey"), bucketUs = 90L * 86400L * 1000000L)
+      else
+        asofJoin(l, "user_id", "ts", r, "o_custkey", "o_orderdate", Seq("o_orderkey"))
+    joined
       .filter(col("o_orderkey").isNotNull)
       .select("event_id", "user_id", "event_type", "o_orderkey")
       .orderBy("event_id")

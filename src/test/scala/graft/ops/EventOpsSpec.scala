@@ -77,6 +77,69 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(Row("a", "b", 1L), Row("b", "c", 1L)))
   }
 
+  test("asofJoinBucketed: identical output to the window form, incl. carry across empty buckets") {
+    // long times (non-timestamp path), tiny buckets (width 100) so the
+    // fixture spans many buckets; key 1's right at t=5 must carry
+    // through 3 EMPTY buckets to the left at t=405; equal-time and
+    // no-right-yet cases ride along
+    val left = Seq(
+      (1L, 5L, "a"), (1L, 95L, "b"), (1L, 405L, "c"), (1L, 500L, "d"),
+      (2L, 50L, "e"), (3L, 10L, "f")
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 5L, 100L), (1L, 500L, 200L),
+      (2L, 60L, 300L), (3L, 1L, 400L)
+    ).toDF("rk", "rt", "payload")
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.orderBy("tag").select("tag", "payload").collect().toSeq
+    val win = run(EventOps.asofJoin(left, "k", "t", right, "rk", "rt", Seq("payload")))
+    val buck = run(EventOps.asofJoinBucketed(
+      left, "k", "t", right, "rk", "rt", Seq("payload"), bucketUs = 100L))
+    assert(buck == win)
+    assert(win == Seq(
+      Row("a", 100L), Row("b", 100L), Row("c", 100L), Row("d", 200L),
+      Row("e", null), Row("f", 400L)))
+  }
+
+  test("asofJoinBucketed: a single hot key spreads across >1 window partition") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // ONE key, 400 left rows over 40 buckets — the window form would
+    // serialize all of it into one task
+    val left = (1L to 400L).map(i => (7L, i * 10L, i)).toDF("k", "t", "n")
+    val right = (1L to 40L).map(i => (7L, i * 100L, i * 1000L)).toDF("rk", "rt", "payload")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = EventOps.asofJoinBucketed(
+        left, "k", "t", right, "rk", "rt", Seq("payload"), bucketUs = 100L)
+      // the MAIN pass partitions by (key, bucket) — 2-expression spec —
+      // so the hot key's rows hash to many tasks, not one
+      val mainWins = out.queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.size == 2 => w
+      }
+      assert(mainWins.nonEmpty,
+        s"expected a (key, bucket)-partitioned window:\n${out.queryExecution.executedPlan}")
+      // and the values still match the serial window form exactly
+      // left rows before the first right row carry a null payload
+      def toMap(rows: Array[Row]) =
+        rows.map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      val win = toMap(EventOps.asofJoin(left, "k", "t", right, "rk", "rt", Seq("payload"))
+        .select("n", "payload").collect())
+      val buck = toMap(out.select("n", "payload").collect())
+      assert(buck == win)
+      // sanity on semantics: left at t=1000 sees right at 1000 (>=)
+      assert(buck(100L) == 10000L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("asofLastOrder: bucketed and window paths agree on real tables") {
+    val dir = "/root/testdata/sf0.001"
+    val t = graft.core.Tables.load(spark, dir)
+    val a = EventOps.asofLastOrder(t.events, t.orders).collect().toSeq
+    val b = EventOps.asofLastOrder(t.events, t.orders, bucketed = true).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("hourlyStats buckets by hour as epoch micros") {
     val events = Seq(
       (1L, "click", ts("2026-01-01 10:15:00"), 1.5),
