@@ -34,7 +34,13 @@ object Bench {
     try spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-time subset: comma-separated name substrings (driver sets
+    // no filter → full run)
+    val only: String => Boolean = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(pats) => val ps = pats.split(","); n => ps.exists(n.contains)
+      case None => _ => true
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).filter(q => only(q._1)).map { case (name, fn) =>
       val times = Seq.newBuilder[Double]
       var ok = true
       var r = 0

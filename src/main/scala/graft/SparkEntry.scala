@@ -205,6 +205,14 @@ object SparkEntry {
       val newShard = t.documents.filter(col("doc_id") % 5 === 0)
       val history = t.documents.filter(col("doc_id") % 5 =!= 0)
       Dedup.incrementalMinhashPairs(newShard, Dedup.minhashIndexFrames(history)) }),
+    // incremental EXACT dedup on the same old/new split: the shard's
+    // canonical ids resolve against a (fp, canonical) index without
+    // rescanning history documents
+    "t66_incremental_exact" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      val newShard = t.documents.filter(col("doc_id") % 5 === 0)
+      val history = t.documents.filter(col("doc_id") % 5 =!= 0)
+      Dedup.incrementalExactDedup(newShard, Dedup.exactDedupIndex(history)) }),
     // multimodal metadata plane under the gate (first oracle coverage
     // for the family): resize targets and frame-sampling plans are
     // pure integer/sequence math over the shared media fixture — the
@@ -429,6 +437,17 @@ object SparkEntry {
         |c AS (SELECT fp, min(doc_id) AS canonical_id FROM fp GROUP BY 1)
         |SELECT f.doc_id, c.canonical_id, f.doc_id <> c.canonical_id AS is_dup
         |FROM fp f JOIN c ON f.fp = c.fp ORDER BY f.doc_id""".stripMargin,
+    // incremental-exact twin: the full recompute restricted to new
+    // rows — the global min per fingerprint decomposes into
+    // least(indexed canonical, shard minimum), so both forms agree
+    "t66_incremental_exact" ->
+      """WITH fp AS (SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |c AS (SELECT fp, min(doc_id) AS canonical_id FROM fp GROUP BY 1)
+        |SELECT f.doc_id, c.canonical_id, f.doc_id <> c.canonical_id AS is_dup
+        |FROM fp f JOIN c ON f.fp = c.fp WHERE f.doc_id % 5 = 0
+        |ORDER BY f.doc_id""".stripMargin,
     "t24_jaccard_pairs" ->
       s"""WITH w AS (SELECT DISTINCT doc_id, tok FROM
          |  (SELECT doc_id, unnest($toks) AS tok FROM documents)),

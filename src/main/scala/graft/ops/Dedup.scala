@@ -517,6 +517,42 @@ object Dedup {
     labels
   }
 
+  /** Exact-dedup fingerprint index: (fp, canonical_id) per DISTINCT
+    * fingerprint in the ingested corpus — the aggregated form, so the
+    * index is |distinct texts|, not |corpus|. Persist bucketed by fp
+    * (LakeWriter.writeBucketed) and the daily probe joins history
+    * without shuffling it. The index must stay UNIQUE per fp — when
+    * appending a shard, anti-join its frame against the existing
+    * index first (an already-indexed fp keeps its older, smaller
+    * canonical; a duplicate row would fan out the probe join).
+    */
+  def exactDedupIndex(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .groupBy("fp").agg(min("doc_id").as("canonical_id"))
+
+  /** [[exactDedup]] for a NEW shard against an indexed history:
+    * output is exactly `exactDedup(old ∪ new)` RESTRICTED to the new
+    * shard's rows — canonical = min doc_id over history and shard —
+    * without ever rescanning history documents. The global minimum
+    * decomposes: least(indexed canonical, shard-local minimum), with
+    * either side absent handled by coalesce. Contract: new doc_ids
+    * are disjoint from indexed doc_ids.
+    */
+  def incrementalExactDedup(newDocs: DataFrame, index: DataFrame): DataFrame = {
+    val fp = newDocs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+    val localMin = fp.groupBy("fp").agg(min("doc_id").as("new_min"))
+    val canon = localMin
+      .join(index.select(col("fp"), col("canonical_id").as("old_min")), Seq("fp"), "left")
+      .select(col("fp"),
+        least(coalesce(col("old_min"), col("new_min")),
+          col("new_min")).as("canonical_id"))
+    fp.join(canon, "fp")
+      .select(
+        col("doc_id"), col("canonical_id"),
+        (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   /** Persisted MinHash index over an already-ingested corpus — the
     * substrate of INCREMENTAL dedup. Two frames:
     *
@@ -648,16 +684,27 @@ object Dedup {
     */
   def containmentReport(
       documents: DataFrame, n: Int = 3,
-      mod: Long = 20, dfCap: Long = 150): DataFrame = {
+      mod: Long = 20, dfCap: Long = 150): DataFrame =
+    containmentReportWhere(documents, col("doc_id") % mod === 0, n, dfCap)
+
+  /** [[containmentReport]] with an arbitrary holdout predicate — the
+    * mod-slice default is fixture-bound; a real decontamination run
+    * marks its eval set by source, id list, or date (`isTest` is any
+    * Column over the document row).
+    */
+  def containmentReportWhere(
+      documents: DataFrame, isTest: Column,
+      n: Int = 3, dfCap: Long = 150): DataFrame = {
     val sh = documents
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
-      .select(col("doc_id"), explode(TextOps.shinglesFromTokens(col("tk"), n)).as("s"))
+      .select(col("doc_id"), isTest.as("_is_test"), TextOps.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("_is_test"),
+        explode(TextOps.shinglesFromTokens(col("tk"), n)).as("s"))
     // shingles are distinct per doc, so count(*) per shingle == doc freq
     val keep = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("s")
     val kept = sh.join(keep, "s")
-    val test = kept.filter(col("doc_id") % mod === 0)
-    val train = kept.filter(col("doc_id") % mod =!= 0)
+    val test = kept.filter(col("_is_test"))
+    val train = kept.filter(!col("_is_test"))
     val testN = test.groupBy("doc_id").agg(count(lit(1)).as("tn"))
     val inter = test.select(col("doc_id").as("test_id"), col("s"))
       .join(train.select(col("doc_id").as("train_id"), col("s")), "s")

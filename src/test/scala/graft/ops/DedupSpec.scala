@@ -127,4 +127,20 @@ class DedupSpec extends AnyFunSuite {
     assert(out(0).getLong(1) == 1L)      // its containing train doc
     assert(out(0).getDouble(2) == 1.0)   // every test shingle present
   }
+
+  test("containmentReportWhere takes an arbitrary holdout predicate") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // holdout marked by SOURCE, not id arithmetic — doc 7 (eval) is
+    // embedded in train doc 8; the mod-20 rule would call NEITHER a
+    // test doc
+    val docs = Seq(
+      (7L, "eval", "alpha beta gamma delta"),
+      (8L, "web", "prefix alpha beta gamma delta suffix words here"),
+      (9L, "web", "totally different content with other words going on")
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.containmentReportWhere(docs, col("source") === "eval").collect()
+    assert(out.length == 1)
+    assert((out(0).getLong(0), out(0).getLong(1), out(0).getDouble(2)) == ((7L, 8L, 1.0)))
+  }
 }

@@ -70,6 +70,23 @@ class IncrementalDedupSpec extends AnyFunSuite {
       case e: ShuffleExchangeExec if scansOf(e, table).nonEmpty => e
     }
 
+  /** No shuffle BETWEEN the table's scan and its first join ancestor —
+    * the bucket-local-probe claim. (Shuffles of the small RESULT
+    * downstream of the join, e.g. a final orderBy, are fine.)
+    */
+  private def probeIsBucketLocal(plan: SparkPlan, table: String): Boolean = {
+    def path(p: SparkPlan): Option[List[SparkPlan]] = p match {
+      case f: FileSourceScanExec if f.tableIdentifier.exists(_.table == table) =>
+        Some(List(p))
+      case _ => p.children.iterator.flatMap(c => path(c)).nextOption().map(p :: _)
+    }
+    path(plan).exists { nodes =>
+      nodes.reverse // scan .. root
+        .takeWhile(!_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+        .forall(!_.isInstanceOf[ShuffleExchangeExec])
+    }
+  }
+
   private def withStaticPlans[A](body: => A): A = {
     // AQE re-plans at runtime and hides the join subtree inside query
     // stages; broadcast would sidestep the bucket join entirely. Both
@@ -125,6 +142,50 @@ class IncrementalDedupSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS mhidx2_bands")
       spark.sql("DROP TABLE IF EXISTS mhidx2_toks")
     }
+  }
+
+  test("incrementalExactDedup == full exactDedup restricted to the new shard") {
+    val inc = Dedup.incrementalExactDedup(newShard, Dedup.exactDedupIndex(history))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val newIds = Set(10L, 15L, 20L)
+    val full = Dedup.exactDedup(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .filter(t => newIds(t._1)).toSet
+    assert(inc == full)
+    // the canonical for new doc 10 is OLD doc 3 — history resolution,
+    // not shard-local; 15 stays canonical for the new-new pair
+    assert(inc == Set((10L, 3L, true), (15L, 15L, false), (20L, 15L, true)))
+  }
+
+  test("exact fingerprint index: bucketed probe is exchange-free and append-mode grows it") {
+    val root = Files.createTempDirectory("fpidx").toString
+    new LakeWriter(root).writeBucketed(
+      Dedup.exactDedupIndex(history), "fpidx", buckets = 4, bucketCols = Seq("fp"))
+    try {
+      withStaticPlans {
+        val idx = spark.table("fpidx")
+        val probe = Dedup.incrementalExactDedup(newShard, idx)
+        val plan = probe.queryExecution.executedPlan
+        assert(scansOf(plan, "fpidx").size == 1)
+        assert(probeIsBucketLocal(plan, "fpidx"),
+          s"fingerprint history must join bucket-locally:\n$plan")
+        assert(probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          == Set((10L, 3L), (15L, 15L), (20L, 15L)))
+      }
+      // the daily loop: append today's NOVEL fingerprints (anti-join —
+      // an fp already indexed keeps its older canonical), tomorrow
+      // sees the shard as history
+      val novel = Dedup.exactDedupIndex(newShard)
+        .join(spark.table("fpidx"), Seq("fp"), "left_anti")
+      new LakeWriter(root, mode = "append").writeBucketed(
+        novel, "fpidx", buckets = 4, bucketCols = Seq("fp"))
+      val grown = spark.table("fpidx")
+      // one row per distinct text across both shards, min ids kept
+      assert(grown.count() == Dedup.exactDedupIndex(corpus).count())
+      assert(grown.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        == Dedup.exactDedupIndex(corpus).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toMap)
+    } finally spark.sql("DROP TABLE IF EXISTS fpidx")
   }
 
   test("end-to-end over a persisted index matches the in-memory path") {
