@@ -213,6 +213,17 @@ object SparkEntry {
       val newShard = t.documents.filter(col("doc_id") % 5 === 0)
       val history = t.documents.filter(col("doc_id") % 5 =!= 0)
       Dedup.incrementalExactDedup(newShard, Dedup.exactDedupIndex(history)) }),
+    // PII redaction; the fixture corpus carries no PII, so docs
+    // doc_id ≡ 0 (mod 7) gain a deterministic planted email/phone/IP
+    // tail (s38 precedent) — the gate checks real redactions
+    "t67_pii_redact" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions._
+      val planted = t.documents.withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"),
+          lit(" reach user"), col("doc_id").cast("string"),
+          lit("@mail.example or 555-867-5309 from 10.0.0."),
+          (col("doc_id") % 250).cast("string"))).otherwise(col("text")))
+      TextOps.redactPii(planted) }),
     // multimodal metadata plane under the gate (first oracle coverage
     // for the family): resize targets and frame-sampling plans are
     // pure integer/sequence math over the shared media fixture — the
@@ -448,6 +459,24 @@ object SparkEntry {
         |SELECT f.doc_id, c.canonical_id, f.doc_id <> c.canonical_id AS is_dup
         |FROM fp f JOIN c ON f.fp = c.fp WHERE f.doc_id % 5 = 0
         |ORDER BY f.doc_id""".stripMargin,
+    // PII twin: identical planted tail, identical pattern constants
+    // (interpolated from TextOps — single source of truth), identical
+    // email→phone→IP order with counts on the text as redacted so far
+    "t67_pii_redact" ->
+      s"""WITH p AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 7 = 0 THEN text || ' reach user' || doc_id ||
+         |    '@mail.example or 555-867-5309 from 10.0.0.' || (doc_id % 250)
+         |  ELSE text END AS text FROM documents),
+         |e AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails,
+         |  regexp_replace(text, '${TextOps.EmailRe}', '[EMAIL]', 'g') AS t1 FROM p),
+         |ph AS (SELECT doc_id, n_emails,
+         |  CAST(len(regexp_extract_all(t1, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  regexp_replace(t1, '${TextOps.PhoneRe}', '[PHONE]', 'g') AS t2 FROM e)
+         |SELECT doc_id, n_emails, n_phones,
+         |  CAST(len(regexp_extract_all(t2, '${TextOps.Ipv4Re}')) AS BIGINT) AS n_ips,
+         |  regexp_replace(t2, '${TextOps.Ipv4Re}', '[IP]', 'g') AS redacted
+         |FROM ph ORDER BY doc_id""".stripMargin,
     "t24_jaccard_pairs" ->
       s"""WITH w AS (SELECT DISTINCT doc_id, tok FROM
          |  (SELECT doc_id, unnest($toks) AS tok FROM documents)),

@@ -301,6 +301,39 @@ object TextOps {
   }
 
   /** Content fingerprint + coarse length bucket per document. */
+  /** PII patterns — restricted to the regex subset where Java
+    * (Spark) and RE2 (DuckDB) agree exactly: character classes,
+    * bounded quantifiers, grouping. No lookaround, no backrefs, no
+    * \b (RE2's is ASCII-only and Java's isn't — a corpus with
+    * non-ASCII word chars would diverge).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** PII redaction — the scrub every shipped training corpus runs:
+    * emails, phone-shaped numbers, IPv4 literals replaced by typed
+    * placeholders, with per-type counts for audit. Order is part of
+    * the contract (email → phone → IP, counts taken on the text AS
+    * REDACTED SO FAR) because the pattern domains overlap: a
+    * dot-separated phone is also a 4-octet digit run, so phone must
+    * claim it before the IP pass sees it. Pure codegen'd Columns —
+    * three regex passes, one narrow stage, no shuffle.
+    */
+  def redactPii(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("text"))
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("_t1", regexp_replace(col("text"), EmailRe, "[EMAIL]"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("_t1"), lit(PhoneRe), lit(0))).cast("long"))
+      .withColumn("_t2", regexp_replace(col("_t1"), PhoneRe, "[PHONE]"))
+      .withColumn("n_ips",
+        size(regexp_extract_all(col("_t2"), lit(Ipv4Re), lit(0))).cast("long"))
+      .withColumn("redacted", regexp_replace(col("_t2"), Ipv4Re, "[IP]"))
+      .select("doc_id", "n_emails", "n_phones", "n_ips", "redacted")
+      .orderBy("doc_id")
+
   def fingerprints(documents: DataFrame): DataFrame =
     documents
       .select(

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery}
 
 import graft.ops.Exact
 
@@ -114,6 +114,62 @@ object EventStream {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
+
+  /** Streaming exact dedup against the PERSISTED fingerprint index —
+    * the ingest side of the incremental-dedup family.
+    * [[dedupedEvents]] bounds re-delivery state to the watermark
+    * horizon; only the index catches a duplicate of something
+    * ingested LAST MONTH. Per micro-batch (foreachBatch — the batch
+    * engine runs inside the stream, so the whole batch dedup family
+    * applies unchanged):
+    *
+    *  1. fingerprint the batch, keep the min-doc_id row per fp
+    *     (batch-internal dup collapse),
+    *  2. anti-join the bucketed index (`Dedup.exactDedupIndex`
+    *     substrate — history never shuffles),
+    *  3. `emit` the survivors to the caller's sink,
+    *  4. append the novel (fp, canonical_id) rows to the index,
+    *     bucketed by fp — the same anti-join-append contract as the
+    *     daily batch loop.
+    *
+    * Delivery is at-least-once: a crash between emit and append
+    * re-emits that batch's docs on replay (the re-appended fps
+    * anti-join away, so the INDEX stays consistent regardless).
+    * Nothing driver-resident grows with history — all dedup state
+    * lives in the bucketed table.
+    */
+  def globalDedupStream(
+      docs: DataFrame, indexName: String, indexRoot: String,
+      buckets: Int = 32, checkpoint: Option[String] = None,
+      availableNow: Boolean = false)(
+      emit: (DataFrame, Long) => Unit): StreamingQuery = {
+    val writer = docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      val spark = batch.sparkSession
+      val fp = batch.withColumn("fp", graft.ops.TextOps.fingerprint(col("text")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("fp").orderBy("doc_id")
+      val first = fp.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+      val exists = spark.catalog.tableExists(indexName)
+      val novel =
+        if (exists) first.join(spark.table(indexName), Seq("fp"), "left_anti")
+        else first
+      // two consumers (emit + index append) — evaluate once
+      val cached = novel.persist()
+      try {
+        emit(cached.drop("fp"), batchId)
+        new graft.sinks.LakeWriter(indexRoot, mode = if (exists) "append" else "overwrite")
+          .writeBucketed(
+            cached.select(col("fp"), col("doc_id").as("canonical_id")),
+            indexName, buckets, Seq("fp"))
+      } finally { cached.unpersist(); () }
+    }
+    val trig =
+      if (availableNow)
+        writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      else writer
+    checkpoint.fold(trig)(trig.option("checkpointLocation", _)).start()
+  }
 
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)

@@ -135,4 +135,19 @@ class TextOpsSpec extends AnyFunSuite {
       Row("books", 1L, 1.0, 1L),
       Row("web", 5L, 2.5, 2L)))
   }
+
+  test("redactPii: email, phone, IP in order; dotted phones never count as IPs") {
+    val docs = Seq(
+      (1L, "mail a.b@x.io and c@y.org, call 555-123-4567, host 10.0.0.1"),
+      (2L, "dotted phone 555.123.4567 is claimed before the IP pass"),
+      (3L, "clean text, no secrets")).toDF("doc_id", "text")
+    val out = TextOps.redactPii(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((2L, 1L, 1L,
+      "mail [EMAIL] and [EMAIL], call [PHONE], host [IP]")))
+    // the 4-octet-shaped dotted phone is redacted as a PHONE: zero IPs
+    assert(out(2L) == ((0L, 1L, 0L,
+      "dotted phone [PHONE] is claimed before the IP pass")))
+    assert(out(3L) == ((0L, 0L, 0L, "clean text, no secrets")))
+  }
 }

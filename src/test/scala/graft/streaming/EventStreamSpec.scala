@@ -123,4 +123,37 @@ class EventStreamSpec extends AnyFunSuite {
     assert(last(0) == Row(1L, 3L, 12.0))
     assert(last(1) == Row(2L, 2L, 14.0))
   }
+
+  test("globalDedupStream: fp-index dedup across micro-batches AND restarts") {
+    val in = Files.createTempDirectory("gds_in").toString
+    val cp = Files.createTempDirectory("gds_cp").toString
+    val idxRoot = Files.createTempDirectory("gds_idx").toString
+    val emitted = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    def run(tag: Int): Unit = {
+      val docs = spark.readStream.schema("doc_id LONG, text STRING").parquet(in)
+      val q = EventStream.globalDedupStream(
+        docs, "gds_idx", idxRoot, buckets = 4,
+        checkpoint = Some(cp), availableNow = true) { (out, _) =>
+        emitted ++= out.select("doc_id").collect().map(r => tag -> r.getLong(0))
+      }
+      q.awaitTermination()
+    }
+    try {
+      // run 1: in-batch dup (2 of 1) collapses; 1 and 3 survive
+      Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma delta"))
+        .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+      run(1)
+      assert(emitted.filter(_._1 == 1).map(_._2).sorted == Seq(1L, 3L))
+      // run 2 (a RESTART — fresh query, same checkpoint + index):
+      // 4 duplicates run 1's history and must be caught by the INDEX,
+      // which no watermark-horizon dedup could do; 5 is novel
+      Seq((4L, "alpha beta"), (5L, "epsilon zeta"))
+        .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+      run(2)
+      assert(emitted.filter(_._1 == 2).map(_._2).sorted == Seq(5L))
+      // the index holds one row per distinct text, min doc_id kept
+      assert(spark.table("gds_idx").collect()
+        .map(r => r.getLong(1)).sorted.toSeq == Seq(1L, 3L, 5L))
+    } finally spark.sql("DROP TABLE IF EXISTS gds_idx")
+  }
 }
