@@ -277,6 +277,16 @@ object SparkEntry {
     // through the same LSH machinery.
     "s38_neardup_planted" -> ((s, d) => { val t = Tables.load(s, d)
       Similarity.embeddingNearDup(Similarity.plantNearDups(t.embeddings)) }),
+    // incremental near-dup: the planted copies arrive as the NEW
+    // batch and probe a sign-sketch index of the originals — the
+    // vector-side t63. Twin = s38's full recompute restricted to
+    // pairs with a planted side (all planted ids are ≥ 1e6).
+    "s39_neardup_incremental" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      val planted = Similarity.plantNearDups(t.embeddings)
+        .filter(col("vec_id") >= 1000000L)
+      Similarity.incrementalEmbeddingNearDup(
+        planted, Similarity.embeddingIndexFrames(t.embeddings)) }),
     "s33_ann_lsh" -> ((s, d) => { val t = Tables.load(s, d)
       Similarity.annLsh(t.embeddings) }),
     "s34_knn_classify" -> ((s, d) => { val t = Tables.load(s, d)
@@ -1019,6 +1029,36 @@ object SparkEntry {
          |cand AS (SELECT DISTINCT p.vec_id AS vec_a, k.vec_id AS vec_b
          |  FROM probes p JOIN keys k
          |  ON p.band = k.band AND p.pkey = k.bkey AND p.vec_id < k.vec_id),
+         |nr AS (SELECT vec_id, $sqlNorm AS nrm FROM e),
+         |d AS (SELECT c.vec_a, c.vec_b, ${sqlDot("a", "b")} AS dp
+         |  FROM cand c JOIN e a ON a.vec_id = c.vec_a JOIN e b ON b.vec_id = c.vec_b),
+         |r AS (SELECT vec_a, vec_b,
+         |  floor(dp/(na.nrm*nb.nrm)*1000000.0+0.5)/1000000.0 AS cos
+         |  FROM d JOIN nr na ON na.vec_id = vec_a JOIN nr nb ON nb.vec_id = vec_b)
+         |SELECT vec_a, vec_b, cos FROM r WHERE cos >= 0.9 ORDER BY vec_a, vec_b""".stripMargin,
+    // s39 twin: s38's pipeline with candidacy restricted to pairs
+    // with a planted side (vec_b ≥ 1e6 — planted ids are offset past
+    // every original, and vec_a < vec_b, so this is exactly "≥1 new
+    // side"). Equal to the incremental probe by construction.
+    "s39_neardup_incremental" ->
+      s"""WITH u AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS vec_id,
+         |    list_transform(range(1,65),
+         |      i -> CASE WHEN i = 64 THEN -embedding[i] ELSE embedding[i] END) AS embedding
+         |  FROM embeddings WHERE vec_id % 10 = 0),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM u),
+         |x AS (SELECT vec_id, i, v[i] AS val FROM e, (SELECT unnest(range(1,65)) AS i)),
+         |keys AS (SELECT vec_id, CAST((i-1)//16 AS INT) AS band,
+         |  sum(CASE WHEN val > 0 THEN 1::BIGINT << ((i-1)%16) ELSE 0::BIGINT END) AS bkey
+         |  FROM x GROUP BY 1,2),
+         |probes AS (SELECT vec_id, band, xor(bkey, pm.m) AS pkey
+         |  FROM keys CROSS JOIN (SELECT unnest([${Similarity.probeMasks(16).mkString(",")}]) AS m) pm),
+         |cand AS (SELECT DISTINCT p.vec_id AS vec_a, k.vec_id AS vec_b
+         |  FROM probes p JOIN keys k
+         |  ON p.band = k.band AND p.pkey = k.bkey AND p.vec_id < k.vec_id
+         |  WHERE k.vec_id >= 1000000),
          |nr AS (SELECT vec_id, $sqlNorm AS nrm FROM e),
          |d AS (SELECT c.vec_a, c.vec_b, ${sqlDot("a", "b")} AS dp
          |  FROM cand c JOIN e a ON a.vec_id = c.vec_a JOIN e b ON b.vec_id = c.vec_b),

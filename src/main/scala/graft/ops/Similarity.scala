@@ -6,6 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (ARRAY<FLOAT>).
   *
+  * Mid-plan persists in this module register in a scoped cache ledger
+  * ([[graft.core.GraftCaches]]); call [[releaseCaches]] after the
+  * terminal action, exactly like the Dedup family.
+  *
   * Baseline: brute-force cosine top-k — broadcast the (small) query
   * set against the corpus; one narrow pass, no shuffle until the
   * per-query top-k (TakeOrdered-style via ranking window over
@@ -24,6 +28,14 @@ import org.apache.spark.sql.functions._
   * identical to the DuckDB oracle's `::DOUBLE[]` math.
   */
 object Similarity {
+
+  private val ledger = graft.core.GraftCaches.newLedger()
+
+  /** Unpersist every frame THIS module persisted mid-plan (see the
+    * Dedup twin for the full contract). Call after the pipeline's
+    * terminal action.
+    */
+  def releaseCaches(): Unit = ledger.release()
 
   /** Σ a_i·b_i over two double arrays — the native codegen'd
     * [[graft.plans.DotProduct]] when the graft extensions are
@@ -101,23 +113,51 @@ object Similarity {
     */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.9): DataFrame = {
     val dp = dotWith(embeddings.sparkSession) _
-    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", sqrt(dp(col("v"), col("v"))))
-    def bandKey(b: Int): Column =
-      (0 until 16).map(i =>
-        when(element_at(col("v"), b * 16 + i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
-        .reduce(_ + _)
-    val banded = e.select(col("vec_id"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"), bandKey(b).as("bkey"))): _*)).as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val masks = array(probeMasks(16).map(lit): _*)
-    val probed = banded.select(col("vec_id").as("vec_a"), col("band"),
-      explode(transform(masks, m => col("bkey").bitwiseXOR(m))).as("bkey"))
+    val e = normedVecs(embeddings, dp)
+    val banded = signBands(e)
+    val probed = probeExplode(banded)
     val cand = probed
       .join(banded.select(col("vec_id").as("vec_b"), col("band"), col("bkey")), Seq("band", "bkey"))
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()
+    verifyCosPairs(cand, e, threshold, dp)
+  }
+
+  /** (vec_id, v DOUBLE[], nrm) — the verification-ready vector frame. */
+  private def normedVecs(
+      embeddings: DataFrame, dp: (Column, Column) => Column): DataFrame =
+    embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dp(col("v"), col("v"))))
+
+  /** Sign-sketch band keys (vec_id, band, bkey): 64 sign bits in
+    * 4×16-bit bands — the near-dup candidate substrate, shared by the
+    * one-shot and incremental forms.
+    */
+  private def signBands(e: DataFrame): DataFrame = {
+    def bandKey(b: Int): Column =
+      (0 until 16).map(i =>
+        when(element_at(col("v"), b * 16 + i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _)
+    e.select(col("vec_id"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), bandKey(b).as("bkey"))): _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  /** The hamming-≤2 multiprobe: each band key explodes into its 137
+    * probe masks. Probing from ONE side covers the symmetric radius
+    * (xor is an involution: a ⊕ m = b ⇔ b ⊕ m = a).
+    */
+  private def probeExplode(banded: DataFrame): DataFrame = {
+    val masks = array(probeMasks(16).map(lit): _*)
+    banded.select(col("vec_id").as("vec_a"), col("band"),
+      explode(transform(masks, m => col("bkey").bitwiseXOR(m))).as("bkey"))
+  }
+
+  /** Exact-cosine verification over candidate (vec_a, vec_b) pairs. */
+  private def verifyCosPairs(
+      cand: DataFrame, e: DataFrame, threshold: Double,
+      dp: (Column, Column) => Column): DataFrame = {
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     cand.join(a, "vec_a").join(b, "vec_b")
@@ -125,6 +165,74 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** Persisted sign-sketch index over already-embedded history —
+    * [[graft.ops.Dedup.MinhashIndex]]'s vector-side twin. `bands`
+    * bucketed by (band, bkey) makes the daily probe bucket-local;
+    * `vecs` bucketed by vec_id does the same for verification.
+    */
+  final case class EmbIndex(bands: DataFrame, vecs: DataFrame)
+
+  def embeddingIndexFrames(embeddings: DataFrame): EmbIndex = {
+    val dp = dotWith(embeddings.sparkSession) _
+    val e = normedVecs(embeddings, dp)
+    EmbIndex(signBands(e), e)
+  }
+
+  def writeEmbeddingIndex(
+      index: EmbIndex, writer: graft.sinks.LakeWriter,
+      name: String, buckets: Int = 32): Unit = {
+    writer.writeBucketed(index.bands, s"${name}_bands", buckets, Seq("band", "bkey"))
+    writer.writeBucketed(index.vecs, s"${name}_vecs", buckets, Seq("vec_id"))
+  }
+
+  def readEmbeddingIndex(spark: SparkSession, name: String): EmbIndex =
+    EmbIndex(spark.table(s"${name}_bands"), spark.table(s"${name}_vecs"))
+
+  /** Candidate pairs for the incremental embedding probe (with
+    * duplicates): new probes × indexed keys plus new probes × new
+    * keys — the indexed bands enter exactly ONE join, so old×old
+    * candidacy has no plan node that could produce it. Package-
+    * visible so the spec can plan-assert the probe in isolation.
+    */
+  private[graft] def incrementalEmbCandidates(
+      newBands: DataFrame, indexBands: DataFrame): DataFrame = {
+    val probed = probeExplode(newBands)
+    val candOld = probed
+      .join(indexBands.select(col("vec_id").as("vec_b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("vec_a") =!= col("vec_b"))
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"))
+    val candNew = probed
+      .join(newBands.select(col("vec_id").as("vec_b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+    candOld.unionByName(candNew)
+  }
+
+  /** [[embeddingNearDup]] for a NEW batch of vectors against an
+    * indexed history: output equals the full recompute restricted to
+    * pairs with ≥1 new side (same probe radius — one-sided probing
+    * covers the symmetric hamming ball — same exact-cosine verify),
+    * but old×old candidacy is unrepresentable: the index's bands
+    * enter exactly one join, probed by the new batch. Contract: new
+    * vec_ids disjoint from indexed ones.
+    */
+  def incrementalEmbeddingNearDup(
+      newVecs: DataFrame, index: EmbIndex, threshold: Double = 0.9): DataFrame = {
+    val dp = dotWith(newVecs.sparkSession) _
+    val newIdx = embeddingIndexFrames(newVecs)
+    // persisted (tracked): cand feeds the history-vecs semi-join AND
+    // the verify join — unpersisted, the probe joins would run twice
+    val cand = ledger.persist(
+      incrementalEmbCandidates(newIdx.bands, index.bands).distinct())
+    val candIds = cand
+      .select(explode(array(col("vec_a"), col("vec_b"))).as("vec_id")).distinct()
+    val oldNeeded = index.vecs.join(candIds, Seq("vec_id"), "left_semi")
+    verifyCosPairs(cand, oldNeeded.unionByName(newIdx.vecs), threshold, dp)
   }
 
   /** Derivation that makes the near-dup gate row NON-vacuous: the

@@ -42,6 +42,62 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall: found ${lsh.size} of ${brute.size}")
   }
 
+  test("incrementalEmbeddingNearDup == full recompute restricted to new-involving pairs") {
+    import org.apache.spark.sql.functions.col
+    // the dup batch (ids 100+) arrives as NEW against indexed bases
+    val newVecs = planted.filter(col("vec_id") >= 100L)
+    val history = planted.filter(col("vec_id") < 100L)
+    val inc = Similarity.incrementalEmbeddingNearDup(
+      newVecs, Similarity.embeddingIndexFrames(history), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Similarity.embeddingNearDup(planted, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => p._1 >= 100L || p._2 >= 100L).toSet
+    assert(inc == full)
+    assert(inc.nonEmpty, "the planted dups must surface through the incremental probe")
+  }
+
+  test("bucketed embedding index: bands scanned once, probe join bucket-local") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("embidx").toString
+    Similarity.writeEmbeddingIndex(
+      Similarity.embeddingIndexFrames(planted.filter(col("vec_id") < 100L)),
+      new graft.sinks.LakeWriter(root), "embidx", buckets = 4)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val idx = Similarity.readEmbeddingIndex(spark, "embidx")
+      val newBands = Similarity.embeddingIndexFrames(
+        planted.filter(col("vec_id") >= 100L)).bands
+      val cand = Similarity.incrementalEmbCandidates(newBands, idx.bands)
+      val plan = cand.queryExecution.executedPlan
+      val scans = plan.collect {
+        case f: FileSourceScanExec if f.tableIdentifier.exists(_.table == "embidx_bands") => f
+      }
+      assert(scans.size == 1, s"indexed bands must feed exactly one join:\n$plan")
+      val shuffled = plan.collect {
+        case e: ShuffleExchangeExec if e.collect {
+          case f: FileSourceScanExec if f.tableIdentifier.exists(_.table == "embidx_bands") => f
+        }.nonEmpty => e
+      }
+      assert(shuffled.isEmpty, s"indexed bands must join bucket-locally:\n$plan")
+      // and the full path over the persisted index still answers
+      val out = Similarity.incrementalEmbeddingNearDup(
+        planted.filter(col("vec_id") >= 100L), idx, threshold = 0.9)
+      assert(out.collect().nonEmpty)
+      Similarity.releaseCaches()
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+      spark.sql("DROP TABLE IF EXISTS embidx_bands")
+      spark.sql("DROP TABLE IF EXISTS embidx_vecs")
+    }
+  }
+
   test("cosineTopK matches brute-force ranking on the planted corpus") {
     val top = Similarity.cosineTopK(planted, nQueries = 5, k = 3).collect()
     assert(top.length == 15)
