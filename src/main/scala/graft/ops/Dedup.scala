@@ -580,7 +580,12 @@ object Dedup {
   def minhashIndexFrames(documents: DataFrame, k: Int = 16, bands: Int = 4): MinhashIndex = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
-    val toks = docTokens(documents).filter(col("n") > 0)
+    // persisted (tracked): bands and toks BOTH read this frame — and
+    // in the in-query shape (gate t63; index build before a write)
+    // the verify union does too. Unpersisted, the tokenize+md5
+    // subtree ran once per consumer (plan-audited: 4 scans of the
+    // corpus in one incremental query).
+    val toks = persistTracked(docTokens(documents).filter(col("n") > 0))
     val sigs = sigsFrom(toks, k)
     val bandCols = (0 until bands).map { b =>
       md5(concat_ws(",",
@@ -633,14 +638,17 @@ object Dedup {
       newDocs: DataFrame, index: MinhashIndex,
       threshold: Double = 0.5, k: Int = 16, bands: Int = 4): DataFrame = {
     val newIdx = minhashIndexFrames(newDocs, k, bands)
-    // persisted (tracked): the candidate frame feeds both the
-    // history-toks semi-join and the verify join — recomputing the
-    // band joins per branch would double the probe cost
-    val cand = persistTracked(incrementalCandidates(newIdx.bands, index.bands))
+    // persisted (tracked): the shard's band frame joins twice (vs
+    // index, vs itself) and the candidate frame feeds both the
+    // history-toks semi-join and the verify join — recomputing either
+    // per consumer would multiply the probe cost
+    val newBands = persistTracked(newIdx.bands)
+    val cand = persistTracked(incrementalCandidates(newBands, index.bands))
     val candIds = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
     val oldNeeded = index.toks.join(candIds, Seq("doc_id"), "left_semi")
-    val verifyToks = oldNeeded.unionByName(newIdx.toks)
+    // verifyJaccard reads its toks frame twice (exploded w + per-doc n)
+    val verifyToks = persistTracked(oldNeeded.unionByName(newIdx.toks))
     verifyJaccard(cand, verifyToks, threshold, smallVocab = false)
       .orderBy("doc_a", "doc_b")
   }

@@ -176,7 +176,9 @@ object Similarity {
 
   def embeddingIndexFrames(embeddings: DataFrame): EmbIndex = {
     val dp = dotWith(embeddings.sparkSession) _
-    val e = normedVecs(embeddings, dp)
+    // persisted (tracked): bands and vecs both read the normed frame
+    // (and in the in-query gate shape, so does verification)
+    val e = ledger.persist(normedVecs(embeddings, dp))
     EmbIndex(signBands(e), e)
   }
 
@@ -225,10 +227,12 @@ object Similarity {
       newVecs: DataFrame, index: EmbIndex, threshold: Double = 0.9): DataFrame = {
     val dp = dotWith(newVecs.sparkSession) _
     val newIdx = embeddingIndexFrames(newVecs)
-    // persisted (tracked): cand feeds the history-vecs semi-join AND
-    // the verify join — unpersisted, the probe joins would run twice
+    // persisted (tracked): the new band frame probes twice (vs index,
+    // vs itself), and cand feeds the history-vecs semi-join AND the
+    // verify join — unpersisted, each subtree would run per consumer
+    val newBands = ledger.persist(newIdx.bands)
     val cand = ledger.persist(
-      incrementalEmbCandidates(newIdx.bands, index.bands).distinct())
+      incrementalEmbCandidates(newBands, index.bands).distinct())
     val candIds = cand
       .select(explode(array(col("vec_a"), col("vec_b"))).as("vec_id")).distinct()
     val oldNeeded = index.vecs.join(candIds, Seq("vec_id"), "left_semi")
