@@ -76,11 +76,16 @@ object Bench {
     // name the statistic honestly: an even run count reports the
     // lower-middle (runs=2 → the min), which is NOT a median
     val stat = if (runs % 2 == 1) "median" else "lower-median"
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"stat":"$stat","queries":$med,"queries_min":$mins,"queries_max":$maxs,"failed":$failed,"sf":"$sfDir"}"""
+    // a filtered run must be distinguishable from (and must not
+    // clobber) the full-suite artifact the round is judged on
+    val onlyEnv = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+    val onlyField = onlyEnv.map(p => s""","only":"$p"""").getOrElse("")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"stat":"$stat"$onlyField,"queries":$med,"queries_min":$mins,"queries_max":$maxs,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // stdout capture windows truncate (~2 KB tails have eaten a whole
     // round's headline number); the artifact must also survive on disk
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (onlyEnv.isDefined) "bench_subset.json" else "bench_out.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

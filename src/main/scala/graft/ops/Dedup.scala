@@ -643,7 +643,9 @@ object Dedup {
     // history-toks semi-join and the verify join — recomputing either
     // per consumer would multiply the probe cost
     val newBands = persistTracked(newIdx.bands)
-    val cand = persistTracked(incrementalCandidates(newBands, index.bands))
+    // distinct BEFORE persist: a pair colliding in all 4 bands would
+    // otherwise cache 4 rows and fan out every downstream consumer
+    val cand = persistTracked(incrementalCandidates(newBands, index.bands).distinct())
     val candIds = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
     val oldNeeded = index.toks.join(candIds, Seq("doc_id"), "left_semi")

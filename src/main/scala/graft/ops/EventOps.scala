@@ -111,11 +111,14 @@ object EventOps {
   private def asofPrep(
       left: DataFrame, leftKey: String, leftTime: String,
       right: DataFrame, rightKey: String, rightTime: String,
-      rightPayload: Seq[String]): (DataFrame, DataFrame, Array[String]) = {
+      rightPayload: Seq[String],
+      extraReserved: Set[String] = Set.empty): (DataFrame, DataFrame, Array[String]) = {
     val lCols = left.columns
-    val reserved = Set("_k", "_t", "_side", "_b", "_tl", "_lt")
+    // only the names THIS form actually binds are reserved — the plain
+    // form must keep accepting a left column named _b
+    val reserved = Set("_k", "_t", "_side") ++ extraReserved
     require(!lCols.exists(c => reserved(c) || c.startsWith("_p_")),
-      s"left columns may not use reserved asof names (_k/_t/_side/_b/_tl/_lt/_p_*): ${lCols.mkString(",")}")
+      s"left columns may not use reserved asof names (${reserved.mkString("/")}/_p_*): ${lCols.mkString(",")}")
     val l2 = rightPayload.foldLeft(
       left.withColumn("_k", col(leftKey)).withColumn("_t", col(leftTime))
         .withColumn("_side", lit(1)))(
@@ -165,24 +168,38 @@ object EventOps {
       left: DataFrame, leftKey: String, leftTime: String,
       right: DataFrame, rightKey: String, rightTime: String,
       rightPayload: Seq[String], bucketUs: Long = 3600L * 1000000L): DataFrame = {
-    import org.apache.spark.sql.types.TimestampType
+    import org.apache.spark.sql.types.{DataType, NumericType, TimestampType}
     val (l2, r2, lCols) =
-      asofPrep(left, leftKey, leftTime, right, rightKey, rightTime, rightPayload)
-    def asLong(srcType: org.apache.spark.sql.types.DataType): Column =
-      srcType match {
-        case TimestampType => unix_micros(col("_t"))
-        case _ => col("_t").cast("long")
-      }
+      asofPrep(left, leftKey, leftTime, right, rightKey, rightTime, rightPayload,
+        extraReserved = Set("_b", "_tl", "_lt"))
+    def asLong(side: String, srcType: DataType): Column = srcType match {
+      case TimestampType => unix_micros(col("_t"))
+      case _: NumericType => col("_t").cast("long")
+      // fail loudly: a silent cast of e.g. an ISO-8601 string column
+      // yields null for every row — one (key, null) bucket and garbage
+      // output, where the plain form orders such columns fine
+      case other => throw new IllegalArgumentException(
+        s"asofJoinBucketed needs a timestamp or numeric $side time column, got $other " +
+          "— use asofJoin for other orderable types")
+    }
     // exact integer FLOOR division (long `div` truncates toward zero,
     // which mis-buckets negative times): (tl - pmod(tl, w)) / w
     def bucketOf(tl: Column): Column =
       ((tl - pmod(tl, lit(bucketUs))) / bucketUs).cast("long")
-    val l3 = l2.withColumn("_tl", asLong(left.schema(leftTime).dataType))
+    val l3 = l2.withColumn("_tl", asLong("left", left.schema(leftTime).dataType))
       .withColumn("_b", bucketOf(col("_tl")))
-    val r3 = r2.withColumn("_tl", asLong(right.schema(rightTime).dataType))
+    val r3 = r2.withColumn("_tl", asLong("right", right.schema(rightTime).dataType))
       .withColumn("_b", bucketOf(col("_tl")))
-    // (1) last right row per (key, bucket)
-    val lastAggs = rightPayload.map(c => max_by(col(s"_p_$c"), col("_tl")).as(s"_p_$c"))
+    // (1) last NON-NULL value per payload per (key, bucket) — each
+    // payload column independently, mirroring the plain form's
+    // last(ignoreNulls) exactly: a trailing null-payload right row
+    // must not eclipse an earlier non-null one (max(struct) over
+    // null-filtered rows orders by _tl first; _tl is unique per key
+    // within a bucket by the right-uniqueness contract)
+    val lastAggs = rightPayload.map { c =>
+      max(when(col(s"_p_$c").isNotNull, struct(col("_tl"), col(s"_p_$c"))))
+        .getField(s"_p_$c").as(s"_p_$c")
+    }
     val bucketLast = r3.groupBy(col("_k"), col("_b"))
       .agg(lastAggs.head, lastAggs.tail: _*)
     // (2) carry-in per left bucket: summaries shift to bucket+1, then

@@ -101,6 +101,34 @@ class EventOpsSpec extends AnyFunSuite {
       Row("e", null), Row("f", 400L)))
   }
 
+  test("asofJoinBucketed: null payloads never eclipse earlier non-null values") {
+    // bucket 0 of key 1 ends with a NULL-payload right row: the
+    // bucket summary must still carry 5 forward (per-payload last
+    // non-null, like the window form), and the all-null bucket for
+    // key 2 must reach back past itself
+    val left = Seq((1L, 150L, "a"), (2L, 350L, "b")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 10L, Some(5L)), (1L, 90L, None),
+      (2L, 10L, Some(7L)), (2L, 250L, None)
+    ).toDF("rk", "rt", "payload")
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.orderBy("tag").select("tag", "payload").collect().toSeq
+    val win = run(EventOps.asofJoin(left, "k", "t", right, "rk", "rt", Seq("payload")))
+    val buck = run(EventOps.asofJoinBucketed(
+      left, "k", "t", right, "rk", "rt", Seq("payload"), bucketUs = 100L))
+    assert(buck == win)
+    assert(win == Seq(Row("a", 5L), Row("b", 7L)))
+  }
+
+  test("asofJoinBucketed rejects non-orderable-as-long time columns loudly") {
+    val left = Seq((1L, "2026-01-01", "x")).toDF("k", "t", "tag")
+    val right = Seq((1L, "2025-12-31", 1L)).toDF("rk", "rt", "p")
+    val e = intercept[IllegalArgumentException] {
+      EventOps.asofJoinBucketed(left, "k", "t", right, "rk", "rt", Seq("p"))
+    }
+    assert(e.getMessage.contains("timestamp or numeric"))
+  }
+
   test("asofJoinBucketed: a single hot key spreads across >1 window partition") {
     import org.apache.spark.sql.execution.window.WindowExec
     // ONE key, 400 left rows over 40 buckets — the window form would
