@@ -84,6 +84,34 @@ object SparkEntry {
       s"($i, [${p.mkString(",")}])"
     }.mkString(",\n         |  ")
 
+  // s33/s40 twin: one definition, two gate rows (the serving path
+  // must produce bit-identical answers to the one-shot ANN)
+  private lazy val s33Sql: String =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nr AS (SELECT vec_id, $sqlNorm AS nrm FROM e),
+         |pl AS (SELECT * FROM (VALUES
+         |  $s33PlanesSql) AS t(i, pv)),
+         |bk AS (SELECT e.vec_id,
+         |  sum(CASE WHEN list_sum(list_transform(range(1,65), j -> e.v[j]*pl.pv[j])) > 0
+         |      THEN 1::BIGINT << pl.i ELSE 0::BIGINT END) AS bucket
+         |  FROM e CROSS JOIN pl GROUP BY 1),
+         |c AS (SELECT e.vec_id, e.v, nr.nrm, bk.bucket
+         |  FROM e JOIN nr ON nr.vec_id = e.vec_id JOIN bk ON bk.vec_id = e.vec_id
+         |  WHERE e.vec_id >= 5),
+         |q AS (SELECT e.vec_id AS query_id, e.v AS qv, nr.nrm AS qn,
+         |  xor(bk.bucket, pm.m) AS bucket
+         |  FROM e JOIN nr ON nr.vec_id = e.vec_id JOIN bk ON bk.vec_id = e.vec_id
+         |  CROSS JOIN (SELECT unnest([${(0L +: (0 until 12).map(1L << _).toSeq).mkString(",")}]) AS m) pm
+         |  WHERE e.vec_id < 5),
+         |s AS (SELECT DISTINCT query_id, c.vec_id,
+         |  floor(list_sum(list_transform(range(1,65), j -> qv[j]*c.v[j]))/(qn*c.nrm)*1000000.0+0.5)/1000000.0 AS cos
+         |  FROM q JOIN c ON q.bucket = c.bucket)
+         |SELECT query_id, rnk, vec_id, cos FROM (
+         |  SELECT query_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM s)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> ((s, d) => { val t = Tables.load(s, d)
       Relational.pricingSummary(t.lineitem) }),
@@ -289,6 +317,14 @@ object SparkEntry {
         planted, Similarity.embeddingIndexFrames(t.embeddings)) }),
     "s33_ann_lsh" -> ((s, d) => { val t = Tables.load(s, d)
       Similarity.annLsh(t.embeddings) }),
+    // the ANN SERVING path: same queries, but the corpus goes through
+    // the persisted-index shape (annIndexFrame + annLshServe) — the
+    // twin is s33's SQL because the answers must be bit-identical
+    "s40_ann_serve" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      Similarity.annLshServe(
+        t.embeddings.filter(col("vec_id") < 5),
+        Similarity.annIndexFrame(t.embeddings.filter(col("vec_id") >= 5))) }),
     "s34_knn_classify" -> ((s, d) => { val t = Tables.load(s, d)
       Similarity.knnClassify(t.embeddings) }),
     // s35 pins kmeansIters=0: the plain seed-centroid IVF, fully
@@ -1073,31 +1109,11 @@ object SparkEntry {
     // dot product against literal plane vectors — same fold both
     // engines, and the comparison `> 0` is exact, so bucket ids are
     // identical by construction.
-    "s33_ann_lsh" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |nr AS (SELECT vec_id, $sqlNorm AS nrm FROM e),
-         |pl AS (SELECT * FROM (VALUES
-         |  $s33PlanesSql) AS t(i, pv)),
-         |bk AS (SELECT e.vec_id,
-         |  sum(CASE WHEN list_sum(list_transform(range(1,65), j -> e.v[j]*pl.pv[j])) > 0
-         |      THEN 1::BIGINT << pl.i ELSE 0::BIGINT END) AS bucket
-         |  FROM e CROSS JOIN pl GROUP BY 1),
-         |c AS (SELECT e.vec_id, e.v, nr.nrm, bk.bucket
-         |  FROM e JOIN nr ON nr.vec_id = e.vec_id JOIN bk ON bk.vec_id = e.vec_id
-         |  WHERE e.vec_id >= 5),
-         |q AS (SELECT e.vec_id AS query_id, e.v AS qv, nr.nrm AS qn,
-         |  xor(bk.bucket, pm.m) AS bucket
-         |  FROM e JOIN nr ON nr.vec_id = e.vec_id JOIN bk ON bk.vec_id = e.vec_id
-         |  CROSS JOIN (SELECT unnest([${(0L +: (0 until 12).map(1L << _).toSeq).mkString(",")}]) AS m) pm
-         |  WHERE e.vec_id < 5),
-         |s AS (SELECT DISTINCT query_id, c.vec_id,
-         |  floor(list_sum(list_transform(range(1,65), j -> qv[j]*c.v[j]))/(qn*c.nrm)*1000000.0+0.5)/1000000.0 AS cos
-         |  FROM q JOIN c ON q.bucket = c.bucket)
-         |SELECT query_id, rnk, vec_id, cos FROM (
-         |  SELECT query_id, vec_id, cos,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
-         |  FROM s)
-         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "s33_ann_lsh" -> s33Sql,
+    // s40 serves the SAME queries through the persisted-index path
+    // (annIndexFrame + annLshServe) — output is identical to s33 by
+    // construction, so the twin is literally s33's SQL
+    "s40_ann_serve" -> s33Sql,
     "s34_knn_classify" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |nr AS (SELECT vec_id, $sqlNorm AS nrm FROM e),

@@ -305,18 +305,47 @@ object Similarity {
     */
   def annLsh(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5,
              bits: Int = 12, dim: Int = 64): DataFrame = {
+    val e = annIndexFrame(embeddings, bits, dim)
+    annLshServe(
+      embeddings.filter(col("vec_id") < nQueries),
+      e.filter(col("vec_id") >= nQueries), k, bits, dim)
+  }
+
+  /** The ANN serving substrate: corpus vectors with norm and LSH
+    * bucket precomputed — (vec_id, v, nrm, bucket). Persist bucketed
+    * BY `bucket` ([[writeAnnIndex]]) and every query probe joins the
+    * corpus in place; embedding a new shard appends its frame (the
+    * hyperplanes are seeded constants, so bucket ids never shift).
+    */
+  def annIndexFrame(embeddings: DataFrame, bits: Int = 12, dim: Int = 64): DataFrame = {
     val session = embeddings.sparkSession
     val dp = dotWith(session) _
-    val planes = hyperplanes(bits, dim)
-    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dp(col("v"), col("v"))))
-      .withColumn("bucket", lshBucketWith(session)(col("v"), planes))
-    val corpus = e.filter(col("vec_id") >= nQueries)
+      .withColumn("bucket", lshBucketWith(session)(col("v"), hyperplanes(bits, dim)))
+  }
+
+  def writeAnnIndex(
+      index: DataFrame, writer: graft.sinks.LakeWriter,
+      name: String, buckets: Int = 32): Unit =
+    writer.writeBucketed(index, name, buckets, Seq("bucket"))
+
+  def readAnnIndex(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** ANN k-NN SERVING: raw query vectors against a prepared (or
+    * persisted, bucket-local) index — the online half of [[annLsh]],
+    * which is now query-set-vs-rest over one in-memory frame of this
+    * same shape. Hamming-1 multiprobe on the query side only; the
+    * index side is never exploded and, when bucketed, never shuffled.
+    */
+  def annLshServe(queries: DataFrame, index: DataFrame, k: Int = 5,
+                  bits: Int = 12, dim: Int = 64): DataFrame = {
+    val dp = dotWith(queries.sparkSession) _
     val probes = array(lit(0L) +: (0 until bits).map(i => lit(1L << i)): _*)
-    val q = e.filter(col("vec_id") < nQueries)
+    val q = annIndexFrame(queries, bits, dim)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
         explode(transform(probes, m => col("bucket").bitwiseXOR(m))).as("bucket"))
-    val scored = q.join(corpus, Seq("bucket"))
+    val scored = q.join(index, Seq("bucket"))
       .withColumn("cos", Exact.quant6(dp(col("qv"), col("v")) / (col("qn") * col("nrm"))))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     scored

@@ -98,6 +98,53 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("annLshServe over a persisted bucket index == one-shot annLsh, bucket-local probe") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("annidx").toString
+    Similarity.writeAnnIndex(
+      Similarity.annIndexFrame(planted.filter(col("vec_id") >= 5L)),
+      new graft.sinks.LakeWriter(root), "annidx", buckets = 4)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val served = Similarity.annLshServe(
+        planted.filter(col("vec_id") < 5L), Similarity.readAnnIndex(spark, "annidx"))
+      // probe joins the index buckets in place: scan feeds its join
+      // with no exchange in between (downstream top-k shuffles are
+      // the query side's own)
+      val plan = served.queryExecution.executedPlan
+      val scans = plan.collect {
+        case f: FileSourceScanExec if f.tableIdentifier.exists(_.table == "annidx") => f
+      }
+      assert(scans.size == 1, s"index must feed exactly one probe join:\n$plan")
+      def pathClear(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+        def path(n: org.apache.spark.sql.execution.SparkPlan):
+            Option[List[org.apache.spark.sql.execution.SparkPlan]] = n match {
+          case f: FileSourceScanExec if f.tableIdentifier.exists(_.table == "annidx") =>
+            Some(List(n))
+          case _ => n.children.iterator.flatMap(c => path(c)).nextOption().map(n :: _)
+        }
+        path(p).exists(_.reverse
+          .takeWhile(!_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+          .forall(!_.isInstanceOf[ShuffleExchangeExec]))
+      }
+      assert(pathClear(plan), s"index scan must reach its join shuffle-free:\n$plan")
+      val oneShot = Similarity.annLsh(planted)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      val viaIndex = served
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(viaIndex.toSeq == oneShot.toSeq && oneShot.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+      spark.sql("DROP TABLE IF EXISTS annidx")
+    }
+  }
+
   test("cosineTopK matches brute-force ranking on the planted corpus") {
     val top = Similarity.cosineTopK(planted, nQueries = 5, k = 3).collect()
     assert(top.length == 15)
