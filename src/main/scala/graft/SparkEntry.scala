@@ -241,6 +241,9 @@ object SparkEntry {
       val newShard = t.documents.filter(col("doc_id") % 5 === 0)
       val history = t.documents.filter(col("doc_id") % 5 =!= 0)
       Dedup.incrementalExactDedup(newShard, Dedup.exactDedupIndex(history)) }),
+    // character-window chunk extraction (width 200, overlap 50)
+    "t68_chunk_text" -> ((s, d) => { val t = Tables.load(s, d)
+      TextOps.chunkTexts(t.documents) }),
     // PII redaction; the fixture corpus carries no PII, so docs
     // doc_id ≡ 0 (mod 7) gain a deterministic planted email/phone/IP
     // tail (s38 precedent) — the gate checks real redactions
@@ -505,6 +508,16 @@ object SparkEntry {
         |SELECT f.doc_id, c.canonical_id, f.doc_id <> c.canonical_id AS is_dup
         |FROM fp f JOIN c ON f.fp = c.fp WHERE f.doc_id % 5 = 0
         |ORDER BY f.doc_id""".stripMargin,
+    // chunk-extraction twin: identical 1-based substring arithmetic;
+    // starts are 1 + k·stride so the chunk_id division is exact
+    "t68_chunk_text" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len
+        |  FROM documents WHERE length(text) > 0),
+        |s AS (SELECT doc_id, text,
+        |  CAST(unnest(range(1, len + 1, 150)) AS INTEGER) AS start FROM d)
+        |SELECT doc_id, CAST((start - 1) // 150 AS BIGINT) AS chunk_id,
+        |  CAST(start AS BIGINT) AS start, substring(text, start, 200) AS chunk
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     // PII twin: identical planted tail, identical pattern constants
     // (interpolated from TextOps — single source of truth), identical
     // email→phone→IP order with counts on the text as redacted so far

@@ -334,6 +334,31 @@ object TextOps {
       .select("doc_id", "n_emails", "n_phones", "n_ips", "redacted")
       .orderBy("doc_id")
 
+  /** Character-window chunk EXTRACTION with overlap — the slicing op
+    * an embedding pipeline runs downstream of [[graft.ops.CorpusOps
+    * .chunkPlan]]'s sizing math: one output row per (doc, window),
+    * windows starting every `width - overlap` characters until the
+    * document is exhausted (the tail chunk is simply shorter; a
+    * substring never pads). Pure explode + substring column math —
+    * one narrow pass, chunk count per doc is ⌈len/stride⌉, and the
+    * 1-based substring semantics are identical in DuckDB, so the
+    * twin is the same arithmetic verbatim.
+    */
+  def chunkTexts(documents: DataFrame, width: Int = 200, overlap: Int = 50): DataFrame = {
+    require(width > overlap && overlap >= 0, "need width > overlap >= 0")
+    val stride = width - overlap
+    documents
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .filter(col("len") > 0)
+      .withColumn("start", explode(sequence(lit(1), col("len"), lit(stride))))
+      .select(
+        col("doc_id"),
+        (((col("start") - 1) / stride).cast("long")).as("chunk_id"),
+        col("start").cast("long").as("start"),
+        expr(s"substring(text, start, $width)").as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   def fingerprints(documents: DataFrame): DataFrame =
     documents
       .select(

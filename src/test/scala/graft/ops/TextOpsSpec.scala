@@ -136,6 +136,22 @@ class TextOpsSpec extends AnyFunSuite {
       Row("web", 5L, 2.5, 2L)))
   }
 
+  test("chunkTexts: overlapping windows, short tail, empty docs dropped") {
+    val docs = Seq(
+      (1L, "abcdefghij"), // len 10: width 4, overlap 1 -> starts 1,4,7,10
+      (2L, "xy"),         // single short chunk
+      (3L, "")            // dropped
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkTexts(docs, width = 4, overlap = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 1L, "abcd"), (1L, 1L, 4L, "defg"),
+      (1L, 2L, 7L, "ghij"), (1L, 3L, 10L, "j"),
+      (2L, 0L, 1L, "xy")))
+    // consecutive chunks overlap by exactly `overlap` characters
+    assert(out(0)._4.takeRight(1) == out(1)._4.take(1))
+  }
+
   test("redactPii: email, phone, IP in order; dotted phones never count as IPs") {
     val docs = Seq(
       (1L, "mail a.b@x.io and c@y.org, call 555-123-4567, host 10.0.0.1"),
