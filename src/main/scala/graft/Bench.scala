@@ -79,7 +79,11 @@ object Bench {
     // a filtered run must be distinguishable from (and must not
     // clobber) the full-suite artifact the round is judged on
     val onlyEnv = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-    val onlyField = onlyEnv.map(p => s""","only":"$p"""").getOrElse("")
+    // the env value is user text going into JSON — escape it
+    def jstr(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+                  case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+    val onlyField = onlyEnv.map(p => s""","only":"${jstr(p)}"""").getOrElse("")
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"stat":"$stat"$onlyField,"queries":$med,"queries_min":$mins,"queries_max":$maxs,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // stdout capture windows truncate (~2 KB tails have eaten a whole

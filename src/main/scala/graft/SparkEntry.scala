@@ -45,6 +45,7 @@ object SparkEntry {
   // affine-minhash constants shared with Dedup (same seed → same values)
   private val mhP = graft.ops.Dedup.MinhashP
   private val mhCoeffs = graft.ops.Dedup.minhashCoeffs(16)
+  private val chunkStride = TextOps.DefaultChunkWidth - TextOps.DefaultChunkOverlap
   // t64/t65 media fixture as VALUES rows, generated from the SAME Seq
   // the Spark-side frame is built from (Fixtures.mediaMeta)
   private def mediaValues: String =
@@ -508,16 +509,18 @@ object SparkEntry {
         |SELECT f.doc_id, c.canonical_id, f.doc_id <> c.canonical_id AS is_dup
         |FROM fp f JOIN c ON f.fp = c.fp WHERE f.doc_id % 5 = 0
         |ORDER BY f.doc_id""".stripMargin,
-    // chunk-extraction twin: identical 1-based substring arithmetic;
-    // starts are 1 + k·stride so the chunk_id division is exact
+    // chunk-extraction twin: identical 1-based substring arithmetic
+    // with the geometry interpolated from TextOps (single source of
+    // truth); starts are 1 + k·stride so the chunk_id division is exact
     "t68_chunk_text" ->
-      """WITH d AS (SELECT doc_id, text, length(text) AS len
-        |  FROM documents WHERE length(text) > 0),
-        |s AS (SELECT doc_id, text,
-        |  CAST(unnest(range(1, len + 1, 150)) AS INTEGER) AS start FROM d)
-        |SELECT doc_id, CAST((start - 1) // 150 AS BIGINT) AS chunk_id,
-        |  CAST(start AS BIGINT) AS start, substring(text, start, 200) AS chunk
-        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS len
+         |  FROM documents WHERE length(text) > 0),
+         |s AS (SELECT doc_id, text,
+         |  CAST(unnest(range(1, len + 1, $chunkStride)) AS INTEGER) AS start FROM d)
+         |SELECT doc_id, CAST((start - 1) // $chunkStride AS BIGINT) AS chunk_id,
+         |  CAST(start AS BIGINT) AS start,
+         |  substring(text, start, ${TextOps.DefaultChunkWidth}) AS chunk
+         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     // PII twin: identical planted tail, identical pattern constants
     // (interpolated from TextOps — single source of truth), identical
     // email→phone→IP order with counts on the text as redacted so far

@@ -277,7 +277,7 @@ object Dedup {
     */
   private def verifyJaccard(
       candDup: DataFrame, toks: DataFrame, threshold: Double,
-      smallVocab: Boolean): DataFrame = {
+      smallVocab: Boolean, alreadyDistinct: Boolean = false): DataFrame = {
     val w = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
     if (smallVocab) {
       val masks = setMasks(w, w.select("tok").distinct())
@@ -289,7 +289,9 @@ object Dedup {
         .distinct()
     } else {
       val n = toks.select(col("doc_id"), col("n"))
-      candDup.distinct()
+      // a caller that already distinct'd (e.g. before persisting the
+      // candidate cache) must not pay a second exchange+aggregate
+      (if (alreadyDistinct) candDup else candDup.distinct())
         .join(w.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(w.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b", "tok"))
         .groupBy("doc_a", "doc_b")
@@ -651,7 +653,7 @@ object Dedup {
     val oldNeeded = index.toks.join(candIds, Seq("doc_id"), "left_semi")
     // verifyJaccard reads its toks frame twice (exploded w + per-doc n)
     val verifyToks = persistTracked(oldNeeded.unionByName(newIdx.toks))
-    verifyJaccard(cand, verifyToks, threshold, smallVocab = false)
+    verifyJaccard(cand, verifyToks, threshold, smallVocab = false, alreadyDistinct = true)
       .orderBy("doc_a", "doc_b")
   }
 

@@ -168,19 +168,21 @@ object EventOps {
       left: DataFrame, leftKey: String, leftTime: String,
       right: DataFrame, rightKey: String, rightTime: String,
       rightPayload: Seq[String], bucketUs: Long = 3600L * 1000000L): DataFrame = {
-    import org.apache.spark.sql.types.{DataType, NumericType, TimestampType}
+    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, TimestampType}
     val (l2, r2, lCols) =
       asofPrep(left, leftKey, leftTime, right, rightKey, rightTime, rightPayload,
         extraReserved = Set("_b", "_tl", "_lt"))
     def asLong(side: String, srcType: DataType): Column = srcType match {
       case TimestampType => unix_micros(col("_t"))
-      case _: NumericType => col("_t").cast("long")
-      // fail loudly: a silent cast of e.g. an ISO-8601 string column
-      // yields null for every row — one (key, null) bucket and garbage
-      // output, where the plain form orders such columns fine
+      case ByteType | ShortType | IntegerType | LongType => col("_t").cast("long")
+      // fail loudly on everything else: a string column would cast to
+      // null (one garbage bucket per key), and a FRACTIONAL numeric
+      // would truncate — both silently diverging from the plain form,
+      // which orders any orderable type faithfully
       case other => throw new IllegalArgumentException(
-        s"asofJoinBucketed needs a timestamp or numeric $side time column, got $other " +
-          "— use asofJoin for other orderable types")
+        s"asofJoinBucketed needs a timestamp or integral $side time column, got $other " +
+          "— use asofJoin for other orderable types (fractional times would " +
+          "truncate and reorder equal-bucket rows)")
     }
     // exact integer FLOOR division (long `div` truncates toward zero,
     // which mis-buckets negative times): (tl - pmod(tl, w)) / w
@@ -193,12 +195,13 @@ object EventOps {
     // (1) last NON-NULL value per payload per (key, bucket) — each
     // payload column independently, mirroring the plain form's
     // last(ignoreNulls) exactly: a trailing null-payload right row
-    // must not eclipse an earlier non-null one (max(struct) over
-    // null-filtered rows orders by _tl first; _tl is unique per key
-    // within a bucket by the right-uniqueness contract)
+    // must not eclipse an earlier non-null one. max_by with the
+    // ordering key nulled out on null-payload rows skips them (rows
+    // with a null ordering key never win), and unlike a max(struct)
+    // it puts no orderability demand on the payload type itself —
+    // map-typed payloads stay legal, as in the plain form.
     val lastAggs = rightPayload.map { c =>
-      max(when(col(s"_p_$c").isNotNull, struct(col("_tl"), col(s"_p_$c"))))
-        .getField(s"_p_$c").as(s"_p_$c")
+      max_by(col(s"_p_$c"), when(col(s"_p_$c").isNotNull, col("_tl"))).as(s"_p_$c")
     }
     val bucketLast = r3.groupBy(col("_k"), col("_b"))
       .agg(lastAggs.head, lastAggs.tail: _*)

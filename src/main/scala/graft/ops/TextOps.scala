@@ -344,7 +344,15 @@ object TextOps {
     * 1-based substring semantics are identical in DuckDB, so the
     * twin is the same arithmetic verbatim.
     */
-  def chunkTexts(documents: DataFrame, width: Int = 200, overlap: Int = 50): DataFrame = {
+  /** Default chunk geometry — public so the oracle twin interpolates
+    * the SAME constants instead of repeating literals.
+    */
+  val DefaultChunkWidth = 200
+  val DefaultChunkOverlap = 50
+
+  def chunkTexts(
+      documents: DataFrame,
+      width: Int = DefaultChunkWidth, overlap: Int = DefaultChunkOverlap): DataFrame = {
     require(width > overlap && overlap >= 0, "need width > overlap >= 0")
     val stride = width - overlap
     documents

@@ -120,13 +120,36 @@ class EventOpsSpec extends AnyFunSuite {
     assert(win == Seq(Row("a", 5L), Row("b", 7L)))
   }
 
+  test("asofJoinBucketed handles non-orderable (map) payloads like the plain form") {
+    val left = Seq((1L, 250L, "a")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 10L, Map("v" -> "keep")),
+      (1L, 90L, null.asInstanceOf[Map[String, String]])
+    ).toDF("rk", "rt", "attrs")
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.select("tag", "attrs").collect().toSeq
+    val win = run(EventOps.asofJoin(left, "k", "t", right, "rk", "rt", Seq("attrs")))
+    val buck = run(EventOps.asofJoinBucketed(
+      left, "k", "t", right, "rk", "rt", Seq("attrs"), bucketUs = 100L))
+    assert(buck == win)
+    assert(win.head.getMap[String, String](1) == Map("v" -> "keep"))
+  }
+
   test("asofJoinBucketed rejects non-orderable-as-long time columns loudly") {
     val left = Seq((1L, "2026-01-01", "x")).toDF("k", "t", "tag")
     val right = Seq((1L, "2025-12-31", 1L)).toDF("rk", "rt", "p")
     val e = intercept[IllegalArgumentException] {
       EventOps.asofJoinBucketed(left, "k", "t", right, "rk", "rt", Seq("p"))
     }
-    assert(e.getMessage.contains("timestamp or numeric"))
+    assert(e.getMessage.contains("timestamp or integral"))
+    // fractional time columns would truncate-and-reorder: also loud
+    val e2 = intercept[IllegalArgumentException] {
+      EventOps.asofJoinBucketed(
+        Seq((1L, 1.5, "x")).toDF("k", "t", "tag"),
+        "k", "t",
+        Seq((1L, 1.2, 1L)).toDF("rk", "rt", "p"), "rk", "rt", Seq("p"))
+    }
+    assert(e2.getMessage.contains("timestamp or integral"))
   }
 
   test("asofJoinBucketed: a single hot key spreads across >1 window partition") {
