@@ -85,6 +85,39 @@ object SparkEntry {
       s"($i, [${p.mkString(",")}])"
     }.mkString(",\n         |  ")
 
+  // s36/s41 twin: one definition, two gate rows (the serving path
+  // must answer bit-identically to the one-shot Lloyd-refined IVF)
+  private lazy val s36Sql: String =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nr AS (SELECT vec_id, $sqlNorm AS nrm FROM e),
+         |corpus AS (SELECT e.vec_id, e.v, nr.nrm FROM e JOIN nr ON nr.vec_id = e.vec_id
+         |  WHERE e.vec_id >= 5),
+         |cn0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM corpus ORDER BY vec_id LIMIT 16),
+         |${s36Iter("cn0", 1)},
+         |${s36Iter("cn1", 2)},
+         |qv AS (SELECT e.vec_id, e.v, nr.nrm FROM e JOIN nr ON nr.vec_id = e.vec_id
+         |  WHERE e.vec_id < 5),
+         |asg AS (SELECT vec_id, v, nrm, cid FROM (
+         |  SELECT c.vec_id, c.v, c.nrm, ct.cid,
+         |    row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY list_sum(list_transform(range(1,65), j -> c.v[j]*ct.cv[j]))/(c.nrm*ct.cn) DESC,
+         |        ct.cid) AS rn
+         |  FROM corpus c CROSS JOIN cn2 ct) WHERE rn = 1),
+         |qp AS (SELECT query_id, qvec, qn, cid FROM (
+         |  SELECT q.vec_id AS query_id, q.v AS qvec, q.nrm AS qn, ct.cid,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_sum(list_transform(range(1,65), j -> q.v[j]*ct.cv[j]))/(q.nrm*ct.cn) DESC,
+         |        ct.cid) AS rn
+         |  FROM qv q CROSS JOIN cn2 ct) WHERE rn <= 4),
+         |s AS (SELECT DISTINCT query_id, a.vec_id,
+         |  floor(list_sum(list_transform(range(1,65), j -> qvec[j]*a.v[j]))/(qn*a.nrm)*1000000.0+0.5)/1000000.0 AS cos
+         |  FROM qp JOIN asg a ON qp.cid = a.cid)
+         |SELECT query_id, rnk, vec_id, cos FROM (
+         |  SELECT query_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM s)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   // s33/s40 twin: one definition, two gate rows (the serving path
   // must produce bit-identical answers to the one-shot ANN)
   private lazy val s33Sql: String =
@@ -341,7 +374,15 @@ object SparkEntry {
     // and every downstream assignment/probe/score matches by
     // construction.
     "s36_ivf_lloyd" -> ((s, d) => { val t = Tables.load(s, d)
-      Similarity.ivfTopK(t.embeddings, kmeansIters = 2) })
+      Similarity.ivfTopK(t.embeddings, kmeansIters = 2) }),
+    // IVF SERVING: same queries through the persisted-index shape
+    // (ivfIndexFrames + ivfServe); twin = s36's SQL, the answers must
+    // be bit-identical
+    "s41_ivf_serve" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      Similarity.ivfServe(
+        t.embeddings.filter(col("vec_id") < 5),
+        Similarity.ivfIndexFrames(t.embeddings.filter(col("vec_id") >= 5))) })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1186,35 +1227,10 @@ object SparkEntry {
     // the refined centroids with the SAME order-independent quantized
     // means the Spark plan uses (Exact.meanOf6), so cell assignment,
     // probe ranking and final scores are bit-identical by construction
-    "s36_ivf_lloyd" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |nr AS (SELECT vec_id, $sqlNorm AS nrm FROM e),
-         |corpus AS (SELECT e.vec_id, e.v, nr.nrm FROM e JOIN nr ON nr.vec_id = e.vec_id
-         |  WHERE e.vec_id >= 5),
-         |cn0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM corpus ORDER BY vec_id LIMIT 16),
-         |${s36Iter("cn0", 1)},
-         |${s36Iter("cn1", 2)},
-         |qv AS (SELECT e.vec_id, e.v, nr.nrm FROM e JOIN nr ON nr.vec_id = e.vec_id
-         |  WHERE e.vec_id < 5),
-         |asg AS (SELECT vec_id, v, nrm, cid FROM (
-         |  SELECT c.vec_id, c.v, c.nrm, ct.cid,
-         |    row_number() OVER (PARTITION BY c.vec_id
-         |      ORDER BY list_sum(list_transform(range(1,65), j -> c.v[j]*ct.cv[j]))/(c.nrm*ct.cn) DESC,
-         |        ct.cid) AS rn
-         |  FROM corpus c CROSS JOIN cn2 ct) WHERE rn = 1),
-         |qp AS (SELECT query_id, qvec, qn, cid FROM (
-         |  SELECT q.vec_id AS query_id, q.v AS qvec, q.nrm AS qn, ct.cid,
-         |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY list_sum(list_transform(range(1,65), j -> q.v[j]*ct.cv[j]))/(q.nrm*ct.cn) DESC,
-         |        ct.cid) AS rn
-         |  FROM qv q CROSS JOIN cn2 ct) WHERE rn <= 4),
-         |s AS (SELECT DISTINCT query_id, a.vec_id,
-         |  floor(list_sum(list_transform(range(1,65), j -> qvec[j]*a.v[j]))/(qn*a.nrm)*1000000.0+0.5)/1000000.0 AS cos
-         |  FROM qp JOIN asg a ON qp.cid = a.cid)
-         |SELECT query_id, rnk, vec_id, cos FROM (
-         |  SELECT query_id, vec_id, cos,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
-         |  FROM s)
-         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+    "s36_ivf_lloyd" -> s36Sql,
+    // s41 serves the SAME queries through the persisted-IVF-index
+    // path (ivfIndexFrames + ivfServe) — answers must be
+    // bit-identical to the one-shot s36, so the twin is its SQL
+    "s41_ivf_serve" -> s36Sql
   )
 }

@@ -406,31 +406,71 @@ object Similarity {
     * cell-partitioned join — is what survives a 100 TB corpus.
     */
   def ivfTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5,
-              nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 2): DataFrame = {
-    val dp = dotWith(embeddings.sparkSession) _
-    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", sqrt(dp(col("v"), col("v"))))
-    val corpus = e.filter(col("vec_id") >= nQueries)
-    val seed = corpus.orderBy("vec_id").limit(nCells)
+              nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 2): DataFrame =
+    ivfServe(
+      embeddings.filter(col("vec_id") < nQueries),
+      ivfIndexFrames(embeddings.filter(col("vec_id") >= nQueries), nCells, kmeansIters),
+      k, nProbe)
+
+  /** Top-`keep` nearest centroids per vector of `side` — the shared
+    * assign step of index build (keep=1) and query probing (keep=nProbe).
+    */
+  private def nearestCellsWith(dp: (Column, Column) => Column)(
+      cents: DataFrame, side: DataFrame, keep: Int): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
+    side.crossJoin(broadcast(cents))
+      .withColumn("sim", dp(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= keep)
+      .drop("cv", "cn", "sim", "rn")
+  }
+
+  /** Persisted IVF index: the (tiny) centroid table plus the corpus
+    * with its cell assignment — persist `assigned` bucketed BY cid
+    * ([[writeIvfIndex]]) and query probes join cells in place. The
+    * seed is deterministic (first `nCells` by vec_id) and refinement
+    * is [[Exact.meanOf6]]-exact, so a rebuild reproduces the index
+    * bit-for-bit.
+    */
+  final case class IvfIndex(centroids: DataFrame, assigned: DataFrame)
+
+  def ivfIndexFrames(
+      corpus: DataFrame, nCells: Int = 16, kmeansIters: Int = 2): IvfIndex = {
+    val dp = dotWith(corpus.sparkSession) _
+    val e = normedVecs(corpus, dp)
+    val seed = e.orderBy("vec_id").limit(nCells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    // materialized once: both assign passes (corpus + queries) read
+    // materialized once: the corpus assign and every query probe read
     // the refined centroids, and the refinement subtree shouldn't
     // re-run per pass — it's |cells| rows, trivially checkpointable
     val cents =
-      if (kmeansIters == 0) seed else lloydRefine(corpus, seed, kmeansIters).localCheckpoint()
-    def nearestCells(side: DataFrame, keep: Int): DataFrame = {
-      val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
-      side.crossJoin(broadcast(cents))
-        .withColumn("sim", dp(col("v"), col("cv")) / (col("nrm") * col("cn")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= keep)
-        .drop("cv", "cn", "sim", "rn")
-    }
-    val assigned = nearestCells(corpus, 1)
-    val probes = nearestCells(e.filter(col("vec_id") < nQueries), nProbe)
+      if (kmeansIters == 0) seed else lloydRefine(e, seed, kmeansIters).localCheckpoint()
+    IvfIndex(cents, nearestCellsWith(dp)(cents, e, 1))
+  }
+
+  def writeIvfIndex(
+      index: IvfIndex, writer: graft.sinks.LakeWriter,
+      name: String, buckets: Int = 32): Unit = {
+    writer.writeBucketed(index.centroids, s"${name}_cents", 1, Seq("cid"))
+    writer.writeBucketed(index.assigned, s"${name}_assigned", buckets, Seq("cid"))
+  }
+
+  def readIvfIndex(spark: SparkSession, name: String): IvfIndex =
+    IvfIndex(spark.table(s"${name}_cents"), spark.table(s"${name}_assigned"))
+
+  /** IVF k-NN SERVING: raw query vectors against a prepared (or
+    * persisted) index — the online half of [[ivfTopK]], which is now
+    * this same code over in-memory frames. Probes broadcast the
+    * centroid table, pick `nProbe` cells, and join only those cells
+    * of the assigned corpus.
+    */
+  def ivfServe(
+      queries: DataFrame, index: IvfIndex, k: Int = 5, nProbe: Int = 4): DataFrame = {
+    val dp = dotWith(queries.sparkSession) _
+    val probes = nearestCellsWith(dp)(index.centroids, normedVecs(queries, dp), nProbe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("cid"))
     val scored = probes
-      .join(assigned, "cid")
+      .join(index.assigned, "cid")
       .withColumn("cos", Exact.quant6(dp(col("qv"), col("v")) / (col("qn") * col("nrm"))))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     scored

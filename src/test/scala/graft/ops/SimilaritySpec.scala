@@ -145,6 +145,25 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfServe over a persisted cell index == one-shot ivfTopK") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Similarity.writeIvfIndex(
+      Similarity.ivfIndexFrames(planted.filter(col("vec_id") >= 5L)),
+      new graft.sinks.LakeWriter(root), "ivfidx", buckets = 4)
+    try {
+      val served = Similarity.ivfServe(
+        planted.filter(col("vec_id") < 5L), Similarity.readIvfIndex(spark, "ivfidx"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      val oneShot = Similarity.ivfTopK(planted)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(served.toSeq == oneShot.toSeq && served.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivfidx_cents")
+      spark.sql("DROP TABLE IF EXISTS ivfidx_assigned")
+    }
+  }
+
   test("cosineTopK matches brute-force ranking on the planted corpus") {
     val top = Similarity.cosineTopK(planted, nQueries = 5, k = 3).collect()
     assert(top.length == 15)
