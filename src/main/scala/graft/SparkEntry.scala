@@ -278,6 +278,11 @@ object SparkEntry {
     // character-window chunk extraction (width 200, overlap 50)
     "t68_chunk_text" -> ((s, d) => { val t = Tables.load(s, d)
       TextOps.chunkTexts(t.documents) }),
+    // exact duplicated-substring spans (Lee et al. 2022 workflow as
+    // relational passes): >1-occurrence token 5-grams mark positions,
+    // adjacent marks merge into maximal spans
+    "t69_substring_dedup" -> ((s, d) => { val t = Tables.load(s, d)
+      Dedup.duplicatedSpans(t.documents) }),
     // PII redaction; the fixture corpus carries no PII, so docs
     // doc_id ≡ 0 (mod 7) gain a deterministic planted email/phone/IP
     // tail (s38 precedent) — the gate checks real redactions
@@ -562,6 +567,22 @@ object SparkEntry {
          |  CAST(start AS BIGINT) AS start,
          |  substring(text, start, ${TextOps.DefaultChunkWidth}) AS chunk
          |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    // duplicated-substring twin: same 5-gram unit (space-joined md5),
+    // same >1-occurrence rule, same gaps-and-islands merge
+    "t69_substring_dedup" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    md5(array_to_string(t[i:i+4], ' ')) AS gfp
+        |  FROM tk, LATERAL (SELECT unnest(range(1, len(t)-5+2)) AS i) u
+        |  WHERE len(t) >= 5),
+        |d AS (SELECT gfp FROM g GROUP BY gfp HAVING count(*) > 1),
+        |h AS (SELECT doc_id, pos FROM g JOIN d USING (gfp)),
+        |isl AS (SELECT doc_id, pos,
+        |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM h)
+        |SELECT doc_id, min(pos) AS span_start, count(*) AS n_grams,
+        |  max(pos)-min(pos)+5 AS span_tokens
+        |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
     // PII twin: identical planted tail, identical pattern constants
     // (interpolated from TextOps — single source of truth), identical
     // email→phone→IP order with counts on the text as redacted so far

@@ -751,6 +751,51 @@ object Dedup {
       .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L)).as("simhash"))
   }
 
+  /** Exact duplicated-SUBSTRING detection (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * workflow, re-expressed as relational passes instead of a suffix
+    * array): every token `k`-gram occurring more than once in the
+    * corpus marks its positions as duplicated text; adjacent marked
+    * positions per document merge into MAXIMAL spans (gaps-and-
+    * islands). Output: one row per span — (doc_id, span_start
+    * [1-based token position], n_grams, span_tokens = covered token
+    * count of the gram run).
+    *
+    * Scale shape: one narrow tokenize+shingle pass, ONE shuffle on a
+    * 16-byte gram fingerprint for the occurrence count (partial agg
+    * pushes the count map-side), a fingerprint-keyed join back (AQE
+    * may broadcast the dup-gram side — on real corpora the >1-
+    * occurrence gram dictionary is far smaller than the corpus), and
+    * a per-document window for the island merge. The corpus-sized
+    * suffix array the reference workflow builds on one machine is
+    * exactly what does NOT scale to 100 TB; gram-fingerprint shuffles
+    * do — this is the same shape the winnowing and minhash ops use.
+    */
+  def duplicatedSpans(documents: DataFrame, k: Int = 5): DataFrame = {
+    // bound token-array reference — see TextOps.shinglesFromTokens for
+    // why the tokenizer must not ride inline into the kgrams lambda
+    val grams = documents
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= k)
+      .select(col("doc_id"), posexplode(TextOps.kgrams(col("tk"), k)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        md5(col("col")).as("gfp"))
+    val dupGrams = grams.groupBy("gfp").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("gfp")
+    val hits = grams.join(dupGrams, "gfp").select("doc_id", "pos")
+    // gaps-and-islands: consecutive positions share (pos - row_number)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(
+        min("pos").as("span_start"),
+        count(lit(1)).as("n_grams"),
+        (max("pos") - min("pos") + k).as("span_tokens"))
+      .select("doc_id", "span_start", "n_grams", "span_tokens")
+      .orderBy("doc_id", "span_start")
+  }
+
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sh = simhash(documents)
     val chunked = sh.select(

@@ -27,7 +27,7 @@ object TextOps {
     * cannot silently desync the ops from their oracle twins). Callers
     * guard `size(tk) >= n` (Spark's `sequence` descends otherwise).
     */
-  private def kgrams(tk: Column, n: Int): Column =
+  private[ops] def kgrams(tk: Column, n: Int): Column =
     transform(
       sequence(lit(1), size(tk) - (n - 1)),
       i => concat_ws(" ", slice(tk, i, lit(n))))

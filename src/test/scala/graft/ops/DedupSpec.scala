@@ -143,4 +143,28 @@ class DedupSpec extends AnyFunSuite {
     assert(out.length == 1)
     assert((out(0).getLong(0), out(0).getLong(1), out(0).getDouble(2)) == ((7L, 8L, 1.0)))
   }
+
+  test("duplicatedSpans: cross-doc shared run merges to one maximal span; " +
+      "within-doc repeat yields two point spans; unique doc yields none") {
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val rep = (1 to 5).map(i => s"m$i").mkString(" ")
+    val spanDocs = Seq(
+      // docs 1,2 share an 8-token run at positions 6..13 → 4 dup
+      // 5-grams at positions 6..9 → one span (6, 4 grams, 8 tokens)
+      (1L, (1 to 5).map(i => s"u$i").mkString(" ") + " " + shared + " " +
+        (1 to 5).map(i => s"v$i").mkString(" ")),
+      (2L, (1 to 5).map(i => s"w$i").mkString(" ") + " " + shared + " " +
+        (1 to 5).map(i => s"x$i").mkString(" ")),
+      // doc 3: all-unique tokens → no duplicated grams
+      (3L, (1 to 20).map(i => s"q$i").mkString(" ")),
+      // doc 4 repeats a 5-gram at positions 6 and 16 → two 1-gram spans
+      (4L, (1 to 5).map(i => s"r$i").mkString(" ") + " " + rep + " " +
+        (1 to 5).map(i => s"k$i").mkString(" ") + " " + rep + " " +
+        (1 to 5).map(i => s"t$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(spanDocs, k = 5).collect()
+    assert(out.toSeq == Seq(
+      Row(1L, 6L, 4L, 8L), Row(2L, 6L, 4L, 8L),
+      Row(4L, 6L, 1L, 5L), Row(4L, 16L, 1L, 5L)))
+  }
 }
