@@ -283,6 +283,12 @@ object SparkEntry {
     // adjacent marks merge into maximal spans
     "t69_substring_dedup" -> ((s, d) => { val t = Tables.load(s, d)
       Dedup.duplicatedSpans(t.documents) }),
+    // paragraph-level dedup (Dolma/CCNet): the gate texts are single
+    // blocks, so deterministic paragraph structure — shared
+    // boilerplate chrome between content halves — is planted in-query
+    // (s38/t67 precedent) and the twin rebuilds the same corpus
+    "t70_paragraph_dedup" -> ((s, d) => { val t = Tables.load(s, d)
+      Dedup.paragraphDedup(Dedup.plantParagraphs(t.documents)) }),
     // PII redaction; the fixture corpus carries no PII, so docs
     // doc_id ≡ 0 (mod 7) gain a deterministic planted email/phone/IP
     // tail (s38 precedent) — the gate checks real redactions
@@ -583,6 +589,26 @@ object SparkEntry {
         |SELECT doc_id, min(pos) AS span_start, count(*) AS n_grams,
         |  max(pos)-min(pos)+5 AS span_tokens
         |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+    // paragraph-dedup twin: identical planted corpus (constants
+    // interpolated from Dedup.BoilerParagraphs — single source of
+    // truth), identical first-occurrence rule ((doc_id, pos)
+    // lexicographic min per paragraph md5), identical reassembly
+    "t70_paragraph_dedup" ->
+      s"""WITH p AS (SELECT doc_id,
+         |  substring(text,1,80) || chr(10)||chr(10) ||
+         |  ([${Dedup.BoilerParagraphs.map(b => s"'$b'").mkString(",")}])[CAST(doc_id % ${Dedup.BoilerParagraphs.size} + 1 AS INTEGER)] ||
+         |  chr(10)||chr(10) || substring(text,81,1000000) AS text FROM documents),
+         |sp AS (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS ps FROM p),
+         |pr AS (SELECT doc_id, CAST(i-1 AS INTEGER) AS pos, ps[i] AS para
+         |  FROM sp, LATERAL (SELECT unnest(range(1, len(ps)+1)) AS i) u
+         |  WHERE length(ps[i]) > 0),
+         |k AS (SELECT doc_id, pos, para,
+         |  row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) = 1 AS kept
+         |  FROM pr)
+         |SELECT doc_id, count(*) AS n_paras,
+         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  coalesce(string_agg(CASE WHEN kept THEN para END, chr(10)||chr(10) ORDER BY pos), '') AS clean_text
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // PII twin: identical planted tail, identical pattern constants
     // (interpolated from TextOps — single source of truth), identical
     // email→phone→IP order with counts on the text as redacted so far

@@ -815,4 +815,82 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Shared boilerplate paragraphs for the planted-paragraph gate
+    * fixture — public so the oracle twin interpolates the SAME strings
+    * (single source of truth, the s38/t67 precedent).
+    */
+  val BoilerParagraphs: Seq[String] = Seq(
+    "subscribe to our newsletter for updates",
+    "all rights reserved contact support for help",
+    "click here to read the full article",
+    "share this story with your friends")
+
+  /** Planted-paragraph corpus: the gate tables carry single-block
+    * texts (no newlines), so paragraph-level dedup would be vacuous
+    * over them. This splices deterministic structure in-query — a
+    * prefix paragraph, one of four SHARED boilerplate paragraphs
+    * (selected by doc_id mod 4), and the remainder — giving the
+    * corpus exactly the shape web-crawl text has: per-page content
+    * interleaved with site-wide chrome. Pure column arithmetic, so
+    * the DuckDB twin rebuilds the identical corpus from the same
+    * constants.
+    */
+  def plantParagraphs(documents: DataFrame): DataFrame = {
+    val boiler = element_at(
+      lit(BoilerParagraphs.toArray),
+      (col("doc_id") % BoilerParagraphs.size + 1).cast("int"))
+    documents.select(
+      col("doc_id"),
+      concat(
+        substring(col("text"), 1, 80), lit("\n\n"),
+        boiler, lit("\n\n"),
+        substring(col("text"), 81, 1000000)).as("text"))
+  }
+
+  /** Paragraph-level exact dedup — the Dolma/CCNet curation pass:
+    * every paragraph (blank-line-delimited block) is kept at its
+    * FIRST global occurrence (ordered by doc_id, then position) and
+    * removed everywhere else, including repeats within one document;
+    * documents are then reassembled from their surviving paragraphs
+    * in original order. This is what strips site-wide boilerplate
+    * (nav text, cookie banners, footers) that document-level dedup
+    * can never see, because every page differs somewhere.
+    *
+    * Output: (doc_id, n_paras, n_kept, clean_text) — empty paragraphs
+    * never count, and a document whose every paragraph was claimed
+    * earlier survives with n_kept = 0 and an empty clean_text (the
+    * downstream length filter is a separate policy decision).
+    *
+    * Scale shape: explode is narrow; the first-occurrence table is a
+    * groupBy on the 128-bit paragraph fingerprint with a partial-
+    * aggregated min(struct(doc_id, pos)) — map-side combine absorbs
+    * mega-dup paragraphs (a cookie banner on a billion pages arrives
+    * at the reduce side as one row per map partition, not a billion;
+    * the window-rank formulation would serialize that key on one
+    * task). The join back on fp is AQE-skew-splittable, and the
+    * reassembly groupBy shuffles (pos, para) pairs — document text
+    * crosses the wire once, the unavoidable minimum for a rewrite op.
+    */
+  def paragraphDedup(documents: DataFrame): DataFrame = {
+    val paras = documents
+      .select(col("doc_id"), posexplode(split(col("text"), "\n\n")).as(Seq("pos", "para")))
+      .filter(length(col("para")) > 0)
+      .withColumn("pfp", md5(col("para")))
+    val firsts = paras
+      .groupBy("pfp")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("pfp"), col("f.doc_id").as("f_doc"), col("f.pos").as("f_pos"))
+    paras.join(firsts, "pfp")
+      .withColumn("kept", col("doc_id") === col("f_doc") && col("pos") === col("f_pos"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws("\n\n",
+          transform(
+            array_sort(collect_list(when(col("kept"), struct(col("pos"), col("para"))))),
+            x => x.getField("para"))).as("clean_text"))
+      .orderBy("doc_id")
+  }
 }

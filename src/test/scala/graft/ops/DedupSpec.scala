@@ -167,4 +167,40 @@ class DedupSpec extends AnyFunSuite {
       Row(1L, 6L, 4L, 8L), Row(2L, 6L, 4L, 8L),
       Row(4L, 6L, 1L, 5L), Row(4L, 16L, 1L, 5L)))
   }
+
+  test("paragraphDedup keeps first global occurrence, removes later repeats " +
+      "(cross-doc, within-doc), reassembles in order") {
+    val pdocs = Seq(
+      (1L, "alpha one\n\nshared boiler\n\nunique tail one"),
+      (2L, "beta two\n\nshared boiler\n\nunique tail two"),
+      (3L, "shared boiler\n\nshared boiler"), // both claimed by doc 1
+      (4L, "alpha one")                       // claimed by doc 1's first para
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(pdocs).collect()
+    assert(out.toSeq == Seq(
+      Row(1L, 3L, 3L, "alpha one\n\nshared boiler\n\nunique tail one"),
+      Row(2L, 3L, 2L, "beta two\n\nunique tail two"),
+      Row(3L, 2L, 0L, ""),
+      Row(4L, 1L, 0L, "")))
+  }
+
+  test("paragraphDedup ignores empty paragraphs; within-doc earlier position wins") {
+    val pdocs = Seq(
+      (1L, "a\n\n\n\nb"), // middle split is empty → 2 paragraphs
+      (2L, "b\n\na")      // both already claimed by doc 1
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(pdocs).collect()
+    assert(out.toSeq == Seq(Row(1L, 2L, 2L, "a\n\nb"), Row(2L, 2L, 0L, "")))
+  }
+
+  test("paragraphDedup on plantParagraphs: every distinct paragraph survives exactly once") {
+    import org.apache.spark.sql.functions._
+    val planted = Dedup.plantParagraphs(docs)
+    val paras = planted
+      .select(col("doc_id"), explode(split(col("text"), "\n\n")).as("para"))
+      .filter(length(col("para")) > 0)
+    val out = Dedup.paragraphDedup(planted)
+    assert(out.agg(sum("n_kept")).head.getLong(0) == paras.select("para").distinct.count)
+    assert(out.agg(sum("n_paras")).head.getLong(0) == paras.count)
+  }
 }
