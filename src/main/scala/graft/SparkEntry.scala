@@ -57,6 +57,35 @@ object SparkEntry {
   private def cmean(x: String): String =
     s"floor(CAST(sum(CAST(floor(($x)*1000000.0+0.5) AS DECIMAL(18,0))) AS DOUBLE)/1000000.0/count(*)*1000000.0+0.5)/1000000.0"
 
+  // t71/t72 shared fragment: the planted raw-URL corpus (UrlOps
+  // .plantUrls verbatim) canonicalized by the same rule chain — ends
+  // at CTE `n` = (doc_id, url_norm, domain)
+  private def urlNormCte: String =
+    s"""u AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.News.Site' ELSE 'HTTP://WWW.News.Site' END ||
+       |  (doc_id % 20) ||
+       |  CASE WHEN doc_id % 2 = 0 THEN '.COM:443' ELSE '.NET:80' END ||
+       |  '/Article/Item' || (doc_id % 50) || '/?utm_source=feed&id=' ||
+       |  (doc_id % 25) || '&ref=abc&utm_campaign=x#sec' || (doc_id % 5) AS url
+       |  FROM documents),
+       |w AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS wk FROM u),
+       |c AS (SELECT doc_id,
+       |  lower(regexp_extract(wk, '${graft.ops.UrlOps.UrlSchemeRe}', 1)) AS scheme,
+       |  regexp_replace(lower(regexp_extract(wk, '${graft.ops.UrlOps.UrlHostRe}', 1)), '^www\\.', '') AS hp,
+       |  regexp_replace(regexp_extract(wk, '${graft.ops.UrlOps.UrlPathRe}', 1), '/+$$', '') AS path,
+       |  regexp_extract(wk, '${graft.ops.UrlOps.UrlQueryRe}', 1) AS q FROM w),
+       |n AS (SELECT doc_id,
+       |  scheme || '://' || host || path ||
+       |    CASE WHEN qn = '' THEN '' ELSE '?' || qn END AS url_norm,
+       |  regexp_extract(host, '${graft.ops.UrlOps.DomainRe}', 1) AS domain
+       |  FROM (SELECT doc_id, scheme, path,
+       |    CASE WHEN scheme = 'https' THEN regexp_replace(hp, ':443$$', '')
+       |         WHEN scheme = 'http' THEN regexp_replace(hp, ':80$$', '')
+       |         ELSE hp END AS host,
+       |    array_to_string(list_filter(string_split(q, '&'),
+       |      p -> p <> '' AND NOT regexp_matches(p, '${graft.ops.UrlOps.TrackingParamRe}')), '&') AS qn
+       |    FROM c))""".stripMargin
+
   /** One unrolled Lloyd sweep for the s36 twin: assign the corpus to
     * its argmax-similarity centroid from `prev`, then rebuild each
     * surviving cell's centroid component-wise with [[cmean]] and
@@ -289,6 +318,15 @@ object SparkEntry {
     // (s38/t67 precedent) and the twin rebuilds the same corpus
     "t70_paragraph_dedup" -> ((s, d) => { val t = Tables.load(s, d)
       Dedup.paragraphDedup(Dedup.plantParagraphs(t.documents)) }),
+    // URL canonicalization + URL-level dedup over a planted raw-URL
+    // corpus (no URL column in the fixtures) that exercises every
+    // rule: case, www, default port, trailing slash, tracking
+    // params, fragment. 5 crawls per canonical URL → non-vacuous.
+    "t71_url_dedup" -> ((s, d) => { val t = Tables.load(s, d)
+      UrlOps.urlDedup(UrlOps.plantUrls(t.documents)) }),
+    // per-domain crawl stats over the same planted corpus
+    "t72_domain_stats" -> ((s, d) => { val t = Tables.load(s, d)
+      UrlOps.domainStats(UrlOps.plantUrls(t.documents)) }),
     // PII redaction; the fixture corpus carries no PII, so docs
     // doc_id ≡ 0 (mod 7) gain a deterministic planted email/phone/IP
     // tail (s38 precedent) — the gate checks real redactions
@@ -609,6 +647,20 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  coalesce(string_agg(CASE WHEN kept THEN para END, chr(10)||chr(10) ORDER BY pos), '') AS clean_text
          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // URL twins: identical planted construction, identical rule chain
+    // (pattern constants interpolated from UrlOps — single source of
+    // truth); RE2 and Java agree on every pattern used
+    "t71_url_dedup" ->
+      s"""WITH $urlNormCte,
+         |m AS (SELECT url_norm, min(doc_id) AS canonical_id FROM n GROUP BY 1)
+         |SELECT n.doc_id, n.url_norm, n.domain, m.canonical_id,
+         |  n.doc_id <> m.canonical_id AS is_dup
+         |FROM n JOIN m USING (url_norm) ORDER BY n.doc_id""".stripMargin,
+    "t72_domain_stats" ->
+      s"""WITH $urlNormCte
+         |SELECT domain, count(*) AS n_docs,
+         |  count(DISTINCT url_norm) AS n_unique_urls
+         |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
     // PII twin: identical planted tail, identical pattern constants
     // (interpolated from TextOps — single source of truth), identical
     // email→phone→IP order with counts on the text as redacted so far

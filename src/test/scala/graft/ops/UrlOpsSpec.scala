@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** URL canonicalization rules, one assertion per rule, plus the
+  * dedup/domain aggregates over hand-built crawl variants.
+  */
+class UrlOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def norm(url: String): String = {
+    import org.apache.spark.sql.functions.col
+    Seq((1L, url)).toDF("doc_id", "url")
+      .select(UrlOps.normalizeUrl(col("url"))).head.getString(0)
+  }
+
+  test("scheme and host lowercase; path case preserved") {
+    assert(norm("HTTPS://ExAmple.COM/CaseSensitive/Path") ==
+      "https://example.com/CaseSensitive/Path")
+  }
+
+  test("default ports stripped per scheme; non-default kept") {
+    assert(norm("https://example.com:443/a") == "https://example.com/a")
+    assert(norm("http://example.com:80/a") == "http://example.com/a")
+    assert(norm("http://example.com:8080/a") == "http://example.com:8080/a")
+    // 443 is NOT http's default — kept
+    assert(norm("http://example.com:443/a") == "http://example.com:443/a")
+  }
+
+  test("www prefix, fragment, trailing slashes stripped") {
+    assert(norm("https://www.example.com/a/b//#section-2") ==
+      "https://example.com/a/b")
+    assert(norm("https://www.example.com/") == "https://example.com")
+  }
+
+  test("tracking params dropped, real params kept in original order") {
+    assert(norm("https://example.com/a?utm_source=x&id=7&ref=abc&page=2&fbclid=zz") ==
+      "https://example.com/a?id=7&page=2")
+    // all-tracking query collapses entirely (no dangling '?')
+    assert(norm("https://example.com/a?utm_source=x&gclid=1") ==
+      "https://example.com/a")
+  }
+
+  test("urlDomain is the registrable-domain approximation") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq((1L, "https://news.sub.Example.co/x")).toDF("doc_id", "url")
+      .select(UrlOps.urlDomain(col("url"))).head.getString(0)
+    assert(d == "example.co")
+  }
+
+  test("urlDedup canonicalizes crawl variants of one URL to min doc_id") {
+    val crawls = Seq(
+      (1L, "HTTPS://WWW.Example.COM:443/a/?utm_source=feed"),
+      (2L, "https://example.com/a"),
+      (3L, "https://example.com/a?id=9") // different canonical URL
+    ).toDF("doc_id", "url")
+    val out = UrlOps.urlDedup(crawls).collect()
+    assert(out.toSeq == Seq(
+      Row(1L, "https://example.com/a", "example.com", 1L, false),
+      Row(2L, "https://example.com/a", "example.com", 1L, true),
+      Row(3L, "https://example.com/a?id=9", "example.com", 3L, false)))
+  }
+
+  test("domainStats counts docs vs unique canonical URLs per domain") {
+    val crawls = Seq(
+      (1L, "https://a.example.com/x"),
+      (2L, "https://WWW.example.com/x"), // same domain, same canonical as 3
+      (3L, "https://example.com/x"),
+      (4L, "https://other.net/y")
+    ).toDF("doc_id", "url")
+    val out = UrlOps.domainStats(crawls).collect()
+    assert(out.toSeq == Seq(
+      Row("example.com", 3L, 2L), // a.example.com/x distinct from example.com/x
+      Row("other.net", 1L, 1L)))
+  }
+
+  test("plantUrls yields 5 crawls per canonical URL on a mod-100-uniform corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 500L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+    val out = UrlOps.urlDedup(UrlOps.plantUrls(docs))
+    val groups = out.groupBy("url_norm").count()
+    assert(groups.count() == 100)
+    assert(groups.filter(col("count") =!= 5).isEmpty)
+  }
+}
