@@ -224,6 +224,10 @@ object SparkEntry {
       Relational.approxDistinctCounts(t.lineitem) }),
     "q43_event_heatmap" -> ((s, d) => { val t = Tables.load(s, d)
       EventOps.eventHeatmap(t.events) }),
+    // approximate quantiles: the sketch-merge shape for 100 TB
+    // (exact values + within-tolerance booleans, the q38 pattern)
+    "q48_approx_quantiles" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.approxQuantileReport(t.lineitem) }),
     "q44_percentiles" -> ((s, d) => { val t = Tables.load(s, d)
       Relational.groupedPercentiles(t.lineitem) }),
     "q46_status_pivot" -> ((s, d) => { val t = Tables.load(s, d)
@@ -327,6 +331,16 @@ object SparkEntry {
     // per-domain crawl stats over the same planted corpus
     "t72_domain_stats" -> ((s, d) => { val t = Tables.load(s, d)
       UrlOps.domainStats(UrlOps.plantUrls(t.documents)) }),
+    // Z-order (Morton) clustering key — the data-layout lever behind
+    // LakeWriter.writeZOrdered; the interleave is pure bit math both
+    // engines compute identically, so the key itself is gated and the
+    // file-pruning effect is spec-asserted on real parquet footers
+    "t73_zorder_key" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      t.lineitem.select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        graft.sinks.LakeWriter.zorderKey(col("l_partkey"), col("l_suppkey")).as("zkey"))
+        .orderBy("zkey", "l_orderkey", "l_linenumber") }),
     // PII redaction; the fixture corpus carries no PII, so docs
     // doc_id ≡ 0 (mod 7) gain a deterministic planted email/phone/IP
     // tail (s38 precedent) — the gate checks real redactions
@@ -431,7 +445,13 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       Similarity.ivfServe(
         t.embeddings.filter(col("vec_id") < 5),
-        Similarity.ivfIndexFrames(t.embeddings.filter(col("vec_id") >= 5))) })
+        Similarity.ivfIndexFrames(t.embeddings.filter(col("vec_id") >= 5))) }),
+    // SemDeDup over the planted corpus (s38 precedent: the fixture
+    // has no semantic near-dups, the planted perturbed copies are
+    // real ones) — cells from the seed-centroid assignment, one-pass
+    // earlier-id drop rule
+    "s42_semantic_dedup" -> ((s, d) => { val t = Tables.load(s, d)
+      Similarity.semanticDedup(Similarity.plantNearDups(t.embeddings)) })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -661,6 +681,14 @@ object SparkEntry {
          |SELECT domain, count(*) AS n_docs,
          |  count(DISTINCT url_norm) AS n_unique_urls
          |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Morton-interleave twin: the same 16+16 shift/mask terms
+    "t73_zorder_key" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         | ${(0 until 16).map(i =>
+              s"(((l_partkey >> $i) & 1) << ${2 * i + 1}) + (((l_suppkey >> $i) & 1) << ${2 * i})")
+              .mkString("\n |  + ")} AS zkey
+         |FROM lineitem
+         |ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin,
     // PII twin: identical planted tail, identical pattern constants
     // (interpolated from TextOps — single source of truth), identical
     // email→phone→IP order with counts on the text as redacted so far
@@ -757,6 +785,15 @@ object SparkEntry {
         | count(DISTINCT l_partkey) AS n_parts,
         | TRUE AS suppliers_ok, TRUE AS parts_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // GK-sketch internals aren't oracle-portable (q38 precedent); the
+    // declared output is exact percentiles + within-tolerance booleans
+    "q48_approx_quantiles" ->
+      s"""SELECT l_returnflag,
+         | ${q4("quantile_cont(l_quantity, 0.5)")} AS med_qty,
+         | ${q4("quantile_cont(l_extendedprice, 0.9)")} AS p90_price,
+         | TRUE AS med_ok, TRUE AS p90_ok,
+         | count(*) AS n_lines
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // Spark `percentile` == DuckDB `quantile_cont` (SQL-standard
     // rank interpolation; verified bit-identical on this data)
     "q44_percentiles" ->
@@ -1327,6 +1364,34 @@ object SparkEntry {
     // means the Spark plan uses (Exact.meanOf6), so cell assignment,
     // probe ranking and final scores are bit-identical by construction
     "s36_ivf_lloyd" -> s36Sql,
+    // SemDeDup twin: s38's planted union + s35's seed-centroid
+    // assignment + the one-pass earlier-id drop rule, verbatim
+    "s42_semantic_dedup" ->
+      s"""WITH u AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS vec_id,
+         |    list_transform(range(1,65),
+         |      i -> CASE WHEN i = 64 THEN -embedding[i] ELSE embedding[i] END) AS embedding
+         |  FROM embeddings WHERE vec_id % 10 = 0),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM u),
+         |nr AS (SELECT vec_id, $sqlNorm AS nrm FROM e),
+         |ev AS (SELECT e.vec_id, e.v, nr.nrm FROM e JOIN nr ON nr.vec_id = e.vec_id),
+         |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM ev
+         |  ORDER BY vec_id LIMIT 16),
+         |asg AS (SELECT vec_id, v, nrm, cid FROM (
+         |  SELECT c.vec_id, c.v, c.nrm, ct.cid,
+         |    row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY list_sum(list_transform(range(1,65), j -> c.v[j]*ct.cv[j]))/(c.nrm*ct.cn) DESC,
+         |        ct.cid) AS rn
+         |  FROM ev c CROSS JOIN cent ct) WHERE rn = 1),
+         |d AS (SELECT b.vec_id, min(a.vec_id) AS dup_of
+         |  FROM asg b JOIN asg a ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE floor(list_sum(list_transform(range(1,65), j -> a.v[j]*b.v[j]))/(a.nrm*b.nrm)*1000000.0+0.5)/1000000.0 >= 0.9
+         |  GROUP BY 1)
+         |SELECT asg.vec_id, asg.cid, d.dup_of, d.dup_of IS NULL AS kept
+         |FROM asg LEFT JOIN d ON d.vec_id = asg.vec_id
+         |ORDER BY asg.vec_id""".stripMargin,
     // s41 serves the SAME queries through the persisted-IVF-index
     // path (ivfIndexFrames + ivfServe) — answers must be
     // bit-identical to the one-shot s36, so the twin is its SQL

@@ -204,6 +204,36 @@ object Relational {
         (abs(col("_ap") - col("n_parts")) <= col("n_parts") * 0.1).as("parts_ok"))
       .orderBy("l_returnflag")
 
+  /** Approximate grouped quantiles (Greenwald-Khanna sketches via
+    * `approx_percentile`) checked against the exact rank-interpolated
+    * percentile. This is the quantile shape that survives 100 TB: GK
+    * sketches are fixed-size and merge associatively, so a grouped
+    * quantile over a petabyte is one partial-agg shuffle of sketches
+    * instead of a per-group sort — [[groupedPercentiles]]'s exact
+    * form sorts each group. Declared output is exact values plus
+    * within-tolerance booleans (the q38 HLL pattern: sketch internals
+    * aren't oracle-portable, the accuracy contract is): accuracy
+    * 1000 bounds rank error at 0.1%, and the 5%-of-value (+1 unit)
+    * tolerance holds with wide margin on any data this runs over.
+    */
+  def approxQuantileReport(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        quant4(expr("percentile(l_quantity, 0.5)")).as("med_qty"),
+        quant4(expr("percentile(l_extendedprice, 0.9)")).as("p90_price"),
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("_aq"),
+        expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("_ap"),
+        count(lit(1)).as("n_lines"))
+      .select(
+        col("l_returnflag"), col("med_qty"), col("p90_price"),
+        (abs(col("_aq") - col("med_qty")) <= greatest(col("med_qty") * 0.05, lit(1.0)))
+          .as("med_ok"),
+        (abs(col("_ap") - col("p90_price")) <= greatest(col("p90_price") * 0.05, lit(1.0)))
+          .as("p90_ok"),
+        col("n_lines"))
+      .orderBy("l_returnflag")
+
   /** ROLLUP hierarchy with grouping_id — one pass, Expand-based. */
   def rollupQty(lineitem: DataFrame): DataFrame =
     lineitem

@@ -481,6 +481,53 @@ object Similarity {
       .select("query_id", "rnk", "vec_id", "cos")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    * by clustering embeddings into coarse cells and dropping, within
+    * each cell, every vector whose cosine to an EARLIER-id cell-mate
+    * meets the threshold — "keep one representative per group of
+    * near-identical items", the dedup that catches paraphrases and
+    * re-encodes exact/minhash dedup can't see.
+    *
+    * Deterministic contract (what the oracle checks): cells are the
+    * seed-centroid IVF assignment ([[ivfTopK]]'s kmeansIters=0 shape
+    * — argmax cosine against the first `nCells` vectors by vec_id);
+    * a vector is dropped iff SOME earlier-id vector in its cell has
+    * quantized cosine ≥ threshold — whether or not that earlier
+    * vector was itself dropped (the paper's one-pass rule; no
+    * transitive chasing). `dup_of` reports the smallest such id.
+    *
+    * Scale shape: the within-cell pair join is an equi-join on cid
+    * (shuffle-partitioned, AQE-skew-splittable) costing Σ|cell|² —
+    * bounded by making nCells ∝ corpus size, exactly how the paper
+    * runs it (100k clusters over a web corpus keeps cells in the
+    * thousands). Nothing touches vectors across cells, and the
+    * centroid table is broadcast — the corpus shuffles once for
+    * assignment and once for the cell join.
+    */
+  def semanticDedup(
+      embeddings: DataFrame, nCells: Int = 16, threshold: Double = 0.9): DataFrame = {
+    val dp = dotWith(embeddings.sparkSession) _
+    // persisted (tracked): seed + assignment both read the normed
+    // frame; the assignment feeds both sides of the cell join
+    val e = ledger.persist(normedVecs(embeddings, dp))
+    val seed = e.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val assigned = ledger.persist(nearestCellsWith(dp)(seed, e, 1))
+    val earlier = assigned.select(
+      col("cid"), col("vec_id").as("ua"), col("v").as("va"), col("nrm").as("na"))
+    val dupOf = assigned.join(earlier, Seq("cid"))
+      .filter(col("ua") < col("vec_id"))
+      .withColumn("cos", Exact.quant6(dp(col("va"), col("v")) / (col("na") * col("nrm"))))
+      .filter(col("cos") >= threshold)
+      .groupBy("vec_id").agg(min("ua").as("dup_of"))
+    assigned.select("vec_id", "cid")
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"), col("cid"), col("dup_of"),
+        col("dup_of").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
   /** Per-label centroid, dimension-wise — the batch-SQL twin of the
     * [[graft.functions.VectorAggregates]] centroid `Aggregator` (that
     * one folds floats in partition order, fine for pipelines but not

@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Date-partitioned Parquet lake sink.
@@ -47,9 +47,72 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .option("path", s"$root/$table")
       .saveAsTable(table)
+
+  /** Z-order-clustered write: range-partition + sort by the
+    * interleaved-bit key of two filter dimensions, so every output
+    * file covers a small RECTANGLE of the (a, b) space instead of a
+    * thin full-height stripe — parquet min/max stats then prune scans
+    * filtered on EITHER dimension, which a single-column sort only
+    * gives you for its leading column. This is the data-layout lever
+    * for 100 TB scan-heavy tables (Delta/Iceberg OPTIMIZE ZORDER is
+    * this exact trick); the key math is gated (t73) and the pruning
+    * effect is spec-asserted on real file footers.
+    */
+  def writeZOrdered(
+      df: DataFrame, entity: String, cols: (String, String),
+      files: Int, bits: Int = 16): Unit =
+    df.withColumn("_z", LakeWriter.zorderKey(col(cols._1), col(cols._2), bits))
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(mode).parquet(s"$root/$entity")
+
+  /** Compact one entity directory to ~`targetFileBytes` files — the
+    * maintenance pass that keeps a streaming/append lake readable
+    * (thousands of small files turn a scan into a metadata storm; see
+    * the read-side mitigation in `core/Tables` small-file fan-out).
+    * Rewrites into a sibling temp dir, then swaps atomically at the
+    * directory level. Returns the new file count. For a
+    * date-partitioned entity, compact per partition directory
+    * (`entity/load_date=...`) — partition columns written by
+    * `partitionBy` live in the path, not the footers, so compacting
+    * the root would lose them.
+    */
+  def compact(
+      spark: SparkSession, entity: String,
+      targetFileBytes: Long = 128L << 20): Int = {
+    import org.apache.hadoop.fs.Path
+    val path = new Path(s"$root/$entity")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = fs.getContentSummary(path).getLength
+    val n = math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt)
+    val tmp = new Path(s"$root/${entity}__compacting")
+    spark.read.parquet(path.toString)
+      .repartition(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(path, true)
+    require(fs.rename(tmp, path), s"compact swap failed for $path")
+    n
+  }
 }
 
 object LakeWriter {
+
+  /** Morton (Z-order) key: interleave the low `bits` bits of two
+    * non-negative integer columns — a's bit i lands at position 2i+1,
+    * b's at 2i. Pure codegen'd shift/mask column math (no UDF), and
+    * the identical expression is SQL-expressible for the oracle twin.
+    * 2×16 bits covers cardinalities to 65k per dimension; for wider
+    * domains quantize to rank buckets first.
+    */
+  def zorderKey(a: Column, b: Column, bits: Int = 16): Column = {
+    val av = a.cast("long")
+    val bv = b.cast("long")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(av, i).bitwiseAND(1L), 2 * i + 1) +
+        shiftleft(shiftright(bv, i).bitwiseAND(1L), 2 * i)
+    }.reduce(_ + _)
+  }
 
   /** s3a credential/endpoint bootstrap — the engine-side counterpart
     * of the reference's env-var → boto3 client dance

@@ -230,6 +230,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out((1L, 2L)) == (20.0, 1L))
   }
 
+  test("semanticDedup drops near-identical cell-mates against the earliest id; " +
+      "one-pass rule ignores whether the earlier vector was itself dropped") {
+    import org.apache.spark.sql.Row
+    // one cell (nCells = 1): a chain a~b, b~c with cos(a,c) below the
+    // threshold — b drops against a; c drops against b EVEN THOUGH b
+    // was dropped (the paper's one-pass rule); d is unrelated and kept
+    val a = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val b = Array(0.97f, 0.243f, 0.0f, 0.0f)  // cos(a,b) ≈ 0.970
+    val c = Array(0.88f, 0.475f, 0.0f, 0.0f)  // cos(b,c) ≈ 0.988, cos(a,c) ≈ 0.88
+    val d = Array(0.0f, 0.0f, 1.0f, 0.0f)
+    val e = Seq((0L, a), (1L, b), (2L, c), (3L, d)).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(e, nCells = 1, threshold = 0.95).collect()
+    assert(out.toSeq == Seq(
+      Row(0L, 0L, null, true),
+      Row(1L, 0L, 0L, false),
+      Row(2L, 0L, 1L, false),
+      Row(3L, 0L, null, true)))
+  }
+
+  test("semanticDedup finds every planted near-dup that shares its original's cell") {
+    import org.apache.spark.sql.functions.col
+    val out = Similarity.semanticDedup(planted, nCells = 4, threshold = 0.9)
+    val dropped = out.filter(!col("kept")).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    // the 10 planted copies (ids 100+) are near-identical to ids 0..9;
+    // a copy assigned to its original's cell MUST be dropped against it
+    val cells = out.select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = (0 until 10).filter(i => cells(100L + i) == cells(i.toLong))
+    assert(expected.nonEmpty, "planting failed: no copy shares its original's cell")
+    expected.foreach { i =>
+      assert(dropped.get(100L + i).contains(i.toLong),
+        s"copy ${100 + i} should drop against original $i")
+    }
+  }
+
   test("dot/norm are the sequential fold (golden value)") {
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
     import org.apache.spark.sql.functions.col
