@@ -57,6 +57,26 @@ object SparkEntry {
   private def cmean(x: String): String =
     s"floor(CAST(sum(CAST(floor(($x)*1000000.0+0.5) AS DECIMAL(18,0))) AS DOUBLE)/1000000.0/count(*)*1000000.0+0.5)/1000000.0"
 
+  // t70/t75 shared twin: the planted-paragraph corpus deduplicated by
+  // global first occurrence; `where` restricts the OUTPUT docs (t75's
+  // shard) while kept flags always see every occurrence
+  private def paragraphDedupSql(where: String): String =
+    s"""WITH p AS (SELECT doc_id,
+       |  substring(text,1,80) || chr(10)||chr(10) ||
+       |  ([${graft.ops.Dedup.BoilerParagraphs.map(b => s"'$b'").mkString(",")}])[CAST(doc_id % ${graft.ops.Dedup.BoilerParagraphs.size} + 1 AS INTEGER)] ||
+       |  chr(10)||chr(10) || substring(text,81,1000000) AS text FROM documents),
+       |sp AS (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS ps FROM p),
+       |pr AS (SELECT doc_id, CAST(i-1 AS INTEGER) AS pos, ps[i] AS para
+       |  FROM sp, LATERAL (SELECT unnest(range(1, len(ps)+1)) AS i) u
+       |  WHERE length(ps[i]) > 0),
+       |k AS (SELECT doc_id, pos, para,
+       |  row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) = 1 AS kept
+       |  FROM pr)
+       |SELECT doc_id, count(*) AS n_paras,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  coalesce(string_agg(CASE WHEN kept THEN para END, chr(10)||chr(10) ORDER BY pos), '') AS clean_text
+       |FROM k $where GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // t71/t72 shared fragment: the planted raw-URL corpus (UrlOps
   // .plantUrls verbatim) canonicalized by the same rule chain — ends
   // at CTE `n` = (doc_id, url_norm, domain)
@@ -322,6 +342,16 @@ object SparkEntry {
     // (s38/t67 precedent) and the twin rebuilds the same corpus
     "t70_paragraph_dedup" -> ((s, d) => { val t = Tables.load(s, d)
       Dedup.paragraphDedup(Dedup.plantParagraphs(t.documents)) }),
+    // incremental paragraph dedup: the shard (doc_id ≡ 0 mod 5)
+    // resolves against a first-occurrence index of the rest — global
+    // firsts decompose as least(indexed, shard-local), so the twin is
+    // t70's full recompute restricted to shard docs
+    "t75_incremental_paragraphs" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      val planted = Dedup.plantParagraphs(t.documents)
+      Dedup.incrementalParagraphDedup(
+        planted.filter(col("doc_id") % 5 === 0),
+        Dedup.paragraphIndex(planted.filter(col("doc_id") % 5 =!= 0))) }),
     // URL canonicalization + URL-level dedup over a planted raw-URL
     // corpus (no URL column in the fixtures) that exercises every
     // rule: case, www, default port, trailing slash, tracking
@@ -352,6 +382,11 @@ object SparkEntry {
           lit("@mail.example or 555-867-5309 from 10.0.0."),
           (col("doc_id") % 250).cast("string"))).otherwise(col("text")))
       TextOps.redactPii(planted) }),
+    // hashed-feature linear classifier serving (fasttext-shaped
+    // model-based quality filter): explode → bucket join → mean
+    // weight; fixture weights are the deterministic pseudo table
+    "t74_classifier_score" -> ((s, d) => { val t = Tables.load(s, d)
+      TextOps.classifierScores(t.documents, TextOps.hashedWeightTable(s)) }),
     // multimodal metadata plane under the gate (first oracle coverage
     // for the family): resize targets and frame-sampling plans are
     // pure integer/sequence math over the shared media fixture — the
@@ -651,22 +686,11 @@ object SparkEntry {
     // interpolated from Dedup.BoilerParagraphs — single source of
     // truth), identical first-occurrence rule ((doc_id, pos)
     // lexicographic min per paragraph md5), identical reassembly
-    "t70_paragraph_dedup" ->
-      s"""WITH p AS (SELECT doc_id,
-         |  substring(text,1,80) || chr(10)||chr(10) ||
-         |  ([${Dedup.BoilerParagraphs.map(b => s"'$b'").mkString(",")}])[CAST(doc_id % ${Dedup.BoilerParagraphs.size} + 1 AS INTEGER)] ||
-         |  chr(10)||chr(10) || substring(text,81,1000000) AS text FROM documents),
-         |sp AS (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS ps FROM p),
-         |pr AS (SELECT doc_id, CAST(i-1 AS INTEGER) AS pos, ps[i] AS para
-         |  FROM sp, LATERAL (SELECT unnest(range(1, len(ps)+1)) AS i) u
-         |  WHERE length(ps[i]) > 0),
-         |k AS (SELECT doc_id, pos, para,
-         |  row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) = 1 AS kept
-         |  FROM pr)
-         |SELECT doc_id, count(*) AS n_paras,
-         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-         |  coalesce(string_agg(CASE WHEN kept THEN para END, chr(10)||chr(10) ORDER BY pos), '') AS clean_text
-         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t70_paragraph_dedup" -> paragraphDedupSql(""),
+    // incremental twin: the full recompute restricted to shard docs —
+    // kept flags are computed over ALL occurrences, only the output
+    // docs are filtered (= least(indexed, local) decomposition)
+    "t75_incremental_paragraphs" -> paragraphDedupSql("WHERE doc_id % 5 = 0"),
     // URL twins: identical planted construction, identical rule chain
     // (pattern constants interpolated from UrlOps — single source of
     // truth); RE2 and Java agree on every pattern used
@@ -681,6 +705,22 @@ object SparkEntry {
          |SELECT domain, count(*) AS n_docs,
          |  count(DISTINCT url_norm) AS n_unique_urls
          |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+    // classifier twin: same 60-bit md5 feature hash, same integer
+    // weight formula (constants from TextOps), same exact long sum
+    // with the two divisions + quantize at the end
+    "t74_classifier_score" ->
+      s"""WITH w AS (SELECT i AS bucket,
+         |  (${TextOps.ClassifierA}*i + ${TextOps.ClassifierB}) % ${TextOps.ClassifierP} AS w_int
+         |  FROM (SELECT unnest(range(0, 4096)) AS i)),
+         |tk AS (SELECT doc_id,
+         |  CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) % 4096 AS bucket
+         |  FROM (SELECT doc_id, unnest($toks) AS tok FROM documents)),
+         |s AS (SELECT doc_id, count(*) AS n_tokens, sum(w_int) AS s
+         |  FROM tk JOIN w USING (bucket) GROUP BY 1)
+         |SELECT doc_id, n_tokens,
+         |  floor((CAST(s AS DOUBLE)/n_tokens/${TextOps.ClassifierP}.0 - 0.5)*10000.0+0.5)/10000.0 AS score,
+         |  floor((CAST(s AS DOUBLE)/n_tokens/${TextOps.ClassifierP}.0 - 0.5)*10000.0+0.5)/10000.0 > 0.0 AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
     // Morton-interleave twin: the same 16+16 shift/mask terms
     "t73_zorder_key" ->
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,

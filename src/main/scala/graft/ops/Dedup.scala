@@ -873,16 +873,27 @@ object Dedup {
     * crosses the wire once, the unavoidable minimum for a rewrite op.
     */
   def paragraphDedup(documents: DataFrame): DataFrame = {
-    val paras = documents
-      .select(col("doc_id"), posexplode(split(col("text"), "\n\n")).as(Seq("pos", "para")))
-      .filter(length(col("para")) > 0)
-      .withColumn("pfp", md5(col("para")))
+    val paras = paragraphs(documents)
     val firsts = paras
       .groupBy("pfp")
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
-      .select(col("pfp"), col("f.doc_id").as("f_doc"), col("f.pos").as("f_pos"))
+    assembleParagraphs(paras, firsts)
+  }
+
+  /** (doc_id, pos, para, pfp) — non-empty paragraph occurrences. */
+  private def paragraphs(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), posexplode(split(col("text"), "\n\n")).as(Seq("pos", "para")))
+      .filter(length(col("para")) > 0)
+      .withColumn("pfp", md5(col("para")))
+
+  /** Join occurrences to their global-first table and reassemble each
+    * document from its surviving paragraphs.
+    */
+  private def assembleParagraphs(paras: DataFrame, firsts: DataFrame): DataFrame =
     paras.join(firsts, "pfp")
-      .withColumn("kept", col("doc_id") === col("f_doc") && col("pos") === col("f_pos"))
+      .withColumn("kept",
+        col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_paras"),
@@ -892,5 +903,36 @@ object Dedup {
             array_sort(collect_list(when(col("kept"), struct(col("pos"), col("para"))))),
             x => x.getField("para"))).as("clean_text"))
       .orderBy("doc_id")
+
+  /** First-occurrence paragraph index — (pfp, f struct(doc_id, pos))
+    * — the substrate of INCREMENTAL paragraph dedup, the paragraph-
+    * level twin of [[exactDedupIndex]]. Persist bucketed BY pfp
+    * (`LakeWriter.writeBucketed(index, name, n, Seq("pfp"))`) and the
+    * daily shard probe joins history in place; append the shard's own
+    * novel-paragraph firsts after its pass so tomorrow sees today.
+    */
+  def paragraphIndex(documents: DataFrame): DataFrame =
+    paragraphs(documents)
+      .groupBy("pfp")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+
+  /** [[paragraphDedup]] for a NEW shard against an indexed history:
+    * identical output to the full recompute restricted to shard docs
+    * — the global first occurrence per paragraph decomposes as
+    * least(indexed first, shard-local first), both (doc_id, pos)
+    * lexicographic — but history documents are never re-read, never
+    * re-split, never shuffled: the only thing history contributes is
+    * one index row per DISTINCT paragraph the shard actually shares.
+    * Contract: shard doc_ids disjoint from indexed doc_ids.
+    */
+  def incrementalParagraphDedup(newDocs: DataFrame, index: DataFrame): DataFrame = {
+    val paras = paragraphs(newDocs)
+    val localFirst = paras
+      .groupBy("pfp")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("nf"))
+    val firsts = localFirst
+      .join(index.select(col("pfp"), col("f").as("of")), Seq("pfp"), "left")
+      .select(col("pfp"), least(col("of"), col("nf")).as("f"))
+    assembleParagraphs(paras, firsts)
   }
 }

@@ -367,6 +367,58 @@ object TextOps {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Hashed-feature linear classifier SERVING — the fasttext-shaped
+    * model-based quality filter every modern corpus pipeline runs
+    * after the rule-based pass ([[graft.ops.CorpusOps.gopherFilter]]):
+    * tokens hash into `nBuckets` feature buckets (the hashing trick —
+    * vocabulary-free, so the model table has fixed size no matter the
+    * corpus), each bucket carries a trained weight, and a document's
+    * score is its mean token weight. Serving is a narrow explode +
+    * one equi-join on bucket + a partial-agg groupBy — the weight
+    * table joins like any dimension (broadcast when it fits).
+    *
+    * Portability: weights are INTEGER (w_int ∈ [0, P); a real model
+    * quantizes its floats the same way), summed exactly as longs;
+    * the only float ops are the final divisions — score =
+    * (Σw)/(n·P) − 0.5, quantized — so the gate is bit-exact. Docs
+    * with zero tokens have no features and drop (explode semantics).
+    */
+  val ClassifierP = 2147483647L // 2^31 − 1 (Mersenne), shared with the twin
+  val ClassifierA = 1103515245L
+  val ClassifierB = 12345L
+
+  /** Deterministic pseudo-weight table for the gate fixture — a
+    * PRODUCTION caller loads trained weights with this same
+    * (bucket, w_int) schema instead.
+    */
+  def hashedWeightTable(
+      spark: org.apache.spark.sql.SparkSession, nBuckets: Int = 4096): DataFrame =
+    spark.range(nBuckets).select(
+      col("id").as("bucket"),
+      ((col("id") * ClassifierA + ClassifierB) % ClassifierP).as("w_int"))
+
+  /** 60-bit md5-prefix token hash mod nBuckets — the same portable
+    * hash family the minhash signatures use.
+    */
+  private def featureBucket(tok: Column, nBuckets: Int): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long") % nBuckets
+
+  def classifierScores(
+      documents: DataFrame, weights: DataFrame, nBuckets: Int = 4096): DataFrame =
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), featureBucket(col("tok"), nBuckets).as("bucket"))
+      .join(weights, "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("w_int").as("s"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        Exact.quant4(
+          col("s").cast("double") / col("n_tokens") / lit(ClassifierP.toDouble) - 0.5)
+          .as("score"))
+      .withColumn("keep", col("score") > 0.0)
+      .orderBy("doc_id")
+
   def fingerprints(documents: DataFrame): DataFrame =
     documents
       .select(

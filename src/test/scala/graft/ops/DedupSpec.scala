@@ -193,6 +193,24 @@ class DedupSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(Row(1L, 2L, 2L, "a\n\nb"), Row(2L, 2L, 0L, "")))
   }
 
+  test("incrementalParagraphDedup == full recompute restricted to the shard") {
+    import org.apache.spark.sql.functions._
+    val planted = Dedup.plantParagraphs(docs)
+    val shard = planted.filter(col("doc_id") % 2 === 0)
+    val history = planted.filter(col("doc_id") % 2 =!= 0)
+    val inc = Dedup.incrementalParagraphDedup(shard, Dedup.paragraphIndex(history))
+    val full = Dedup.paragraphDedup(planted).filter(col("doc_id") % 2 === 0)
+    assert(inc.collect().toSeq == full.collect().toSeq)
+    // a paragraph the history already claims must NOT be kept by the
+    // shard even when the shard doc would be its local first
+    val hist2 = Seq((1L, "shared para\n\nhist only")).toDF("doc_id", "text")
+    val shard2 = Seq((10L, "shared para\n\nshard only")).toDF("doc_id", "text")
+    val out = Dedup.incrementalParagraphDedup(shard2, Dedup.paragraphIndex(hist2))
+      .collect()
+    assert(out.toSeq == Seq(
+      org.apache.spark.sql.Row(10L, 2L, 1L, "shard only")))
+  }
+
   test("paragraphDedup on plantParagraphs: every distinct paragraph survives exactly once") {
     import org.apache.spark.sql.functions._
     val planted = Dedup.plantParagraphs(docs)

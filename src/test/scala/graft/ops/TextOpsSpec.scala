@@ -166,4 +166,40 @@ class TextOpsSpec extends AnyFunSuite {
       "dotted phone [PHONE] is claimed before the IP pass")))
     assert(out(3L) == ((0L, 0L, 0L, "clean text, no secrets")))
   }
+
+  test("classifierScores: table-served scores equal the inline weight formula; " +
+      "keep tracks the sign; empty docs drop") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the the the the"),
+      (3L, "!!!")).toDF("doc_id", "text") // no tokens → drops
+    val served = TextOps.classifierScores(docs, TextOps.hashedWeightTable(spark))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(served.map(_._1).toSeq == Seq(1L, 2L))
+    // inline twin: same hash, same weight formula, no join
+    val inline = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") % 4096).as("b"))
+      .select(col("doc_id"),
+        ((col("b") * TextOps.ClassifierA + TextOps.ClassifierB) % TextOps.ClassifierP).as("w"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), sum("w").as("s"))
+      .select(col("doc_id"),
+        Exact.quant4(col("s").cast("double") / col("n") / TextOps.ClassifierP.toDouble - 0.5)
+          .as("score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    served.foreach { case (id, n, score, keep) =>
+      assert(score == inline(id), s"doc $id served $score != inline ${inline(id)}")
+      assert(keep == (score > 0.0))
+      assert(score >= -0.5 && score <= 0.5)
+      assert(n > 0)
+    }
+    // 4 identical tokens = 1 distinct bucket counted 4 times → the
+    // score equals the single token's weight
+    val oneTok = Seq((9L, "the")).toDF("doc_id", "text")
+    val one = TextOps.classifierScores(oneTok, TextOps.hashedWeightTable(spark))
+      .collect()(0).getDouble(2)
+    assert(served.find(_._1 == 2L).get._3 == one)
+  }
 }
