@@ -310,6 +310,17 @@ object SparkEntry {
     // winnowing: rolling-hash document fingerprint selection
     "t62_winnow" -> ((s, d) => { val t = Tables.load(s, d)
       TextOps.winnowFingerprints(t.documents) }),
+    // BPE training's inner loop under the gate: first-iteration
+    // adjacent character-pair frequencies over word types (the merge
+    // loop itself is spec'd differentially vs a reference impl)
+    "t76_bpe_pairs" -> ((s, d) => { val t = Tables.load(s, d)
+      CorpusOps.bpePairCounts(t.documents) }),
+    // Kneser-Ney substrate: trigram counts + continuation diversity
+    "t77_lm_counts" -> ((s, d) => { val t = Tables.load(s, d)
+      CorpusOps.lmCounts(t.documents) }),
+    // inverted index over rare terms, position-aware ordered postings
+    "t78_inverted_index" -> ((s, d) => { val t = Tables.load(s, d)
+      CorpusOps.invertedIndex(t.documents) }),
     // incremental dedup: a new shard (doc_id ≡ 0 mod 5) probes a
     // minhash index built from the REST of the corpus — old×old work
     // is unrepresentable in the plan. The twin recomputes the full
@@ -1109,6 +1120,37 @@ object SparkEntry {
          |  FROM p JOIN c ca ON ca.tok = p.ta JOIN c cb ON cb.tok = p.tb CROSS JOIN n)
          |SELECT ta, tb, c_ab, score FROM s
          |ORDER BY score DESC, ta, tb LIMIT 50""".stripMargin,
+    // BPE first-iteration twin: same word-type weights, same adjacent
+    // character pairs, same (freq DESC, pair) total order
+    "t76_bpe_pairs" ->
+      s"""WITH w AS (SELECT tok AS w, count(*) AS cnt
+         |  FROM (SELECT unnest($toks) AS tok FROM documents) GROUP BY 1),
+         |p AS (SELECT substring(w, i, 1) || ' ' || substring(w, i+1, 1) AS pair, cnt
+         |  FROM w, LATERAL (SELECT unnest(range(1, length(w))) AS i) u
+         |  WHERE length(w) >= 2)
+         |SELECT pair, CAST(sum(cnt) AS BIGINT) AS freq
+         |FROM p GROUP BY 1 ORDER BY freq DESC, pair LIMIT 20""".stripMargin,
+    // LM-counts twin: parallel list indexing builds the trigrams
+    "t77_lm_counts" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS tk FROM documents),
+         |g AS (SELECT tk[i] AS w1, tk[i+1] AS w2, tk[i+2] AS w3
+         |  FROM tk, LATERAL (SELECT unnest(range(1, len(tk)-1)) AS i) u
+         |  WHERE len(tk) >= 3)
+         |SELECT w1, w2, count(*) AS n_trigrams,
+         |  count(DISTINCT w3) AS n_continuations
+         |FROM g GROUP BY 1,2 ORDER BY n_trigrams DESC, w1, w2 LIMIT 50""".stripMargin,
+    // inverted-index twin: same 3-gram phrase unit, same rare-gram
+    // cap, same ordered doc:pos postings (0-based positions)
+    "t78_inverted_index" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS tk FROM documents),
+         |p AS (SELECT doc_id, CAST(i-1 AS INTEGER) AS pos,
+         |    array_to_string(tk[i:i+2], ' ') AS term
+         |  FROM tk, LATERAL (SELECT unnest(range(1, len(tk)-1)) AS i) u
+         |  WHERE len(tk) >= 3)
+         |SELECT term, count(DISTINCT doc_id) AS df, count(*) AS n_postings,
+         |  string_agg(doc_id || ':' || pos, ',' ORDER BY doc_id, pos) AS postings
+         |FROM p GROUP BY 1 HAVING count(DISTINCT doc_id) <= 3
+         |ORDER BY term""".stripMargin,
     // winnowing twin: same k-gram hash sequence (60-bit md5 prefix),
     // same length-w window minima; DuckDB list slices are INCLUSIVE
     // (hs[i:i+3] is 4 hashes) and both engines min over BIGINTs

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -472,4 +472,143 @@ object CorpusOps {
         col("ok_len") && col("ok_word_len") && col("ok_stopwords") && col("ok_ttr"))
       .orderBy("doc_id")
   }
+
+  /** Word-type frequency table (w, cnt) — BPE's training input:
+    * classic BPE (Sennrich et al. 2016) trains over DISTINCT words
+    * weighted by corpus frequency, never over the raw token stream —
+    * the table is vocabulary-sized however big the corpus, which is
+    * what makes tokenizer training tractable at 100 TB (one corpus
+    * pass to count, then every merge iteration touches only types).
+    */
+  private def wordTypes(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** Adjacent-symbol pair frequencies over the current symbol
+    * sequences — BPE's inner loop, exposed as the gated query (t76
+    * covers the first iteration, whose symbols are single
+    * characters): Σ over word types of cnt · (pair occurrences).
+    * Top-k by (freq DESC, pair) — the same total order the merge
+    * selection uses.
+    */
+  def bpePairCounts(documents: DataFrame, k: Int = 20): DataFrame =
+    wordTypes(documents)
+      .select(col("cnt"), split(col("w"), "").as("sym"))
+      .filter(size(col("sym")) >= 2)
+      .select(col("cnt"), explode(TextOps.kgrams(col("sym"), 2)).as("pair"))
+      .groupBy("pair").agg(sum("cnt").as("freq"))
+      .orderBy(col("freq").desc, col("pair"))
+      .limit(k)
+
+  /** Greedy left-to-right application of one merge (a, b) → ab over a
+    * symbol array — overlapping occurrences merge leftmost-first
+    * ("aaa" + merge(a,a) → [aa, a]), the reference BPE behavior. A
+    * fold that either extends the last output symbol or appends;
+    * `get()` (null out of range) keeps the empty-prefix probe safe
+    * under ANSI.
+    */
+  private def applyMergePair(sym: Column, a: String, b: String): Column =
+    aggregate(sym, array().cast("array<string>"), (out, x) => {
+      val last = get(out, size(out) - 1)
+      when(last === lit(a) && x === lit(b),
+        concat(slice(out, lit(1), size(out) - 1), array(concat(last, x))))
+        .otherwise(concat(out, array(x)))
+    })
+
+  /** BPE tokenizer TRAINING: `nMerges` iterations of count-adjacent-
+    * pairs → pick the most frequent (freq DESC, pair ASC — fully
+    * deterministic) → merge it everywhere. Returns the merge table
+    * (rank, left, right, freq) — the artifact a tokenizer ships.
+    *
+    * Scale shape: iterations run on the word-TYPE table (vocabulary-
+    * sized, see [[wordTypes]]); each is one partial-agg shuffle of
+    * pair counts plus a narrow merge pass. The per-iteration argmax
+    * is a 1-row collect — driver coordination inherent to the
+    * sequential-merge algorithm (same acknowledged pattern as the
+    * clustering convergence check); symbol frames are localCheckpoint-
+    * ed per iteration with eager frees so lineage and storage stay
+    * bounded at any merge count.
+    */
+  def bpeTrain(documents: DataFrame, nMerges: Int = 10): DataFrame = {
+    val spark = documents.sparkSession
+    var (syms, symIds) = Dedup.checkpointTracked(
+      wordTypes(documents).select(col("cnt"), split(col("w"), "").as("sym")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var i = 0
+    var exhausted = false
+    while (i < nMerges && !exhausted) {
+      val top = syms
+        .filter(size(col("sym")) >= 2)
+        .select(col("cnt"),
+          explode(TextOps.kgrams(col("sym"), 2)).as("pair"))
+        .groupBy("pair").agg(sum("cnt").as("freq"))
+        .orderBy(col("freq").desc, col("pair"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val Array(a, b) = top(0).getString(0).split(" ", 2)
+        merges += (((i + 1).toLong, a, b, top(0).getLong(1)))
+        val (next, nextIds) = Dedup.checkpointTracked(
+          syms.select(col("cnt"), applyMergePair(col("sym"), a, b).as("sym")))
+        Dedup.freeRdds(syms, symIds)
+        syms = next; symIds = nextIds
+        i += 1
+      }
+    }
+    Dedup.freeRdds(syms, symIds)
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "freq")
+  }
+
+  /** KN-substrate language-model counts: trigram frequencies plus the
+    * continuation diversity of each bigram prefix — count(w1 w2 w3)
+    * and countDistinct(w3 | w1 w2), the two tables Kneser-Ney
+    * smoothing interpolates. One explode + one partial-agg shuffle
+    * per order; top-k by (n_trigrams DESC, prefix) keeps the gate
+    * output bounded.
+    */
+  def lmCounts(documents: DataFrame, k: Int = 50): DataFrame =
+    documents
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(explode(TextOps.kgrams(col("tk"), 3)).as("g"))
+      .select(
+        element_at(split(col("g"), " "), 1).as("w1"),
+        element_at(split(col("g"), " "), 2).as("w2"),
+        element_at(split(col("g"), " "), 3).as("w3"))
+      .groupBy("w1", "w2")
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        countDistinct("w3").as("n_continuations"))
+      .orderBy(col("n_trigrams").desc, col("w1"), col("w2"))
+      .limit(k)
+
+  /** Inverted index build — the search/decontamination serving
+    * substrate: per word n-gram (the phrase unit
+    * [[graft.ops.Dedup.containmentReport]] matches on), document
+    * frequency and the full postings list (doc:pos, position-aware so
+    * a phrase hit can be widened in place), restricted to rare grams
+    * (df ≤ maxDf — common grams are stop-listed exactly like the
+    * decontamination df cap, and their postings would dominate
+    * storage for no lookup value). Postings serialize as an ORDERED
+    * string so the artifact is byte-deterministic on every engine.
+    * One explode + one partial-agg shuffle.
+    */
+  def invertedIndex(documents: DataFrame, n: Int = 3, maxDf: Long = 3L): DataFrame =
+    documents
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"), posexplode(TextOps.kgrams(col("tk"), n)).as(Seq("pos", "term")))
+      .groupBy("term")
+      .agg(
+        countDistinct("doc_id").as("df"),
+        count(lit(1)).as("n_postings"),
+        concat_ws(",",
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("pos")))),
+            x => concat_ws(":", x.getField("doc_id"), x.getField("pos"))))
+          .as("postings"))
+      .filter(col("df") <= maxDf)
+      .orderBy("term")
 }

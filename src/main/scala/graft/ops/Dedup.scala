@@ -447,7 +447,7 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+  private[ops] def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
     val out = df.localCheckpoint() // eager: materialized on return
@@ -460,7 +460,7 @@ object Dedup {
     (out, added)
   }
 
-  private def freeRdds(df: DataFrame, ids: Set[Int]): Unit = {
+  private[ops] def freeRdds(df: DataFrame, ids: Set[Int]): Unit = {
     val sc = df.sparkSession.sparkContext
     ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
   }

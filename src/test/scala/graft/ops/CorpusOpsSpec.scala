@@ -294,4 +294,89 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r.getBoolean(5) == false) // ok_ttr
     assert(r.getBoolean(6) == false) // keep
   }
+
+  /** Reference single-node BPE (Sennrich et al. 2016, word-type
+    * weighted, greedy leftmost merge application) — the oracle for
+    * [[CorpusOps.bpeTrain]]'s distributed loop.
+    */
+  private def referenceBpe(
+      texts: Seq[String], nMerges: Int): Seq[(Long, String, String, Long)] = {
+    var words: Map[Vector[String], Long] = texts
+      .flatMap(_.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, g) => w.map(_.toString).toVector -> g.size.toLong }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var rank = 1L
+    var done = false
+    while (rank <= nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (sym, cnt) =>
+        sym.sliding(2).filter(_.size == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + cnt
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), freq) = counts.toSeq.minBy { case ((x, y), c) => (-c, s"$x $y") }
+        merges += ((rank, a, b, freq))
+        words = words.map { case (sym, cnt) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          sym.foreach { x =>
+            if (out.nonEmpty && out.last == a && x == b) out(out.size - 1) = a + b
+            else out += x
+          }
+          out.toVector -> cnt
+        }.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  test("bpeTrain reproduces the reference merge sequence, including greedy overlaps") {
+    val texts = Seq(
+      "low lower lowest low low",
+      "new newer newest new newer",
+      "aaa aaaa banana bandana") // overlap + repeated-letter stress
+    val d = docs(texts.zipWithIndex.map { case (t, i) => (i.toLong, "s", t) }: _*)
+    val got = CorpusOps.bpeTrain(d, nMerges = 8).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val want = referenceBpe(texts, 8)
+    assert(got == want, s"\n got: $got\nwant: $want")
+  }
+
+  test("bpeTrain stops early when no pair remains") {
+    val d = docs((1L, "s", "a b c")) // single-char words: no pairs at all
+    assert(CorpusOps.bpeTrain(d, nMerges = 5).collect().isEmpty)
+  }
+
+  test("lmCounts: trigram and continuation counts (golden)") {
+    val d = docs(
+      (1L, "s", "a b c a b d"), // trigrams: abc, bca, cab, abd
+      (2L, "s", "a b c"))
+    val out = CorpusOps.lmCounts(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // (a,b): abc ×2, abd ×1 → 3 trigrams, 2 continuations
+    assert(out.head == (("a", "b", 3L, 2L)))
+    assert(out.contains(("b", "c", 1L, 1L))) // bca from doc 1
+  }
+
+  test("invertedIndex: ordered doc:pos postings for rare phrase grams; common grams capped") {
+    val d = docs(
+      (1L, "s", "the shared phrase here and the shared phrase again"),
+      (2L, "s", "the shared phrase appears too"),
+      (3L, "s", "the shared phrase third time"),
+      (4L, "s", "the shared phrase fourth time"),
+      (5L, "s", "unique words only this doc"))
+    val out = CorpusOps.invertedIndex(d, n = 3, maxDf = 3L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // "the shared phrase" occurs in 4 docs → over the df cap
+    assert(!out.contains("the shared phrase"))
+    // doc-1-only gram, two occurrences at positions 2 and 5... check a
+    // single-doc phrase with its 0-based gram positions
+    assert(out("unique words only") == ((1L, 1L, "5:0")))
+    assert(out("shared phrase here") == ((1L, 1L, "1:1")))
+    // the doc-1 repeat "the shared phrase" is capped, but its continuation
+    // differs per occurrence: "shared phrase again" is position 6
+    assert(out("shared phrase again") == ((1L, 1L, "1:6")))
+  }
 }
