@@ -321,6 +321,10 @@ object SparkEntry {
     // inverted index over rare terms, position-aware ordered postings
     "t78_inverted_index" -> ((s, d) => { val t = Tables.load(s, d)
       CorpusOps.invertedIndex(t.documents) }),
+    // corpus card: the one-row dataset report (dup rate, quality keep
+    // rate, token budget, diversity), composed from gated operators
+    "t79_corpus_card" -> ((s, d) => { val t = Tables.load(s, d)
+      CorpusOps.corpusCard(t.documents) }),
     // incremental dedup: a new shard (doc_id ≡ 0 mod 5) probes a
     // minhash index built from the REST of the corpus — old×old work
     // is unrepresentable in the plan. The twin recomputes the full
@@ -1151,6 +1155,30 @@ object SparkEntry {
          |  string_agg(doc_id || ':' || pos, ',' ORDER BY doc_id, pos) AS postings
          |FROM p GROUP BY 1 HAVING count(DISTINCT doc_id) <= 3
          |ORDER BY term""".stripMargin,
+    // corpus-card twin: t23's dedup CTE + t55's rule bounds + plain
+    // aggregates, one row
+    "t79_corpus_card" ->
+      s"""WITH fp AS (SELECT doc_id,
+         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+         |  FROM documents),
+         |c AS (SELECT fp, min(doc_id) AS canonical_id FROM fp GROUP BY 1),
+         |dup AS (SELECT f.doc_id, f.doc_id <> c.canonical_id AS is_dup
+         |  FROM fp f JOIN c ON f.fp = c.fp),
+         |m AS (SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n,
+         |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq,
+         |  CAST(coalesce(list_aggregate(list_transform(tk, x -> length(x)), 'sum'), 0) AS BIGINT) AS sum_len,
+         |  CAST(len(list_filter(['the','a','of','and','is','to','in'], s -> list_contains(tk, s))) AS BIGINT) AS n_stop
+         |  FROM (SELECT doc_id, $toks AS tk FROM documents)),
+         |k AS (SELECT doc_id, n,
+         |  (n >= 20 AND n <= 400 AND sum_len >= 3*n AND sum_len <= 10*n
+         |    AND n_stop >= 2 AND 5*n_uniq >= n) AS keep FROM m),
+         |t AS (SELECT doc_id, lang, source FROM documents)
+         |SELECT count(*) AS n_docs, CAST(sum(k.n) AS BIGINT) AS n_tokens,
+         |  count(DISTINCT t.lang) AS n_langs, count(DISTINCT t.source) AS n_sources,
+         |  CAST(sum(CASE WHEN dup.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
+         |  CAST(sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_keep
+         |FROM t JOIN dup ON dup.doc_id = t.doc_id JOIN k ON k.doc_id = t.doc_id""".stripMargin,
     // winnowing twin: same k-gram hash sequence (60-bit md5 prefix),
     // same length-w window minima; DuckDB list slices are INCLUSIVE
     // (hs[i:i+3] is 4 hashes) and both engines min over BIGINTs

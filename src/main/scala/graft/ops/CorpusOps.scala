@@ -584,6 +584,30 @@ object CorpusOps {
       .orderBy(col("n_trigrams").desc, col("w1"), col("w2"))
       .limit(k)
 
+  /** Corpus card — the one-row dataset report every released corpus
+    * ships: size, token budget, language/source diversity, exact-dup
+    * rate, rule-based quality keep rate. Composes the gated operators
+    * ([[graft.ops.Dedup.exactDedup]], [[gopherFilter]]) rather than
+    * re-deriving their rules — three narrow passes plus the 16-byte
+    * fingerprint shuffle, then one global aggregate; a report run
+    * occasionally over any corpus size.
+    */
+  def corpusCard(documents: DataFrame): DataFrame = {
+    val facts = documents.select(
+      col("doc_id"), col("lang"), col("source"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+    val dup = Dedup.exactDedup(documents).select(col("doc_id"), col("is_dup"))
+    val keep = gopherFilter(documents).select(col("doc_id"), col("keep"))
+    facts.join(dup, "doc_id").join(keep, "doc_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("source").as("n_sources"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_exact_dups"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality_keep"))
+  }
+
   /** Inverted index build — the search/decontamination serving
     * substrate: per word n-gram (the phrase unit
     * [[graft.ops.Dedup.containmentReport]] matches on), document

@@ -171,6 +171,51 @@ object EventStream {
     checkpoint.fold(trig)(trig.option("checkpointLocation", _)).start()
   }
 
+  /** Streaming PARAGRAPH dedup — boilerplate stripping on the intake
+    * path: each micro-batch of documents is paragraph-deduped against
+    * the persisted first-occurrence index
+    * ([[graft.ops.Dedup.paragraphIndex]], bucketed by pfp) plus the
+    * batch itself, the cleaned documents are emitted, and the batch's
+    * NOVEL paragraph firsts append to the index — so tomorrow's
+    * stream sees today's chrome. Same durability contract as
+    * [[globalDedupStream]]: replayed batches re-emit, and their
+    * re-appended firsts anti-join away, keeping the index consistent;
+    * no dedup state lives in the driver or in watermark-bounded
+    * stores — a cookie banner from last year still dedups.
+    */
+  def paragraphDedupStream(
+      docs: DataFrame, indexName: String, indexRoot: String,
+      buckets: Int = 32, checkpoint: Option[String] = None,
+      availableNow: Boolean = false)(
+      emit: (DataFrame, Long) => Unit): StreamingQuery = {
+    val writer = docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      val spark = batch.sparkSession
+      val exists = spark.catalog.tableExists(indexName)
+      // two consumers (clean + index append) re-read the batch —
+      // persist the micro-batch once
+      val b = batch.persist()
+      try {
+        val cleaned =
+          if (exists)
+            graft.ops.Dedup.incrementalParagraphDedup(b, spark.table(indexName))
+          else graft.ops.Dedup.paragraphDedup(b)
+        emit(cleaned, batchId)
+        val localIdx = graft.ops.Dedup.paragraphIndex(b)
+        val novel =
+          if (exists)
+            localIdx.join(spark.table(indexName).select("pfp"), Seq("pfp"), "left_anti")
+          else localIdx
+        new graft.sinks.LakeWriter(indexRoot, mode = if (exists) "append" else "overwrite")
+          .writeBucketed(novel, indexName, buckets, Seq("pfp"))
+      } finally { b.unpersist(); () }
+    }
+    val trig =
+      if (availableNow)
+        writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      else writer
+    checkpoint.fold(trig)(trig.option("checkpointLocation", _)).start()
+  }
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

@@ -360,6 +360,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.contains(("b", "c", 1L, 1L))) // bca from doc 1
   }
 
+  test("corpusCard aggregates dup rate, quality keep rate and diversity (golden)") {
+    import org.apache.spark.sql.Row
+    val good = ("the data of a pipeline and a table is " * 3).trim // 27 toks, passes rules
+    val d = Seq(
+      (1L, "en", "web", good),
+      (2L, "en", "web", good.toUpperCase), // exact dup of 1 after normalization
+      (3L, "de", "book", "tiny doc"),      // fails ok_len
+      (4L, "en", "web", good + " extended")
+    ).toDF("doc_id", "lang", "source", "text")
+    val out = CorpusOps.corpusCard(d).collect()
+    // 27+27+2+28 tokens; dup doc 2; quality keeps docs 1, 2, 4
+    assert(out.toSeq == Seq(Row(4L, 84L, 2L, 2L, 1L, 3L)))
+  }
+
   test("invertedIndex: ordered doc:pos postings for rare phrase grams; common grams capped") {
     val d = docs(
       (1L, "s", "the shared phrase here and the shared phrase again"),

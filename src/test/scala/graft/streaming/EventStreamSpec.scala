@@ -156,4 +156,39 @@ class EventStreamSpec extends AnyFunSuite {
         .map(r => r.getLong(1)).sorted.toSeq == Seq(1L, 3L, 5L))
     } finally spark.sql("DROP TABLE IF EXISTS gds_idx")
   }
+
+  test("paragraphDedupStream: index-backed boilerplate stripping across batches and restarts") {
+    val in = Files.createTempDirectory("pds_in").toString
+    val cp = Files.createTempDirectory("pds_cp").toString
+    val idxRoot = Files.createTempDirectory("pds_idx").toString
+    val emitted = scala.collection.mutable.Map[Long, (Long, Long, String)]()
+    def run(): Unit = {
+      val docs = spark.readStream.schema("doc_id LONG, text STRING").parquet(in)
+      val q = EventStream.paragraphDedupStream(
+        docs, "pds_idx", idxRoot, buckets = 4,
+        checkpoint = Some(cp), availableNow = true) { (out, _) =>
+        emitted ++= out.collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      }
+      q.awaitTermination()
+    }
+    try {
+      // batch 1: docs share a banner paragraph; doc 1 claims it
+      Seq(
+        (1L, "banner text\n\ncontent one"),
+        (2L, "banner text\n\ncontent two"))
+        .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+      run()
+      assert(emitted(1L) == ((2L, 2L, "banner text\n\ncontent one")))
+      assert(emitted(2L) == ((2L, 1L, "content two")))
+      // batch 2 after a RESTART: the banner arrives again a batch
+      // later — only the persisted INDEX can catch it
+      Seq((3L, "banner text\n\ncontent three"))
+        .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+      run()
+      assert(emitted(3L) == ((2L, 1L, "content three")))
+      // index holds one first per distinct paragraph (banner + 3 contents)
+      assert(spark.table("pds_idx").count() == 4)
+    } finally spark.sql("DROP TABLE IF EXISTS pds_idx")
+  }
 }
