@@ -325,6 +325,10 @@ object SparkEntry {
     // rate, token budget, diversity), composed from gated operators
     "t79_corpus_card" -> ((s, d) => { val t = Tables.load(s, d)
       CorpusOps.corpusCard(t.documents) }),
+    // the capstone with NEAR-dup canonicalization: one representative
+    // per Jaccard cluster (t49 machinery) feeds the t56 tail
+    "t80_corpus_build_neardup" -> ((s, d) => { val t = Tables.load(s, d)
+      CorpusOps.corpusBuildNearDup(t.documents, threshold = 0.9) }),
     // incremental dedup: a new shard (doc_id ≡ 0 mod 5) probes a
     // minhash index built from the REST of the corpus — old×old work
     // is unrepresentable in the plan. The twin recomputes the full
@@ -1063,6 +1067,51 @@ object SparkEntry {
          |       WHEN CAST(('0x'||substr(fp,1,4)) AS BIGINT) % 10 < 9 THEN 'val'
          |       ELSE 'test' END AS split,
          |  $toks AS tk FROM canon),
+         |m AS (SELECT doc_id, source, split,
+         |  CAST(len(tk) AS BIGINT) AS n,
+         |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq,
+         |  CAST(coalesce(list_aggregate(list_transform(tk, x -> length(x)), 'sum'), 0) AS BIGINT) AS sum_len,
+         |  CAST(len(list_filter(['the','a','of','and','is','to','in'], s -> list_contains(tk, s))) AS BIGINT) AS n_stop
+         |  FROM t),
+         |k AS (SELECT source, split, doc_id, n FROM m
+         |  WHERE n >= 20 AND n <= 400 AND sum_len >= 3*n AND sum_len <= 10*n
+         |    AND n_stop >= 2 AND 5*n_uniq >= n),
+         |o AS (SELECT source, split, doc_id, n,
+         |  CAST(sum(n) OVER (PARTITION BY source, split ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n AS off FROM k)
+         |SELECT source, split, CAST(floor(CAST(off AS DOUBLE)/512.0) AS BIGINT) AS seq_id,
+         | count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM o GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+    // near-dup capstone twin: t49's recursive cluster closure picks
+    // the survivors (cluster-less docs keep themselves), then t56's
+    // split/filter/pack tail verbatim
+    "t80_corpus_build_neardup" ->
+      s"""WITH RECURSIVE
+         |w AS (SELECT DISTINCT doc_id, tok FROM
+         |  (SELECT doc_id, unnest($toks) AS tok FROM documents)),
+         |n AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1,2),
+         |pr AS (SELECT doc_a, doc_b
+         |  FROM p JOIN n na ON na.doc_id = p.doc_a JOIN n nb ON nb.doc_id = p.doc_b
+         |  WHERE ${q4("CAST(inter AS DOUBLE)/(na.n+nb.n-inter)")} >= 0.9),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+         |      UNION SELECT doc_b, doc_a FROM pr),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM e UNION SELECT src, dst FROM e
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |kept0 AS (SELECT d.doc_id, d.source, d.text,
+         |    md5(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+         |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+         |  WHERE cl.cluster_id IS NULL OR d.doc_id = cl.cluster_id),
+         |t AS (SELECT doc_id, source,
+         |  CASE WHEN CAST(('0x'||substr(fp,1,4)) AS BIGINT) % 10 < 8 THEN 'train'
+         |       WHEN CAST(('0x'||substr(fp,1,4)) AS BIGINT) % 10 < 9 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  $toks AS tk FROM kept0),
          |m AS (SELECT doc_id, source, split,
          |  CAST(len(tk) AS BIGINT) AS n,
          |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq,

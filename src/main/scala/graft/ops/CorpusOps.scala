@@ -290,6 +290,17 @@ object CorpusOps {
       TextOps.fingerprint(col("text")).as("fp"))
     val canon = fp.groupBy("fp").agg(min("doc_id").as("canonical_id"))
     val kept0 = fp.join(canon, "fp").filter(col("doc_id") === col("canonical_id"))
+    manifestTail(kept0, seqLen, minTokens, maxTokens)
+  }
+
+  /** The shared filter→split→pack tail of the corpus-build capstones:
+    * takes the deduplicated (doc_id, source, text, fp) survivors,
+    * assigns splits from the SAME fingerprint (no re-hash; dups can't
+    * leak across splits by construction), computes the rule metrics
+    * over ONE materialized token array, packs per (source, split).
+    */
+  private def manifestTail(
+      kept0: DataFrame, seqLen: Long, minTokens: Long, maxTokens: Long): DataFrame = {
     val bucket = conv(substring(col("fp"), 1, 4), 16, 10).cast("long") % 10
     val toks = col("tk")
     val stopList = lit(Array("the", "a", "of", "and", "is", "to", "in"))
@@ -309,6 +320,31 @@ object CorpusOps {
         col("n_stop_uniq") >= 2L && lit(5L) * col("n_uniq") >= col("n"))
       .select(col("source"), col("split"), col("doc_id"), col("n").as("n_tokens"))
     packManifest(kept, Seq("source", "split"), seqLen)
+  }
+
+  /** [[corpusBuild]] with NEAR-duplicate canonicalization: stage 1
+    * keeps one representative per Jaccard duplicate CLUSTER
+    * ([[graft.ops.Dedup.jaccardClusters]] — set-graph label
+    * propagation, the gated t49 machinery) instead of one per exact
+    * fingerprint, so reshuffled/lightly-edited copies collapse too —
+    * the dedup stage a web-scale build actually runs (exact dedup is
+    * its special case at threshold 1.0). Documents outside every
+    * cluster (including token-less ones the clustering never sees)
+    * keep themselves. The tail — fingerprint-keyed splits, rule
+    * filter, two-phase packing — is [[manifestTail]], identical to
+    * the exact capstone.
+    */
+  def corpusBuildNearDup(
+      documents: DataFrame, threshold: Double = 0.6, seqLen: Long = 512L,
+      minTokens: Long = 20L, maxTokens: Long = 400L): DataFrame = {
+    val clusters = Dedup.jaccardClusters(documents, threshold)
+      .select(col("doc_id"), col("cluster_id"))
+    val kept0 = documents
+      .join(clusters, Seq("doc_id"), "left")
+      .filter(col("cluster_id").isNull || col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"), col("source"), col("text"),
+        TextOps.fingerprint(col("text")).as("fp"))
+    manifestTail(kept0, seqLen, minTokens, maxTokens)
   }
 
   /** Vocabulary construction: the `k` most frequent corpus tokens

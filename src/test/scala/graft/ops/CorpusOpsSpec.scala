@@ -360,6 +360,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.contains(("b", "c", 1L, 1L))) // bca from doc 1
   }
 
+  test("corpusBuildNearDup collapses near-dup clusters exact dedup can't; " +
+      "equals corpusBuild on a near-dup-free corpus") {
+    import org.apache.spark.sql.functions._
+    val base = "the data of a pipeline and a table is here with many more words to pass rules " +
+      (1 to 15).map(i => s"w$i").mkString(" ")
+    val edited = base.replace("w7", "EDITED") // jaccard >> 0.6 vs base
+    val distinctDoc = "the of a and is " + (100 to 130).map(i => s"z$i").mkString(" ")
+    val d = Seq(
+      (1L, "web", base),
+      (2L, "web", edited),      // near-dup of 1: exact dedup keeps it, near-dup drops it
+      (3L, "web", distinctDoc)
+    ).toDF("doc_id", "source", "text")
+    val near = CorpusOps.corpusBuildNearDup(d)
+    val exact = CorpusOps.corpusBuild(d)
+    // near-dup manifest packs docs 1 and 3 only; exact packs all three
+    assert(near.agg(sum("n_docs")).head.getLong(0) == 2L)
+    assert(exact.agg(sum("n_docs")).head.getLong(0) == 3L)
+    // with no near-dups the two capstones agree exactly
+    val clean = Seq((1L, "web", base), (3L, "web", distinctDoc)).toDF("doc_id", "source", "text")
+    assert(CorpusOps.corpusBuildNearDup(clean).collect().toSeq ==
+      CorpusOps.corpusBuild(clean).collect().toSeq)
+  }
+
   test("corpusCard aggregates dup rate, quality keep rate and diversity (golden)") {
     import org.apache.spark.sql.Row
     val good = ("the data of a pipeline and a table is " * 3).trim // 27 toks, passes rules
