@@ -40,23 +40,50 @@ object Bench {
       case Some(pats) => val ps = pats.split(","); n => ps.exists(n.contains)
       case None => _ => true
     }
+    // shuffle-volume observability: task-end metrics accumulate into
+    // one counter; the per-query delta is the scale currency a plan
+    // audit reads (a query whose time is fine but whose shuffle bytes
+    // jumped 10× regressed at 100 TB even if the laptop can't tell).
+    // The bus is async, so the delta is read AFTER the timed window
+    // via a stability poll — metric capture never inflates the time.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        ()
+      }
+    })
+    def settledShuffle(): Long = {
+      var prev = shuffleBytes.get()
+      var tries = 0
+      while (tries < 10) {
+        Thread.sleep(50)
+        val cur = shuffleBytes.get()
+        if (cur == prev) tries = 10 else { prev = cur; tries += 1 }
+      }
+      prev
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).filter(q => only(q._1)).map { case (name, fn) =>
       val times = Seq.newBuilder[Double]
+      val shuffles = Seq.newBuilder[Double]
       var ok = true
       var r = 0
       while (ok && r < runs) {
         graft.core.GraftCaches.release(spark)
+        val s0 = settledShuffle()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           times += (System.nanoTime() - t0) / 1e9
+          shuffles += (settledShuffle() - s0) / 1e6
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           ok = false
         }
         r += 1
       }
-      (name, times.result().sorted, ok)
+      (name, times.result().sorted, ok, shuffles.result().sorted)
     }
     // Locale.ROOT: a comma-decimal default locale would emit invalid
     // JSON through the locale-sensitive f-interpolator
@@ -65,14 +92,16 @@ object Bench {
     // SUPPRESS one-off contention spikes, so with runs=2 report the
     // quieter run, never the contended one
     def median(ts: Seq[Double]): Double = ts((ts.size - 1) / 2)
-    def qmap(f: Seq[Double] => Double): String = results.map { case (k, ts, ok) =>
-      "\"" + k + "\":" + (if (ok) fmt(f(ts)) else "-1")
+    def qmap(pick: ((String, Seq[Double], Boolean, Seq[Double])) => Seq[Double])(
+        f: Seq[Double] => Double): String = results.map { r =>
+      "\"" + r._1 + "\":" + (if (r._3) fmt(f(pick(r))) else "-1")
     }.mkString("{", ",", "}")
-    val med = qmap(median)
-    val mins = qmap(_.head)
-    val maxs = qmap(_.last)
+    val med = qmap(_._2)(median)
+    val mins = qmap(_._2)(_.head)
+    val maxs = qmap(_._2)(_.last)
+    val shuf = qmap(_._4)(median)
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val total = results.filter(_._3).map { case (_, ts, _) => median(ts) }.sum
+    val total = results.filter(_._3).map { case (_, ts, _, _) => median(ts) }.sum
     // name the statistic honestly: an even run count reports the
     // lower-middle (runs=2 → the min), which is NOT a median
     val stat = if (runs % 2 == 1) "median" else "lower-median"
@@ -84,7 +113,7 @@ object Bench {
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
                   case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
     val onlyField = onlyEnv.map(p => s""","only":"${jstr(p)}"""").getOrElse("")
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"stat":"$stat"$onlyField,"queries":$med,"queries_min":$mins,"queries_max":$maxs,"failed":$failed,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"stat":"$stat"$onlyField,"queries":$med,"queries_min":$mins,"queries_max":$maxs,"queries_shuffle_mb":$shuf,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // stdout capture windows truncate (~2 KB tails have eaten a whole
     // round's headline number); the artifact must also survive on disk

@@ -67,6 +67,32 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
       .drop("_z")
       .write.mode(mode).parquet(s"$root/$entity")
 
+  /** [[writeZOrdered]] for columns whose domain doesn't fit the
+    * Morton key's bit budget (timestamps, prices, 64-bit ids, skewed
+    * anything): each dimension is first quantized to an EQUI-DEPTH
+    * rank bucket — approx-percentile boundaries, bucket = how many
+    * boundaries the value exceeds, a pure codegen'd comparison sum —
+    * and the interleave runs on bucket ids. Equi-depth means every
+    * bucket holds ~1/buckets of the rows no matter how skewed the
+    * raw values, so file rectangles stay balanced where raw-value
+    * interleaving would put 99% of rows in one corner. The one
+    * driver-side action is the boundary probe (`buckets` doubles —
+    * same class as the dedup plan probe, documented there).
+    */
+  def writeZOrderedByRank(
+      df: DataFrame, entity: String, cols: (String, String),
+      files: Int, buckets: Int = 256): Unit = {
+    val bits = 32 - Integer.numberOfLeadingZeros(math.max(buckets - 1, 1))
+    val z = LakeWriter.zorderKey(
+      LakeWriter.rankBucket(df, cols._1, buckets),
+      LakeWriter.rankBucket(df, cols._2, buckets), bits)
+    df.withColumn("_z", z)
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(mode).parquet(s"$root/$entity")
+  }
+
   /** Compact one entity directory to ~`targetFileBytes` files — the
     * maintenance pass that keeps a streaming/append lake readable
     * (thousands of small files turn a scan into a metadata storm; see
@@ -112,6 +138,23 @@ object LakeWriter {
       shiftleft(shiftright(av, i).bitwiseAND(1L), 2 * i + 1) +
         shiftleft(shiftright(bv, i).bitwiseAND(1L), 2 * i)
     }.reduce(_ + _)
+  }
+
+  /** Equi-depth rank bucket of a numeric column: approx-percentile
+    * boundaries (one tiny driver probe), then
+    * bucket = Σ [value > boundary_i] — a codegen'd comparison chain,
+    * no join, no window. Monotone in the value, so footer min/max on
+    * the RAW column still prunes after sorting by bucket.
+    */
+  def rankBucket(df: DataFrame, column: String, buckets: Int): Column = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val probs = (1 until buckets).map(i => i.toDouble / buckets)
+    val bounds = df
+      .select(expr(
+        s"approx_percentile(CAST($column AS DOUBLE), array(${probs.mkString(",")}), 10000)"))
+      .head.getSeq[Double](0)
+    bounds.foldLeft(lit(0))((acc, b) =>
+      acc + when(col(column).cast("double") > lit(b), 1).otherwise(0))
   }
 
   /** s3a credential/endpoint bootstrap — the engine-side counterpart

@@ -71,6 +71,34 @@ class LakeWriterSpec extends AnyFunSuite {
     assert(touchX <= 20, s"x in [0,7] touched $touchX of 64 files")
   }
 
+  test("rank-bucketed z-order balances skewed wide domains and still prunes raw slices") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("zrank").toString
+    val lw = new LakeWriter(root)
+    // wildly skewed wide domains: x ~ id³ (heavy tail), y ~ scattered
+    // 64-bit-ish values — raw-value interleaving would put almost all
+    // rows in one Morton corner
+    val rows = spark.range(4096)
+      .select(
+        (col("id") * col("id") * col("id")).as("x"),
+        ((col("id") * 2654435761L) % 1000000007L).as("y"))
+    lw.writeZOrderedByRank(rows, "zr", ("x", "y"), files = 16, buckets = 64)
+    val perFile = spark.read.parquet(s"$root/zr")
+      .groupBy(col("_metadata.file_path"))
+      .agg(count(lit(1)).as("n"), min("x").as("xmin"), max("x").as("xmax"))
+      .collect()
+    assert(perFile.length == 16)
+    // equi-depth buckets keep file sizes balanced despite the skew
+    perFile.foreach(r => assert(r.getLong(1) >= 128 && r.getLong(1) <= 512,
+      s"file holds ${r.getLong(1)} of 4096 rows — rank bucketing failed"))
+    // rank buckets are monotone in the raw value, so a raw x slice
+    // still prunes by footer min/max: the bottom 1/8 of x values
+    // (x < 512³/8 ≈ id < 256) should touch a minority of files
+    val cut = 255L * 255L * 255L
+    val touching = perFile.count(_.getLong(2) <= cut)
+    assert(touching <= 8, s"x-slice touched $touching of 16 files")
+  }
+
   test("compact rewrites a many-file entity to the target count with identical data") {
     val root = Files.createTempDirectory("compact").toString
     val lw = new LakeWriter(root)
