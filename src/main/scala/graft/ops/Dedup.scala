@@ -489,6 +489,13 @@ object Dedup {
     // pair-finding subtree above it (tokenize → candidates → verify)
     // is far too expensive to evaluate per reference.
     val (p, pIds) = checkpointTracked(pairs.select(col(aCol), col(bCol)))
+    // NOTE (measured, round-6): pre-repartitioning the edge list by
+    // src before this checkpoint does NOT save the per-sweep edge
+    // exchange — under AQE the checkpointed RDD's outputPartitioning
+    // isn't offered to the sweep joins, so the attempt just added its
+    // own shuffle (+213 MB on the t49 gate corpus). If the per-sweep
+    // edge exchange ever dominates, the fix is a skew-aware GraphX-
+    // style partitioning INSIDE the loop, not a checkpoint hint.
     val (edges, edgeIds) = checkpointTracked(
       p.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(p.select(col(bCol).as("src"), col(aCol).as("dst")))

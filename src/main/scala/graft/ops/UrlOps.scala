@@ -52,10 +52,15 @@ object UrlOps {
       split(regexp_extract(wk, UrlQueryRe, 1), "&"),
       p => p =!= "" && !p.rlike(TrackingParamRe))
     val qn = array_join(params, "&")
-    val norm = concat(
+    val canon = concat(
       scheme, lit("://"), host, path,
       when(qn === "", lit("")).otherwise(concat(lit("?"), qn)))
-    (norm, regexp_extract(host, DomainRe, 1))
+    // contract: canonicalization applies to absolute scheme://host
+    // URLs; anything else (relative refs, mailto:, garbage) passes
+    // through trimmed-as-is rather than collapsing to "://…" — a
+    // crawler's frontier dedup must never merge distinct junk
+    val norm = when(scheme === "", trim(url)).otherwise(canon)
+    (norm, when(scheme === "", lit("")).otherwise(regexp_extract(host, DomainRe, 1)))
   }
 
   /** (doc_id, url_norm, domain) — one narrow codegen'd pass. */

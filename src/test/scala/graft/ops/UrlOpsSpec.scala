@@ -45,6 +45,16 @@ class UrlOpsSpec extends AnyFunSuite {
       "https://example.com/a")
   }
 
+  test("non-absolute inputs pass through instead of collapsing to '://…'") {
+    assert(norm("not a url at all ") == "not a url at all")
+    assert(norm("/relative/path?x=1") == "/relative/path?x=1")
+    assert(norm("mailto:someone@example.com") == "mailto:someone@example.com")
+    import org.apache.spark.sql.functions.col
+    val d = Seq((1L, "garbage")).toDF("doc_id", "url")
+      .select(UrlOps.urlDomain(col("url"))).head.getString(0)
+    assert(d == "")
+  }
+
   test("urlDomain is the registrable-domain approximation") {
     import org.apache.spark.sql.functions.col
     val d = Seq((1L, "https://news.sub.Example.co/x")).toDF("doc_id", "url")
