@@ -248,6 +248,10 @@ object SparkEntry {
     // (exact values + within-tolerance booleans, the q38 pattern)
     "q48_approx_quantiles" -> ((s, d) => { val t = Tables.load(s, d)
       Relational.approxQuantileReport(t.lineitem) }),
+    // incremental NDV: per-shard mergeable HLL sketches unioned to a
+    // corpus estimate — statistics that stay fresh without rescans
+    "q49_incremental_ndv" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.incrementalNdv(t.lineitem) }),
     "q44_percentiles" -> ((s, d) => { val t = Tables.load(s, d)
       Relational.groupedPercentiles(t.lineitem) }),
     "q46_status_pivot" -> ((s, d) => { val t = Tables.load(s, d)
@@ -844,6 +848,13 @@ object SparkEntry {
         | count(DISTINCT l_partkey) AS n_parts,
         | TRUE AS suppliers_ok, TRUE AS parts_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // DataSketches HLL bytes aren't oracle-portable (q38 precedent);
+    // the declared output is exact counts + within-tolerance booleans
+    "q49_incremental_ndv" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_suppliers,
+        | TRUE AS parts_ok, TRUE AS suppliers_ok
+        |FROM lineitem""".stripMargin,
     // GK-sketch internals aren't oracle-portable (q38 precedent); the
     // declared output is exact percentiles + within-tolerance booleans
     "q48_approx_quantiles" ->

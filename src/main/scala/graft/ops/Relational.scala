@@ -204,6 +204,38 @@ object Relational {
         (abs(col("_ap") - col("n_parts")) <= col("n_parts") * 0.1).as("parts_ok"))
       .orderBy("l_returnflag")
 
+  /** Incremental distinct-count statistics via MERGEABLE HLL sketches
+    * (`hll_sketch_agg` / `hll_union_agg`, Apache DataSketches): each
+    * shard aggregates its own fixed-size sketch, and the corpus-wide
+    * NDV is the estimate of their union — the way table statistics
+    * actually stay fresh at 100 TB (persist one sketch per
+    * ingested shard; a new shard appends its sketch and the union
+    * re-estimates without rescanning history — contrast q38's HLL++
+    * `approx_count_distinct`, which is one-shot). The gate shards by
+    * order-key residue in-query and checks the union estimate against
+    * the exact count (within-tolerance booleans, the q38 pattern:
+    * sketch bytes aren't oracle-portable, the accuracy contract is).
+    * lgConfigK = 14 bounds the error near 1%; tolerance is 5%.
+    */
+  def incrementalNdv(lineitem: DataFrame, shards: Int = 4): DataFrame = {
+    val perShard = lineitem
+      .groupBy((col("l_orderkey") % shards).as("shard"))
+      .agg(
+        expr("hll_sketch_agg(l_partkey, 14)").as("sk_part"),
+        expr("hll_sketch_agg(l_suppkey, 14)").as("sk_supp"))
+    val merged = perShard.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk_part))").as("_ep"),
+      expr("hll_sketch_estimate(hll_union_agg(sk_supp))").as("_es"))
+    val exact = lineitem.agg(
+      countDistinct("l_partkey").as("n_parts"),
+      countDistinct("l_suppkey").as("n_suppliers"))
+    exact.join(merged)
+      .select(
+        col("n_parts"), col("n_suppliers"),
+        (abs(col("_ep") - col("n_parts")) <= col("n_parts") * 0.05).as("parts_ok"),
+        (abs(col("_es") - col("n_suppliers")) <= col("n_suppliers") * 0.05).as("suppliers_ok"))
+  }
+
   /** Approximate grouped quantiles (Greenwald-Khanna sketches via
     * `approx_percentile`) checked against the exact rank-interpolated
     * percentile. This is the quantile shape that survives 100 TB: GK
