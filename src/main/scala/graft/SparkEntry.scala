@@ -57,6 +57,27 @@ object SparkEntry {
   private def cmean(x: String): String =
     s"floor(CAST(sum(CAST(floor(($x)*1000000.0+0.5) AS DECIMAL(18,0))) AS DOUBLE)/1000000.0/count(*)*1000000.0+0.5)/1000000.0"
 
+  // t81 twin: one aggregate row unpivoted by a generated UNION — the
+  // same column list as Relational.tableProfile, same quantized
+  // min/max doubles, exact NDVs
+  private lazy val t81Sql: String = {
+    val cols = Seq(
+      "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount")
+    val per = cols.map(c =>
+      s"SELECT '$c' AS col_name, n_rows, nn_$c AS n_nulls, ndv_$c AS ndv, min_$c AS min_d, max_$c AS max_d FROM s")
+      .mkString("\nUNION ALL\n")
+    s"""WITH s AS (SELECT count(*) AS n_rows,
+       |  ${cols.map(c =>
+            s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_$c, " +
+              s"count(DISTINCT $c) AS ndv_$c, " +
+              s"${q4(s"CAST(min($c) AS DOUBLE)")} AS min_$c, " +
+              s"${q4(s"CAST(max($c) AS DOUBLE)")} AS max_$c").mkString(",\n  ")}
+       |  FROM lineitem)
+       |$per
+       |ORDER BY col_name""".stripMargin
+  }
+
   // t70/t75 shared twin: the planted-paragraph corpus deduplicated by
   // global first occurrence; `where` restricts the OUTPUT docs (t75's
   // shard) while kept flags always see every occurrence
@@ -252,6 +273,10 @@ object SparkEntry {
     // corpus estimate — statistics that stay fresh without rescans
     "q49_incremental_ndv" -> ((s, d) => { val t = Tables.load(s, d)
       Relational.incrementalNdv(t.lineitem) }),
+    // ANALYZE-style per-column profile: null count, exact NDV,
+    // min/max in long format — the CBO statistics surface
+    "t81_table_profile" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.tableProfile(t.lineitem) }),
     "q44_percentiles" -> ((s, d) => { val t = Tables.load(s, d)
       Relational.groupedPercentiles(t.lineitem) }),
     "q46_status_pivot" -> ((s, d) => { val t = Tables.load(s, d)
@@ -855,6 +880,7 @@ object SparkEntry {
         | count(DISTINCT l_suppkey) AS n_suppliers,
         | TRUE AS parts_ok, TRUE AS suppliers_ok
         |FROM lineitem""".stripMargin,
+    "t81_table_profile" -> t81Sql,
     // GK-sketch internals aren't oracle-portable (q38 precedent); the
     // declared output is exact percentiles + within-tolerance booleans
     "q48_approx_quantiles" ->

@@ -204,6 +204,34 @@ object Relational {
         (abs(col("_ap") - col("n_parts")) <= col("n_parts") * 0.1).as("parts_ok"))
       .orderBy("l_returnflag")
 
+  /** ANALYZE-style column statistics — the table profile a cost-based
+    * optimizer (or a data-quality monitor) consumes: per column, null
+    * count, exact NDV, and min/max. One pass over the fact table; the
+    * exact multi-column countDistinct costs one Expand (rows ×
+    * columns) — the price of exactness, paid rarely; the refresh path
+    * that doesn't rescan history is [[incrementalNdv]]'s sketch
+    * union. Output is long-format (one row per column) so a stats
+    * consumer joins it like any dimension.
+    */
+  def tableProfile(lineitem: DataFrame): DataFrame = {
+    val cols = Seq(
+      "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount")
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"ndv_$c"),
+      quant4(min(col(c)).cast("double")).as(s"min_$c"),
+      quant4(max(col(c)).cast("double")).as(s"max_$c")))
+    lineitem
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), expr(
+        s"stack(${cols.size}, " +
+          cols.map(c => s"'$c', nn_$c, ndv_$c, min_$c, max_$c").mkString(", ") +
+          ") AS (col_name, n_nulls, ndv, min_d, max_d)"))
+      .select("col_name", "n_rows", "n_nulls", "ndv", "min_d", "max_d")
+      .orderBy("col_name")
+  }
+
   /** Incremental distinct-count statistics via MERGEABLE HLL sketches
     * (`hll_sketch_agg` / `hll_union_agg`, Apache DataSketches): each
     * shard aggregates its own fixed-size sketch, and the corpus-wide
