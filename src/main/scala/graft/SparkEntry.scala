@@ -61,9 +61,7 @@ object SparkEntry {
   // same column list as Relational.tableProfile, same quantized
   // min/max doubles, exact NDVs
   private lazy val t81Sql: String = {
-    val cols = Seq(
-      "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-      "l_quantity", "l_extendedprice", "l_discount")
+    val cols = Relational.ProfileColumns
     val per = cols.map(c =>
       s"SELECT '$c' AS col_name, n_rows, nn_$c AS n_nulls, ndv_$c AS ndv, min_$c AS min_d, max_$c AS max_d FROM s")
       .mkString("\nUNION ALL\n")
@@ -109,7 +107,7 @@ object SparkEntry {
        |  '/Article/Item' || (doc_id % 50) || '/?utm_source=feed&id=' ||
        |  (doc_id % 25) || '&ref=abc&utm_campaign=x#sec' || (doc_id % 5) AS url
        |  FROM documents),
-       |w AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS wk FROM u),
+       |w AS (SELECT doc_id, regexp_replace(trim(url), '#.*', '') AS wk FROM u),
        |c AS (SELECT doc_id,
        |  lower(regexp_extract(wk, '${graft.ops.UrlOps.UrlSchemeRe}', 1)) AS scheme,
        |  regexp_replace(lower(regexp_extract(wk, '${graft.ops.UrlOps.UrlHostRe}', 1)), '^www\\.', '') AS hp,
@@ -118,7 +116,7 @@ object SparkEntry {
        |n AS (SELECT doc_id,
        |  scheme || '://' || host || path ||
        |    CASE WHEN qn = '' THEN '' ELSE '?' || qn END AS url_norm,
-       |  regexp_extract(host, '${graft.ops.UrlOps.DomainRe}', 1) AS domain
+       |  regexp_extract(regexp_replace(host, ':[0-9]+$$', ''), '${graft.ops.UrlOps.DomainRe}', 1) AS domain
        |  FROM (SELECT doc_id, scheme, path,
        |    CASE WHEN scheme = 'https' THEN regexp_replace(hp, ':443$$', '')
        |         WHEN scheme = 'http' THEN regexp_replace(hp, ':80$$', '')

@@ -529,13 +529,21 @@ object CorpusOps {
     * selection uses.
     */
   def bpePairCounts(documents: DataFrame, k: Int = 20): DataFrame =
-    wordTypes(documents)
-      .select(col("cnt"), split(col("w"), "").as("sym"))
+    pairCounts(wordTypes(documents)
+      .select(col("cnt"), split(col("w"), "").as("sym")))
+      .limit(k)
+
+  /** Shared pair-count core: [[bpePairCounts]] (the gated query) and
+    * [[bpeTrain]]'s merge selection run the SAME code, so the
+    * tie-break order training depends on can never desync from what
+    * the oracle checks.
+    */
+  private def pairCounts(syms: DataFrame): DataFrame =
+    syms
       .filter(size(col("sym")) >= 2)
       .select(col("cnt"), explode(TextOps.kgrams(col("sym"), 2)).as("pair"))
       .groupBy("pair").agg(sum("cnt").as("freq"))
       .orderBy(col("freq").desc, col("pair"))
-      .limit(k)
 
   /** Greedy left-to-right application of one merge (a, b) → ab over a
     * symbol array — overlapping occurrences merge leftmost-first
@@ -574,13 +582,7 @@ object CorpusOps {
     var i = 0
     var exhausted = false
     while (i < nMerges && !exhausted) {
-      val top = syms
-        .filter(size(col("sym")) >= 2)
-        .select(col("cnt"),
-          explode(TextOps.kgrams(col("sym"), 2)).as("pair"))
-        .groupBy("pair").agg(sum("cnt").as("freq"))
-        .orderBy(col("freq").desc, col("pair"))
-        .limit(1).collect()
+      val top = pairCounts(syms).limit(1).collect()
       if (top.isEmpty) exhausted = true
       else {
         val Array(a, b) = top(0).getString(0).split(" ", 2)

@@ -931,15 +931,27 @@ object Dedup {
     * re-split, never shuffled: the only thing history contributes is
     * one index row per DISTINCT paragraph the shard actually shares.
     * Contract: shard doc_ids disjoint from indexed doc_ids.
+    *
+    * `indexWins = true` makes the INDEX authoritative instead: a
+    * paragraph the index already claims is stripped from every shard
+    * doc even when the shard carries a smaller doc_id. That is the
+    * STREAMING contract ([[graft.streaming.EventStream
+    * .paragraphDedupStream]]): batch N already emitted the paragraph,
+    * so a backfilled smaller id must not re-emit it — arrival order,
+    * not id order, decides firstness. The default (least) is the
+    * batch contract, where output must equal the full recompute.
     */
-  def incrementalParagraphDedup(newDocs: DataFrame, index: DataFrame): DataFrame = {
+  def incrementalParagraphDedup(
+      newDocs: DataFrame, index: DataFrame, indexWins: Boolean = false): DataFrame = {
     val paras = paragraphs(newDocs)
     val localFirst = paras
       .groupBy("pfp")
       .agg(min(struct(col("doc_id"), col("pos"))).as("nf"))
+    val resolved =
+      if (indexWins) coalesce(col("of"), col("nf")) else least(col("of"), col("nf"))
     val firsts = localFirst
       .join(index.select(col("pfp"), col("f").as("of")), Seq("pfp"), "left")
-      .select(col("pfp"), least(col("of"), col("nf")).as("f"))
+      .select(col("pfp"), resolved.as("f"))
     assembleParagraphs(paras, firsts)
   }
 }

@@ -213,10 +213,15 @@ object Relational {
     * union. Output is long-format (one row per column) so a stats
     * consumer joins it like any dimension.
     */
+  /** Columns [[tableProfile]] profiles — public so the oracle twin
+    * interpolates the SAME list (single source of truth).
+    */
+  val ProfileColumns: Seq[String] = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount")
+
   def tableProfile(lineitem: DataFrame): DataFrame = {
-    val cols = Seq(
-      "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-      "l_quantity", "l_extendedprice", "l_discount")
+    val cols = ProfileColumns
     val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap(c => Seq(
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
       countDistinct(col(c)).as(s"ndv_$c"),

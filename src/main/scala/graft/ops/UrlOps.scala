@@ -41,7 +41,10 @@ object UrlOps {
   def urlDomain(url: Column): Column = urlParts(url)._2
 
   private def urlParts(url: Column): (Column, Column) = {
-    val wk = regexp_replace(url, "#.*", "")
+    // trim FIRST: the scheme anchor must see the real start of the
+    // URL, or a padded " https://…" would skip canonicalization and
+    // never dedup against its clean form
+    val wk = regexp_replace(trim(url), "#.*", "")
     val scheme = lower(regexp_extract(wk, UrlSchemeRe, 1))
     val noWww = regexp_replace(lower(regexp_extract(wk, UrlHostRe, 1)), "^www\\.", "")
     val host = when(scheme === "https", regexp_replace(noWww, ":443$", ""))
@@ -60,7 +63,10 @@ object UrlOps {
     // through trimmed-as-is rather than collapsing to "://…" — a
     // crawler's frontier dedup must never merge distinct junk
     val norm = when(scheme === "", trim(url)).otherwise(canon)
-    (norm, when(scheme === "", lit("")).otherwise(regexp_extract(host, DomainRe, 1)))
+    // domain comes from the HOSTNAME: a kept non-default port
+    // (":8080") must not defeat the registrable-domain match
+    val hostname = regexp_replace(host, ":[0-9]+$", "")
+    (norm, when(scheme === "", lit("")).otherwise(regexp_extract(hostname, DomainRe, 1)))
   }
 
   /** (doc_id, url_norm, domain) — one narrow codegen'd pass. */

@@ -83,9 +83,12 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
       df: DataFrame, entity: String, cols: (String, String),
       files: Int, buckets: Int = 256): Unit = {
     val bits = 32 - Integer.numberOfLeadingZeros(math.max(buckets - 1, 1))
+    // ONE boundary probe for both dimensions — a per-column probe
+    // would scan the table twice before the write even starts
+    val Seq(b1, b2) = LakeWriter.rankBounds(df, Seq(cols._1, cols._2), buckets)
     val z = LakeWriter.zorderKey(
-      LakeWriter.rankBucket(df, cols._1, buckets),
-      LakeWriter.rankBucket(df, cols._2, buckets), bits)
+      LakeWriter.bucketOf(col(cols._1), b1),
+      LakeWriter.bucketOf(col(cols._2), b2), bits)
     df.withColumn("_z", z)
       .repartitionByRange(files, col("_z"))
       .sortWithinPartitions("_z")
@@ -97,9 +100,15 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
     * maintenance pass that keeps a streaming/append lake readable
     * (thousands of small files turn a scan into a metadata storm; see
     * the read-side mitigation in `core/Tables` small-file fan-out).
-    * Rewrites into a sibling temp dir, then swaps atomically at the
-    * directory level. Returns the new file count. For a
-    * date-partitioned entity, compact per partition directory
+    * Rewrites into a sibling temp dir, then swaps with the
+    * old-aside-first rename order: the original is renamed away, the
+    * rewrite renamed in, and only then is the old copy deleted — at
+    * every step a full copy of the data exists under a well-known
+    * name, so a crash mid-swap loses nothing (a crash between the
+    * two renames leaves the data at `<entity>__old`, never gone; the
+    * earlier delete-then-rename order had a window where the only
+    * copy lived under the temp name). Returns the new file count.
+    * For a date-partitioned entity, compact per partition directory
     * (`entity/load_date=...`) — partition columns written by
     * `partitionBy` live in the path, not the footers, so compacting
     * the root would lose them.
@@ -113,11 +122,17 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
     val total = fs.getContentSummary(path).getLength
     val n = math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt)
     val tmp = new Path(s"$root/${entity}__compacting")
+    val old = new Path(s"$root/${entity}__old")
     spark.read.parquet(path.toString)
       .repartition(n)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(path, true)
-    require(fs.rename(tmp, path), s"compact swap failed for $path")
+    require(fs.rename(path, old), s"compact could not set aside $path")
+    if (!fs.rename(tmp, path)) {
+      // roll back: the original is intact under __old
+      fs.rename(old, path)
+      throw new IllegalStateException(s"compact swap failed for $path; original restored")
+    }
+    fs.delete(old, true)
     n
   }
 }
@@ -144,18 +159,29 @@ object LakeWriter {
     * boundaries (one tiny driver probe), then
     * bucket = Σ [value > boundary_i] — a codegen'd comparison chain,
     * no join, no window. Monotone in the value, so footer min/max on
-    * the RAW column still prunes after sorting by bucket.
+    * the RAW column still prunes after sorting by bucket. Multi-column
+    * callers should use [[rankBounds]] once + [[bucketOf]] per column
+    * — this convenience form probes the table per call.
     */
-  def rankBucket(df: DataFrame, column: String, buckets: Int): Column = {
+  def rankBucket(df: DataFrame, column: String, buckets: Int): Column =
+    bucketOf(col(column), rankBounds(df, Seq(column), buckets).head)
+
+  /** Approx-percentile boundary arrays for several columns in ONE
+    * aggregation pass over `df`.
+    */
+  def rankBounds(df: DataFrame, columns: Seq[String], buckets: Int): Seq[Seq[Double]] = {
     require(buckets >= 2, "need at least 2 buckets")
     val probs = (1 until buckets).map(i => i.toDouble / buckets)
-    val bounds = df
-      .select(expr(
-        s"approx_percentile(CAST($column AS DOUBLE), array(${probs.mkString(",")}), 10000)"))
-      .head.getSeq[Double](0)
-    bounds.foldLeft(lit(0))((acc, b) =>
-      acc + when(col(column).cast("double") > lit(b), 1).otherwise(0))
+    val row = df.select(columns.map(c => expr(
+      s"approx_percentile(CAST($c AS DOUBLE), array(${probs.mkString(",")}), 10000)")): _*)
+      .head
+    columns.indices.map(i => row.getSeq[Double](i))
   }
+
+  /** bucket = Σ [value > boundary_i] over precomputed boundaries. */
+  def bucketOf(value: Column, bounds: Seq[Double]): Column =
+    bounds.foldLeft(lit(0))((acc, b) =>
+      acc + when(value.cast("double") > lit(b), 1).otherwise(0))
 
   /** s3a credential/endpoint bootstrap — the engine-side counterpart
     * of the reference's env-var → boto3 client dance

@@ -195,9 +195,14 @@ object EventStream {
       // persist the micro-batch once
       val b = batch.persist()
       try {
+        // indexWins: arrival order decides firstness on a stream — a
+        // backfilled smaller doc_id must not re-emit a paragraph an
+        // earlier batch already owns (the batch-mode least() rule
+        // would, and the output corpus would carry the chrome twice)
         val cleaned =
           if (exists)
-            graft.ops.Dedup.incrementalParagraphDedup(b, spark.table(indexName))
+            graft.ops.Dedup.incrementalParagraphDedup(
+              b, spark.table(indexName), indexWins = true)
           else graft.ops.Dedup.paragraphDedup(b)
         emit(cleaned, batchId)
         val localIdx = graft.ops.Dedup.paragraphIndex(b)

@@ -211,6 +211,19 @@ class DedupSpec extends AnyFunSuite {
       org.apache.spark.sql.Row(10L, 2L, 1L, "shard only")))
   }
 
+  test("incrementalParagraphDedup indexWins: an indexed paragraph beats a smaller backfilled id") {
+    import org.apache.spark.sql.Row
+    val hist = Seq((100L, "banner text\n\nhist content")).toDF("doc_id", "text")
+    val backfill = Seq((50L, "banner text\n\nbackfill content")).toDF("doc_id", "text")
+    val idx = Dedup.paragraphIndex(hist)
+    // batch rule (least): the smaller backfilled id would claim the banner
+    val batch = Dedup.incrementalParagraphDedup(backfill, idx).collect()
+    assert(batch.toSeq == Seq(Row(50L, 2L, 2L, "banner text\n\nbackfill content")))
+    // stream rule (indexWins): arrival order decides — the banner stays stripped
+    val stream = Dedup.incrementalParagraphDedup(backfill, idx, indexWins = true).collect()
+    assert(stream.toSeq == Seq(Row(50L, 2L, 1L, "backfill content")))
+  }
+
   test("paragraphDedup on plantParagraphs: every distinct paragraph survives exactly once") {
     import org.apache.spark.sql.functions._
     val planted = Dedup.plantParagraphs(docs)

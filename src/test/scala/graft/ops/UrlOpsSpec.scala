@@ -60,6 +60,15 @@ class UrlOpsSpec extends AnyFunSuite {
     val d = Seq((1L, "https://news.sub.Example.co/x")).toDF("doc_id", "url")
       .select(UrlOps.urlDomain(col("url"))).head.getString(0)
     assert(d == "example.co")
+    // a KEPT non-default port must not defeat the domain match
+    val dp = Seq((1L, "http://api.example.com:8080/x")).toDF("doc_id", "url")
+      .select(UrlOps.urlDomain(col("url"))).head.getString(0)
+    assert(dp == "example.com")
+  }
+
+  test("leading/trailing whitespace does not skip canonicalization") {
+    assert(norm("  HTTPS://WWW.Example.COM/a/  ") == "https://example.com/a")
+    assert(norm(" https://example.com/a") == norm("https://example.com/a"))
   }
 
   test("urlDedup canonicalizes crawl variants of one URL to min doc_id") {

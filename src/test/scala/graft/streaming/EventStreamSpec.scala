@@ -189,6 +189,14 @@ class EventStreamSpec extends AnyFunSuite {
       assert(emitted(3L) == ((2L, 1L, "content three")))
       // index holds one first per distinct paragraph (banner + 3 contents)
       assert(spark.table("pds_idx").count() == 4)
+      // batch 3 BACKFILLS a smaller doc_id carrying the same banner:
+      // arrival order decides firstness on a stream (indexWins), so
+      // the banner is still stripped — the batch-mode least() rule
+      // would have re-emitted it
+      Seq((0L, "banner text\n\nbackfill content"))
+        .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+      run()
+      assert(emitted(0L) == ((2L, 1L, "backfill content")))
     } finally spark.sql("DROP TABLE IF EXISTS pds_idx")
   }
 }
