@@ -527,6 +527,10 @@ object SparkEntry {
       Similarity.ivfServe(
         t.embeddings.filter(col("vec_id") < 5),
         Similarity.ivfIndexFrames(t.embeddings.filter(col("vec_id") >= 5))) }),
+    // int8-quantized serving path: top-k over the dequantized index
+    // (4× memory compression; scores pinned by identical twin math)
+    "s43_quantized_topk" -> ((s, d) => { val t = Tables.load(s, d)
+      Similarity.quantizedTopK(t.embeddings) }),
     // SemDeDup over the planted corpus (s38 precedent: the fixture
     // has no semantic near-dups, the planted perturbed copies are
     // real ones) — cells from the seed-centroid assignment, one-pass
@@ -1393,6 +1397,31 @@ object SparkEntry {
     // bit-identical to Spark's `aggregate` higher-order function. A
     // grouped sum() accumulates in engine-chosen order and differs by
     // ulps (measured), which can flake across a quantization boundary.
+    // quantized-serving twin: identical per-vector scale, identical
+    // round (floor(+0.5)) with the same division order, identical
+    // dequant arithmetic — then s31's top-k shape over the
+    // dequantized vectors
+    "s43_quantized_topk" ->
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sc AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x))) AS scale FROM e0),
+         |qt AS (SELECT e0.vec_id, sc.scale,
+         |  CASE WHEN sc.scale > 0.0
+         |    THEN list_transform(e0.v, x -> CAST(floor(x/sc.scale*127.0 + 0.5) AS BIGINT))
+         |    ELSE list_transform(e0.v, x -> CAST(0 AS BIGINT)) END AS q
+         |  FROM e0 JOIN sc ON sc.vec_id = e0.vec_id),
+         |e AS (SELECT vec_id,
+         |  list_transform(q, x -> CAST(x AS DOUBLE)*scale/127.0) AS v FROM qt),
+         |nr AS (SELECT vec_id, $sqlNorm AS nrm FROM e),
+         |d AS (SELECT a.vec_id AS qid, b.vec_id AS cid, ${sqlDot("a", "b")} AS dp
+         |  FROM e a JOIN e b ON a.vec_id < 5 AND b.vec_id >= 5),
+         |r AS (SELECT qid AS query_id, cid AS vec_id,
+         |  floor(dp/(na.nrm*nb.nrm)*1000000.0+0.5)/1000000.0 AS cos
+         |  FROM d JOIN nr na ON na.vec_id = qid JOIN nr nb ON nb.vec_id = cid)
+         |SELECT query_id, rnk, vec_id, cos FROM (
+         |  SELECT query_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM r)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "s31_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |nr AS (SELECT vec_id, $sqlNorm AS nrm FROM e),

@@ -70,6 +70,16 @@ object Similarity {
     val dp = dotWith(embeddings.sparkSession) _
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dp(col("v"), col("v"))))
+    bruteTopK(e, nQueries, k, dp)
+  }
+
+  /** Broadcast-query brute-force top-k over a prepared (vec_id, v,
+    * nrm) frame — shared by the full-precision and the quantized
+    * serving paths.
+    */
+  private def bruteTopK(
+      e: DataFrame, nQueries: Int, k: Int,
+      dp: (Column, Column) => Column): DataFrame = {
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val c = e.filter(col("vec_id") >= nQueries)
@@ -81,6 +91,36 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("query_id", "rnk", "vec_id", "cos")
       .orderBy("query_id", "rnk")
+  }
+
+  /** Symmetric int8-range quantization: per vector, scale = max |xᵢ|
+    * and qᵢ = round(xᵢ/scale·127) — the 4× (fp32→int8) memory
+    * compression a billion-vector serving index runs on. Pure column
+    * math, bit-portable (round is floor(+0.5), one division order,
+    * mirrored in the twin); the zero vector quantizes to zeros.
+    */
+  def quantizeEmbeddings(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+      .select(col("vec_id"), col("scale"),
+        when(col("scale") > 0.0,
+          transform(col("v"), x => floor(x / col("scale") * 127.0 + 0.5).cast("long")))
+          .otherwise(transform(col("v"), _ => lit(0L))).as("q"))
+
+  /** [[cosineTopK]] over the DEQUANTIZED int8 index — the serving
+    * path that trades ≤1/254-per-component error for 4× less index
+    * memory; the spec bounds its ranking drift against full
+    * precision, and the gate (s43) pins the exact dequantized scores
+    * via the identical twin arithmetic.
+    */
+  def quantizedTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val dp = dotWith(embeddings.sparkSession) _
+    val e = quantizeEmbeddings(embeddings)
+      .select(col("vec_id"),
+        transform(col("q"), x => x.cast("double") * col("scale") / 127.0).as("v"))
+      .withColumn("nrm", sqrt(dp(col("v"), col("v"))))
+    bruteTopK(e, nQueries, k, dp)
   }
 
   /** Hamming-≤2 probe masks over `bits` bit positions: 0, all single

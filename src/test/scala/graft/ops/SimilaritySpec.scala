@@ -266,6 +266,36 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization: planted near-dups survive as top-1 neighbors; " +
+      "scores drift < 0.02 from full precision") {
+    val full = Similarity.cosineTopK(planted, nQueries = 5, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val quant = Similarity.quantizedTopK(planted, nQueries = 5, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // each query 0..4 has a planted near-dup at 100+i with cos ≈ 0.999:
+    // int8 error (≤ 1/254 per component) cannot displace it from rank 1
+    (0 until 5).foreach { i =>
+      assert(quant((i.toLong, 1L))._1 == 100L + i,
+        s"query $i lost its planted near-dup under quantization")
+    }
+    // score drift bound across the whole top-5
+    full.keys.foreach { key =>
+      assert(math.abs(full(key)._2 - quant(key)._2) < 0.02,
+        s"$key drifted: full ${full(key)._2} vs quant ${quant(key)._2}")
+    }
+  }
+
+  test("quantizeEmbeddings: zero vector quantizes to zeros; scale is max |component|") {
+    import org.apache.spark.sql.functions.col
+    val e = Seq(
+      (1L, Array(0.0f, 0.0f)),
+      (2L, Array(-2.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeEmbeddings(e).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Long](2)))).toMap
+    assert(out(1L) == ((0.0, Seq(0L, 0L))))
+    assert(out(2L) == ((2.0, Seq(-127L, 64L)))) // round(0.5·127) = 64, half-up
+  }
+
   test("dot/norm are the sequential fold (golden value)") {
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
     import org.apache.spark.sql.functions.col
