@@ -382,6 +382,10 @@ object SparkEntry {
     // adjacent marks merge into maximal spans
     "t69_substring_dedup" -> ((s, d) => { val t = Tables.load(s, d)
       Dedup.duplicatedSpans(t.documents) }),
+    // the removal half of the same workflow: duplicated-span tokens
+    // stripped, documents rebuilt from survivors
+    "t82_substring_removal" -> ((s, d) => { val t = Tables.load(s, d)
+      Dedup.removeDuplicatedSpans(t.documents) }),
     // paragraph-level dedup (Dolma/CCNet): the gate texts are single
     // blocks, so deterministic paragraph structure — shared
     // boilerplate chrome between content halves — is planted in-query
@@ -779,6 +783,36 @@ object SparkEntry {
               .mkString("\n |  + ")} AS zkey
          |FROM lineitem
          |ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin,
+    // removal twin: t69's span CTEs → covered token positions
+    // (adjacent islands CAN overlap in token space → DISTINCT) →
+    // anti-join → ordered reassembly; sub-k-gram docs pass untouched
+    "t82_substring_removal" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    md5(array_to_string(t[i:i+4], ' ')) AS gfp
+        |  FROM tk, LATERAL (SELECT unnest(range(1, len(t)-5+2)) AS i) u
+        |  WHERE len(t) >= 5),
+        |d AS (SELECT gfp FROM g GROUP BY gfp HAVING count(*) > 1),
+        |h AS (SELECT doc_id, pos FROM g JOIN d USING (gfp)),
+        |isl AS (SELECT doc_id, pos,
+        |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM h),
+        |sp AS (SELECT doc_id, min(pos) AS s, max(pos)-min(pos)+5 AS n
+        |  FROM isl GROUP BY doc_id, grp),
+        |cov AS (SELECT DISTINCT doc_id, CAST(s + u.i AS BIGINT) AS pos
+        |  FROM sp, LATERAL (SELECT unnest(range(0, n)) AS i) u),
+        |p AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS tok
+        |  FROM tk, LATERAL (SELECT unnest(range(1, len(t)+1)) AS i) u),
+        |kept AS (SELECT p.doc_id, p.pos, p.tok FROM p ANTI JOIN cov
+        |  ON cov.doc_id = p.doc_id AND cov.pos = p.pos),
+        |nt AS (SELECT doc_id, count(*) AS n_tokens FROM p GROUP BY 1),
+        |k2 AS (SELECT doc_id, count(*) AS n_kept,
+        |  string_agg(tok, ' ' ORDER BY pos) AS clean_text FROM kept GROUP BY 1)
+        |SELECT nt.doc_id, nt.n_tokens,
+        |  nt.n_tokens - coalesce(k2.n_kept, 0) AS n_removed,
+        |  coalesce(k2.clean_text, '') AS clean_text
+        |FROM nt LEFT JOIN k2 ON k2.doc_id = nt.doc_id
+        |ORDER BY nt.doc_id""".stripMargin,
     // PII twin: identical planted tail, identical pattern constants
     // (interpolated from TextOps — single source of truth), identical
     // email→phone→IP order with counts on the text as redacted so far

@@ -803,6 +803,48 @@ object Dedup {
       .orderBy("doc_id", "span_start")
   }
 
+  /** The REMOVAL half of the Lee et al. substring-dedup workflow
+    * ([[duplicatedSpans]] is the detection half): every token
+    * position covered by a duplicated span is dropped from every
+    * document — the policy the paper's pipeline applies (all marked
+    * occurrences go; the surviving text around them is what trains) —
+    * and documents are rebuilt from their surviving tokens in order.
+    * Output: (doc_id, n_tokens, n_removed, clean_text) over the
+    * token-normalized text; docs shorter than one k-gram pass through
+    * untouched.
+    *
+    * Scale shape: [[duplicatedSpans]]'s passes, plus a narrow
+    * span→position explode (output-bounded: Σ span_tokens), a
+    * left-anti join on (doc_id, pos), and one reassembly groupBy —
+    * document tokens cross the wire once, like [[paragraphDedup]].
+    */
+  def removeDuplicatedSpans(documents: DataFrame, k: Int = 5): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("tok"))
+    val covered = duplicatedSpans(documents, k)
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"),
+          col("span_start") + col("span_tokens") - 1)).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+    toks
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      .join(
+        kept.groupBy("doc_id").agg(
+          count(lit(1)).as("n_kept"),
+          concat_ws(" ",
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("tok")))),
+              x => x.getField("tok"))).as("clean_text")),
+        Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sh = simhash(documents)
     val chunked = sh.select(

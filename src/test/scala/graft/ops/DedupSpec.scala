@@ -168,6 +168,28 @@ class DedupSpec extends AnyFunSuite {
       Row(4L, 6L, 1L, 5L), Row(4L, 16L, 1L, 5L)))
   }
 
+  test("removeDuplicatedSpans strips exactly the covered tokens, everywhere") {
+    import org.apache.spark.sql.Row
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val spanDocs = Seq(
+      (1L, (1 to 5).map(i => s"u$i").mkString(" ") + " " + shared + " " +
+        (1 to 5).map(i => s"v$i").mkString(" ")),
+      (2L, (1 to 5).map(i => s"w$i").mkString(" ") + " " + shared + " " +
+        (1 to 5).map(i => s"x$i").mkString(" ")),
+      (3L, (1 to 20).map(i => s"q$i").mkString(" ")), // unique → untouched
+      (4L, "too short")                               // < k tokens → untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(spanDocs, k = 5).collect()
+    // docs 1,2: the 8 shared tokens (positions 6..13) are removed from BOTH
+    assert(out.toSeq == Seq(
+      Row(1L, 18L, 8L, (1 to 5).map(i => s"u$i").mkString(" ") + " " +
+        (1 to 5).map(i => s"v$i").mkString(" ")),
+      Row(2L, 18L, 8L, (1 to 5).map(i => s"w$i").mkString(" ") + " " +
+        (1 to 5).map(i => s"x$i").mkString(" ")),
+      Row(3L, 20L, 0L, (1 to 20).map(i => s"q$i").mkString(" ")),
+      Row(4L, 2L, 0L, "too short")))
+  }
+
   test("paragraphDedup keeps first global occurrence, removes later repeats " +
       "(cross-doc, within-doc), reassembles in order") {
     val pdocs = Seq(
