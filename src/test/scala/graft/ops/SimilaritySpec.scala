@@ -285,6 +285,23 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("annLsh over a dequantized int8 index still finds every planted near-dup") {
+    import org.apache.spark.sql.functions.col
+    // quantize → dequantize → feed the ANN path as its embedding
+    // input: compression composes with the serving index because
+    // sign-bits and bucket ids survive the ≤1/254 component error
+    val dq = Similarity.quantizeEmbeddings(planted)
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(col("q"),
+          x => x.cast("double") * col("scale") / 127.0).as("embedding"))
+    val top = Similarity.annLsh(dq, nQueries = 5, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    (0 until 5).foreach { i =>
+      assert(top.contains((i.toLong, 100L + i)),
+        s"query $i lost its planted near-dup through the quantized ANN path")
+    }
+  }
+
   test("quantizeEmbeddings: zero vector quantizes to zeros; scale is max |component|") {
     import org.apache.spark.sql.functions.col
     val e = Seq(
