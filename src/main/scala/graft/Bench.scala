@@ -1,5 +1,9 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.SparkSession
+
 /** Benchmark main: runs every declared query at SPARK_GRAFT_SF_DIR and
   * prints one JSON line. Results are fully materialized via the noop
   * sink (count() would let Catalyst prune most of the plan).
@@ -16,6 +20,15 @@ package graft
   *    another's persisted frames — this also closes the canonicalSets
   *    storage leak for the duration of the pass.
   *
+  * ISOLATION mode (`SPARK_GRAFT_BENCH_ISOLATE=1`, round-7 lesson: in
+  * a 90-query single-session sweep even per-query MINS inflated 2–6×
+  * for sub-second queries — accumulated JVM/GC/session pressure, not
+  * plans): each query gets a FRESH SparkContext (full stop + rebuild
+  * + its own warmup), so the committed artifact matches what an
+  * isolated spot-check measures. The rebuild cost is untimed. Default
+  * off — the shared-session sweep stays the cheap dev loop; the
+  * per-round artifact should run isolated.
+  *
   * Failures are first-class: a query that throws is recorded with
   * value -1 in the per-query map AND listed under "failed", and the
   * process exits nonzero — a broken run must never be mistakable for
@@ -23,17 +36,54 @@ package graft
   * not retried: 3× the cost of a broken plan buys nothing.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = math.max(sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3), 1)
+
+  /** Session + task-level shuffle-write counter. The counter
+    * accumulates across the session's lifetime; callers read deltas.
+    */
+  private def buildSession(cpus: String, sfDir: String): (SparkSession, AtomicLong) = {
     val spark = graft.core.GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val shuffleBytes = new AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        ()
+      }
+    })
     // untimed warmup: JIT/codegen/shuffle-service spin-up otherwise
     // lands entirely on whichever query happens to run first
     try spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    (spark, shuffleBytes)
+  }
+
+  /** Settled value of the async task-end counter: the listener bus
+    * drains after the timed window closes, so wait for THREE
+    * consecutive stable polls (a single 50 ms-stable window could be
+    * a pause between straggler batches) with a bounded total. Only
+    * read outside the timed window — never inflates a measurement.
+    */
+  private def settledShuffle(counter: AtomicLong): Long = {
+    var prev = counter.get()
+    var stable = 0
+    var polls = 0
+    while (stable < 3 && polls < 100) {
+      Thread.sleep(50)
+      val cur = counter.get()
+      if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      polls += 1
+    }
+    prev
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = math.max(sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3), 1)
+    val isolate = sys.env.get("SPARK_GRAFT_BENCH_ISOLATE")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
     // dev-time subset: comma-separated name substrings (driver sets
     // no filter → full run)
     val only: String => Boolean = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
@@ -44,39 +94,32 @@ object Bench {
     // one counter; the per-query delta is the scale currency a plan
     // audit reads (a query whose time is fine but whose shuffle bytes
     // jumped 10× regressed at 100 TB even if the laptop can't tell).
-    // The bus is async, so the delta is read AFTER the timed window
-    // via a stability poll — metric capture never inflates the time.
-    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        val m = t.taskMetrics
-        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-        ()
-      }
-    })
-    def settledShuffle(): Long = {
-      var prev = shuffleBytes.get()
-      var tries = 0
-      while (tries < 10) {
-        Thread.sleep(50)
-        val cur = shuffleBytes.get()
-        if (cur == prev) tries = 10 else { prev = cur; tries += 1 }
-      }
-      prev
-    }
+    var (spark, shuffleBytes) = buildSession(cpus, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).filter(q => only(q._1)).map { case (name, fn) =>
+      if (isolate) {
+        // fresh JVM-wide Spark state per QUERY (not per run): the
+        // session teardown/bringup is the expensive part; run-to-run
+        // within one query shares its session, matching how the
+        // shared-mode artifact measured a single query in a quiet JVM
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        val fresh = buildSession(cpus, sfDir)
+        spark = fresh._1
+        shuffleBytes = fresh._2
+      }
       val times = Seq.newBuilder[Double]
       val shuffles = Seq.newBuilder[Double]
       var ok = true
       var r = 0
       while (ok && r < runs) {
         graft.core.GraftCaches.release(spark)
-        val s0 = settledShuffle()
+        val s0 = settledShuffle(shuffleBytes)
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           times += (System.nanoTime() - t0) / 1e9
-          shuffles += (settledShuffle() - s0) / 1e6
+          shuffles += (settledShuffle(shuffleBytes) - s0) / 1e6
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           ok = false
@@ -113,7 +156,8 @@ object Bench {
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
                   case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
     val onlyField = onlyEnv.map(p => s""","only":"${jstr(p)}"""").getOrElse("")
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"stat":"$stat"$onlyField,"queries":$med,"queries_min":$mins,"queries_max":$maxs,"queries_shuffle_mb":$shuf,"failed":$failed,"sf":"$sfDir"}"""
+    val isoField = if (isolate) ""","isolate":true""" else ""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"stat":"$stat"$onlyField$isoField,"queries":$med,"queries_min":$mins,"queries_max":$maxs,"queries_shuffle_mb":$shuf,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // stdout capture windows truncate (~2 KB tails have eaten a whole
     // round's headline number); the artifact must also survive on disk

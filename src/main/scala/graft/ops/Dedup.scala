@@ -317,34 +317,31 @@ object Dedup {
     * Driver-side constants baked into both the Spark plan and the
     * DuckDB twin — public so SparkEntry can serialize them into SQL.
     */
-  def minhashCoeffs(k: Int, seed: Long = 7L): Array[(Long, Long)] = {
-    val rng = new scala.util.Random(seed)
-    def mod(x: Long, m: Long): Long = ((x % m) + m) % m
-    Array.fill(k)((1L + mod(rng.nextLong(), MinhashP - 1), mod(rng.nextLong(), MinhashP)))
-  }
+  def minhashCoeffs(k: Int, seed: Long = 7L): Array[(Long, Long)] =
+    graft.plans.MinHashSig.coefficients(k, seed)
 
-  /** 60-bit md5 prefix of a token as a long, reduced mod p — the ONE
-    * md5 per token from which all k minhash variants derive.
+
+  /** Signature columns h0..h{k-1} from a (doc_id, toks) frame, via
+    * the native [[graft.plans.MinHashSig]] expression: one md5 per
+    * token and k fused affine min-updates in a single codegen'd pass
+    * over the token array. This is a narrow PROJECTION — the
+    * round-6-and-earlier shape (explode → k separate `min`
+    * aggregates) expanded every document into |tokens| rows and
+    * shuffled the exploded frame just to fold it back; values are
+    * bit-identical (the expression's compatibility contract), the
+    * explode and the aggregation shuffle are simply gone.
+    *
+    * The array lands under one alias and elements are extracted in a
+    * SECOND projection: CollapseProject never inlines a non-trivial
+    * expression into k consuming references, so the signature is
+    * computed once per row.
     */
-  private def tokenBaseHash(tok: Column): Column =
-    conv(substring(md5(tok), 1, 15), 16, 10).cast("long") % MinhashP
-
-  /** min over tokens of (a_i·h + b_i) mod p for each coefficient pair:
-    * a proper universal-hash permutation family at 1/16th the hashing
-    * cost of the round-2 per-variant-md5 scheme (one md5 per token,
-    * then pure codegen'd integer math).
-    */
-  private def sigColumns(k: Int): Seq[Column] =
-    minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * col("hb") + lit(b)) % MinhashP).as(s"h$i")
-    }
-
-  /** Signature columns h0..h{k-1} from a (doc_id, toks) frame. */
   private def sigsFrom(toks: DataFrame, k: Int): DataFrame = {
-    val exploded = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
-      .withColumn("hb", tokenBaseHash(col("tok")))
-    val sigCols = sigColumns(k)
-    exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val sig = call_function("graft_minhash_sig", col("toks"), lit(k), lit(7L))
+    toks.filter(size(col("toks")) > 0)
+      .select(col("doc_id"), sig.as("_sig"))
+      .select(col("doc_id") +:
+        (0 until k).map(i => element_at(col("_sig"), i + 1).as(s"h$i")): _*)
   }
 
   /** MinHash signature columns h0..h{k-1} per document. */
@@ -371,10 +368,7 @@ object Dedup {
     val stats = setStats(setsAsDocs)
     // signatures once per distinct token set — identical sets have
     // identical minhashes by definition
-    val exploded = setsAsDocs.select(col("doc_id"), explode(col("toks")).as("tok"))
-      .withColumn("hb", tokenBaseHash(col("tok")))
-    val sigCols = sigColumns(k)
-    val sigs = exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val sigs = sigsFrom(setsAsDocs, k)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws(",",
@@ -490,16 +484,28 @@ object Dedup {
     // is far too expensive to evaluate per reference.
     val (p, pIds) = checkpointTracked(pairs.select(col(aCol), col(bCol)))
     // NOTE (measured, round-6): pre-repartitioning the edge list by
-    // src before this checkpoint does NOT save the per-sweep edge
-    // exchange — under AQE the checkpointed RDD's outputPartitioning
-    // isn't offered to the sweep joins, so the attempt just added its
-    // own shuffle (+213 MB on the t49 gate corpus). If the per-sweep
-    // edge exchange ever dominates, the fix is a skew-aware GraphX-
-    // style partitioning INSIDE the loop, not a checkpoint hint.
-    val (edges, edgeIds) = checkpointTracked(
-      p.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .union(p.select(col(bCol).as("src"), col(aCol).as("dst")))
-        .distinct())
+    // src before a CHECKPOINT does NOT save the per-sweep edge
+    // exchange — an RDD checkpoint erases outputPartitioning, so the
+    // sweep joins re-exchanged the edge side anyway and the attempt
+    // just added its own shuffle (+213 MB on the t49 gate corpus).
+    // The fix (round-7, measured): a DataFrame-level CACHE instead.
+    // InMemoryTableScanExec DOES report its cached plan's
+    // partitioning, so hash(src) is established once here and every
+    // sweep join's edge side — the largest frame in the loop — is
+    // exchange-free; only the node-sized label frames move per sweep.
+    // dropDuplicates AFTER repartition(src) adds no second shuffle:
+    // same-(src,dst) rows are co-located under hash(src) —
+    // HashPartitioning(src) satisfies ClusteredDistribution(src,dst)
+    // — so the distinct aggregates in place and the cached
+    // partitioning stays hash(src). Edges don't need a lineage cut
+    // (they are built once, outside the loop), so losing the
+    // checkpoint costs nothing.
+    val edges = p.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(p.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count() // eager: materialized before the pair frame is freed
     freeRdds(p, pIds) // edges is materialized; the raw pair frame is done
     var (labels, labelIds) = checkpointTracked(seedFrom(edges))
     var converged = false
@@ -522,7 +528,9 @@ object Dedup {
       labelIds = nextIds
       i += 1
     }
-    freeRdds(labels, edgeIds)
+    // the final labels checkpoint is materialized — nothing reads
+    // edges again; release the cached partitioned edge list now
+    edges.unpersist(blocking = false)
     labels
   }
 

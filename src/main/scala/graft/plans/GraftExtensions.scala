@@ -27,6 +27,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MaxSortedRun(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      MinHashSig.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 3,
+          "graft_minhash_sig takes (toks array<string>, k, seed)")
+        require(children(1).foldable && children(2).foldable,
+          "graft_minhash_sig k and seed must be literals")
+        MinHashSig(children.head,
+          children(1).eval().asInstanceOf[Number].intValue(),
+          children(2).eval().asInstanceOf[Number].longValue())
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_window_min"),
       WindowMin.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

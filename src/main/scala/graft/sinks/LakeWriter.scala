@@ -119,10 +119,27 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
     import org.apache.hadoop.fs.Path
     val path = new Path(s"$root/$entity")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // self-recovery from a prior crash mid-swap: if the entity dir is
+    // missing but __old survives, the crash happened between the two
+    // renames — restore it; if both exist, __old is a superseded copy
+    // a crash failed to delete — drop it. Either way the set-aside
+    // rename below starts clean instead of failing opaquely.
+    val old = new Path(s"$root/${entity}__old")
+    if (fs.exists(old)) {
+      if (!fs.exists(path)) require(fs.rename(old, path), s"could not recover $old")
+      else fs.delete(old, true)
+    }
+    // fail fast on a partitioned entity: partition columns written by
+    // partitionBy live in the PATH, not the footers — compacting the
+    // root would silently drop them. Compact per partition directory.
+    val partitioned = fs.listStatus(path).exists(s =>
+      s.isDirectory && s.getPath.getName.contains("="))
+    require(!partitioned,
+      s"$path contains partition subdirectories ('col=...'); compact each partition " +
+        "directory instead — compacting the root would lose the partition columns")
     val total = fs.getContentSummary(path).getLength
     val n = math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt)
     val tmp = new Path(s"$root/${entity}__compacting")
-    val old = new Path(s"$root/${entity}__old")
     spark.read.parquet(path.toString)
       .repartition(n)
       .write.mode("overwrite").parquet(tmp.toString)
@@ -134,6 +151,99 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
     }
     fs.delete(old, true)
     n
+  }
+
+  /** [[compact]] for BUCKETED tables — the maintenance path the
+    * incremental dedup/ANN indexes need: each appended shard adds one
+    * file per bucket, so a daily-append index accumulates files
+    * forever, and plain [[compact]] would DESTROY the bucket metadata
+    * it joins exchange-free on (it reads with `spark.read.parquet`
+    * and rewrites unbucketed). This one reads THROUGH the catalog,
+    * re-buckets explicitly, and rewrites via the same
+    * bucketBy+saveAsTable path [[writeBucketed]] uses, into a swap
+    * table whose directory + catalog entry then replace the original
+    * atomically-enough (directory swap with the old-aside-first order
+    * [[compact]] documents; the catalog entry is re-pointed last).
+    * Returns the per-bucket file count after compaction (1 when the
+    * rewrite is healthy).
+    *
+    * The explicit `repartition(buckets, bucketCols)` before the write
+    * makes each task own exactly one bucket's rows, so the rewritten
+    * table has ONE file per bucket — without it, every write task
+    * holding rows of k buckets emits k files.
+    */
+  def compactBucketed(spark: SparkSession, table: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val cat = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = cat.getTableMetadata(ident)
+    val spec = meta.bucketSpec.getOrElse(
+      throw new IllegalArgumentException(
+        s"$table is not bucketed; use compact() for plain directories"))
+    val buckets = spec.numBuckets
+    val bucketCols = spec.bucketColumnNames
+    val swap = s"${table}__compacting"
+    // Two scoped toggles make the rewrite ZERO-shuffle with exactly
+    // one file per bucket (both measured, Spark 4.1):
+    //  - autoBucketedScan OFF forces the bucket-aligned read. With it
+    //    on, the planner elides the repartition (scan partitioning
+    //    already matches) but ALSO disables the bucketed scan — the
+    //    tasks are then arbitrary file bins and every task spills one
+    //    file per bucket it happens to hold.
+    //  - AQE OFF because when the repartition DOES survive as a real
+    //    exchange, AQE's shuffle re-optimization breaks the
+    //    partition-id == writer-bucket-id correspondence the same way.
+    // With both pinned, each task reads one bucket's files in place
+    // and rewrites them; the repartition collapses into a no-op.
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    val abs = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val absWas = spark.conf.get(abs)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set(abs, "false")
+    try {
+      val df = spark.table(table)
+        .repartition(buckets, bucketCols.map(col): _*)
+      val base = df.write
+        .mode("overwrite")
+        .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      val sorted =
+        if (spec.sortColumnNames.nonEmpty)
+          base.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+        else base
+      sorted.option("path", s"$root/$swap").saveAsTable(swap)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set(abs, absWas)
+    }
+    // swap directories (old-aside-first, crash-safe as in compact).
+    // The ORIGINAL catalog entry needs no surgery: it already points
+    // at root/<table> with the same schema and bucket spec, and after
+    // the swap that directory holds the compacted files — only the
+    // swap table's now-dangling entry is dropped (external table:
+    // catalog-only, its data was moved, not deleted) and the file
+    // index refreshed.
+    val path = new Path(s"$root/$table")
+    val swapPath = new Path(s"$root/$swap")
+    val old = new Path(s"$root/${table}__old")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // same crash-recovery preamble as compact: a leftover __old from
+    // a prior crash would make the set-aside rename nest or fail
+    if (fs.exists(old)) {
+      if (!fs.exists(path)) require(fs.rename(old, path), s"could not recover $old")
+      else fs.delete(old, true)
+    }
+    require(fs.rename(path, old), s"compactBucketed could not set aside $path")
+    if (!fs.rename(swapPath, path)) {
+      fs.rename(old, path)
+      spark.sql(s"DROP TABLE IF EXISTS $swap")
+      throw new IllegalStateException(s"compactBucketed swap failed for $path; original restored")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $swap")
+    fs.delete(old, true)
+    spark.catalog.refreshTable(table)
+    // per-bucket file count: bucketed files are named ..._<bucketid>.
+    val files = fs.listStatus(path).count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    math.max(1, math.ceil(files.toDouble / buckets).toInt)
   }
 }
 
@@ -147,8 +257,15 @@ object LakeWriter {
     * domains quantize to rank buckets first.
     */
   def zorderKey(a: Column, b: Column, bits: Int = 16): Column = {
-    val av = a.cast("long")
-    val bv = b.cast("long")
+    // clamp into [0, 2^bits): arithmetic shiftright on a negative (or
+    // silently truncating an over-wide value) would scramble the key
+    // and the pruning-rectangle property would degrade with no error.
+    // Clamped values still sort correctly relative to in-range ones;
+    // columns with genuinely wide/skewed domains belong on the
+    // rank-bucketed path (writeZOrderedByRank).
+    val cap = (1L << bits) - 1
+    val av = greatest(lit(0L), least(a.cast("long"), lit(cap)))
+    val bv = greatest(lit(0L), least(b.cast("long"), lit(cap)))
     (0 until bits).map { i =>
       shiftleft(shiftright(av, i).bitwiseAND(1L), 2 * i + 1) +
         shiftleft(shiftright(bv, i).bitwiseAND(1L), 2 * i)
@@ -172,10 +289,16 @@ object LakeWriter {
   def rankBounds(df: DataFrame, columns: Seq[String], buckets: Int): Seq[Seq[Double]] = {
     require(buckets >= 2, "need at least 2 buckets")
     val probs = (1 until buckets).map(i => i.toDouble / buckets)
-    val row = df.select(columns.map(c => expr(
+    val rows = df.select(columns.map(c => expr(
       s"approx_percentile(CAST($c AS DOUBLE), array(${probs.mkString(",")}), 10000)")): _*)
-      .head
-    columns.indices.map(i => row.getSeq[Double](i))
+      .collect()
+    // approx_percentile returns NULL over an empty frame or an
+    // all-null column; getSeq would NPE with an opaque trace deep in
+    // the write path — name the actual problem instead
+    require(rows.nonEmpty && columns.indices.forall(i => !rows.head.isNullAt(i)),
+      s"rankBounds: no percentile boundaries for ${columns.mkString(", ")} — " +
+        "the frame is empty or a probed column is entirely null")
+    columns.indices.map(i => rows.head.getSeq[Double](i))
   }
 
   /** bucket = Σ [value > boundary_i] over precomputed boundaries. */

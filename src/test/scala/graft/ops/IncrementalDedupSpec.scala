@@ -188,6 +188,80 @@ class IncrementalDedupSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS fpidx")
   }
 
+  test("compactBucketed: appended shards collapse to one file per bucket; probe stays exchange-free") {
+    val root = Files.createTempDirectory("mhidx4").toString
+    val w = new LakeWriter(root)
+    Dedup.writeMinhashIndex(
+      Dedup.minhashIndexFrames(history), w, "mhidx4", buckets = 4)
+    // the daily loop, twice: each append adds one file per bucket
+    Dedup.writeMinhashIndex(
+      Dedup.minhashIndexFrames(newShard), new LakeWriter(root, mode = "append"),
+      "mhidx4", buckets = 4)
+    Dedup.writeMinhashIndex(
+      Dedup.minhashIndexFrames(
+        Seq((30L, "quantum flux capacitor dilithium crystal")).toDF("doc_id", "text")),
+      new LakeWriter(root, mode = "append"), "mhidx4", buckets = 4)
+    def dataFiles(dir: String): Int =
+      new java.io.File(dir).listFiles.count(f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    try {
+      val rowsBefore = spark.table("mhidx4_bands").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val before = dataFiles(s"$root/mhidx4_bands")
+      assert(before > 4, s"three bucketed writes should exceed one file per bucket, saw $before")
+      val perBucket = w.compactBucketed(spark, "mhidx4_bands")
+      assert(perBucket == 1, "compaction should leave one file per bucket")
+      assert(dataFiles(s"$root/mhidx4_bands") <= 4)
+      // rows survive byte-identically
+      assert(spark.table("mhidx4_bands").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet == rowsBefore)
+      // and the table is still BUCKETED: the incremental probe plan
+      // keeps its zero-exchange guarantee — the exact hazard plain
+      // compact() would have caused (it rewrites unbucketed)
+      withStaticPlans {
+        val idx = Dedup.readMinhashIndex(spark, "mhidx4")
+        val probe = Seq((100L, "red orange yellow green blue indigo"))
+          .toDF("doc_id", "text")
+        val cand = Dedup.incrementalCandidates(
+          Dedup.minhashIndexFrames(probe).bands, idx.bands)
+        val plan = cand.queryExecution.executedPlan
+        assert(scansOf(plan, "mhidx4_bands").size == 1)
+        assert(shufflesOver(plan, "mhidx4_bands").isEmpty,
+          s"compacted index must still join bucket-locally:\n$plan")
+        // doc 100 duplicates old docs 3 and 10 — both indexed shards answer
+        assert(cand.distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          == Set((3L, 100L), (10L, 100L)))
+      }
+      Dedup.releaseCaches()
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mhidx4_bands")
+      spark.sql("DROP TABLE IF EXISTS mhidx4_toks")
+      spark.sql("DROP TABLE IF EXISTS mhidx4_bands__compacting")
+    }
+  }
+
+  test("compact refuses a partitioned entity and recovers a stale __old") {
+    val root = Files.createTempDirectory("cpx").toString
+    val w = new LakeWriter(root)
+    // partitioned entity → fail fast, don't destroy partition columns
+    w.write(Seq((1L, "a")).toDF("id", "v"), "parted", "2026-01-01")
+    val err = intercept[IllegalArgumentException] {
+      w.compact(spark, "parted")
+    }
+    assert(err.getMessage.contains("partition"))
+    // stale __old next to a healthy entity → dropped, compact proceeds
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$root/plain")
+    Seq((9L, "stale")).toDF("id", "v").write.parquet(s"$root/plain__old")
+    w.compact(spark, "plain")
+    assert(!new java.io.File(s"$root/plain__old").exists)
+    assert(spark.read.parquet(s"$root/plain").count() == 2)
+    // crash between the renames (entity missing, __old present) → recovered
+    require(new java.io.File(s"$root/plain").renameTo(new java.io.File(s"$root/plain__old")))
+    w.compact(spark, "plain")
+    assert(spark.read.parquet(s"$root/plain").count() == 2)
+  }
+
   test("end-to-end over a persisted index matches the in-memory path") {
     val root = Files.createTempDirectory("mhidx3").toString
     Dedup.writeMinhashIndex(
