@@ -186,10 +186,12 @@ object SparkEntry {
          |  FROM s)
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
-  // s33/s40 twin: one definition, two gate rows (the serving path
-  // must produce bit-identical answers to the one-shot ANN)
-  private lazy val s33Sql: String =
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  // s33/s40/s45 twin core: the ANN pipeline over whatever CTE chain
+  // defines `e` (vec_id, v DOUBLE[]) — raw embeddings for s33/s40,
+  // the int8 quantize→dequantize chain (s43's arithmetic, verbatim)
+  // for the quantized-index composition s45
+  private def s33SqlFrom(eCtes: String): String =
+      s"""WITH $eCtes,
          |nr AS (SELECT vec_id, $sqlNorm AS nrm FROM e),
          |pl AS (SELECT * FROM (VALUES
          |  $s33PlanesSql) AS t(i, pv)),
@@ -213,6 +215,21 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
          |  FROM s)
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  private lazy val s33Sql: String =
+    s33SqlFrom("e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)")
+
+  // s45: the s43 quantize→dequantize chain feeding the s33 pipeline
+  private lazy val s45Sql: String = s33SqlFrom(
+    """e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |sc AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x))) AS scale FROM e0),
+      |qt AS (SELECT e0.vec_id, sc.scale,
+      |  CASE WHEN sc.scale > 0.0
+      |    THEN list_transform(e0.v, x -> CAST(floor(x/sc.scale*127.0 + 0.5) AS BIGINT))
+      |    ELSE list_transform(e0.v, x -> CAST(0 AS BIGINT)) END AS q
+      |  FROM e0 JOIN sc ON sc.vec_id = e0.vec_id),
+      |e AS (SELECT vec_id,
+      |  list_transform(q, x -> CAST(x AS DOUBLE)*scale/127.0) AS v FROM qt)""".stripMargin)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> ((s, d) => { val t = Tables.load(s, d)
@@ -480,6 +497,14 @@ object SparkEntry {
     "q40_map_pivot" -> ((s, _) =>
       graft.sources.Normalize.pivotConstantsMap(
         s, graft.sources.Fixtures.lobbyTypesJson, "lobby_id")),
+    // the analytics module's flagship under the gate: fixture payload
+    // → RestSource → DotaQueries.heroWinRate; oracle is the
+    // hand-computed golden frame (q39 pattern)
+    "q41_hero_win_rate" -> ((s, _) =>
+      graft.analytics.DotaQueries.heroWinRate(
+        graft.sources.RestSource.readJson(
+          s, graft.sources.Fixtures.publicMatchesJson,
+          Some(graft.sources.Endpoints.publicMatchesSchema)))),
     "s31_cosine_topk" -> ((s, d) => { val t = Tables.load(s, d)
       Similarity.cosineTopK(t.embeddings) }),
     "s32_embedding_neardup" -> ((s, d) => { val t = Tables.load(s, d)
@@ -540,7 +565,19 @@ object SparkEntry {
     // real ones) — cells from the seed-centroid assignment, one-pass
     // earlier-id drop rule
     "s42_semantic_dedup" -> ((s, d) => { val t = Tables.load(s, d)
-      Similarity.semanticDedup(Similarity.plantNearDups(t.embeddings)) })
+      Similarity.semanticDedup(Similarity.plantNearDups(t.embeddings)) }),
+    // SemDeDup on LLOYD-REFINED cells — the paper-faithful config:
+    // same planted corpus and one-pass drop rule as s42, cells
+    // tightened by two Exact-mean sweeps; the twin unrolls the
+    // refinement with the s36 machinery so every cell assignment and
+    // cosine is bit-identical
+    "s44_semantic_dedup_refined" -> ((s, d) => { val t = Tables.load(s, d)
+      Similarity.semanticDedup(Similarity.plantNearDups(t.embeddings), kmeansIters = 2) }),
+    // int8-quantized ANN: the quantize→dequantize corpus through the
+    // ANN bucket index (annIndexFrame + annLshServe inside annLsh) —
+    // 4× index memory with the serving plan unchanged
+    "s45_quantized_ann" -> ((s, d) => { val t = Tables.load(s, d)
+      Similarity.annLsh(Similarity.dequantizedEmbeddings(t.embeddings)) })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1402,6 +1439,17 @@ object SparkEntry {
     "q40_map_pivot" ->
       """SELECT * FROM (VALUES ('0','Normal'),('1','Practice'),('7','Ranked'))
         |AS t(lobby_id, name) ORDER BY lobby_id""".stripMargin,
+    // q41 golden frame: fixture match 1 — radiant {14,21,34,51,86}
+    // beats dire {7,19,40,72,99}; match 2 — dire {6,8,9,10,11} beats
+    // radiant {1..5}; match 3 has no team arrays and contributes no
+    // hero rows
+    "q41_hero_win_rate" ->
+      """SELECT * FROM (VALUES
+        | (1,1,0,0.0),(2,1,0,0.0),(3,1,0,0.0),(4,1,0,0.0),(5,1,0,0.0),
+        | (6,1,1,1.0),(7,1,0,0.0),(8,1,1,1.0),(9,1,1,1.0),(10,1,1,1.0),
+        | (11,1,1,1.0),(14,1,1,1.0),(19,1,0,0.0),(21,1,1,1.0),(34,1,1,1.0),
+        | (40,1,0,0.0),(51,1,1,1.0),(72,1,0,0.0),(86,1,1,1.0),(99,1,0,0.0)
+        |) AS t(hero_id, games, wins, win_rate) ORDER BY hero_id""".stripMargin,
     // multimodal metadata twins: the VALUES list is GENERATED from
     // Fixtures.mediaMeta (same Seq that builds the Spark frame), so
     // fixture and oracle cannot drift. Division is forced to DOUBLE —
@@ -1652,6 +1700,40 @@ object SparkEntry {
     // s41 serves the SAME queries through the persisted-IVF-index
     // path (ivfIndexFrames + ivfServe) — answers must be
     // bit-identical to the one-shot s36, so the twin is its SQL
-    "s41_ivf_serve" -> s36Sql
+    "s41_ivf_serve" -> s36Sql,
+    // s44: s42's planted corpus and drop rule over cells tightened by
+    // two unrolled Lloyd sweeps (s36Iter — Exact-mean arithmetic, so
+    // refined centroids and every downstream cosine match bit-exactly)
+    "s44_semantic_dedup_refined" ->
+      s"""WITH u AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS vec_id,
+         |    list_transform(range(1,65),
+         |      i -> CASE WHEN i = 64 THEN -embedding[i] ELSE embedding[i] END) AS embedding
+         |  FROM embeddings WHERE vec_id % 10 = 0),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM u),
+         |nr AS (SELECT vec_id, $sqlNorm AS nrm FROM e),
+         |corpus AS (SELECT e.vec_id, e.v, nr.nrm FROM e JOIN nr ON nr.vec_id = e.vec_id),
+         |cn0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM corpus
+         |  ORDER BY vec_id LIMIT 16),
+         |${s36Iter("cn0", 1)},
+         |${s36Iter("cn1", 2)},
+         |asg AS (SELECT vec_id, v, nrm, cid FROM (
+         |  SELECT c.vec_id, c.v, c.nrm, ct.cid,
+         |    row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY list_sum(list_transform(range(1,65), j -> c.v[j]*ct.cv[j]))/(c.nrm*ct.cn) DESC,
+         |        ct.cid) AS rn
+         |  FROM corpus c CROSS JOIN cn2 ct) WHERE rn = 1),
+         |d AS (SELECT b.vec_id, min(a.vec_id) AS dup_of
+         |  FROM asg b JOIN asg a ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE floor(list_sum(list_transform(range(1,65), j -> a.v[j]*b.v[j]))/(a.nrm*b.nrm)*1000000.0+0.5)/1000000.0 >= 0.9
+         |  GROUP BY 1)
+         |SELECT asg.vec_id, asg.cid, d.dup_of, d.dup_of IS NULL AS kept
+         |FROM asg LEFT JOIN d ON d.vec_id = asg.vec_id
+         |ORDER BY asg.vec_id""".stripMargin,
+    // s45: the quantized-index ANN composition — s33's pipeline over
+    // the s43 dequantization chain
+    "s45_quantized_ann" -> s45Sql
   )
 }

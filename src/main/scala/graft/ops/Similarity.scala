@@ -116,12 +116,23 @@ object Similarity {
     */
   def quantizedTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
     val dp = dotWith(embeddings.sparkSession) _
-    val e = quantizeEmbeddings(embeddings)
-      .select(col("vec_id"),
-        transform(col("q"), x => x.cast("double") * col("scale") / 127.0).as("v"))
+    val e = dequantizedEmbeddings(embeddings)
+      .withColumnRenamed("embedding", "v")
       .withColumn("nrm", sqrt(dp(col("v"), col("v"))))
     bruteTopK(e, nQueries, k, dp)
   }
+
+  /** quantize → dequantize: the int8-rounded embedding frame — the
+    * values a serving tier actually scores against when its index is
+    * stored int8. Feeding this into any index build ([[annIndexFrame]],
+    * [[ivfIndexFrames]]) composes 4× index-memory compression with
+    * that index's serving path; the s45 gate pins the ANN composition
+    * bit-exactly and the drift spec bounds its ranking error.
+    */
+  def dequantizedEmbeddings(embeddings: DataFrame): DataFrame =
+    quantizeEmbeddings(embeddings)
+      .select(col("vec_id"),
+        transform(col("q"), x => x.cast("double") * col("scale") / 127.0).as("embedding"))
 
   /** Hamming-≤2 probe masks over `bits` bit positions: 0, all single
     * bits, all bit pairs. 1 + bits + bits·(bits-1)/2 masks.
@@ -540,19 +551,34 @@ object Similarity {
     * (shuffle-partitioned, AQE-skew-splittable) costing Σ|cell|² —
     * bounded by making nCells ∝ corpus size, exactly how the paper
     * runs it (100k clusters over a web corpus keeps cells in the
-    * thousands). Nothing touches vectors across cells, and the
-    * centroid table is broadcast — the corpus shuffles once for
-    * assignment and once for the cell join.
+    * thousands; size nCells ≈ corpus/5000 so cells average a few
+    * thousand vectors — see SCALE.md). Nothing touches vectors across
+    * cells, and the centroid table is broadcast — the corpus shuffles
+    * once for assignment and once for the cell join.
+    *
+    * `kmeansIters` > 0 tightens the seed cells with that many Lloyd
+    * sweeps ([[lloydRefine]], the s36-gated machinery — bit-exact
+    * order-independent means) before assignment — the paper-faithful
+    * configuration: tighter cells put more true paraphrase pairs in
+    * the same cell at equal nCells, raising recall without touching
+    * the Σ|cell|² cost shape. 0 keeps the deterministic seed-cell
+    * contract (the s42 gate); the refined variant is gated as s44.
     */
   def semanticDedup(
-      embeddings: DataFrame, nCells: Int = 16, threshold: Double = 0.9): DataFrame = {
+      embeddings: DataFrame, nCells: Int = 16, threshold: Double = 0.9,
+      kmeansIters: Int = 0): DataFrame = {
     val dp = dotWith(embeddings.sparkSession) _
     // persisted (tracked): seed + assignment both read the normed
     // frame; the assignment feeds both sides of the cell join
     val e = ledger.persist(normedVecs(embeddings, dp))
     val seed = e.orderBy("vec_id").limit(nCells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val assigned = ledger.persist(nearestCellsWith(dp)(seed, e, 1))
+    // |cells| rows — checkpoint cuts the per-sweep lineage exactly as
+    // in ivfIndexFrames
+    val cents =
+      if (kmeansIters == 0) seed
+      else lloydRefine(e, seed, kmeansIters).localCheckpoint()
+    val assigned = ledger.persist(nearestCellsWith(dp)(cents, e, 1))
     val earlier = assigned.select(
       col("cid"), col("vec_id").as("ua"), col("v").as("va"), col("nrm").as("na"))
     val dupOf = assigned.join(earlier, Seq("cid"))

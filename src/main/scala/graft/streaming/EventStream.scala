@@ -194,16 +194,25 @@ object EventStream {
       // two consumers (clean + index append) re-read the batch —
       // persist the micro-batch once
       val b = batch.persist()
+      // indexWins: arrival order decides firstness on a stream — a
+      // backfilled smaller doc_id must not re-emit a paragraph an
+      // earlier batch already owns (the batch-mode least() rule
+      // would, and the output corpus would carry the chrome twice)
+      val cleaned =
+        (if (exists)
+          graft.ops.Dedup.incrementalParagraphDedup(
+            b, spark.table(indexName), indexWins = true)
+        else graft.ops.Dedup.paragraphDedup(b)).persist()
       try {
-        // indexWins: arrival order decides firstness on a stream — a
-        // backfilled smaller doc_id must not re-emit a paragraph an
-        // earlier batch already owns (the batch-mode least() rule
-        // would, and the output corpus would carry the chrome twice)
-        val cleaned =
-          if (exists)
-            graft.ops.Dedup.incrementalParagraphDedup(
-              b, spark.table(indexName), indexWins = true)
-          else graft.ops.Dedup.paragraphDedup(b)
+        // materialized BEFORE the index grows: `cleaned` reads the
+        // index table and the novel-firsts append below MUTATES it —
+        // an emit that merely stages the plan (e.g. unions it into a
+        // later write) would re-evaluate against the appended index
+        // and lose this batch's own chrome. The eager count pins the
+        // pre-append rows; emit receives the materialized cache.
+        // (Consumption must still finish within this foreachBatch
+        // invocation — the micro-batch source frame dies with it.)
+        cleaned.count()
         emit(cleaned, batchId)
         val localIdx = graft.ops.Dedup.paragraphIndex(b)
         val novel =
@@ -212,7 +221,7 @@ object EventStream {
           else localIdx
         new graft.sinks.LakeWriter(indexRoot, mode = if (exists) "append" else "overwrite")
           .writeBucketed(novel, indexName, buckets, Seq("pfp"))
-      } finally { b.unpersist(); () }
+      } finally { b.unpersist(); cleaned.unpersist(); () }
     }
     val trig =
       if (availableNow)
