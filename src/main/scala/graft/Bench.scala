@@ -20,14 +20,15 @@ import org.apache.spark.sql.SparkSession
   *    another's persisted frames — this also closes the canonicalSets
   *    storage leak for the duration of the pass.
   *
-  * ISOLATION mode (`SPARK_GRAFT_BENCH_ISOLATE=1`, round-7 lesson: in
+  * ISOLATION mode (`SPARK_GRAFT_BENCH_ISOLATE`, round-7 lesson: in
   * a 90-query single-session sweep even per-query MINS inflated 2–6×
   * for sub-second queries — accumulated JVM/GC/session pressure, not
   * plans): each query gets a FRESH SparkContext (full stop + rebuild
   * + its own warmup), so the committed artifact matches what an
-  * isolated spot-check measures. The rebuild cost is untimed. Default
-  * off — the shared-session sweep stays the cheap dev loop; the
-  * per-round artifact should run isolated.
+  * isolated spot-check measures. The rebuild cost is untimed.
+  * DEFAULT: on for full-suite runs (the per-round artifact must be
+  * isolated truth), off for SPARK_GRAFT_BENCH_ONLY subset runs (the
+  * cheap dev loop); either is overridable with ISOLATE=1/0.
   *
   * Failures are first-class: a query that throws is recorded with
   * value -1 in the per-query map AND listed under "failed", and the
@@ -82,13 +83,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = math.max(sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3), 1)
-    val isolate = sys.env.get("SPARK_GRAFT_BENCH_ISOLATE")
-      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
     // dev-time subset: comma-separated name substrings (driver sets
     // no filter → full run)
-    val only: String => Boolean = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+    val onlyEnv0 = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+    val only: String => Boolean = onlyEnv0 match {
       case Some(pats) => val ps = pats.split(","); n => ps.exists(n.contains)
       case None => _ => true
+    }
+    val isolate = sys.env.get("SPARK_GRAFT_BENCH_ISOLATE") match {
+      case Some(v) => v == "1" || v.equalsIgnoreCase("true")
+      case None => onlyEnv0.isEmpty // full run → isolated artifact
     }
     // shuffle-volume observability: task-end metrics accumulate into
     // one counter; the per-query delta is the scale currency a plan

@@ -45,7 +45,12 @@ object GraftCaches {
     def release(): Unit = {
       var df = frames.poll()
       while (df != null) {
-        df.unpersist(blocking = false)
+        // a frame whose session has been STOPPED (bench isolation
+        // mode restarts the context per query) has no storage left to
+        // free and its unpersist NPEs against the dead BlockManager —
+        // skip it; anything else unexpected must still surface
+        if (!df.sparkSession.sparkContext.isStopped)
+          df.unpersist(blocking = false)
         df = frames.poll()
       }
     }
