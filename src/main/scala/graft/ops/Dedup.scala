@@ -260,10 +260,20 @@ object Dedup {
     *    real case — category/tag columns, template-generated text —
     *    and on them the mask path turns a billion-row token join into
     *    a few million single-row ops.)
-    *  - otherwise → exploded-token equi-join: candidates fan out to
-    *    (pair, token) rows and group-count. Still far better than
-    *    hauling token arrays through the join and re-hashing both
-    *    sets per pair (round-1 scale-killer).
+    *  - otherwise → per-pair SORTED-MERGE intersection: each side's
+    *    token array is sorted once per DOCUMENT (narrow, amortized
+    *    over that doc's candidate multiplicity), candidate pairs
+    *    fetch both arrays by two equi-joins, and the native
+    *    [[graft.plans.SortedIntersect]] expression counts |a ∩ b| by
+    *    a two-pointer scan in whole-stage codegen. This replaced the
+    *    round-1→6 exploded-token equi-join, which fanned every pair
+    *    out to (pair, token) rows and paid a shuffle + aggregation
+    *    exchange proportional to Σ_pairs |toks| — the candidate
+    *    arrays cross the wire once here, as array payloads, and the
+    *    group-count stage is gone. (Round 1 tried array transport
+    *    with per-pair re-HASHING and lost; the merge scan does no
+    *    hashing and no per-row allocation, which is what makes the
+    *    per-pair shape the winner.)
     *
     * The branch choice (`smallVocab`) is passed down from the one
     * per-pipeline [[setStats]] probe — this method runs no eager jobs.
@@ -272,14 +282,15 @@ object Dedup {
     * several LSH bands / prefix tokens); dedup placement is
     * branch-specific: the mask path verifies per-row (duplicates are
     * harmless) and dedups AFTER the threshold filter, when the set is
-    * smallest; the exploded path MUST dedup first — duplicated
-    * candidate rows would double-count intersections.
+    * smallest; the merge path MUST dedup first — a duplicated
+    * candidate row would verify twice and emit a duplicate output
+    * row.
     */
   private def verifyJaccard(
       candDup: DataFrame, toks: DataFrame, threshold: Double,
       smallVocab: Boolean, alreadyDistinct: Boolean = false): DataFrame = {
-    val w = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
     if (smallVocab) {
+      val w = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
       val masks = setMasks(w, w.select("tok").distinct())
       scoreMaskPairs(
         candDup
@@ -288,16 +299,17 @@ object Dedup {
         threshold)
         .distinct()
     } else {
-      val n = toks.select(col("doc_id"), col("n"))
+      // sorted ONCE per document — the per-pair merge scan's contract
+      val sorted = toks.select(
+        col("doc_id"), array_sort(col("toks")).as("ts"), col("n"))
       // a caller that already distinct'd (e.g. before persisting the
       // candidate cache) must not pay a second exchange+aggregate
       (if (alreadyDistinct) candDup else candDup.distinct())
-        .join(w.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(w.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b", "tok"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("inter"))
-        .join(n.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(n.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .join(sorted.select(col("doc_id").as("doc_a"), col("ts").as("ta"),
+          col("n").as("na")), "doc_a")
+        .join(sorted.select(col("doc_id").as("doc_b"), col("ts").as("tb"),
+          col("n").as("nb")), "doc_b")
+        .withColumn("inter", call_function("graft_sorted_inter", col("ta"), col("tb")))
         .withColumn("jac",
           Exact.quant4(col("inter").cast("double") / (col("na") + col("nb") - col("inter"))))
         .filter(col("jac") >= threshold)
@@ -666,7 +678,7 @@ object Dedup {
     val candIds = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
     val oldNeeded = index.toks.join(candIds, Seq("doc_id"), "left_semi")
-    // verifyJaccard reads its toks frame twice (exploded w + per-doc n)
+    // verifyJaccard reads its toks frame twice (once per pair side)
     val verifyToks = persistTracked(oldNeeded.unionByName(newIdx.toks))
     verifyJaccard(cand, verifyToks, threshold, smallVocab = false, alreadyDistinct = true)
       .orderBy("doc_a", "doc_b")

@@ -39,6 +39,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children(2).eval().asInstanceOf[Number].longValue())
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_sorted_inter"),
+      SortedIntersect.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "graft_sorted_inter takes exactly 2 arguments")
+        SortedIntersect(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_window_min"),
       WindowMin.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
