@@ -403,6 +403,12 @@ object SparkEntry {
     // stripped, documents rebuilt from survivors
     "t82_substring_removal" -> ((s, d) => { val t = Tables.load(s, d)
       Dedup.removeDuplicatedSpans(t.documents) }),
+    // count-min sketch heavy hitters: word-bigram occurrences →
+    // (d, bucket) counters → min-over-depth estimates for a sampled
+    // candidate slice; the twin recomputes the identical sketch (the
+    // md5-prefix bucket hash is the engine-portable minhash pattern)
+    "t84_cms_heavy_hitters" -> ((s, d) => { val t = Tables.load(s, d)
+      CorpusOps.cmsHeavyHitters(t.documents, threshold = 30L) }),
     // paragraph-level dedup (Dolma/CCNet): the gate texts are single
     // blocks, so deterministic paragraph structure — shared
     // boilerplate chrome between content halves — is planted in-query
@@ -850,6 +856,27 @@ object SparkEntry {
         |  coalesce(k2.clean_text, '') AS clean_text
         |FROM nt LEFT JOIN k2 ON k2.doc_id = nt.doc_id
         |ORDER BY nt.doc_id""".stripMargin,
+    // CMS twin: the identical sketch — same salted md5-prefix bucket
+    // hash ('d:' || gram, 60-bit '0x' cast ≡ Spark's conv(hex,16,10)),
+    // same (d, bucket) counters over bigram OCCURRENCES, same sampled
+    // candidate slice, min-over-depth estimate, threshold 30
+    "t84_cms_heavy_hitters" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |occ AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))) AS gram
+         |  FROM t WHERE len(tk) >= 2),
+         |dd AS (SELECT unnest(range(0, 4)) AS d),
+         |sk AS (SELECT d,
+         |    CAST(('0x'||substr(md5(d::VARCHAR||':'||gram),1,15)) AS BIGINT) % 2048 AS bucket,
+         |    count(*) AS cnt
+         |  FROM occ, dd GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT gram FROM occ WHERE doc_id % 20 = 0),
+         |probe AS (SELECT gram, d,
+         |    CAST(('0x'||substr(md5(d::VARCHAR||':'||gram),1,15)) AS BIGINT) % 2048 AS bucket
+         |  FROM cand, dd),
+         |est AS (SELECT p.gram, min(s.cnt) AS est
+         |  FROM probe p JOIN sk s ON s.d = p.d AND s.bucket = p.bucket GROUP BY 1)
+         |SELECT gram, est FROM est WHERE est >= 30 ORDER BY gram""".stripMargin,
     // PII twin: identical planted tail, identical pattern constants
     // (interpolated from TextOps — single source of truth), identical
     // email→phone→IP order with counts on the text as redacted so far

@@ -673,4 +673,82 @@ object CorpusOps {
           .as("postings"))
       .filter(col("df") <= maxDf)
       .orderBy("term")
+
+  /** Count-min sketch table over one occurrence per input ROW of
+    * `keyCol`: (d, bucket, cnt) for d ∈ [0, depth), bucket ∈
+    * [0, width). Bucket hash is the engine-portable md5 form the
+    * minhash family uses (60-bit hex prefix, salted with the row
+    * index: md5("d:" || key) — DuckDB reproduces it exactly).
+    *
+    * Scale shape: one partial-aggregating shuffle — the map side
+    * absorbs everything to ≤ depth·width rows per partition, so the
+    * exchange carries the SKETCH, not the corpus, at any input size.
+    * The result is MERGEABLE: sketches of disjoint shards sum
+    * per-(d, bucket) into the sketch of the union (spec-proven),
+    * which is what makes it maintainable incrementally — re-sketching
+    * 100 TB to absorb a daily shard is never needed.
+    */
+  def cmsSketch(items: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 2048): DataFrame =
+    items
+      .select(explode(array((0 until depth).map(d =>
+        struct(lit(d).as("d"), cmsBucket(d, col(keyCol), width).as("bucket"))): _*)).as("db"))
+      .select(col("db.d").as("d"), col("db.bucket").as("bucket"))
+      .groupBy("d", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** CMS point estimates for a frame of candidate keys: (key, est)
+    * with est = min over depth rows of the key's bucket counters —
+    * the classic overestimate (est ≥ true count, spec-bounded).
+    * The sketch side is depth·width rows at most, so the probe is a
+    * BROADCAST join whatever the candidate volume; the min-fold is a
+    * key-partitioned partial aggregate.
+    *
+    * Contract: candidate keys must OCCUR in the sketched input (an
+    * unseen key's buckets may be absent from the sketch frame and the
+    * inner join would drop, not zero, them). Heavy-hitter candidates
+    * by construction occur.
+    */
+  def cmsEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 2048): DataFrame =
+    keys
+      .select(col(keyCol), explode(array((0 until depth).map(d =>
+        struct(lit(d).as("d"), cmsBucket(d, col(keyCol), width).as("bucket"))): _*)).as("db"))
+      .select(col(keyCol), col("db.d").as("d"), col("db.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("d", "bucket"))
+      .groupBy(keyCol)
+      .agg(min("cnt").as("est"))
+
+  private def cmsBucket(d: Int, key: Column, width: Int): Column =
+    conv(substring(md5(concat(lit(s"$d:"), key)), 1, 15), 16, 10)
+      .cast("long") % width
+
+  /** Heavy word n-grams by count-min sketch: every n-gram OCCURRENCE
+    * (not distinct-per-doc) feeds the sketch; candidates come from a
+    * deterministic 1/`sampleMod` document slice (a true heavy hitter
+    * appears in any non-trivial sample of the corpus, and the slice
+    * predicate pushes down to the scan — no second full tokenize);
+    * output is every sampled n-gram whose CMS estimate reaches
+    * `threshold`, (gram, est) ordered by gram.
+    *
+    * This is the 100 TB shape for "what phrases dominate my corpus":
+    * exact n-gram counting ([[vocabulary]]) shuffles the full type
+    * table; the sketch bounds the exchange at depth·width rows and
+    * stays mergeable across shards, at the price of ε·N overestimates
+    * (ε = e/width) that the threshold filter tolerates by design.
+    */
+  def cmsHeavyHitters(documents: DataFrame, threshold: Long,
+      n: Int = 2, sampleMod: Int = 20,
+      depth: Int = 4, width: Int = 2048): DataFrame = {
+    def grams(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"), explode(TextOps.kgrams(col("tk"), n)).as("gram"))
+    val sketch = cmsSketch(grams(documents), "gram", depth, width)
+    val cands = grams(documents.filter(col("doc_id") % sampleMod === 0))
+      .select("gram").distinct()
+    cmsEstimate(sketch, cands, "gram", depth, width)
+      .filter(col("est") >= threshold)
+      .orderBy("gram")
+  }
 }
