@@ -230,6 +230,78 @@ object EventStream {
     checkpoint.fold(trig)(trig.option("checkpointLocation", _)).start()
   }
 
+  /** Streaming NEAR-dup detection against the persisted minhash
+    * index — the last member of the index-backed intake family
+    * (exact: [[globalDedupStream]]; paragraph:
+    * [[paragraphDedupStream]]; near-dup: this). Per micro-batch:
+    *
+    *  1. probe: `Dedup.incrementalMinhashPairs(batch, index)` — the
+    *     same bucketed band-key probe the daily batch loop runs
+    *     (old×old unrepresentable; history never shuffles), plus the
+    *     batch's internal pairs. First batch (no index yet) runs the
+    *     full in-batch `minhashLshPairs`.
+    *  2. emit the pairs — eagerly MATERIALIZED first (the probe plan
+    *     reads the index tables step 3 mutates; same pinning rule as
+    *     [[paragraphDedupStream]]).
+    *  3. append the batch's band/token index rows, anti-joined by
+    *     doc_id so a replayed batch never double-appends.
+    *
+    * Replay semantics are strictly stronger than the siblings': a
+    * batch replayed AFTER its append still re-emits the same pairs,
+    * because the probe tolerates the batch being in the index already
+    * (same-id pairs are unrepresentable in the candidate rule, and
+    * re-found pairs collapse in its distinct) — so emit is
+    * at-least-once across a crash at ANY point, and the index stays
+    * exactly-once by the anti-join.
+    *
+    * Batch dedup pipelines persist mid-plan frames into the Dedup
+    * module ledger; a long-running stream must not accumulate them,
+    * so each batch releases that ledger after its terminal actions —
+    * don't run a CONCURRENT batch Dedup pipeline on this session
+    * while the stream is live (the release could force its mid-plan
+    * frames to recompute).
+    */
+  def nearDupStream(
+      docs: DataFrame, indexName: String, indexRoot: String,
+      threshold: Double = 0.5, k: Int = 16, bands: Int = 4,
+      buckets: Int = 32, checkpoint: Option[String] = None,
+      availableNow: Boolean = false)(
+      emit: (DataFrame, Long) => Unit): StreamingQuery = {
+    val writer = docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      val spark = batch.sparkSession
+      val exists = spark.catalog.tableExists(s"${indexName}_bands")
+      val b = batch.persist()
+      val pairs =
+        (if (exists)
+          graft.ops.Dedup.incrementalMinhashPairs(
+            b, graft.ops.Dedup.readMinhashIndex(spark, indexName),
+            threshold, k, bands)
+        else graft.ops.Dedup.minhashLshPairs(b, threshold, k, bands)).persist()
+      try {
+        pairs.count() // pin pre-append results (the plan reads the index)
+        emit(pairs, batchId)
+        val local = graft.ops.Dedup.minhashIndexFrames(b, k, bands)
+        val (novelBands, novelToks) =
+          if (exists) {
+            val indexed = spark.table(s"${indexName}_toks").select("doc_id")
+            (local.bands.join(indexed, Seq("doc_id"), "left_anti"),
+              local.toks.join(indexed, Seq("doc_id"), "left_anti"))
+          } else (local.bands, local.toks)
+        val w = new graft.sinks.LakeWriter(indexRoot, mode = if (exists) "append" else "overwrite")
+        w.writeBucketed(novelBands, s"${indexName}_bands", buckets, Seq("bkey"))
+        w.writeBucketed(novelToks, s"${indexName}_toks", buckets, Seq("doc_id"))
+      } finally {
+        b.unpersist(); pairs.unpersist()
+        graft.ops.Dedup.releaseCaches()
+      }
+    }
+    val trig =
+      if (availableNow)
+        writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      else writer
+    checkpoint.fold(trig)(trig.option("checkpointLocation", _)).start()
+  }
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

@@ -199,4 +199,52 @@ class EventStreamSpec extends AnyFunSuite {
       assert(emitted(0L) == ((2L, 1L, "backfill content")))
     } finally spark.sql("DROP TABLE IF EXISTS pds_idx")
   }
+
+  test("nearDupStream: minhash-index near-dup pairs across batches and restarts") {
+    val in = Files.createTempDirectory("nds_in").toString
+    val cp = Files.createTempDirectory("nds_cp").toString
+    val idxRoot = Files.createTempDirectory("nds_idx").toString
+    val emitted = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+    def run(tag: Int): Unit = {
+      val docs = spark.readStream.schema("doc_id LONG, text STRING").parquet(in)
+      val q = EventStream.nearDupStream(
+        docs, "nds_idx", idxRoot, threshold = 0.5, buckets = 4,
+        checkpoint = Some(cp), availableNow = true) { (out, _) =>
+        emitted ++= out.select("doc_a", "doc_b").collect()
+          .map(r => (tag, r.getLong(0), r.getLong(1)))
+      }
+      q.awaitTermination()
+    }
+    try {
+      // batch 1: 1 and 2 are near-dups (7 of 9 tokens shared); 3 is far
+      Seq(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, "alpha beta gamma delta epsilon zeta eta iota kappa"),
+        (3L, "one two three four"))
+        .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+      run(1)
+      assert(emitted.filter(_._1 == 1).map(t => (t._2, t._3)) == Seq((1L, 2L)))
+      // batch 2 after a RESTART: 4 near-dups doc 1 from LAST batch —
+      // only the persisted index can see that pair; 5 is novel
+      Seq(
+        (4L, "alpha beta gamma delta epsilon zeta eta psi"),
+        (5L, "five six seven eight"))
+        .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+      run(2)
+      val got2 = emitted.filter(_._1 == 2).map(t => (t._2, t._3)).sorted
+      assert(got2 == Seq((1L, 4L), (2L, 4L)))
+      // the streamed emissions equal the batch recompute restricted to
+      // pairs involving each arrival wave — the unified-model check
+      val all = spark.read.parquet(in)
+      val batchTwin = graft.ops.Dedup.minhashLshPairs(all, 0.5)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(emitted.map(t => (t._2, t._3)).toSet == batchTwin)
+      // index grew exactly once per doc (replay-safe anti-join)
+      assert(spark.table("nds_idx_toks").select("doc_id").distinct().count() == 5)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS nds_idx_bands")
+      spark.sql("DROP TABLE IF EXISTS nds_idx_toks")
+      ()
+    }
+  }
 }
