@@ -409,6 +409,16 @@ object SparkEntry {
     // md5-prefix bucket hash is the engine-portable minhash pattern)
     "t84_cms_heavy_hitters" -> ((s, d) => { val t = Tables.load(s, d)
       CorpusOps.cmsHeavyHitters(t.documents, threshold = 30L) }),
+    // BPE tokenizer APPLICATION: train 10 merges in-query, encode the
+    // corpus with them. Iterative greedy segmentation with
+    // data-dependent merges is not ANSI-SQL-expressible, so this row
+    // has no oracle twin (driver records the rows-only check); the
+    // round-trip + reference-encoder differential specs carry
+    // correctness (CorpusOpsSpec).
+    "t85_bpe_encode" -> ((s, d) => { val t = Tables.load(s, d)
+      val merges = CorpusOps.bpeTrain(t.documents, nMerges = 10).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      CorpusOps.bpeEncode(t.documents, merges) }),
     // paragraph-level dedup (Dolma/CCNet): the gate texts are single
     // blocks, so deterministic paragraph structure — shared
     // boilerplate chrome between content halves — is planted in-query

@@ -599,6 +599,56 @@ object CorpusOps {
     merges.toSeq.toDF("rank", "left", "right", "freq")
   }
 
+  /** BPE tokenizer APPLICATION — encode documents with a trained merge
+    * table ([[bpeTrain]]'s artifact): (doc_id, tokens, n_tokens) with
+    * each word independently segmented by applying the merges in rank
+    * order, greedy leftmost per merge — exactly the training-side
+    * update rule ([[applyMergePair]], shared code), so encoding the
+    * training corpus reproduces training's final symbol state
+    * (spec-proven round trip).
+    *
+    * Scale shape — merges never touch the corpus: they apply to the
+    * word-TYPE table (vocabulary-sized, however big the corpus), in
+    * `mergeBatch`-sized column-composition rounds with an eager
+    * localCheckpoint per round so neither the expression tree nor the
+    * lineage grows with the merge count (superseded checkpoints are
+    * freed in-loop; the final one stays for the caller's action —
+    * the [[graft.ops.Dedup.propagateMin]] lifetime rule). The corpus
+    * then joins the encoded types ONCE by word (a vocabulary-sized
+    * build side — AQE broadcasts it when small) and reassembles each
+    * document with one partial-agg shuffle. Encoding cost is
+    * O(merges · |vocab|) + one corpus pass, the same asymptotics as
+    * the single-node encoder per word, distributed over types.
+    *
+    * Documents with no tokens produce no output row (nothing to
+    * encode — the posexplode emits nothing for them).
+    */
+  def bpeEncode(documents: DataFrame, merges: Seq[(String, String)],
+      mergeBatch: Int = 8): DataFrame = {
+    var (syms, ids) = Dedup.checkpointTracked(
+      wordTypes(documents).select(col("w"), split(col("w"), "").as("sym")))
+    merges.grouped(math.max(mergeBatch, 1)).foreach { batch =>
+      val applied = batch.foldLeft(col("sym")) {
+        case (c, (a, b)) => applyMergePair(c, a, b)
+      }
+      val (next, nextIds) = Dedup.checkpointTracked(
+        syms.select(col("w"), applied.as("sym")))
+      Dedup.freeRdds(syms, ids)
+      syms = next; ids = nextIds
+    }
+    documents
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "w")))
+      .join(syms.select(col("w"), col("sym")), "w")
+      .groupBy("doc_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("sym")))),
+        x => x.getField("sym"))).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+      .select("doc_id", "tokens", "n_tokens")
+      .orderBy("doc_id")
+  }
+
   /** KN-substrate language-model counts: trigram frequencies plus the
     * continuation diversity of each bigram prefix — count(w1 w2 w3)
     * and countDistinct(w3 | w1 w2), the two tables Kneser-Ney
@@ -726,8 +776,10 @@ object CorpusOps {
   /** Heavy word n-grams by count-min sketch: every n-gram OCCURRENCE
     * (not distinct-per-doc) feeds the sketch; candidates come from a
     * deterministic 1/`sampleMod` document slice (a true heavy hitter
-    * appears in any non-trivial sample of the corpus, and the slice
-    * predicate pushes down to the scan — no second full tokenize);
+    * appears in any non-trivial sample of the corpus; the slice
+    * filter runs at the scan, BEFORE tokenization — the second pass
+    * re-reads cheap raw bytes instead of caching the corpus-sized
+    * token frame, and tokenizes only the sampled docs);
     * output is every sampled n-gram whose CMS estimate reaches
     * `threshold`, (gram, est) ordered by gram.
     *

@@ -349,6 +349,55 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(CorpusOps.bpeTrain(d, nMerges = 5).collect().isEmpty)
   }
 
+  /** Reference single-node BPE ENCODE: apply merges in rank order,
+    * greedy leftmost within each word — the application-side twin of
+    * [[referenceBpe]].
+    */
+  private def referenceEncode(
+      text: String, merges: Seq[(String, String)]): Vector[String] =
+    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toVector.flatMap { w =>
+      var sym = w.map(_.toString).toVector
+      merges.foreach { case (a, b) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        sym.foreach { x =>
+          if (out.nonEmpty && out.last == a && x == b) out(out.size - 1) = a + b
+          else out += x
+        }
+        sym = out.toVector
+      }
+      sym
+    }
+
+  test("bpeEncode round-trips the trained merges, incl. greedy overlaps and batching") {
+    val texts = Seq(
+      "low lower lowest low low",
+      "new newer newest new newer",
+      "aaa aaaa banana bandana")
+    val d = docs(texts.zipWithIndex.map { case (t, i) => (i.toLong, "s", t) }: _*)
+    val merges = CorpusOps.bpeTrain(d, nMerges = 8).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = CorpusOps.bpeEncode(d, merges).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toVector, r.getLong(2)))
+    val want = texts.zipWithIndex.map { case (t, i) =>
+      val enc = referenceEncode(t, merges)
+      (i.toLong, enc, enc.size.toLong)
+    }
+    assert(got.toSeq == want)
+    // a 2-merge batch size exercises the multi-checkpoint path — same answer
+    val batched = CorpusOps.bpeEncode(d, merges, mergeBatch = 2).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toVector, r.getLong(2)))
+    assert(batched.toSeq == want)
+  }
+
+  test("bpeEncode golden: overlapping merge is leftmost-greedy, word order kept") {
+    val d = docs((7L, "s", "aaa ab aaaa"))
+    val out = CorpusOps.bpeEncode(d, Seq(("a", "a"))).collect()
+    assert(out.length == 1)
+    assert(out(0).getSeq[String](1).toList ==
+      List("aa", "a", "a", "b", "aa", "aa"))
+    assert(out(0).getLong(2) == 6L)
+  }
+
   test("lmCounts: trigram and continuation counts (golden)") {
     val d = docs(
       (1L, "s", "a b c a b d"), // trigrams: abc, bca, cab, abd
