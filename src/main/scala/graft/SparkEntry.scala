@@ -335,6 +335,27 @@ object SparkEntry {
     // one composed pipeline over the operators gated individually
     "t56_corpus_build" -> ((s, d) => { val t = Tables.load(s, d)
       CorpusOps.corpusBuild(t.documents) }),
+    // daily-shard incremental corpus build: shard (doc_id ≡ 0 mod 5)
+    // dedups against the exact index of the rest, then the identical
+    // filter/split/pack tail over shard survivors only. The natural
+    // corpus has 500 distinct fingerprints (zero exact dups), so both
+    // dedup arms are exercised by PLANTED re-ingestions (s38/t67
+    // precedent): history docs (id%9==2) re-arrive in the shard under
+    // +1e6 ids — only the INDEX can drop them — and shard docs
+    // (id%25==10) arrive twice under +2e6 ids — dropped by the
+    // shard-local min rule alone. The twin plants identically; had
+    // either arm failed, the extra survivors would shift every
+    // offset/count downstream.
+    "t86_incremental_corpus_build" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      val docs = t.documents.select("doc_id", "source", "text")
+      val history = docs.filter(col("doc_id") % 5 =!= 0)
+      val shard = docs.filter(col("doc_id") % 5 === 0)
+        .unionByName(history.filter(col("doc_id") % 9 === 2)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+        .unionByName(docs.filter(col("doc_id") % 25 === 10)
+          .withColumn("doc_id", col("doc_id") + 2000000L))
+      CorpusOps.incrementalCorpusBuild(shard, Dedup.exactDedupIndex(history)) }),
     // mixture reweighting: uniform per-source budget, deterministic
     // content-hash slice per source
     "t57_mixture_sample" -> ((s, d) => { val t = Tables.load(s, d)
@@ -1209,6 +1230,52 @@ object SparkEntry {
          |c AS (SELECT fp, min(doc_id) AS canonical_id FROM fp GROUP BY 1),
          |canon AS (SELECT f.doc_id, f.source, f.text, f.fp
          |  FROM fp f JOIN c ON f.fp = c.fp WHERE f.doc_id = c.canonical_id),
+         |t AS (SELECT doc_id, source,
+         |  CASE WHEN CAST(('0x'||substr(fp,1,4)) AS BIGINT) % 10 < 8 THEN 'train'
+         |       WHEN CAST(('0x'||substr(fp,1,4)) AS BIGINT) % 10 < 9 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  $toks AS tk FROM canon),
+         |m AS (SELECT doc_id, source, split,
+         |  CAST(len(tk) AS BIGINT) AS n,
+         |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq,
+         |  CAST(coalesce(list_aggregate(list_transform(tk, x -> length(x)), 'sum'), 0) AS BIGINT) AS sum_len,
+         |  CAST(len(list_filter(['the','a','of','and','is','to','in'], s -> list_contains(tk, s))) AS BIGINT) AS n_stop
+         |  FROM t),
+         |k AS (SELECT source, split, doc_id, n FROM m
+         |  WHERE n >= 20 AND n <= 400 AND sum_len >= 3*n AND sum_len <= 10*n
+         |    AND n_stop >= 2 AND 5*n_uniq >= n),
+         |o AS (SELECT source, split, doc_id, n,
+         |  CAST(sum(n) OVER (PARTITION BY source, split ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n AS off FROM k)
+         |SELECT source, split, CAST(floor(CAST(off AS DOUBLE)/512.0) AS BIGINT) AS seq_id,
+         | count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM o GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+    // incremental-capstone twin: t56's pipeline with dedup restricted
+    // the t66 way — history (doc_id % 5 != 0) contributes ONLY its fp
+    // set; a shard doc survives iff its fp is new to history and it
+    // is the shard's min for that fp; tail verbatim (offsets restart
+    // within the shard — finalized shards are immutable). The planted
+    // re-ingestions (+1e6 from history, +2e6 intra-shard copies) are
+    // constructed identically here; all must be dropped.
+    "t86_incremental_corpus_build" ->
+      s"""WITH shard0 AS (
+         |  SELECT doc_id, source, text FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL SELECT doc_id + 1000000, source, text FROM documents
+         |    WHERE doc_id % 5 != 0 AND doc_id % 9 = 2
+         |  UNION ALL SELECT doc_id + 2000000, source, text FROM documents
+         |    WHERE doc_id % 25 = 10),
+         |fp AS (SELECT doc_id, source, text,
+         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+         |  FROM shard0),
+         |hist AS (SELECT DISTINCT
+         |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+         |  FROM documents WHERE doc_id % 5 != 0),
+         |shard AS (SELECT * FROM fp),
+         |c AS (SELECT fp, min(doc_id) AS canonical_id FROM shard GROUP BY 1),
+         |canon AS (SELECT s.doc_id, s.source, s.text, s.fp
+         |  FROM shard s JOIN c ON s.fp = c.fp
+         |  WHERE s.doc_id = c.canonical_id AND s.fp NOT IN (SELECT fp FROM hist)),
          |t AS (SELECT doc_id, source,
          |  CASE WHEN CAST(('0x'||substr(fp,1,4)) AS BIGINT) % 10 < 8 THEN 'train'
          |       WHEN CAST(('0x'||substr(fp,1,4)) AS BIGINT) % 10 < 9 THEN 'val'

@@ -347,6 +347,45 @@ object CorpusOps {
     manifestTail(kept0, seqLen, minTokens, maxTokens)
   }
 
+  /** Daily-shard INCREMENTAL corpus build — the workflow a production
+    * training-data pipeline actually runs when shard N+1 arrives:
+    * dedup the shard against the persisted (fp, canonical_id) exact
+    * index WITHOUT touching history ([[graft.ops.Dedup
+    * .incrementalExactDedup]] decomposition: a shard doc survives iff
+    * its fp is absent from the index AND it is the fp's minimum
+    * within the shard), then run the IDENTICAL filter→split→pack
+    * tail the full capstone uses ([[manifestTail]] — same fingerprint
+    * feeds dedup and split assignment, so a shard dup of a historical
+    * doc can never leak into a different split than its canonical).
+    *
+    * The shard packs into NEW sequences (offsets restart per shard):
+    * finalized training shards are immutable — continuing history's
+    * pack state would re-open them, which no pipeline does. After
+    * taking the manifest, append the shard's novel fps to the index
+    * (the t66 anti-join-append contract) so tomorrow's shard sees
+    * today's.
+    *
+    * Scale shape: history appears ONLY as the index side of one
+    * left-anti join — bucketed by fp ([[graft.sinks.LakeWriter
+    * .writeBucketed]]), it joins without shuffling; everything else
+    * is shard-sized. Re-running the FULL capstone to absorb a daily
+    * shard re-shuffles the whole corpus; this runs in O(shard).
+    */
+  def incrementalCorpusBuild(
+      newDocs: DataFrame, index: DataFrame, seqLen: Long = 512L,
+      minTokens: Long = 20L, maxTokens: Long = 400L): DataFrame = {
+    val fp = newDocs.select(col("doc_id"), col("source"), col("text"),
+      TextOps.fingerprint(col("text")).as("fp"))
+    // shard-local canonical per fp, minus anything history owns
+    val novelMin = fp.groupBy("fp").agg(min("doc_id").as("new_min"))
+      .join(index.select("fp"), Seq("fp"), "left_anti")
+    val kept0 = fp
+      .join(novelMin, "fp")
+      .filter(col("doc_id") === col("new_min"))
+      .select(col("doc_id"), col("source"), col("text"), col("fp"))
+    manifestTail(kept0, seqLen, minTokens, maxTokens)
+  }
+
   /** Vocabulary construction: the `k` most frequent corpus tokens
     * (occurrences, not document frequency) with dense ids in
     * (count desc, token) order — the table a tokenizer trainer or a

@@ -389,6 +389,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(batched.toSeq == want)
   }
 
+  test("incrementalCorpusBuild: index drops history dups, local min drops shard dups") {
+    // 24-token texts that pass every gopher rule
+    def text(tag: String) =
+      s"the quick brown $tag fox jumps over the lazy dog and it is happy " +
+        s"to be out in the warm sun with a friend"
+    val day1 = docs((1L, "s", text("alpha")), (2L, "s", text("beta")))
+    val idx = graft.ops.Dedup.exactDedupIndex(day1)
+    val shard = docs(
+      (10L, "s", text("gamma")),  // novel
+      (11L, "s", text("alpha")),  // exact copy of doc 1 → index must drop
+      (12L, "s", text("delta")),  // novel, duplicated in-shard below
+      (13L, "s", text("delta")))  // intra-shard copy → local min rule drops
+    val m = CorpusOps.incrementalCorpusBuild(shard, idx, seqLen = 50L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // survivors: 10 and 12 only (24 tokens each); doc 11 and 13 dropped
+    assert(m.map(_._4).sum == 2L, s"expected 2 packed docs, got: ${m.toSeq}")
+    assert(m.map(_._5).sum == 48L)
+    val ids = m.flatMap(r => Seq(r._6, r._7)).toSet
+    assert(ids.subsetOf(Set(10L, 12L)), s"dup survived: ${m.toSeq}")
+    // and a re-delivered shard (same docs, later ids) packs NOTHING novel
+    // once the shard's own fps join the index — the daily-loop invariant
+    val idx2 = idx.unionByName(
+      graft.ops.Dedup.exactDedupIndex(shard).join(idx.select("fp"), Seq("fp"), "left_anti"))
+    val replay = docs((20L, "s", text("gamma")), (21L, "s", text("delta")))
+    assert(CorpusOps.incrementalCorpusBuild(replay, idx2, seqLen = 50L).collect().isEmpty)
+  }
+
   test("bpeEncode golden: overlapping merge is leftmost-greedy, word order kept") {
     val d = docs((7L, "s", "aaa ab aaaa"))
     val out = CorpusOps.bpeEncode(d, Seq(("a", "a"))).collect()
