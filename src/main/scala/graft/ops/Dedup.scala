@@ -83,7 +83,15 @@ object Dedup {
     val keyed = persistTracked(toks
       .filter(col("n") > 0)
       .withColumn("sid", md5(concat_ws("", array_sort(col("toks"))))))
-    val sets = keyed.groupBy("sid").agg(first(col("toks")).as("toks"), first(col("n")).as("n"))
+    // persisted (tracked) SEPARATELY from keyed: `first(array)` can't
+    // hash-aggregate (immutable buffer type → SortAggregate), and the
+    // set frame has 4-6 consumers per pipeline (signatures, band
+    // keys, the stats probe, both verify sides) — uncached, EACH ran
+    // its own exchange + sort + aggregation over the corpus-keyed
+    // frame (plan-audited: 6 SortAggregate pairs in one t25 plan).
+    // Caching the aggregation output makes it one.
+    val sets = persistTracked(
+      keyed.groupBy("sid").agg(first(col("toks")).as("toks"), first(col("n")).as("n")))
     val members = keyed.select(col("doc_id"), col("sid"))
     (sets, members)
   }
