@@ -356,6 +356,18 @@ object SparkEntry {
         .unionByName(docs.filter(col("doc_id") % 25 === 10)
           .withColumn("doc_id", col("doc_id") + 2000000L))
       CorpusOps.incrementalCorpusBuild(shard, Dedup.exactDedupIndex(history)) }),
+    // t86's NEAR-dup sibling: the shard probes the persisted minhash
+    // band index (τ=0.9, the t80 threshold) — shard docs near-duping
+    // HISTORY drop (history-authoritative), shard-internal clusters
+    // keep their min; the fixture's dup-heavy structure makes both
+    // rules fire naturally (≈2.7k cross-history pairs, ≈300 internal
+    // at sf0.01), no planting needed
+    "t87_incremental_neardup_build" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      val history = t.documents.filter(col("doc_id") % 5 =!= 0)
+      val shard = t.documents.filter(col("doc_id") % 5 === 0)
+      CorpusOps.incrementalCorpusBuildNearDup(
+        shard, Dedup.minhashIndexFrames(history)) }),
     // mixture reweighting: uniform per-source budget, deterministic
     // content-hash slice per source
     "t57_mixture_sample" -> ((s, d) => { val t = Tables.load(s, d)
@@ -1281,6 +1293,75 @@ object SparkEntry {
          |       WHEN CAST(('0x'||substr(fp,1,4)) AS BIGINT) % 10 < 9 THEN 'val'
          |       ELSE 'test' END AS split,
          |  $toks AS tk FROM canon),
+         |m AS (SELECT doc_id, source, split,
+         |  CAST(len(tk) AS BIGINT) AS n,
+         |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq,
+         |  CAST(coalesce(list_aggregate(list_transform(tk, x -> length(x)), 'sum'), 0) AS BIGINT) AS sum_len,
+         |  CAST(len(list_filter(['the','a','of','and','is','to','in'], s -> list_contains(tk, s))) AS BIGINT) AS n_stop
+         |  FROM t),
+         |k AS (SELECT source, split, doc_id, n FROM m
+         |  WHERE n >= 20 AND n <= 400 AND sum_len >= 3*n AND sum_len <= 10*n
+         |    AND n_stop >= 2 AND 5*n_uniq >= n),
+         |o AS (SELECT source, split, doc_id, n,
+         |  CAST(sum(n) OVER (PARTITION BY source, split ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n AS off FROM k)
+         |SELECT source, split, CAST(floor(CAST(off AS DOUBLE)/512.0) AS BIGINT) AS seq_id,
+         | count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM o GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+    // incremental near-dup build twin: t63's banded-LSH incremental
+    // candidate rule (≥1 shard side) at τ=0.9, split into the two
+    // drop rules — cross-history pairs drop their shard side
+    // (history-authoritative), shard-internal pairs close recursively
+    // (t80 fragment) and drop non-min members — then t56's tail over
+    // shard survivors
+    "t87_incremental_neardup_build" ->
+      s"""WITH RECURSIVE
+         |w AS (SELECT DISTINCT doc_id, tok FROM
+         |  (SELECT doc_id, unnest($toks) AS tok FROM documents)),
+         |hb AS (SELECT doc_id,
+         |  CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) % $mhP AS h FROM w),
+         |sig AS (SELECT doc_id,
+         |  ${mhCoeffs.zipWithIndex.map { case ((a, b), i) =>
+              s"min(($a*h+$b) % $mhP) AS h$i" }.mkString(",\n         |  ")}
+         |  FROM hb GROUP BY 1),
+         |band AS (
+         |  ${(0 until 4).map(b =>
+              s"SELECT doc_id, md5('$b,'||${(4 * b until 4 * b + 4).map(i => s"h$i::VARCHAR").mkString("||','||")})${if (b == 0) " AS k" else ""} FROM sig")
+              .mkString(" UNION ALL\n         |  ")}),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band a JOIN band b ON a.k = b.k AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0),
+         |n AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+         |p AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c JOIN w wa ON wa.doc_id = c.doc_a
+         |  JOIN w wb ON wb.doc_id = c.doc_b AND wb.tok = wa.tok GROUP BY 1,2),
+         |pr AS (SELECT p.doc_a, p.doc_b
+         |  FROM p JOIN n na ON na.doc_id = p.doc_a JOIN n nb ON nb.doc_id = p.doc_b
+         |  WHERE ${q4("CAST(inter AS DOUBLE)/(na.n+nb.n-inter)")} >= 0.9),
+         |hd AS (SELECT DISTINCT
+         |    CASE WHEN doc_a % 5 = 0 AND doc_b % 5 != 0 THEN doc_a ELSE doc_b END AS doc_id
+         |  FROM pr WHERE (doc_a % 5 = 0) != (doc_b % 5 = 0)),
+         |sp AS (SELECT doc_a, doc_b FROM pr WHERE doc_a % 5 = 0 AND doc_b % 5 = 0),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM sp
+         |      UNION SELECT doc_b, doc_a FROM sp),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM e UNION SELECT src, dst FROM e
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |nc AS (SELECT doc_id FROM cl WHERE doc_id != cluster_id),
+         |dropped AS (SELECT doc_id FROM hd UNION SELECT doc_id FROM nc),
+         |kept0 AS (SELECT d.doc_id, d.source, d.text,
+         |    md5(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+         |  FROM documents d
+         |  WHERE d.doc_id % 5 = 0
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM dropped)),
+         |t AS (SELECT doc_id, source,
+         |  CASE WHEN CAST(('0x'||substr(fp,1,4)) AS BIGINT) % 10 < 8 THEN 'train'
+         |       WHEN CAST(('0x'||substr(fp,1,4)) AS BIGINT) % 10 < 9 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  $toks AS tk FROM kept0),
          |m AS (SELECT doc_id, source, split,
          |  CAST(len(tk) AS BIGINT) AS n,
          |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq,

@@ -386,6 +386,54 @@ object CorpusOps {
     manifestTail(kept0, seqLen, minTokens, maxTokens)
   }
 
+  /** Daily-shard corpus build with NEAR-duplicate canonicalization —
+    * [[incrementalCorpusBuild]]'s near-dup sibling, and the indexed
+    * incremental form of [[corpusBuildNearDup]]: the shard's near-dup
+    * pairs come from ONE probe of the persisted minhash band index
+    * ([[graft.ops.Dedup.incrementalMinhashPairs]] — old×old
+    * unrepresentable, history never shuffles), classified into two
+    * drop rules:
+    *
+    *  - HISTORY-AUTHORITATIVE: a shard doc pairing with any indexed
+    *    doc is dropped, whatever the ids — history is immutable, its
+    *    copy already feeds training (the same arrival-order rule the
+    *    streaming intake uses, `indexWins`);
+    *  - shard-internal clusters ([[graft.ops.Dedup.dedupClusters]]
+    *    over both-new pairs) keep their min-id representative; a
+    *    cluster whose representative was history-dropped drops whole
+    *    (its content is transitively represented).
+    *
+    * Near-dup detection is the banded-LSH rule, exactly as the t25 /
+    * t63 gates define it (candidate = band-key collision, then exact
+    * Jaccard ≥ τ) — deliberately approximate with the documented
+    * 1-(1-τ^r)^b recall, which is the production tradeoff an indexed
+    * daily pipeline actually ships. Everything outside the index
+    * probe is shard-sized; the tail is [[manifestTail]] verbatim.
+    */
+  def incrementalCorpusBuildNearDup(
+      newDocs: DataFrame, index: Dedup.MinhashIndex, threshold: Double = 0.9,
+      seqLen: Long = 512L, minTokens: Long = 20L, maxTokens: Long = 400L): DataFrame = {
+    val pairs = Dedup.incrementalMinhashPairs(newDocs, index, threshold)
+    val ids = newDocs.select("doc_id")
+    val flagged = pairs
+      .join(ids.select(col("doc_id").as("doc_a"), lit(true).as("a_new")), Seq("doc_a"), "left")
+      .join(ids.select(col("doc_id").as("doc_b"), lit(true).as("b_new")), Seq("doc_b"), "left")
+    val histDropped = flagged.filter(col("a_new").isNull || col("b_new").isNull)
+      .select(when(col("a_new").isNotNull, col("doc_a")).otherwise(col("doc_b")).as("doc_id"))
+      .distinct()
+    val shardPairs = flagged
+      .filter(col("a_new").isNotNull && col("b_new").isNotNull)
+      .select("doc_a", "doc_b")
+    val nonCanonical = Dedup.dedupClusters(shardPairs)
+      .filter(!col("is_canonical")).select("doc_id")
+    val dropped = histDropped.unionByName(nonCanonical).distinct()
+    val kept0 = newDocs
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("text"),
+        TextOps.fingerprint(col("text")).as("fp"))
+    manifestTail(kept0, seqLen, minTokens, maxTokens)
+  }
+
   /** Vocabulary construction: the `k` most frequent corpus tokens
     * (occurrences, not document frequency) with dense ids in
     * (count desc, token) order — the table a tokenizer trainer or a

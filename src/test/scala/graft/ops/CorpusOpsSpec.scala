@@ -417,6 +417,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(CorpusOps.incrementalCorpusBuild(replay, idx2, seqLen = 50L).collect().isEmpty)
   }
 
+  test("incrementalCorpusBuildNearDup: history-authoritative drops + shard clusters") {
+    // distinct docs share only the 8-token stopword frame (jac ≈ 8/24
+    // ≈ 0.33 ≪ 0.9); copies are exact (jac 1.0, bands identical — LSH
+    // capture guaranteed)
+    def text(tag: String) =
+      s"the ${tag}one ${tag}two ${tag}three and ${tag}four ${tag}five of ${tag}six " +
+        s"${tag}seven is ${tag}eight ${tag}nine to ${tag}ten ${tag}eleven in " +
+        s"${tag}twelve a ${tag}thirteen ${tag}fourteen ${tag}fifteen ${tag}sixteen"
+    // history doc 1; shard doc 0 is an exact near-dup with a SMALLER id —
+    // history must still win (the batch least() rule would keep 0)
+    val history = docs((1L, "s", text("alpha")), (2L, "s", text("beta")))
+    val idx = graft.ops.Dedup.minhashIndexFrames(history)
+    val shard = docs(
+      (0L, "s", text("alpha")),   // dup of history 1 → dropped despite 0 < 1
+      (10L, "s", text("gamma")),  // novel
+      (11L, "s", text("gamma")),  // shard-internal cluster with 10 → dropped
+      (12L, "s", text("delta")))  // novel singleton
+    val m = CorpusOps.incrementalCorpusBuildNearDup(shard, idx, threshold = 0.9, seqLen = 50L)
+      .collect().map(r => (r.getLong(3), r.getLong(5), r.getLong(6)))
+    // survivors: 10 (cluster min) and 12; docs 0 and 11 dropped
+    assert(m.map(_._1).sum == 2L, s"expected 2 packed docs, got: ${m.toSeq}")
+    val ids = m.flatMap(r => Seq(r._2, r._3)).toSet
+    assert(ids.subsetOf(Set(10L, 12L)), s"wrong survivors: ${m.toSeq}")
+  }
+
   test("bpeEncode golden: overlapping merge is leftmost-greedy, word order kept") {
     val d = docs((7L, "s", "aaa ab aaaa"))
     val out = CorpusOps.bpeEncode(d, Seq(("a", "a"))).collect()
