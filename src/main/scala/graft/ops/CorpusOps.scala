@@ -856,6 +856,19 @@ object CorpusOps {
       .groupBy(keyCol)
       .agg(min("cnt").as("est"))
 
+  /** Merge CMS sketches built with the SAME (depth, width, hash):
+    * counters sum per (d, bucket). This is the whole incremental
+    * story — sketch each daily shard as it lands, fold it into the
+    * persisted corpus sketch (a few thousand rows: read, merge,
+    * overwrite), and heavy-hitter queries stay current without ever
+    * re-reading history. Mixing sketches of different shapes is a
+    * correctness error the row counts can't always catch — keep the
+    * parameters with the table.
+    */
+  def mergeCmsSketches(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy("d", "bucket").agg(sum("cnt").as("cnt"))
+
   private def cmsBucket(d: Int, key: Column, width: Int): Column =
     conv(substring(md5(concat(lit(s"$d:"), key)), 1, 15), 16, 10)
       .cast("long") % width

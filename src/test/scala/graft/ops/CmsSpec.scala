@@ -33,11 +33,25 @@ class CmsSpec extends AnyFunSuite {
   test("sketches of disjoint shards sum to the sketch of the union") {
     val a = docs.filter(col("doc_id") % 2 === 0)
     val b = docs.filter(col("doc_id") % 2 === 1)
-    val merged = CorpusOps.cmsSketch(grams(a), "gram")
-      .unionByName(CorpusOps.cmsSketch(grams(b), "gram"))
-      .groupBy("d", "bucket").agg(sum("cnt").as("cnt"))
+    val merged = CorpusOps.mergeCmsSketches(
+      CorpusOps.cmsSketch(grams(a), "gram"),
+      CorpusOps.cmsSketch(grams(b), "gram"))
     val full = CorpusOps.cmsSketch(grams(docs), "gram")
     assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+  }
+
+  test("merge through a persisted round trip: daily-shard estimates stay exact") {
+    val dir = java.nio.file.Files.createTempDirectory("cms").toString
+    val day1 = docs.filter(col("doc_id") < 30)
+    val day2 = docs.filter(col("doc_id") >= 30)
+    CorpusOps.cmsSketch(grams(day1), "gram").write.parquet(s"$dir/sketch")
+    val folded = CorpusOps.mergeCmsSketches(
+      spark.read.parquet(s"$dir/sketch"),
+      CorpusOps.cmsSketch(grams(day2), "gram"))
+    val keys = grams(docs).select("gram").distinct()
+    val viaFold = CorpusOps.cmsEstimate(folded, keys, "gram")
+    val viaFull = CorpusOps.cmsEstimate(CorpusOps.cmsSketch(grams(docs), "gram"), keys, "gram")
+    assert(viaFold.exceptAll(viaFull).isEmpty && viaFull.exceptAll(viaFold).isEmpty)
   }
 
   test("estimate is an overestimate: est >= exact for every occurring gram") {
