@@ -436,6 +436,11 @@ object SparkEntry {
     // stripped, documents rebuilt from survivors
     "t82_substring_removal" -> ((s, d) => { val t = Tables.load(s, d)
       Dedup.removeDuplicatedSpans(t.documents) }),
+    // hashed tf-idf document vectors: the text→vector bridge; bucket
+    // weights are exact integer sums (common denominator N) with one
+    // final division, so the 64 doubles hash bit-identically
+    "s46_tfidf_vectors" -> ((s, d) => { val t = Tables.load(s, d)
+      CorpusOps.hashedTfIdfVectors(t.documents) }),
     // count-min sketch heavy hitters: word-bigram occurrences →
     // (d, bucket) counters → min-over-depth estimates for a sampled
     // candidate slice; the twin recomputes the identical sketch (the
@@ -899,6 +904,26 @@ object SparkEntry {
         |  coalesce(k2.clean_text, '') AS clean_text
         |FROM nt LEFT JOIN k2 ON k2.doc_id = nt.doc_id
         |ORDER BY nt.doc_id""".stripMargin,
+    // tf-idf vector twin: identical bucket hash, identical integer
+    // numerators, same deferred division; the vector assembles from a
+    // doc × range(dim) grid left-joined to bucket sums, ordered by i
+    "s46_tfidf_vectors" ->
+      s"""WITH w AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |bw AS (SELECT doc_id,
+         |    CAST(('0x'||substr(md5(term),1,15)) AS BIGINT) % 64 AS b,
+         |    CAST(sum(tf * (n_docs - df)) AS BIGINT) AS num
+         |  FROM tf JOIN df USING (term) CROSS JOIN nd GROUP BY 1, 2),
+         |grid AS (SELECT doc_id, i FROM (SELECT DISTINCT doc_id FROM tf),
+         |  (SELECT unnest(range(0, 64)) AS i)),
+         |v AS (SELECT g.doc_id, g.i,
+         |    CAST(coalesce(bw.num, 0) AS DOUBLE) / nd.n_docs AS x
+         |  FROM grid g LEFT JOIN bw ON bw.doc_id = g.doc_id AND bw.b = g.i
+         |  CROSS JOIN nd)
+         |SELECT doc_id, list(x ORDER BY i) AS vec FROM v
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // CMS twin: the identical sketch — same salted md5-prefix bucket
     // hash ('d:' || gram, 60-bit '0x' cast ≡ Spark's conv(hex,16,10)),
     // same (d, bucket) counters over bigram OCCURRENCES, same sampled

@@ -126,6 +126,51 @@ object CorpusOps {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Hashed TF-IDF document vectors: a `dim`-dimensional dense vector
+    * per document — term weights tf·(N − df) folded into md5-hashed
+    * buckets (the hashing trick: fixed dimensionality at any
+    * vocabulary, the same device the t74 classifier uses) — bridging
+    * the text side of the engine to the vector side: the output
+    * composes directly with cosine top-k / ANN / clustering, giving
+    * embedding-free semantic search over raw documents.
+    *
+    * Portability (the gate contract): a bucket's weight is
+    * Σ tf·(N − df) — every factor an exact integer, so the SUM is
+    * order-independent — with the single IEEE division by N deferred
+    * to the very end. (A per-term double idf would make bucket sums
+    * depend on Spark's reduction order and break the bit-exact
+    * oracle; the common denominator is what makes hashed tf-idf
+    * hashable.) Linear idf, like [[tfidfTopTerms]].
+    *
+    * Scale shape: two partial-agg shuffles (term tf, then bucket
+    * fold), a vocabulary-sized df join (AQE broadcasts it when
+    * small), the corpus total as a broadcast one-row frame, and a
+    * per-doc map assembly — no stage is wider than the token
+    * explode. Documents with no tokens produce no row.
+    */
+  def hashedTfIdfVectors(documents: DataFrame, dim: Int = 64): DataFrame = {
+    val w = documents.select(
+      col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+    val tf = w.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val bucket = conv(substring(md5(col("term")), 1, 15), 16, 10)
+      .cast("long") % dim
+    val bw = tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("n_docs"), bucket.as("b"),
+        (col("tf") * (col("n_docs") - col("df"))).as("num"))
+      .groupBy("doc_id", "n_docs", "b")
+      .agg(sum("num").as("num"))
+    bw.groupBy("doc_id", "n_docs")
+      .agg(map_from_entries(collect_list(struct(col("b"), col("num")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          coalesce(element_at(col("m"), i.cast("long")), lit(0L)).cast("double")
+            / col("n_docs")).as("vec"))
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing: concatenate each source's documents in doc_id
     * order and cut the token stream into fixed `seqLen` training
     * sequences; a document belongs to the sequence its FIRST token

@@ -442,6 +442,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(ids.subsetOf(Set(10L, 12L)), s"wrong survivors: ${m.toSeq}")
   }
 
+  test("hashedTfIdfVectors: exact linear-idf weights, zero for ubiquitous terms") {
+    // N=2: 'a' (df 1) weighs tf·(2−1); 'b' (df 2, in every doc) weighs 0
+    val d = docs((1L, "s", "a a b"), (2L, "s", "b c"))
+    val out = CorpusOps.hashedTfIdfVectors(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out(1L).size == 64 && out(2L).size == 64)
+    assert(out(1L).sum == 1.0)  // (2·1)/2 from 'a'; 'b' contributes 0
+    assert(out(2L).sum == 0.5)  // (1·1)/2 from 'c'
+    assert(out(1L).count(_ != 0.0) == 1 && out(2L).count(_ != 0.0) == 1)
+  }
+
+  test("hashedTfIdfVectors compose with graft_dot: near-copies score high") {
+    val d = docs(
+      (1L, "s", "solar panels convert sunlight into clean renewable energy today"),
+      (2L, "s", "solar panels convert sunlight into clean renewable power today"),
+      (3L, "s", "medieval cathedrals feature flying buttresses and stained glass"))
+    val v = CorpusOps.hashedTfIdfVectors(d)
+    import org.apache.spark.sql.functions.{col, call_function, sqrt}
+    val pairs = v.as("a").crossJoin(v.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        (call_function("graft_dot", col("a.vec"), col("b.vec")) /
+          (sqrt(call_function("graft_dot", col("a.vec"), col("a.vec"))) *
+            sqrt(call_function("graft_dot", col("b.vec"), col("b.vec"))))).as("cos"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) > 0.7, s"near-copies should score high: $pairs")
+    assert(pairs((1L, 3L)) < 0.3 && pairs((2L, 3L)) < 0.3, s"unrelated low: $pairs")
+  }
+
   test("bpeEncode golden: overlapping merge is leftmost-greedy, word order kept") {
     val d = docs((7L, "s", "aaa ab aaaa"))
     val out = CorpusOps.bpeEncode(d, Seq(("a", "a"))).collect()
