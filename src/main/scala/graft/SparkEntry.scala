@@ -438,9 +438,17 @@ object SparkEntry {
       Dedup.removeDuplicatedSpans(t.documents) }),
     // hashed tf-idf document vectors: the text→vector bridge; bucket
     // weights are exact integer sums (common denominator N) with one
-    // final division, so the 64 doubles hash bit-identically
+    // final division, so the 64 doubles hash bit-identically. Gate
+    // shape: the vector is exploded to (doc_id, i, x) rows — the
+    // driver's comparator sorts scalar columns only, so an
+    // array<double> column is unscorable; the library API
+    // (hashedTfIdfVectors) keeps the dense vector for composition
     "s46_tfidf_vectors" -> ((s, d) => { val t = Tables.load(s, d)
-      CorpusOps.hashedTfIdfVectors(t.documents) }),
+      import org.apache.spark.sql.functions.{col, posexplode}
+      CorpusOps.hashedTfIdfVectors(t.documents)
+        .select(col("doc_id"), posexplode(col("vec")).as(Seq("i", "x")))
+        .select(col("doc_id"), col("i").cast("long").as("i"), col("x"))
+        .orderBy("doc_id", "i") }),
     // count-min sketch heavy hitters: word-bigram occurrences →
     // (d, bucket) counters → min-over-depth estimates for a sampled
     // candidate slice; the twin recomputes the identical sketch (the
@@ -452,11 +460,17 @@ object SparkEntry {
     // data-dependent merges is not ANSI-SQL-expressible, so this row
     // has no oracle twin (driver records the rows-only check); the
     // round-trip + reference-encoder differential specs carry
-    // correctness (CorpusOpsSpec).
+    // correctness (CorpusOpsSpec). Gate shape: tokens are flattened
+    // to a space-joined string so the rows-only sorter (which cannot
+    // hash an array column) can score the row; the library API keeps
+    // the array<string> for downstream composition.
     "t85_bpe_encode" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, concat_ws}
       val merges = CorpusOps.bpeTrain(t.documents, nMerges = 10).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
-      CorpusOps.bpeEncode(t.documents, merges) }),
+      CorpusOps.bpeEncode(t.documents, merges)
+        .select(col("doc_id"), col("n_tokens"),
+          concat_ws(" ", col("tokens")).as("tokens_str")) }),
     // paragraph-level dedup (Dolma/CCNet): the gate texts are single
     // blocks, so deterministic paragraph structure — shared
     // boilerplate chrome between content halves — is planted in-query
@@ -905,8 +919,8 @@ object SparkEntry {
         |FROM nt LEFT JOIN k2 ON k2.doc_id = nt.doc_id
         |ORDER BY nt.doc_id""".stripMargin,
     // tf-idf vector twin: identical bucket hash, identical integer
-    // numerators, same deferred division; the vector assembles from a
-    // doc × range(dim) grid left-joined to bucket sums, ordered by i
+    // numerators, same deferred division; exploded (doc_id, i, x)
+    // rows from a doc × range(dim) grid left-joined to bucket sums
     "s46_tfidf_vectors" ->
       s"""WITH w AS (SELECT doc_id, unnest($toks) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
@@ -917,13 +931,12 @@ object SparkEntry {
          |    CAST(sum(tf * (n_docs - df)) AS BIGINT) AS num
          |  FROM tf JOIN df USING (term) CROSS JOIN nd GROUP BY 1, 2),
          |grid AS (SELECT doc_id, i FROM (SELECT DISTINCT doc_id FROM tf),
-         |  (SELECT unnest(range(0, 64)) AS i)),
-         |v AS (SELECT g.doc_id, g.i,
+         |  (SELECT unnest(range(0, 64)) AS i))
+         |SELECT g.doc_id, CAST(g.i AS BIGINT) AS i,
          |    CAST(coalesce(bw.num, 0) AS DOUBLE) / nd.n_docs AS x
          |  FROM grid g LEFT JOIN bw ON bw.doc_id = g.doc_id AND bw.b = g.i
-         |  CROSS JOIN nd)
-         |SELECT doc_id, list(x ORDER BY i) AS vec FROM v
-         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+         |  CROSS JOIN nd
+         |ORDER BY g.doc_id, g.i""".stripMargin,
     // CMS twin: the identical sketch — same salted md5-prefix bucket
     // hash ('d:' || gram, 60-bit '0x' cast ≡ Spark's conv(hex,16,10)),
     // same (d, bucket) counters over bigram OCCURRENCES, same sampled
