@@ -685,7 +685,14 @@ object Dedup {
     val cand = persistTracked(incrementalCandidates(newBands, index.bands).distinct())
     val candIds = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    // anti-join the history side against the shard's own doc_ids: a
+    // REPLAYED batch (crash-recovery re-ingest under the same ids —
+    // nearDupStream's documented recovery path) is already in the
+    // index, and without this a replayed doc rides verifyToks twice
+    // (once from history, once from the shard), fanning the verify
+    // join out to duplicate rows per pair. The shard's copy wins.
     val oldNeeded = index.toks.join(candIds, Seq("doc_id"), "left_semi")
+      .join(newIdx.toks.select("doc_id"), Seq("doc_id"), "left_anti")
     // verifyJaccard reads its toks frame twice (once per pair side)
     val verifyToks = persistTracked(oldNeeded.unionByName(newIdx.toks))
     verifyJaccard(cand, verifyToks, threshold, smallVocab = false, alreadyDistinct = true)

@@ -56,6 +56,27 @@ class IncrementalDedupSpec extends AnyFunSuite {
     Dedup.releaseCaches()
   }
 
+  test("crash-replay: a batch already in the index emits duplicate-free pairs") {
+    // nearDupStream's recovery contract: after a crash between index
+    // append and emission, the batch is REPLAYED — its doc_ids are
+    // already indexed. The replayed docs must not ride the verify
+    // token union twice (once from history, once from the shard);
+    // the emitted frame must be one row per pair, identical to the
+    // non-replayed emission.
+    val cleanIdx = Dedup.minhashIndexFrames(history)
+    val clean = Dedup.incrementalMinhashPairs(newShard, cleanIdx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    Dedup.releaseCaches()
+    val replayIdx = Dedup.minhashIndexFrames(corpus) // batch already appended
+    val replay = Dedup.incrementalMinhashPairs(newShard, replayIdx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(replay.length == replay.distinct.length,
+      s"replayed batch must not duplicate pair rows: ${replay.toSeq}")
+    assert(replay.toSet == clean.toSet,
+      "replayed emission must match the non-replayed emission")
+    Dedup.releaseCaches()
+  }
+
   private def scansOf(plan: SparkPlan, table: String): Seq[FileSourceScanExec] =
     plan.collect {
       case f: FileSourceScanExec if f.tableIdentifier.exists(_.table == table) => f
