@@ -96,6 +96,34 @@ object SparkEntry {
        |  coalesce(string_agg(CASE WHEN kept THEN para END, chr(10)||chr(10) ORDER BY pos), '') AS clean_text
        |FROM k $where GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // t25/t90 shared twin: the seeded minhash-LSH pair recompute —
+  // identical affine family, band rule, and quantized exact-Jaccard
+  // verify; t90 streams the same corpus and must emit the same pairs
+  private lazy val minhashPairsSql: String =
+    s"""WITH w AS (SELECT DISTINCT doc_id, tok FROM
+       |  (SELECT doc_id, unnest($toks) AS tok FROM documents)),
+       |hb AS (SELECT doc_id,
+       |  CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) % $mhP AS h FROM w),
+       |sig AS (SELECT doc_id,
+       |  ${mhCoeffs.zipWithIndex.map { case ((a, b), i) =>
+            s"min(($a*h+$b) % $mhP) AS h$i" }.mkString(",\n       |  ")}
+       |  FROM hb GROUP BY 1),
+       |band AS (
+       |  ${(0 until 4).map(b =>
+            s"SELECT doc_id, $b${if (b == 0) " AS b" else ""}, md5(${(4 * b until 4 * b + 4).map(i => s"h$i::VARCHAR").mkString("||','||")})${if (b == 0) " AS k" else ""} FROM sig")
+            .mkString(" UNION ALL\n       |  ")}),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM band a JOIN band b ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id),
+       |n AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+       |p AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |  FROM cand c JOIN w wa ON wa.doc_id = c.doc_a
+       |  JOIN w wb ON wb.doc_id = c.doc_b AND wb.tok = wa.tok GROUP BY 1,2)
+       |SELECT p.doc_a, p.doc_b,
+       | ${q4("CAST(inter AS DOUBLE)/(na.n+nb.n-inter)")} AS jac
+       |FROM p JOIN n na ON na.doc_id = p.doc_a JOIN n nb ON nb.doc_id = p.doc_b
+       |WHERE ${q4("CAST(inter AS DOUBLE)/(na.n+nb.n-inter)")} >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // t71/t72 shared fragment: the planted raw-URL corpus (UrlOps
   // .plantUrls verbatim) canonicalized by the same rule chain — ends
   // at CTE `n` = (doc_id, url_norm, domain)
@@ -368,6 +396,18 @@ object SparkEntry {
       val shard = t.documents.filter(col("doc_id") % 5 === 0)
       CorpusOps.incrementalCorpusBuildNearDup(
         shard, Dedup.minhashIndexFrames(history)) }),
+    // the streaming intake family under the gate: each drives the
+    // REAL foreachBatch stream (file source, AvailableNow, a fresh
+    // query per range shard against a shared checkpoint — every
+    // shard boundary is a cold restart) and returns a frame whose
+    // batch twin is exact under arrival-order == doc_id-order
+    // sharding. See graft.streaming.StreamGates.
+    "t88_stream_exact_dedup" -> ((s, d) => { val t = Tables.load(s, d)
+      graft.streaming.StreamGates.exactDedupGate(t.documents) }),
+    "t89_stream_paragraph_dedup" -> ((s, d) => { val t = Tables.load(s, d)
+      graft.streaming.StreamGates.paragraphGate(t.documents) }),
+    "t90_stream_neardup_pairs" -> ((s, d) => { val t = Tables.load(s, d)
+      graft.streaming.StreamGates.nearDupGate(t.documents) }),
     // mixture reweighting: uniform per-source budget, deterministic
     // content-hash slice per source
     "t57_mixture_sample" -> ((s, d) => { val t = Tables.load(s, d)
@@ -992,30 +1032,31 @@ object SparkEntry {
     // signature row, with the seeded coefficients baked in as
     // literals. Bound a·h+b < 2^62: DuckDB BIGINT multiply errors on
     // overflow instead of wrapping, so the 31-bit modulus matters.
-    "t25_minhash_lsh" ->
-      s"""WITH w AS (SELECT DISTINCT doc_id, tok FROM
-         |  (SELECT doc_id, unnest($toks) AS tok FROM documents)),
-         |hb AS (SELECT doc_id,
-         |  CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) % $mhP AS h FROM w),
-         |sig AS (SELECT doc_id,
-         |  ${mhCoeffs.zipWithIndex.map { case ((a, b), i) =>
-              s"min(($a*h+$b) % $mhP) AS h$i" }.mkString(",\n         |  ")}
-         |  FROM hb GROUP BY 1),
-         |band AS (
-         |  ${(0 until 4).map(b =>
-              s"SELECT doc_id, $b${if (b == 0) " AS b" else ""}, md5(${(4 * b until 4 * b + 4).map(i => s"h$i::VARCHAR").mkString("||','||")})${if (b == 0) " AS k" else ""} FROM sig")
-              .mkString(" UNION ALL\n         |  ")}),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM band a JOIN band b ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id),
-         |n AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
-         |p AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
-         |  FROM cand c JOIN w wa ON wa.doc_id = c.doc_a
-         |  JOIN w wb ON wb.doc_id = c.doc_b AND wb.tok = wa.tok GROUP BY 1,2)
-         |SELECT p.doc_a, p.doc_b,
-         | ${q4("CAST(inter AS DOUBLE)/(na.n+nb.n-inter)")} AS jac
-         |FROM p JOIN n na ON na.doc_id = p.doc_a JOIN n nb ON nb.doc_id = p.doc_b
-         |WHERE ${q4("CAST(inter AS DOUBLE)/(na.n+nb.n-inter)")} >= 0.5
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "t25_minhash_lsh" -> minhashPairsSql,
+    // streamed near-dup intake: every pair is found exactly once
+    // under range sharding (in b's batch, in-batch or vs the index),
+    // so the emission union must equal t25's one-shot recompute —
+    // the twin is shared verbatim
+    "t90_stream_neardup_pairs" -> minhashPairsSql,
+    // streamed exact dedup: emissions ⋈ final index must equal the
+    // batch min-per-fingerprint rule on the identically-planted
+    // corpus (re-ingests under +1e6 ids; an in-batch novel-text dup
+    // pair under +2e6/+3e6 — mirrors StreamGates.exactDedupGate)
+    "t88_stream_exact_dedup" ->
+      """WITH pl AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 9 = 2
+        |  UNION ALL SELECT doc_id + 2000000, text || ' zz novel tail' FROM documents WHERE doc_id % 25 = 10
+        |  UNION ALL SELECT doc_id + 3000000, text || ' zz novel tail' FROM documents WHERE doc_id % 25 = 10),
+        |fp AS (SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |  FROM pl)
+        |SELECT min(doc_id) AS doc_id, fp FROM fp GROUP BY fp
+        |ORDER BY doc_id""".stripMargin,
+    // streamed paragraph dedup: arrival-order firstness under range
+    // sharding equals the batch least() rule, so the emission union
+    // is exactly t70's planted-corpus recompute — twin shared
+    "t89_stream_paragraph_dedup" -> paragraphDedupSql(""),
     // incremental-dedup twin: the SAME affine family and band rule as
     // t25, but the band index is folded INTO the key (md5("b,h..")) —
     // one-column candidate join — and candidacy requires ≥1 side in

@@ -1,0 +1,159 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ops.Dedup
+
+/** Correctness-gate drivers for the index-backed streaming intake
+  * family ([[EventStream.globalDedupStream]],
+  * [[EventStream.paragraphDedupStream]], [[EventStream.nearDupStream]])
+  * — the restart-critical paths that previously had only differential
+  * specs. Each gate runs the REAL stream over real micro-batches
+  * (file source + AvailableNow, a fresh query per shard against a
+  * shared checkpoint, so every shard boundary is also a restart) and
+  * returns a frame with an exact ANSI-SQL batch twin.
+  *
+  * The equality that makes a batch twin possible: shards are cut as
+  * CONTIGUOUS doc_id ranges, so arrival order equals doc_id order and
+  * the stream's arrival-order firstness (index wins, then in-batch
+  * min) coincides with the batch engine's global-min rule. The final
+  * emission union must therefore equal the one-shot batch recompute
+  * on the same corpus — any index append bug, replay fan-out, or
+  * restart state loss shows up as a row diff.
+  */
+object StreamGates {
+
+  /** Cut `docs` into `n` contiguous doc_id ranges below `mxNatural`;
+    * ids above it (planted re-ingestions) ride the last shard, i.e.
+    * arrive last, as a re-ingestion does.
+    */
+  private def shards(docs: DataFrame, mxNatural: Long, n: Int): Seq[DataFrame] =
+    (0 until n).map { i =>
+      val lo = i * (mxNatural + 1) / n
+      val hi = (i + 1) * (mxNatural + 1) / n
+      if (i == n - 1) docs.filter(col("doc_id") >= lo)
+      else docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+    }
+
+  /** Deliver shards as real micro-batches: one coalesced file appended
+    * per run, a fresh AvailableNow query per shard against a SHARED
+    * checkpoint — the file-source offset log makes run i process
+    * exactly shard i, and each run is a cold restart of the stream.
+    */
+  private def drive(shardFrames: Seq[DataFrame])(
+      mk: (DataFrame, Option[String]) => StreamingQuery): Unit = {
+    val in = Files.createTempDirectory("sgate_in").toString
+    val cp = Some(Files.createTempDirectory("sgate_cp").toString)
+    shardFrames.foreach { sh =>
+      sh.coalesce(1).write.mode("append").parquet(in)
+      val src = sh.sparkSession.readStream.schema(sh.schema).parquet(in)
+      mk(src, cp).awaitTermination()
+    }
+  }
+
+  /** Streamed exact dedup, gated: the fixture has zero natural exact
+    * dups, so both dedup arms are exercised by PLANTED re-ingestions
+    * (the t86 pattern): history docs (id%9==2) re-arrive in the last
+    * shard under +1e6 ids — only the persisted INDEX can drop them
+    * across a restart — and novel-text docs (id%25==10, a planted
+    * tail) arrive twice under +2e6/+3e6 ids in the SAME batch, dropped
+    * by the in-batch first rule alone. Output joins the emissions to
+    * the FINAL index (full outer, so an emission without an index row
+    * or vice versa surfaces as a null/extra row): one (doc_id, fp) row
+    * per surviving canonical, which must equal the batch min-per-
+    * fingerprint rule on the identically-planted corpus.
+    */
+  def exactDedupGate(documents: DataFrame, nShards: Int = 3): DataFrame = {
+    val spark = documents.sparkSession
+    val docs = documents.select("doc_id", "text")
+    val mx = docs.agg(max("doc_id")).head().getLong(0)
+    val planted = docs
+      .unionByName(docs.filter(col("doc_id") % 9 === 2)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+      .unionByName(docs.filter(col("doc_id") % 25 === 10)
+        .withColumn("text", concat(col("text"), lit(" zz novel tail")))
+        .withColumn("doc_id", col("doc_id") + 2000000L))
+      .unionByName(docs.filter(col("doc_id") % 25 === 10)
+        .withColumn("text", concat(col("text"), lit(" zz novel tail")))
+        .withColumn("doc_id", col("doc_id") + 3000000L))
+    val idxRoot = Files.createTempDirectory("sgate_exact_idx").toString
+    val emit = Files.createTempDirectory("sgate_exact_emit").toString + "/docs"
+    val tbl = "sgate_exact_index"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    drive(shards(planted, mx, nShards)) { (src, cp) =>
+      EventStream.globalDedupStream(src, tbl, idxRoot, buckets = 8,
+        checkpoint = cp, availableNow = true) { (out, _) =>
+        out.select("doc_id").write.mode("append").parquet(emit)
+      }
+    }
+    val idx = spark.read.parquet(s"$idxRoot/$tbl")
+      .select(col("canonical_id"), col("fp"))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.read.parquet(emit)
+      .join(idx, col("doc_id") === col("canonical_id"), "full_outer")
+      .select(coalesce(col("doc_id"), col("canonical_id")).as("doc_id"),
+        col("fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Streamed paragraph dedup, gated: the t70 planted-boilerplate
+    * corpus streamed in range shards. Every doc carries one of the
+    * shared banner paragraphs, so the cross-batch index arm fires on
+    * every shard after the first (the banner's owner is in shard 0)
+    * and the in-batch arm fires within shard 0 — no extra planting
+    * needed. `indexWins` arrival-order firstness equals the batch
+    * least() rule under range sharding, so the emission union must
+    * equal [[graft.ops.Dedup.paragraphDedup]] on the planted corpus —
+    * t70's exact twin.
+    */
+  def paragraphGate(documents: DataFrame, nShards: Int = 3): DataFrame = {
+    val spark = documents.sparkSession
+    val docs = documents.select("doc_id", "text")
+    val mx = docs.agg(max("doc_id")).head().getLong(0)
+    val planted = Dedup.plantParagraphs(docs)
+    val idxRoot = Files.createTempDirectory("sgate_para_idx").toString
+    val emit = Files.createTempDirectory("sgate_para_emit").toString + "/docs"
+    val tbl = "sgate_para_index"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    drive(shards(planted, mx, nShards)) { (src, cp) =>
+      EventStream.paragraphDedupStream(src, tbl, idxRoot, buckets = 8,
+        checkpoint = cp, availableNow = true) { (out, _) =>
+        out.write.mode("append").parquet(emit)
+      }
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.read.parquet(emit).orderBy("doc_id")
+  }
+
+  /** Streamed near-dup intake, gated: range shards against the
+    * persisted minhash index. Every qualifying pair (a, b), a < b,
+    * is found exactly once — in b's batch, either in-batch (new×new)
+    * or against the index holding a (new×indexed) — so the emission
+    * union must equal the one-shot [[graft.ops.Dedup.minhashLshPairs]]
+    * at the same threshold: t25's exact twin. The fixture is
+    * deliberately dup-heavy, so both candidate arms fire naturally.
+    */
+  def nearDupGate(documents: DataFrame, nShards: Int = 3): DataFrame = {
+    val spark = documents.sparkSession
+    val docs = documents.select("doc_id", "text")
+    val mx = docs.agg(max("doc_id")).head().getLong(0)
+    val idxRoot = Files.createTempDirectory("sgate_near_idx").toString
+    val emit = Files.createTempDirectory("sgate_near_emit").toString + "/pairs"
+    val tbl = "sgate_near_index"
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_bands")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_toks")
+    drive(shards(docs, mx, nShards)) { (src, cp) =>
+      EventStream.nearDupStream(src, tbl, idxRoot, threshold = 0.5,
+        buckets = 8, checkpoint = cp, availableNow = true) { (out, _) =>
+        out.select("doc_a", "doc_b", "jac").write.mode("append").parquet(emit)
+      }
+    }
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_bands")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_toks")
+    spark.read.parquet(emit).orderBy("doc_a", "doc_b")
+  }
+}
