@@ -41,12 +41,65 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
     */
   def writeBucketed(
       df: DataFrame, table: String, buckets: Int, bucketCols: Seq[String]): Unit =
-    df.write
-      .mode(mode)
-      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
-      .sortBy(bucketCols.head, bucketCols.tail: _*)
-      .option("path", s"$root/$table")
-      .saveAsTable(table)
+    withTableLock(df.sparkSession, table) {
+      df.write
+        .mode(mode)
+        .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(bucketCols.head, bucketCols.tail: _*)
+        .option("path", s"$root/$table")
+        .saveAsTable(table)
+    }
+
+  /** Exclusive per-table WRITER lock — the single-writer contract for
+    * bucketed index maintenance. The same bucketed tables grow by
+    * daily/streaming appends ([[writeBucketed]]) and get rewritten by
+    * [[compactBucketed]]; unsynchronized, an append landing between
+    * the compact's table read and its directory swap is carried into
+    * the set-aside `__old` directory and silently deleted with it.
+    * Both paths hold this lock, so maintenance and ingest serialize
+    * instead of losing data. Readers are unaffected (locking writes
+    * only); a reader overlapping the swap window may transiently fail
+    * its file listing and must retry — the standard non-transactional
+    * lake caveat.
+    *
+    * Mechanics: atomic create-no-overwrite of `root/<table>__lock`
+    * (O_EXCL; atomic on HDFS, and on object stores whose committer
+    * supports conditional create). Bounded wait with stale takeover:
+    * a crashed holder's lockfile stops advancing its mtime, and
+    * waiters break locks older than `staleMs` — so a kill -9 during
+    * compact delays the next writer by at most the staleness bound,
+    * it never wedges the pipeline.
+    */
+  private[sinks] def withTableLock[A](
+      spark: SparkSession, table: String,
+      waitMs: Long = 120000L, staleMs: Long = 600000L)(body: => A): A = {
+    import org.apache.hadoop.fs.Path
+    val lockPath = new Path(s"$root/${table}__lock")
+    val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deadline = System.currentTimeMillis() + waitMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        val out = fs.create(lockPath, false)
+        out.writeLong(System.currentTimeMillis())
+        out.close()
+        acquired = true
+      } catch {
+        case _: java.io.IOException =>
+          try {
+            val st = fs.getFileStatus(lockPath)
+            if (System.currentTimeMillis() - st.getModificationTime > staleMs)
+              fs.delete(lockPath, false) // holder crashed; break its lock
+          } catch { case _: java.io.FileNotFoundException => () } // released; retry now
+          if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"could not acquire writer lock for $table within ${waitMs}ms " +
+                s"(held by a concurrent append/compact? stale after ${staleMs}ms)")
+          Thread.sleep(100)
+      }
+    }
+    try body finally { fs.delete(lockPath, false); () }
+  }
 
   /** Z-order-clustered write: range-partition + sort by the
     * interleaved-bit key of two filter dimensions, so every output
@@ -172,7 +225,15 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
     * table has ONE file per bucket — without it, every write task
     * holding rows of k buckets emits k files.
     */
-  def compactBucketed(spark: SparkSession, table: String): Int = {
+  def compactBucketed(
+      spark: SparkSession, table: String,
+      lockWaitMs: Long = 120000L, lockStaleMs: Long = 600000L): Int =
+    withTableLock(spark, table, lockWaitMs, lockStaleMs) {
+      compactBucketedLocked(spark, table)
+    }
+
+  /** [[compactBucketed]] body; callers hold the table's writer lock. */
+  private def compactBucketedLocked(spark: SparkSession, table: String): Int = {
     import org.apache.hadoop.fs.Path
     val cat = spark.sessionState.catalog
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
@@ -236,6 +297,10 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
     if (!fs.rename(swapPath, path)) {
       fs.rename(old, path)
       spark.sql(s"DROP TABLE IF EXISTS $swap")
+      // the rewrite output is unreachable after the catalog drop —
+      // delete it, or every failed swap leaks a full table copy and
+      // the next compact's saveAsTable collides with the leftover
+      fs.delete(swapPath, true)
       throw new IllegalStateException(s"compactBucketed swap failed for $path; original restored")
     }
     spark.sql(s"DROP TABLE IF EXISTS $swap")
