@@ -673,14 +673,17 @@ object SparkEntry {
     // real ones) — cells from the seed-centroid assignment, one-pass
     // earlier-id drop rule
     "s42_semantic_dedup" -> ((s, d) => { val t = Tables.load(s, d)
-      Similarity.semanticDedup(Similarity.plantNearDups(t.embeddings)) }),
+      // nCells pinned: the twin bakes LIMIT 16 as its seed-centroid
+      // contract; the scale path is the derived ≈√N default
+      Similarity.semanticDedup(Similarity.plantNearDups(t.embeddings), nCells = 16) }),
     // SemDeDup on LLOYD-REFINED cells — the paper-faithful config:
     // same planted corpus and one-pass drop rule as s42, cells
     // tightened by two Exact-mean sweeps; the twin unrolls the
     // refinement with the s36 machinery so every cell assignment and
     // cosine is bit-identical
     "s44_semantic_dedup_refined" -> ((s, d) => { val t = Tables.load(s, d)
-      Similarity.semanticDedup(Similarity.plantNearDups(t.embeddings), kmeansIters = 2) }),
+      Similarity.semanticDedup(Similarity.plantNearDups(t.embeddings),
+        nCells = 16, kmeansIters = 2) }),
     // int8-quantized ANN: the quantize→dequantize corpus through the
     // ANN bucket index (annIndexFrame + annLshServe inside annLsh) —
     // 4× index memory with the serving plan unchanged

@@ -549,12 +549,16 @@ object Similarity {
     *
     * Scale shape: the within-cell pair join is an equi-join on cid
     * (shuffle-partitioned, AQE-skew-splittable) costing Σ|cell|² —
-    * bounded by making nCells ∝ corpus size, exactly how the paper
-    * runs it (100k clusters over a web corpus keeps cells in the
-    * thousands; size nCells ≈ corpus/5000 so cells average a few
-    * thousand vectors — see SCALE.md). Nothing touches vectors across
-    * cells, and the centroid table is broadcast — the corpus shuffles
-    * once for assignment and once for the cell join.
+    * bounded by growing nCells with the corpus, exactly how the
+    * paper runs it (100k clusters over a web corpus keeps cells in
+    * the thousands). The DEFAULT (nCells = 0) derives ≈ √N from the
+    * corpus count — the balance point between N·nCells assignment
+    * and N²/nCells pair cost — so the cost shape survives any scale
+    * without retuning; pass an explicit nCells to pin a
+    * deterministic oracle contract or a paper-style cluster count.
+    * Nothing touches vectors across cells, and the centroid table is
+    * broadcast — the corpus shuffles once for assignment and once
+    * for the cell join.
     *
     * `kmeansIters` > 0 tightens the seed cells with that many Lloyd
     * sweeps ([[lloydRefine]], the s36-gated machinery — bit-exact
@@ -565,13 +569,25 @@ object Similarity {
     * contract (the s42 gate); the refined variant is gated as s44.
     */
   def semanticDedup(
-      embeddings: DataFrame, nCells: Int = 16, threshold: Double = 0.9,
+      embeddings: DataFrame, nCells: Int = 0, threshold: Double = 0.9,
       kmeansIters: Int = 0): DataFrame = {
     val dp = dotWith(embeddings.sparkSession) _
     // persisted (tracked): seed + assignment both read the normed
     // frame; the assignment feeds both sides of the cell join
     val e = ledger.persist(normedVecs(embeddings, dp))
-    val seed = e.orderBy("vec_id").limit(nCells)
+    // nCells <= 0 → derive ≈ √N from the corpus itself (the IVF
+    // balance point: assignment costs N·nCells, the within-cell pair
+    // join Σ|cell|² ≈ N²/nCells for balanced cells — √N minimizes
+    // their sum, and the count rides the already-persisted normed
+    // frame). A fixture-scaled literal default silently degrades to
+    // near-quadratic cells on a corpus 1000× bigger; the derived
+    // default keeps the cost shape at any scale. Pass nCells
+    // explicitly to pin a deterministic oracle contract (the s42/s44
+    // gates do) or to match the paper's fixed-cluster-count setup.
+    val cells =
+      if (nCells > 0) nCells
+      else math.max(1, math.ceil(math.sqrt(e.count().toDouble)).toInt)
+    val seed = e.orderBy("vec_id").limit(cells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     // |cells| rows — checkpoint cuts the per-sweep lineage exactly as
     // in ivfIndexFrames

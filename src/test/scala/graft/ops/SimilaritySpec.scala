@@ -266,6 +266,21 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedup default derives ≈√N cells and keeps them balanced") {
+    // planted = 50 vectors → ceil(√50) = 8 derived cells; the default
+    // must equal the explicit call (same seed-centroid contract) and
+    // the assignment must not collapse into one near-quadratic cell —
+    // the whole point of scaling nCells with the corpus
+    val byDefault = Similarity.semanticDedup(planted)
+    val explicit = Similarity.semanticDedup(planted, nCells = 8)
+    assert(byDefault.collect().toSeq == explicit.collect().toSeq,
+      "derived default must equal nCells = ceil(sqrt(N))")
+    val sizes = byDefault.groupBy("cid").count().collect().map(_.getLong(1))
+    assert(sizes.sum == 50)
+    assert(sizes.max <= 25,
+      s"no derived cell may hold most of the corpus: ${sizes.toSeq.sorted}")
+  }
+
   test("int8 quantization: planted near-dups survive as top-1 neighbors; " +
       "scores drift < 0.02 from full precision") {
     val full = Similarity.cosineTopK(planted, nQueries = 5, k = 5).collect()
