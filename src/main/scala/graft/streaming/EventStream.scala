@@ -194,16 +194,20 @@ object EventStream {
       // two consumers (clean + index append) re-read the batch —
       // persist the micro-batch once
       val b = batch.persist()
-      // indexWins: arrival order decides firstness on a stream — a
-      // backfilled smaller doc_id must not re-emit a paragraph an
-      // earlier batch already owns (the batch-mode least() rule
-      // would, and the output corpus would carry the chrome twice)
-      val cleaned =
-        (if (exists)
-          graft.ops.Dedup.incrementalParagraphDedup(
-            b, spark.table(indexName), indexWins = true)
-        else graft.ops.Dedup.paragraphDedup(b)).persist()
+      // built INSIDE the try: from the first persist on, any throw
+      // (plan analysis included) must reach the unpersist finally —
+      // a leaked micro-batch cache lives for the stream's lifetime
+      var cleaned: Dataset[Row] = null
       try {
+        // indexWins: arrival order decides firstness on a stream — a
+        // backfilled smaller doc_id must not re-emit a paragraph an
+        // earlier batch already owns (the batch-mode least() rule
+        // would, and the output corpus would carry the chrome twice)
+        cleaned =
+          (if (exists)
+            graft.ops.Dedup.incrementalParagraphDedup(
+              b, spark.table(indexName), indexWins = true)
+          else graft.ops.Dedup.paragraphDedup(b)).persist()
         // materialized BEFORE the index grows: `cleaned` reads the
         // index table and the novel-firsts append below MUTATES it —
         // an emit that merely stages the plan (e.g. unions it into a
@@ -221,7 +225,11 @@ object EventStream {
           else localIdx
         new graft.sinks.LakeWriter(indexRoot, mode = if (exists) "append" else "overwrite")
           .writeBucketed(novel, indexName, buckets, Seq("pfp"))
-      } finally { b.unpersist(); cleaned.unpersist(); () }
+      } finally {
+        b.unpersist()
+        if (cleaned != null) cleaned.unpersist()
+        ()
+      }
     }
     val trig =
       if (availableNow)
@@ -271,13 +279,18 @@ object EventStream {
       val spark = batch.sparkSession
       val exists = spark.catalog.tableExists(s"${indexName}_bands")
       val b = batch.persist()
-      val pairs =
-        (if (exists)
-          graft.ops.Dedup.incrementalMinhashPairs(
-            b, graft.ops.Dedup.readMinhashIndex(spark, indexName),
-            threshold, k, bands)
-        else graft.ops.Dedup.minhashLshPairs(b, threshold, k, bands)).persist()
+      // built INSIDE the try (same rule as paragraphDedupStream): a
+      // throwing probe-plan build must still unpersist the batch —
+      // the pipeline's Dedup ledger entries are likewise released in
+      // the finally, whichever point the build died at
+      var pairs: Dataset[Row] = null
       try {
+        pairs =
+          (if (exists)
+            graft.ops.Dedup.incrementalMinhashPairs(
+              b, graft.ops.Dedup.readMinhashIndex(spark, indexName),
+              threshold, k, bands)
+          else graft.ops.Dedup.minhashLshPairs(b, threshold, k, bands)).persist()
         pairs.count() // pin pre-append results (the plan reads the index)
         emit(pairs, batchId)
         val local = graft.ops.Dedup.minhashIndexFrames(b, k, bands)
@@ -291,7 +304,8 @@ object EventStream {
         w.writeBucketed(novelBands, s"${indexName}_bands", buckets, Seq("bkey"))
         w.writeBucketed(novelToks, s"${indexName}_toks", buckets, Seq("doc_id"))
       } finally {
-        b.unpersist(); pairs.unpersist()
+        b.unpersist()
+        if (pairs != null) pairs.unpersist()
         graft.ops.Dedup.releaseCaches()
       }
     }

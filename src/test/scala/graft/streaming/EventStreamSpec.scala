@@ -157,6 +157,40 @@ class EventStreamSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS gds_idx")
   }
 
+  test("a throwing batch-plan build does not leak the micro-batch cache") {
+    // sabotage: the index table EXISTS but lacks the pfp column, so
+    // building the incremental-dedup plan throws during analysis —
+    // after the first persist, before any action. The unpersist must
+    // still run or the leaked cache lives for the stream's lifetime.
+    val in = Files.createTempDirectory("leak_in").toString + "/data"
+    val idxRoot = Files.createTempDirectory("leak_idx").toString
+    Seq((1L, "some text\n\nmore text")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(in)
+    Seq((1L, "junk")).toDF("not_pfp", "v").write
+      .option("path", s"$idxRoot/leak_bad_idx").saveAsTable("leak_bad_idx")
+    // the leak is a CacheManager entry (the persist is never
+    // materialized before the throw, so getPersistentRDDs can't see
+    // it); cacheManager is private[sql] — reflection reads it
+    def cacheIsEmpty: Boolean = {
+      val ss = spark.sharedState
+      val cm = ss.getClass.getMethod("cacheManager").invoke(ss)
+      cm.getClass.getMethod("isEmpty").invoke(cm).asInstanceOf[Boolean]
+    }
+    spark.catalog.clearCache()
+    assert(cacheIsEmpty)
+    try {
+      val docs = spark.readStream.schema("doc_id LONG, text STRING").parquet(in)
+      val q = EventStream.paragraphDedupStream(
+        docs, "leak_bad_idx", idxRoot, buckets = 4,
+        availableNow = true) { (_, _) => () }
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination()
+      }
+      assert(cacheIsEmpty,
+        "the failed batch must unpersist its micro-batch cache")
+    } finally spark.sql("DROP TABLE IF EXISTS leak_bad_idx")
+  }
+
   test("paragraphDedupStream: index-backed boilerplate stripping across batches and restarts") {
     val in = Files.createTempDirectory("pds_in").toString
     val cp = Files.createTempDirectory("pds_cp").toString
