@@ -412,6 +412,15 @@ object SparkEntry {
     // content-hash slice per source
     "t57_mixture_sample" -> ((s, d) => { val t = Tables.load(s, d)
       CorpusOps.mixtureSample(t.documents) }),
+    // temperature-weighted mixture (α=0.5): per-source budget ∝ √n,
+    // exact integer share arithmetic (sqrt is the one IEEE-portable
+    // transcendental-adjacent op: correctly rounded everywhere)
+    "t92_mixture_temperature" -> ((s, d) => { val t = Tables.load(s, d)
+      CorpusOps.mixtureSampleTemperature(t.documents) }),
+    // seeded global training-order permutation, two-phase rank
+    // (bucket offsets + within-bucket row_number — no global window)
+    "t91_shuffle_order" -> ((s, d) => { val t = Tables.load(s, d)
+      CorpusOps.shuffleOrder(t.documents) }),
     // vocabulary construction: top-k tokens by occurrence, dense ids
     "t58_vocabulary" -> ((s, d) => { val t = Tables.load(s, d)
       CorpusOps.vocabulary(t.documents) }),
@@ -1523,6 +1532,32 @@ object SparkEntry {
         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM h JOIN r ON r.source = h.source
         |GROUP BY 1, r.target ORDER BY 1""".stripMargin,
+    // temperature-mixture twin: identical integer-quantized √n
+    // weights (w = floor(sqrt(n)·1e6) — sqrt correctly rounded IEEE
+    // in both engines, floor exact below 2^53), integer-div targets,
+    // same md5-prefix keep rule as t57
+    "t92_mixture_temperature" ->
+      """WITH h AS (SELECT doc_id, source,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h
+        |  FROM documents),
+        |c AS (SELECT source, count(*) AS n_docs FROM h GROUP BY 1),
+        |wt AS (SELECT source, n_docs,
+        |  CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT) AS w FROM c),
+        |tt AS (SELECT sum(w) AS w_total FROM wt),
+        |r AS (SELECT source, n_docs, w, (200 * w) // w_total AS target,
+        |  floor(least(1.0, CAST((200 * w) // w_total AS DOUBLE) / n_docs) * 4294967296.0) AS cut
+        |  FROM wt CROSS JOIN tt)
+        |SELECT h.source, count(*) AS n_docs, r.w AS w, r.target AS target,
+        | CAST(sum(CASE WHEN CAST(CAST(('0x'||substr(h.h,1,8)) AS BIGINT) AS DOUBLE) < r.cut
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM h JOIN r ON r.source = h.source
+        |GROUP BY 1, r.w, r.target ORDER BY 1""".stripMargin,
+    // shuffle-order twin: the same seeded key, one global window (the
+    // oracle may centralize; the engine's two-phase rank may not)
+    "t91_shuffle_order" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY md5('42:' || doc_id), doc_id) AS BIGINT) AS pos
+        |FROM documents ORDER BY pos""".stripMargin,
     // vocabulary twin: same (count desc, token) total order for both
     // the top-k cut and the dense ids
     "t58_vocabulary" ->

@@ -308,6 +308,88 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  /** Temperature-weighted mixture sampling (α = 0.5): per-source
+    * budgets ∝ √n instead of [[mixtureSample]]'s uniform split — the
+    * standard up/down-weighting for multi-source training mixes
+    * (rare sources get more than their proportional share, dominant
+    * crawls less; α = 0.5 is the sampling-temperature midpoint
+    * between proportional α = 1 and uniform α = 0).
+    *
+    * Portability (gate contract): sqrt is correctly-rounded IEEE in
+    * every engine, each weight is immediately floor-quantized to an
+    * INTEGER (w = ⌊√n · 10⁶⌋, exact below 2⁵³), and everything
+    * downstream — the weight total, each target = ⌊budget·w / W⌋ —
+    * is exact integer arithmetic (budget·w must stay below 2⁶³:
+    * any realistic budget does). Keep rule per document: the same
+    * md5-prefix uniform as [[mixtureSample]], so a document's fate
+    * is a pure function of its content and the mix parameters.
+    *
+    * Scale shape: identical to [[mixtureSample]] — one narrow
+    * fingerprint pass, a |sources|-row weight table broadcast back,
+    * one partial-agg shuffle for the report.
+    */
+  def mixtureSampleTemperature(documents: DataFrame, budget: Long = 200L): DataFrame = {
+    val h = ledger.persist(
+      documents.select(col("doc_id"), col("source"),
+        TextOps.fingerprint(col("text")).as("h")))
+    val counts = h.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val wts = counts.withColumn("w",
+      floor(sqrt(col("n_docs").cast("double")) * lit(1000000.0)).cast("long"))
+    val tot = wts.agg(sum("w").as("w_total"))
+    val rates = wts.crossJoin(broadcast(tot))
+      .withColumn("target", expr(s"(${budget}L * w) div w_total"))
+      .withColumn("cut",
+        floor(least(lit(1.0), col("target").cast("double") / col("n_docs"))
+          * lit(4294967296.0)))
+      .select("source", "w", "target", "cut")
+    h.withColumn("u", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
+      .join(broadcast(rates), "source")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        first(col("w")).as("w"),
+        first(col("target")).as("target"),
+        sum(when(col("u").cast("double") < col("cut"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  /** Deterministic training-order shuffle: a seeded global permutation
+    * of the corpus — (doc_id, pos) with pos the 1-based rank under
+    * md5(seed:doc_id) (doc_id tiebreak makes the order total). Data
+    * order for a training run must be a pure function of a seed, not
+    * of storage layout or scheduler timing: this is the operator that
+    * fixes it, replayable across re-runs and resumable mid-epoch
+    * (pos ranges shard the epoch).
+    *
+    * Scale shape: a naive global row_number is a ONE-PARTITION window
+    * — the classic driver-shaped bottleneck. The rank instead splits
+    * into bucket offset + within-bucket rank: buckets are the key's
+    * first hex byte (256 of them, uniform by construction), the
+    * offset table is a 256-row cumulative sum (tiny; its single-
+    * partition window holds |buckets| rows, never |corpus|), and the
+    * within-bucket row_number partitions BY bucket — every
+    * corpus-sized stage is parallel. Same two-phase shape as
+    * [[packSequences]]' token offsets.
+    */
+  def shuffleOrder(documents: DataFrame, seed: Long = 42L): DataFrame = {
+    val keyed = documents.select(
+      col("doc_id"),
+      md5(concat_ws(":", lit(seed.toString), col("doc_id").cast("string"))).as("hkey"))
+      .withColumn("bucket", substring(col("hkey"), 1, 2))
+    val offs = keyed.groupBy("bucket").agg(count(lit(1)).as("bn"))
+    val cumW = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = offs
+      .withColumn("off", coalesce(sum("bn").over(cumW), lit(0L)))
+      .select("bucket", "off")
+    val inBucket = Window.partitionBy("bucket").orderBy("hkey", "doc_id")
+    keyed.join(broadcast(cum), "bucket")
+      .withColumn("pos",
+        (row_number().over(inBucket).cast("long") + col("off")))
+      .select("doc_id", "pos")
+      .orderBy("pos")
+  }
+
   /** Capstone corpus build — the full path from raw documents to a
     * training-shard manifest, composing the operators the gate checks
     * individually, the way a real corpus build runs them:

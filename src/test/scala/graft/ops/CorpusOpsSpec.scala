@@ -186,6 +186,57 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(CorpusOps.mixtureSample(tiny, budget = 200).collect()(0).getLong(3) == 2L)
   }
 
+  test("mixtureSampleTemperature gives rare sources a super-proportional share") {
+    // n = 100 vs 400: sqrt weights 1e7 vs 2e7 → targets 33 / 66 of
+    // budget 100 — the rare source holds 33% where proportional
+    // sampling would give it 20%
+    val d = docs((1L to 500L).map(i =>
+      (i, if (i <= 100) "rare" else "big", s"text of doc $i")): _*)
+    val out = CorpusOps.mixtureSampleTemperature(d, budget = 100).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("rare") == ((100L, 10000000L, 33L, out("rare")._4)))
+    assert(out("big") == ((400L, 20000000L, 66L, out("big")._4)))
+    // the hash slice lands near each target and is a strict subset
+    assert(out("rare")._4 > 0 && out("rare")._4 < 100)
+    assert(out("big")._4 > 0 && out("big")._4 < 400)
+    // content-keyed: row order changes nothing
+    val shuffled = docs((1L to 500L).reverse.map(i =>
+      (i, if (i <= 100) "rare" else "big", s"text of doc $i")): _*)
+    assert(CorpusOps.mixtureSampleTemperature(shuffled, 100).collect().toSeq ==
+      CorpusOps.mixtureSampleTemperature(d, 100).collect().toSeq)
+  }
+
+  test("shuffleOrder is a seeded total permutation with no corpus-wide window") {
+    val d = docs((1L to 300L).map(i => (i, "s", s"doc $i")): _*)
+    val out = CorpusOps.shuffleOrder(d)
+    val pos = out.collect().map(r => r.getLong(0) -> r.getLong(1))
+    // a permutation: every position 1..N exactly once
+    assert(pos.map(_._2).sorted.toSeq == (1L to 300L))
+    // deterministic under the same seed; different under another
+    assert(CorpusOps.shuffleOrder(d).collect().toSeq == out.collect().toSeq)
+    val other = CorpusOps.shuffleOrder(d, seed = 7L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(other.toMap != pos.toMap, "a new seed must reshuffle")
+    assert(other.map(_._2).sorted.toSeq == (1L to 300L))
+    // the scale claim: every corpus-sized window is PARTITIONED — the
+    // only unpartitioned window may be the 256-row bucket-offset sum
+    // (AQE off so WindowExec nodes are visible, not wrapped in stages)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val windows = CorpusOps.shuffleOrder(d).queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty)
+      val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+      assert(unpartitioned.forall(w => !w.toString.contains("hkey")),
+        s"corpus-sized window must not be global:\n${unpartitioned.mkString("\n")}")
+      assert(windows.exists(_.partitionSpec.nonEmpty),
+        "the per-document rank must ride a PARTITIONED window")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("vocabulary ranks tokens by occurrence with dense ids and stable ties") {
     val d = docs(
       (1L, "s", "b b b a a c"),
