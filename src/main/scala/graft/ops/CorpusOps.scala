@@ -364,18 +364,21 @@ object CorpusOps {
     * Scale shape: a naive global row_number is a ONE-PARTITION window
     * — the classic driver-shaped bottleneck. The rank instead splits
     * into bucket offset + within-bucket rank: buckets are the key's
-    * first hex byte (256 of them, uniform by construction), the
-    * offset table is a 256-row cumulative sum (tiny; its single-
-    * partition window holds |buckets| rows, never |corpus|), and the
-    * within-bucket row_number partitions BY bucket — every
-    * corpus-sized stage is parallel. Same two-phase shape as
-    * [[packSequences]]' token offsets.
+    * first FOUR hex chars (65,536 of them, uniform by construction —
+    * at 10^12 documents that is ~1.5·10^7 rows per window partition,
+    * a single-task sort; two chars would cap parallelism at 256 and
+    * put 4·10^9 rows in each), the offset table is a ≤65,536-row
+    * cumulative sum (tiny; its single-partition window holds
+    * |buckets| rows, never |corpus|), and the within-bucket
+    * row_number partitions BY bucket — every corpus-sized stage is
+    * parallel. Same two-phase shape as [[packSequences]]' token
+    * offsets.
     */
   def shuffleOrder(documents: DataFrame, seed: Long = 42L): DataFrame = {
     val keyed = documents.select(
       col("doc_id"),
       md5(concat_ws(":", lit(seed.toString), col("doc_id").cast("string"))).as("hkey"))
-      .withColumn("bucket", substring(col("hkey"), 1, 2))
+      .withColumn("bucket", substring(col("hkey"), 1, 4))
     val offs = keyed.groupBy("bucket").agg(count(lit(1)).as("bn"))
     val cumW = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
