@@ -46,6 +46,9 @@ object SparkEntry {
   private val mhP = graft.ops.Dedup.MinhashP
   private val mhCoeffs = graft.ops.Dedup.minhashCoeffs(16)
   private val chunkStride = TextOps.DefaultChunkWidth - TextOps.DefaultChunkOverlap
+  // s47's literal query — one constant interpolated into BOTH the
+  // Spark call and the twin SQL (single source of truth)
+  private val SearchQuery = "spark agg window merge vector"
   // t64/t65 media fixture as VALUES rows, generated from the SAME Seq
   // the Spark-side frame is built from (Fixtures.mediaMeta)
   private def mediaValues: String =
@@ -498,6 +501,10 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(col("vec")).as(Seq("i", "x")))
         .select(col("doc_id"), col("i").cast("long").as("i"), col("x"))
         .orderBy("doc_id", "i") }),
+    // embedding-free semantic search: the s46 bridge driven end-to-end
+    // — literal query → corpus-idf hashed vector → cosine top-k
+    "s47_tfidf_search" -> ((s, d) => { val t = Tables.load(s, d)
+      CorpusOps.tfidfSearch(t.documents, SearchQuery) }),
     // count-min sketch heavy hitters: word-bigram occurrences →
     // (d, bucket) counters → min-over-depth estimates for a sampled
     // candidate slice; the twin recomputes the identical sketch (the
@@ -989,6 +996,43 @@ object SparkEntry {
          |  FROM grid g LEFT JOIN bw ON bw.doc_id = g.doc_id AND bw.b = g.i
          |  CROSS JOIN nd
          |ORDER BY g.doc_id, g.i""".stripMargin,
+    // tf-idf search twin: the s46 vectors rebuilt (list-assembled this
+    // time — the dot needs arrays), the query folded with the SAME
+    // corpus idf into INTEGER components (scale-invariant cosine
+    // skips the /N), sequential-fold cosine quantized before ranking
+    "s47_tfidf_search" ->
+      s"""WITH w AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |bw AS (SELECT doc_id,
+         |    CAST(('0x'||substr(md5(term),1,15)) AS BIGINT) % 64 AS b,
+         |    CAST(sum(tf * (n_docs - df)) AS BIGINT) AS num
+         |  FROM tf JOIN df USING (term) CROSS JOIN nd GROUP BY 1, 2),
+         |grid AS (SELECT doc_id, i FROM (SELECT DISTINCT doc_id FROM tf),
+         |  (SELECT unnest(range(0, 64)) AS i)),
+         |dv AS (SELECT g.doc_id,
+         |    list(CAST(coalesce(bw.num, 0) AS DOUBLE) / nd.n_docs ORDER BY g.i) AS v
+         |  FROM grid g LEFT JOIN bw ON bw.doc_id = g.doc_id AND bw.b = g.i
+         |  CROSS JOIN nd GROUP BY 1),
+         |qt AS (SELECT unnest(regexp_extract_all(lower('$SearchQuery'), '[a-z0-9]+')) AS term),
+         |qtf AS (SELECT term, count(*) AS tf FROM qt GROUP BY 1),
+         |qbw AS (SELECT CAST(('0x'||substr(md5(term),1,15)) AS BIGINT) % 64 AS b,
+         |    CAST(sum(tf * (n_docs - df)) AS BIGINT) AS num
+         |  FROM qtf JOIN df USING (term) CROSS JOIN nd GROUP BY 1),
+         |qv AS (SELECT list(CAST(coalesce(q.num, 0) AS DOUBLE) ORDER BY g.i) AS v
+         |  FROM (SELECT unnest(range(0, 64)) AS i) g LEFT JOIN qbw q ON q.b = g.i),
+         |sc AS (SELECT a.doc_id,
+         |    floor(${sqlDot("a", "b")} /
+         |      (sqrt(list_sum(list_transform(range(1,65), i -> a.v[i]*a.v[i]))) *
+         |       sqrt(list_sum(list_transform(range(1,65), i -> b.v[i]*b.v[i]))))
+         |      *1000000.0+0.5)/1000000.0 AS score
+         |  FROM dv a CROSS JOIN qv b
+         |  WHERE sqrt(list_sum(list_transform(range(1,65), i -> a.v[i]*a.v[i]))) > 0
+         |    AND sqrt(list_sum(list_transform(range(1,65), i -> b.v[i]*b.v[i]))) > 0)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+         |  doc_id, score
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     // CMS twin: the identical sketch — same salted md5-prefix bucket
     // hash ('d:' || gram, 60-bit '0x' cast ≡ Spark's conv(hex,16,10)),
     // same (d, bucket) counters over bigram OCCURRENCES, same sampled

@@ -171,6 +171,66 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Embedding-free semantic search, end-to-end: top-k documents for
+    * a literal query string by cosine over [[hashedTfIdfVectors]] —
+    * the composition that makes the s46 text→vector bridge a search
+    * engine with no model in the loop. The query is tokenized with
+    * the corpus tokenizer, weighted with the CORPUS's idf statistics
+    * (tf_q·(N−df); terms unseen in the corpus drop out, standard
+    * idf behavior), and folded into the same md5 buckets.
+    *
+    * Portability: query-vector components stay exact INTEGERS
+    * (cosine is scale-invariant, so the /N division the corpus side
+    * carries is simply skipped — no float arithmetic until the
+    * fold); the cosine is the sequential-fold dot over both arrays
+    * (bit-identical across engines, the s31 contract) and is
+    * quantized before ranking so order is stable under float noise.
+    *
+    * Scale shape: one broadcast one-row query vector against the
+    * corpus vector frame — a narrow pass — and the final top-k is
+    * orderBy+limit, which compiles to TakeOrderedAndProject (per-
+    * partition heaps + driver merge of k), never a global sort. The
+    * df statistics re-derive from the corpus here; a serving
+    * deployment persists the (term, df) frame and the vectors once
+    * and reuses them per query.
+    */
+  def tfidfSearch(
+      documents: DataFrame, query: String, k: Int = 10,
+      dim: Int = 64): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val vecs = hashedTfIdfVectors(documents, dim)
+    val tf = documents
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val bucket = conv(substring(md5(col("term")), 1, 15), 16, 10)
+      .cast("long") % dim
+    val qv = Seq(query).toDF("qtext")
+      .select(explode(TextOps.tokens(col("qtext"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+      .join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(bucket.as("b"), (col("tf") * (col("n_docs") - col("df"))).as("num"))
+      .groupBy("b").agg(sum("num").as("num"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("num")))).as("m"))
+      .select(transform(sequence(lit(0), lit(dim - 1)), i =>
+        coalesce(element_at(col("m"), i.cast("long")), lit(0L)).cast("double")).as("qv"))
+    vecs.crossJoin(broadcast(qv))
+      .withColumn("na", Similarity.norm(col("vec")))
+      .withColumn("nb", Similarity.norm(col("qv")))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .withColumn("score",
+        Exact.quant6(Similarity.dot(col("vec"), col("qv")) / (col("na") * col("nb"))))
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select("rnk", "doc_id", "score")
+  }
+
   /** Sequence packing: concatenate each source's documents in doc_id
     * order and cut the token stream into fixed `seqLen` training
     * sequences; a document belongs to the sequence its FIRST token

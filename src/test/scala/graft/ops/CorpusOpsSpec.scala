@@ -207,6 +207,24 @@ class CorpusOpsSpec extends AnyFunSuite {
       CorpusOps.mixtureSampleTemperature(d, 100).collect().toSeq)
   }
 
+  test("tfidfSearch ranks the on-topic document first, bounded by k") {
+    val d = docs(
+      (1L, "s", "spark window agg join shuffle"),
+      (2L, "s", "lorem ipsum dolor sit amet lorem"),
+      (3L, "s", "spark window partition order"),
+      (4L, "s", "completely different words entirely"),
+      (5L, "s", "window window window spark agg"))
+    val out = CorpusOps.tfidfSearch(d, "spark window agg", k = 3).collect()
+    assert(out.length == 3)
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L)) // dense ranks
+    // the docs sharing the query's terms outrank the unrelated ones
+    val top = out.map(_.getLong(1)).toSet
+    assert(Set(1L, 3L, 5L).intersect(top).size == 3,
+      s"on-topic docs must fill the top-3, got ${out.toSeq}")
+    // scores are quantized cosines in (0, 1]
+    out.foreach(r => assert(r.getDouble(2) > 0 && r.getDouble(2) <= 1.0))
+  }
+
   test("shuffleOrder is a seeded total permutation with no corpus-wide window") {
     val d = docs((1L to 300L).map(i => (i, "s", s"doc $i")): _*)
     val out = CorpusOps.shuffleOrder(d)
