@@ -1588,7 +1588,8 @@ object SparkEntry {
         |wt AS (SELECT source, n_docs,
         |  CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT) AS w FROM c),
         |tt AS (SELECT sum(w) AS w_total FROM wt),
-        |r AS (SELECT source, n_docs, w, (200 * w) // w_total AS target,
+        |r AS (SELECT source, n_docs, w,
+        |  CAST((200 * w) // w_total AS BIGINT) AS target,
         |  floor(least(1.0, CAST((200 * w) // w_total AS DOUBLE) / n_docs) * 4294967296.0) AS cut
         |  FROM wt CROSS JOIN tt)
         |SELECT h.source, count(*) AS n_docs, r.w AS w, r.target AS target,

@@ -149,11 +149,28 @@ object CorpusOps {
     * explode. Documents with no tokens produce no row.
     */
   def hashedTfIdfVectors(documents: DataFrame, dim: Int = 64): DataFrame = {
-    val w = documents.select(
-      col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-    val tf = w.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val tf = termFrequencies(documents)
+    hashedTfIdfVectorsFrom(
+      tf, tf.groupBy("term").agg(count(lit(1)).as("df")),
+      documents.agg(count(lit(1)).as("n_docs")), dim)
+  }
+
+  /** (doc_id, term, tf) — the corpus term statistics both the vector
+    * assembly and [[tfidfSearch]]'s query weighting derive from.
+    */
+  private def termFrequencies(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** [[hashedTfIdfVectors]] from precomputed tf/df/count frames — the
+    * reuse seam for callers that already hold the term statistics
+    * ([[tfidfSearch]] persists tf once and feeds both the corpus
+    * vectors and the query weights from it, so the corpus is
+    * tokenized exactly once per search).
+    */
+  private def hashedTfIdfVectorsFrom(
+      tf: DataFrame, df: DataFrame, nDocs: DataFrame, dim: Int): DataFrame = {
     val bucket = conv(substring(md5(col("term")), 1, 15), 16, 10)
       .cast("long") % dim
     val bw = tf.join(df, "term")
@@ -190,21 +207,19 @@ object CorpusOps {
     * corpus vector frame — a narrow pass — and the final top-k is
     * orderBy+limit, which compiles to TakeOrderedAndProject (per-
     * partition heaps + driver merge of k), never a global sort. The
-    * df statistics re-derive from the corpus here; a serving
-    * deployment persists the (term, df) frame and the vectors once
-    * and reuses them per query.
+    * corpus is tokenized ONCE (the tf frame persists; vectors and
+    * query weights both derive from it); a serving deployment
+    * persists the (term, df) frame and the vectors across queries.
     */
   def tfidfSearch(
       documents: DataFrame, query: String, k: Int = 10,
       dim: Int = 64): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val vecs = hashedTfIdfVectors(documents, dim)
-    val tf = documents
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = ledger.persist(termFrequencies(documents))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val vecs = hashedTfIdfVectorsFrom(tf, df, nDocs, dim)
     val bucket = conv(substring(md5(col("term")), 1, 15), 16, 10)
       .cast("long") % dim
     val qv = Seq(query).toDF("qtext")

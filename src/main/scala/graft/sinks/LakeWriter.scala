@@ -64,33 +64,61 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
     *
     * Mechanics: atomic create-no-overwrite of `root/<table>__lock`
     * (O_EXCL; atomic on HDFS, and on object stores whose committer
-    * supports conditional create). Bounded wait with stale takeover:
-    * a crashed holder's lockfile stops advancing its mtime, and
-    * waiters break locks older than `staleMs` — so a kill -9 during
-    * compact delays the next writer by at most the staleness bound,
-    * it never wedges the pipeline.
+    * supports conditional create), holding a random owner TOKEN.
+    * Liveness and safety against crashes:
+    *
+    *  - HEARTBEAT: a daemon thread refreshes the lockfile's mtime
+    *    every staleMs/3 while the body runs, so a live holder —
+    *    however long its compact takes — never looks stale;
+    *  - stale takeover: a crashed holder's mtime stops advancing;
+    *    waiters break locks older than `staleMs`, re-checking
+    *    (mtime, token) identity immediately before the delete so a
+    *    fresh usurper's lock is never the casualty of a takeover
+    *    decided against an older observation;
+    *  - owner-checked release: the finally deletes the lock only if
+    *    it still carries this holder's token — if a waiter somehow
+    *    usurped us, we must not delete ITS lock and admit a third
+    *    writer.
+    *
+    * Residual caveat (documented, not solved here): on a filesystem
+    * without atomic create-no-overwrite or atomic delete, a narrow
+    * stat-then-delete window remains in takeover; exactness across
+    * uncooperative processes needs a lock service or a table format
+    * with optimistic-concurrency commits — the 100 TB upgrade path.
     */
   private[sinks] def withTableLock[A](
       spark: SparkSession, table: String,
-      waitMs: Long = 120000L, staleMs: Long = 600000L)(body: => A): A = {
+      waitMs: Long = 600000L, staleMs: Long = 600000L)(body: => A): A = {
     import org.apache.hadoop.fs.Path
     val lockPath = new Path(s"$root/${table}__lock")
     val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val token = java.util.UUID.randomUUID().toString
+    def readToken(): Option[String] =
+      try {
+        val in = fs.open(lockPath)
+        try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+      } catch { case _: java.io.IOException => None }
     val deadline = System.currentTimeMillis() + waitMs
     var acquired = false
     while (!acquired) {
       try {
         val out = fs.create(lockPath, false)
-        out.writeLong(System.currentTimeMillis())
+        out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         out.close()
         acquired = true
       } catch {
         case _: java.io.IOException =>
           try {
-            val st = fs.getFileStatus(lockPath)
-            if (System.currentTimeMillis() - st.getModificationTime > staleMs)
-              fs.delete(lockPath, false) // holder crashed; break its lock
-          } catch { case _: java.io.FileNotFoundException => () } // released; retry now
+            val st1 = fs.getFileStatus(lockPath)
+            if (System.currentTimeMillis() - st1.getModificationTime > staleMs) {
+              val tok1 = readToken()
+              val st2 = fs.getFileStatus(lockPath)
+              if (st2.getModificationTime == st1.getModificationTime
+                  && readToken() == tok1)
+                fs.delete(lockPath, false) // holder is dead; break its lock
+            }
+          } catch { case _: java.io.IOException => () } // released/raced; retry
           if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(
               s"could not acquire writer lock for $table within ${waitMs}ms " +
@@ -98,7 +126,25 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
           Thread.sleep(100)
       }
     }
-    try body finally { fs.delete(lockPath, false); () }
+    val hb = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(math.max(staleMs / 3, 1000L))
+          val now = System.currentTimeMillis()
+          fs.setTimes(lockPath, now, now)
+        }
+      } catch {
+        case _: InterruptedException => ()
+        case _: java.io.IOException => () // lock gone; nothing to keep alive
+      }
+    }, s"graft-lock-heartbeat-$table")
+    hb.setDaemon(true)
+    hb.start()
+    try body
+    finally {
+      hb.interrupt()
+      if (readToken().contains(token)) { fs.delete(lockPath, false); () }
+    }
   }
 
   /** Z-order-clustered write: range-partition + sort by the
@@ -227,7 +273,7 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
     */
   def compactBucketed(
       spark: SparkSession, table: String,
-      lockWaitMs: Long = 120000L, lockStaleMs: Long = 600000L): Int =
+      lockWaitMs: Long = 600000L, lockStaleMs: Long = 600000L): Int =
     withTableLock(spark, table, lockWaitMs, lockStaleMs) {
       compactBucketedLocked(spark, table)
     }

@@ -238,8 +238,8 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(other.toMap != pos.toMap, "a new seed must reshuffle")
     assert(other.map(_._2).sorted.toSeq == (1L to 300L))
     // the scale claim: every corpus-sized window is PARTITIONED — the
-    // only unpartitioned window may be the 256-row bucket-offset sum
-    // (AQE off so WindowExec nodes are visible, not wrapped in stages)
+    // only unpartitioned window may be the ≤65,536-row bucket-offset
+    // sum (AQE off so WindowExec nodes are visible, not in stages)
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

@@ -132,6 +132,27 @@ class LakeWriterSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS lk_stale")
   }
 
+  test("writer lock heartbeat: a live holder outlasting staleMs is not usurped") {
+    val root = Files.createTempDirectory("lock5").toString
+    val lw = new LakeWriter(root, mode = "append")
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() => {
+      lw.withTableLock(spark, "lk_hb", waitMs = 1000, staleMs = 3000) {
+        Thread.sleep(7000) // runs well past staleMs — only the heartbeat saves it
+      }
+      done.countDown()
+    })
+    holder.start()
+    Thread.sleep(4000) // by creation mtime alone the lock would now be "stale"
+    val e = intercept[IllegalStateException] {
+      lw.withTableLock(spark, "lk_hb", waitMs = 1500, staleMs = 3000) { () }
+    }
+    assert(e.getMessage.contains("writer lock"),
+      "a waiter must NOT usurp a live holder whose heartbeat is advancing")
+    assert(done.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    lw.withTableLock(spark, "lk_hb", waitMs = 1000, staleMs = 3000) { () } // released cleanly
+  }
+
   test("concurrent append during compact is serialized, never dropped") {
     val root = Files.createTempDirectory("lock3").toString
     val lw = new LakeWriter(root, mode = "append")
