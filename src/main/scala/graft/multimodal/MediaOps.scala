@@ -154,6 +154,117 @@ object MediaOps {
         explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs))))
       .select(col("media_id"), col("frame_ms"), col("width"), col("height"), col("codec"))
 
+  /** 64-bit average-hash (aHash) of a decoded grayscale plane: block-
+    * average onto an 8×8 grid, threshold each cell at the grid mean,
+    * pack row-major into a Long (bit 63 = top-left). The standard
+    * perceptual fingerprint — stable under resizing, re-encoding and
+    * small edits, with flipped bits roughly proportional to visual
+    * change — so hamming distance between hashes IS the near-dup
+    * metric. Deterministic for a deterministic decoder.
+    */
+  def aHash(plane: Array[Float], w: Int, h: Int): Long = {
+    val sums = new Array[Float](64)
+    val counts = new Array[Int](64)
+    var y = 0
+    while (y < h) {
+      val gy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val cell = gy * 8 + (x * 8 / w)
+        sums(cell) += plane(y * w + x)
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val cells = new Array[Float](64)
+    var i = 0
+    var total = 0f
+    while (i < 64) {
+      cells(i) = if (counts(i) > 0) sums(i) / counts(i) else 0f
+      total += cells(i)
+      i += 1
+    }
+    val mean = total / 64f
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (cells(i) > mean) hash |= 1L << (63 - i)
+      i += 1
+    }
+    hash
+  }
+
+  /** Per-image perceptual hashes: decode in batches (the [[featurize]]
+    * shape), aHash each plane — (media_id, ahash). The 8-byte hash is
+    * the only thing that leaves the scan, so the corpus-wide pair
+    * stage never moves pixels.
+    */
+  def imageHashes(
+      media: DataFrame,
+      decoder: ImageDecoder = StubDecoder,
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    media.filter(col("kind") === "image")
+      .select("media_id", "bytes", "width", "height")
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val w = r.getAs[Int]("width")
+            val h = r.getAs[Int]("height")
+            val plane = decoder.decode(r.getAs[Array[Byte]]("bytes"), w, h)
+            // plane length is authoritative (the decoder validated or
+            // derived the true dims); recover them for the grid walk
+            val (pw, ph) =
+              if (w > 0 && h > 0 && plane.length == w * h) (w, h)
+              else (plane.length, 1)
+            Row(r.getAs[Long]("media_id"), aHash(plane, pw, ph))
+          }
+        }
+      }(enc)
+  }
+
+  /** Image NEAR-dup pairs by perceptual hash — the multimodal member
+    * of the dedup family: re-encoded, resized or lightly edited
+    * copies of an image land within `maxHamming` bits of each other.
+    * Candidate generation is the SimHash pigeonhole
+    * ([[graft.ops.Dedup.simhashPairs]]): the 64-bit hash splits into
+    * maxHamming+1 chunks, and any pair within maxHamming MUST agree
+    * exactly on at least one chunk — so the join is equi on
+    * (chunk, value), never all-pairs, and only 8-byte hashes shuffle.
+    * Exact hamming verify (`bit_count(xor)`) filters the candidates.
+    */
+  def imageNearDupPairs(
+      media: DataFrame,
+      decoder: ImageDecoder = StubDecoder,
+      maxHamming: Int = 5): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 63, "maxHamming must be in [0, 63)")
+    val nChunks = maxHamming + 1
+    val width = (64 + nChunks - 1) / nChunks
+    val hashes = imageHashes(media, decoder)
+    val chunked = hashes.select(
+      col("media_id"), col("ahash"),
+      explode(array((0 until nChunks).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftrightunsigned(col("ahash"), c * width)
+            .bitwiseAND((1L << math.min(width, 62)) - 1).as("ckey"))): _*)).as("ck"))
+      .select(col("media_id"), col("ahash"),
+        col("ck.chunk").as("chunk"), col("ck.ckey").as("ckey"))
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(
+        col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("media_a", "media_b")
+  }
+
   /** Build a media frame from raw tuples (test/ingest helper). */
   def fromRows(spark: SparkSession, rows: Seq[Row]): DataFrame =
     spark.createDataFrame(

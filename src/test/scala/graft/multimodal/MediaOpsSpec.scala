@@ -92,6 +92,54 @@ class MediaOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("undecodable"))
   }
 
+  /** Pattern PNG: pixel (x, y) bright iff pattern(x, y). */
+  private def patternPng(w: Int, h: Int)(pattern: (Int, Int) => Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (pattern(x, y)) 0xffffff else 0x000000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("aHash: re-encode-scale-invariant, edits flip proportional bits") {
+    // patterns in RELATIVE coordinates so the rescale keeps the shape
+    def vsplit(w: Int)(x: Int, y: Int) = x >= w / 2  // left dark, right bright
+    def hsplit(h: Int)(x: Int, y: Int) = y >= h / 2  // top dark, bottom bright
+    val base = MediaOps.ImageIoDecoder.decode(patternPng(64, 64)(vsplit(64)), 64, 64)
+    val hBase = MediaOps.aHash(base, 64, 64)
+    // the SAME pattern at a different resolution hashes identically —
+    // the block-average grid is what makes the hash perceptual
+    val resized = MediaOps.ImageIoDecoder.decode(patternPng(128, 128)(vsplit(128)), 128, 128)
+    assert(MediaOps.aHash(resized, 128, 128) == hBase)
+    // one 8x8-grid cell flipped → exactly that cell's bit differs
+    val oneCell = MediaOps.ImageIoDecoder.decode(
+      patternPng(64, 64)((x, y) => vsplit(64)(x, y) ^ (x < 8 && y < 8)), 64, 64)
+    val d1 = java.lang.Long.bitCount(MediaOps.aHash(oneCell, 64, 64) ^ hBase)
+    assert(d1 >= 1 && d1 <= 3, s"a one-cell edit must flip ~1 bit, got $d1")
+    // an orthogonal pattern is far in hamming space
+    val far = MediaOps.ImageIoDecoder.decode(patternPng(64, 64)(hsplit(64)), 64, 64)
+    assert(java.lang.Long.bitCount(MediaOps.aHash(far, 64, 64) ^ hBase) > 16)
+  }
+
+  test("imageNearDupPairs finds edited/rescaled copies, not unrelated images") {
+    def vsplit(w: Int)(x: Int, y: Int) = x >= w / 2
+    val rows = MediaOps.fromRows(spark, Seq(
+      Row(1L, "image", patternPng(64, 64)(vsplit(64)), 64, 64, 0L, "png"),
+      Row(2L, "image", patternPng(128, 128)(vsplit(128)), 128, 128, 0L, "png"), // rescale of 1
+      Row(3L, "image", patternPng(64, 64)((x, y) => vsplit(64)(x, y) ^ (x < 8 && y < 8)),
+        64, 64, 0L, "png"),                                                     // light edit of 1
+      Row(4L, "image", patternPng(64, 64)((x, y) => y >= 32), 64, 64, 0L, "png"), // unrelated
+      Row(5L, "video", patternPng(8, 8)(vsplit(8)), 8, 8, 900L, "h264")))       // not an image row
+    val pairs = MediaOps.imageNearDupPairs(rows, MediaOps.ImageIoDecoder, maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "rescaled copy must pair with its original")
+    assert(pairs.contains((1L, 3L)), "lightly-edited copy must pair with its original")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated image must not pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), "non-image rows never hash")
+  }
+
   test("metadata-only queries prune the payload column at the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("media").toString + "/t"
     media.write.partitionBy("kind").parquet(dir)
