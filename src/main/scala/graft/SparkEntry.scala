@@ -505,6 +505,14 @@ object SparkEntry {
     // — literal query → corpus-idf hashed vector → cosine top-k
     "s47_tfidf_search" -> ((s, d) => { val t = Tables.load(s, d)
       CorpusOps.tfidfSearch(t.documents, SearchQuery) }),
+    // ANN eval harness: recall@k of the seed-centroid IVF (nProbe=4)
+    // against the brute-force ground truth — the measurement that
+    // gates any recall-for-speed trade before it ships. Twin composes
+    // s31's and s35's SQL verbatim and counts the overlap.
+    "s48_ivf_recall" -> ((s, d) => { val t = Tables.load(s, d)
+      Similarity.recallAtK(
+        Similarity.cosineTopK(t.embeddings),
+        Similarity.ivfTopK(t.embeddings, kmeansIters = 0)) }),
     // count-min sketch heavy hitters: word-bigram occurrences →
     // (d, bucket) counters → min-over-depth estimates for a sampled
     // candidate slice; the twin recomputes the identical sketch (the
@@ -591,6 +599,17 @@ object SparkEntry {
     "t65_frame_sample" -> ((s, _) =>
       graft.multimodal.MediaOps.frameSample(graft.sources.Fixtures.mediaFrame(s), 1000L)
         .orderBy("media_id", "frame_ms")),
+    // multimodal near-dup END-TO-END: real PNG payloads → ImageIO
+    // decode → 8×8 aHash → pigeonhole pair join. The fixture's
+    // half-split patterns make every hash hand-derivable from the
+    // aHash definition (MediaOps.goldenImageFixture scaladoc), so the
+    // twin is the analytically-known golden frame (q41 pattern) —
+    // asserting decode, hash, candidate generation and hamming verify
+    // in one row
+    "t93_image_neardup" -> ((s, _) =>
+      graft.multimodal.MediaOps.imageNearDupPairs(
+        graft.multimodal.MediaOps.goldenImageFixture(s),
+        graft.multimodal.MediaOps.ImageIoDecoder, maxHamming = 5)),
     // label centroids: the vector-centroid capability under the gate
     // (order-independent exact means, unlike the pipeline Aggregator)
     "s37_label_centroids" -> ((s, d) => { val t = Tables.load(s, d)
@@ -1821,6 +1840,16 @@ object SparkEntry {
          |    width, height, codec
          |  FROM m WHERE kind = 'video' AND duration_ms > 0)
          |ORDER BY media_id, frame_ms""".stripMargin,
+    // t93 twin: the GOLDEN pair frame, derived by hand from the aHash
+    // definition over the half-split fixture (MediaOps
+    // .goldenImageFixture scaladoc walks the derivation) — the q41
+    // golden-oracle pattern for a pipeline SQL can't recompute
+    // (PNG decode). Any drift in decode, grid averaging, thresholding,
+    // chunking or the hamming verify breaks the match.
+    "t93_image_neardup" ->
+      """SELECT * FROM (VALUES
+        | (1, 2, 0), (1, 3, 1), (2, 3, 1)
+        |) AS t(media_a, media_b, hamming) ORDER BY media_a, media_b""".stripMargin,
     // Similarity oracles compute dot products with
     // list_sum(list_transform(...)) — a SEQUENTIAL left-to-right fold,
     // bit-identical to Spark's `aggregate` higher-order function. A
@@ -2011,6 +2040,54 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
          |  FROM s)
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // s48 twin: s31's brute-force CTEs and s35's IVF CTEs verbatim,
+    // then recall = |overlap| / k per ground-truth query with the one
+    // deferred IEEE division (Exact.quant6's floor(x·1e6+0.5)/1e6).
+    // Left join keeps silently-missed queries at recall 0.
+    "s48_ivf_recall" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nr AS (SELECT vec_id, $sqlNorm AS nrm FROM e),
+         |bd AS (SELECT a.vec_id AS qid, b.vec_id AS cid, ${sqlDot("a", "b")} AS dp
+         |  FROM e a JOIN e b ON a.vec_id < 5 AND b.vec_id >= 5),
+         |br AS (SELECT qid AS query_id, cid AS vec_id,
+         |  floor(dp/(na.nrm*nb.nrm)*1000000.0+0.5)/1000000.0 AS cos
+         |  FROM bd JOIN nr na ON na.vec_id = qid JOIN nr nb ON nb.vec_id = cid),
+         |bf AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM br) WHERE rnk <= 5),
+         |ev AS (SELECT e.vec_id, e.v, nr.nrm FROM e JOIN nr ON nr.vec_id = e.vec_id),
+         |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM ev
+         |  WHERE vec_id >= 5 ORDER BY vec_id LIMIT 16),
+         |asg AS (SELECT vec_id, v, nrm, cid FROM (
+         |  SELECT c.vec_id, c.v, c.nrm, ct.cid,
+         |    row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY list_sum(list_transform(range(1,65), j -> c.v[j]*ct.cv[j]))/(c.nrm*ct.cn) DESC,
+         |        ct.cid) AS rn
+         |  FROM ev c CROSS JOIN cent ct WHERE c.vec_id >= 5)
+         |  WHERE rn = 1),
+         |qp AS (SELECT query_id, qv, qn, cid FROM (
+         |  SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, ct.cid,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_sum(list_transform(range(1,65), j -> q.v[j]*ct.cv[j]))/(q.nrm*ct.cn) DESC,
+         |        ct.cid) AS rn
+         |  FROM ev q CROSS JOIN cent ct WHERE q.vec_id < 5)
+         |  WHERE rn <= 4),
+         |sc AS (SELECT DISTINCT query_id, a.vec_id,
+         |  floor(list_sum(list_transform(range(1,65), j -> qv[j]*a.v[j]))/(qn*a.nrm)*1000000.0+0.5)/1000000.0 AS cos
+         |  FROM qp JOIN asg a ON qp.cid = a.cid),
+         |ivf AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM sc) WHERE rnk <= 5),
+         |h AS (SELECT b.query_id, count(*) AS hits FROM bf b
+         |  JOIN ivf a ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+         |  GROUP BY 1)
+         |SELECT q.query_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+         |  floor(CAST(COALESCE(h.hits, 0) AS DOUBLE)/CAST(5.0 AS DOUBLE)*1000000.0+0.5)/1000000.0 AS recall
+         |FROM (SELECT DISTINCT query_id FROM bf) q
+         |LEFT JOIN h ON h.query_id = q.query_id
+         |ORDER BY q.query_id""".stripMargin,
     // Lloyd-refined IVF twin: two unrolled sweeps (s36Iter) rebuild
     // the refined centroids with the SAME order-independent quantized
     // means the Spark plan uses (Exact.meanOf6), so cell assignment,

@@ -269,4 +269,41 @@ object MediaOps {
   def fromRows(spark: SparkSession, rows: Seq[Row]): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows), mediaSchema)
+
+  /** Golden fixture for the end-to-end image near-dup gate: real PNG
+    * payloads whose aHash values are derivable BY HAND from the hash
+    * definition, so the expected pair frame is a known constant (the
+    * q41 golden-oracle pattern). Patterns are axis-aligned half
+    * splits in RELATIVE coordinates — every 8×8 grid cell is
+    * uniformly dark or uniformly bright, so block averages threshold
+    * exactly and float accumulation can't flip a bit:
+    *  - 1: vertical split 64×64 → ahash 0x0F0F0F0F0F0F0F0F
+    *       (each row: 4 dark cells then 4 bright)
+    *  - 2: the SAME pattern at 128×128 → identical hash (hamming 0)
+    *  - 3: #1 with the top-left cell flipped bright → exactly bit 63
+    *       added (hamming 1 from #1 and #2)
+    *  - 4: horizontal split → 0x00000000FFFFFFFF, hamming 32 from #1
+    *       (far outside any near-dup radius)
+    *  - 5: a video row (never hashed)
+    * Expected pairs at maxHamming=5: (1,2,0), (1,3,1), (2,3,1).
+    */
+  def goldenImageFixture(spark: SparkSession): DataFrame = {
+    def png(w: Int, h: Int)(pattern: (Int, Int) => Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if (pattern(x, y)) 0xffffff else 0x000000)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def vsplit(w: Int)(x: Int, y: Int) = x >= w / 2
+    fromRows(spark, Seq(
+      Row(1L, "image", png(64, 64)(vsplit(64)), 64, 64, 0L, "png"),
+      Row(2L, "image", png(128, 128)(vsplit(128)), 128, 128, 0L, "png"),
+      Row(3L, "image", png(64, 64)((x, y) => vsplit(64)(x, y) ^ (x < 8 && y < 8)),
+        64, 64, 0L, "png"),
+      Row(4L, "image", png(64, 64)((_, y) => y >= 32), 64, 64, 0L, "png"),
+      Row(5L, "video", png(8, 8)(vsplit(8)), 8, 8, 900L, "h264")))
+  }
 }

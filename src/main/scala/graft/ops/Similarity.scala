@@ -645,4 +645,30 @@ object Similarity {
       .select(col("query_id"), col("label").cast("long").as("pred_label"), col("votes"))
       .orderBy("query_id")
   }
+
+  /** Recall@k of an approximate ANN result against the exact
+    * brute-force answer — the eval harness every ANN deployment needs
+    * before trading recall for speed (tune nProbe/bands against a
+    * ground-truth sample, then ship). Both inputs are top-k frames
+    * with (query_id, vec_id) rows; output is one row per ground-truth
+    * query: (query_id, hits, recall), recall = hits/k with the one
+    * deferred IEEE division of the [[Exact]] contract. Queries the
+    * approximate side missed entirely still appear (hits = 0) — a
+    * silent-miss eval is how recall bugs hide. Scale: top-k frames
+    * are |queries|·k rows regardless of corpus size, so this is a
+    * broadcast-join of two tiny frames no matter how big the index
+    * was.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int = 5): DataFrame = {
+    val hits = exact.select("query_id", "vec_id")
+      .join(approx.select("query_id", "vec_id"), Seq("query_id", "vec_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        Exact.quant6(coalesce(col("hits"), lit(0L)) / lit(k.toDouble)).as("recall"))
+      .orderBy("query_id")
+  }
 }

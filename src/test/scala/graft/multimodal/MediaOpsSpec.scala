@@ -140,6 +140,22 @@ class MediaOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), "non-image rows never hash")
   }
 
+  test("goldenImageFixture hashes and pairs are the hand-derived constants " +
+    "the t93 oracle asserts") {
+    val fixture = MediaOps.goldenImageFixture(spark)
+    val hashes = MediaOps.imageHashes(fixture, MediaOps.ImageIoDecoder)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) == 0x0F0F0F0F0F0F0F0FL, f"vsplit hash ${hashes(1L)}%016x")
+    assert(hashes(2L) == hashes(1L), "rescale must hash identically")
+    assert(hashes(3L) == (0x0F0F0F0F0F0F0F0FL | (1L << 63)),
+      f"one-cell edit must add exactly bit 63: ${hashes(3L)}%016x")
+    assert(hashes(4L) == 0x00000000FFFFFFFFL, f"hsplit hash ${hashes(4L)}%016x")
+    assert(!hashes.contains(5L), "video rows never hash")
+    val pairs = MediaOps.imageNearDupPairs(fixture, MediaOps.ImageIoDecoder, maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(pairs == List((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
   test("metadata-only queries prune the payload column at the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("media").toString + "/t"
     media.write.partitionBy("kind").parquet(dir)

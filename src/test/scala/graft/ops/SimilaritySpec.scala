@@ -337,4 +337,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.getDouble(0) == 32.0)
     assert(got.getDouble(1) == math.sqrt(14.0))
   }
+
+  test("recallAtK: perfect for the exact answer, counts partial overlap, " +
+    "keeps silently-missed queries at 0") {
+    import org.apache.spark.sql.functions.col
+    val exact = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), (1L, 14L),
+      (2L, 20L), (2L, 21L), (2L, 22L), (2L, 23L), (2L, 24L),
+      (3L, 30L), (3L, 31L), (3L, 32L), (3L, 33L), (3L, 34L))
+      .toDF("query_id", "vec_id")
+    // q1 fully recovered, q2 3-of-5 (2 wrong answers don't count),
+    // q3 absent from the approx result entirely
+    val approx = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), (1L, 14L),
+      (2L, 20L), (2L, 21L), (2L, 22L), (2L, 98L), (2L, 99L))
+      .toDF("query_id", "vec_id")
+    val got = Similarity.recallAtK(exact, approx, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(got == List((1L, 5L, 1.0), (2L, 3L, 0.6), (3L, 0L, 0.0)))
+  }
+
+  test("recallAtK on the real family: IVF nProbe=4 recall vs brute force " +
+    "is measured, and full-probe IVF is exact") {
+    val bf = Similarity.cosineTopK(planted)
+    val ivf = Similarity.ivfTopK(planted, kmeansIters = 0)
+    val r = Similarity.recallAtK(bf, ivf).collect()
+    assert(r.length == 5, "one row per ground-truth query")
+    assert(r.forall(_.getDouble(2) >= 0.0) && r.exists(_.getDouble(2) > 0.0))
+    // probing every cell must recover the exact answer (recall 1.0)
+    val full = Similarity.ivfTopK(planted, kmeansIters = 0, nProbe = 16)
+    assert(Similarity.recallAtK(bf, full).collect().forall(_.getDouble(2) == 1.0))
+  }
 }
