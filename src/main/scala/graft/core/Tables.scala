@@ -55,22 +55,34 @@ final class Tables(spark: SparkSession, dir: String) {
   lazy val documents: DataFrame = t("documents")
   lazy val embeddings: DataFrame = t("embeddings")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects as a timestamp. With
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set here and in
-    * [[GraftSession]]) the column surfaces as a nanos LongType; we
-    * convert to a micros TIMESTAMP via floor division — `ns div 1000`
-    * truncates toward zero == floor for the all-positive epoch range,
-    * matching DuckDB's `epoch_us` truncation so comparisons against
-    * micro-aligned thresholds (order dates, hour buckets) agree.
+  /** `events.parquet` has stored `ts` two ways across driver fixture
+    * generations, and downstream code must see ONE type (LTZ
+    * TIMESTAMP, micros) either way:
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+    *    as a timestamp; with `spark.sql.legacy.parquet.nanosAsLong=
+    *    true` (set here and in [[GraftSession]]) it surfaces as a
+    *    nanos LongType, converted to micros via floor division —
+    *    `ns div 1000` truncates toward zero == floor for the
+    *    all-positive epoch range, matching DuckDB's `epoch_us`
+    *    truncation so micro-aligned threshold comparisons agree.
+    *  - parquet timestamp[us] with no zone (current fixtures): reads
+    *    back as TIMESTAMP_NTZ, which time functions like
+    *    `unix_micros` reject. Cast to LTZ — exact and monotone under
+    *    the pinned-UTC session zone every entry point shares
+    *    ([[GraftSession]]), and the instant DuckDB's `epoch_us` sees.
     */
   lazy val events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t("events")
-    import org.apache.spark.sql.types.LongType
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw // already a readable timestamp (e.g. rewritten fixtures)
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp_ltz"))
+      case _ => raw // already an LTZ timestamp
+    }
   }
 }
 

@@ -168,12 +168,17 @@ object EventOps {
       left: DataFrame, leftKey: String, leftTime: String,
       right: DataFrame, rightKey: String, rightTime: String,
       rightPayload: Seq[String], bucketUs: Long = 3600L * 1000000L): DataFrame = {
-    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, TimestampType}
+    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
     val (l2, r2, lCols) =
       asofPrep(left, leftKey, leftTime, right, rightKey, rightTime, rightPayload,
         extraReserved = Set("_b", "_tl", "_lt"))
     def asLong(side: String, srcType: DataType): Column = srcType match {
       case TimestampType => unix_micros(col("_t"))
+      // parquet timestamps without a zone read back as NTZ (the
+      // testdata tables do); map the wall-clock through the session
+      // zone — exact and monotone under the pinned-UTC GraftSession
+      // contract (Tables.scala), which every entry point uses
+      case TimestampNTZType => unix_micros(col("_t").cast(TimestampType))
       case ByteType | ShortType | IntegerType | LongType => col("_t").cast("long")
       // fail loudly on everything else: a string column would cast to
       // null (one garbage bucket per key), and a FRACTIONAL numeric
@@ -238,10 +243,12 @@ object EventOps {
     */
   def asofLastOrder(
       events: DataFrame, orders: DataFrame, bucketed: Boolean = false): DataFrame = {
-    // events.ts is TIMESTAMP_LTZ (nanos→micros ingestion); o_orderdate
-    // reads back as TIMESTAMP_NTZ. Align the time axis explicitly —
-    // identity under the UTC session tz — so the union in asofJoin
-    // doesn't depend on implicit NTZ/LTZ coercion.
+    // Zone-less parquet timestamps read back as TIMESTAMP_NTZ (both
+    // events.ts when the fixture stores readable timestamps, and
+    // o_orderdate always). Align the right time axis to LTZ explicitly
+    // — identity under the UTC session tz — so the union in asofJoin
+    // doesn't depend on implicit NTZ/LTZ coercion; the bucketed form
+    // maps either type to epoch micros itself.
     val r = orders
       .groupBy(col("o_custkey"), col("o_orderdate").cast("timestamp_ltz").as("o_orderdate"))
       .agg(max("o_orderkey").as("o_orderkey"))
