@@ -447,6 +447,11 @@ object SparkEntry {
     // Kneser-Ney substrate: trigram counts + continuation diversity
     "t77_lm_counts" -> ((s, d) => { val t = Tables.load(s, d)
       CorpusOps.lmCounts(t.documents) }),
+    // CCNet-style reference-LM quality signal: trigram backoff-level
+    // coverage of held-out docs against a reference slice's n-gram
+    // tables — integer hit counts plus ONE deferred IEEE division
+    "t94_lm_coverage" -> ((s, d) => { val t = Tables.load(s, d)
+      CorpusOps.lmCoverageScores(t.documents) }),
     // inverted index over rare terms, position-aware ordered postings
     "t78_inverted_index" -> ((s, d) => { val t = Tables.load(s, d)
       CorpusOps.invertedIndex(t.documents) }),
@@ -1668,6 +1673,34 @@ object SparkEntry {
          |SELECT w1, w2, count(*) AS n_trigrams,
          |  count(DISTINCT w3) AS n_continuations
          |FROM g GROUP BY 1,2 ORDER BY n_trigrams DESC, w1, w2 LIMIT 50""".stripMargin,
+    // t94 twin: same trigram stream, same doc_id % 10 < 3 reference
+    // slice, same three DISTINCT backoff tables and CASE ladder; the
+    // only double is the final floor(x·1e6+0.5)/1e6 coverage ratio
+    "t94_lm_coverage" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS tk FROM documents),
+         |g AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2, tk[i+2] AS w3
+         |  FROM tk, LATERAL (SELECT unnest(range(1, len(tk)-1)) AS i) u
+         |  WHERE len(tk) >= 3),
+         |r3 AS (SELECT DISTINCT w1, w2, w3 FROM g WHERE doc_id % 10 < 3),
+         |r2 AS (SELECT DISTINCT w2, w3 FROM g WHERE doc_id % 10 < 3),
+         |r1 AS (SELECT DISTINCT w3 FROM g WHERE doc_id % 10 < 3),
+         |lv AS (SELECT g.doc_id,
+         |  CASE WHEN r3.w1 IS NOT NULL THEN 3
+         |       WHEN r2.w2 IS NOT NULL THEN 2
+         |       WHEN r1.w3 IS NOT NULL THEN 1 ELSE 0 END AS lvl
+         |  FROM g
+         |  LEFT JOIN r3 ON g.w1 = r3.w1 AND g.w2 = r3.w2 AND g.w3 = r3.w3
+         |  LEFT JOIN r2 ON g.w2 = r2.w2 AND g.w3 = r2.w3
+         |  LEFT JOIN r1 ON g.w3 = r1.w3
+         |  WHERE g.doc_id % 10 >= 3)
+         |SELECT doc_id, count(*) AS n_tri,
+         |  CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit3,
+         |  CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit2,
+         |  CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit1,
+         |  CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  floor(CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) * 1000000.0 + 0.5) / 1000000.0 AS coverage
+         |FROM lv GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // inverted-index twin: same 3-gram phrase unit, same rare-gram
     // cap, same ordered doc:pos postings (0-based positions)
     "t78_inverted_index" ->

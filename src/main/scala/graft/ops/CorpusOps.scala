@@ -1108,4 +1108,70 @@ object CorpusOps {
       .filter(col("est") >= threshold)
       .orderBy("gram")
   }
+
+  /** Reference-LM coverage scoring — the CCNet-style "does this look
+    * like my reference corpus" quality signal, with transcendental-free
+    * arithmetic. CCNet ranks CommonCrawl documents by the perplexity of
+    * a Wikipedia-trained Kneser-Ney LM; the portable analogue here
+    * scores each held-out document by how far down the backoff chain a
+    * reference n-gram table must reach to explain its trigrams:
+    *
+    *   level 3 — the exact trigram occurs in the reference slice;
+    *   level 2 — only its bigram suffix (w2 w3) does (first backoff);
+    *   level 1 — only the unigram w3 does (second backoff);
+    *   level 0 — out-of-vocabulary even at the unigram level.
+    *
+    * A fluent document resolves almost everything at level 3/2; gibberish
+    * and lorem-noise fall through to 1/0 — exactly the separation a
+    * perplexity threshold buys, but every emitted number is an integer
+    * count plus ONE deferred IEEE division (`coverage = n_hit3/n_tri`),
+    * so the gate hashes bit-identically (log-space perplexity would not;
+    * see the linear-idf precedent on [[tfidfTopTerms]]).
+    *
+    * The reference slice is the deterministic `doc_id % refMod <
+    * refSlots` shard (defaults: 30% of the corpus); scored docs are the
+    * held-out rest — self-scoring the reference would saturate level 3.
+    *
+    * Scale shape: the reference n-gram tables are DISTINCT sets bounded
+    * by the reference slice's type count (sublinear in corpus size —
+    * Heaps' law), not its token count; the three backoff probes are
+    * plain equi-joins on ngram keys, each broadcast-eligible when the
+    * reference slice is small (the CCNet deployment: a fixed curated
+    * reference scoring an unbounded crawl — at 100 TB the score side
+    * scans once and each join shuffles only on hashed gram keys, with
+    * partial aggregation collapsing the per-doc counts map-side).
+    */
+  def lmCoverageScores(documents: DataFrame,
+      refMod: Int = 10, refSlots: Int = 3): DataFrame = {
+    val grams = documents
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(TextOps.kgrams(col("tk"), 3)).as("g"))
+      .select(col("doc_id"),
+        element_at(split(col("g"), " "), 1).as("w1"),
+        element_at(split(col("g"), " "), 2).as("w2"),
+        element_at(split(col("g"), " "), 3).as("w3"))
+    val isRef = col("doc_id") % refMod < refSlots
+    val ref = grams.filter(isRef)
+    val ref3 = ref.select("w1", "w2", "w3").distinct().withColumn("h3", lit(1))
+    val ref2 = ref.select("w2", "w3").distinct().withColumn("h2", lit(1))
+    val ref1 = ref.select("w3").distinct().withColumn("h1", lit(1))
+    grams.filter(!isRef)
+      .join(ref3, Seq("w1", "w2", "w3"), "left")
+      .join(ref2, Seq("w2", "w3"), "left")
+      .join(ref1, Seq("w3"), "left")
+      .select(col("doc_id"),
+        when(col("h3") === 1, 3).when(col("h2") === 1, 2)
+          .when(col("h1") === 1, 1).otherwise(0).as("lvl"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tri"),
+        sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_hit3"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_hit2"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_hit1"),
+        sum(when(col("lvl") === 0, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("coverage",
+        Exact.quant6(col("n_hit3").cast("double") / col("n_tri")))
+      .orderBy("doc_id")
+  }
 }

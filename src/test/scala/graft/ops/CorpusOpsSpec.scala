@@ -560,6 +560,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.contains(("b", "c", 1L, 1L))) // bca from doc 1
   }
 
+  test("lmCoverageScores: backoff levels 3/2/1/0 and ref-slice exclusion (golden)") {
+    // doc_id % 10 < 3 → docs 1, 2 are the reference slice; their
+    // trigram table is {abc, bcd, xyz}, bigram suffixes {bc, cd, yz},
+    // unigrams {c, d, z}. Docs 5 and 7 are scored against it.
+    val d = docs(
+      (1L, "s", "a b c d"),      // ref: trigrams abc, bcd
+      (2L, "s", "x y z"),        // ref: trigram xyz
+      (5L, "s", "a b c q b c"),  // abc→3, bcq→0, cqb→0, qbc→2
+      (7L, "s", "q q d"),        // qqd: (q,d)∉ref2, d∈ref1 → 1
+      (8L, "s", "a b"))          // <3 tokens: no trigrams, excluded
+    val out = CorpusOps.lmCoverageScores(d).collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    assert(out.keySet == Set(5L, 7L), s"ref slice and short docs excluded: $out")
+    assert(out(5L) == ((4L, 1L, 1L, 0L, 2L, 0.25)), s"doc 5: $out")
+    assert(out(7L) == ((1L, 0L, 0L, 1L, 0L, 0.0)), s"doc 7: $out")
+  }
+
   test("corpusBuildNearDup collapses near-dup clusters exact dedup can't; " +
       "equals corpusBuild on a near-dup-free corpus") {
     import org.apache.spark.sql.functions._
