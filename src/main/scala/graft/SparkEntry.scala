@@ -518,6 +518,16 @@ object SparkEntry {
       Similarity.recallAtK(
         Similarity.cosineTopK(t.embeddings),
         Similarity.ivfTopK(t.embeddings, kmeansIters = 0)) }),
+    // product-quantization serving: 8 codes × 16 seed codewords per
+    // vector (4 B vs 256 B fp32), queries score codebook
+    // reconstructions — ADC as a broadcast join + top-k window
+    "s49_pq_topk" -> ((s, d) => { val t = Tables.load(s, d)
+      Similarity.pqTopK(t.embeddings) }),
+    // IVF-PQ: the billion-scale serving layout — coarse seed cells
+    // restrict which vectors a query scores (nProbe=4 of 16), PQ
+    // reconstructions decide how (ADC); full-probe == s49 by spec
+    "s50_ivfpq_topk" -> ((s, d) => { val t = Tables.load(s, d)
+      Similarity.ivfPqTopK(t.embeddings) }),
     // count-min sketch heavy hitters: word-bigram occurrences →
     // (d, bucket) counters → min-over-depth estimates for a sampled
     // candidate slice; the twin recomputes the identical sketch (the
@@ -2121,6 +2131,91 @@ object SparkEntry {
          |FROM (SELECT DISTINCT query_id FROM bf) q
          |LEFT JOIN h ON h.query_id = q.query_id
          |ORDER BY q.query_id""".stripMargin,
+    // s49 twin: same seed codebook (first 16 corpus vectors sliced
+    // into 8 subvectors of 8), same sequential-fold squared-L2 argmin
+    // with cid tiebreak, reconstructions re-assembled in subspace
+    // order; then s31's broadcast-query top-k over the
+    // reconstructions (query side full precision — ADC)
+    "s49_pq_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+         |  WHERE vec_id >= 5 ORDER BY vec_id LIMIT 16),
+         |cs AS (SELECT cid, j, cv[j*8+1:j*8+8] AS scv
+         |  FROM cent, LATERAL (SELECT unnest(range(0, 8)) AS j) u),
+         |xs AS (SELECT vec_id, j, v[j*8+1:j*8+8] AS sv
+         |  FROM e, LATERAL (SELECT unnest(range(0, 8)) AS j) u
+         |  WHERE vec_id >= 5),
+         |code AS (SELECT vec_id, j, cid FROM (
+         |  SELECT xs.vec_id, xs.j, cs.cid,
+         |    row_number() OVER (PARTITION BY xs.vec_id, xs.j ORDER BY
+         |      list_sum(list_transform(range(1, 9), i -> (sv[i]-scv[i])*(sv[i]-scv[i]))),
+         |      cs.cid) AS rn
+         |  FROM xs JOIN cs ON cs.j = xs.j) WHERE rn = 1),
+         |rec AS (SELECT c.vec_id, flatten(list(cs.scv ORDER BY c.j)) AS rv
+         |  FROM code c JOIN cs ON cs.j = c.j AND cs.cid = c.cid GROUP BY 1),
+         |rn2 AS (SELECT vec_id, rv,
+         |  sqrt(list_sum(list_transform(range(1, 65), i -> rv[i]*rv[i]))) AS rnrm
+         |  FROM rec),
+         |q AS (SELECT vec_id AS query_id, v AS qv,
+         |  sqrt(list_sum(list_transform(range(1, 65), i -> v[i]*v[i]))) AS qn
+         |  FROM e WHERE vec_id < 5),
+         |sc AS (SELECT query_id, r.vec_id,
+         |  floor(list_sum(list_transform(range(1, 65), i -> qv[i]*r.rv[i]))
+         |    /(qn*r.rnrm)*1000000.0+0.5)/1000000.0 AS cos
+         |  FROM q CROSS JOIN rn2 r)
+         |SELECT query_id, rnk, vec_id, cos FROM (
+         |  SELECT query_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM sc)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // s50 twin: s48's coarse-cell CTEs (full-precision seed-centroid
+    // assignment + nProbe=4 query probes) composed with s49's
+    // reconstruction CTEs — probed cells join the PQ-scored side
+    "s50_ivfpq_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nr AS (SELECT vec_id, $sqlNorm AS nrm FROM e),
+         |ev AS (SELECT e.vec_id, e.v, nr.nrm FROM e JOIN nr ON nr.vec_id = e.vec_id),
+         |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM ev
+         |  WHERE vec_id >= 5 ORDER BY vec_id LIMIT 16),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT c.vec_id, ct.cid,
+         |    row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY list_sum(list_transform(range(1,65), j -> c.v[j]*ct.cv[j]))/(c.nrm*ct.cn) DESC,
+         |        ct.cid) AS rn
+         |  FROM ev c CROSS JOIN cent ct WHERE c.vec_id >= 5)
+         |  WHERE rn = 1),
+         |qp AS (SELECT query_id, qv, qn, cid FROM (
+         |  SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, ct.cid,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_sum(list_transform(range(1,65), j -> q.v[j]*ct.cv[j]))/(q.nrm*ct.cn) DESC,
+         |        ct.cid) AS rn
+         |  FROM ev q CROSS JOIN cent ct WHERE q.vec_id < 5)
+         |  WHERE rn <= 4),
+         |cs AS (SELECT cid, j, cv[j*8+1:j*8+8] AS scv
+         |  FROM cent, LATERAL (SELECT unnest(range(0, 8)) AS j) u),
+         |xs AS (SELECT vec_id, j, v[j*8+1:j*8+8] AS sv
+         |  FROM e, LATERAL (SELECT unnest(range(0, 8)) AS j) u
+         |  WHERE vec_id >= 5),
+         |code AS (SELECT vec_id, j, cid FROM (
+         |  SELECT xs.vec_id, xs.j, cs.cid,
+         |    row_number() OVER (PARTITION BY xs.vec_id, xs.j ORDER BY
+         |      list_sum(list_transform(range(1, 9), i -> (sv[i]-scv[i])*(sv[i]-scv[i]))),
+         |      cs.cid) AS rn
+         |  FROM xs JOIN cs ON cs.j = xs.j) WHERE rn = 1),
+         |rec AS (SELECT c.vec_id, flatten(list(cs.scv ORDER BY c.j)) AS rv
+         |  FROM code c JOIN cs ON cs.j = c.j AND cs.cid = c.cid GROUP BY 1),
+         |rn2 AS (SELECT vec_id, rv,
+         |  sqrt(list_sum(list_transform(range(1, 65), i -> rv[i]*rv[i]))) AS rnrm
+         |  FROM rec),
+         |sc AS (SELECT DISTINCT qp.query_id, a.vec_id,
+         |  floor(list_sum(list_transform(range(1, 65), i -> qp.qv[i]*r.rv[i]))
+         |    /(qp.qn*r.rnrm)*1000000.0+0.5)/1000000.0 AS cos
+         |  FROM qp JOIN asg a ON a.cid = qp.cid JOIN rn2 r ON r.vec_id = a.vec_id)
+         |SELECT query_id, rnk, vec_id, cos FROM (
+         |  SELECT query_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM sc)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     // Lloyd-refined IVF twin: two unrolled sweeps (s36Iter) rebuild
     // the refined centroids with the SAME order-independent quantized
     // means the Spark plan uses (Exact.meanOf6), so cell assignment,

@@ -610,6 +610,138 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Product-quantization encoding — the memory technique that takes a
+    * billion-vector index from 256 B/vector (fp32×64) to m codes of
+    * log₂(nCent) bits (+ a norm): split each vector into `m`
+    * contiguous subvectors and replace each with the id of its nearest
+    * codebook entry (squared-L2, per subspace). Codebooks here are the
+    * SEED form shared with [[ivfTopK]]/[[semanticDedup]]: the first
+    * `nCent` corpus vectors by vec_id, sliced per subspace — a
+    * deterministic, oracle-expressible contract (k-means-trained
+    * codebooks drop in by swapping `cents`; [[lloydRefine]] is the
+    * per-subspace analogue and changes nothing downstream).
+    *
+    * Returns (vec_id, j, cid): the code table, long format — the shape
+    * a persisted PQ index stores and [[pqTopK]] consumes. Encoding is
+    * one broadcast join (corpus×m subvector rows against m·nCent
+    * codewords) + a (vec_id, j)-partitioned argmin window: one shuffle
+    * of m small rows per vector, no corpus×corpus anything.
+    *
+    * Numeric contract: the subspace distance is the sequential
+    * left-to-right fold of (xᵢ−cᵢ)² (same [[dot]] machinery), so the
+    * argmin — and therefore every code — is bit-reproducible across
+    * engines; ties break on cid.
+    */
+  def pqEncode(embeddings: DataFrame, nQueries: Int = 5,
+      m: Int = 8, nCent: Int = 16, dim: Int = 64): DataFrame = {
+    val dp = dotWith(embeddings.sparkSession) _
+    val sub = dim / m
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val corpus = e.filter(col("vec_id") >= nQueries)
+    val centSub = pqCodebook(corpus, m, nCent, sub)
+    val corpusSub = subVectors(corpus, m, sub, "sv")
+    val diff = zip_with(col("sv"), col("cv"), (x, c) => x - c)
+    val w = Window.partitionBy("vec_id", "j").orderBy(col("d2"), col("cid"))
+    corpusSub.join(broadcast(centSub), Seq("j"))
+      .withColumn("d2", dp(diff, diff))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "j", "cid")
+  }
+
+  /** (cid, j, cv): the first nCent corpus vectors by id, sliced into m
+    * codewords of `sub` dims each — m·nCent rows, always broadcast.
+    */
+  private def pqCodebook(corpus: DataFrame, m: Int, nCent: Int, sub: Int): DataFrame =
+    subVectors(
+      corpus.orderBy("vec_id").limit(nCent).select(col("vec_id").as("cid"), col("v")),
+      m, sub, "cv", idCol = "cid")
+
+  private def subVectors(
+      df: DataFrame, m: Int, sub: Int, out: String, idCol: String = "vec_id"): DataFrame =
+    df.select(col(idCol), explode(sequence(lit(0), lit(m - 1))).as("j"), col("v"))
+      .select(col(idCol), col("j"), slice(col("v"), col("j") * sub + 1, lit(sub)).as(out))
+
+  /** PQ-served cosine top-k — asymmetric distance computation over the
+    * [[pqEncode]] code table: the query stays full precision and each
+    * corpus vector is scored as its codebook reconstruction x̂ (the
+    * codewords its codes select, concatenated). By linearity
+    * dot(q, x̂) = Σⱼ dot(qⱼ, c_{j,codeⱼ}) — scoring the reconstruction
+    * IS the per-subspace lookup-table sum a PQ serving tier computes,
+    * expressed relationally; cosine denominators use ‖x̂‖ (known at
+    * index-build time from the codes alone).
+    *
+    * Scale shape: reconstructions materialize from the code table by a
+    * broadcast join against the m·nCent codeword table — the fp32
+    * corpus is read ONCE at encode time and never again; the serving
+    * scan carries m·log₂(nCent) bits per vector (here 8×4 = 4 B +
+    * norm vs 256 B fp32, a 64× index-memory cut, the difference
+    * between an in-memory and a spilling index at 10⁹ vectors). Then
+    * the identical broadcast-query top-k as every serving path
+    * ([[bruteTopK]]); composing with the IVF cell probe (s35/s41)
+    * instead of the full scan is one filter on the probed cells.
+    * Recall-for-memory is measured, not guessed: [[recallAtK]] (the
+    * s48 harness) takes this as its `approx` side unchanged.
+    */
+  def pqTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5,
+      m: Int = 8, nCent: Int = 16, dim: Int = 64): DataFrame = {
+    val dp = dotWith(embeddings.sparkSession) _
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val served = e.filter(col("vec_id") < nQueries)
+      .unionByName(pqReconstructions(embeddings, nQueries, m, nCent, dim))
+      .withColumn("nrm", sqrt(dp(col("v"), col("v"))))
+    bruteTopK(served, nQueries, k, dp)
+  }
+
+  /** (vec_id, v): each corpus vector's codebook reconstruction — the
+    * codewords its [[pqEncode]] codes select, concatenated in subspace
+    * order. Shared by [[pqTopK]] (full-scan ADC) and [[ivfPqTopK]]
+    * (cell-probed ADC).
+    */
+  private def pqReconstructions(embeddings: DataFrame, nQueries: Int,
+      m: Int, nCent: Int, dim: Int): DataFrame = {
+    val sub = dim / m
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val centSub = pqCodebook(e.filter(col("vec_id") >= nQueries), m, nCent, sub)
+    pqEncode(embeddings, nQueries, m, nCent, dim)
+      .join(broadcast(centSub), Seq("j", "cid"))
+      .groupBy("vec_id")
+      .agg(collect_list(struct(col("j"), col("cv"))).as("parts"))
+      .select(col("vec_id"),
+        flatten(transform(array_sort(col("parts")), p => p.getField("cv"))).as("v"))
+  }
+
+  /** IVF-PQ — the standard billion-scale serving layout (the inverted
+    * file restricts WHICH vectors a query scores, the PQ codes decide
+    * HOW each is scored): queries pick `nProbe` of `nCells` coarse
+    * cells by full-precision centroid cosine, then ADC-score only
+    * those cells' members via their [[pqEncode]] reconstructions.
+    * Coarse cells are the deterministic seed form (kmeansIters = 0 —
+    * the s42/s48 oracle contract; Lloyd refinement drops in exactly
+    * as in [[ivfTopK]]).
+    *
+    * Scale shape: both index halves are one-time builds the serving
+    * scan never recomputes — the cell assignment (broadcast-centroid
+    * argmax) and the code table (m·log₂(nCent) bits/vector). A query
+    * touches nProbe/nCells of the corpus and reads codes, not fp32
+    * vectors: at 10⁹ vectors that's the difference between probing an
+    * in-memory 4 GB index and scanning a 256 GB one. The full-probe
+    * configuration (nProbe = nCells) degenerates to [[pqTopK]]
+    * exactly — the differential the spec pins.
+    */
+  def ivfPqTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 4, m: Int = 8, nCent: Int = 16,
+      dim: Int = 64): DataFrame = {
+    val dp = dotWith(embeddings.sparkSession) _
+    val corpus = embeddings.filter(col("vec_id") >= nQueries)
+    val idx = ivfIndexFrames(corpus, nCells, kmeansIters = 0)
+    val recon = pqReconstructions(embeddings, nQueries, m, nCent, dim)
+      .withColumn("nrm", sqrt(dp(col("v"), col("v"))))
+    val pqCells = idx.assigned.select("cid", "vec_id").join(recon, Seq("vec_id"))
+    ivfServe(embeddings.filter(col("vec_id") < nQueries),
+      IvfIndex(idx.centroids, pqCells), k, nProbe)
+  }
+
   /** Per-label centroid, dimension-wise — the batch-SQL twin of the
     * [[graft.functions.VectorAggregates]] centroid `Aggregator` (that
     * one folds floats in partition order, fine for pipelines but not

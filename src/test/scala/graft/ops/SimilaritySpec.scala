@@ -300,6 +300,62 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("pqEncode: codebook seed vectors take their own codes in every subspace") {
+    import org.apache.spark.sql.functions.col
+    val codes = Similarity.pqEncode(planted)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    // corpus = ids >= 5; codebook = its first 16 vectors by id — each
+    // seed's subvector is distance 0 from its own codeword, so the
+    // argmin must return it (exact reconstruction for seeds)
+    val seeds = planted.filter(col("vec_id") >= 5L)
+      .orderBy("vec_id").limit(16).collect().map(_.getLong(0))
+    assert(seeds.length == 16)
+    seeds.foreach { s =>
+      (0 until 8).foreach { j =>
+        assert(codes((s, j)) == s, s"seed $s subspace $j took code ${codes((s, j))}")
+      }
+    }
+  }
+
+  test("pqTopK: ADC serving returns full top-5 per query, keeps every planted " +
+      "near-dup, and is deterministic") {
+    val rows = Similarity.pqTopK(planted, nQueries = 5, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length == 5, s"query $q returned ${rs.length} rows") }
+    // the near-dup's reconstruction shares its base's codes almost
+    // everywhere (3% noise rarely flips an argmin), so ADC must keep
+    // it in the served top-5 even through the 64× lossy codes
+    val served = rows.map(t => (t._1, t._3)).toSet
+    (0 until 5).foreach { i =>
+      assert(served.contains((i.toLong, 100L + i)),
+        s"query $i lost its planted near-dup through PQ serving")
+    }
+    val again = Similarity.pqTopK(planted, nQueries = 5, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(again == rows, "PQ serving must be bit-deterministic across runs")
+  }
+
+  test("ivfPqTopK: full probe degenerates to pqTopK exactly; " +
+      "nProbe=4 keeps every planted near-dup") {
+    // nProbe = nCells → every cell scored → the cell restriction is
+    // a no-op and IVF-PQ must equal the full-scan ADC bit-for-bit
+    val fullProbe = Similarity.ivfPqTopK(planted, nProbe = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val pq = Similarity.pqTopK(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(fullProbe == pq, "full-probe IVF-PQ must equal the PQ full scan")
+    // the selective configuration still surfaces the planted pairs:
+    // base and near-dup share a cell (cos ≈ 0.999) and the query
+    // probes it among its 4 nearest
+    val probed = Similarity.ivfPqTopK(planted, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    (0 until 5).foreach { i =>
+      assert(probed.contains((i.toLong, 100L + i)),
+        s"query $i lost its planted near-dup through IVF-PQ serving")
+    }
+  }
+
   test("annLsh over a dequantized int8 index still finds every planted near-dup") {
     import org.apache.spark.sql.functions.col
     // quantize → dequantize → feed the ANN path as its embedding
