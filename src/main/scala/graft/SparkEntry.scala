@@ -452,6 +452,11 @@ object SparkEntry {
     // tables — integer hit counts plus ONE deferred IEEE division
     "t94_lm_coverage" -> ((s, d) => { val t = Tables.load(s, d)
       CorpusOps.lmCoverageScores(t.documents) }),
+    // DSIR-style data selection: per-doc importance score from the
+    // ratio of target-slice vs candidate hashed-unigram counts —
+    // integer weight table broadcast to the candidates
+    "t95_importance_weights" -> ((s, d) => { val t = Tables.load(s, d)
+      CorpusOps.importanceWeights(t.documents) }),
     // inverted index over rare terms, position-aware ordered postings
     "t78_inverted_index" -> ((s, d) => { val t = Tables.load(s, d)
       CorpusOps.invertedIndex(t.documents) }),
@@ -528,6 +533,13 @@ object SparkEntry {
     // reconstructions decide how (ADC); full-probe == s49 by spec
     "s50_ivfpq_topk" -> ((s, d) => { val t = Tables.load(s, d)
       Similarity.ivfPqTopK(t.embeddings) }),
+    // the s48 eval harness pointed at the PQ path: recall@k of ADC
+    // serving against the brute-force ground truth — the memory-for-
+    // recall trade measured, not guessed
+    "s51_pq_recall" -> ((s, d) => { val t = Tables.load(s, d)
+      Similarity.recallAtK(
+        Similarity.cosineTopK(t.embeddings),
+        Similarity.pqTopK(t.embeddings)) }),
     // count-min sketch heavy hitters: word-bigram occurrences →
     // (d, bucket) counters → min-over-depth estimates for a sampled
     // candidate slice; the twin recomputes the identical sketch (the
@@ -1711,6 +1723,26 @@ object SparkEntry {
          |  floor(CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS DOUBLE)
          |    / count(*) * 1000000.0 + 0.5) / 1000000.0 AS coverage
          |FROM lv GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // t95 twin: same md5-prefix unigram buckets (the s46 hash), same
+    // target slice, same integer weight table (one floored division
+    // per bucket), same integer per-doc sums + one deferred division
+    "t95_importance_weights" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+         |tb AS (SELECT doc_id,
+         |  CAST(('0x'||substr(md5(w),1,15)) AS BIGINT) % 1024 AS b FROM tk),
+         |tc AS (SELECT b, count(*) AS tc FROM tb WHERE doc_id % 10 < 3 GROUP BY 1),
+         |rc AS (SELECT b, count(*) AS rc FROM tb WHERE doc_id % 10 >= 3 GROUP BY 1),
+         |wt AS (SELECT rc.b,
+         |  CAST(floor(CAST(coalesce(tc.tc, 0) + 1 AS DOUBLE)
+         |    / (rc.rc + 1) * 1000000.0 + 0.5) AS BIGINT) AS wq
+         |  FROM rc LEFT JOIN tc ON tc.b = rc.b)
+         |SELECT doc_id, count(*) AS n_tok,
+         |  CAST(sum(wq) AS BIGINT) AS swq,
+         |  floor(CAST(sum(wq) AS DOUBLE) / 1000000.0 / count(*)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS score
+         |FROM tb JOIN wt ON wt.b = tb.b
+         |WHERE doc_id % 10 >= 3
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // inverted-index twin: same 3-gram phrase unit, same rare-gram
     // cap, same ordered doc:pos postings (0-based positions)
     "t78_inverted_index" ->
@@ -2216,6 +2248,57 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
          |  FROM sc)
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // s51 twin: s48's brute-force CTEs + s49's PQ CTEs verbatim, then
+    // the same hits/recall tail (left join keeps missed queries at 0)
+    "s51_pq_recall" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nr AS (SELECT vec_id, $sqlNorm AS nrm FROM e),
+         |bd AS (SELECT a.vec_id AS qid, b.vec_id AS cid, ${sqlDot("a", "b")} AS dp
+         |  FROM e a JOIN e b ON a.vec_id < 5 AND b.vec_id >= 5),
+         |br AS (SELECT qid AS query_id, cid AS vec_id,
+         |  floor(dp/(na.nrm*nb.nrm)*1000000.0+0.5)/1000000.0 AS cos
+         |  FROM bd JOIN nr na ON na.vec_id = qid JOIN nr nb ON nb.vec_id = cid),
+         |bf AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM br) WHERE rnk <= 5),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+         |  WHERE vec_id >= 5 ORDER BY vec_id LIMIT 16),
+         |cs AS (SELECT cid, j, cv[j*8+1:j*8+8] AS scv
+         |  FROM cent, LATERAL (SELECT unnest(range(0, 8)) AS j) u),
+         |xs AS (SELECT vec_id, j, v[j*8+1:j*8+8] AS sv
+         |  FROM e, LATERAL (SELECT unnest(range(0, 8)) AS j) u
+         |  WHERE vec_id >= 5),
+         |code AS (SELECT vec_id, j, cid FROM (
+         |  SELECT xs.vec_id, xs.j, cs.cid,
+         |    row_number() OVER (PARTITION BY xs.vec_id, xs.j ORDER BY
+         |      list_sum(list_transform(range(1, 9), i -> (sv[i]-scv[i])*(sv[i]-scv[i]))),
+         |      cs.cid) AS rn
+         |  FROM xs JOIN cs ON cs.j = xs.j) WHERE rn = 1),
+         |rec AS (SELECT c.vec_id, flatten(list(cs.scv ORDER BY c.j)) AS rv
+         |  FROM code c JOIN cs ON cs.j = c.j AND cs.cid = c.cid GROUP BY 1),
+         |rn2 AS (SELECT vec_id, rv,
+         |  sqrt(list_sum(list_transform(range(1, 65), i -> rv[i]*rv[i]))) AS rnrm
+         |  FROM rec),
+         |q AS (SELECT vec_id AS query_id, v AS qv,
+         |  sqrt(list_sum(list_transform(range(1, 65), i -> v[i]*v[i]))) AS qn
+         |  FROM e WHERE vec_id < 5),
+         |psc AS (SELECT query_id, r.vec_id,
+         |  floor(list_sum(list_transform(range(1, 65), i -> qv[i]*r.rv[i]))
+         |    /(qn*r.rnrm)*1000000.0+0.5)/1000000.0 AS cos
+         |  FROM q CROSS JOIN rn2 r),
+         |pq AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM psc) WHERE rnk <= 5),
+         |h AS (SELECT b.query_id, count(*) AS hits FROM bf b
+         |  JOIN pq a ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+         |  GROUP BY 1)
+         |SELECT q.query_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+         |  floor(CAST(COALESCE(h.hits, 0) AS DOUBLE)/CAST(5.0 AS DOUBLE)*1000000.0+0.5)/1000000.0 AS recall
+         |FROM (SELECT DISTINCT query_id FROM bf) q
+         |LEFT JOIN h ON h.query_id = q.query_id
+         |ORDER BY q.query_id""".stripMargin,
     // Lloyd-refined IVF twin: two unrolled sweeps (s36Iter) rebuild
     // the refined centroids with the SAME order-independent quantized
     // means the Spark plan uses (Exact.meanOf6), so cell assignment,

@@ -1141,6 +1141,58 @@ object CorpusOps {
     * scans once and each join shuffles only on hashed gram keys, with
     * partial aggregation collapsing the per-doc counts map-side).
     */
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * each candidate document by how much its hashed-feature
+    * distribution resembles a target slice's, so sampling by score
+    * shifts the corpus mixture toward the target domain. Features are
+    * unigram tokens folded into `buckets` md5-prefix buckets (the
+    * engine-portable hash shared with [[hashedTfIdfVectors]] and the
+    * CMS); the target is the deterministic `doc_id % refMod <
+    * refSlots` slice (the [[lmCoverageScores]] contract) and
+    * candidates are the held-out rest.
+    *
+    * Portability: DSIR's per-feature log-ratio sum would not gate
+    * (engine logs differ in the last ulp); the monotone-equivalent
+    * linear form here keeps everything integral — the per-bucket
+    * weight is floor(10⁶·(tc+1)/(rc+1) + 0.5), an exact integer from
+    * ONE IEEE division of exact integers (add-1 smoothing keeps
+    * unseen-in-target buckets finite), a document's raw score is an
+    * order-free INTEGER sum of those weights, and the final
+    * per-token mean is the one deferred division.
+    *
+    * Scale shape: the weight table is ≤ `buckets` rows — built from
+    * two map-side-combined counts over one narrow tokenize pass,
+    * then BROADCAST to the candidate side; candidates aggregate
+    * per-doc sums with map-side partials. Nothing corpus-sized
+    * shuffles except the per-doc aggregation itself, and the target
+    * slice (fixed and curated in the DSIR deployment) is read once
+    * however large the candidate crawl grows.
+    */
+  def importanceWeights(documents: DataFrame, buckets: Int = 1024,
+      refMod: Int = 10, refSlots: Int = 3): DataFrame = {
+    val bucket = conv(substring(md5(col("w")), 1, 15), 16, 10)
+      .cast("long") % buckets
+    val toks = documents
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), bucket.as("b"))
+    val isRef = col("doc_id") % refMod < refSlots
+    val tc = toks.filter(isRef).groupBy("b").agg(count(lit(1)).as("tc"))
+    val rc = toks.filter(!isRef).groupBy("b").agg(count(lit(1)).as("rc"))
+    val w = rc.join(tc, Seq("b"), "left")
+      .select(col("b"),
+        floor((coalesce(col("tc"), lit(0L)) + lit(1L)).cast("double")
+          / (col("rc") + lit(1L)) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("wq"))
+    toks.filter(!isRef)
+      .join(broadcast(w), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("wq").as("swq"))
+      .withColumn("score",
+        Exact.quant6(col("swq").cast("double") / lit(1000000.0) / col("n_tok")))
+      .orderBy("doc_id")
+  }
+
   def lmCoverageScores(documents: DataFrame,
       refMod: Int = 10, refSlots: Int = 3): DataFrame = {
     val grams = documents

@@ -579,6 +579,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(7L) == ((1L, 0L, 0L, 1L, 0L, 0.0)), s"doc 7: $out")
   }
 
+  test("importanceWeights: target-like docs outscore off-target docs, " +
+      "and the weight arithmetic is a deterministic integer sum") {
+    // target slice (doc_id % 10 < 3) speaks 'alpha beta gamma';
+    // candidate 5 reuses the target vocabulary, candidate 7 is
+    // disjoint — DSIR must rank 5 above 7
+    val d = docs(
+      (1L, "s", "alpha beta gamma alpha beta"),
+      (2L, "s", "beta gamma alpha"),
+      (5L, "s", "alpha beta gamma"),
+      (7L, "s", "zeta eta theta"))
+    val out = CorpusOps.importanceWeights(d).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(5L, 7L), s"target slice must not score itself: $out")
+    assert(out(5L)._1 == 3L && out(7L)._1 == 3L)
+    assert(out(5L)._3 > out(7L)._3,
+      s"target-like doc must outscore the disjoint one: $out")
+    // hand-check doc 7: each token hashes to its own bucket with
+    // rc = 1, tc = 0 → wq = floor(1e6·(0+1)/(1+1)+0.5) = 500000 each
+    // (collisions with target buckets could only raise tc; the three
+    // greek words are distinct, so swq = 1,500,000 exactly unless an
+    // md5 bucket collision occurs — assert the no-collision value)
+    assert(out(7L)._2 == 1500000L, s"doc 7 integer sum: $out")
+    assert(out(7L)._3 == 0.5, s"doc 7 per-token mean: $out")
+  }
+
   test("corpusBuildNearDup collapses near-dup clusters exact dedup can't; " +
       "equals corpusBuild on a near-dup-free corpus") {
     import org.apache.spark.sql.functions._
