@@ -79,11 +79,20 @@ object Similarity {
     */
   private def bruteTopK(
       e: DataFrame, nQueries: Int, k: Int,
+      dp: (Column, Column) => Column): DataFrame =
+    topKAgainst(
+      e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")),
+      e.filter(col("vec_id") >= nQueries), k, dp)
+
+  /** Broadcast a prepared (query_id, qv, qn) query set against a
+    * prepared (vec_id, v, nrm) corpus — the shared top-k tail of
+    * every full-scan serving path.
+    */
+  private def topKAgainst(
+      q: DataFrame, corpus: DataFrame, k: Int,
       dp: (Column, Column) => Column): DataFrame = {
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val c = e.filter(col("vec_id") >= nQueries)
-    val scored = c.join(broadcast(q))
+    val scored = corpus.join(broadcast(q))
       .withColumn("cos", Exact.quant6(dp(col("qv"), col("v")) / (col("qn") * col("nrm"))))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     scored
@@ -633,21 +642,69 @@ object Similarity {
     * engines; ties break on cid.
     */
   def pqEncode(embeddings: DataFrame, nQueries: Int = 5,
-      m: Int = 8, nCent: Int = 16, dim: Int = 64): DataFrame = {
-    val dp = dotWith(embeddings.sparkSession) _
+      m: Int = 8, nCent: Int = 16, dim: Int = 64): DataFrame =
+    pqIndexFrames(embeddings.filter(col("vec_id") >= nQueries), m, nCent, dim).codes
+
+  /** Persisted PQ index: the m·nCent codeword table (tiny, always
+    * broadcast) plus the corpus code table at m·log₂(nCent) bits per
+    * vector — what a PQ serving tier stores instead of fp32 vectors.
+    * A new shard appends its codes (the codebook is frozen at build,
+    * so codes never shift — the ANN/IVF index append contract).
+    */
+  final case class PqIndex(codebook: DataFrame, codes: DataFrame)
+
+  def pqIndexFrames(corpus: DataFrame,
+      m: Int = 8, nCent: Int = 16, dim: Int = 64): PqIndex = {
+    val dp = dotWith(corpus.sparkSession) _
     val sub = dim / m
-    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val corpus = e.filter(col("vec_id") >= nQueries)
-    val centSub = pqCodebook(corpus, m, nCent, sub)
-    val corpusSub = subVectors(corpus, m, sub, "sv")
+    val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val centSub = pqCodebook(e, m, nCent, sub)
+    val corpusSub = subVectors(e, m, sub, "sv")
     val diff = zip_with(col("sv"), col("cv"), (x, c) => x - c)
     val w = Window.partitionBy("vec_id", "j").orderBy(col("d2"), col("cid"))
-    corpusSub.join(broadcast(centSub), Seq("j"))
+    val codes = corpusSub.join(broadcast(centSub), Seq("j"))
       .withColumn("d2", dp(diff, diff))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("vec_id", "j", "cid")
+    PqIndex(centSub, codes)
   }
+
+  def writePqIndex(
+      index: PqIndex, writer: graft.sinks.LakeWriter,
+      name: String, buckets: Int = 32): Unit = {
+    writer.writeBucketed(index.codebook, s"${name}_codebook", 1, Seq("cid"))
+    writer.writeBucketed(index.codes, s"${name}_codes", buckets, Seq("vec_id"))
+  }
+
+  def readPqIndex(spark: SparkSession, name: String): PqIndex =
+    PqIndex(spark.table(s"${name}_codebook"), spark.table(s"${name}_codes"))
+
+  /** PQ k-NN SERVING from a prepared (or persisted) code index — the
+    * online half of [[pqTopK]]: reconstructions materialize from the
+    * code table by one broadcast join against the codeword table,
+    * then the shared broadcast-query top-k tail. The fp32 corpus is
+    * nowhere in the plan — that's the point.
+    */
+  def pqServe(queries: DataFrame, index: PqIndex, k: Int = 5): DataFrame = {
+    val dp = dotWith(queries.sparkSession) _
+    val recon = reconstruct(index)
+      .withColumn("nrm", sqrt(dp(col("v"), col("v"))))
+    val q = queries.select(col("vec_id").as("query_id"),
+        asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", sqrt(dp(col("qv"), col("qv"))))
+    topKAgainst(q, recon, k, dp)
+  }
+
+  /** (vec_id, v): codebook reconstructions — codes joined back to
+    * their codewords, re-assembled in subspace order.
+    */
+  private def reconstruct(index: PqIndex): DataFrame =
+    index.codes.join(broadcast(index.codebook), Seq("j", "cid"))
+      .groupBy("vec_id")
+      .agg(collect_list(struct(col("j"), col("cv"))).as("parts"))
+      .select(col("vec_id"),
+        flatten(transform(array_sort(col("parts")), p => p.getField("cv"))).as("v"))
 
   /** (cid, j, cv): the first nCent corpus vectors by id, sliced into m
     * codewords of `sub` dims each — m·nCent rows, always broadcast.
@@ -699,17 +756,9 @@ object Similarity {
     * (cell-probed ADC).
     */
   private def pqReconstructions(embeddings: DataFrame, nQueries: Int,
-      m: Int, nCent: Int, dim: Int): DataFrame = {
-    val sub = dim / m
-    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val centSub = pqCodebook(e.filter(col("vec_id") >= nQueries), m, nCent, sub)
-    pqEncode(embeddings, nQueries, m, nCent, dim)
-      .join(broadcast(centSub), Seq("j", "cid"))
-      .groupBy("vec_id")
-      .agg(collect_list(struct(col("j"), col("cv"))).as("parts"))
-      .select(col("vec_id"),
-        flatten(transform(array_sort(col("parts")), p => p.getField("cv"))).as("v"))
-  }
+      m: Int, nCent: Int, dim: Int): DataFrame =
+    reconstruct(pqIndexFrames(
+      embeddings.filter(col("vec_id") >= nQueries), m, nCent, dim))
 
   /** IVF-PQ — the standard billion-scale serving layout (the inverted
     * file restricts WHICH vectors a query scores, the PQ codes decide

@@ -336,6 +336,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again == rows, "PQ serving must be bit-deterministic across runs")
   }
 
+  test("pqServe over a persisted code index == one-shot pqTopK") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("pqidx").toString
+    Similarity.writePqIndex(
+      Similarity.pqIndexFrames(planted.filter(col("vec_id") >= 5L)),
+      new graft.sinks.LakeWriter(root), "pqidx", buckets = 4)
+    try {
+      val served = Similarity.pqServe(
+        planted.filter(col("vec_id") < 5L), Similarity.readPqIndex(spark, "pqidx"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      val oneShot = Similarity.pqTopK(planted)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(served.toSeq == oneShot.toSeq && served.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pqidx_codebook")
+      spark.sql("DROP TABLE IF EXISTS pqidx_codes")
+    }
+  }
+
   test("ivfPqTopK: full probe degenerates to pqTopK exactly; " +
       "nProbe=4 keeps every planted near-dup") {
     // nProbe = nCells → every cell scored → the cell restriction is
