@@ -411,6 +411,16 @@ object SparkEntry {
       graft.streaming.StreamGates.paragraphGate(t.documents) }),
     "t90_stream_neardup_pairs" -> ((s, d) => { val t = Tables.load(s, d)
       graft.streaming.StreamGates.nearDupGate(t.documents) }),
+    // the event-analytics side of the streaming family under the
+    // gate: the watermarked 1-hour tumbling aggregation driven over
+    // time-contiguous micro-batch shards (complete-mode state
+    // surviving per-shard cold restarts) == the q21 batch twin
+    "t96_stream_hourly" -> ((s, d) => { val t = Tables.load(s, d)
+      graft.streaming.StreamGates.hourlyGate(t.events) }),
+    // session_window state must merge across batches AND restarts; the
+    // twin is the batch lag-gap rule with end = last + gap
+    "t97_stream_sessions" -> ((s, d) => { val t = Tables.load(s, d)
+      graft.streaming.StreamGates.sessionGate(t.events) }),
     // mixture reweighting: uniform per-source budget, deterministic
     // content-hash slice per source
     "t57_mixture_sample" -> ((s, d) => { val t = Tables.load(s, d)
@@ -884,6 +894,28 @@ object SparkEntry {
       s"""SELECT epoch_us(date_trunc('hour', ts)) AS hour, event_type, count(*) AS n_events,
          | ${mny("value")} AS sum_value, ${mean("value")} AS avg_value
          |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // t96 twin: the stream's final complete-mode aggregate must equal
+    // the one-shot batch rollup — q21's SQL verbatim
+    "t96_stream_hourly" ->
+      s"""SELECT epoch_us(date_trunc('hour', ts)) AS hour, event_type, count(*) AS n_events,
+         | ${mny("value")} AS sum_value, ${mean("value")} AS avg_value
+         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // t97 twin: q22's lag-gap session CTEs, emitted per session with
+    // session_window's end convention (last event + gap)
+    "t97_stream_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT user_id, event_id, us,
+        |  CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT user_id, us,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                    ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g)
+        |SELECT min(us) AS session_start, max(us) + 1800000000 AS session_end,
+        |  user_id, count(*) AS n_events
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
     "q22_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
         |g AS (SELECT user_id, event_id, us,

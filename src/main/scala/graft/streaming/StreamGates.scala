@@ -156,4 +156,85 @@ object StreamGates {
     spark.sql(s"DROP TABLE IF EXISTS ${tbl}_toks")
     spark.read.parquet(emit).orderBy("doc_a", "doc_b")
   }
+
+  /** Streamed watermarked hourly aggregation, gated: the q21 batch
+    * twin driven as a REAL stream — [[EventStream.hourlyStats]] (the
+    * 1-hour tumbling window + 2-hour watermark) over TIME-contiguous
+    * micro-batch shards, a fresh AvailableNow query per shard against
+    * the shared checkpoint, so every shard boundary is a cold restart
+    * of the windowed-aggregation state store.
+    *
+    * Two equalities make the batch twin exact. (1) Time-contiguous
+    * ascending shards mean no row ever arrives behind the watermark
+    * (the watermark only advances at batch boundaries, and shard i+1
+    * starts at or after shard i's max event time), so the
+    * late-row-drop arm never fires and every event reaches its
+    * window. (2) The aggregation runs in COMPLETE output mode: each
+    * micro-batch rewrites the full aggregate from restored state, so
+    * the LAST overwrite is the whole-corpus result — and the per-row
+    * quantized-decimal state of [[graft.ops.Exact.moneySum]]/
+    * [[graft.ops.Exact.meanOf]] is order-independent, so streamed
+    * partials merged across restarts equal the one-shot batch fold
+    * bit-for-bit.
+    */
+  def hourlyGate(events: DataFrame, nShards: Int = 3): DataFrame = {
+    val out = Files.createTempDirectory("sgate_hourly_out").toString + "/agg"
+    completeGate(
+      timeShards(events.select("ts", "event_type", "value"), nShards), out)(
+      EventStream.hourlyStats(_))
+    events.sparkSession.read.parquet(out).orderBy("hour", "event_type")
+  }
+
+  /** Streamed session windows, gated: [[EventStream.sessionStats]]
+    * (native session_window, 30-minute gap) over the same
+    * time-contiguous restart-per-shard drive as [[hourlyGate]]. The
+    * state store must MERGE windows across micro-batches and across
+    * cold restarts — a session straddling a shard boundary only comes
+    * out right if the restored state extends it — so the final
+    * complete-mode result must equal the batch lag-gap rule (q22's
+    * CTEs): same strictly-greater-than-gap session cut, session_end =
+    * last event + gap.
+    */
+  def sessionGate(events: DataFrame, nShards: Int = 3): DataFrame = {
+    val out = Files.createTempDirectory("sgate_sess_out").toString + "/agg"
+    completeGate(timeShards(events.select("ts", "user_id"), nShards), out)(
+      EventStream.sessionStats(_))
+    events.sparkSession.read.parquet(out).orderBy("user_id", "session_start")
+  }
+
+  /** Cut an event frame into `n` contiguous event-TIME ranges — the
+    * arrival order under which nothing is ever behind the watermark
+    * (shard i+1 starts at or after shard i's max event time), so the
+    * late-drop arm never fires and a batch twin stays exact.
+    */
+  private def timeShards(ev: DataFrame, n: Int): Seq[DataFrame] = {
+    val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val span = hi - lo + 1
+    (0 until n).map { i =>
+      val l = lo + i * (span / n)
+      val h = lo + (i + 1) * (span / n)
+      if (i == n - 1) ev.filter(unix_micros(col("ts")) >= l)
+      else ev.filter(unix_micros(col("ts")) >= l && unix_micros(col("ts")) < h)
+    }
+  }
+
+  /** Drive a COMPLETE-mode streaming aggregation over the shard
+    * sequence: each micro-batch rewrites the full aggregate from
+    * state restored across the per-shard cold restarts, so the last
+    * overwrite of `out` is the whole-corpus result.
+    */
+  private def completeGate(shardFrames: Seq[DataFrame], out: String)(
+      agg: DataFrame => DataFrame): Unit =
+    drive(shardFrames) { (src, cp) =>
+      agg(src).writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", cp.get)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
 }

@@ -49,6 +49,40 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("hourlyGate: time-sharded micro-batches with per-shard restarts == batch twin") {
+    val ev = spark.read.parquet(eventsDir)
+    val gated = StreamGates.hourlyGate(ev, nShards = 3).collect()
+    val batch = EventOps.hourlyStats(ev).collect()
+    assert(gated.toSeq == batch.toSeq)
+    assert(gated.nonEmpty)
+  }
+
+  test("sessionGate: sessions merge across shard boundaries and restarts == lag-gap batch rule") {
+    import org.apache.spark.sql.functions.{col, expr, lag, min => fmin, max => fmax, count => fcount, sum => fsum, unix_micros}
+    import org.apache.spark.sql.expressions.Window
+    val ev = spark.read.parquet(eventsDir)
+    val gated = StreamGates.sessionGate(ev, nShards = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // batch lag-gap twin (the q22 rule, per session, end = last + gap)
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val batch = ev.select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("is_new",
+        expr("CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL " +
+          "OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000 " +
+          "THEN 1 ELSE 0 END"))
+      .withColumn("session_id", fsum(col("is_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(fmin("us").as("session_start"),
+        (fmax("us") + 1800000000L).as("session_end"),
+        fcount(org.apache.spark.sql.functions.lit(1)).as("n_events"))
+      .select("session_start", "session_end", "user_id", "n_events")
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(gated == batch)
+    assert(gated.nonEmpty)
+  }
+
   test("session windows close on gap and count events") {
     EventStream.runAvailableNow(
       EventStream.sessionStats(streamingEvents, gap = "30 minutes"), "sessions",
