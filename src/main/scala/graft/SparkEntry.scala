@@ -421,6 +421,11 @@ object SparkEntry {
     // twin is the batch lag-gap rule with end = last + gap
     "t97_stream_sessions" -> ((s, d) => { val t = Tables.load(s, d)
       graft.streaming.StreamGates.sessionGate(t.events) }),
+    // mapGroupsWithState under the gate: per-user running totals with
+    // a quantized-integer accumulator (order-free), final state per
+    // user == batch count + integer value sum
+    "t98_stream_state" -> ((s, d) => { val t = Tables.load(s, d)
+      graft.streaming.StreamGates.runningTotalsGate(t.events) }),
     // mixture reweighting: uniform per-source budget, deterministic
     // content-hash slice per source
     "t57_mixture_sample" -> ((s, d) => { val t = Tables.load(s, d)
@@ -550,6 +555,11 @@ object SparkEntry {
       Similarity.recallAtK(
         Similarity.cosineTopK(t.embeddings),
         Similarity.pqTopK(t.embeddings)) }),
+    // vector ANALYZE: per-dimension count / exact mean / min / max /
+    // dead-component count — t81's sibling for the array column its
+    // scalar profile skips
+    "s52_embedding_profile" -> ((s, d) => { val t = Tables.load(s, d)
+      Similarity.embeddingProfile(t.embeddings) }),
     // count-min sketch heavy hitters: word-bigram occurrences →
     // (d, bucket) counters → min-over-depth estimates for a sampled
     // candidate slice; the twin recomputes the identical sketch (the
@@ -900,6 +910,13 @@ object SparkEntry {
       s"""SELECT epoch_us(date_trunc('hour', ts)) AS hour, event_type, count(*) AS n_events,
          | ${mny("value")} AS sum_value, ${mean("value")} AS avg_value
          |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // t98 twin: the per-user batch rollup of the same quantized
+    // integer the stream state accumulates — order-free by
+    // construction, so the streamed final state matches exactly
+    "t98_stream_state" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value*10000.0+0.5) AS DECIMAL(18,0))) AS BIGINT) AS q_total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // t97 twin: q22's lag-gap session CTEs, emitted per session with
     // session_window's end convention (last event + gap)
     "t97_stream_sessions" ->
@@ -2331,6 +2348,18 @@ object SparkEntry {
          |FROM (SELECT DISTINCT query_id FROM bf) q
          |LEFT JOIN h ON h.query_id = q.query_id
          |ORDER BY q.query_id""".stripMargin,
+    // s52 twin: same per-dimension explode, same order-independent
+    // quantized-decimal mean (Exact.meanOf6's documented SQL twin)
+    "s52_embedding_profile" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |x AS (SELECT i AS dim, v[i] AS x
+         |  FROM e, LATERAL (SELECT unnest(range(1, 65)) AS i) u)
+         |SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+         |  floor(CAST(sum(CAST(floor(x*1000000.0+0.5) AS DECIMAL(18,0))) AS DOUBLE)
+         |    /1000000.0/count(*)*1000000.0+0.5)/1000000.0 AS m,
+         |  min(x) AS mn, max(x) AS mx,
+         |  CAST(sum(CASE WHEN x = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     // Lloyd-refined IVF twin: two unrolled sweeps (s36Iter) rebuild
     // the refined centroids with the SAME order-independent quantized
     // means the Spark plan uses (Exact.meanOf6), so cell assignment,

@@ -791,6 +791,33 @@ object Similarity {
       IvfIndex(idx.centroids, pqCells), k, nProbe)
   }
 
+  /** Vector-column ANALYZE — the data-QA profile an embedding table
+    * gets before any index build (the [[graft.ops.Relational]]
+    * tableProfile sibling for the column scalar ANALYZE skips):
+    * per-dimension count, exact order-independent mean
+    * ([[Exact.meanOf6]] — a raw avg() would not gate), min/max, and
+    * dead-component count (exact zeros — embedding pipelines emit
+    * them when a model head is truncated or a batch was zero-filled).
+    * Long format (one row per dimension) so downstream checks join
+    * components directly.
+    *
+    * Scale shape: one narrow posexplode, then a partial-aggregating
+    * groupBy of dim·|corpus| component rows down to `dim` rows —
+    * map-side combine collapses everything to dim rows per partition
+    * before the (tiny) shuffle. No vectors cross the exchange.
+    */
+  def embeddingProfile(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("dim"), col("x"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        Exact.meanOf6(col("x")).as("m"),
+        min("x").as("mn"), max("x").as("mx"),
+        sum(when(col("x") === 0.0, 1L).otherwise(0L)).as("n_zero"))
+      .orderBy("dim")
+
   /** Per-label centroid, dimension-wise — the batch-SQL twin of the
     * [[graft.functions.VectorAggregates]] centroid `Aggregator` (that
     * one folds floats in partition order, fine for pipelines but not

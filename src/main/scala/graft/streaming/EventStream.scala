@@ -338,6 +338,33 @@ object EventStream {
       }
   }
 
+  final case class UserRunningExact(user_id: Long, n_events: Long, q_total: Long)
+
+  /** [[runningTotals]] with a GATE-EXACT accumulator: the raw-double
+    * fold above accumulates in arrival order (last-ulp noise across
+    * replays and shard cuts), so its totals can't hash-match a batch
+    * twin. Here the state carries the per-row quantized INTEGER
+    * `floor(value·10⁴ + 0.5)` (the [[graft.ops.Exact.moneySum]]
+    * per-row step) — integer addition is order-free, so the final
+    * state after any micro-batch arrival order, restart, or shard cut
+    * equals the batch integer sum bit-for-bit; the caller defers the
+    * one /10⁴ division if it wants money units.
+    */
+  def runningTotalsExact(events: Dataset[UserEvent]): Dataset[UserRunningExact] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserRunningExact]) =>
+          val prev = state.getOption.getOrElse(UserRunningExact(userId, 0L, 0L))
+          val next = rows.foldLeft(prev)((acc, e) =>
+            UserRunningExact(userId, acc.n_events + 1,
+              acc.q_total + math.floor(e.value * 10000.0 + 0.5).toLong))
+          state.update(next)
+          next
+      }
+  }
+
   /** Convenience: run a streaming frame to completion against all
     * currently-available input (Trigger.AvailableNow) into an
     * in-memory table; used by specs and local smoke runs.

@@ -202,6 +202,42 @@ object StreamGates {
     events.sparkSession.read.parquet(out).orderBy("user_id", "session_start")
   }
 
+  /** Streamed custom keyed state, gated: [[EventStream.
+    * runningTotalsExact]] (mapGroupsWithState, one tiny record per
+    * user) over the same restart-per-shard drive. State must restore
+    * across cold restarts and fold each batch on top; the quantized
+    * INTEGER accumulator makes the final state independent of arrival
+    * order and shard cut, so each user's LAST emission (update-mode
+    * semantics: one row per key per batch it appears in) must equal
+    * the batch per-user count + integer value sum.
+    */
+  def runningTotalsGate(events: DataFrame, nShards: Int = 3): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val out = Files.createTempDirectory("sgate_state_out").toString + "/emissions"
+    drive(timeShards(events.select("ts", "user_id", "value"), nShards)) { (src, cp) =>
+      EventStream.runningTotalsExact(
+          src.select("user_id", "value").as[EventStream.UserEvent])
+        .toDF()
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", cp.get)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("batch_id").desc)
+    spark.read.parquet(out)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "n_events", "q_total")
+      .orderBy("user_id")
+  }
+
   /** Cut an event frame into `n` contiguous event-TIME ranges — the
     * arrival order under which nothing is ever behind the watermark
     * (shard i+1 starts at or after shard i's max event time), so the

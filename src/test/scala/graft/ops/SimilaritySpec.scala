@@ -336,6 +336,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again == rows, "PQ serving must be bit-deterministic across runs")
   }
 
+  test("embeddingProfile: per-dim stats with dead-component counting (golden)") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, -2.0f)),
+      (1L, Array(3.0f, 0.0f, 4.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.embeddingProfile(e).collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5))))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    val m = out.toMap
+    assert(m(1L) == ((2L, 2.0, 1.0, 3.0, 0L)))
+    assert(m(2L) == ((2L, 0.0, 0.0, 0.0, 2L)), "dim 2 is dead in every vector")
+    assert(m(3L) == ((2L, 1.0, -2.0, 4.0, 0L)))
+  }
+
   test("pqServe over a persisted code index == one-shot pqTopK") {
     import org.apache.spark.sql.functions.col
     val root = java.nio.file.Files.createTempDirectory("pqidx").toString

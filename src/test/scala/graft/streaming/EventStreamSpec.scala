@@ -83,6 +83,20 @@ class EventStreamSpec extends AnyFunSuite {
     assert(gated.nonEmpty)
   }
 
+  test("runningTotalsGate: state restores across restarts, final == batch integer sums") {
+    import org.apache.spark.sql.functions.{col, count => fcount, expr, sum => fsum, lit}
+    val ev = spark.read.parquet(eventsDir)
+    val gated = StreamGates.runningTotalsGate(ev, nShards = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = ev.groupBy("user_id")
+      .agg(fcount(lit(1)).as("n_events"),
+        fsum(expr("CAST(floor(value*10000.0+0.5) AS BIGINT)")).as("q_total"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gated == batch)
+    assert(gated.nonEmpty)
+  }
+
   test("session windows close on gap and count events") {
     EventStream.runAvailableNow(
       EventStream.sessionStats(streamingEvents, gap = "30 minutes"), "sessions",
