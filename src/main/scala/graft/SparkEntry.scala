@@ -426,6 +426,15 @@ object SparkEntry {
     // user == batch count + integer value sum
     "t98_stream_state" -> ((s, d) => { val t = Tables.load(s, d)
       graft.streaming.StreamGates.runningTotalsGate(t.events) }),
+    // stream-static enrichment: per-batch broadcast join against the
+    // customer dim, hourly rollup per market segment
+    "t99_stream_enriched" -> ((s, d) => { val t = Tables.load(s, d)
+      graft.streaming.StreamGates.enrichedGate(t.events, t.customer) }),
+    // watermarked stream-stream interval join: click→view pairs
+    // within 10 min; cross-shard pairs prove join state survives the
+    // per-shard cold restarts
+    "t100_stream_interval_join" -> ((s, d) => { val t = Tables.load(s, d)
+      graft.streaming.StreamGates.correlatedGate(t.events) }),
     // mixture reweighting: uniform per-source budget, deterministic
     // content-hash slice per source
     "t57_mixture_sample" -> ((s, d) => { val t = Tables.load(s, d)
@@ -910,6 +919,21 @@ object SparkEntry {
       s"""SELECT epoch_us(date_trunc('hour', ts)) AS hour, event_type, count(*) AS n_events,
          | ${mny("value")} AS sum_value, ${mean("value")} AS avg_value
          |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // t99 twin: the plain batch join + hourly rollup per segment
+    "t99_stream_enriched" ->
+      s"""SELECT epoch_us(date_trunc('hour', ts)) AS hour, c_mktsegment,
+         |  count(*) AS n_events, ${mny("value")} AS sum_value
+         |FROM events JOIN customer ON c_custkey = user_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // t100 twin: the batch self-join with the identical interval
+    // bounds — every qualifying pair exactly once
+    "t100_stream_interval_join" ->
+      """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+        |  epoch_us(a.ts) AS a_us, epoch_us(b.ts) AS b_us
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |  AND a.event_type = 'click' AND b.event_type = 'view'
+        |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        |ORDER BY a_id, b_id""".stripMargin,
     // t98 twin: the per-user batch rollup of the same quantized
     // integer the stream state accumulates — order-free by
     // construction, so the streamed final state matches exactly

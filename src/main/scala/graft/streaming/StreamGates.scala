@@ -238,6 +238,49 @@ object StreamGates {
       .orderBy("user_id")
   }
 
+  /** Stream-static enrichment, gated: [[EventStream.enrichedHourly]]
+    * joins each micro-batch against the customer dimension (broadcast,
+    * re-planned per batch) before the watermarked hourly rollup per
+    * market segment — the standard slowly-changing-reference-data
+    * decoration, under the same restart-per-shard complete-mode drive
+    * as [[hourlyGate]]. Twin: the plain batch join + rollup.
+    */
+  def enrichedGate(events: DataFrame, customer: DataFrame,
+      nShards: Int = 3): DataFrame = {
+    val out = Files.createTempDirectory("sgate_enr_out").toString + "/agg"
+    val dim = customer.select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    completeGate(
+      timeShards(events.select("ts", "user_id", "value"), nShards), out)(
+      EventStream.enrichedHourly(_, dim, "user_id", "c_mktsegment"))
+    events.sparkSession.read.parquet(out).orderBy("hour", "c_mktsegment")
+  }
+
+  /** Watermarked STREAM-STREAM interval join, gated:
+    * [[EventStream.correlatedPairs]] (click→view within 10 minutes,
+    * both sides watermarked, append mode) over the restart-per-shard
+    * drive. Cross-shard pairs only come out right if the left side's
+    * buffered join state survives the cold restart: a click in shard
+    * i matching a view in shard i+1 sits within the 2-hour watermark
+    * horizon under time-contiguous sharding, so eviction never beats
+    * the match and every qualifying pair emits exactly once. The
+    * emission union must equal the batch self-join.
+    */
+  def correlatedGate(events: DataFrame, nShards: Int = 3): DataFrame = {
+    val out = Files.createTempDirectory("sgate_corr_out").toString + "/pairs"
+    drive(timeShards(
+        events.select("ts", "user_id", "event_id", "event_type"), nShards)) { (src, cp) =>
+      EventStream.correlatedPairs(src).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp.get)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    events.sparkSession.read.parquet(out).orderBy("a_id", "b_id")
+  }
+
   /** Cut an event frame into `n` contiguous event-TIME ranges — the
     * arrival order under which nothing is ever behind the watermark
     * (shard i+1 starts at or after shard i's max event time), so the

@@ -97,6 +97,44 @@ class EventStreamSpec extends AnyFunSuite {
     assert(gated.nonEmpty)
   }
 
+  test("enrichedGate: per-batch broadcast dim join + hourly rollup == batch twin") {
+    import org.apache.spark.sql.functions.{col, count => fcount, lit, unix_micros, date_trunc}
+    val ev = spark.read.parquet(eventsDir)
+    val dim = Seq((1L, "AUTO"), (2L, "HOUSE")).toDF("c_custkey", "c_mktsegment")
+    val gated = StreamGates.enrichedGate(ev, dim, nShards = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    val batch = ev.join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour"), col("c_mktsegment"))
+      .agg(fcount(lit(1)).as("n_events"),
+        graft.ops.Exact.moneySum(col("value")).as("sum_value"))
+      .orderBy("hour", "c_mktsegment")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(gated == batch)
+    assert(gated.nonEmpty)
+  }
+
+  test("correlatedGate: interval-join state survives restarts — cross-shard pairs emit once") {
+    import org.apache.spark.sql.functions.col
+    // span 10:00–11:30 cut into 3 shards at 10:30 and 11:00; two of
+    // the three qualifying pairs straddle a shard (= restart) boundary
+    val dir = Files.createTempDirectory("events_corr").toString + "/data"
+    Seq(
+      (10L, "click", ts("2026-01-01 10:00:00"), 1.0, 1L),
+      (11L, "view", ts("2026-01-01 10:05:00"), 1.0, 1L),  // pair with 10 (in-shard)
+      (12L, "click", ts("2026-01-01 10:29:00"), 1.0, 1L),
+      (13L, "view", ts("2026-01-01 10:31:00"), 1.0, 1L),  // pair with 12 (cross-shard)
+      (14L, "click", ts("2026-01-01 10:58:00"), 1.0, 2L),
+      (15L, "view", ts("2026-01-01 11:05:00"), 1.0, 2L),  // pair with 14 (cross-shard)
+      (16L, "click", ts("2026-01-01 11:30:00"), 1.0, 3L)  // no view follows
+    ).toDF("event_id", "event_type", "ts", "value", "user_id")
+      .write.parquet(dir)
+    val ev = spark.read.parquet(dir)
+    val gated = StreamGates.correlatedGate(ev, nShards = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gated == Seq((1L, 10L, 11L), (1L, 12L, 13L), (2L, 14L, 15L)),
+      s"expected the three planted pairs exactly once: $gated")
+  }
+
   test("session windows close on gap and count events") {
     EventStream.runAvailableNow(
       EventStream.sessionStats(streamingEvents, gap = "30 minutes"), "sessions",
