@@ -655,6 +655,11 @@ object SparkEntry {
     "t65_frame_sample" -> ((s, _) =>
       graft.multimodal.MediaOps.frameSample(graft.sources.Fixtures.mediaFrame(s), 1000L)
         .orderBy("media_id", "frame_ms")),
+    // the audio side of the metadata plane: overlapping fixed-length
+    // chunk windows (10s/5s), partial tail clamped to the duration
+    "t101_audio_chunks" -> ((s, _) =>
+      graft.multimodal.MediaOps.audioChunkPlan(graft.sources.Fixtures.mediaFrame(s))
+        .orderBy("media_id", "start_ms")),
     // multimodal near-dup END-TO-END: real PNG payloads → ImageIO
     // decode → 8×8 aHash → pigeonhole pair join. The fixture's
     // half-split patterns make every hash hand-derivable from the
@@ -1988,6 +1993,16 @@ object SparkEntry {
          |    width, height, codec
          |  FROM m WHERE kind = 'video' AND duration_ms > 0)
          |ORDER BY media_id, frame_ms""".stripMargin,
+    // t101 twin: same stride sequence, same clamped partial tail
+    "t101_audio_chunks" ->
+      s"""WITH m(media_id, kind, width, height, duration_ms, codec) AS (VALUES
+         |  $mediaValues)
+         |SELECT media_id, start_ms, least(start_ms + 10000, duration_ms) AS end_ms,
+         |  codec FROM (
+         |  SELECT media_id, unnest(range(0, duration_ms, 5000)) AS start_ms,
+         |    duration_ms, codec
+         |  FROM m WHERE kind = 'audio' AND duration_ms > 0)
+         |ORDER BY media_id, start_ms""".stripMargin,
     // t93 twin: the GOLDEN pair frame, derived by hand from the aHash
     // definition over the half-split fixture (MediaOps
     // .goldenImageFixture scaladoc walks the derivation) — the q41

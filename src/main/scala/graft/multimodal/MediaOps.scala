@@ -154,6 +154,25 @@ object MediaOps {
         explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs))))
       .select(col("media_id"), col("frame_ms"), col("width"), col("height"), col("codec"))
 
+  /** Chunking plan for audio rows: fixed-length overlapping windows
+    * over the metadata-plane duration — the segmentation an ASR /
+    * audio-embedding pipeline feeds its decoder, emitted WITHOUT
+    * touching payload bytes (the decoder then fetches only the
+    * windows it needs, exactly like [[frameSample]] for video; the
+    * decode itself stays behind the [[Decoder]] seam). The tail
+    * window is partial (end clamped to the duration) — the
+    * chunkTexts convention. Pure integer sequence math: one narrow
+    * explode, no shuffle, gate-exact.
+    */
+  def audioChunkPlan(media: DataFrame, windowMs: Long = 10000L,
+      strideMs: Long = 5000L): DataFrame =
+    media.filter(col("kind") === "audio" && col("duration_ms") > 0)
+      .withColumn("start_ms",
+        explode(sequence(lit(0L), col("duration_ms") - 1, lit(strideMs))))
+      .select(col("media_id"), col("start_ms"),
+        least(col("start_ms") + windowMs, col("duration_ms")).as("end_ms"),
+        col("codec"))
+
   /** 64-bit average-hash (aHash) of a decoded grayscale plane: block-
     * average onto an 8×8 grid, threshold each cell at the grid mean,
     * pack row-major into a Long (bit 63 = top-left). The standard

@@ -44,6 +44,22 @@ class MediaOpsSpec extends AnyFunSuite {
     assert(frames.map(_.getLong(1)).toSeq == Seq(0L, 1000L, 2000L))
   }
 
+  test("audioChunkPlan: audio rows only, overlapping windows, clamped partial tail") {
+    val withShort = MediaOps.fromRows(spark, Seq(
+      Row(4L, "audio", bytesOf("aud-one"), 0, 0, 60000L, "opus"),
+      Row(5L, "audio", bytesOf("aud-two"), 0, 0, 12000L, "flac"),
+      Row(6L, "video", bytesOf("vid-one"), 1280, 720, 2500L, "h264")))
+    val out = MediaOps.audioChunkPlan(withShort).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.forall(c => c._1 == 4L || c._1 == 5L), "video rows must not chunk")
+    val long = out.filter(_._1 == 4L).map(c => (c._2, c._3)).toSeq
+    assert(long.length == 12 && long.head == ((0L, 10000L)) &&
+      long.last == ((55000L, 60000L)), s"60s audio at 10s/5s: $long")
+    val short = out.filter(_._1 == 5L).map(c => (c._2, c._3)).toSeq
+    assert(short == Seq((0L, 10000L), (5000L, 12000L), (10000L, 12000L)),
+      s"partial tails clamp to the duration: $short")
+  }
+
   /** In-memory PNG: left half black, right half white, `w`×`h`. */
   private def pngBytes(w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
