@@ -481,6 +481,20 @@ object SparkEntry {
     // integer weight table broadcast to the candidates
     "t95_importance_weights" -> ((s, d) => { val t = Tables.load(s, d)
       CorpusOps.importanceWeights(t.documents) }),
+    // the skew family's first gate row: the salted join's contract is
+    // EXACT equality with the plain join — brand revenue through the
+    // salted path must hash-match the unsalted twin
+    "t102_salted_join" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val big = t.lineitem.select(col("l_partkey").as("pk"),
+        col("l_extendedprice"), col("l_discount"))
+      val small = t.part.select(col("p_partkey").as("pk"), col("p_brand"))
+      graft.ops.Skew.saltedJoin(big, small, "pk")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          graft.ops.Exact.moneySum(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy("p_brand") }),
     // inverted index over rare terms, position-aware ordered postings
     "t78_inverted_index" -> ((s, d) => { val t = Tables.load(s, d)
       CorpusOps.invertedIndex(t.documents) }),
@@ -1801,6 +1815,11 @@ object SparkEntry {
          |  floor(CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS DOUBLE)
          |    / count(*) * 1000000.0 + 0.5) / 1000000.0 AS coverage
          |FROM lv GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // t102 twin: the UNSALTED join — the salted path's whole contract
+    "t102_salted_join" ->
+      s"""SELECT p_brand, count(*) AS n_items, ${mny(rev)} AS revenue
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // t95 twin: same md5-prefix unigram buckets (the s46 hash), same
     // target slice, same integer weight table (one floored division
     // per bucket), same integer per-doc sums + one deferred division
