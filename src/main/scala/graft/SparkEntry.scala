@@ -553,6 +553,11 @@ object SparkEntry {
     // — literal query → corpus-idf hashed vector → cosine top-k
     "s47_tfidf_search" -> ((s, d) => { val t = Tables.load(s, d)
       CorpusOps.tfidfSearch(t.documents, SearchQuery) }),
+    // BM25-shaped retrieval: tf saturation + length normalization in
+    // integer-cleared arithmetic (44/20/6/18 at k1=1.2, b=0.75),
+    // linear idf — one IEEE division per (doc, term), integer sums
+    "s53_bm25_search" -> ((s, d) => { val t = Tables.load(s, d)
+      CorpusOps.bm25Search(t.documents, SearchQuery) }),
     // ANN eval harness: recall@k of the seed-centroid IVF (nProbe=4)
     // against the brute-force ground truth — the measurement that
     // gates any recall-for-speed trade before it ships. Twin composes
@@ -1171,6 +1176,29 @@ object SparkEntry {
          |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
          |  doc_id, score
          |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // s53 twin: identical integer-cleared BM25 — same 44/20/6/18
+    // coefficients, same single division per (doc, term), same
+    // 6-dp integer quantization and integer per-doc sum
+    "s53_bm25_search" ->
+      s"""WITH w AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(sum(len) AS BIGINT) AS sl, count(*) AS nd FROM lens),
+         |qt AS (SELECT DISTINCT unnest(regexp_extract_all(lower('$SearchQuery'), '[a-z0-9]+')) AS term),
+         |m AS (SELECT tf.doc_id,
+         |  CAST(floor(
+         |    (44.0*(nd-df)*tf*sl) / (20.0*tf*sl + 6.0*sl + 18.0*len*nd)
+         |    * 1000000.0 + 0.5) AS BIGINT) AS ts
+         |  FROM tf JOIN qt USING (term) JOIN df USING (term)
+         |    JOIN lens ON lens.doc_id = tf.doc_id CROSS JOIN tot),
+         |s AS (SELECT doc_id, CAST(sum(ts) AS DOUBLE)/1000000.0 AS score
+         |  FROM m GROUP BY 1)
+         |SELECT rnk, doc_id, score FROM (
+         |  SELECT doc_id, score,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM s)
+         |WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
     // CMS twin: the identical sketch — same salted md5-prefix bucket
     // hash ('d:' || gram, 60-bit '0x' cast ≡ Spark's conv(hex,16,10)),
     // same (d, bucket) counters over bigram OCCURRENCES, same sampled

@@ -246,6 +246,60 @@ object CorpusOps {
       .select("rnk", "doc_id", "score")
   }
 
+  /** BM25-shaped retrieval — what the cosine path ([[tfidfSearch]])
+    * lacks: TERM-FREQUENCY SATURATION (the 10th occurrence of a query
+    * term adds almost nothing) and LENGTH NORMALIZATION (a term hit
+    * in a short doc outweighs one in a long doc). Standard BM25 at
+    * k1 = 1.2, b = 0.75 scores a matching (doc, term) as
+    * idf · tf·(k1+1) / (tf + k1·(1−b + b·len/avglen)); here the
+    * constants are cleared to exact integers (multiply num and den by
+    * 20·SL, where SL = corpus token count and avglen = SL/N):
+    *
+    *   score_term = 44·(N−df)·tf·SL / (20·tf·SL + 6·SL + 18·len·N)
+    *
+    * with the linear (N−df) idf of the s46/s47 precedent (engine
+    * log() is last-ulp unportable; linear keeps the gate exact).
+    * Every factor is an exact integer-valued double (products ≪ 2^53
+    * at gate scale — production would move idf back to log space and
+    * lose gate-exactness, nothing else), so the ONE division per
+    * (doc, term) sees identical operands in every engine; its result
+    * is floor-quantized to a 6-dp INTEGER and the per-doc sum is
+    * integer — order-free — with the /10⁶ deferred to the end.
+    *
+    * Scale shape: the vocabulary-sized df table is filtered to the
+    * query's terms BEFORE joining the corpus, so the corpus-side join
+    * is one broadcast of ≤|query| rows against tf; doc lengths join
+    * doc-keyed; the two corpus totals broadcast as one row. Top-k via
+    * the TakeOrderedAndProject tail shared with [[tfidfSearch]].
+    */
+  def bm25Search(documents: DataFrame, query: String, k: Int = 10): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val tf = ledger.persist(termFrequencies(documents))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val lens = tf.groupBy("doc_id").agg(sum("tf").as("len"))
+    val totals = lens.agg(sum("len").as("sl"), count(lit(1)).as("nd"))
+    val qterms = Seq(query).toDF("qtext")
+      .select(explode(TextOps.tokens(col("qtext"))).as("term")).distinct()
+    val qdf = df.join(broadcast(qterms), Seq("term"))
+    tf.join(broadcast(qdf), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("ts", floor(
+        (lit(44.0) * (col("nd") - col("df")) * col("tf") * col("sl")) /
+          (lit(20.0) * col("tf") * col("sl") + lit(6.0) * col("sl")
+            + lit(18.0) * col("len") * col("nd"))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy("doc_id").agg(sum("ts").as("sts"))
+      .withColumn("score", col("sts").cast("double") / lit(1000000.0))
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select("rnk", "doc_id", "score")
+  }
+
   /** Sequence packing: concatenate each source's documents in doc_id
     * order and cut the token stream into fixed `seqLen` training
     * sequences; a document belongs to the sequence its FIRST token

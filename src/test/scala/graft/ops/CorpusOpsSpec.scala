@@ -560,6 +560,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.contains(("b", "c", 1L, 1L))) // bca from doc 1
   }
 
+  test("bm25Search: saturation caps repeated terms, shorter docs win ties, " +
+      "non-matching docs absent") {
+    val filler = (1 to 30).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      (1L, "s", "spark " + filler),                      // 1 hit, len 31
+      (2L, "s", ("spark " * 10).trim + " " + filler),    // 10 hits, len 40
+      (3L, "s", "spark"),                                // 1 hit, len 1
+      (4L, "s", filler))                                 // no hits
+    val out = CorpusOps.bm25Search(d, "spark", k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._2).toSet == Set(1L, 2L, 3L), "only matching docs rank")
+    val score = out.map(t => t._2 -> t._3).toMap
+    // length normalization: same single hit, the unpadded doc 3
+    // outscores the padded doc 1
+    assert(score(3L) > score(1L),
+      s"shorter doc must outscore at equal tf: ${score(3L)} vs ${score(1L)}")
+    // saturation: 10 repeats score highest but buy well under 10× —
+    // the k1-cap (tf·(k1+1)/(tf+k1·…) → k1+1) holds them below
+    // 2.5× the single padded hit (hand value: 1.878 vs 0.919)
+    assert(out.head._2 == 2L, "more hits still rank first")
+    assert(score(2L) < 2.5 * score(1L),
+      s"tf saturation must cap repeats: ${score(1L)} vs ${score(2L)}")
+  }
+
   test("lmCoverageScores: backoff levels 3/2/1/0 and ref-slice exclusion (golden)") {
     // doc_id % 10 < 3 → docs 1, 2 are the reference slice; their
     // trigram table is {abc, bcd, xyz}, bigram suffixes {bc, cd, yz},
