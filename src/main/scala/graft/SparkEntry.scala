@@ -484,6 +484,18 @@ object SparkEntry {
     // the skew family's first gate row: the salted join's contract is
     // EXACT equality with the plain join — brand revenue through the
     // salted path must hash-match the unsalted twin
+    // mixture upsampling: rare sources repeat (ceil(n_max/n), cap 4),
+    // the explicit epoch manifest a trainer's loader consumes
+    "t103_mixture_epochs" -> ((s, d) => { val t = Tables.load(s, d)
+      CorpusOps.mixtureEpochs(t.documents) }),
+    // decontamination composed with the CONTENT-HASH split (t51's
+    // bucket rule): per val/test doc, its most-containing train doc —
+    // the leakage report that decides whether an eval set ships
+    "t104_split_leakage" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, conv, substring}
+      val bucket = conv(substring(TextOps.fingerprint(col("text")), 1, 4), 16, 10)
+        .cast("long") % 10
+      Dedup.containmentReportWhere(t.documents, bucket >= 8) }),
     "t102_salted_join" -> ((s, d) => { val t = Tables.load(s, d)
       import org.apache.spark.sql.functions.{col, count, lit}
       val big = t.lineitem.select(col("l_partkey").as("pk"),
@@ -1848,6 +1860,38 @@ object SparkEntry {
       s"""SELECT p_brand, count(*) AS n_items, ${mny(rev)} AS revenue
          |FROM lineitem JOIN part ON p_partkey = l_partkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // t103 twin: same integer epoch rule ((n_max+n-1)//n capped at 4)
+    "t103_mixture_epochs" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |mx AS (SELECT max(n) AS n_max FROM c),
+        |r AS (SELECT source, least((n_max + n - 1) // n, 4) AS epochs
+        |  FROM c CROSS JOIN mx)
+        |SELECT doc_id, d.source, CAST(u.e AS BIGINT) AS epoch
+        |FROM documents d JOIN r ON r.source = d.source,
+        |  LATERAL (SELECT unnest(range(1, epochs + 1)) AS e) u
+        |ORDER BY doc_id, epoch""".stripMargin,
+    // t104 twin: t50's containment CTEs with the holdout predicate
+    // swapped for t51's content-hash bucket rule (bucket >= 8)
+    "t104_split_leakage" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk,
+         |  CAST(('0x'||substr(md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))),1,4)) AS BIGINT) % 10 AS bucket
+         |  FROM documents),
+         |s0 AS (SELECT doc_id, bucket >= 8 AS is_test,
+         |  unnest(list_distinct(list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' ')))) AS s
+         |  FROM t WHERE len(tk) >= 3),
+         |keep AS (SELECT s FROM (SELECT s, count(*) AS df FROM s0 GROUP BY 1) WHERE df <= 150),
+         |k AS (SELECT s0.doc_id, s0.is_test, s0.s FROM s0 JOIN keep USING (s)),
+         |tn AS (SELECT doc_id, count(*) AS tn FROM k WHERE is_test GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS test_id, b.doc_id AS train_id, count(*) AS inter
+         |  FROM k a JOIN k b ON a.s = b.s AND a.is_test AND NOT b.is_test
+         |  GROUP BY 1,2),
+         |scored AS (SELECT test_id, train_id,
+         |  ${q4("CAST(inter AS DOUBLE)/tn.tn")} AS containment
+         |  FROM inter JOIN tn ON tn.doc_id = test_id)
+         |SELECT test_id AS doc_id, train_id, containment FROM (
+         |  SELECT test_id, train_id, containment,
+         |    row_number() OVER (PARTITION BY test_id ORDER BY containment DESC, train_id) AS rn
+         |  FROM scored) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // t95 twin: same md5-prefix unigram buckets (the s46 hash), same
     // target slice, same integer weight table (one floored division
     // per bucket), same integer per-doc sums + one deferred division

@@ -1195,6 +1195,33 @@ object CorpusOps {
     * scans once and each join shuffles only on hashed gram keys, with
     * partial aggregation collapsing the per-doc counts map-side).
     */
+  /** Mixture UPSAMPLING — the other half of the mixture toolkit
+    * ([[mixtureSample]]/[[mixtureSampleTemperature]] sample big
+    * sources DOWN; this repeats small sources UP): each source gets
+    * an epoch count of ceil(n_max / n_source) capped at `maxEpochs`
+    * (the "a few epochs of the rare high-quality source" pattern —
+    * unbounded repetition memorizes), emitted as one (doc_id, source,
+    * epoch) row per pass so the training manifest materializes the
+    * repetition explicitly. All arithmetic is integer ((n_max + n −
+    * 1) div n — no doubles anywhere), so the gate is exact.
+    *
+    * Scale shape: per-source counts are one map-side-combined agg;
+    * the ≤|sources|-row epoch table broadcasts back onto the corpus;
+    * the explode multiplies rows by the bounded epoch count only.
+    */
+  def mixtureEpochs(documents: DataFrame, maxEpochs: Int = 4): DataFrame = {
+    val counts = documents.groupBy("source").agg(count(lit(1)).as("n"))
+    val nMax = counts.agg(max("n").as("n_max"))
+    val reps = counts.crossJoin(broadcast(nMax))
+      .select(col("source"),
+        least(expr("(n_max + n - 1) div n"), lit(maxEpochs.toLong)).as("epochs"))
+    documents.select("doc_id", "source")
+      .join(broadcast(reps), Seq("source"))
+      .withColumn("epoch", explode(sequence(lit(1L), col("epochs"))))
+      .select("doc_id", "source", "epoch")
+      .orderBy("doc_id", "epoch")
+  }
+
   /** DSIR-style importance weighting (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): score
     * each candidate document by how much its hashed-feature

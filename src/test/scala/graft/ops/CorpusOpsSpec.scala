@@ -560,6 +560,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.contains(("b", "c", 1L, 1L))) // bca from doc 1
   }
 
+  test("mixtureEpochs: rare sources repeat to parity, capped; integer rule (golden)") {
+    import org.apache.spark.sql.functions.col
+    // sources: 5 docs, 2 docs, 1 doc → epochs ceil(5/5)=1, ceil(5/2)=3, min(ceil(5/1),4)=4
+    val d = (1L to 5L).map(i => (i, "big", s"text $i")) ++
+      Seq((10L, "mid", "m one"), (11L, "mid", "m two"), (20L, "rare", "r one"))
+    val out = CorpusOps.mixtureEpochs(d.toDF("doc_id", "source", "text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySource = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySource == Map("big" -> 5, "mid" -> 6, "rare" -> 4), s"$bySource")
+    assert(out.filter(_._1 == 20L).map(_._3).sorted.toSeq == Seq(1L, 2L, 3L, 4L),
+      "the rare doc carries explicit epoch indices")
+    assert(out.filter(_._2 == "big").forall(_._3 == 1L), "parity source runs once")
+  }
+
   test("bm25Search: saturation caps repeated terms, shorter docs win ties, " +
       "non-matching docs absent") {
     val filler = (1 to 30).map(i => s"w$i").mkString(" ")
