@@ -484,6 +484,17 @@ object SparkEntry {
     // the skew family's first gate row: the salted join's contract is
     // EXACT equality with the plain join — brand revenue through the
     // salted path must hash-match the unsalted twin
+    "t102_salted_join" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val big = t.lineitem.select(col("l_partkey").as("pk"),
+        col("l_extendedprice"), col("l_discount"))
+      val small = t.part.select(col("p_partkey").as("pk"), col("p_brand"))
+      graft.ops.Skew.saltedJoin(big, small, "pk")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          graft.ops.Exact.moneySum(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy("p_brand") }),
     // mixture upsampling: rare sources repeat (ceil(n_max/n), cap 4),
     // the explicit epoch manifest a trainer's loader consumes
     "t103_mixture_epochs" -> ((s, d) => { val t = Tables.load(s, d)
@@ -496,17 +507,6 @@ object SparkEntry {
       val bucket = conv(substring(TextOps.fingerprint(col("text")), 1, 4), 16, 10)
         .cast("long") % 10
       Dedup.containmentReportWhere(t.documents, bucket >= 8) }),
-    "t102_salted_join" -> ((s, d) => { val t = Tables.load(s, d)
-      import org.apache.spark.sql.functions.{col, count, lit}
-      val big = t.lineitem.select(col("l_partkey").as("pk"),
-        col("l_extendedprice"), col("l_discount"))
-      val small = t.part.select(col("p_partkey").as("pk"), col("p_brand"))
-      graft.ops.Skew.saltedJoin(big, small, "pk")
-        .groupBy("p_brand")
-        .agg(count(lit(1)).as("n_items"),
-          graft.ops.Exact.moneySum(
-            col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
-        .orderBy("p_brand") }),
     // inverted index over rare terms, position-aware ordered postings
     "t78_inverted_index" -> ((s, d) => { val t = Tables.load(s, d)
       CorpusOps.invertedIndex(t.documents) }),
@@ -606,20 +606,20 @@ object SparkEntry {
     // md5-prefix bucket hash is the engine-portable minhash pattern)
     "t84_cms_heavy_hitters" -> ((s, d) => { val t = Tables.load(s, d)
       CorpusOps.cmsHeavyHitters(t.documents, threshold = 30L) }),
-    // BPE tokenizer APPLICATION: train 10 merges in-query, encode the
-    // corpus with them. Iterative greedy segmentation with
-    // data-dependent merges is not ANSI-SQL-expressible, so this row
-    // has no oracle twin (driver records the rows-only check); the
-    // round-trip + reference-encoder differential specs carry
-    // correctness (CorpusOpsSpec). Gate shape: tokens are flattened
-    // to a space-joined string so the rows-only sorter (which cannot
-    // hash an array column) can score the row; the library API keeps
-    // the array<string> for downstream composition.
-    "t85_bpe_encode" -> ((s, d) => { val t = Tables.load(s, d)
+    // BPE tokenizer APPLICATION under a REAL hash gate: iterative
+    // greedy segmentation with data-dependent merges is not
+    // ANSI-SQL-expressible, so the gate encodes the golden fixture
+    // (four planted docs) under a FIXED 10-merge table whose output is
+    // hand-derivable — the twin is the expected VALUES frame (t93/q41
+    // pattern; CorpusOps.goldenBpeFixture scaladoc walks the
+    // derivation). Exercises the full library path: tokenize →
+    // word-type table → batched merge composition → corpus reassembly.
+    // The trained full-corpus encode stays spec-covered (CorpusOpsSpec
+    // round-trip vs bpeTrain + reference-encoder differential).
+    "t85_bpe_encode" -> ((s, _) => {
       import org.apache.spark.sql.functions.{col, concat_ws}
-      val merges = CorpusOps.bpeTrain(t.documents, nMerges = 10).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      CorpusOps.bpeEncode(t.documents, merges)
+      CorpusOps.bpeEncode(
+          CorpusOps.goldenBpeFixture(s), CorpusOps.goldenBpeMerges)
         .select(col("doc_id"), col("n_tokens"),
           concat_ws(" ", col("tokens")).as("tokens_str")) }),
     // paragraph-level dedup (Dolma/CCNet): the gate texts are single
@@ -2104,6 +2104,18 @@ object SparkEntry {
       """SELECT * FROM (VALUES
         | (1, 2, 0), (1, 3, 1), (2, 3, 1)
         |) AS t(media_a, media_b, hamming) ORDER BY media_a, media_b""".stripMargin,
+    // t85 twin: the GOLDEN encode frame — four planted docs under the
+    // fixed 10-merge table, hand-derived in CorpusOps.goldenBpeFixture's
+    // scaladoc. Any drift in tokenization, rank-ordered merge
+    // application, greedy-leftmost overlap handling ("aaa" → [aa, a]),
+    // or positional document reassembly breaks the hash match.
+    "t85_bpe_encode" ->
+      """SELECT * FROM (VALUES
+        | (CAST(1 AS BIGINT), CAST(5 AS BIGINT), 'low low er low est'),
+        | (2, 5, 'new new est new s'),
+        | (3, 5, 'wid e wid est low'),
+        | (4, 12, 'aa a a b a b b a n a n a')
+        |) AS t(doc_id, n_tokens, tokens_str) ORDER BY doc_id""".stripMargin,
     // Similarity oracles compute dot products with
     // list_sum(list_transform(...)) — a SEQUENTIAL left-to-right fold,
     // bit-identical to Spark's `aggregate` higher-order function. A

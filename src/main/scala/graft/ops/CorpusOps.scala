@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -995,6 +995,49 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Golden BPE fixture (t85 gate): four planted documents whose
+    * encoding under [[goldenBpeMerges]] is hand-derivable from the
+    * greedy-leftmost merge rule alone, so the oracle twin is a VALUES
+    * constant (the t93/q41 golden-frame pattern for pipelines SQL
+    * can't recompute). Derivation, merge list applied in rank order
+    * — (l,o) (lo,w) (e,s) (es,t) (n,e) (ne,w) (w,i) (wi,d) (e,r)
+    * (a,a):
+    *  - "low"    → lo w → low                          = [low]
+    *  - "lower"  → low e r → (e,r) → [low, er]
+    *  - "lowest" → low e s t → (e,s)(es,t) → [low, est]
+    *  - "new"    → (n,e) ne w → (ne,w) → [new]
+    *  - "newest" → (e,s)(es,t) n e w est → (n,e)(ne,w) → [new, est]
+    *  - "news"   → (n,e)(ne,w) → [new, s]   ((e,s) never adjacent)
+    *  - "wide"   → (w,i)(wi,d) → [wid, e]
+    *  - "widest" → (e,s)(es,t)(w,i)(wi,d) → [wid, est]
+    *  - "aaa"    → (a,a) greedy LEFTMOST → [aa, a]  (the overlap rule)
+    *  - "abab", "banana" → no merge applies → single characters.
+    * Doc rows: 1 "low lower lowest" → 5 tokens "low low er low est";
+    * 2 "new newest news" → 5 "new new est new s"; 3 "wide widest low"
+    * → 5 "wid e wid est low"; 4 "aaa abab banana" → 12
+    * "aa a a b a b b a n a n a". Any drift in tokenization, merge
+    * order, greedy-overlap handling, or document reassembly breaks the
+    * hash match. The full-corpus trained encode stays the spec-covered
+    * library path (CorpusOpsSpec round-trip + differential).
+    */
+  def goldenBpeFixture(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "low lower lowest"),
+      (2L, "new newest news"),
+      (3L, "wide widest low"),
+      (4L, "aaa abab banana")
+    ).toDF("doc_id", "text")
+  }
+
+  /** The fixed 10-merge table [[goldenBpeFixture]] is derived under —
+    * a hand-auditable stand-in for [[bpeTrain]]'s artifact with the
+    * same (rank-ordered left/right pair) shape.
+    */
+  val goldenBpeMerges: Seq[(String, String)] = Seq(
+    ("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t"), ("n", "e"),
+    ("ne", "w"), ("w", "i"), ("wi", "d"), ("e", "r"), ("a", "a"))
+
   /** KN-substrate language-model counts: trigram frequencies plus the
     * continuation diversity of each bigram prefix — count(w1 w2 w3)
     * and countDistinct(w3 | w1 w2), the two tables Kneser-Ney
@@ -1163,38 +1206,6 @@ object CorpusOps {
       .orderBy("gram")
   }
 
-  /** Reference-LM coverage scoring — the CCNet-style "does this look
-    * like my reference corpus" quality signal, with transcendental-free
-    * arithmetic. CCNet ranks CommonCrawl documents by the perplexity of
-    * a Wikipedia-trained Kneser-Ney LM; the portable analogue here
-    * scores each held-out document by how far down the backoff chain a
-    * reference n-gram table must reach to explain its trigrams:
-    *
-    *   level 3 — the exact trigram occurs in the reference slice;
-    *   level 2 — only its bigram suffix (w2 w3) does (first backoff);
-    *   level 1 — only the unigram w3 does (second backoff);
-    *   level 0 — out-of-vocabulary even at the unigram level.
-    *
-    * A fluent document resolves almost everything at level 3/2; gibberish
-    * and lorem-noise fall through to 1/0 — exactly the separation a
-    * perplexity threshold buys, but every emitted number is an integer
-    * count plus ONE deferred IEEE division (`coverage = n_hit3/n_tri`),
-    * so the gate hashes bit-identically (log-space perplexity would not;
-    * see the linear-idf precedent on [[tfidfTopTerms]]).
-    *
-    * The reference slice is the deterministic `doc_id % refMod <
-    * refSlots` shard (defaults: 30% of the corpus); scored docs are the
-    * held-out rest — self-scoring the reference would saturate level 3.
-    *
-    * Scale shape: the reference n-gram tables are DISTINCT sets bounded
-    * by the reference slice's type count (sublinear in corpus size —
-    * Heaps' law), not its token count; the three backoff probes are
-    * plain equi-joins on ngram keys, each broadcast-eligible when the
-    * reference slice is small (the CCNet deployment: a fixed curated
-    * reference scoring an unbounded crawl — at 100 TB the score side
-    * scans once and each join shuffles only on hashed gram keys, with
-    * partial aggregation collapsing the per-doc counts map-side).
-    */
   /** Mixture UPSAMPLING — the other half of the mixture toolkit
     * ([[mixtureSample]]/[[mixtureSampleTemperature]] sample big
     * sources DOWN; this repeats small sources UP): each source gets
@@ -1234,8 +1245,10 @@ object CorpusOps {
     * candidates are the held-out rest.
     *
     * Portability: DSIR's per-feature log-ratio sum would not gate
-    * (engine logs differ in the last ulp); the monotone-equivalent
-    * linear form here keeps everything integral — the per-bucket
+    * (engine logs differ in the last ulp); the linear-ratio ANALOGUE
+    * here — an intentional portability trade-off, NOT a monotone
+    * transform of the log-ratio sum, so document rankings can differ
+    * from true DSIR — keeps everything integral: the per-bucket
     * weight is floor(10⁶·(tc+1)/(rc+1) + 0.5), an exact integer from
     * ONE IEEE division of exact integers (add-1 smoothing keeps
     * unseen-in-target buckets finite), a document's raw score is an
@@ -1274,6 +1287,38 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Reference-LM coverage scoring — the CCNet-style "does this look
+    * like my reference corpus" quality signal, with transcendental-free
+    * arithmetic. CCNet ranks CommonCrawl documents by the perplexity of
+    * a Wikipedia-trained Kneser-Ney LM; the portable analogue here
+    * scores each held-out document by how far down the backoff chain a
+    * reference n-gram table must reach to explain its trigrams:
+    *
+    *   level 3 — the exact trigram occurs in the reference slice;
+    *   level 2 — only its bigram suffix (w2 w3) does (first backoff);
+    *   level 1 — only the unigram w3 does (second backoff);
+    *   level 0 — out-of-vocabulary even at the unigram level.
+    *
+    * A fluent document resolves almost everything at level 3/2; gibberish
+    * and lorem-noise fall through to 1/0 — exactly the separation a
+    * perplexity threshold buys, but every emitted number is an integer
+    * count plus ONE deferred IEEE division (`coverage = n_hit3/n_tri`),
+    * so the gate hashes bit-identically (log-space perplexity would not;
+    * see the linear-idf precedent on [[tfidfTopTerms]]).
+    *
+    * The reference slice is the deterministic `doc_id % refMod <
+    * refSlots` shard (defaults: 30% of the corpus); scored docs are the
+    * held-out rest — self-scoring the reference would saturate level 3.
+    *
+    * Scale shape: the reference n-gram tables are DISTINCT sets bounded
+    * by the reference slice's type count (sublinear in corpus size —
+    * Heaps' law), not its token count; the three backoff probes are
+    * plain equi-joins on ngram keys, each broadcast-eligible when the
+    * reference slice is small (the CCNet deployment: a fixed curated
+    * reference scoring an unbounded crawl — at 100 TB the score side
+    * scans once and each join shuffles only on hashed gram keys, with
+    * partial aggregation collapsing the per-doc counts map-side).
+    */
   def lmCoverageScores(documents: DataFrame,
       refMod: Int = 10, refSlots: Int = 3): DataFrame = {
     val grams = documents

@@ -655,6 +655,9 @@ object Similarity {
 
   def pqIndexFrames(corpus: DataFrame,
       m: Int = 8, nCent: Int = 16, dim: Int = 64): PqIndex = {
+    require(m > 0 && dim % m == 0,
+      s"dim ($dim) must be divisible by m ($m) — a remainder would " +
+        "silently drop trailing dimensions from codes and reconstructions")
     val dp = dotWith(corpus.sparkSession) _
     val sub = dim / m
     val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))

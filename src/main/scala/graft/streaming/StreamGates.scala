@@ -288,7 +288,16 @@ object StreamGates {
     */
   private def timeShards(ev: DataFrame, n: Int): Seq[DataFrame] = {
     val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
-      max(unix_micros(col("ts"))).as("hi")).head()
+      max(unix_micros(col("ts"))).as("hi"),
+      sum(when(col("ts").isNull, 1L).otherwise(0L)).as("n_null")).head()
+    require(!b.isNullAt(0) && !b.isNullAt(1),
+      "timeShards: input has no non-null event times — every gate " +
+        "built on these shards would silently compare empty frames")
+    require(b.getLong(2) == 0L,
+      s"timeShards: ${b.getLong(2)} null-ts rows would vanish from " +
+        "every shard (the range filters drop nulls) — a gate could " +
+        "'pass' against a twin that also drops them without either " +
+        "side ever seeing the rows")
     val (lo, hi) = (b.getLong(0), b.getLong(1))
     val span = hi - lo + 1
     (0 until n).map { i =>

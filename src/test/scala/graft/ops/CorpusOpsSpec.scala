@@ -549,6 +549,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(0).getLong(2) == 6L)
   }
 
+  test("goldenBpeFixture encodes to the hand-derived t85 oracle frame") {
+    // pins the fixture to the VALUES twin in SparkEntry.oracleSql —
+    // if tokenization, merge order, greedy-overlap handling, or
+    // reassembly drifts, this fails before the driver gate does
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    val got = CorpusOps.bpeEncode(
+        CorpusOps.goldenBpeFixture(spark), CorpusOps.goldenBpeMerges)
+      .select(col("doc_id"), col("n_tokens"),
+        concat_ws(" ", col("tokens")).as("tokens_str"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq(
+      (1L, 5L, "low low er low est"),
+      (2L, 5L, "new new est new s"),
+      (3L, 5L, "wid e wid est low"),
+      (4L, 12L, "aa a a b a b b a n a n a")))
+  }
+
   test("lmCounts: trigram and continuation counts (golden)") {
     val d = docs(
       (1L, "s", "a b c a b d"), // trigrams: abc, bca, cab, abd
