@@ -702,6 +702,20 @@ object SparkEntry {
       graft.multimodal.MediaOps.imageNearDupPairs(
         graft.multimodal.MediaOps.goldenImageFixture(s),
         graft.multimodal.MediaOps.ImageIoDecoder, maxHamming = 5)),
+    // INCREMENTAL image near-dup: planted re-encodes (the golden
+    // patterns re-ingested at new ids — the monthly-re-crawl event)
+    // probe a hash index of the t93 corpus; old×old pairs are
+    // unrepresentable, history pixels never re-decode, and the novel
+    // all-dark image pairs with nothing. Twin = the hand-derived
+    // expected frame (goldenImageProbeFixture scaladoc). The
+    // persisted-bucketed form of the same index is spec-asserted
+    // zero-exchange (MediaOpsSpec).
+    "t105_incremental_image_neardup" -> ((s, _) => {
+      val M = graft.multimodal.MediaOps
+      M.incrementalImageNearDup(
+        M.goldenImageProbeFixture(s),
+        M.imageHashIndexFrame(M.goldenImageFixture(s), M.ImageIoDecoder),
+        M.ImageIoDecoder, maxHamming = 5) }),
     // label centroids: the vector-centroid capability under the gate
     // (order-independent exact means, unlike the pipeline Aggregator)
     "s37_label_centroids" -> ((s, d) => { val t = Tables.load(s, d)
@@ -2103,6 +2117,17 @@ object SparkEntry {
     "t93_image_neardup" ->
       """SELECT * FROM (VALUES
         | (1, 2, 0), (1, 3, 1), (2, 3, 1)
+        |) AS t(media_a, media_b, hamming) ORDER BY media_a, media_b""".stripMargin,
+    // t105 twin: the GOLDEN incremental pair frame — re-encoded
+    // patterns at new ids against the indexed t93 corpus, derived by
+    // hand from the aHash definition (goldenImageProbeFixture
+    // scaladoc). Old×old pairs (1,2)/(1,3)/(2,3) are absent BY
+    // CONSTRUCTION — their appearance would fail the hash match.
+    "t105_incremental_image_neardup" ->
+      """SELECT * FROM (VALUES
+        | (CAST(1 AS BIGINT), CAST(11 AS BIGINT), CAST(0 AS BIGINT)),
+        | (1, 14, 0), (2, 11, 0), (2, 14, 0), (3, 11, 1), (3, 14, 1),
+        | (4, 12, 0), (11, 14, 0)
         |) AS t(media_a, media_b, hamming) ORDER BY media_a, media_b""".stripMargin,
     // t85 twin: the GOLDEN encode frame — four planted docs under the
     // fixed 10-merge table, hand-derived in CorpusOps.goldenBpeFixture's

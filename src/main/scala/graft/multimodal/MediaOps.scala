@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -260,18 +260,7 @@ object MediaOps {
       media: DataFrame,
       decoder: ImageDecoder = StubDecoder,
       maxHamming: Int = 5): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 63, "maxHamming must be in [0, 63)")
-    val nChunks = maxHamming + 1
-    val width = (64 + nChunks - 1) / nChunks
-    val hashes = imageHashes(media, decoder)
-    val chunked = hashes.select(
-      col("media_id"), col("ahash"),
-      explode(array((0 until nChunks).map(c =>
-        struct(lit(c).as("chunk"),
-          shiftrightunsigned(col("ahash"), c * width)
-            .bitwiseAND((1L << math.min(width, 62)) - 1).as("ckey"))): _*)).as("ck"))
-      .select(col("media_id"), col("ahash"),
-        col("ck.chunk").as("chunk"), col("ck.ckey").as("ckey"))
+    val chunked = chunkHashes(imageHashes(media, decoder), maxHamming)
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
@@ -282,6 +271,100 @@ object MediaOps {
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("media_a", "media_b")
+  }
+
+  /** Pigeonhole chunk rows for a hash frame: the 64-bit hash splits
+    * into maxHamming+1 chunks, and any pair within maxHamming MUST
+    * agree exactly on at least one (chunk, ckey) — the equi-join
+    * candidate rule. ONE definition feeds [[imageNearDupPairs]], the
+    * persisted index build and the incremental probe, so build and
+    * probe chunking can never silently disagree (a mismatched
+    * maxHamming between index and probe changes chunk widths and
+    * would drop true candidates — hence the contract that the probe
+    * passes the SAME maxHamming the index was built with).
+    */
+  private[graft] def chunkHashes(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 63, "maxHamming must be in [0, 63)")
+    val nChunks = maxHamming + 1
+    val width = (64 + nChunks - 1) / nChunks
+    hashes.select(
+      col("media_id"), col("ahash"),
+      explode(array((0 until nChunks).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftrightunsigned(col("ahash"), c * width)
+            .bitwiseAND((1L << math.min(width, 62)) - 1).as("ckey"))): _*)).as("ck"))
+      .select(col("media_id"), col("ahash"),
+        col("ck.chunk").as("chunk"), col("ck.ckey").as("ckey"))
+  }
+
+  /** Persisted image-hash index frame: (media_id, ahash, chunk, ckey),
+    * one row per hash chunk — what the media lake stores so tomorrow's
+    * crawl shard never re-decodes (or re-shuffles) yesterday's corpus.
+    * 8-byte hashes only; pixels never enter the index. Append-only:
+    * a new shard's own frame is appended after its pairs are taken
+    * (the [[graft.ops.Dedup.MinhashIndex]] daily-loop contract).
+    */
+  def imageHashIndexFrame(
+      media: DataFrame,
+      decoder: ImageDecoder = StubDecoder,
+      maxHamming: Int = 5): DataFrame =
+    chunkHashes(imageHashes(media, decoder), maxHamming)
+
+  /** Persist the index bucketed by the candidate-join keys
+    * (chunk, ckey): the daily probe then scans history buckets in
+    * place — zero exchange on the indexed side (spec-asserted, the
+    * writeMinhashIndex pattern). Use an append-mode LakeWriter to
+    * grow it by one shard.
+    */
+  def writeImageHashIndex(
+      index: DataFrame, writer: graft.sinks.LakeWriter,
+      name: String, buckets: Int = 32): Unit =
+    writer.writeBucketed(index, s"${name}_chunks", buckets, Seq("chunk", "ckey"))
+
+  def readImageHashIndex(spark: SparkSession, name: String): DataFrame =
+    spark.table(s"${name}_chunks")
+
+  /** Image near-dup pairs for a NEW media shard against an indexed
+    * history — the multimodal member of the incremental-dedup family
+    * (images arrive incrementally too: the reference re-crawls
+    * monthly, `dota_extraction.yml:4-6`). Output is exactly
+    * `imageNearDupPairs(old ∪ new)` RESTRICTED to pairs with ≥1 new
+    * side — same chunk candidate rule, same exact hamming verify —
+    * but old×old work is UNREPRESENTABLE: the index appears in
+    * exactly one join, as the build side of the new-shard probe, and
+    * history pixels are never decoded again (only their stored
+    * 8-byte hashes are read). Contract: new media_ids are disjoint
+    * from indexed ids, and `maxHamming` equals the index build's.
+    */
+  def incrementalImageNearDup(
+      newMedia: DataFrame, index: DataFrame,
+      decoder: ImageDecoder = StubDecoder,
+      maxHamming: Int = 5): DataFrame = {
+    val newChunks = chunkHashes(imageHashes(newMedia, decoder), maxHamming)
+    incrementalImageCandidates(newChunks, index)
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("media_a", "media_b")
+  }
+
+  /** Candidate pairs (with their exact hamming, computable in-join
+    * from the two stored hashes) for the incremental probe: new×index
+    * plus new×new. Package-visible so the spec can plan-assert the
+    * bucketed probe in isolation (indexed side: one scan, no
+    * exchange).
+    */
+  private[graft] def incrementalImageCandidates(
+      newChunks: DataFrame, indexChunks: DataFrame): DataFrame = {
+    def pairs(b: DataFrame, cond: Column): DataFrame =
+      newChunks.as("a")
+        .join(b.as("b"),
+          col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") && cond)
+        .select(
+          least(col("a.media_id"), col("b.media_id")).as("media_a"),
+          greatest(col("a.media_id"), col("b.media_id")).as("media_b"),
+          bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).cast("long").as("hamming"))
+    pairs(indexChunks, col("a.media_id") =!= col("b.media_id"))
+      .unionByName(pairs(newChunks, col("a.media_id") < col("b.media_id")))
   }
 
   /** Build a media frame from raw tuples (test/ingest helper). */
@@ -307,16 +390,6 @@ object MediaOps {
     * Expected pairs at maxHamming=5: (1,2,0), (1,3,1), (2,3,1).
     */
   def goldenImageFixture(spark: SparkSession): DataFrame = {
-    def png(w: Int, h: Int)(pattern: (Int, Int) => Boolean): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until h; x <- 0 until w)
-        img.setRGB(x, y, if (pattern(x, y)) 0xffffff else 0x000000)
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      bos.toByteArray
-    }
-    def vsplit(w: Int)(x: Int, y: Int) = x >= w / 2
     fromRows(spark, Seq(
       Row(1L, "image", png(64, 64)(vsplit(64)), 64, 64, 0L, "png"),
       Row(2L, "image", png(128, 128)(vsplit(128)), 128, 128, 0L, "png"),
@@ -325,4 +398,39 @@ object MediaOps {
       Row(4L, "image", png(64, 64)((_, y) => y >= 32), 64, 64, 0L, "png"),
       Row(5L, "video", png(8, 8)(vsplit(8)), 8, 8, 900L, "h264")))
   }
+
+  /** The NEW-shard companion of [[goldenImageFixture]] (incremental
+    * gate): planted re-encodes of the indexed patterns re-ingested at
+    * fresh ids — the monthly-re-crawl event an incremental index
+    * exists for — plus one genuinely novel image:
+    *  - 11: the vertical split at 256×256 → ahash identical to #1/#2
+    *        (hamming 0; 1 from #3)
+    *  - 12: the horizontal split at 128×128 → identical to #4
+    *  - 13: all-dark → every grid cell equals the mean, no bit set,
+    *        hash 0x0 — hamming 32 from both pattern families, pairs
+    *        with NOTHING (the novel-image arm)
+    *  - 14: the vertical split at 32×32 → the new×new pair with 11
+    * Expected incremental pairs at maxHamming=5 (≥1 new side; old×old
+    * (1,2),(1,3),(2,3) must NOT appear): (1,11,0) (1,14,0) (2,11,0)
+    * (2,14,0) (3,11,1) (3,14,1) (4,12,0) (11,14,0).
+    */
+  def goldenImageProbeFixture(spark: SparkSession): DataFrame = {
+    fromRows(spark, Seq(
+      Row(11L, "image", png(256, 256)(vsplit(256)), 256, 256, 0L, "png"),
+      Row(12L, "image", png(128, 128)((_, y) => y >= 64), 128, 128, 0L, "png"),
+      Row(13L, "image", png(64, 64)((_, _) => false), 64, 64, 0L, "png"),
+      Row(14L, "image", png(32, 32)(vsplit(32)), 32, 32, 0L, "png")))
+  }
+
+  private def png(w: Int, h: Int)(pattern: (Int, Int) => Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (pattern(x, y)) 0xffffff else 0x000000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def vsplit(w: Int)(x: Int, y: Int) = x >= w / 2
 }

@@ -172,6 +172,75 @@ class MediaOpsSpec extends AnyFunSuite {
     assert(pairs == List((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)))
   }
 
+  test("incrementalImageNearDup == full recompute restricted to the new shard, " +
+    "and matches the hand-derived t105 frame") {
+    val old = MediaOps.goldenImageFixture(spark)
+    val fresh = MediaOps.goldenImageProbeFixture(spark)
+    val inc = MediaOps.incrementalImageNearDup(
+        fresh, MediaOps.imageHashIndexFrame(old, MediaOps.ImageIoDecoder),
+        MediaOps.ImageIoDecoder, maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(inc == List(
+      (1L, 11L, 0L), (1L, 14L, 0L), (2L, 11L, 0L), (2L, 14L, 0L),
+      (3L, 11L, 1L), (3L, 14L, 1L), (4L, 12L, 0L), (11L, 14L, 0L)))
+    // the incremental contract: exactly the full recompute over
+    // old ∪ new, restricted to pairs with ≥1 new side (ids ≥ 11)
+    val full = MediaOps.imageNearDupPairs(
+        old.unionByName(fresh), MediaOps.ImageIoDecoder, maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(p => p._1 >= 11L || p._2 >= 11L).toList
+    assert(inc == full)
+  }
+
+  test("persisted image-hash index: probe scans history bucket-locally, zero exchange") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val root = java.nio.file.Files.createTempDirectory("imgidx").toString
+    MediaOps.writeImageHashIndex(
+      MediaOps.imageHashIndexFrame(
+        MediaOps.goldenImageFixture(spark), MediaOps.ImageIoDecoder),
+      new graft.sinks.LakeWriter(root), "imgidx", buckets = 4)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val idx = MediaOps.readImageHashIndex(spark, "imgidx")
+      // plan-assert the candidate stage in isolation (the t63 spec
+      // shape): downstream distinct/orderBy exchanges of the small
+      // RESULT are fine; the indexed side itself must not shuffle
+      // between its scan and the join
+      val newChunks = MediaOps.chunkHashes(
+        MediaOps.imageHashes(
+          MediaOps.goldenImageProbeFixture(spark), MediaOps.ImageIoDecoder), 5)
+      val cand = MediaOps.incrementalImageCandidates(newChunks, idx)
+      val plan = cand.queryExecution.executedPlan
+      val scans = plan.collect {
+        case f: FileSourceScanExec if f.tableIdentifier.exists(_.table == "imgidx_chunks") => f
+      }
+      assert(scans.size == 1,
+        s"indexed hashes must feed exactly one join (no old-by-old recompute):\n$plan")
+      val shuffled = plan.collect {
+        case e: ShuffleExchangeExec if e.collect {
+          case f: FileSourceScanExec if f.tableIdentifier.exists(_.table == "imgidx_chunks") => f
+        }.nonEmpty => e
+      }
+      assert(shuffled.isEmpty,
+        s"indexed hashes must join bucket-locally, not shuffle:\n$plan")
+      // values survive the bucketed path unchanged
+      val probe = MediaOps.incrementalImageNearDup(
+        MediaOps.goldenImageProbeFixture(spark), idx,
+        MediaOps.ImageIoDecoder, maxHamming = 5)
+      assert(probe.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+        == List((1L, 11L, 0L), (1L, 14L, 0L), (2L, 11L, 0L), (2L, 14L, 0L),
+          (3L, 11L, 1L), (3L, 14L, 1L), (4L, 12L, 0L), (11L, 14L, 0L)))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+      spark.sql("DROP TABLE IF EXISTS imgidx_chunks")
+    }
+  }
+
   test("metadata-only queries prune the payload column at the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("media").toString + "/t"
     media.write.partitionBy("kind").parquet(dir)
