@@ -595,6 +595,14 @@ object SparkEntry {
       Similarity.recallAtK(
         Similarity.cosineTopK(t.embeddings),
         Similarity.pqTopK(t.embeddings)) }),
+    // PQ with LLOYD-TRAINED codebooks (the Jégou-paper production
+    // form): each subspace independently refines its 16 seed
+    // codewords by one squared-L2 k-means sweep with Exact-mean
+    // arithmetic, then the s49 ADC serving tail — the twin unrolls
+    // the sweep (s36/s44 precedent), so drift in assignment metric,
+    // tie-breaks, or mean arithmetic breaks the hash
+    "s54_pq_trained_topk" -> ((s, d) => { val t = Tables.load(s, d)
+      Similarity.pqTopKTrained(t.embeddings) }),
     // vector ANALYZE: per-dimension count / exact mean / min / max /
     // dead-component count — t81's sibling for the array column its
     // scalar profile skips
@@ -2393,6 +2401,56 @@ object SparkEntry {
          |xs AS (SELECT vec_id, j, v[j*8+1:j*8+8] AS sv
          |  FROM e, LATERAL (SELECT unnest(range(0, 8)) AS j) u
          |  WHERE vec_id >= 5),
+         |code AS (SELECT vec_id, j, cid FROM (
+         |  SELECT xs.vec_id, xs.j, cs.cid,
+         |    row_number() OVER (PARTITION BY xs.vec_id, xs.j ORDER BY
+         |      list_sum(list_transform(range(1, 9), i -> (sv[i]-scv[i])*(sv[i]-scv[i]))),
+         |      cs.cid) AS rn
+         |  FROM xs JOIN cs ON cs.j = xs.j) WHERE rn = 1),
+         |rec AS (SELECT c.vec_id, flatten(list(cs.scv ORDER BY c.j)) AS rv
+         |  FROM code c JOIN cs ON cs.j = c.j AND cs.cid = c.cid GROUP BY 1),
+         |rn2 AS (SELECT vec_id, rv,
+         |  sqrt(list_sum(list_transform(range(1, 65), i -> rv[i]*rv[i]))) AS rnrm
+         |  FROM rec),
+         |q AS (SELECT vec_id AS query_id, v AS qv,
+         |  sqrt(list_sum(list_transform(range(1, 65), i -> v[i]*v[i]))) AS qn
+         |  FROM e WHERE vec_id < 5),
+         |sc AS (SELECT query_id, r.vec_id,
+         |  floor(list_sum(list_transform(range(1, 65), i -> qv[i]*r.rv[i]))
+         |    /(qn*r.rnrm)*1000000.0+0.5)/1000000.0 AS cos
+         |  FROM q CROSS JOIN rn2 r)
+         |SELECT query_id, rnk, vec_id, cos FROM (
+         |  SELECT query_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM sc)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // s54 twin: s49's CTEs with ONE unrolled per-subspace Lloyd sweep
+    // between seed and encode — assign every corpus subvector to its
+    // nearest seed codeword (sequential-fold squared-L2, cid
+    // tiebreak), rebuild each surviving (j, cid) codeword
+    // component-wise with the exact-mean arithmetic (cmean — the
+    // s36Iter precedent, per subspace), then the s49 encode/
+    // reconstruct/serve tail against the refined codewords
+    "s54_pq_trained_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+         |  WHERE vec_id >= 5 ORDER BY vec_id LIMIT 16),
+         |cs0 AS (SELECT cid, j, cv[j*8+1:j*8+8] AS scv
+         |  FROM cent, LATERAL (SELECT unnest(range(0, 8)) AS j) u),
+         |xs AS (SELECT vec_id, j, v[j*8+1:j*8+8] AS sv
+         |  FROM e, LATERAL (SELECT unnest(range(0, 8)) AS j) u
+         |  WHERE vec_id >= 5),
+         |a1 AS (SELECT j, cid, sv FROM (
+         |  SELECT xs.j, cs0.cid, xs.sv,
+         |    row_number() OVER (PARTITION BY xs.vec_id, xs.j ORDER BY
+         |      list_sum(list_transform(range(1, 9), i -> (sv[i]-scv[i])*(sv[i]-scv[i]))),
+         |      cs0.cid) AS rn
+         |  FROM xs JOIN cs0 ON cs0.j = xs.j) WHERE rn = 1),
+         |m1 AS (SELECT j, cid, pos, ${cmean("val")} AS m
+         |  FROM (SELECT j, cid, i AS pos, sv[i] AS val
+         |    FROM a1, (SELECT unnest(range(1, 9)) AS i))
+         |  GROUP BY 1, 2, 3),
+         |cs AS (SELECT j, cid, list(m ORDER BY pos) AS scv FROM m1 GROUP BY 1, 2),
          |code AS (SELECT vec_id, j, cid FROM (
          |  SELECT xs.vec_id, xs.j, cs.cid,
          |    row_number() OVER (PARTITION BY xs.vec_id, xs.j ORDER BY

@@ -663,14 +663,75 @@ object Similarity {
     val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val centSub = pqCodebook(e, m, nCent, sub)
     val corpusSub = subVectors(e, m, sub, "sv")
+    PqIndex(centSub, pqEncodeAgainst(corpusSub, centSub, dp))
+  }
+
+  /** Argmin-encode subvector rows against a codeword table: one
+    * broadcast join + a (vec_id, j)-partitioned window. The single
+    * definition both the seed and the trained index build call — and
+    * the refinement's assign step mirrors — so "nearest codeword"
+    * can never mean different arithmetic in different places.
+    */
+  private def pqEncodeAgainst(corpusSub: DataFrame, cents: DataFrame,
+      dp: (Column, Column) => Column): DataFrame = {
     val diff = zip_with(col("sv"), col("cv"), (x, c) => x - c)
     val w = Window.partitionBy("vec_id", "j").orderBy(col("d2"), col("cid"))
-    val codes = corpusSub.join(broadcast(centSub), Seq("j"))
+    corpusSub.join(broadcast(cents), Seq("j"))
       .withColumn("d2", dp(diff, diff))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("vec_id", "j", "cid")
-    PqIndex(centSub, codes)
+  }
+
+  /** [[pqIndexFrames]] with per-subspace LLOYD-TRAINED codebooks — the
+    * production form (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011, trains each subspace's codebook
+    * with k-means; the seed form is the oracle-minimal contract):
+    * every subspace j independently tightens its nCent seed codewords
+    * by `kmeansIters` sweeps of squared-L2 assignment — the SAME
+    * sequential-fold metric encoding uses, so training and encoding
+    * cannot disagree — followed by component-wise [[Exact.meanOf6]]
+    * means. Refined codewords are therefore bit-reproducible and the
+    * whole index gates against a sweep-unrolled SQL twin (the
+    * s36/s44 precedent). Codewords that lose all members drop out
+    * (encoding argmins over the survivors — standard k-means).
+    *
+    * Scale shape: identical to the seed build plus, per sweep, one
+    * more broadcast-join assign pass and one m·nCent·sub-row partial
+    * aggregate — the corpus never shuffles; only (j, cid, pos, mean)
+    * partials do. The subvector frame is persisted across the
+    * assign/encode passes (released by [[releaseCaches]]).
+    */
+  def pqIndexFramesTrained(corpus: DataFrame,
+      m: Int = 8, nCent: Int = 16, dim: Int = 64,
+      kmeansIters: Int = 1): PqIndex = {
+    require(m > 0 && dim % m == 0,
+      s"dim ($dim) must be divisible by m ($m) — a remainder would " +
+        "silently drop trailing dimensions from codes and reconstructions")
+    val dp = dotWith(corpus.sparkSession) _
+    val sub = dim / m
+    val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val corpusSub = ledger.persist(subVectors(e, m, sub, "sv"))
+    var cents = pqCodebook(e, m, nCent, sub)
+    for (_ <- 0 until kmeansIters) {
+      val diff = zip_with(col("sv"), col("cv"), (x, c) => x - c)
+      val w = Window.partitionBy("vec_id", "j").orderBy(col("d2"), col("cid"))
+      val assigned = corpusSub.join(broadcast(cents), Seq("j"))
+        .withColumn("d2", dp(diff, diff))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("j"), col("cid"), col("sv"))
+      // m·nCent rows — localCheckpoint cuts per-sweep lineage exactly
+      // as ivfIndexFrames does for its centroid table
+      cents = assigned
+        .select(col("j"), col("cid"), posexplode(col("sv")))
+        .groupBy("j", "cid", "pos").agg(Exact.meanOf6(col("col")).as("m"))
+        .groupBy("j", "cid").agg(collect_list(struct(col("pos"), col("m"))).as("pm"))
+        .select(col("cid"), col("j"),
+          transform(array_sort(col("pm")), p => p.getField("m")).as("cv"))
+        .localCheckpoint()
+    }
+    PqIndex(cents, pqEncodeAgainst(corpusSub, cents, dp))
   }
 
   def writePqIndex(
@@ -749,6 +810,24 @@ object Similarity {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val served = e.filter(col("vec_id") < nQueries)
       .unionByName(pqReconstructions(embeddings, nQueries, m, nCent, dim))
+      .withColumn("nrm", sqrt(dp(col("v"), col("v"))))
+    bruteTopK(served, nQueries, k, dp)
+  }
+
+  /** [[pqTopK]] over the LLOYD-TRAINED index
+    * ([[pqIndexFramesTrained]]) — same ADC serving tail, tighter
+    * codewords: reconstructions sit closer to their vectors, so
+    * recall@k rises at identical code size (measured by [[recallAtK]]
+    * — the s51-vs-s54 comparison in SCALE.md).
+    */
+  def pqTopKTrained(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5,
+      m: Int = 8, nCent: Int = 16, dim: Int = 64,
+      kmeansIters: Int = 1): DataFrame = {
+    val dp = dotWith(embeddings.sparkSession) _
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val served = e.filter(col("vec_id") < nQueries)
+      .unionByName(reconstruct(pqIndexFramesTrained(
+        embeddings.filter(col("vec_id") >= nQueries), m, nCent, dim, kmeansIters)))
       .withColumn("nrm", sqrt(dp(col("v"), col("v"))))
     bruteTopK(served, nQueries, k, dp)
   }

@@ -336,6 +336,57 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again == rows, "PQ serving must be bit-deterministic across runs")
   }
 
+  test("pqIndexFramesTrained: zero sweeps degenerates to the seed index; one " +
+      "Lloyd sweep never increases total reconstruction distortion") {
+    import org.apache.spark.sql.functions.col
+    val corpus = planted.filter(col("vec_id") >= 5L)
+    val seedIdx = Similarity.pqIndexFrames(corpus)
+    val zeroIter = Similarity.pqIndexFramesTrained(corpus, kmeansIters = 0)
+    def codesOf(i: Similarity.PqIndex) = i.codes.collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(codesOf(zeroIter) == codesOf(seedIdx),
+      "kmeansIters = 0 must reproduce the seed build exactly")
+    // the k-means contract: assign-then-mean cannot raise the summed
+    // squared reconstruction error (6-dp mean quantization adds at
+    // most ulp-scale slack, covered by the tolerance)
+    val vecs = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def distortion(i: Similarity.PqIndex): Double = {
+      val cb = i.codebook.collect()
+        .map(r => ((r.getInt(1), r.getLong(0)), r.getSeq[Double](2).toArray))
+      val byKey = cb.toMap
+      i.codes.collect().map { r =>
+        val (vid, j, cid) = (r.getLong(0), r.getInt(1), r.getLong(2))
+        val cw = byKey((j, cid))
+        val sv = vecs(vid).slice(j * 8, j * 8 + 8)
+        sv.zip(cw).map { case (x, c) => (x - c) * (x - c) }.sum
+      }.sum
+    }
+    val trained = Similarity.pqIndexFramesTrained(corpus, kmeansIters = 1)
+    val d0 = distortion(seedIdx)
+    val d1 = distortion(trained)
+    assert(d1 <= d0 * 1.0001 + 1e-6,
+      s"one Lloyd sweep must tighten codewords: seed $d0 -> trained $d1")
+    assert(d1 < d0, s"on this corpus the sweep should strictly improve: $d0 -> $d1")
+    Similarity.releaseCaches()
+  }
+
+  test("pqTopKTrained: keeps every planted near-dup, deterministic across runs") {
+    val rows = Similarity.pqTopKTrained(planted, nQueries = 5, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length == 5, s"query $q returned ${rs.length} rows") }
+    val served = rows.map(t => (t._1, t._3)).toSet
+    (0 until 5).foreach { i =>
+      assert(served.contains((i.toLong, 100L + i)),
+        s"query $i lost its planted near-dup through trained-PQ serving")
+    }
+    val again = Similarity.pqTopKTrained(planted, nQueries = 5, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(again == rows, "trained-PQ serving must be bit-deterministic across runs")
+    Similarity.releaseCaches()
+  }
+
   test("embeddingProfile: per-dim stats with dead-component counting (golden)") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f, -2.0f)),
