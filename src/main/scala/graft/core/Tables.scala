@@ -95,6 +95,48 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+
+  /** Run a read action against catalog tables that a concurrent
+    * `compactBucketed`/`compact` may be swapping — the reader-side
+    * half of the maintenance contract. The swap is two directory
+    * renames (original set aside, rewrite moved in), so a reader
+    * listing or scanning inside that window — or holding a file
+    * index cached BEFORE the swap — fails with a missing-path error.
+    * The window is two rename syscalls wide; this helper closes it
+    * by refreshing the named tables' file indexes and retrying with
+    * bounded backoff. Any other failure (analysis, arithmetic, OOM)
+    * rethrows immediately — retrying those would mask real bugs.
+    *
+    * This is the non-transactional-lake contract made explicit:
+    * readers never see a torn table (the swap directories are
+    * complete at every instant a directory exists) and transient
+    * listing failures are absorbed here; a table format with
+    * snapshot isolation remains the 100 TB upgrade path.
+    */
+  def withSwapRetry[T](spark: SparkSession, tables: Seq[String],
+      attempts: Int = 8, backoffMs: Long = 50L)(body: => T): T = {
+    def missingPath(e: Throwable): Boolean =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16).exists {
+        case _: java.io.FileNotFoundException => true
+        case t => val m = t.getMessage
+          m != null && (m.contains("FileNotFoundException") ||
+            m.contains("does not exist") || m.contains("PATH_NOT_FOUND"))
+      }
+    var attempt = 1
+    while (true) {
+      try return body
+      catch {
+        case e: Throwable if missingPath(e) && attempt < attempts =>
+          tables.foreach { t =>
+            try spark.catalog.refreshTable(t)
+            catch { case _: Throwable => () } // table mid-swap: retry resolves
+          }
+          Thread.sleep(backoffMs * attempt)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 }
 
 /** Session factory with the scale-oriented defaults every entry point

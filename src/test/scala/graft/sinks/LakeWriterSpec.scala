@@ -180,6 +180,72 @@ class LakeWriterSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS lk_race")
   }
 
+  test("withSwapRetry: a reader loop racing compactBucketed never throws " +
+    "and always sees the full table") {
+    val root = Files.createTempDirectory("swapread").toString
+    val lw = new LakeWriter(root, mode = "append")
+    val base = (1 to 8000).map(i => (i.toLong % 32, i.toLong)).toDF("k", "v")
+    (0 until 4).foreach(_ =>
+      lw.writeBucketed(base.limit(2000), "lk_read", 4, Seq("k")))
+    val expected = spark.table("lk_read").count()
+    try {
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val reads = new java.util.concurrent.atomic.AtomicLong(0)
+      val reader = new Thread(() => {
+        try while (!stop.get()) {
+          val n = graft.core.Tables.withSwapRetry(spark, Seq("lk_read")) {
+            spark.table("lk_read").count()
+          }
+          if (n != expected)
+            failures.add(new AssertionError(s"torn read: $n != $expected"))
+          reads.incrementAndGet()
+          ()
+        } catch { case t: Throwable => failures.add(t) }
+      })
+      reader.start()
+      // several full swap cycles while the reader hammers the table
+      (0 until 3).foreach(_ => lw.compactBucketed(spark, "lk_read"))
+      stop.set(true)
+      reader.join(120000)
+      assert(!reader.isAlive, "reader thread must complete")
+      assert(failures.isEmpty,
+        s"reader racing the swap must never throw or tear: ${failures.peek()}")
+      assert(reads.get() > 0, "the reader loop must actually have read")
+    } finally spark.sql("DROP TABLE IF EXISTS lk_read")
+  }
+
+  test("withSwapRetry: retries only missing-path failures, bounded, then rethrows") {
+    // deterministic unit of the retry rule (the race above can't
+    // guarantee the two-rename window is ever actually hit)
+    var calls = 0
+    val out = graft.core.Tables.withSwapRetry(spark, Seq.empty, backoffMs = 1L) {
+      calls += 1
+      if (calls < 3) throw new org.apache.spark.SparkException("scan failed",
+        new java.io.FileNotFoundException("part-0000 does not exist"))
+      42
+    }
+    assert(out == 42 && calls == 3, s"must retry through the window: calls=$calls")
+    // exhausted attempts rethrow the real error
+    var calls2 = 0
+    val e = intercept[java.io.FileNotFoundException] {
+      graft.core.Tables.withSwapRetry(spark, Seq.empty, attempts = 3, backoffMs = 1L) {
+        calls2 += 1
+        throw new java.io.FileNotFoundException("gone forever")
+      }
+    }
+    assert(calls2 == 3 && e.getMessage == "gone forever")
+    // a non-path failure is NOT retried — it would mask real bugs
+    var calls3 = 0
+    intercept[IllegalArgumentException] {
+      graft.core.Tables.withSwapRetry(spark, Seq.empty, backoffMs = 1L) {
+        calls3 += 1
+        throw new IllegalArgumentException("analysis bug")
+      }
+    }
+    assert(calls3 == 1, "non-missing-path errors must rethrow immediately")
+  }
+
   test("compact leaves no scratch artifacts (__compacting / __old / lock)") {
     val root = Files.createTempDirectory("lock4").toString
     val lw = new LakeWriter(root, mode = "append")
