@@ -49,6 +49,16 @@ object SparkEntry {
   // s47's literal query — one constant interpolated into BOTH the
   // Spark call and the twin SQL (single source of truth)
   private val SearchQuery = "spark agg window merge vector"
+  // s55's query table — one constant Seq interpolated into BOTH the
+  // Spark frame and the twin's VALUES rows (single source of truth);
+  // query 1 is s53's literal so the batch form provably covers it
+  private val BatchQueries = Seq(
+    (1L, SearchQuery),
+    (2L, "customer query stream filter"),
+    (3L, "hash join sort column"))
+  private def batchQueryValues: String =
+    BatchQueries.map { case (id, q) => s"(CAST($id AS BIGINT), '$q')" }
+      .mkString(", ")
   // t64/t65 media fixture as VALUES rows, generated from the SAME Seq
   // the Spark-side frame is built from (Fixtures.mediaMeta)
   private def mediaValues: String =
@@ -507,6 +517,17 @@ object SparkEntry {
       val bucket = conv(substring(TextOps.fingerprint(col("text")), 1, 4), 16, 10)
         .cast("long") % 10
       Dedup.containmentReportWhere(t.documents, bucket >= 8) }),
+    // FUZZY decontamination across the same content-hash split: train
+    // docs minhash-banded against val/test docs ONLY (within-split
+    // pairs unrepresentable) — catches the paraphrase-level
+    // contamination exact shingle containment (t104) misses
+    "t107_cross_decontaminate" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, conv, substring}
+      val bucket = conv(substring(TextOps.fingerprint(col("text")), 1, 4), 16, 10)
+        .cast("long") % 10
+      Dedup.crossNearDups(
+        t.documents.filter(bucket < 8),
+        t.documents.filter(bucket >= 8)) }),
     // inverted index over rare terms, position-aware ordered postings
     "t78_inverted_index" -> ((s, d) => { val t = Tables.load(s, d)
       CorpusOps.invertedIndex(t.documents) }),
@@ -570,6 +591,14 @@ object SparkEntry {
     // linear idf — one IEEE division per (doc, term), integer sums
     "s53_bm25_search" -> ((s, d) => { val t = Tables.load(s, d)
       CorpusOps.bm25Search(t.documents, SearchQuery) }),
+    // BM25 batch serving: a 3-query TABLE scored in one corpus pass —
+    // tf/lens/totals computed once, the per-query df table broadcast
+    // onto the shared tf frame, per-query top-k by a partitioned rank
+    // window. The single-query s53 path delegates to this form.
+    "s55_bm25_batch" -> ((s, d) => { val t = Tables.load(s, d)
+      import s.implicits._
+      CorpusOps.bm25SearchBatch(
+        t.documents, BatchQueries.toDF("query_id", "qtext")) }),
     // ANN eval harness: recall@k of the seed-centroid IVF (nProbe=4)
     // against the brute-force ground truth — the measurement that
     // gates any recall-for-speed trade before it ships. Twin composes
@@ -724,6 +753,18 @@ object SparkEntry {
         M.goldenImageProbeFixture(s),
         M.imageHashIndexFrame(M.goldenImageFixture(s), M.ImageIoDecoder),
         M.ImageIoDecoder, maxHamming = 5) }),
+    // audio near-dup END-TO-END: real WAV payloads → JDK PCM decode →
+    // 64-bin envelope hash per chunk window → pigeonhole pair join
+    // per aligned window. The fixture's half-split envelopes at
+    // amplitude exactly 0.5 make every hash hand-derivable
+    // (MediaOps.goldenAudioFixture scaladoc), so the twin is the
+    // analytically-known golden frame — asserting decode, binning,
+    // thresholding, window alignment and hamming verify in one row
+    "t106_audio_neardup" -> ((s, _) =>
+      graft.multimodal.MediaOps.audioNearDupPairs(
+        graft.multimodal.MediaOps.goldenAudioFixture(s),
+        graft.multimodal.MediaOps.WavDecoder,
+        windowMs = 2000L, strideMs = 2000L, maxHamming = 5)),
     // label centroids: the vector-centroid capability under the gate
     // (order-independent exact means, unlike the pipeline Aggregator)
     "s37_label_centroids" -> ((s, d) => { val t = Tables.load(s, d)
@@ -1233,6 +1274,31 @@ object SparkEntry {
          |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
          |  FROM s)
          |WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+    // s55 twin: the s53 arithmetic with query_id carried through —
+    // VALUES query table, per-query rank window, same 44/20/6/18
+    // integer-cleared scoring and 6-dp quantization
+    "s55_bm25_batch" ->
+      s"""WITH w AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(sum(len) AS BIGINT) AS sl, count(*) AS nd FROM lens),
+         |q AS (SELECT * FROM (VALUES $batchQueryValues) AS v(query_id, qtext)),
+         |qt AS (SELECT DISTINCT query_id,
+         |    unnest(regexp_extract_all(lower(qtext), '[a-z0-9]+')) AS term FROM q),
+         |m AS (SELECT qt.query_id, tf.doc_id,
+         |  CAST(floor(
+         |    (44.0*(nd-df)*tf*sl) / (20.0*tf*sl + 6.0*sl + 18.0*len*nd)
+         |    * 1000000.0 + 0.5) AS BIGINT) AS ts
+         |  FROM tf JOIN qt USING (term) JOIN df USING (term)
+         |    JOIN lens ON lens.doc_id = tf.doc_id CROSS JOIN tot),
+         |s AS (SELECT query_id, doc_id, CAST(sum(ts) AS DOUBLE)/1000000.0 AS score
+         |  FROM m GROUP BY 1, 2)
+         |SELECT query_id, rnk, doc_id, score FROM (
+         |  SELECT query_id, doc_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM s)
+         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
     // CMS twin: the identical sketch — same salted md5-prefix bucket
     // hash ('d:' || gram, 60-bit '0x' cast ≡ Spark's conv(hex,16,10)),
     // same (d, bucket) counters over bigram OCCURRENCES, same sampled
@@ -1914,6 +1980,41 @@ object SparkEntry {
          |  SELECT test_id, train_id, containment,
          |    row_number() OVER (PARTITION BY test_id ORDER BY containment DESC, train_id) AS rn
          |  FROM scored) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // t107 twin: the t25 minhash recompute with the candidate join
+    // RESTRICTED to train-side × eval-side under the t104 bucket rule
+    // — same affine family, band keys, and quantized Jaccard verify;
+    // within-split pairs must be absent by construction
+    "t107_cross_decontaminate" ->
+      s"""WITH base AS (SELECT doc_id, $toks AS tk,
+         |  CAST(('0x'||substr(md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))),1,4)) AS BIGINT) % 10 AS bucket
+         |  FROM documents),
+         |w AS (SELECT DISTINCT doc_id, tok FROM
+         |  (SELECT doc_id, unnest(tk) AS tok FROM base)),
+         |hb AS (SELECT doc_id,
+         |  CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) % $mhP AS h FROM w),
+         |sig AS (SELECT doc_id,
+         |  ${mhCoeffs.zipWithIndex.map { case ((a, b), i) =>
+            s"min(($a*h+$b) % $mhP) AS h$i" }.mkString(",\n         |  ")}
+         |  FROM hb GROUP BY 1),
+         |band AS (
+         |  ${(0 until 4).map(b =>
+            s"SELECT doc_id, $b${if (b == 0) " AS b" else ""}, md5(${(4 * b until 4 * b + 4).map(i => s"h$i::VARCHAR").mkString("||','||")})${if (b == 0) " AS k" else ""} FROM sig")
+            .mkString(" UNION ALL\n         |  ")}),
+         |side AS (SELECT doc_id, bucket FROM base),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band a JOIN band b ON a.b = b.b AND a.k = b.k
+         |  JOIN side sa ON sa.doc_id = a.doc_id
+         |  JOIN side sb ON sb.doc_id = b.doc_id
+         |  WHERE sa.bucket < 8 AND sb.bucket >= 8),
+         |n AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+         |p AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c JOIN w wa ON wa.doc_id = c.doc_a
+         |  JOIN w wb ON wb.doc_id = c.doc_b AND wb.tok = wa.tok GROUP BY 1,2)
+         |SELECT p.doc_a AS train_id, p.doc_b AS eval_id,
+         | ${q4("CAST(inter AS DOUBLE)/(na.n+nb.n-inter)")} AS jac
+         |FROM p JOIN n na ON na.doc_id = p.doc_a JOIN n nb ON nb.doc_id = p.doc_b
+         |WHERE ${q4("CAST(inter AS DOUBLE)/(na.n+nb.n-inter)")} >= 0.5
+         |ORDER BY train_id, eval_id""".stripMargin,
     // t95 twin: same md5-prefix unigram buckets (the s46 hash), same
     // target slice, same integer weight table (one floored division
     // per bucket), same integer per-doc sums + one deferred division
@@ -2137,6 +2238,18 @@ object SparkEntry {
         | (1, 14, 0), (2, 11, 0), (2, 14, 0), (3, 11, 1), (3, 14, 1),
         | (4, 12, 0), (11, 14, 0)
         |) AS t(media_a, media_b, hamming) ORDER BY media_a, media_b""".stripMargin,
+    // t106 twin: the GOLDEN audio window-pair frame, derived by hand
+    // from the envelope-hash definition over the half-split WAV
+    // fixture (MediaOps.goldenAudioFixture scaladoc walks the
+    // derivation). The 16 kHz re-encode pairs at hamming 0, the
+    // first-bin edit at exactly 1 bit; the reversed envelope (64
+    // bits away) must be absent.
+    "t106_audio_neardup" ->
+      """SELECT * FROM (VALUES
+        | (CAST(21 AS BIGINT), CAST(22 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        | (21, 23, 0, 1), (22, 23, 0, 1)
+        |) AS t(media_a, media_b, start_ms, hamming)
+        |ORDER BY media_a, media_b, start_ms""".stripMargin,
     // t85 twin: the GOLDEN encode frame — four planted docs under the
     // fixed 10-merge table, hand-derived in CorpusOps.goldenBpeFixture's
     // scaladoc. Any drift in tokenization, rank-ordered merge

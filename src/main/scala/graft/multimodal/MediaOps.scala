@@ -173,6 +173,212 @@ object MediaOps {
         least(col("start_ms") + windowMs, col("duration_ms")).as("end_ms"),
         col("codec"))
 
+  /** bytes → (sampleRateHz, mono PCM samples in [-1,1]). The audio
+    * half of the decoder seam ([[ImageDecoder]]'s contract): real
+    * decoders validate a positive `durationMs` metadata claim against
+    * the decoded length and FAIL LOUDLY on drift; implementations
+    * MUST be deterministic for a given byte string.
+    */
+  trait AudioDecoder extends Serializable {
+    def decode(bytes: Array[Byte], durationMs: Long): (Int, Array[Float])
+  }
+
+  /** STUB: deterministic fake PCM — 1 kHz rate (one sample per
+    * metadata millisecond), pseudo-samples from the payload hash.
+    * Keeps window math, batching and the hash shape honest without
+    * audio codecs in the container.
+    */
+  object StubAudioDecoder extends AudioDecoder {
+    override def decode(bytes: Array[Byte], durationMs: Long): (Int, Array[Float]) = {
+      val seed = java.util.Arrays.hashCode(bytes).toLong & 0xffffffffL
+      val rng = new scala.util.Random(seed)
+      (1000, Array.fill(math.max(durationMs, 1L).toInt)(rng.nextFloat() * 2f - 1f))
+    }
+  }
+
+  /** REAL audio decode via the JDK's built-in sampled-sound readers
+    * (WAV/AIFF PCM — zero extra dependencies): 16-bit signed frames →
+    * mono floats in [-1,1] (channels averaged). Deterministic — the
+    * PCM bytes map to floats by exact integer division by 32768. A
+    * positive `durationMs` that contradicts the decoded
+    * `floor(frames·1000/rate)` fails loudly (drifted metadata would
+    * silently shift every window boundary downstream).
+    */
+  object WavDecoder extends AudioDecoder {
+    override def decode(bytes: Array[Byte], durationMs: Long): (Int, Array[Float]) = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16)
+        throw new IllegalArgumentException(
+          s"unsupported audio format $fmt — 16-bit signed PCM only")
+      val frames = ais.readAllBytes()
+      val ch = fmt.getChannels
+      val big = fmt.isBigEndian
+      val n = frames.length / (2 * ch)
+      val out = new Array[Float](n)
+      var i = 0
+      while (i < n) {
+        var acc = 0f
+        var c = 0
+        while (c < ch) {
+          val off = (i * ch + c) * 2
+          val lo = frames(off + (if (big) 1 else 0)) & 0xff
+          val hi = frames(off + (if (big) 0 else 1)).toInt
+          acc += ((hi << 8) | lo).toShort / 32768f
+          c += 1
+        }
+        out(i) = acc / ch
+        i += 1
+      }
+      val rate = math.round(fmt.getSampleRate)
+      val decodedMs = n.toLong * 1000L / rate
+      if (durationMs > 0 && decodedMs != durationMs)
+        throw new IllegalArgumentException(
+          s"audio payload is ${decodedMs}ms at ${rate}Hz but row metadata " +
+            s"claims ${durationMs}ms — drifted metadata; fix ingestion or " +
+            "quarantine the row")
+      (rate, out)
+    }
+  }
+
+  /** 64-bit envelope hash of a PCM slice — the audio analogue of
+    * [[aHash]]: the slice splits into 64 equal time bins (bin index
+    * `i·64/n`, the aHash grid walk), each bin's mean ABSOLUTE
+    * amplitude is thresholded at the mean of the 64 bin means, bits
+    * pack MSB-first (bit 63 = bin 0). Loudness-envelope shape is what
+    * survives re-encoding and resampling — a re-encode at a different
+    * sample rate lands on the IDENTICAL hash when bin boundaries
+    * align, and hamming distance measures envelope change.
+    */
+  def audioHash(samples: Array[Float], from: Int, until: Int): Long = {
+    val n = until - from
+    require(n > 0, s"empty audio hash window [$from, $until)")
+    val sums = new Array[Float](64)
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val b = (i.toLong * 64 / n).toInt
+      sums(b) += math.abs(samples(from + i))
+      counts(b) += 1
+      i += 1
+    }
+    val cells = new Array[Float](64)
+    var total = 0f
+    i = 0
+    while (i < 64) {
+      cells(i) = if (counts(i) > 0) sums(i) / counts(i) else 0f
+      total += cells(i)
+      i += 1
+    }
+    val mean = total / 64f
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (cells(i) > mean) hash |= 1L << (63 - i)
+      i += 1
+    }
+    hash
+  }
+
+  /** Per-window audio fingerprints: decode in batches (the
+    * [[featurize]] shape), cut each file on the [[audioChunkPlan]]
+    * window grid (same stride/clamp rules, so plan and fingerprints
+    * can never disagree on boundaries), hash each window's envelope —
+    * (media_id, start_ms, end_ms, fhash). The 8-byte hash is the only
+    * thing that leaves the scan; PCM never shuffles.
+    */
+  def audioFingerprints(
+      media: DataFrame,
+      decoder: AudioDecoder = StubAudioDecoder,
+      windowMs: Long = 10000L, strideMs: Long = 5000L,
+      batchSize: Int = 64): DataFrame = {
+    require(windowMs > 0 && strideMs > 0, "windowMs and strideMs must be positive")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("start_ms", LongType, nullable = false),
+      StructField("end_ms", LongType, nullable = false),
+      StructField("fhash", LongType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    media.filter(col("kind") === "audio" && col("duration_ms") > 0)
+      .select("media_id", "bytes", "duration_ms")
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { r =>
+            val id = r.getAs[Long]("media_id")
+            val durMs = r.getAs[Long]("duration_ms")
+            val (rate, samples) = decoder.decode(r.getAs[Array[Byte]]("bytes"), durMs)
+            (0L until durMs by strideMs).map { start =>
+              val end = math.min(start + windowMs, durMs)
+              val s0 = (start * rate / 1000L).toInt
+              val s1 = math.min(end * rate / 1000L, samples.length.toLong).toInt
+              Row(id, start, end, audioHash(samples, s0, s1))
+            }
+          }
+        }
+      }(enc)
+  }
+
+  /** Audio NEAR-dup window pairs — the audio member of the dedup
+    * family: re-encoded or resampled copies land within `maxHamming`
+    * envelope-hash bits of each other, window by window. Candidates
+    * come from the SAME pigeonhole rule as images ([[chunkHashes]]'
+    * underlying split), equi-joined per (start_ms, chunk, ckey) so
+    * only aligned windows ever pair and only 8-byte hashes shuffle;
+    * exact hamming verifies. Emits (media_a, media_b, start_ms,
+    * hamming) per matched window — [[audioNearDup]] aggregates to
+    * file-level matches.
+    */
+  def audioNearDupPairs(
+      media: DataFrame,
+      decoder: AudioDecoder = StubAudioDecoder,
+      windowMs: Long = 10000L, strideMs: Long = 5000L,
+      maxHamming: Int = 5): DataFrame = {
+    val chunked = pigeonholeChunks(
+      audioFingerprints(media, decoder, windowMs, strideMs), "fhash", maxHamming)
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+          col("a.start_ms") === col("b.start_ms") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(
+        col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        col("a.start_ms").as("start_ms"),
+        bit_count(col("a.fhash").bitwiseXOR(col("b.fhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("media_a", "media_b", "start_ms")
+  }
+
+  /** File-level audio near-dup report: window pairs aggregated per
+    * (media_a, media_b) with the matched-window count and the match
+    * fraction against the LONGER file's window count (conservative —
+    * a clip matching a subset of a longer recording scores by the
+    * longer timeline). `minMatchFrac` keeps only pairs whose
+    * envelopes agree on most of the timeline.
+    */
+  def audioNearDup(
+      media: DataFrame,
+      decoder: AudioDecoder = StubAudioDecoder,
+      windowMs: Long = 10000L, strideMs: Long = 5000L,
+      maxHamming: Int = 5, minMatchFrac: Double = 0.8): DataFrame = {
+    val fp = audioFingerprints(media, decoder, windowMs, strideMs)
+    val nWin = fp.groupBy("media_id").agg(count(lit(1)).as("n_windows"))
+    audioNearDupPairs(media, decoder, windowMs, strideMs, maxHamming)
+      .groupBy("media_a", "media_b")
+      .agg(count(lit(1)).as("n_matched"), max("hamming").as("max_hamming"))
+      .join(nWin.withColumnRenamed("media_id", "media_a")
+        .withColumnRenamed("n_windows", "wa"), Seq("media_a"))
+      .join(nWin.withColumnRenamed("media_id", "media_b")
+        .withColumnRenamed("n_windows", "wb"), Seq("media_b"))
+      .withColumn("match_frac", graft.ops.Exact.quant6(
+        col("n_matched").cast("double") / greatest(col("wa"), col("wb"))))
+      .filter(col("match_frac") >= minMatchFrac)
+      .select("media_a", "media_b", "n_matched", "max_hamming", "match_frac")
+      .orderBy("media_a", "media_b")
+  }
+
   /** 64-bit average-hash (aHash) of a decoded grayscale plane: block-
     * average onto an 8×8 grid, threshold each cell at the grid mean,
     * pack row-major into a Long (bit 63 = top-left). The standard
@@ -283,18 +489,27 @@ object MediaOps {
     * would drop true candidates — hence the contract that the probe
     * passes the SAME maxHamming the index was built with).
     */
-  private[graft] def chunkHashes(hashes: DataFrame, maxHamming: Int): DataFrame = {
+  private[graft] def chunkHashes(hashes: DataFrame, maxHamming: Int): DataFrame =
+    pigeonholeChunks(hashes.select("media_id", "ahash"), "ahash", maxHamming)
+
+  /** The pigeonhole split itself, over ANY 64-bit hash column —
+    * shared by the image (ahash) and audio (fhash) candidate rules so
+    * the chunk-width arithmetic exists exactly once. Preserves every
+    * input column and appends (chunk, ckey).
+    */
+  private[graft] def pigeonholeChunks(
+      hashes: DataFrame, hashCol: String, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 63, "maxHamming must be in [0, 63)")
     val nChunks = maxHamming + 1
     val width = (64 + nChunks - 1) / nChunks
-    hashes.select(
-      col("media_id"), col("ahash"),
+    hashes.select(col("*"),
       explode(array((0 until nChunks).map(c =>
         struct(lit(c).as("chunk"),
-          shiftrightunsigned(col("ahash"), c * width)
+          shiftrightunsigned(col(hashCol), c * width)
             .bitwiseAND((1L << math.min(width, 62)) - 1).as("ckey"))): _*)).as("ck"))
-      .select(col("media_id"), col("ahash"),
-        col("ck.chunk").as("chunk"), col("ck.ckey").as("ckey"))
+      .withColumn("chunk", col("ck.chunk"))
+      .withColumn("ckey", col("ck.ckey"))
+      .drop("ck")
   }
 
   /** Persisted image-hash index frame: (media_id, ahash, chunk, ckey),
@@ -420,6 +635,64 @@ object MediaOps {
       Row(12L, "image", png(128, 128)((_, y) => y >= 64), 128, 128, 0L, "png"),
       Row(13L, "image", png(64, 64)((_, _) => false), 64, 64, 0L, "png"),
       Row(14L, "image", png(32, 32)(vsplit(32)), 32, 32, 0L, "png")))
+  }
+
+  /** Golden fixture for the audio near-dup gate: real WAV payloads
+    * whose envelope hashes are derivable BY HAND from the
+    * [[audioHash]] definition (the [[goldenImageFixture]] pattern).
+    * Envelopes are half-split squares in RELATIVE time at amplitude
+    * exactly 0.5 (PCM 16384/32768) — every 64-bin cell is uniformly
+    * silent (0) or uniformly 0.5, so bin means are exact and the
+    * threshold can't flip a bit. At windowMs = strideMs = 2000 each
+    * 2000 ms file is ONE window starting at 0:
+    *  - 21: silence 0–1 s, 0.5 for 1–2 s at 8 kHz → bins 32–63 loud →
+    *        fhash 0x00000000FFFFFFFF (cell mean 0.25; 0.5 > 0.25)
+    *  - 22: the SAME envelope at 16 kHz → identical hash (hamming 0)
+    *  - 23: #21 with the first bin (0–31.25 ms) loud too → exactly
+    *        bit 63 added (mean 33·0.5/64 = 0.2578125; hamming 1)
+    *  - 24: the reverse split (loud 0–1 s) → 0xFFFFFFFF00000000,
+    *        hamming 64 from #21 — far outside any near-dup radius
+    *  - 25: an image row (never fingerprinted)
+    * Expected window pairs at maxHamming=5:
+    * (21,22,0,0), (21,23,0,1), (22,23,0,1).
+    */
+  def goldenAudioFixture(spark: SparkSession): DataFrame = {
+    def halfSplit(rate: Int, firstBinLoud: Boolean): Array[Short] = {
+      val n = rate * 2 // 2000 ms
+      val binW = n / 64
+      Array.tabulate(n) { i =>
+        val loud = i >= n / 2 || (firstBinLoud && i < binW)
+        if (loud) 16384.toShort else 0.toShort
+      }
+    }
+    fromRows(spark, Seq(
+      Row(21L, "audio", wav(8000, halfSplit(8000, firstBinLoud = false)),
+        0, 0, 2000L, "wav"),
+      Row(22L, "audio", wav(16000, halfSplit(16000, firstBinLoud = false)),
+        0, 0, 2000L, "wav"),
+      Row(23L, "audio", wav(8000, halfSplit(8000, firstBinLoud = true)),
+        0, 0, 2000L, "wav"),
+      Row(24L, "audio", wav(8000, halfSplit(8000, firstBinLoud = false).reverse),
+        0, 0, 2000L, "wav"),
+      Row(25L, "image", png(8, 8)(vsplit(8)), 8, 8, 0L, "png")))
+  }
+
+  /** 16-bit mono little-endian PCM WAV bytes (fixture helper). */
+  private[graft] def wav(rateHz: Int, samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rateHz.toFloat, 16, 1, true, false)
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   private def png(w: Int, h: Int)(pattern: (Int, Int) => Boolean): Array[Byte] = {

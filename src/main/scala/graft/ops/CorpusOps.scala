@@ -275,12 +275,35 @@ object CorpusOps {
   def bm25Search(documents: DataFrame, query: String, k: Int = 10): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
+    bm25SearchBatch(documents, Seq((0L, query)).toDF("query_id", "qtext"), k)
+      .select("rnk", "doc_id", "score")
+  }
+
+  /** BM25 over a QUERY TABLE — the serving-tier batch form: a frame
+    * of (query_id, qtext) rows is scored against ONE corpus pass
+    * instead of re-tokenizing and re-statisticizing the corpus per
+    * query. Identical arithmetic to the single-query contract per
+    * (query, doc) — [[bm25Search]] IS this with one query row, so
+    * there is a single source of truth for the scoring formula.
+    *
+    * Scale shape: the corpus statistics (tf / per-doc lengths / the
+    * one-row totals) are computed once for the whole batch; the
+    * (query_id, term, df) table — at most Σ|query terms| rows, tiny
+    * at any corpus size — BROADCASTS onto tf, so the corpus-side
+    * work stays one broadcast-hash join however many queries ride
+    * together. Per-query top-k is a query_id-partitioned rank window
+    * over the matched-doc aggregate, which is bounded by candidate
+    * matches (docs sharing ≥1 query term), never the corpus.
+    */
+  def bm25SearchBatch(documents: DataFrame, queries: DataFrame,
+      k: Int = 10): DataFrame = {
     val tf = ledger.persist(termFrequencies(documents))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val lens = tf.groupBy("doc_id").agg(sum("tf").as("len"))
     val totals = lens.agg(sum("len").as("sl"), count(lit(1)).as("nd"))
-    val qterms = Seq(query).toDF("qtext")
-      .select(explode(TextOps.tokens(col("qtext"))).as("term")).distinct()
+    val qterms = queries
+      .select(col("query_id"), explode(TextOps.tokens(col("qtext"))).as("term"))
+      .distinct()
     val qdf = df.join(broadcast(qterms), Seq("term"))
     tf.join(broadcast(qdf), Seq("term"))
       .join(lens, Seq("doc_id"))
@@ -290,14 +313,14 @@ object CorpusOps {
           (lit(20.0) * col("tf") * col("sl") + lit(6.0) * col("sl")
             + lit(18.0) * col("len") * col("nd"))
           * lit(1000000.0) + lit(0.5)).cast("long"))
-      .groupBy("doc_id").agg(sum("ts").as("sts"))
+      .groupBy("query_id", "doc_id").agg(sum("ts").as("sts"))
       .withColumn("score", col("sts").cast("double") / lit(1000000.0))
-      .select(col("doc_id"), col("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
       .withColumn("rnk", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
-      .select("rnk", "doc_id", "score")
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("score"))
+      .orderBy("query_id", "rnk")
   }
 
   /** Sequence packing: concatenate each source's documents in doc_id

@@ -407,6 +407,52 @@ object Dedup {
     expandSetPairs(setPairs, members)
   }
 
+  /** FUZZY cross-corpus decontamination: near-dup pairs BETWEEN two
+    * corpora only — each train doc paired with each holdout/eval doc
+    * whose token-set Jaccard clears `threshold`. The fuzzy sibling of
+    * [[containmentReportWhere]] (which catches verbatim phrase
+    * containment): an eval item paraphrased into the crawl shares few
+    * exact shingles but a high token-set Jaccard, and it is THIS
+    * check that catches it before the eval ships.
+    *
+    * Same seeded affine minhash family and band rule as
+    * [[minhashLshPairs]], but the candidate join is STRICTLY
+    * train-side × eval-side — within-corpus pairs are unrepresentable
+    * (the incremental-index old×old discipline), so a dup-heavy train
+    * corpus costs nothing here and the candidate volume is bounded by
+    * the eval set's band-bucket occupancy. Verify is the per-pair
+    * sorted-merge intersection. Contract: doc_ids must be disjoint
+    * across the two frames (they are slices of one id space in every
+    * intended use).
+    *
+    * Output: (train_id, eval_id, jac), eval-contaminating pairs only.
+    */
+  def crossNearDups(
+      train: DataFrame, holdout: DataFrame,
+      threshold: Double = 0.5, k: Int = 16, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val rows = k / bands
+    def banded(toks: DataFrame): DataFrame = {
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws(",",
+            (b * rows until (b + 1) * rows).map(i => col(s"h$i").cast("string")): _*)).as("bkey"))
+      }
+      sigsFrom(toks, k)
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    }
+    val tToks = docTokens(train)
+    val hToks = docTokens(holdout)
+    val cand = banded(tToks).as("a")
+      .join(banded(hToks).as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    verifyJaccard(cand, tToks.unionByName(hToks), threshold, smallVocab = false)
+      .select(col("doc_a").as("train_id"), col("doc_b").as("eval_id"), col("jac"))
+      .orderBy("train_id", "eval_id")
+  }
+
   /** Duplicate CLUSTERS from near-dup pairs: connected components by
     * iterative min-label propagation — the step that turns pairwise
     * similarity into an actual dedup decision (keep one canonical doc

@@ -172,6 +172,59 @@ class MediaOpsSpec extends AnyFunSuite {
     assert(pairs == List((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)))
   }
 
+  test("WavDecoder round-trips PCM exactly and validates duration metadata") {
+    val samples = Array.tabulate(800)(i => if (i < 400) 0.toShort else 16384.toShort)
+    val (rate, out) = MediaOps.WavDecoder.decode(MediaOps.wav(8000, samples), 100L)
+    assert(rate == 8000)
+    assert(out.length == 800)
+    assert(out(0) == 0f && out(799) == 0.5f, "16384/32768 must decode to exactly 0.5")
+    val e = intercept[IllegalArgumentException] {
+      MediaOps.WavDecoder.decode(MediaOps.wav(8000, samples), 250L)
+    }
+    assert(e.getMessage.contains("drifted metadata"))
+  }
+
+  test("audioHash: golden bins, resample-invariance, single-bit edits (hand values)") {
+    def env(n: Int, firstBinLoud: Boolean): Array[Float] =
+      Array.tabulate(n)(i =>
+        if (i >= n / 2 || (firstBinLoud && i < n / 64)) 0.5f else 0f)
+    val h8k = MediaOps.audioHash(env(16000, firstBinLoud = false), 0, 16000)
+    assert(h8k == 0x00000000FFFFFFFFL, f"half-split envelope: $h8k%016x")
+    val h16k = MediaOps.audioHash(env(32000, firstBinLoud = false), 0, 32000)
+    assert(h16k == h8k, "resampled identical envelope must hash identically")
+    val hEdit = MediaOps.audioHash(env(16000, firstBinLoud = true), 0, 16000)
+    assert(hEdit == (h8k | (1L << 63)),
+      f"one-bin edit must add exactly bit 63: $hEdit%016x")
+    assert(java.lang.Long.bitCount(
+      MediaOps.audioHash(env(16000, firstBinLoud = false).reverse, 0, 16000) ^ h8k) == 64,
+      "reversed envelope is the full 64 bits away")
+  }
+
+  test("goldenAudioFixture pairs are the hand-derived constants the t106 oracle " +
+      "asserts; file-level report composes") {
+    val fixture = MediaOps.goldenAudioFixture(spark)
+    val pairs = MediaOps.audioNearDupPairs(
+        fixture, MediaOps.WavDecoder, windowMs = 2000L, strideMs = 2000L, maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    assert(pairs == List((21L, 22L, 0L, 0L), (21L, 23L, 0L, 1L), (22L, 23L, 0L, 1L)))
+    val report = MediaOps.audioNearDup(
+        fixture, MediaOps.WavDecoder, windowMs = 2000L, strideMs = 2000L,
+        maxHamming = 5, minMatchFrac = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4))).toList
+    assert(report == List((21L, 22L, 1L, 1.0), (21L, 23L, 1L, 1.0), (22L, 23L, 1L, 1.0)))
+  }
+
+  test("audioFingerprints windows agree with audioChunkPlan boundaries (stub decoder)") {
+    val fp = MediaOps.audioFingerprints(media, windowMs = 25000L, strideMs = 15000L)
+      .select("media_id", "start_ms", "end_ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plan = MediaOps.audioChunkPlan(media, windowMs = 25000L, strideMs = 15000L)
+      .select("media_id", "start_ms", "end_ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fp == plan, "fingerprint windows must be the plan's windows exactly")
+    assert(fp.nonEmpty && fp.forall(_._1 == 4L), "audio rows only")
+  }
+
   test("incrementalImageNearDup == full recompute restricted to the new shard, " +
     "and matches the hand-derived t105 frame") {
     val old = MediaOps.goldenImageFixture(spark)

@@ -615,6 +615,30 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"tf saturation must cap repeats: ${score(1L)} vs ${score(2L)}")
   }
 
+  test("bm25SearchBatch: each query's block equals the single-query path " +
+      "exactly; termless queries rank nothing") {
+    val filler = (1 to 30).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      (1L, "s", "spark " + filler),
+      (2L, "s", ("spark " * 10).trim + " " + filler),
+      (3L, "s", "spark"),
+      (4L, "s", "hash join " + filler),
+      (5L, "s", filler))
+    val qs = Seq((7L, "spark"), (8L, "hash join"), (9L, "absent"))
+    val batch = CorpusOps.bm25SearchBatch(
+        d, qs.toDF("query_id", "qtext"), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    for ((qid, q) <- qs.take(2)) {
+      val single = CorpusOps.bm25Search(d, q, k = 10).collect()
+        .map(r => (qid, r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(batch.filter(_._1 == qid) == single,
+        s"batch block for query $qid must equal the single-query path")
+    }
+    assert(!batch.exists(_._1 == 9L),
+      "a query with no matching corpus terms ranks nothing")
+    assert(batch.map(_._1).distinct == Seq(7L, 8L), "blocks arrive query-ordered")
+  }
+
   test("lmCoverageScores: backoff levels 3/2/1/0 and ref-slice exclusion (golden)") {
     // doc_id % 10 < 3 → docs 1, 2 are the reference slice; their
     // trigram table is {abc, bcd, xyz}, bigram suffixes {bc, cd, yz},

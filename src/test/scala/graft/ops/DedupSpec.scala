@@ -47,6 +47,23 @@ class DedupSpec extends AnyFunSuite {
       Row(1L, 2L, 1.0), Row(1L, 3L, j), Row(2L, 3L, j)))
   }
 
+  test("crossNearDups emits only train×eval pairs, oriented, with exact scores") {
+    // train: 1 (base), 2 (base variant — a WITHIN-train near-dup of 1)
+    // eval: 11 (near-dup of train 1), 12 (unrelated)
+    val train = Seq((1L, base), (2L, nearDup)).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (11L, base.replace("tok7", "SWAPPED")),
+      (12L, other)).toDF("doc_id", "text")
+    val out = Dedup.crossNearDups(train, eval_, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val j1 = math.floor(59.0 / 61.0 * 10000.0 + 0.5) / 10000.0 // 1 vs 11: 59/61
+    val j2 = math.floor(58.0 / 62.0 * 10000.0 + 0.5) / 10000.0 // 2 vs 11: 58/62
+    assert(out == Seq((1L, 11L, j1), (2L, 11L, j2)),
+      s"cross pairs only, train side first: $out")
+    assert(!out.exists(p => p._1 == 1L && p._2 == 2L),
+      "the within-train near-dup pair must be unrepresentable")
+  }
+
   test("bitmask fast path (vocab <= 64) agrees with exact jaccard") {
     val small = Seq(
       (1L, "a b c d e"), (2L, "a b c d f"), (3L, "f g h i j")
