@@ -765,6 +765,19 @@ object SparkEntry {
         graft.multimodal.MediaOps.goldenAudioFixture(s),
         graft.multimodal.MediaOps.WavDecoder,
         windowMs = 2000L, strideMs = 2000L, maxHamming = 5)),
+    // INCREMENTAL audio near-dup: re-encodes of the indexed envelopes
+    // at fresh ids probe a hash index of the t106 corpus; old×old
+    // pairs unrepresentable, history PCM never re-decoded, the novel
+    // all-silent file pairs with nothing. Twin = the hand-derived
+    // expected frame (goldenAudioProbeFixture scaladoc). The
+    // persisted-bucketed form is spec-asserted zero-exchange.
+    "t108_incremental_audio_neardup" -> ((s, _) => {
+      val M = graft.multimodal.MediaOps
+      M.incrementalAudioNearDup(
+        M.goldenAudioProbeFixture(s),
+        M.audioHashIndexFrame(M.goldenAudioFixture(s), M.WavDecoder,
+          windowMs = 2000L, strideMs = 2000L),
+        M.WavDecoder, windowMs = 2000L, strideMs = 2000L, maxHamming = 5) }),
     // label centroids: the vector-centroid capability under the gate
     // (order-independent exact means, unlike the pipeline Aggregator)
     "s37_label_centroids" -> ((s, d) => { val t = Tables.load(s, d)
@@ -2248,6 +2261,18 @@ object SparkEntry {
       """SELECT * FROM (VALUES
         | (CAST(21 AS BIGINT), CAST(22 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
         | (21, 23, 0, 1), (22, 23, 0, 1)
+        |) AS t(media_a, media_b, start_ms, hamming)
+        |ORDER BY media_a, media_b, start_ms""".stripMargin,
+    // t108 twin: the GOLDEN incremental audio pair frame — re-encoded
+    // envelopes at new ids against the indexed t106 corpus, derived by
+    // hand from the envelope-hash definition (goldenAudioProbeFixture
+    // scaladoc). Old×old pairs (21,22)/(21,23)/(22,23) are absent BY
+    // CONSTRUCTION — their appearance would fail the hash match.
+    "t108_incremental_audio_neardup" ->
+      """SELECT * FROM (VALUES
+        | (CAST(21 AS BIGINT), CAST(31 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        | (21, 34, 0, 0), (22, 31, 0, 0), (22, 34, 0, 0), (23, 31, 0, 1),
+        | (23, 34, 0, 1), (24, 32, 0, 0), (31, 34, 0, 0)
         |) AS t(media_a, media_b, start_ms, hamming)
         |ORDER BY media_a, media_b, start_ms""".stripMargin,
     // t85 twin: the GOLDEN encode frame — four planted docs under the

@@ -379,6 +379,84 @@ object MediaOps {
       .orderBy("media_a", "media_b")
   }
 
+  /** Persisted audio-hash index frame: (media_id, start_ms, end_ms,
+    * fhash, chunk, ckey) — one row per window per pigeonhole chunk,
+    * so tomorrow's crawl shard never re-decodes (or re-shuffles)
+    * history PCM. The [[imageHashIndexFrame]] contract for the audio
+    * member: append-only, a new shard's frame appended AFTER its
+    * pairs are taken, and the probe must pass the SAME windowMs /
+    * strideMs / maxHamming the index was built with (different
+    * values change window grids or chunk widths and silently drop
+    * true candidates).
+    */
+  def audioHashIndexFrame(
+      media: DataFrame,
+      decoder: AudioDecoder = StubAudioDecoder,
+      windowMs: Long = 10000L, strideMs: Long = 5000L,
+      maxHamming: Int = 5): DataFrame =
+    pigeonholeChunks(
+      audioFingerprints(media, decoder, windowMs, strideMs), "fhash", maxHamming)
+
+  /** Persist the audio-hash index bucketed by the FULL candidate-join
+    * key (chunk, ckey, start_ms): the probe joins on exactly these
+    * three equi-keys, and bucket keys must equal the join keys for
+    * the planner to keep the indexed side exchange-free
+    * (spec-asserted — bucketing on a key subset gets "disabled by
+    * query planner" and re-shuffles history).
+    */
+  def writeAudioHashIndex(
+      index: DataFrame, writer: graft.sinks.LakeWriter,
+      name: String, buckets: Int = 32): Unit =
+    writer.writeBucketed(index, s"${name}_achunks", buckets,
+      Seq("chunk", "ckey", "start_ms"))
+
+  def readAudioHashIndex(spark: SparkSession, name: String): DataFrame =
+    spark.table(s"${name}_achunks")
+
+  /** Audio near-dup window pairs for a NEW media shard against an
+    * indexed history — the audio member of the incremental-dedup
+    * family. Output is exactly `audioNearDupPairs(old ∪ new)`
+    * RESTRICTED to pairs with ≥1 new side (same candidate rule, same
+    * hamming verify), but old×old work is UNREPRESENTABLE: the index
+    * appears only as the build side of the new-shard probe, and
+    * history PCM is never decoded again. Contract: new media_ids
+    * disjoint from indexed ids; window/chunk parameters equal the
+    * index build's.
+    */
+  def incrementalAudioNearDup(
+      newMedia: DataFrame, index: DataFrame,
+      decoder: AudioDecoder = StubAudioDecoder,
+      windowMs: Long = 10000L, strideMs: Long = 5000L,
+      maxHamming: Int = 5): DataFrame = {
+    val newChunks = pigeonholeChunks(
+      audioFingerprints(newMedia, decoder, windowMs, strideMs), "fhash", maxHamming)
+    incrementalAudioCandidates(newChunks, index)
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("media_a", "media_b", "start_ms")
+  }
+
+  /** Candidate window pairs for the incremental audio probe: new×index
+    * plus new×new, hamming computable in-join from the stored hashes.
+    * Package-visible so the spec can plan-assert the bucketed probe in
+    * isolation (indexed side: one scan, no exchange).
+    */
+  private[graft] def incrementalAudioCandidates(
+      newChunks: DataFrame, indexChunks: DataFrame): DataFrame = {
+    def pairs(b: DataFrame, cond: Column): DataFrame =
+      newChunks.as("a")
+        .join(b.as("b"),
+          col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+            col("a.start_ms") === col("b.start_ms") && cond)
+        .select(
+          least(col("a.media_id"), col("b.media_id")).as("media_a"),
+          greatest(col("a.media_id"), col("b.media_id")).as("media_b"),
+          col("a.start_ms").as("start_ms"),
+          bit_count(col("a.fhash").bitwiseXOR(col("b.fhash"))).cast("long").as("hamming"))
+    pairs(indexChunks, col("a.media_id") =!= col("b.media_id"))
+      .unionByName(pairs(newChunks, col("a.media_id") < col("b.media_id")))
+  }
+
   /** 64-bit average-hash (aHash) of a decoded grayscale plane: block-
     * average onto an 8×8 grid, threshold each cell at the grid mean,
     * pack row-major into a Long (bit 63 = top-left). The standard
@@ -675,6 +753,36 @@ object MediaOps {
       Row(24L, "audio", wav(8000, halfSplit(8000, firstBinLoud = false).reverse),
         0, 0, 2000L, "wav"),
       Row(25L, "image", png(8, 8)(vsplit(8)), 8, 8, 0L, "png")))
+  }
+
+  /** The NEW-shard companion of [[goldenAudioFixture]] (incremental
+    * gate): re-encodes of the indexed envelopes at fresh ids — the
+    * re-crawl event the incremental index exists for — plus one
+    * genuinely novel file:
+    *  - 31: the silence-then-loud envelope at 32 kHz → fhash
+    *        identical to #21/#22 (hamming 0; 1 from #23)
+    *  - 32: the loud-then-silence envelope at 16 kHz → identical to
+    *        #24
+    *  - 33: all-silent → every bin mean 0, nothing exceeds the mean,
+    *        fhash 0x0 — 32 bits from both envelope families, pairs
+    *        with NOTHING (the novel-file arm)
+    *  - 34: the silence-then-loud envelope at 4 kHz → pairs with 31
+    *        (the new×new arm)
+    * Expected incremental window pairs at maxHamming=5 (≥1 new side;
+    * old×old (21,22)/(21,23)/(22,23) must NOT appear): (21,31,0,0)
+    * (21,34,0,0) (22,31,0,0) (22,34,0,0) (23,31,0,1) (23,34,0,1)
+    * (24,32,0,0) (31,34,0,0).
+    */
+  def goldenAudioProbeFixture(spark: SparkSession): DataFrame = {
+    def halfSplit(rate: Int): Array[Short] = {
+      val n = rate * 2
+      Array.tabulate(n)(i => if (i >= n / 2) 16384.toShort else 0.toShort)
+    }
+    fromRows(spark, Seq(
+      Row(31L, "audio", wav(32000, halfSplit(32000)), 0, 0, 2000L, "wav"),
+      Row(32L, "audio", wav(16000, halfSplit(16000).reverse), 0, 0, 2000L, "wav"),
+      Row(33L, "audio", wav(8000, new Array[Short](16000)), 0, 0, 2000L, "wav"),
+      Row(34L, "audio", wav(4000, halfSplit(4000)), 0, 0, 2000L, "wav")))
   }
 
   /** 16-bit mono little-endian PCM WAV bytes (fixture helper). */

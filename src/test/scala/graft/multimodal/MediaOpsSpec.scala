@@ -294,6 +294,81 @@ class MediaOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalAudioNearDup == full recompute restricted to the new shard, " +
+    "and matches the hand-derived t108 frame") {
+    val old = MediaOps.goldenAudioFixture(spark)
+    val fresh = MediaOps.goldenAudioProbeFixture(spark)
+    val expected = List(
+      (21L, 31L, 0L, 0L), (21L, 34L, 0L, 0L), (22L, 31L, 0L, 0L),
+      (22L, 34L, 0L, 0L), (23L, 31L, 0L, 1L), (23L, 34L, 0L, 1L),
+      (24L, 32L, 0L, 0L), (31L, 34L, 0L, 0L))
+    val inc = MediaOps.incrementalAudioNearDup(
+        fresh,
+        MediaOps.audioHashIndexFrame(old, MediaOps.WavDecoder,
+          windowMs = 2000L, strideMs = 2000L),
+        MediaOps.WavDecoder, windowMs = 2000L, strideMs = 2000L, maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    assert(inc == expected)
+    // the incremental contract: exactly the full recompute over
+    // old ∪ new, restricted to pairs with ≥1 new side (ids ≥ 31)
+    val full = MediaOps.audioNearDupPairs(
+        old.unionByName(fresh), MediaOps.WavDecoder,
+        windowMs = 2000L, strideMs = 2000L, maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(p => p._1 >= 31L || p._2 >= 31L).toList
+    assert(inc == full)
+  }
+
+  test("persisted audio-hash index: probe scans history bucket-locally, zero exchange") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val root = java.nio.file.Files.createTempDirectory("audidx").toString
+    MediaOps.writeAudioHashIndex(
+      MediaOps.audioHashIndexFrame(
+        MediaOps.goldenAudioFixture(spark), MediaOps.WavDecoder,
+        windowMs = 2000L, strideMs = 2000L),
+      new graft.sinks.LakeWriter(root), "audidx", buckets = 4)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val idx = MediaOps.readAudioHashIndex(spark, "audidx")
+      val newChunks = MediaOps.pigeonholeChunks(
+        MediaOps.audioFingerprints(
+          MediaOps.goldenAudioProbeFixture(spark), MediaOps.WavDecoder,
+          windowMs = 2000L, strideMs = 2000L), "fhash", 5)
+      val cand = MediaOps.incrementalAudioCandidates(newChunks, idx)
+      val plan = cand.queryExecution.executedPlan
+      val scans = plan.collect {
+        case f: FileSourceScanExec if f.tableIdentifier.exists(_.table == "audidx_achunks") => f
+      }
+      assert(scans.size == 1,
+        s"indexed hashes must feed exactly one join (no old-by-old recompute):\n$plan")
+      val shuffled = plan.collect {
+        case e: ShuffleExchangeExec if e.collect {
+          case f: FileSourceScanExec if f.tableIdentifier.exists(_.table == "audidx_achunks") => f
+        }.nonEmpty => e
+      }
+      assert(shuffled.isEmpty,
+        s"indexed hashes must join bucket-locally, not shuffle:\n$plan")
+      // values survive the bucketed path unchanged
+      val probe = MediaOps.incrementalAudioNearDup(
+        MediaOps.goldenAudioProbeFixture(spark), idx,
+        MediaOps.WavDecoder, windowMs = 2000L, strideMs = 2000L, maxHamming = 5)
+      assert(probe.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+        == List(
+          (21L, 31L, 0L, 0L), (21L, 34L, 0L, 0L), (22L, 31L, 0L, 0L),
+          (22L, 34L, 0L, 0L), (23L, 31L, 0L, 1L), (23L, 34L, 0L, 1L),
+          (24L, 32L, 0L, 0L), (31L, 34L, 0L, 0L)))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+      spark.sql("DROP TABLE IF EXISTS audidx_achunks")
+    }
+  }
+
   test("metadata-only queries prune the payload column at the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("media").toString + "/t"
     media.write.partitionBy("kind").parquet(dir)
