@@ -137,6 +137,35 @@ object SparkEntry {
        |WHERE ${q4("CAST(inter AS DOUBLE)/(na.n+nb.n-inter)")} >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // s56/t109 shared fragment: hashed tf-idf vectors (the s47 CTEs) →
+  // non-zero-norm frame → first-8 seed centroids → argmax-cosine
+  // assignment; ends at CTE `r` = (doc_id, cid, sim, rn)
+  private lazy val topicClusterCtes: String =
+    s"""w AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |nd AS (SELECT count(*) AS n_docs FROM documents),
+       |bw AS (SELECT doc_id,
+       |    CAST(('0x'||substr(md5(term),1,15)) AS BIGINT) % 64 AS b,
+       |    CAST(sum(tf * (n_docs - df)) AS BIGINT) AS num
+       |  FROM tf JOIN df USING (term) CROSS JOIN nd GROUP BY 1, 2),
+       |grid AS (SELECT doc_id, i FROM (SELECT DISTINCT doc_id FROM tf),
+       |  (SELECT unnest(range(0, 64)) AS i)),
+       |dv AS (SELECT g.doc_id,
+       |    list(CAST(coalesce(bw.num, 0) AS DOUBLE) / nd.n_docs ORDER BY g.i) AS v
+       |  FROM grid g LEFT JOIN bw ON bw.doc_id = g.doc_id AND bw.b = g.i
+       |  CROSS JOIN nd GROUP BY 1),
+       |nz AS (SELECT doc_id, v, $sqlNorm AS nrm FROM dv
+       |  WHERE $sqlNorm > 0),
+       |cents AS (SELECT doc_id AS cid, v, nrm AS cn FROM nz
+       |  ORDER BY doc_id LIMIT 8),
+       |a AS (SELECT d.doc_id, c.cid,
+       |    ${sqlDot("d", "c")} / (d.nrm * c.cn) AS sim
+       |  FROM nz d CROSS JOIN cents c),
+       |r AS (SELECT doc_id, cid, sim,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY sim DESC, cid) AS rn
+       |  FROM a)""".stripMargin
+
   // t71/t72 shared fragment: the planted raw-URL corpus (UrlOps
   // .plantUrls verbatim) canonicalized by the same rule chain — ends
   // at CTE `n` = (doc_id, url_norm, domain)
@@ -591,6 +620,17 @@ object SparkEntry {
     // linear idf — one IEEE division per (doc, term), integer sums
     "s53_bm25_search" -> ((s, d) => { val t = Tables.load(s, d)
       CorpusOps.bm25Search(t.documents, SearchQuery) }),
+    // embedding-free topic clustering: hashed tf-idf vectors assigned
+    // to their argmax-cosine seed centroid (first-8-docs contract,
+    // the s42 shape) — the cluster-balanced-curation primitive with
+    // no model in the loop; zero-norm vectors excluded on both sides
+    "s56_topic_clusters" -> ((s, d) => { val t = Tables.load(s, d)
+      CorpusOps.topicClusters(t.documents) }),
+    // cluster-balanced sampling: the t52 deterministic content-hash
+    // quota with s56's TOPIC assignment as the stratum — every
+    // cluster contributes equally to a budgeted subsample
+    "t109_cluster_sample" -> ((s, d) => { val t = Tables.load(s, d)
+      CorpusOps.clusterBalancedSample(t.documents) }),
     // BM25 batch serving: a 3-query TABLE scored in one corpus pass —
     // tf/lens/totals computed once, the per-query df table broadcast
     // onto the shared tf frame, per-query top-k by a partitioned rank
@@ -1264,6 +1304,28 @@ object SparkEntry {
          |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
          |  doc_id, score
          |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // s56 twin: the s47 vector CTEs + the s42 assignment shape —
+    // seed centroids are the first 8 non-zero-norm docs' vectors,
+    // cosine is the sequential-fold dot over both lists, argmax by
+    // (sim DESC, cid), quantized to 6 dp in the output
+    "s56_topic_clusters" ->
+      s"""WITH $topicClusterCtes
+         |SELECT doc_id, cid, floor(sim*1000000.0+0.5)/1000000.0 AS cos
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // t109 twin: the s56 assignment CTEs as the stratum for the t52
+    // rank rule — per-CLUSTER content-hash selection (the pre-filter
+    // is lossless, so the twin ranks everything per cid)
+    "t109_cluster_sample" ->
+      s"""WITH $topicClusterCtes,
+         |asg AS (SELECT doc_id, cid FROM r WHERE rn = 1),
+         |hh AS (SELECT doc_id,
+         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h
+         |  FROM documents),
+         |j AS (SELECT asg.cid, asg.doc_id, hh.h FROM asg JOIN hh USING (doc_id))
+         |SELECT cid, rnk, doc_id, h FROM (
+         |  SELECT cid, doc_id, h,
+         |    CAST(row_number() OVER (PARTITION BY cid ORDER BY h, doc_id) AS BIGINT) AS rnk
+         |  FROM j) WHERE rnk <= 5 ORDER BY cid, rnk""".stripMargin,
     // s53 twin: identical integer-cleared BM25 — same 44/20/6/18
     // coefficients, same single division per (doc, term), same
     // 6-dp integer quantization and integer per-doc sum

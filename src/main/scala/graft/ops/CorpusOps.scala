@@ -79,24 +79,50 @@ object CorpusOps {
     * replaces sorted EVERY row of a stratum in ONE task; this sorts
     * ~quota rows per stratum.
     */
-  private[ops] def hashBounded(h: DataFrame, quota: Int): DataFrame = {
+  private[ops] def hashBounded(h: DataFrame, quota: Int,
+      stratum: String = "source"): DataFrame = {
     // persisted (tracked): the bucket-count pass and the survivor
     // filter both read this frame — without the persist each would
     // re-scan and re-hash the corpus text; cached it is ~50 bytes/row
     val bucketed = ledger.persist(
       h.withColumn("bucket",
         conv(substring(col("h"), 1, 4), 16, 10).cast("int")))
-    val wc = Window.partitionBy("source").orderBy("bucket")
+    val wc = Window.partitionBy(stratum).orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val thr = bucketed.groupBy("source", "bucket").agg(count(lit(1)).as("c"))
+    val thr = bucketed.groupBy(stratum, "bucket").agg(count(lit(1)).as("c"))
       .withColumn("cum", sum("c").over(wc))
-      .groupBy("source")
+      .groupBy(stratum)
       .agg(coalesce(
         min(when(col("cum") >= quota, col("bucket"))),
         max(col("bucket"))).as("thr"))
-    bucketed.join(broadcast(thr), "source")
+    bucketed.join(broadcast(thr), stratum)
       .filter(col("bucket") <= col("thr"))
       .drop("bucket", "thr")
+  }
+
+  /** CLUSTER-BALANCED sampling: [[stratifiedSample]]'s deterministic
+    * content-hash selection with [[topicClusters]]' assignment as the
+    * stratum — `quota` docs per TOPIC instead of per source. The
+    * curation move that stops one dominant topic (boilerplate-heavy
+    * crawl chrome, one vertical) from monopolizing a budgeted
+    * subsample: every cluster contributes equally, however skewed the
+    * corpus. Same exactness story as t52 — the hash-bound pre-filter
+    * is provably lossless, the per-cluster window sorts ~quota rows.
+    *
+    * Output: (cid, rnk, doc_id, h) — the selected manifest.
+    */
+  def clusterBalancedSample(documents: DataFrame, quota: Int = 5,
+      nCells: Int = 8, dim: Int = 64): DataFrame = {
+    val h = topicClusters(documents, nCells, dim)
+      .select(col("doc_id"), col("cid"))
+      .join(documents.select(
+        col("doc_id"), TextOps.fingerprint(col("text")).as("h")), "doc_id")
+    val w = Window.partitionBy("cid").orderBy(col("h"), col("doc_id"))
+    hashBounded(h, quota, stratum = "cid")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= quota)
+      .select("cid", "rnk", "doc_id", "h")
+      .orderBy("cid", "rnk")
   }
 
   /** Top-k distinctive terms per document by tf·idf with a LINEAR idf
@@ -244,6 +270,47 @@ object CorpusOps {
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
       .select("rnk", "doc_id", "score")
+  }
+
+  /** Embedding-free TOPIC CLUSTERING: every document assigned to its
+    * argmax-cosine seed centroid over the [[hashedTfIdfVectors]]
+    * space — the curation primitive behind cluster-balanced sampling
+    * and per-topic corpus cards, with no model in the loop. Seed
+    * centroids are the first `nCells` documents' vectors (the
+    * deterministic s42/s35 contract — [[graft.ops.Similarity]]'s
+    * Lloyd machinery drops in for production tightening exactly as in
+    * semanticDedup, at the cost of gate-exactness only).
+    *
+    * Zero-norm vectors (every term ubiquitous → all buckets 0) are
+    * excluded from both the corpus side and the seed window — cosine
+    * is undefined for them.
+    *
+    * Scale shape: the ≤nCells-row centroid table broadcasts; the
+    * corpus makes ONE narrow pass (crossJoin against nCells rows +
+    * a doc-partitioned argmax window over nCells candidates per doc);
+    * cosine is the sequential-fold dot quantized to 6 dp before
+    * ranking (the s31 portability contract).
+    *
+    * Output: (doc_id, cid, cos) — cid is the seed doc's id.
+    */
+  def topicClusters(documents: DataFrame, nCells: Int = 8,
+      dim: Int = 64): DataFrame = {
+    require(nCells > 0, "nCells must be positive")
+    val vecs = ledger.persist(
+      hashedTfIdfVectors(documents, dim)
+        .withColumn("nrm", Similarity.norm(col("vec")))
+        .filter(col("nrm") > 0))
+    val seed = vecs.orderBy("doc_id").limit(nCells)
+      .select(col("doc_id").as("cid"), col("vec").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy("doc_id").orderBy(col("sim").desc, col("cid"))
+    vecs.crossJoin(broadcast(seed))
+      .withColumn("sim",
+        Similarity.dot(col("vec"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cid"),
+        Exact.quant6(col("sim")).as("cos"))
+      .orderBy("doc_id")
   }
 
   /** BM25-shaped retrieval — what the cosine path ([[tfidfSearch]])

@@ -615,6 +615,46 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"tf saturation must cap repeats: ${score(1L)} vs ${score(2L)}")
   }
 
+  test("topicClusters: docs join their topic's seed; zero-norm docs excluded") {
+    // 'pad' appears in EVERY doc → weight 0 everywhere; doc 9 is only
+    // pads → zero-norm vector, excluded from corpus and seed window
+    val d = docs(
+      (1L, "s", "alpha beta alpha gamma pad"),
+      (2L, "s", "delta epsilon zeta delta pad"),
+      (3L, "s", "alpha beta gamma gamma pad"),
+      (4L, "s", "delta zeta epsilon pad"),
+      (9L, "s", "pad pad pad"))
+    val out = CorpusOps.topicClusters(d, nCells = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 2L)),
+      s"topic docs must follow their seed, zero-norm excluded: $out")
+  }
+
+  test("clusterBalancedSample: per-topic quotas; pre-filter is lossless " +
+      "(differential vs the unfiltered rank)") {
+    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val d = docs((1L to 30L).map(i =>
+      (i, "s", if (i % 2 == 0) s"alpha beta gamma doc$i"
+               else s"delta epsilon zeta doc$i")): _*)
+    val quota = 3
+    val got = CorpusOps.clusterBalancedSample(d, quota = quota, nCells = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // differential: rank EVERYTHING per cid (no pre-filter), same rule
+    val w = Window.partitionBy("cid").orderBy(col("h"), col("doc_id"))
+    val want = CorpusOps.topicClusters(d, nCells = 2).select("doc_id", "cid")
+      .join(d.select(col("doc_id"), TextOps.fingerprint(col("text")).as("h")), "doc_id")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= quota)
+      .orderBy("cid", "rnk")
+      .collect().map(r => (r.getAs[Long]("cid"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("doc_id"))).toSeq
+    assert(got == want)
+    assert(got.groupBy(_._1).forall(_._2.length == quota),
+      "both 15-doc topics must fill their quota")
+    assert(got.map(_._1).distinct.length == 2, "two topics sampled")
+  }
+
   test("bm25SearchBatch: each query's block equals the single-query path " +
       "exactly; termless queries rank nothing") {
     val filler = (1 to 30).map(i => s"w$i").mkString(" ")
