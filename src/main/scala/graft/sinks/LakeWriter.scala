@@ -356,6 +356,157 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
     val files = fs.listStatus(path).count(s => s.isFile && !s.getPath.getName.startsWith("_"))
     math.max(1, math.ceil(files.toDouble / buckets).toInt)
   }
+
+  // ------------------------------------------------------------------
+  // MANIFESTED tables: snapshot-isolated commits (Iceberg-lite)
+  // ------------------------------------------------------------------
+
+  /** Commit a new snapshot of a MANIFESTED table — the
+    * snapshot-isolation upgrade over directory-swap maintenance
+    * (readers of a swap window need [[graft.core.Tables.withSwapRetry]];
+    * readers of a manifested table need NOTHING, ever):
+    *
+    *  - data files are immutable, written once under a fresh
+    *    `data-<uuid>` directory, never renamed or rewritten;
+    *  - a snapshot is an immutable `manifest-<v>.json` listing exactly
+    *    the files it covers, made visible by an atomic same-directory
+    *    rename — a manifest either exists complete or not at all;
+    *  - READERS take max(v) at open and read that manifest's file
+    *    list: any concurrent append/compact/vacuum is invisible until
+    *    its manifest lands, and files referenced by v outlive their
+    *    data-dir's supersession ([[vacuumManifested]] only deletes
+    *    files no retained manifest references). No torn listings, no
+    *    transient misses, no retry loop.
+    *
+    * `append = true` carries the previous snapshot's files forward
+    * (the daily-shard shape); `false` makes the commit a full
+    * replacement. Commits serialize under the table writer lock;
+    * version numbers are dense. A crash after the data write but
+    * before the manifest rename leaves an unreferenced `data-` dir —
+    * invisible to every reader, reclaimed by the next vacuum.
+    */
+  def commitManifested(
+      df: DataFrame, name: String, append: Boolean = true): Int = {
+    import org.apache.hadoop.fs.Path
+    val spark = df.sparkSession
+    withTableLock(spark, s"$name@manifest") {
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dataDir = new Path(s"$root/$name/data-${java.util.UUID.randomUUID()}")
+      df.write.mode("overwrite").parquet(dataDir.toString)
+      val newFiles = fs.listStatus(dataDir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toUri.toString).sorted
+      val v = latestManifestVersion(fs, name)
+      val carried = if (append && v > 0) manifestFiles(fs, name, v) else Nil
+      writeManifest(fs, name, v + 1, carried ++ newFiles)
+      v + 1
+    }
+  }
+
+  /** Read the current snapshot (or a pinned `version`) of a
+    * manifested table. Lock-free and race-free by construction — the
+    * manifest pins an immutable file set.
+    */
+  def readManifested(
+      spark: SparkSession, name: String, version: Int = 0): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = if (version > 0) version else latestManifestVersion(fs, name)
+    require(v > 0, s"manifested table $name has no committed snapshot under $root")
+    val files = manifestFiles(fs, name, v)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files: _*)
+  }
+
+  /** Rewrite the current snapshot's many small files into ~one file
+    * per `targetFileBytes` and commit it as a REPLACEMENT snapshot.
+    * Readers holding any prior version keep reading their pinned
+    * files — the old data dirs stay until [[vacuumManifested]].
+    */
+  def compactManifested(
+      spark: SparkSession, name: String,
+      targetFileBytes: Long = 128L << 20): Int = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current = readManifested(spark, name)
+    val total = math.max(1L,
+      manifestFiles(fs, name, latestManifestVersion(fs, name))
+        .map(f => fs.getFileStatus(new Path(f)).getLen).sum)
+    val n = math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt)
+    commitManifested(current.repartition(n), name, append = false)
+  }
+
+  /** Reclaim storage: drop manifests older than the newest
+    * `keepVersions`, then delete every `data-` directory holding no
+    * file referenced by a RETAINED manifest — including orphans from
+    * commits that crashed before their manifest landed. Never touches
+    * a file any retained snapshot can read. Runs under the writer
+    * lock so a concurrent commit can't reference a dir mid-delete.
+    */
+  def vacuumManifested(
+      spark: SparkSession, name: String, keepVersions: Int = 1): Int = {
+    import org.apache.hadoop.fs.Path
+    require(keepVersions >= 1, "must retain at least the current snapshot")
+    withTableLock(spark, s"$name@manifest") {
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val latest = latestManifestVersion(fs, name)
+      val keepFrom = math.max(1, latest - keepVersions + 1)
+      (1 until keepFrom).foreach { v =>
+        fs.delete(new Path(s"$root/$name/manifest-$v.json"), false)
+      }
+      val referenced = (keepFrom to latest)
+        .flatMap(v => manifestFiles(fs, name, v))
+        .map(f => new Path(f).getParent.getName).toSet
+      val tableDir = new Path(s"$root/$name")
+      val dropped = fs.listStatus(tableDir).toSeq.filter(s =>
+        s.isDirectory && s.getPath.getName.startsWith("data-") &&
+          !referenced.contains(s.getPath.getName))
+      dropped.foreach(s => fs.delete(s.getPath, true))
+      dropped.size
+    }
+  }
+
+  private def latestManifestVersion(
+      fs: org.apache.hadoop.fs.FileSystem, name: String): Int = {
+    val dir = new org.apache.hadoop.fs.Path(s"$root/$name")
+    if (!fs.exists(dir)) 0
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case ManifestRe(v) => v.toInt }
+      .sorted.lastOption.getOrElse(0)
+  }
+
+  private val ManifestRe = "manifest-([0-9]+)\\.json".r
+
+  private def manifestFiles(
+      fs: org.apache.hadoop.fs.FileSystem, name: String, v: Int): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$name/manifest-$v.json")
+    val in = fs.open(p)
+    val body = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+               finally in.close()
+    body.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Write `manifest-<v>.json` atomically: create under a temp name
+    * in the SAME directory, then rename into place (same-dir rename is
+    * atomic on HDFS and local filesystems; a manifest is therefore
+    * never observable half-written). One file path per line.
+    */
+  private def writeManifest(
+      fs: org.apache.hadoop.fs.FileSystem, name: String, v: Int,
+      files: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(s"$root/$name/_manifest-$v.json.tmp")
+    val dst = new Path(s"$root/$name/manifest-$v.json")
+    val out = fs.create(tmp, false)
+    try out.write(files.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"manifest commit collision for $name v$v — concurrent writer without the lock?")
+    }
+  }
 }
 
 object LakeWriter {

@@ -246,6 +246,78 @@ class LakeWriterSpec extends AnyFunSuite {
     assert(calls3 == 1, "non-missing-path errors must rethrow immediately")
   }
 
+  test("manifested table: commits are dense versions, append carries files, " +
+      "pinned versions time-travel until vacuumed") {
+    val root = Files.createTempDirectory("manif").toString
+    val lw = new LakeWriter(root)
+    assert(lw.commitManifested((1L to 10L).toDF("v"), "m1") == 1)
+    assert(lw.commitManifested((11L to 15L).toDF("v"), "m1") == 2)
+    assert(lw.readManifested(spark, "m1").count() == 15)
+    assert(lw.readManifested(spark, "m1", version = 1).count() == 10,
+      "a pinned old version reads its own snapshot")
+    // full-replacement commit
+    assert(lw.commitManifested((100L to 102L).toDF("v"), "m1", append = false) == 3)
+    assert(lw.readManifested(spark, "m1").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(100L, 101L, 102L))
+    assert(lw.readManifested(spark, "m1", version = 2).count() == 15,
+      "replacement does not disturb prior snapshots")
+    // compact replaces the snapshot with identical data
+    lw.compactManifested(spark, "m1")
+    assert(lw.readManifested(spark, "m1").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(100L, 101L, 102L))
+    // vacuum to 1 version: old manifests + unreferenced data dirs go
+    val dropped = lw.vacuumManifested(spark, "m1", keepVersions = 1)
+    assert(dropped >= 1, s"superseded data dirs must be reclaimed, got $dropped")
+    assert(lw.readManifested(spark, "m1").count() == 3, "latest snapshot survives vacuum")
+  }
+
+  test("manifested table: a reader loop racing commits and compactions never " +
+      "throws and only ever sees committed snapshots") {
+    val root = Files.createTempDirectory("manifrace").toString
+    val lw = new LakeWriter(root)
+    lw.commitManifested((1L to 100L).toDF("v"), "m2")
+    val legalCounts = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    legalCounts.add(100L)
+    @volatile var writerDone = false
+    val writer = new Thread(() => {
+      var next = 101L
+      for (i <- 1 to 4) {
+        legalCounts.add(next + 49) // count after this append commits
+        lw.commitManifested((next to next + 49L).toDF("v"), "m2")
+        next += 50
+        lw.compactManifested(spark, "m2")
+        lw.vacuumManifested(spark, "m2", keepVersions = 2)
+      }
+      writerDone = true
+    }, "manifest-writer")
+    writer.start()
+    var reads = 0
+    var failures = List.empty[String]
+    while (!writerDone && reads < 1000) {
+      val c = lw.readManifested(spark, "m2").count()
+      if (!legalCounts.contains(c)) failures ::= s"saw count $c"
+      reads += 1
+    }
+    writer.join(120000)
+    assert(failures.isEmpty, s"readers saw uncommitted states: ${failures.take(5)}")
+    assert(reads > 0 && lw.readManifested(spark, "m2").count() == 300)
+  }
+
+  test("manifested table: a crashed commit (data dir, no manifest) is invisible " +
+      "and vacuum reclaims it") {
+    val root = Files.createTempDirectory("maniforph").toString
+    val lw = new LakeWriter(root)
+    lw.commitManifested((1L to 5L).toDF("v"), "m3")
+    // simulate a crash between the data write and the manifest rename
+    (6L to 9L).toDF("v").write.parquet(s"$root/m3/data-orphan")
+    assert(lw.readManifested(spark, "m3").count() == 5,
+      "an uncommitted data dir must be invisible to readers")
+    val dropped = lw.vacuumManifested(spark, "m3", keepVersions = 1)
+    assert(dropped == 1, "vacuum must reclaim exactly the orphan dir")
+    assert(!new java.io.File(s"$root/m3/data-orphan").exists)
+    assert(lw.readManifested(spark, "m3").count() == 5)
+  }
+
   test("compact leaves no scratch artifacts (__compacting / __old / lock)") {
     val root = Files.createTempDirectory("lock4").toString
     val lw = new LakeWriter(root, mode = "append")
