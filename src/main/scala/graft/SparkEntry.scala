@@ -137,6 +137,17 @@ object SparkEntry {
        |WHERE ${q4("CAST(inter AS DOUBLE)/(na.n+nb.n-inter)")} >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // t52/t110 shared twin: deterministic per-source content-hash
+  // sample over the FULL corpus (the incremental fold must equal it)
+  private lazy val stratSampleSql: String =
+    """WITH h AS (SELECT doc_id, source,
+      |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h
+      |  FROM documents)
+      |SELECT source, rnk, doc_id, h FROM (
+      |  SELECT source, doc_id, h,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rnk
+      |  FROM h) WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin
+
   // s56/t109 shared fragment: hashed tf-idf vectors (the s47 CTEs) →
   // non-zero-norm frame → first-8 seed centroids → argmax-cosine
   // assignment; ends at CTE `r` = (doc_id, cid, sim, rn)
@@ -395,6 +406,24 @@ object SparkEntry {
       TextOps.splitAssign(t.documents) }),
     "t52_sample_stratified" -> ((s, d) => { val t = Tables.load(s, d)
       CorpusOps.stratifiedSample(t.documents) }),
+    // incremental sample maintenance: yesterday's sample is the whole
+    // index; folding today's shard against it reproduces the one-shot
+    // full-corpus sample EXACTLY (greedy hash-smallest property) —
+    // twin is t52's full-corpus SQL verbatim
+    "t110_incremental_sample" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      val idx = CorpusOps.stratifiedSample(t.documents.filter(col("doc_id") < 250))
+        .select("source", "doc_id", "h")
+      CorpusOps.incrementalStratifiedSample(
+        t.documents.filter(col("doc_id") >= 250), idx) }),
+    // ordered per-user funnel over the event stream: step i+1 counts
+    // only strictly after the first completion of step i
+    "t111_funnel" -> ((s, d) => { val t = Tables.load(s, d)
+      EventOps.funnel(t.events) }),
+    // cohort retention triangle: users grouped by first-event week,
+    // counted distinct in every week-offset they return
+    "t112_cohort_retention" -> ((s, d) => { val t = Tables.load(s, d)
+      EventOps.cohortRetention(t.events) }),
     "t53_tfidf_terms" -> ((s, d) => { val t = Tables.load(s, d)
       CorpusOps.tfidfTopTerms(t.documents) }),
     "t54_seq_pack" -> ((s, d) => { val t = Tables.load(s, d)
@@ -1125,6 +1154,33 @@ object SparkEntry {
         | floor(CAST(sum(n_events) AS DOUBLE)/count(*)*10000.0+0.5)/10000.0 AS avg_events,
         | max(dur_us) AS max_dur_us
         |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
+    // t111 twin: per-step firsts chained by strictly-after joins —
+    // the same user-keyed min cascade, stage from null-ness
+    "t111_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > t2 GROUP BY 1)
+        |SELECT s1.user_id,
+        |  CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage,
+        |  t1, t2, t3
+        |FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+        |  LEFT JOIN s3 ON s3.user_id = s1.user_id
+        |ORDER BY s1.user_id""".stripMargin,
+    // t112 twin: identical integer week arithmetic (floor of epoch
+    // micros over 7 days — no calendar functions on either side)
+    "t112_cohort_retention" ->
+      """WITH e AS (SELECT user_id,
+        |  CAST(floor(epoch_us(ts) / 604800000000.0) AS BIGINT) AS wk FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT f.cohort_wk, e.wk - f.cohort_wk AS wk_offset, e.user_id
+        |  FROM e JOIN f USING (user_id))
+        |SELECT cohort_wk, wk_offset, count(*) AS n_users
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t23_dedup_exact" ->
       """WITH fp AS (SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
@@ -1658,14 +1714,12 @@ object SparkEntry {
         |FROM b GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     // stratified sample twin: same (content-hash, doc_id) order, same
     // per-source quota — md5 hex strings compare identically (ASCII)
-    "t52_sample_stratified" ->
-      """WITH h AS (SELECT doc_id, source,
-        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h
-        |  FROM documents)
-        |SELECT source, rnk, doc_id, h FROM (
-        |  SELECT source, doc_id, h,
-        |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rnk
-        |  FROM h) WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+    "t52_sample_stratified" -> stratSampleSql,
+    // t110 twin: t52's FULL-CORPUS SQL verbatim — the incremental fold
+    // (yesterday's sample index + today's shard) must reproduce the
+    // one-shot sample bit-for-bit, which is the exactness claim of
+    // hash-smallest greedy maintenance
+    "t110_incremental_sample" -> stratSampleSql,
     // linear-idf score tf/df: single IEEE division of exact integers —
     // bit-identical in every engine (ln is libm-dependent, so no log)
     "t53_tfidf_terms" ->

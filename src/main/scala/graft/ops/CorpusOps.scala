@@ -62,6 +62,31 @@ object CorpusOps {
       .orderBy("source", "rnk")
   }
 
+  /** INCREMENTAL [[stratifiedSample]]: fold a new shard into a
+    * maintained sample without rescanning history. The index IS the
+    * previous sample — (source, doc_id, h), ≤quota rows per stratum —
+    * and the greedy property of hash-smallest selection makes the
+    * fold EXACT: the quota hash-smallest of (history ∪ shard) are
+    * always contained in (quota hash-smallest of history) ∪ shard,
+    * so re-ranking the tiny index against the hash-bounded shard
+    * reproduces the one-shot full-corpus sample bit-for-bit (gated:
+    * t110's twin IS t52's full-corpus SQL). The daily loop: take
+    * today's output as tomorrow's index.
+    */
+  def incrementalStratifiedSample(
+      shard: DataFrame, index: DataFrame, quota: Int = 5): DataFrame = {
+    val sh = shard.select(
+      col("doc_id"), col("source"), TextOps.fingerprint(col("text")).as("h"))
+    val all = index.select("doc_id", "source", "h")
+      .unionByName(hashBounded(sh, quota).select("doc_id", "source", "h"))
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    all
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= quota)
+      .select("source", "rnk", "doc_id", "h")
+      .orderBy("source", "rnk")
+  }
+
   /** EXACT pre-filter for per-stratum hash-smallest selection: keep
     * only rows whose 16-bit hash prefix lands at or below the
     * smallest bucket boundary where the stratum's cumulative count

@@ -316,4 +316,67 @@ object EventOps {
         max("dur_us").as("max_dur_us"))
       .orderBy("user_id")
   }
+
+  /** ORDERED FUNNEL per user: how far each user progressed through
+    * `steps`, where step i+1 counts only if it happens STRICTLY AFTER
+    * the user's first completion of step i (the product-analytics
+    * funnel rule — a purchase before the first view is not a
+    * conversion). Emits one row per user who completed step 1:
+    * (user_id, stage, t1..tn as epoch micros, nulls past the stage).
+    *
+    * Scale shape: one narrow pass per step — filter to the step's
+    * events, user-keyed join against the previous step's firsts,
+    * partial-aggregated min — all user-partitioned equi-joins, no
+    * windows over the whole timeline, no event×event self-join.
+    * Timestamps stay integer micros end-to-end (exact, engine-
+    * portable, and BIGINT in the output schema per the oracle
+    * timestamp rule).
+    */
+  def funnel(events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = events.select(
+      col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    var out = e.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("us").as("t1"))
+    for ((st, i) <- steps.tail.zipWithIndex) {
+      val prev = s"t${i + 1}"
+      val nxt = s"t${i + 2}"
+      val firsts = e.filter(col("event_type") === st)
+        .join(out.select(col("user_id"), col(prev)), "user_id")
+        .filter(col("us") > col(prev))
+        .groupBy("user_id").agg(min("us").as(nxt))
+      out = out.join(firsts, Seq("user_id"), "left")
+    }
+    val stage = (2 to steps.size).foldLeft(lit(1L)) { (acc, i) =>
+      acc + when(col(s"t$i").isNotNull, 1L).otherwise(0L)
+    }
+    out.withColumn("stage", stage)
+      .select(col("user_id") +: col("stage") +:
+        (1 to steps.size).map(i => col(s"t$i")): _*)
+      .orderBy("user_id")
+  }
+
+  /** COHORT RETENTION: users grouped by the week of their first event
+    * (weeks = floor(epoch micros / 7 days) — pure integer math, no
+    * calendar dependency), counted distinct in every later week they
+    * return. The (cohort_wk, wk_offset, n_users) triangle is the
+    * retention curve a growth dashboard plots.
+    *
+    * Scale shape: first-event week is one user-keyed partial
+    * aggregate; activity rows join it user-keyed; the distinct and
+    * final count partial-aggregate down to the tiny
+    * cohorts×offsets grid before the last shuffle.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"),
+      floor(unix_micros(col("ts")) / lit(604800000000L)).cast("long").as("wk"))
+    val first = e.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    e.join(first, "user_id")
+      .select(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort_wk", "wk_offset").agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_wk", "wk_offset")
+  }
 }

@@ -630,6 +630,20 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"topic docs must follow their seed, zero-norm excluded: $out")
   }
 
+  test("incrementalStratifiedSample: daily folds reproduce the one-shot " +
+      "sample exactly, whatever the shard split") {
+    val d = docs((1L to 40L).map(i =>
+      (i, s"src${i % 3}", s"unique text body number $i")): _*)
+    val oneShot = CorpusOps.stratifiedSample(d, quota = 4).collect().toSeq
+    for (cut <- Seq(10L, 25L, 39L)) {
+      val idx = CorpusOps.stratifiedSample(d.filter(s"doc_id < $cut"), quota = 4)
+        .select("source", "doc_id", "h")
+      val folded = CorpusOps.incrementalStratifiedSample(
+        d.filter(s"doc_id >= $cut"), idx, quota = 4).collect().toSeq
+      assert(folded == oneShot, s"fold at $cut must equal the one-shot sample")
+    }
+  }
+
   test("clusterBalancedSample: per-topic quotas; pre-filter is lossless " +
       "(differential vs the unfiltered rank)") {
     import org.apache.spark.sql.functions.{col, row_number}

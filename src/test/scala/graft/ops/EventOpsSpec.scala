@@ -204,4 +204,48 @@ class EventOpsSpec extends AnyFunSuite {
       Row(h10, "click", 2L, 4.0, 2.0),
       Row(h11, "view", 1L, 10.0, 10.0)))
   }
+
+  test("funnel: strictly-after ordering, partial stages, no-step-1 users absent") {
+    def us(s: String) = ts(s).getTime * 1000L
+    val events = Seq(
+      // u1 completes all three in order
+      (1L, "view", ts("2026-01-01 10:00:00")),
+      (1L, "click", ts("2026-01-01 10:05:00")),
+      (1L, "purchase", ts("2026-01-01 10:10:00")),
+      // u2: a click BEFORE the first view must not count; one after does
+      (2L, "click", ts("2026-01-01 09:00:00")),
+      (2L, "view", ts("2026-01-01 10:00:00")),
+      (2L, "click", ts("2026-01-01 10:30:00")),
+      // u3: purchase before the first view — stage stays 1
+      (3L, "purchase", ts("2026-01-01 09:00:00")),
+      (3L, "view", ts("2026-01-01 10:00:00")),
+      // u4 never views → absent from the funnel
+      (4L, "click", ts("2026-01-01 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = EventOps.funnel(events).collect().map(r =>
+      (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toSeq
+    assert(out == Seq(
+      (1L, 3L, Some(us("2026-01-01 10:00:00")), Some(us("2026-01-01 10:05:00")),
+        Some(us("2026-01-01 10:10:00"))),
+      (2L, 2L, Some(us("2026-01-01 10:00:00")), Some(us("2026-01-01 10:30:00")), None),
+      (3L, 1L, Some(us("2026-01-01 10:00:00")), None, None)), out.toString)
+  }
+
+  test("cohortRetention: first-event week anchors the cohort; gaps leave holes") {
+    // week boundary arithmetic in raw micros: wk = floor(us / 7d)
+    val d0 = ts("2026-01-01 00:00:00")
+    def plusDays(d: Int) = new Timestamp(d0.getTime + d * 86400000L)
+    val events = Seq(
+      (1L, d0), (1L, plusDays(7)), (1L, plusDays(21)),  // offsets 0, 1, 3
+      (2L, d0), (2L, plusDays(7)),                      // offsets 0, 1
+      (3L, plusDays(7))                                 // later cohort, offset 0
+    ).toDF("user_id", "ts")
+    val out = EventOps.cohortRetention(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val w0 = math.floor(d0.getTime * 1000.0 / 604800000000.0).toLong
+    // d0 is mid-week in epoch terms, so +7d always lands in wk+1
+    assert(out == Seq(
+      (w0, 0L, 2L), (w0, 1L, 2L), (w0, 3L, 1L), (w0 + 1, 0L, 1L)), out.toString)
+  }
 }
