@@ -312,6 +312,32 @@ object SparkEntry {
       |e AS (SELECT vec_id,
       |  list_transform(q, x -> CAST(x AS DOUBLE)*scale/127.0) AS v FROM qt)""".stripMargin)
 
+  // s57/s58: the seeded 64→16 Johnson–Lindenstrauss projection as
+  // DuckDB CTEs — the same hyperplane constants baked into the Spark
+  // plan, each component one sequential fold; ends at CTE `pf` =
+  // the projected top-5 (query_id, vec_id) with `pr` carrying cos
+  private lazy val projChainCtes: String = {
+    val planes = graft.ops.Similarity.hyperplanes(16, 64, 99L)
+    val comps = planes.map { p =>
+      s"list_sum(list_transform(range(1,65), i -> v[i] * ${p.mkString("[", ", ", "]")}[i]))"
+    }.mkString(",\n       |    ")
+    s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ep AS (SELECT vec_id, [
+       |    $comps] AS v FROM e0),
+       |pnr AS (SELECT vec_id,
+       |  sqrt(list_sum(list_transform(range(1,17), i -> v[i]*v[i]))) AS nrm FROM ep),
+       |pd AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |  list_sum(list_transform(range(1,17), i -> a.v[i]*b.v[i])) AS dp
+       |  FROM ep a JOIN ep b ON a.vec_id < 5 AND b.vec_id >= 5),
+       |pr AS (SELECT qid AS query_id, cid AS vec_id,
+       |  floor(dp/(na.nrm*nb.nrm)*1000000.0+0.5)/1000000.0 AS cos
+       |  FROM pd JOIN pnr na ON na.vec_id = qid JOIN pnr nb ON nb.vec_id = cid),
+       |pf AS (SELECT query_id, vec_id, cos, rnk FROM (
+       |  SELECT query_id, vec_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+       |  FROM pr) WHERE rnk <= 5)""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> ((s, d) => { val t = Tables.load(s, d)
       Relational.pricingSummary(t.lineitem) }),
@@ -668,6 +694,17 @@ object SparkEntry {
       import s.implicits._
       CorpusOps.bm25SearchBatch(
         t.documents, BatchQueries.toDF("query_id", "qtext")) }),
+    // seeded JL random projection (64→16, 4× memory/compute cut):
+    // brute-force cosine top-k in the PROJECTED space — projections
+    // bit-reproducible from the seeded hyperplane constants
+    "s57_projected_topk" -> ((s, d) => { val t = Tables.load(s, d)
+      Similarity.projectedTopK(t.embeddings) }),
+    // the recall eval for the projection trade: projected top-5 vs
+    // the full-precision ground truth, per query
+    "s58_projected_recall" -> ((s, d) => { val t = Tables.load(s, d)
+      Similarity.recallAtK(
+        Similarity.cosineTopK(t.embeddings),
+        Similarity.projectedTopK(t.embeddings)) }),
     // ANN eval harness: recall@k of the seed-centroid IVF (nProbe=4)
     // against the brute-force ground truth — the measurement that
     // gates any recall-for-speed trade before it ships. Twin composes
@@ -2597,6 +2634,33 @@ object SparkEntry {
     // then recall = |overlap| / k per ground-truth query with the one
     // deferred IEEE division (Exact.quant6's floor(x·1e6+0.5)/1e6).
     // Left join keeps silently-missed queries at recall 0.
+    // s57 twin: the projection chain + the s31 top-k shape at 16 dims
+    "s57_projected_topk" ->
+      s"""WITH $projChainCtes
+         |SELECT query_id, rnk, vec_id, cos FROM pf
+         |ORDER BY query_id, rnk""".stripMargin,
+    // s58 twin: s31's brute-force top-5 (the ground truth) overlapped
+    // with the projected top-5 — the s48 recall-select shape
+    "s58_projected_recall" ->
+      s"""WITH $projChainCtes,
+         |nr AS (SELECT vec_id, $sqlNorm AS nrm FROM e0),
+         |bd AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+         |  list_sum(list_transform(range(1,65), i -> a.v[i]*b.v[i])) AS dp
+         |  FROM e0 a JOIN e0 b ON a.vec_id < 5 AND b.vec_id >= 5),
+         |br AS (SELECT qid AS query_id, cid AS vec_id,
+         |  floor(dp/(na.nrm*nb.nrm)*1000000.0+0.5)/1000000.0 AS cos
+         |  FROM bd JOIN nr na ON na.vec_id = qid JOIN nr nb ON nb.vec_id = cid),
+         |bf AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM br) WHERE rnk <= 5),
+         |h AS (SELECT b.query_id, count(*) AS hits FROM bf b
+         |  JOIN pf a ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+         |  GROUP BY 1)
+         |SELECT q.query_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+         |  floor(CAST(COALESCE(h.hits, 0) AS DOUBLE)/CAST(5.0 AS DOUBLE)*1000000.0+0.5)/1000000.0 AS recall
+         |FROM (SELECT DISTINCT query_id FROM bf) q
+         |LEFT JOIN h ON h.query_id = q.query_id ORDER BY q.query_id""".stripMargin,
     "s48_ivf_recall" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |nr AS (SELECT vec_id, $sqlNorm AS nrm FROM e),

@@ -73,6 +73,36 @@ object Similarity {
     bruteTopK(e, nQueries, k, dp)
   }
 
+  /** Seeded Gaussian RANDOM PROJECTION (Johnson–Lindenstrauss):
+    * dim→outDim by `outDim` fixed hyperplane dots — the 4× (64→16)
+    * index-memory/compute cut that approximately preserves pairwise
+    * angles (JL lemma), composing with every downstream serving path
+    * because the output carries the standard (vec_id, embedding)
+    * shape. The projection matrix is the seeded [[hyperplanes]]
+    * family — driver-side constants baked into both the Spark plan
+    * and the oracle twin, so a rebuild (or the twin) reproduces
+    * projections bit-for-bit; each component is one sequential-fold
+    * dot (the s31 portability contract). A new shard projects with
+    * the same seed and appends — nothing recomputes.
+    */
+  def projectEmbeddings(embeddings: DataFrame, outDim: Int = 16,
+      dim: Int = 64, seed: Long = 99L): DataFrame = {
+    val planes = hyperplanes(outDim, dim, seed)
+    val dp = dotWith(embeddings.sparkSession) _
+    val v = asDouble(col("embedding"))
+    embeddings.select(col("vec_id"),
+      array(planes.toSeq.map(p =>
+        dp(v, array(p.toSeq.map(lit): _*))): _*).as("embedding"))
+  }
+
+  /** Brute-force cosine top-k over the PROJECTED space — the
+    * reduced-dimension serving path ([[recallAtK]] against
+    * [[cosineTopK]] measures what the 4× cut costs in recall).
+    */
+  def projectedTopK(embeddings: DataFrame, outDim: Int = 16,
+      nQueries: Int = 5, k: Int = 5, seed: Long = 99L): DataFrame =
+    cosineTopK(projectEmbeddings(embeddings, outDim, seed = seed), nQueries, k)
+
   /** Broadcast-query brute-force top-k over a prepared (vec_id, v,
     * nrm) frame — shared by the full-precision and the quantized
     * serving paths.

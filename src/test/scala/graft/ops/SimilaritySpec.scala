@@ -509,4 +509,23 @@ class SimilaritySpec extends AnyFunSuite {
     val full = Similarity.ivfTopK(planted, kmeansIters = 0, nProbe = 16)
     assert(Similarity.recallAtK(bf, full).collect().forall(_.getDouble(2) == 1.0))
   }
+
+  test("projectEmbeddings: deterministic 16-dim output; a planted near-dup " +
+      "pair survives projection as the projected top-1") {
+    val p1 = Similarity.projectEmbeddings(planted).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(p1.values.forall(_.length == 16))
+    val p2 = Similarity.projectEmbeddings(planted).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(p1 == p2, "seeded projection must be bit-reproducible")
+    // the JL promise is for STRONG similarity: queries 0..4 have
+    // planted near-dups at 100..104 (cos ≈ 0.999 in 64-d); after the
+    // 64→16 projection those must still rank first
+    val top = Similarity.projectedTopK(planted, nQueries = 5, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (0L to 4L).foreach { q =>
+      assert(top(q) == 100L + q,
+        s"query $q: planted near-dup must survive projection, got ${top(q)}")
+    }
+  }
 }
