@@ -137,6 +137,24 @@ object SparkEntry {
        |WHERE ${q4("CAST(inter AS DOUBLE)/(na.n+nb.n-inter)")} >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // t111/t113 shared twin: the ordered per-user funnel over the
+  // full event table (the streaming state fold must equal it)
+  private lazy val funnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |s1 AS (SELECT user_id, min(us) AS t1 FROM e
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+      |  WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+      |  WHERE event_type = 'purchase' AND us > t2 GROUP BY 1)
+      |SELECT s1.user_id,
+      |  CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+      |         + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage,
+      |  t1, t2, t3
+      |FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+      |  LEFT JOIN s3 ON s3.user_id = s1.user_id
+      |ORDER BY s1.user_id""".stripMargin
+
   // t52/t110 shared twin: deterministic per-source content-hash
   // sample over the FULL corpus (the incremental fold must equal it)
   private lazy val stratSampleSql: String =
@@ -450,6 +468,11 @@ object SparkEntry {
     // counted distinct in every week-offset they return
     "t112_cohort_retention" -> ((s, d) => { val t = Tables.load(s, d)
       EventOps.cohortRetention(t.events) }),
+    // STREAMING funnel: the t111 rule as per-user keyed state over
+    // real restart-per-shard micro-batches — (t1, t2, t3) must
+    // restore across cold restarts for steps straddling shards
+    "t113_stream_funnel" -> ((s, d) => { val t = Tables.load(s, d)
+      graft.streaming.StreamGates.funnelGate(t.events) }),
     "t53_tfidf_terms" -> ((s, d) => { val t = Tables.load(s, d)
       CorpusOps.tfidfTopTerms(t.documents) }),
     "t54_seq_pack" -> ((s, d) => { val t = Tables.load(s, d)
@@ -1193,21 +1216,10 @@ object SparkEntry {
         |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
     // t111 twin: per-step firsts chained by strictly-after joins —
     // the same user-keyed min cascade, stage from null-ness
-    "t111_funnel" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
-        |s1 AS (SELECT user_id, min(us) AS t1 FROM e
-        |  WHERE event_type = 'view' GROUP BY 1),
-        |s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
-        |  WHERE event_type = 'click' AND us > t1 GROUP BY 1),
-        |s3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
-        |  WHERE event_type = 'purchase' AND us > t2 GROUP BY 1)
-        |SELECT s1.user_id,
-        |  CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
-        |         + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage,
-        |  t1, t2, t3
-        |FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
-        |  LEFT JOIN s3 ON s3.user_id = s1.user_id
-        |ORDER BY s1.user_id""".stripMargin,
+    "t111_funnel" -> funnelSql,
+    // t113 twin: the stream's final per-user funnel state must equal
+    // the one-shot batch funnel — t111's SQL verbatim
+    "t113_stream_funnel" -> funnelSql,
     // t112 twin: identical integer week arithmetic (floor of epoch
     // micros over 7 days — no calendar functions on either side)
     "t112_cohort_retention" ->

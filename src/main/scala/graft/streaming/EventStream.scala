@@ -338,6 +338,50 @@ object EventStream {
       }
   }
 
+  final case class FunnelEvent(
+      user_id: Long, event_type: String, us: Long, event_id: Long)
+  final case class FunnelProgress(user_id: Long, stage: Long,
+      t1: Option[Long], t2: Option[Long], t3: Option[Long])
+
+  /** STREAMING FUNNEL: per-user ordered-step progress
+    * ([[graft.ops.EventOps.funnel]]'s rule — step i+1 counts only
+    * strictly after the first completion of step i) maintained as one
+    * tiny keyed-state record, updated per micro-batch. Each batch's
+    * group rows fold in (us, event_id) order, so a batch replays in
+    * event-time order; under time-ordered arrival across batches (the
+    * gate's time-contiguous shards) the first qualifying event
+    * encountered IS the batch rule's min, and the final state equals
+    * the batch funnel row bit-for-bit — whatever the shard cut or
+    * restart points. Users who never complete step 1 carry stage 0
+    * (the gate filters them, matching the batch output's absence).
+    */
+  def funnelProgress(events: Dataset[FunnelEvent],
+      steps: Seq[String] = Seq("view", "click", "purchase")): Dataset[FunnelProgress] = {
+    require(steps.size == 3, "funnelProgress pins the 3-step state shape")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelProgress]) =>
+          var st = state.getOption.getOrElse(
+            FunnelProgress(userId, 0L, None, None, None))
+          rows.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+            if (e.event_type == steps(0) && st.t1.isEmpty)
+              st = st.copy(t1 = Some(e.us))
+            else if (e.event_type == steps(1) && st.t2.isEmpty &&
+                st.t1.exists(e.us > _))
+              st = st.copy(t2 = Some(e.us))
+            else if (e.event_type == steps(2) && st.t3.isEmpty &&
+                st.t2.exists(e.us > _))
+              st = st.copy(t3 = Some(e.us))
+          }
+          val next = st.copy(stage =
+            Seq(st.t1, st.t2, st.t3).count(_.isDefined).toLong)
+          state.update(next)
+          next
+      }
+  }
+
   final case class UserRunningExact(user_id: Long, n_events: Long, q_total: Long)
 
   /** [[runningTotals]] with a GATE-EXACT accumulator: the raw-double

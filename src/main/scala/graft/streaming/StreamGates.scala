@@ -238,6 +238,45 @@ object StreamGates {
       .orderBy("user_id")
   }
 
+  /** Streaming FUNNEL, gated: [[EventStream.funnelProgress]] (keyed
+    * state, one tiny record per user) over the restart-per-shard
+    * drive. Funnel steps straddling shard boundaries only come out
+    * right if the per-user (t1, t2, t3) state restores across the
+    * cold restarts — a user whose view lands in shard 1 and purchase
+    * in shard 3 must still read stage 3. Last emission per user
+    * (update-mode semantics), stage-0 users dropped; must equal the
+    * one-shot batch funnel (t111's twin SQL verbatim).
+    */
+  def funnelGate(events: DataFrame, nShards: Int = 3): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val out = Files.createTempDirectory("sgate_funnel_out").toString + "/emissions"
+    drive(timeShards(
+        events.select("ts", "user_id", "event_id", "event_type"), nShards)) { (src, cp) =>
+      EventStream.funnelProgress(
+          src.select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"), col("event_id"))
+            .as[EventStream.FunnelEvent])
+        .toDF()
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", cp.get)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("batch_id").desc)
+    spark.read.parquet(out)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("stage") >= 1)
+      .select("user_id", "stage", "t1", "t2", "t3")
+      .orderBy("user_id")
+  }
+
   /** Stream-static enrichment, gated: [[EventStream.enrichedHourly]]
     * joins each micro-batch against the customer dimension (broadcast,
     * re-planned per batch) before the watermarked hourly rollup per

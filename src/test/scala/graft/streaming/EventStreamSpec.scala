@@ -97,6 +97,27 @@ class EventStreamSpec extends AnyFunSuite {
     assert(gated.nonEmpty)
   }
 
+  test("funnelGate: per-user funnel state survives restarts — steps straddling " +
+      "shard boundaries still complete; equals the batch funnel") {
+    // u1's three steps are far apart in time, so 3 time shards cut
+    // BETWEEN them: the (t1, t2) state must restore across two cold
+    // restarts for stage 3 to emerge. u2 clicks before viewing.
+    val ev = Seq(
+      (11L, "view", ts("2026-01-01 01:00:00"), 1L),
+      (12L, "click", ts("2026-01-01 09:00:00"), 1L),
+      (13L, "purchase", ts("2026-01-01 21:00:00"), 1L),
+      (14L, "click", ts("2026-01-01 01:30:00"), 2L),
+      (15L, "view", ts("2026-01-01 08:30:00"), 2L),
+      (16L, "click", ts("2026-01-01 20:30:00"), 2L)
+    ).toDF("event_id", "event_type", "ts", "user_id")
+    val gated = StreamGates.funnelGate(ev, nShards = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gated == Seq((1L, 3L), (2L, 2L)), gated.toString)
+    val batch = graft.ops.EventOps.funnel(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gated == batch)
+  }
+
   test("enrichedGate: per-batch broadcast dim join + hourly rollup == batch twin") {
     import org.apache.spark.sql.functions.{col, count => fcount, lit, unix_micros, date_trunc}
     val ev = spark.read.parquet(eventsDir)
