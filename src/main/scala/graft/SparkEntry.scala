@@ -137,6 +137,13 @@ object SparkEntry {
        |WHERE ${q4("CAST(inter AS DOUBLE)/(na.n+nb.n-inter)")} >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // t114's planted accented tail — uppercase and lowercase accents,
+  // typographic dashes/quotes; one constant interpolated into BOTH
+  // the Spark plan and the twin SQL
+  private val NormPlantTail =
+    " Déjà Vu – “Naïve” CAFÉ"
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
   // t111/t113 shared twin: the ordered per-user funnel over the
   // full event table (the streaming state fold must equal it)
   private lazy val funnelSql: String =
@@ -371,6 +378,22 @@ object SparkEntry {
       Relational.antiNoOrders(t.customer, t.orders) }),
     "q07_order_count_hist" -> ((s, d) => { val t = Tables.load(s, d)
       Relational.orderCountHistogram(t.customer, t.orders) }),
+    // full outer with both null arms non-vacuous: segment customers
+    // vs finished-order counts, side indicator names each arm
+    "q50_full_outer" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.fullOuterActivity(t.customer, t.orders) }),
+    // grouped MODE with deterministic tie-break
+    "q51_mode" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.modeQuantity(t.lineitem) }),
+    // unicode normalization (CCNet-style cleanup): accent/typography
+    // fold + lowercase + whitespace collapse, exercised by a planted
+    // accented tail (the t67 pattern — the fixture corpus is ASCII)
+    "t114_normalize_unicode" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, concat, lit, when}
+      TextOps.normalizeTexts(
+        t.documents.withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(NormPlantTail))).otherwise(col("text")))) }),
     "q08_top3_per_brand" -> ((s, d) => { val t = Tables.load(s, d)
       Relational.topPartsPerBrand(t.lineitem, t.part) }),
     "q09_running_total" -> ((s, d) => { val t = Tables.load(s, d)
@@ -1214,6 +1237,41 @@ object SparkEntry {
         | floor(CAST(sum(n_events) AS DOUBLE)/count(*)*10000.0+0.5)/10000.0 AS avg_events,
         | max(dur_us) AS max_dur_us
         |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q50 twin: identical pre-aggregated full outer + side indicator
+    "q50_full_outer" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'),
+        |o AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+        |  WHERE o_orderstatus = 'F' GROUP BY 1)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_mktsegment, n_orders,
+        |  CASE WHEN c_custkey IS NULL THEN 'orders_only'
+        |       WHEN o_custkey IS NULL THEN 'customer_only'
+        |       ELSE 'both' END AS side
+        |FROM c FULL OUTER JOIN o ON o.o_custkey = c.c_custkey
+        |ORDER BY custkey""".stripMargin,
+    // q51 twin: counts + the same (n DESC, value) rank rule
+    "q51_mode" ->
+      """SELECT l_returnflag, l_quantity, n FROM (
+        |  SELECT l_returnflag, l_quantity, count(*) AS n,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY count(*) DESC, l_quantity) AS rn
+        |  FROM lineitem GROUP BY 1, 2)
+        |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+    // t114 twin: the IDENTICAL fold table and planted tail (both
+    // interpolated from the same Scala constants), translate/lower/
+    // collapse applied in the same order
+    "t114_normalize_unicode" ->
+      s"""WITH p AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 5 = 0 THEN text || ${sqlLit(NormPlantTail)}
+         |       ELSE text END AS text
+         |  FROM documents),
+         |n AS (SELECT doc_id,
+         |  trim(regexp_replace(translate(lower(text),
+         |    ${sqlLit(TextOps.UnicodeFoldFrom)}, ${sqlLit(TextOps.UnicodeFoldTo)}),
+         |    '\\s+', ' ', 'g')) AS norm_text
+         |  FROM p)
+         |SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars
+         |FROM n ORDER BY doc_id""".stripMargin,
     // t111 twin: per-step firsts chained by strictly-after joins —
     // the same user-keyed min cascade, stage from null-ness
     "t111_funnel" -> funnelSql,

@@ -124,6 +124,45 @@ object Relational {
       .agg(count(lit(1)).as("n_customers"))
       .orderBy("n_orders")
 
+  /** FULL OUTER join with both null arms non-vacuous: BUILDING-segment
+    * customers against finished-order counts — customers with no F
+    * orders surface left-only, F-order customers outside the segment
+    * right-only, and the `side` indicator names each arm. The orders
+    * side pre-aggregates to one row per customer BEFORE the join, so
+    * the full-outer shuffle carries counts, never order rows.
+    */
+  def fullOuterActivity(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val c = customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val o = orders.filter(col("o_orderstatus") === "F")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_mktsegment"),
+        col("n_orders"),
+        when(col("c_custkey").isNull, "orders_only")
+          .when(col("o_custkey").isNull, "customer_only")
+          .otherwise("both").as("side"))
+      .orderBy("custkey")
+  }
+
+  /** Grouped MODE: the most frequent quantity per return flag, with
+    * a deterministic (count DESC, value) tie-break — the categorical
+    * summary statistic `percentile` can't give. Partial-aggregated
+    * counts shrink to |groups|·|values| rows before the rank window.
+    */
+  def modeQuantity(lineitem: DataFrame): DataFrame = {
+    val counts = lineitem.groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("n").desc, col("l_quantity"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("l_returnflag", "l_quantity", "n")
+      .orderBy("l_returnflag")
+  }
+
   /** Per-group top-k via ranking window. Revenue is quantized BEFORE
     * the rank so order can't flip on float noise; p_partkey breaks
     * ties. Scale: one shuffle on p_brand for the window; the pre-agg

@@ -139,6 +139,45 @@ object TextOps {
   def normText(text: Column): Column =
     trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
+  /** Character maps for UNICODE normalization (the CCNet-style
+    * cleanup a web corpus needs BEFORE tokenization/dedup — "Café"
+    * and "Cafe", curly and straight quotes, en/em dashes must not
+    * count as different content): common Latin-1/Latin-Extended
+    * accents fold to ASCII, typographic dashes/quotes to their ASCII
+    * forms. One flat 1:1 table applied by `translate` (codegen'd, no
+    * UDF, and the IDENTICAL builtin exists in the oracle engine) —
+    * a public constant so the twin interpolates the same table.
+    */
+  val UnicodeFoldFrom: String =
+    "àáâãäå" + // à á â ã ä å
+    "èéêë" +             // è é ê ë
+    "ìíîï" +             // ì í î ï
+    "òóôõö" +       // ò ó ô õ ö
+    "ùúûü" +             // ù ú û ü
+    "çñý" +                   // ç ñ ý
+    "–—‘’“”"   // – — ' ' " "
+  val UnicodeFoldTo: String =
+    "aaaaaa" + "eeee" + "iiii" + "ooooo" + "uuuu" + "cny" + "--''\"\""
+
+  /** Unicode-normalized text: lowercase (folds accented UPPERCASE to
+    * the lowercase forms the table covers), accent/typography fold,
+    * whitespace collapse, trim. A narrow codegen'd pass — the
+    * normalization stage of a crawl pipeline, upstream of
+    * [[fingerprint]]-style dedup.
+    */
+  def normalizeUnicode(text: Column): Column =
+    trim(regexp_replace(
+      translate(lower(text), UnicodeFoldFrom, UnicodeFoldTo), "\\s+", " "))
+
+  /** Per-document unicode normalization report: (doc_id, norm_text,
+    * n_chars) over [[normalizeUnicode]].
+    */
+  def normalizeTexts(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), normalizeUnicode(col("text")).as("norm_text"))
+      .withColumn("n_chars", length(col("norm_text")).cast("long"))
+      .orderBy("doc_id")
+
   /** Deterministic 128-bit content fingerprint of the normalized text. */
   def fingerprint(text: Column): Column = md5(normText(text))
 

@@ -32,4 +32,32 @@ class RelationalSpec extends AnyFunSuite {
     assert(out.getLong(0) == 4999L && out.getLong(1) == 397L)
     assert(out.getBoolean(2) && out.getBoolean(3))
   }
+
+  test("fullOuterActivity: both null arms surface with side indicators (golden)") {
+    import spark.implicits._
+    val customer = Seq(
+      (1L, "BUILDING"), (2L, "BUILDING"), (3L, "MACHINERY")
+    ).toDF("c_custkey", "c_mktsegment")
+    val orders = Seq(
+      (10L, 1L, "F"), (11L, 1L, "F"), (12L, 3L, "F"), (13L, 2L, "O")
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus")
+    val out = Relational.fullOuterActivity(customer, orders).collect()
+      .map(r => (r.getLong(0), Option(r.get(2)), r.getString(3))).toSeq
+    assert(out == Seq(
+      (1L, Some(2L), "both"),          // building + 2 F orders
+      (2L, None, "customer_only"),     // building, no F orders
+      (3L, Some(1L), "orders_only")),  // F orders, not building
+      out.toString)
+  }
+
+  test("modeQuantity: most frequent value per group, deterministic tie-break") {
+    import spark.implicits._
+    val li = Seq(
+      ("A", 7L), ("A", 7L), ("A", 3L),
+      ("R", 9L), ("R", 2L)  // tie -> smaller quantity wins
+    ).toDF("l_returnflag", "l_quantity")
+    val out = Relational.modeQuantity(li).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(("A", 7L, 2L), ("R", 2L, 1L)), out.toString)
+  }
 }

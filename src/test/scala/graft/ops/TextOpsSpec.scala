@@ -17,6 +17,17 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fps.size == 1)
   }
 
+  test("normalizeUnicode: accents fold, typography folds, case and whitespace " +
+      "collapse (golden)") {
+    val out = TextOps.normalizeTexts(
+        Seq((1L, "  Déjà Vu – “Naïve”\n\nCAFÉ  "),
+          (2L, "plain ascii stays")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      (1L, "deja vu - \"naive\" cafe", ("deja vu - \"naive\" cafe").length.toLong),
+      (2L, "plain ascii stays", 17L)), out.toString)
+  }
+
   test("predictLang picks the language with most marker hits, ties by precedence") {
     import org.apache.spark.sql.functions.col
     val cases = Seq(
