@@ -363,6 +363,52 @@ object SparkEntry {
        |  FROM pr) WHERE rnk <= 5)""".stripMargin
   }
 
+  // s59 twin: the s31 top-10 retrieval for query 0 feeding FIVE
+  // unrolled greedy MMR rounds (the s36 sweep-unroll precedent) —
+  // identical quantized objective, identical (mmr DESC, doc_id)
+  // argmax, and the (1−λ) factor interpolated as the verbatim IEEE
+  // result of computing it from λ
+  private lazy val s59Sql: String = {
+    val lam = 0.7
+    val om = (1.0 - lam).toString
+    def qdot(a: String, b: String) =
+      s"list_sum(list_transform(range(1,65), i -> $a.v[i]*$b.v[i]))"
+    val rounds = (2 to 5).map { i =>
+      s"""m$i AS (SELECT c.doc_id,
+         |  max(floor(${qdot("c", "s")}/(c.nrm*s.nrm)*1000000.0+0.5)/1000000.0) AS maxsim
+         |  FROM cand c, sel${i - 1} s
+         |  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel${i - 1})
+         |  GROUP BY c.doc_id),
+         |p$i AS (SELECT c.doc_id, c.score, c.v, c.nrm,
+         |  floor(($lam*c.score - $om*m.maxsim)*1000000.0+0.5)/1000000.0 AS mmr
+         |  FROM m$i m JOIN cand c ON c.doc_id = m.doc_id
+         |  ORDER BY mmr DESC, c.doc_id LIMIT 1),
+         |sel$i AS (SELECT doc_id, v, nrm FROM sel${i - 1}
+         |  UNION ALL SELECT doc_id, v, nrm FROM p$i)""".stripMargin
+    }.mkString(",\n")
+    val emit = (2 to 5).map(i =>
+      s"UNION ALL SELECT CAST($i AS BIGINT), doc_id, score, mmr FROM p$i")
+      .mkString("\n  ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nr AS (SELECT vec_id, $sqlNorm AS nrm FROM e),
+       |sc AS (SELECT b.vec_id, floor(${qdot("a", "b")}/(na.nrm*nb.nrm)*1000000.0+0.5)/1000000.0 AS cos
+       |  FROM e a JOIN e b ON a.vec_id < 1 AND b.vec_id >= 1
+       |  JOIN nr na ON na.vec_id = a.vec_id JOIN nr nb ON nb.vec_id = b.vec_id),
+       |top AS (SELECT vec_id, cos FROM (SELECT vec_id, cos,
+       |  row_number() OVER (ORDER BY cos DESC, vec_id) AS rnk FROM sc) WHERE rnk <= 10),
+       |cand AS (SELECT t.vec_id AS doc_id, t.cos AS score, c.v, n.nrm
+       |  FROM top t JOIN e c ON c.vec_id = t.vec_id JOIN nr n ON n.vec_id = t.vec_id),
+       |p1 AS (SELECT doc_id, score, v, nrm,
+       |  floor($lam*score*1000000.0+0.5)/1000000.0 AS mmr FROM cand
+       |  ORDER BY mmr DESC, doc_id LIMIT 1),
+       |sel1 AS (SELECT doc_id, v, nrm FROM p1),
+       |$rounds
+       |SELECT rnk, doc_id, score, mmr FROM (
+       |  SELECT CAST(1 AS BIGINT) AS rnk, doc_id, score, mmr FROM p1
+       |  $emit)
+       |ORDER BY rnk""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> ((s, d) => { val t = Tables.load(s, d)
       Relational.pricingSummary(t.lineitem) }),
@@ -740,6 +786,11 @@ object SparkEntry {
       import s.implicits._
       CorpusOps.bm25SearchBatch(
         t.documents, BatchQueries.toDF("query_id", "qtext")) }),
+    // MMR diversified rerank: greedy λ·rel − (1−λ)·max-sim selection
+    // over the bounded s31 top-10 candidate set — the serving-tier
+    // diversification that stops k near-paraphrases of the best hit
+    "s59_mmr_rerank" -> ((s, d) => { val t = Tables.load(s, d)
+      Similarity.mmrRerankTop(t.embeddings) }),
     // seeded JL random projection (64→16, 4× memory/compute cut):
     // brute-force cosine top-k in the PROJECTED space — projections
     // bit-reproducible from the seeded hyperplane constants
@@ -2704,6 +2755,7 @@ object SparkEntry {
     // then recall = |overlap| / k per ground-truth query with the one
     // deferred IEEE division (Exact.quant6's floor(x·1e6+0.5)/1e6).
     // Left join keeps silently-missed queries at recall 0.
+    "s59_mmr_rerank" -> s59Sql,
     // s57 twin: the projection chain + the s31 top-k shape at 16 dims
     "s57_projected_topk" ->
       s"""WITH $projChainCtes

@@ -103,6 +103,81 @@ object Similarity {
       nQueries: Int = 5, k: Int = 5, seed: Long = 99L): DataFrame =
     cosineTopK(projectEmbeddings(embeddings, outDim, seed = seed), nQueries, k)
 
+  /** MMR (maximal marginal relevance) RERANK: greedy diversification
+    * of a BOUNDED candidate set — pick k items maximizing
+    * λ·relevance − (1−λ)·max-cosine-to-already-selected, so the
+    * result covers the query's facets instead of returning k
+    * paraphrases of the best hit. This is a SERVING-TIER operator by
+    * contract: `candidates` is the top-N of a retrieval stage (N tens
+    * to hundreds — bounded by construction, NOT a corpus), and the k
+    * greedy rounds are k tiny distributed jobs over that bounded
+    * frame (each: one broadcast of ≤k selected vectors + an argmax);
+    * `localCheckpoint` per round keeps lineage flat. The corpus-sized
+    * work stays in the retrieval stage that produced the candidates.
+    *
+    * Exactness: similarities and the MMR objective are quantized to
+    * 6 dp before every argmax (ties by doc_id), and the (1−λ) factor
+    * is the IEEE result of computing it from λ — interpolated
+    * verbatim into the twin, which unrolls the k rounds in SQL.
+    *
+    * `candidates`: (doc_id, score, v). Output: (rnk, doc_id, score,
+    * mmr).
+    */
+  def mmrRerank(candidates: DataFrame, k: Int = 5,
+      lambda: Double = 0.7): DataFrame = {
+    val spark = candidates.sparkSession
+    val dp = dotWith(spark) _
+    val oneMinus = 1.0 - lambda
+    var rem = candidates.select(col("doc_id"), col("score"), col("v"))
+      .withColumn("nrm", sqrt(dp(col("v"), col("v"))))
+      .localCheckpoint()
+    var selected: DataFrame = null
+    var out: DataFrame = null
+    for (i <- 1 to k) {
+      val scored =
+        if (selected == null)
+          rem.withColumn("mmr", Exact.quant6(lit(lambda) * col("score")))
+        else {
+          val s = selected.select(col("v").as("sv"), col("nrm").as("sn"))
+          val maxsim = rem.crossJoin(broadcast(s))
+            .withColumn("sim",
+              Exact.quant6(dp(col("v"), col("sv")) / (col("nrm") * col("sn"))))
+            .groupBy("doc_id").agg(max("sim").as("maxsim"))
+          rem.join(maxsim, "doc_id")
+            .withColumn("mmr", Exact.quant6(
+              lit(lambda) * col("score") - lit(oneMinus) * col("maxsim")))
+        }
+      val pick = scored
+        .orderBy(col("mmr").desc, col("doc_id"))
+        .limit(1)
+        .select(col("doc_id"), col("score"), col("v"), col("nrm"), col("mmr"))
+        .localCheckpoint()
+      selected =
+        if (selected == null) pick
+        else selected.unionByName(pick).localCheckpoint()
+      val row = pick.select(lit(i.toLong).as("rnk"),
+        col("doc_id"), col("score"), col("mmr"))
+      out = if (out == null) row else out.unionByName(row)
+      rem = rem.join(pick.select("doc_id"), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+    }
+    out.orderBy("rnk")
+  }
+
+  /** [[mmrRerank]] driven end-to-end from an embedding table: the
+    * cosine top-`n` of query 0 (the s31 retrieval stage) feeds the
+    * greedy diversification — the gate's deterministic composition.
+    */
+  def mmrRerankTop(embeddings: DataFrame, n: Int = 10, k: Int = 5,
+      lambda: Double = 0.7): DataFrame = {
+    val cand = cosineTopK(embeddings, nQueries = 1, k = n)
+      .select(col("vec_id"), col("cos").as("score"))
+      .join(embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v")),
+        "vec_id")
+      .withColumnRenamed("vec_id", "doc_id")
+    mmrRerank(cand, k, lambda)
+  }
+
   /** Broadcast-query brute-force top-k over a prepared (vec_id, v,
     * nrm) frame — shared by the full-precision and the quantized
     * serving paths.

@@ -510,6 +510,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.recallAtK(bf, full).collect().forall(_.getDouble(2) == 1.0))
   }
 
+  test("mmrRerank: a near-duplicate of the best hit is deferred behind a " +
+      "diverse item; plain top-k would keep it adjacent") {
+    // doc 2 is doc 1's exact duplicate at almost-equal relevance;
+    // doc 3 is orthogonal at much lower relevance
+    val cand = Seq(
+      (1L, 0.99, Seq(1.0, 0.0)),
+      (2L, 0.98, Seq(1.0, 0.0)),
+      (3L, 0.50, Seq(0.0, 1.0))
+    ).toDF("doc_id", "score", "v")
+    val out = Similarity.mmrRerank(cand, k = 3, lambda = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // round 2: doc 2's max-sim to selected is 1.0 → mmr 0.49-0.5 < 0,
+    // while orthogonal doc 3 scores 0.25 — diversity wins
+    assert(out == Seq((1L, 1L), (2L, 3L), (3L, 2L)),
+      s"expected pick order 1, 3, 2 — got $out")
+  }
+
   test("projectEmbeddings: deterministic 16-dim output; a planted near-dup " +
       "pair survives projection as the projected top-1") {
     val p1 = Similarity.projectEmbeddings(planted).collect()
