@@ -144,6 +144,18 @@ object SparkEntry {
     " Déjà Vu – “Naïve” CAFÉ"
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
+  // t112/t116 shared twin: the cohort retention triangle over the
+  // full event history (the incremental activity-index fold must
+  // reproduce it)
+  private lazy val cohortSql: String =
+    """WITH e AS (SELECT user_id,
+      |  CAST(floor(epoch_us(ts) / 604800000000.0) AS BIGINT) AS wk FROM events),
+      |f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
+      |a AS (SELECT DISTINCT f.cohort_wk, e.wk - f.cohort_wk AS wk_offset, e.user_id
+      |  FROM e JOIN f USING (user_id))
+      |SELECT cohort_wk, wk_offset, count(*) AS n_users
+      |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // t111/t113 shared twin: the ordered per-user funnel over the
   // full event table (the streaming state fold must equal it)
   private lazy val funnelSql: String =
@@ -537,6 +549,18 @@ object SparkEntry {
     // counted distinct in every week-offset they return
     "t112_cohort_retention" -> ((s, d) => { val t = Tables.load(s, d)
       EventOps.cohortRetention(t.events) }),
+    // incremental cohort maintenance: the distinct (user, week)
+    // activity index folds a new shard without rescanning history;
+    // twin is t112's full-history SQL verbatim
+    "t116_incremental_cohort" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      val idx = EventOps.activityWeeks(t.events.filter(col("event_id") < 5000))
+      EventOps.incrementalCohortRetention(
+        t.events.filter(col("event_id") >= 5000), idx)._1 }),
+    // politeness crawl schedule: distinct canonical URLs ranked into
+    // per-domain fetch slots (one fetch per domain per slot)
+    "t115_crawl_schedule" -> ((s, d) => { val t = Tables.load(s, d)
+      UrlOps.crawlSchedule(UrlOps.plantUrls(t.documents)) }),
     // STREAMING funnel: the t111 rule as per-user keyed state over
     // real restart-per-shard micro-batches — (t1, t2, t3) must
     // restore across cold restarts for steps straddling shards
@@ -1331,14 +1355,18 @@ object SparkEntry {
     "t113_stream_funnel" -> funnelSql,
     // t112 twin: identical integer week arithmetic (floor of epoch
     // micros over 7 days — no calendar functions on either side)
-    "t112_cohort_retention" ->
-      """WITH e AS (SELECT user_id,
-        |  CAST(floor(epoch_us(ts) / 604800000000.0) AS BIGINT) AS wk FROM events),
-        |f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
-        |a AS (SELECT DISTINCT f.cohort_wk, e.wk - f.cohort_wk AS wk_offset, e.user_id
-        |  FROM e JOIN f USING (user_id))
-        |SELECT cohort_wk, wk_offset, count(*) AS n_users
-        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t112_cohort_retention" -> cohortSql,
+    // t116 twin: t112's full-history SQL verbatim — the incremental
+    // activity-index fold must reproduce the one-shot triangle
+    "t116_incremental_cohort" -> cohortSql,
+    // t115 twin: the t71 canonicalization chain -> distinct per-domain
+    // URLs -> the same (url_norm) rank rule
+    "t115_crawl_schedule" ->
+      s"""WITH $urlNormCte,
+         |d AS (SELECT DISTINCT domain, url_norm FROM n)
+         |SELECT domain, url_norm, CAST(row_number() OVER (
+         |    PARTITION BY domain ORDER BY url_norm) AS BIGINT) AS slot
+         |FROM d ORDER BY domain, slot""".stripMargin,
     "t23_dedup_exact" ->
       """WITH fp AS (SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp

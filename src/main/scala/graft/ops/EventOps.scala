@@ -368,11 +368,40 @@ object EventOps {
     * final count partial-aggregate down to the tiny
     * cohorts×offsets grid before the last shuffle.
     */
-  def cohortRetention(events: DataFrame): DataFrame = {
-    val e = events.select(col("user_id"),
+  def cohortRetention(events: DataFrame): DataFrame =
+    cohortFromActivity(activityWeeks(events))
+
+  /** INCREMENTAL [[cohortRetention]]: fold a new event shard into a
+    * maintained activity index without rescanning event history. The
+    * index is the distinct (user_id, wk) activity table — already the
+    * retention triangle's sufficient statistic, |users|·|weeks
+    * active| rows however many raw events history holds — and the
+    * fold is exact because BOTH halves of the computation decompose:
+    * distinct activity is a union-dedup, and each user's first week
+    * is min over their activity rows. Returns the triangle plus the
+    * updated index; the daily loop feeds `updatedIndex` back in
+    * (gated: t116's twin is t112's full-history SQL verbatim).
+    */
+  def incrementalCohortRetention(
+      shard: DataFrame, index: DataFrame): (DataFrame, DataFrame) = {
+    val updated = index.select("user_id", "wk")
+      .unionByName(activityWeeks(shard))
+      .distinct()
+    (cohortFromActivity(updated), updated)
+  }
+
+  /** Distinct (user_id, wk) activity rows — weeks as pure integer
+    * floor(epoch micros / 7 days), no calendar dependency. Public as
+    * the index builder for [[incrementalCohortRetention]]'s day one.
+    */
+  def activityWeeks(events: DataFrame): DataFrame =
+    events.select(col("user_id"),
       floor(unix_micros(col("ts")) / lit(604800000000L)).cast("long").as("wk"))
-    val first = e.groupBy("user_id").agg(min("wk").as("cohort_wk"))
-    e.join(first, "user_id")
+      .distinct()
+
+  private def cohortFromActivity(activity: DataFrame): DataFrame = {
+    val first = activity.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    activity.join(first, "user_id")
       .select(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"),
         col("user_id"))
       .distinct()

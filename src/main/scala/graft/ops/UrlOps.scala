@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization and domain analytics — the curation pass a
@@ -103,6 +104,26 @@ object UrlOps {
         count(lit(1)).as("n_docs"),
         countDistinct("url_norm").as("n_unique_urls"))
       .orderBy("domain")
+
+  /** POLITENESS crawl schedule: distinct canonical URLs per domain,
+    * each assigned a dense slot by a deterministic (url_norm) rank —
+    * with one fetch per domain per time slot (the crawl-politeness
+    * invariant), `slot` IS a URL's scheduled fetch position, and
+    * max(slot) per domain is that domain's crawl duration. The
+    * frontier planner a polite crawler feeds its fetchers from.
+    *
+    * Scale shape: canonicalization is a narrow pass; the distinct and
+    * the rank window are both domain-partitioned — a domain's queue
+    * ranks in its own task, and skewed mega-domains are exactly the
+    * ones whose schedule MUST serialize anyway.
+    */
+  def crawlSchedule(withUrls: DataFrame): DataFrame = {
+    val w = Window.partitionBy("domain").orderBy("url_norm")
+    normalizeUrls(withUrls)
+      .select("domain", "url_norm").distinct()
+      .withColumn("slot", row_number().over(w).cast("long"))
+      .orderBy("domain", "slot")
+  }
 
   /** Planted-URL corpus for the gate: the fixture tables carry no URL
     * column, so a deterministic raw URL exercising every

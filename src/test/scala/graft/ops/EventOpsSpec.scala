@@ -232,6 +232,27 @@ class EventOpsSpec extends AnyFunSuite {
       (3L, 1L, Some(us("2026-01-01 10:00:00")), None, None)), out.toString)
   }
 
+  test("incrementalCohortRetention: daily folds reproduce the one-shot " +
+      "triangle; a user's cohort can even move EARLIER when history backfills") {
+    val d0 = ts("2026-01-01 00:00:00")
+    def plusDays(d: Int) = new Timestamp(d0.getTime + d * 86400000L)
+    val all = Seq(
+      (1L, d0), (1L, plusDays(7)), (1L, plusDays(21)),
+      (2L, d0), (2L, plusDays(14)),
+      (3L, plusDays(7)), (3L, plusDays(28))
+    ).zipWithIndex.map { case ((u, t), i) => (i.toLong, u, t) }
+      .toDF("event_id", "user_id", "ts")
+    val oneShot = EventOps.cohortRetention(all).collect().toSeq
+    for (cut <- Seq(2L, 4L, 6L)) {
+      val idx = EventOps.activityWeeks(all.filter(s"event_id < $cut"))
+      val (tri, updated) = EventOps.incrementalCohortRetention(
+        all.filter(s"event_id >= $cut"), idx)
+      assert(tri.collect().toSeq == oneShot, s"fold at $cut must equal one-shot")
+      assert(updated.count() == EventOps.activityWeeks(all).count(),
+        "updated index is the full activity table")
+    }
+  }
+
   test("cohortRetention: first-event week anchors the cohort; gaps leave holes") {
     // week boundary arithmetic in raw micros: wk = floor(us / 7d)
     val d0 = ts("2026-01-01 00:00:00")

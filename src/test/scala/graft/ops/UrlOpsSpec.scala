@@ -105,4 +105,22 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(groups.count() == 100)
     assert(groups.filter(col("count") =!= 5).isEmpty)
   }
+
+  test("crawlSchedule: dense per-domain slots, one URL per slot, refetches collapse") {
+    import org.apache.spark.sql.functions.col
+    val urls = Seq(
+      (1L, "https://a.com/x"), (2L, "https://a.com/y"),
+      (3L, "https://WWW.A.com/x"),           // refetch of 1 → same slot set
+      (4L, "https://b.com/only")
+    ).toDF("doc_id", "url")
+    val out = UrlOps.crawlSchedule(urls).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      ("a.com", "https://a.com/x", 1L), ("a.com", "https://a.com/y", 2L),
+      ("b.com", "https://b.com/only", 1L)), out.toString)
+    // invariant: slots are dense 1..n per domain
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
 }
