@@ -144,6 +144,31 @@ object SparkEntry {
     " Déjà Vu – “Naïve” CAFÉ"
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
+  // s55/t117 shared twin: integer-cleared batch BM25 over the full
+  // corpus (the incremental index merge must reproduce it)
+  private lazy val bm25BatchSql: String =
+    s"""WITH w AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(sum(len) AS BIGINT) AS sl, count(*) AS nd FROM lens),
+         |q AS (SELECT * FROM (VALUES $batchQueryValues) AS v(query_id, qtext)),
+         |qt AS (SELECT DISTINCT query_id,
+         |    unnest(regexp_extract_all(lower(qtext), '[a-z0-9]+')) AS term FROM q),
+         |m AS (SELECT qt.query_id, tf.doc_id,
+         |  CAST(floor(
+         |    (44.0*(nd-df)*tf*sl) / (20.0*tf*sl + 6.0*sl + 18.0*len*nd)
+         |    * 1000000.0 + 0.5) AS BIGINT) AS ts
+         |  FROM tf JOIN qt USING (term) JOIN df USING (term)
+         |    JOIN lens ON lens.doc_id = tf.doc_id CROSS JOIN tot),
+         |s AS (SELECT query_id, doc_id, CAST(sum(ts) AS DOUBLE)/1000000.0 AS score
+         |  FROM m GROUP BY 1, 2)
+         |SELECT query_id, rnk, doc_id, score FROM (
+         |  SELECT query_id, doc_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM s)
+         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
   // t112/t116 shared twin: the cohort retention triangle over the
   // full event history (the incremental activity-index fold must
   // reproduce it)
@@ -810,6 +835,18 @@ object SparkEntry {
       import s.implicits._
       CorpusOps.bm25SearchBatch(
         t.documents, BatchQueries.toDF("query_id", "qtext")) }),
+    // incremental search-index maintenance: two shard indexes merged
+    // (disjoint unions + integer totals) serve the same batch
+    // queries; twin = s55's full-corpus SQL verbatim, so the merge
+    // must shift df/idf/length-norm corpus-wide exactly as a rebuild
+    "t117_incremental_bm25" -> ((s, d) => { val t = Tables.load(s, d)
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      val idx = CorpusOps.mergeBm25Index(
+        CorpusOps.bm25IndexFrames(t.documents.filter(col("doc_id") < 250)),
+        CorpusOps.bm25IndexFrames(t.documents.filter(col("doc_id") >= 250)))
+      CorpusOps.bm25SearchIndexed(
+        BatchQueries.toDF("query_id", "qtext"), idx) }),
     // MMR diversified rerank: greedy λ·rel − (1−λ)·max-sim selection
     // over the bounded s31 top-10 candidate set — the serving-tier
     // diversification that stops k near-paraphrases of the best hit
@@ -1594,28 +1631,10 @@ object SparkEntry {
     // s55 twin: the s53 arithmetic with query_id carried through —
     // VALUES query table, per-query rank window, same 44/20/6/18
     // integer-cleared scoring and 6-dp quantization
-    "s55_bm25_batch" ->
-      s"""WITH w AS (SELECT doc_id, unnest($toks) AS term FROM documents),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
-         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY 1),
-         |tot AS (SELECT CAST(sum(len) AS BIGINT) AS sl, count(*) AS nd FROM lens),
-         |q AS (SELECT * FROM (VALUES $batchQueryValues) AS v(query_id, qtext)),
-         |qt AS (SELECT DISTINCT query_id,
-         |    unnest(regexp_extract_all(lower(qtext), '[a-z0-9]+')) AS term FROM q),
-         |m AS (SELECT qt.query_id, tf.doc_id,
-         |  CAST(floor(
-         |    (44.0*(nd-df)*tf*sl) / (20.0*tf*sl + 6.0*sl + 18.0*len*nd)
-         |    * 1000000.0 + 0.5) AS BIGINT) AS ts
-         |  FROM tf JOIN qt USING (term) JOIN df USING (term)
-         |    JOIN lens ON lens.doc_id = tf.doc_id CROSS JOIN tot),
-         |s AS (SELECT query_id, doc_id, CAST(sum(ts) AS DOUBLE)/1000000.0 AS score
-         |  FROM m GROUP BY 1, 2)
-         |SELECT query_id, rnk, doc_id, score FROM (
-         |  SELECT query_id, doc_id, score,
-         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
-         |  FROM s)
-         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "s55_bm25_batch" -> bm25BatchSql,
+    // t117 twin: s55's full-corpus SQL verbatim — the merged shard
+    // indexes must serve identical rankings to a one-shot build
+    "t117_incremental_bm25" -> bm25BatchSql,
     // CMS twin: the identical sketch — same salted md5-prefix bucket
     // hash ('d:' || gram, 60-bit '0x' cast ≡ Spark's conv(hex,16,10)),
     // same (d, bucket) counters over bigram OCCURRENCES, same sampled

@@ -388,18 +388,61 @@ object CorpusOps {
     * matches (docs sharing ≥1 query term), never the corpus.
     */
   def bm25SearchBatch(documents: DataFrame, queries: DataFrame,
-      k: Int = 10): DataFrame = {
+      k: Int = 10): DataFrame =
+    bm25SearchIndexed(queries, bm25IndexFrames(documents), k)
+
+  /** The BM25 SEARCH INDEX: the corpus term statistics scoring needs
+    * — (doc_id, term, tf) postings, per-doc lengths, and the one-row
+    * corpus totals — materialized once so serving never re-tokenizes
+    * the corpus. Per-term df is NOT stored: it equals the posting
+    * count per term, and the serving path counts it over the
+    * query-filtered postings (broadcast-small), so the index carries
+    * no second table that appends could drift out of sync.
+    */
+  final case class Bm25Index(tf: DataFrame, lens: DataFrame, totals: DataFrame)
+
+  def bm25IndexFrames(documents: DataFrame): Bm25Index = {
     val tf = ledger.persist(termFrequencies(documents))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val lens = tf.groupBy("doc_id").agg(sum("tf").as("len"))
-    val totals = lens.agg(sum("len").as("sl"), count(lit(1)).as("nd"))
+    Bm25Index(tf, lens,
+      lens.agg(sum("len").as("sl"), count(lit(1)).as("nd")))
+  }
+
+  /** EXACT incremental index maintenance: fold a new shard's index
+    * into the corpus index without rescanning history text. Doc_ids
+    * disjoint by contract, so postings and lengths union disjointly;
+    * totals add as integers. Because serving derives df by COUNTING
+    * postings, the merged index scores identically to an index built
+    * from the full corpus in one shot (gated: t117's twin is s55's
+    * full-corpus SQL verbatim) — df, idf, and length normalization
+    * all shift corpus-wide the moment a shard lands, exactly as a
+    * rebuild would.
+    */
+  def mergeBm25Index(a: Bm25Index, b: Bm25Index): Bm25Index =
+    Bm25Index(
+      a.tf.unionByName(b.tf),
+      a.lens.unionByName(b.lens),
+      a.totals.crossJoin(b.totals.withColumnRenamed("sl", "sl2")
+          .withColumnRenamed("nd", "nd2"))
+        .select((col("sl") + col("sl2")).as("sl"), (col("nd") + col("nd2")).as("nd")))
+
+  /** BM25 serving over a prepared (or merged) index — the online half
+    * of [[bm25SearchBatch]], which is now this code over a one-shot
+    * index. The corpus-side join broadcasts the ≤Σ|query terms| df
+    * table onto the postings; per-query top-k by a partitioned rank
+    * window over candidate matches.
+    */
+  def bm25SearchIndexed(queries: DataFrame, index: Bm25Index,
+      k: Int = 10): DataFrame = {
     val qterms = queries
       .select(col("query_id"), explode(TextOps.tokens(col("qtext"))).as("term"))
       .distinct()
-    val qdf = df.join(broadcast(qterms), Seq("term"))
-    tf.join(broadcast(qdf), Seq("term"))
-      .join(lens, Seq("doc_id"))
-      .crossJoin(broadcast(totals))
+    val qdf = index.tf.join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .join(broadcast(qterms), Seq("term"))
+    index.tf.join(broadcast(qdf), Seq("term"))
+      .join(index.lens, Seq("doc_id"))
+      .crossJoin(broadcast(index.totals))
       .withColumn("ts", floor(
         (lit(44.0) * (col("nd") - col("df")) * col("tf") * col("sl")) /
           (lit(20.0) * col("tf") * col("sl") + lit(6.0) * col("sl")

@@ -630,6 +630,22 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"topic docs must follow their seed, zero-norm excluded: $out")
   }
 
+  test("bm25 index: merged shard indexes serve identically to a one-shot " +
+      "build, whatever the shard split") {
+    val filler = (1 to 30).map(i => s"w$i").mkString(" ")
+    val d = docs((1L to 20L).map(i =>
+      (i, "s", (if (i % 3 == 0) "spark spark " else "hash join ") + filler)): _*)
+    val qs = Seq((1L, "spark"), (2L, "hash join")).toDF("query_id", "qtext")
+    val oneShot = CorpusOps.bm25SearchBatch(d, qs).collect().toSeq
+    for (cut <- Seq(5L, 12L, 19L)) {
+      val merged = CorpusOps.mergeBm25Index(
+        CorpusOps.bm25IndexFrames(d.filter(s"doc_id < $cut")),
+        CorpusOps.bm25IndexFrames(d.filter(s"doc_id >= $cut")))
+      assert(CorpusOps.bm25SearchIndexed(qs, merged).collect().toSeq == oneShot,
+        s"merge at $cut must serve the one-shot rankings")
+    }
+  }
+
   test("incrementalStratifiedSample: daily folds reproduce the one-shot " +
       "sample exactly, whatever the shard split") {
     val d = docs((1L to 40L).map(i =>
