@@ -586,6 +586,19 @@ object SparkEntry {
     // per-domain fetch slots (one fetch per domain per slot)
     "t115_crawl_schedule" -> ((s, d) => { val t = Tables.load(s, d)
       UrlOps.crawlSchedule(UrlOps.plantUrls(t.documents)) }),
+    // re-crawl snapshot diff: per doc_id added/removed/changed/
+    // unchanged by content fingerprint — all four arms planted
+    // in-query (edit every 7th, drop every 11th≡3, add re-ids)
+    "t118_corpus_diff" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, concat, lit, when}
+      val base = t.documents.select(col("doc_id"), col("text"))
+      val after = base.filter(col("doc_id") % 11 =!= 3)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" re-crawl edit"))).otherwise(col("text")))
+        .unionByName(base.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+      CorpusOps.corpusDiff(base, after) }),
     // STREAMING funnel: the t111 rule as per-user keyed state over
     // real restart-per-shard micro-batches — (t1, t2, t3) must
     // restore across cold restarts for steps straddling shards
@@ -1396,6 +1409,27 @@ object SparkEntry {
     // t116 twin: t112's full-history SQL verbatim — the incremental
     // activity-index fold must reproduce the one-shot triangle
     "t116_incremental_cohort" -> cohortSql,
+    // t118 twin: identical planted snapshot B (edit/drop/re-id arms)
+    // and identical normalized-fingerprint comparison
+    "t118_corpus_diff" ->
+      """WITH b AS (SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp_a
+        |  FROM documents),
+        |a0 AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN text || ' re-crawl edit' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 13 = 0),
+        |a AS (SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp_b
+        |  FROM a0)
+        |SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+        |  CASE WHEN fp_a IS NULL THEN 'added'
+        |       WHEN fp_b IS NULL THEN 'removed'
+        |       WHEN fp_a = fp_b THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM b FULL OUTER JOIN a ON a.doc_id = b.doc_id
+        |ORDER BY doc_id""".stripMargin,
     // t115 twin: the t71 canonicalization chain -> distinct per-domain
     // URLs -> the same (url_norm) rank rule
     "t115_crawl_schedule" ->

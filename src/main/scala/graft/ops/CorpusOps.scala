@@ -150,6 +150,29 @@ object CorpusOps {
       .orderBy("cid", "rnk")
   }
 
+  /** SNAPSHOT DIFF between two crawls of the same id space — the
+    * re-crawl report a monthly pipeline publishes before replacing a
+    * corpus: per doc_id, `added` (new id), `removed` (id gone),
+    * `changed` (same id, different content fingerprint), or
+    * `unchanged`. Content comparison is by [[TextOps.fingerprint]]
+    * (16-byte md5 of normalized text), so the full-outer join
+    * shuffles fingerprints + ids, never document text, and
+    * normalization noise (case/punctuation churn) doesn't count as
+    * change. One full-outer equi-join on doc_id; both sides
+    * partial-project to (doc_id, fp) at the scan.
+    */
+  def corpusDiff(before: DataFrame, after: DataFrame): DataFrame = {
+    def fps(d: DataFrame, fp: String) =
+      d.select(col("doc_id"), TextOps.fingerprint(col("text")).as(fp))
+    fps(before, "fp_a").join(fps(after, "fp_b"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") === col("fp_b"), "unchanged")
+          .otherwise("changed").as("status"))
+      .orderBy("doc_id")
+  }
+
   /** Top-k distinctive terms per document by tf·idf with a LINEAR idf
     * (score = tf/df): log-idf is order-equivalent per document when
     * ranking a single doc's terms only through df, but `ln` is not
@@ -425,6 +448,24 @@ object CorpusOps {
       a.totals.crossJoin(b.totals.withColumnRenamed("sl", "sl2")
           .withColumnRenamed("nd", "nd2"))
         .select((col("sl") + col("sl2")).as("sl"), (col("nd") + col("nd2")).as("nd")))
+
+  /** Persist the index: postings bucketed by term (the probe and the
+    * df count both key on term), lengths by doc_id (the join key),
+    * the one-row totals alongside. Append a shard with
+    * [[mergeBm25Index]] + an append-mode writer, or rewrite — either
+    * serves identically (spec-proven round trip).
+    */
+  def writeBm25Index(index: Bm25Index, writer: graft.sinks.LakeWriter,
+      name: String, buckets: Int = 32): Unit = {
+    writer.writeBucketed(index.tf, s"${name}_tf", buckets, Seq("term"))
+    writer.writeBucketed(index.lens, s"${name}_lens", buckets, Seq("doc_id"))
+    writer.writeBucketed(index.totals, s"${name}_totals", 1, Seq("nd"))
+  }
+
+  def readBm25Index(spark: org.apache.spark.sql.SparkSession,
+      name: String): Bm25Index =
+    Bm25Index(spark.table(s"${name}_tf"), spark.table(s"${name}_lens"),
+      spark.table(s"${name}_totals"))
 
   /** BM25 serving over a prepared (or merged) index — the online half
     * of [[bm25SearchBatch]], which is now this code over a one-shot

@@ -630,6 +630,41 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"topic docs must follow their seed, zero-norm excluded: $out")
   }
 
+  test("corpusDiff: all four arms classified by normalized fingerprint") {
+    val before = docs(
+      (1L, "s", "stays the same"),
+      (2L, "s", "will be edited"),
+      (3L, "s", "will be removed"),
+      (4L, "s", "Case And Punct!! noise only"))
+    val after = docs(
+      (1L, "s", "stays the same"),
+      (2L, "s", "will be edited v2"),
+      (4L, "s", "case and punct noise only"),  // normalizes equal → unchanged
+      (9L, "s", "brand new page")).select("doc_id", "text")
+    val out = CorpusOps.corpusDiff(before.select("doc_id", "text"), after)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq(
+      (1L, "unchanged"), (2L, "changed"), (3L, "removed"),
+      (4L, "unchanged"), (9L, "added")), out.toString)
+  }
+
+  test("bm25 persisted index round-trips: reading the bucketed tables serves " +
+      "the same rankings") {
+    val d = docs((1L to 12L).map(i =>
+      (i, "s", if (i % 2 == 0) "spark window agg" else "hash join merge")): _*)
+    val qs = Seq((1L, "spark agg"), (2L, "join")).toDF("query_id", "qtext")
+    val want = CorpusOps.bm25SearchBatch(d, qs).collect().toSeq
+    val root = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    CorpusOps.writeBm25Index(
+      CorpusOps.bm25IndexFrames(d), new graft.sinks.LakeWriter(root), "bmx", buckets = 4)
+    try {
+      val got = CorpusOps.bm25SearchIndexed(
+        qs, CorpusOps.readBm25Index(spark, "bmx")).collect().toSeq
+      assert(got == want)
+    } finally Seq("bmx_tf", "bmx_lens", "bmx_totals")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("bm25 index: merged shard indexes serve identically to a one-shot " +
       "build, whatever the shard split") {
     val filler = (1 to 30).map(i => s"w$i").mkString(" ")
