@@ -442,8 +442,12 @@ object Dedup {
         .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     }
-    val tToks = docTokens(train)
-    val hToks = docTokens(holdout)
+    // persisted (tracked): each side's tokenize+distinct subtree has
+    // three consumers (its banded signatures, its verify arrays, its
+    // n counts) — uncached, the corpus re-tokenizes per consumer
+    // (plan-audited round-10)
+    val tToks = persistTracked(docTokens(train))
+    val hToks = persistTracked(docTokens(holdout))
     val cand = banded(tToks).as("a")
       .join(banded(hToks).as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
