@@ -586,6 +586,17 @@ object SparkEntry {
     // per-domain fetch slots (one fetch per domain per slot)
     "t115_crawl_schedule" -> ((s, d) => { val t = Tables.load(s, d)
       UrlOps.crawlSchedule(UrlOps.plantUrls(t.documents)) }),
+    // integer-scaled PageRank over the co-purchase graph (parts
+    // sharing an order, both directions): 3 power iterations, every
+    // per-edge contribution floored before the order-free integer sum
+    "t119_pagerank" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      val li = t.lineitem
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      GraphOps.pageRankInt(pairs) }),
     // re-crawl snapshot diff: per doc_id added/removed/changed/
     // unchanged by content fingerprint — all four arms planted
     // in-query (edit every 7th, drop every 11th≡3, add re-ids)
@@ -1409,6 +1420,25 @@ object SparkEntry {
     // t116 twin: t112's full-history SQL verbatim — the incremental
     // activity-index fold must reproduce the one-shot triangle
     "t116_incremental_cohort" -> cohortSql,
+    // t119 twin: the identical integer update, 3 iterations unrolled —
+    // `div`/`//` both truncate on positive operands, the per-edge
+    // floor-then-sum is order-free on both engines
+    "t119_pagerank" -> {
+      val iter = (i: Int) =>
+        s"""c$i AS (SELECT e.dst AS id, sum((85 * s.s) // (100 * d.deg)) AS sc
+           |  FROM e JOIN s${i - 1} s ON s.id = e.src JOIN deg d ON d.src = e.src
+           |  GROUP BY 1),
+           |s$i AS (SELECT n.id, CAST(150000 + coalesce(c$i.sc, 0) AS BIGINT) AS s
+           |  FROM n LEFT JOIN c$i ON c$i.id = n.id)""".stripMargin
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |s0 AS (SELECT id, CAST(1000000 AS BIGINT) AS s FROM n),
+         |${(1 to 3).map(iter).mkString(",\n")}
+         |SELECT id, s FROM s3 ORDER BY id""".stripMargin
+    },
     // t118 twin: identical planted snapshot B (edit/drop/re-id arms)
     // and identical normalized-fingerprint comparison
     "t118_corpus_diff" ->
