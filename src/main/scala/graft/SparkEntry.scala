@@ -597,6 +597,16 @@ object SparkEntry {
           col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
         .select(col("a.pk").as("src"), col("b.pk").as("dst"))
       GraphOps.pageRankInt(pairs) }),
+    // per-node triangle counts over the same co-purchase graph:
+    // oriented a<b<c wedge enumeration, each triangle once
+    "t120_triangles" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      val li = t.lineitem
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      GraphOps.triangleCounts(pairs) }),
     // re-crawl snapshot diff: per doc_id added/removed/changed/
     // unchanged by content fingerprint — all four arms planted
     // in-query (edit every 7th, drop every 11th≡3, add re-ids)
@@ -1439,6 +1449,21 @@ object SparkEntry {
          |${(1 to 3).map(iter).mkString(",\n")}
          |SELECT id, s FROM s3 ORDER BY id""".stripMargin
     },
+    // t120 twin: identical oriented wedge closure over the canonical
+    // a<b edge set; per-node counts from the three corners
+    "t120_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (SELECT x AS id FROM tri UNION ALL
+        |  SELECT y FROM tri UNION ALL SELECT z FROM tri),
+        |pn AS (SELECT id, count(*) AS n_triangles FROM corners GROUP BY 1),
+        |n AS (SELECT a AS id FROM e UNION SELECT b FROM e)
+        |SELECT n.id, CAST(coalesce(pn.n_triangles, 0) AS BIGINT) AS n_triangles
+        |FROM n LEFT JOIN pn ON pn.id = n.id ORDER BY n.id""".stripMargin,
     // t118 twin: identical planted snapshot B (edit/drop/re-id arms)
     // and identical normalized-fingerprint comparison
     "t118_corpus_diff" ->

@@ -6,9 +6,9 @@ import org.apache.spark.sql.functions._
 /** Graph analytics over relational edge frames. The engine already
   * does connected components (the dedup-cluster min-label propagation,
   * [[Dedup.dedupClusters]]); this adds weighted importance —
-  * PageRank — for the graphs a data pipeline actually builds:
-  * co-purchase/co-occurrence graphs, domain link graphs, dedup
-  * similarity graphs.
+  * PageRank — and local clustering structure — triangle counts — for
+  * the graphs a data pipeline actually builds: co-purchase/
+  * co-occurrence graphs, domain link graphs, dedup similarity graphs.
   */
 object GraphOps {
 
@@ -53,5 +53,41 @@ object GraphOps {
         .localCheckpoint()
     }
     scores.orderBy("id")
+  }
+
+  /** Per-node TRIANGLE counts over an UNDIRECTED edge frame — the
+    * local-clustering signal (spam rings and boilerplate farms are
+    * triangle-dense; organic link neighborhoods are sparse). Input
+    * edges in either or both orientations; self-loops ignored.
+    *
+    * The join is the standard ORIENTED enumeration: canonicalize
+    * every edge to a < b, then wedges (a<b)⋈(b<c) close against the
+    * canonical edge (a,c) — each triangle counted exactly once, and
+    * the a<b<c ordering keeps the wedge fan-out off the heavy side
+    * of skewed degree distributions (a hub's wedges split across its
+    * LOWER-id neighbors instead of all landing on the hub). Output:
+    * (id, n_triangles) for every node in some edge.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val tri = canon.as("e1")
+      .join(canon.as("e2"), col("e1.b") === col("e2.a"))
+      .join(canon.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val perNode = tri.select(col("x").as("id"))
+      .unionByName(tri.select(col("y").as("id")))
+      .unionByName(tri.select(col("z").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+    val nodes = canon.select(col("a").as("id"))
+      .unionByName(canon.select(col("b").as("id"))).distinct()
+    nodes.join(perNode, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy("id")
   }
 }

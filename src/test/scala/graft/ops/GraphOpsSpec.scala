@@ -27,6 +27,20 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(s1 == Map(1L -> 1850000L, 2L -> 575000L, 3L -> 575000L), s1.toString)
   }
 
+  test("triangleCounts: K4 minus an edge, duplicate orientations collapse") {
+    // nodes 1..4, all edges except (3,4): triangles (1,2,3) and
+    // (1,2,4) — node 1 and 2 in two each, 3 and 4 in one
+    val edges = Seq(
+      (1L, 2L), (2L, 1L),           // duplicate orientation collapses
+      (1L, 3L), (1L, 4L), (2L, 3L), (4L, 2L),
+      (5L, 6L)                      // an edge in no triangle
+    ).toDF("src", "dst")
+    val out = GraphOps.triangleCounts(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 0L, 6L -> 0L),
+      out.toString)
+  }
+
   test("pageRankInt: dangling nodes keep the base score; hubs outrank leaves") {
     // 4 → 1 only (4 is a source; nothing points at it)
     val edges = Seq((1L, 2L), (2L, 1L), (4L, 1L)).toDF("src", "dst")
