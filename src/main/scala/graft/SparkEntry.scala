@@ -589,6 +589,11 @@ object SparkEntry {
     // integer-scaled PageRank over the co-purchase graph (parts
     // sharing an order, both directions): 3 power iterations, every
     // per-edge contribution floored before the order-free integer sum
+    // the DSIR RESAMPLING step: t95's scores drive a deterministic
+    // content-hash Bernoulli accept (p = min(1, score), no PRNG) --
+    // pure integer cross-multiplied accept test, engine-exact
+    "t121_importance_resample" -> ((s, d) => { val t = Tables.load(s, d)
+      CorpusOps.importanceResample(t.documents) }),
     "t119_pagerank" -> ((s, d) => { val t = Tables.load(s, d)
       import org.apache.spark.sql.functions.col
       val li = t.lineitem
@@ -1430,6 +1435,31 @@ object SparkEntry {
     // t116 twin: t112's full-history SQL verbatim — the incremental
     // activity-index fold must reproduce the one-shot triangle
     "t116_incremental_cohort" -> cohortSql,
+    // t121 twin: t95's weight CTEs + the identical integer
+    // cross-multiplied accept test on the content-hash uniform
+    "t121_importance_resample" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+         |tb AS (SELECT doc_id,
+         |  CAST(('0x'||substr(md5(w),1,15)) AS BIGINT) % 1024 AS b FROM tk),
+         |tc AS (SELECT b, count(*) AS tc FROM tb WHERE doc_id % 10 < 3 GROUP BY 1),
+         |rc AS (SELECT b, count(*) AS rc FROM tb WHERE doc_id % 10 >= 3 GROUP BY 1),
+         |wt AS (SELECT rc.b,
+         |  CAST(floor(CAST(coalesce(tc.tc, 0) + 1 AS DOUBLE)
+         |    / (rc.rc + 1) * 1000000.0 + 0.5) AS BIGINT) AS wq
+         |  FROM rc LEFT JOIN tc ON tc.b = rc.b),
+         |sc AS (SELECT doc_id, count(*) AS n_tok,
+         |  CAST(sum(wq) AS BIGINT) AS swq,
+         |  floor(CAST(sum(wq) AS DOUBLE) / 1000000.0 / count(*)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS score
+         |  FROM tb JOIN wt ON wt.b = tb.b
+         |  WHERE doc_id % 10 >= 3 GROUP BY 1),
+         |u AS (SELECT doc_id,
+         |  CAST(('0x'||substr(md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))),1,4)) AS BIGINT) AS u16
+         |  FROM documents)
+         |SELECT sc.doc_id, sc.score
+         |FROM sc JOIN u ON u.doc_id = sc.doc_id
+         |WHERE u.u16 * sc.n_tok * 1000000 < sc.swq * 65536
+         |ORDER BY sc.doc_id""".stripMargin,
     // t119 twin: the identical integer update, 3 iterations unrolled —
     // `div`/`//` both truncate on positive operands, the per-edge
     // floor-then-sum is order-free on both engines

@@ -1486,6 +1486,29 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** The DSIR RESAMPLING step — [[importanceWeights]] scores, this
+    * SELECTS: accept a candidate document iff its deterministic
+    * content-hash uniform (first 16 fingerprint bits) falls below its
+    * importance score, i.e. acceptance probability min(1, score)
+    * under a fixed unit scaling — proportional-to-importance Bernoulli
+    * with no PRNG, re-runnable bit-for-bit. The accept test is pure
+    * integer cross-multiplication (u·n_tok·10⁶ < swq·2¹⁶ — bounded
+    * well under 2⁶³ at any corpus: u < 2¹⁶ and swq ≤ n_tok·10⁹),
+    * so the kept set is engine-exact. Output: accepted (doc_id,
+    * score), the target-like slice of the crawl.
+    */
+  def importanceResample(documents: DataFrame, buckets: Int = 1024,
+      refMod: Int = 10, refSlots: Int = 3): DataFrame = {
+    val w = importanceWeights(documents, buckets, refMod, refSlots)
+    val u = conv(substring(TextOps.fingerprint(col("text")), 1, 4), 16, 10)
+      .cast("long")
+    documents.select(col("doc_id"), u.as("u16"))
+      .join(w, "doc_id")
+      .filter(col("u16") * col("n_tok") * lit(1000000L) < col("swq") * lit(65536L))
+      .select(col("doc_id"), col("score"))
+      .orderBy("doc_id")
+  }
+
   /** Reference-LM coverage scoring — the CCNet-style "does this look
     * like my reference corpus" quality signal, with transcendental-free
     * arithmetic. CCNet ranks CommonCrawl documents by the perplexity of

@@ -788,6 +788,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(7L)._3 == 0.5, s"doc 7 per-token mean: $out")
   }
 
+  test("importanceResample: deterministic accept set; a score >= 1 doc is " +
+      "always kept, the accept rule matches the scores exactly") {
+    import org.apache.spark.sql.functions.{col, conv, substring}
+    val d = docs(
+      (1L, "s", "alpha beta gamma alpha beta"),
+      (2L, "s", "beta gamma alpha"),
+      (5L, "s", "alpha beta gamma"),      // score > 1 → always accepted
+      (7L, "s", "zeta eta theta"),        // score 0.5 → hash decides
+      (8L, "s", "iota kappa lambda mu"))  // score 0.5 → hash decides
+    val kept = CorpusOps.importanceResample(d).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(kept.contains(5L), "a doc scoring above 1.0 must always be kept")
+    // differential: the accept rule applied by hand to the score frame
+    val u = d.select(col("doc_id"),
+      conv(substring(TextOps.fingerprint(col("text")), 1, 4), 16, 10)
+        .cast("long").as("u16"))
+    val want = CorpusOps.importanceWeights(d).join(u, "doc_id")
+      .filter(col("u16") * col("n_tok") * 1000000L < col("swq") * 65536L)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == want)
+    assert(CorpusOps.importanceResample(d).collect().map(_.getLong(0)).toSet == kept,
+      "re-running must keep the identical set (no PRNG)")
+  }
+
   test("corpusBuildNearDup collapses near-dup clusters exact dedup can't; " +
       "equals corpusBuild on a near-dup-free corpus") {
     import org.apache.spark.sql.functions._
