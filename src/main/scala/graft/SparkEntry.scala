@@ -625,6 +625,13 @@ object SparkEntry {
         .unionByName(base.filter(col("doc_id") % 13 === 0)
           .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
       CorpusOps.corpusDiff(base, after) }),
+    // STREAMING search-index intake: per-batch index frames appended
+    // across cold restarts; the stream-built index must rank exactly
+    // like a one-shot rebuild (twin = s55 verbatim)
+    "t122_stream_bm25" -> ((s, d) => { val t = Tables.load(s, d)
+      import s.implicits._
+      graft.streaming.StreamGates.bm25Gate(
+        t.documents, BatchQueries.toDF("query_id", "qtext")) }),
     // STREAMING funnel: the t111 rule as per-user keyed state over
     // real restart-per-shard micro-batches — (t1, t2, t3) must
     // restore across cold restarts for steps straddling shards
@@ -1754,6 +1761,9 @@ object SparkEntry {
     // t117 twin: s55's full-corpus SQL verbatim — the merged shard
     // indexes must serve identical rankings to a one-shot build
     "t117_incremental_bm25" -> bm25BatchSql,
+    // t122 twin: s55's full-corpus SQL verbatim — the stream-built
+    // index must serve identical rankings
+    "t122_stream_bm25" -> bm25BatchSql,
     // CMS twin: the identical sketch — same salted md5-prefix bucket
     // hash ('d:' || gram, 60-bit '0x' cast ≡ Spark's conv(hex,16,10)),
     // same (d, bucket) counters over bigram OCCURRENCES, same sampled

@@ -238,6 +238,45 @@ object StreamGates {
       .orderBy("user_id")
   }
 
+  /** Streaming SEARCH-INDEX intake, gated: each micro-batch's
+    * [[graft.ops.CorpusOps.bm25IndexFrames]] appends its postings and
+    * lengths to the persisted index (doc_ids disjoint across batches,
+    * so appends ARE the [[graft.ops.CorpusOps.mergeBm25Index]] fold),
+    * across restart-per-shard cold restarts. After the last shard the
+    * persisted index serves the batch queries — and because serving
+    * derives df by counting postings, the stream-built index must
+    * rank IDENTICALLY to a one-shot full-corpus build: the twin is
+    * s55's SQL verbatim. This is the serving story end-to-end:
+    * documents arrive as a stream, the index stays current, rankings
+    * never drift from a rebuild.
+    */
+  def bm25Gate(documents: DataFrame, queries: DataFrame,
+      nShards: Int = 3): DataFrame = {
+    import graft.ops.CorpusOps
+    val spark = documents.sparkSession
+    val docs = documents.select("doc_id", "text")
+    val mx = docs.agg(max("doc_id")).head().getLong(0)
+    val root = Files.createTempDirectory("sgate_bm25_idx").toString
+    drive(shards(docs, mx, nShards)) { (src, cp) =>
+      src.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp.get)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val idx = CorpusOps.bm25IndexFrames(batch)
+          idx.tf.write.mode("append").parquet(s"$root/tf")
+          idx.lens.write.mode("append").parquet(s"$root/lens")
+          CorpusOps.releaseCaches()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    val lens = spark.read.parquet(s"$root/lens")
+    val idx = CorpusOps.Bm25Index(
+      spark.read.parquet(s"$root/tf"), lens,
+      lens.agg(sum("len").as("sl"), count(lit(1)).as("nd")))
+    CorpusOps.bm25SearchIndexed(queries, idx)
+  }
+
   /** Streaming FUNNEL, gated: [[EventStream.funnelProgress]] (keyed
     * state, one tiny record per user) over the restart-per-shard
     * drive. Funnel steps straddling shard boundaries only come out
