@@ -594,6 +594,11 @@ object SparkEntry {
     // pure integer cross-multiplied accept test, engine-exact
     "t121_importance_resample" -> ((s, d) => { val t = Tables.load(s, d)
       CorpusOps.importanceResample(t.documents) }),
+    // MOSS-style winnowing-overlap pairs: partial-overlap dedup —
+    // any shared >= w+k-1 token run guarantees a shared fingerprint;
+    // boilerplate fingerprints df-capped before the pair join
+    "t123_winnow_pairs" -> ((s, d) => { val t = Tables.load(s, d)
+      Dedup.winnowPairs(t.documents) }),
     "t119_pagerank" -> ((s, d) => { val t = Tables.load(s, d)
       import org.apache.spark.sql.functions.col
       val li = t.lineitem
@@ -1467,6 +1472,28 @@ object SparkEntry {
          |FROM sc JOIN u ON u.doc_id = sc.doc_id
          |WHERE u.u16 * sc.n_tok * 1000000 < sc.swq * 65536
          |ORDER BY sc.doc_id""".stripMargin,
+    // t123 twin: t62's fingerprint CTEs exploded, the same df cap,
+    // pair join and quantized overlap
+    "t123_winnow_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |h AS (SELECT doc_id,
+         |  list_transform(range(1, len(tk)-1), i -> CAST(('0x'||substr(md5(array_to_string(tk[i:i+2], ' ')),1,15)) AS BIGINT)) AS hs
+         |  FROM t WHERE len(tk) >= 3),
+         |fp AS (SELECT doc_id,
+         |  CASE WHEN len(hs) >= 4
+         |    THEN list_distinct(list_transform(range(1, len(hs)-2), i -> list_min(hs[i:i+3])))
+         |    ELSE [list_min(hs)] END AS fp
+         |  FROM h WHERE len(hs) > 0),
+         |x AS (SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp, unnest(fp) AS f FROM fp),
+         |keep AS (SELECT f FROM (SELECT f, count(*) AS df FROM x GROUP BY 1) WHERE df <= 150),
+         |px AS (SELECT x.doc_id, x.n_fp, x.f FROM x JOIN keep USING (f)),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_fp AS na, b.n_fp AS nb,
+         |  count(*) AS shared
+         |  FROM px a JOIN px b ON a.f = b.f AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT doc_a, doc_b, shared,
+         |  floor(CAST(shared AS DOUBLE) / least(na, nb) * 10000.0 + 0.5) / 10000.0 AS overlap
+         |FROM pr WHERE shared >= 2 ORDER BY doc_a, doc_b""".stripMargin,
     // t119 twin: the identical integer update, 3 iterations unrolled —
     // `div`/`//` both truncate on positive operands, the per-edge
     // floor-then-sum is order-free on both engines

@@ -457,6 +457,42 @@ object Dedup {
       .orderBy("train_id", "eval_id")
   }
 
+  /** MOSS-style WINNOWING-OVERLAP pairs — the dedup family member
+    * tuned for PARTIAL overlap: two documents sharing any token run
+    * of ≥ w+k−1 tokens are GUARANTEED to share a selected winnowing
+    * fingerprint ([[TextOps.winnowFingerprints]]'s invariant), so
+    * plagiarism-style containment that token-set Jaccard dilutes
+    * (a paragraph lifted into a much longer page) still pairs. The
+    * candidate unit is the selected fingerprint (~2/(w+1) of the
+    * shingle count), not the shingle — the same guarantee at a
+    * fraction of the join fan-out.
+    *
+    * Skew defense: fingerprints present in more than `maxDf`
+    * documents are boilerplate, excluded before the pair join (the
+    * t50 stop-shingle rule) — candidate volume is then driven by
+    * rare-fingerprint df, never corpus². Output: (doc_a, doc_b,
+    * shared, overlap = shared/min(|fp_a|,|fp_b|), quantized).
+    */
+  def winnowPairs(documents: DataFrame, k: Int = 3, w: Int = 4,
+      minShared: Int = 2, maxDf: Int = 150): DataFrame = {
+    val sets = persistTracked(TextOps.winnowSets(documents, k, w)
+      .select(col("doc_id"), size(col("fp")).cast("long").as("n_fp"),
+        explode(col("fp")).as("f")))
+    val keep = sets.groupBy("f").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val pruned = sets.join(keep.select("f"), "f")
+    pruned.as("a").join(pruned.as("b"),
+        col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_fp").as("na"), col("b.n_fp").as("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        Exact.quant4(
+          col("shared").cast("double") / least(col("na"), col("nb"))).as("overlap"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Duplicate CLUSTERS from near-dup pairs: connected components by
     * iterative min-label propagation — the step that turns pairwise
     * similarity into an actual dedup decision (keep one canonical doc

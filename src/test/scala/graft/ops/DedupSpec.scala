@@ -64,6 +64,26 @@ class DedupSpec extends AnyFunSuite {
       "the within-train near-dup pair must be unrepresentable")
   }
 
+  test("winnowPairs: a lifted paragraph pairs even when token-set jaccard " +
+      "is too diluted for the jaccard family to see") {
+    val para = (1 to 12).map(i => s"lift$i").mkString(" ")
+    val long = para + " " + (1 to 80).map(i => s"pad$i").mkString(" ")
+    val d = Seq(
+      (1L, para),                                        // the source paragraph
+      (2L, long),                                        // lifted into a long page
+      (3L, (100 to 160).map(i => s"zz$i").mkString(" ")) // unrelated
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)),
+      s"only the containment pair, found: $pairs")
+    assert(pairs.head._3 >= 2, "the 12-token run must share >= 2 fingerprints")
+    // the jaccard family CANNOT see this pair at any usual threshold:
+    // |inter| = 12, |union| = 92 → j ≈ 0.13
+    assert(Dedup.jaccardPairs(d, threshold = 0.6).collect().isEmpty,
+      "token-set jaccard dilutes the lifted paragraph below threshold")
+  }
+
   test("bitmask fast path (vocab <= 64) agrees with exact jaccard") {
     val small = Seq(
       (1L, "a b c d e"), (2L, "a b c d f"), (3L, "f g h i j")
