@@ -586,6 +586,11 @@ object SparkEntry {
     // per-domain fetch slots (one fetch per domain per slot)
     "t115_crawl_schedule" -> ((s, d) => { val t = Tables.load(s, d)
       UrlOps.crawlSchedule(UrlOps.plantUrls(t.documents)) }),
+    // per-domain quality blocklist: page-level quality aggregated to
+    // the granularity a crawler acts on -- integer score sums, the
+    // decision bit a pure-integer comparison
+    "t124_domain_quality" -> ((s, d) => { val t = Tables.load(s, d)
+      UrlOps.domainQualityReport(t.documents, UrlOps.plantUrls(t.documents)) }),
     // integer-scaled PageRank over the co-purchase graph (parts
     // sharing an order, both directions): 3 power iterations, every
     // per-edge contribution floored before the order-free integer sum
@@ -1549,6 +1554,28 @@ object SparkEntry {
         |       ELSE 'changed' END AS status
         |FROM b FULL OUTER JOIN a ON a.doc_id = b.doc_id
         |ORDER BY doc_id""".stripMargin,
+    // t124 twin: the t71 domain chain + t28's quality CTEs, the same
+    // integer score sums and integer blocklist comparison
+    "t124_domain_quality" ->
+      s"""WITH $urlNormCte,
+         |t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq,
+         |  CAST(len(list_filter(tk, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS BIGINT) AS n_stop
+         |  FROM t),
+         |q AS (SELECT doc_id, CAST(floor(
+         |  (${q4("CAST(n_uniq AS DOUBLE)/n_tokens*0.5 + least(CAST(n_tokens AS DOUBLE)/100.0, 1.0)*0.3 + (1.0 - CAST(n_stop AS DOUBLE)/n_tokens)*0.2")})
+         |  * 10000.0 + 0.5) AS BIGINT) AS q4i
+         |  FROM m WHERE n_tokens > 0),
+         |g AS (SELECT n.domain, count(*) AS n_docs,
+         |  CAST(sum(q.q4i) AS BIGINT) AS sq, min(q.q4i) AS minq
+         |  FROM n JOIN q ON q.doc_id = n.doc_id GROUP BY 1)
+         |SELECT domain, n_docs,
+         |  floor(CAST(sq AS DOUBLE) / 10000.0 / n_docs * 1000000.0 + 0.5) / 1000000.0 AS mean_quality,
+         |  CAST(minq AS DOUBLE) / 10000.0 AS min_quality,
+         |  sq < 7000 * n_docs AS blocked
+         |FROM g ORDER BY domain""".stripMargin,
     // t115 twin: the t71 canonicalization chain -> distinct per-domain
     // URLs -> the same (url_norm) rank rule
     "t115_crawl_schedule" ->

@@ -105,6 +105,34 @@ object UrlOps {
         countDistinct("url_norm").as("n_unique_urls"))
       .orderBy("domain")
 
+  /** PER-DOMAIN quality report + blocklist decision — the curation
+    * verdict that operates at the granularity a crawler acts on:
+    * documents carry page-level [[TextOps.qualityScores]], but
+    * allow/deny lists are per DOMAIN. Mean quality is an exact
+    * integer sum of the 4-dp-quantized page scores (order-free) with
+    * one deferred division; `blocked` is the pure-integer comparison
+    * sum < minQuality·n (no float threshold arithmetic), so the
+    * decision bit is engine-exact. One doc-keyed join + one tiny
+    * per-domain aggregate.
+    */
+  def domainQualityReport(documents: DataFrame, withUrls: DataFrame,
+      minQuality: Double = 0.7): DataFrame = {
+    val q = TextOps.qualityScores(documents)
+      .select(col("doc_id"),
+        floor(col("quality_score") * 10000.0 + 0.5).cast("long").as("q4i"))
+    normalizeUrls(withUrls).select("doc_id", "domain")
+      .join(q, "doc_id")
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum("q4i").as("sq"), min("q4i").as("minq"))
+      .select(col("domain"), col("n_docs"),
+        Exact.quant6(col("sq").cast("double") / lit(10000.0) / col("n_docs"))
+          .as("mean_quality"),
+        (col("minq").cast("double") / lit(10000.0)).as("min_quality"),
+        (col("sq") < lit(math.round(minQuality * 10000)) * col("n_docs"))
+          .as("blocked"))
+      .orderBy("domain")
+  }
+
   /** POLITENESS crawl schedule: distinct canonical URLs per domain,
     * each assigned a dense slot by a deterministic (url_norm) rank —
     * with one fetch per domain per time slot (the crawl-politeness

@@ -106,6 +106,27 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(groups.filter(col("count") =!= 5).isEmpty)
   }
 
+  test("domainQualityReport: junk domains block, substantive domains pass") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "the data pipeline processes many diverse records with careful validation logic"),
+      (2L, "a scheduler coordinates distributed tasks across worker nodes efficiently"),
+      (3L, "a a a a the the the of of a a the of a the"),  // junk: stopwords + repeats
+      (4L, "the the a a of of the a the a of the a of")
+    ).toDF("doc_id", "text")
+    val urls = Seq(
+      (1L, "https://good.site/p1"), (2L, "https://good.site/p2"),
+      (3L, "https://spam.farm/x1"), (4L, "https://spam.farm/x2")
+    ).toDF("doc_id", "url")
+    val out = UrlOps.domainQualityReport(docs, urls).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(4))).toSeq
+    assert(out.map(_._1) == Seq("good.site", "spam.farm"))
+    val (good, spam) = (out(0), out(1))
+    assert(good._2 == 2 && spam._2 == 2)
+    assert(good._3 > spam._3, s"substantive text must outscore junk: $out")
+    assert(!good._4 && spam._4, s"only the junk domain blocks at 0.7: $out")
+  }
+
   test("crawlSchedule: dense per-domain slots, one URL per slot, refetches collapse") {
     import org.apache.spark.sql.functions.col
     val urls = Seq(
