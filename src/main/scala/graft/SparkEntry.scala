@@ -468,6 +468,14 @@ object SparkEntry {
     // grouped MODE with deterministic tie-break
     "q51_mode" -> ((s, d) => { val t = Tables.load(s, d)
       Relational.modeQuantity(t.lineitem) }),
+    // ratio-to-report: per-nation revenue share of the grand total --
+    // integer-decimal sums on both levels, one exact share division
+    "q52_revenue_share" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.revenueShareByNation(t.lineitem, t.supplier, t.nation) }),
+    // SCD-2 interval build: order-status history collapsed into
+    // validity intervals (gaps-and-islands, customer-partitioned)
+    "t125_scd2_intervals" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.scd2Intervals(t.orders) }),
     // unicode normalization (CCNet-style cleanup): accent/typography
     // fold + lowercase + whitespace collapse, exercised by a planted
     // accented tail (the t67 pattern — the fixture corpus is ASCII)
@@ -1477,6 +1485,38 @@ object SparkEntry {
          |FROM sc JOIN u ON u.doc_id = sc.doc_id
          |WHERE u.u16 * sc.n_tok * 1000000 < sc.swq * 65536
          |ORDER BY sc.doc_id""".stripMargin,
+    // q52 twin: identical integer-decimal sums at both levels, the
+    // same single share division on exact operands
+    "q52_revenue_share" ->
+      """WITH g AS (SELECT n_name,
+        |  sum(CAST(floor((l_extendedprice*(1.0-l_discount))*10000.0+0.5) AS DECIMAL(18,0))) AS revq
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  GROUP BY 1),
+        |t AS (SELECT sum(revq) AS totq FROM g)
+        |SELECT n_name,
+        |  floor(CAST(revq AS DOUBLE)/10000.0*100.0+0.5)/100.0 AS revenue,
+        |  floor(CAST(revq AS DOUBLE)/CAST(totq AS DOUBLE)*1000000.0+0.5)/1000000.0 AS share
+        |FROM g CROSS JOIN t ORDER BY n_name""".stripMargin,
+    // t125 twin: the identical gaps-and-islands run collapse and
+    // lead() interval chaining -- dates and integers only
+    "t125_scd2_intervals" ->
+      """WITH o AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey)
+        |  - row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+        |    ORDER BY o_orderdate, o_orderkey) AS grp
+        |  FROM orders),
+        |r AS (SELECT o_custkey, o_orderstatus, grp,
+        |  min(o_orderdate) AS valid_from, min(o_orderkey) AS first_key,
+        |  count(*) AS n_orders
+        |  FROM o GROUP BY 1, 2, 3)
+        |SELECT o_custkey, o_orderstatus, valid_from,
+        |  lead(valid_from, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY valid_from, first_key) AS valid_to,
+        |  first_key, n_orders
+        |FROM r ORDER BY o_custkey, valid_from, first_key""".stripMargin,
     // t123 twin: t62's fingerprint CTEs exploded, the same df cap,
     // pair join and quantized overlap
     "t123_winnow_pairs" ->

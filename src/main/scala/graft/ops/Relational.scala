@@ -124,6 +124,61 @@ object Relational {
       .agg(count(lit(1)).as("n_customers"))
       .orderBy("n_orders")
 
+  /** RATIO-TO-REPORT: each nation's revenue share of the grand total —
+    * the percent-of-total window shape. Exactness: per-nation revenue
+    * stays an INTEGER-decimal sum (the moneySum interior) and the
+    * grand total is a decimal sum of those — both order-free — so the
+    * one share division sees identical operands in every engine; the
+    * broadcast one-row total replaces an unpartitioned window (same
+    * math, no single-task window at scale).
+    */
+  def revenueShareByNation(lineitem: DataFrame, supplier: DataFrame,
+      nation: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val g = lineitem
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(floor(revenueExpr * lit(10000.0) + lit(0.5))
+        .cast(DecimalType(18, 0))).as("revq"))
+    val tot = g.agg(sum("revq").as("totq"))
+    g.crossJoin(broadcast(tot))
+      .select(col("n_name"),
+        Exact.quant2(col("revq").cast("double") / lit(10000.0)).as("revenue"),
+        Exact.quant6(col("revq").cast("double") / col("totq").cast("double"))
+          .as("share"))
+      .orderBy("n_name")
+  }
+
+  /** SCD-2 INTERVAL BUILD: collapse each customer's order-status
+    * history into validity intervals — the slowly-changing-dimension
+    * construction a warehouse runs when snapshots arrive as events.
+    * Consecutive same-status runs merge (gaps-and-islands by the
+    * row_number difference), `valid_from` is the run's first date,
+    * `valid_to` the next run's start (null = current). All date and
+    * integer arithmetic — engine-exact; the windows are
+    * customer-partitioned (one customer's history per task, never a
+    * global sort).
+    */
+  def scd2Intervals(orders: DataFrame): DataFrame = {
+    val w1 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val w2 = Window.partitionBy("o_custkey", "o_orderstatus")
+      .orderBy("o_orderdate", "o_orderkey")
+    val runs = orders
+      .select(col("o_custkey"), col("o_orderstatus"),
+        col("o_orderdate"), col("o_orderkey"))
+      .withColumn("grp", row_number().over(w1) - row_number().over(w2))
+      .groupBy("o_custkey", "o_orderstatus", "grp")
+      .agg(min("o_orderdate").as("valid_from"),
+        min("o_orderkey").as("first_key"),
+        count(lit(1)).as("n_orders"))
+    val w3 = Window.partitionBy("o_custkey").orderBy("valid_from", "first_key")
+    runs.withColumn("valid_to", lead("valid_from", 1).over(w3))
+      .select("o_custkey", "o_orderstatus", "valid_from", "valid_to",
+        "first_key", "n_orders")
+      .orderBy("o_custkey", "valid_from", "first_key")
+  }
+
   /** FULL OUTER join with both null arms non-vacuous: BUILDING-segment
     * customers against finished-order counts — customers with no F
     * orders surface left-only, F-order customers outside the segment

@@ -50,6 +50,38 @@ class RelationalSpec extends AnyFunSuite {
       out.toString)
   }
 
+  test("scd2Intervals: status runs collapse, intervals chain, current row open") {
+    import spark.implicits._
+    val d = java.sql.Date.valueOf(_: String)
+    val orders = Seq(
+      (1L, 101L, "O", d("2024-01-01")),
+      (1L, 102L, "O", d("2024-02-01")), // same run as 101
+      (1L, 103L, "F", d("2024-03-01")), // status change
+      (1L, 104L, "O", d("2024-04-01")), // back to O → NEW run
+      (2L, 201L, "F", d("2024-01-15"))
+    ).toDF("o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate")
+    val out = Relational.scd2Intervals(orders).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toString,
+        Option(r.getDate(3)).map(_.toString), r.getLong(5))).toSeq
+    assert(out == Seq(
+      (1L, "O", "2024-01-01", Some("2024-03-01"), 2L),
+      (1L, "F", "2024-03-01", Some("2024-04-01"), 1L),
+      (1L, "O", "2024-04-01", None, 1L),
+      (2L, "F", "2024-01-15", None, 1L)), out.toString)
+  }
+
+  test("revenueShareByNation: shares from exact integer sums (golden)") {
+    import spark.implicits._
+    val li = Seq((1L, 10L, 30.0, 0.0), (2L, 20L, 60.0, 0.5))
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val sup = Seq((10L, 100L), (20L, 200L)).toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((100L, "ALPHA"), (200L, "BETA")).toDF("n_nationkey", "n_name")
+    val out = Relational.revenueShareByNation(li, sup, nat).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    // revenues 30 and 30 → shares exactly 0.5 each
+    assert(out == Seq(("ALPHA", 30.0, 0.5), ("BETA", 30.0, 0.5)), out.toString)
+  }
+
   test("modeQuantity: most frequent value per group, deterministic tie-break") {
     import spark.implicits._
     val li = Seq(
