@@ -476,6 +476,23 @@ object SparkEntry {
     // validity intervals (gaps-and-islands, customer-partitioned)
     "t125_scd2_intervals" -> ((s, d) => { val t = Tables.load(s, d)
       Relational.scd2Intervals(t.orders) }),
+    // rolling 7-day active users over the event stream (integer days)
+    "t126_rolling_active" -> ((s, d) => { val t = Tables.load(s, d)
+      EventOps.rollingActiveUsers(t.events) }),
+    // POINT-IN-TIME join: deterministic probe dates (event_id-derived,
+    // spanning the order-history years) look up the t125 intervals --
+    // the leakage-free feature-store lookup; probes before a key's
+    // first interval or with no intervals keep nulls
+    "t127_pit_join" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, date_add, lit, to_date}
+      val probes = t.events.select(
+        col("event_id"), (col("user_id") + 1).as("custkey"),
+        date_add(to_date(lit("1992-01-01")),
+          (col("event_id") % 2500).cast("int")).as("pdate"))
+      EventOps.pitJoin(probes, "custkey", "pdate",
+        Relational.scd2Intervals(t.orders), "o_custkey",
+        payload = Seq("o_orderstatus", "valid_from"))
+        .orderBy("event_id") }),
     // unicode normalization (CCNet-style cleanup): accent/typography
     // fold + lowercase + whitespace collapse, exercised by a planted
     // accented tail (the t67 pattern — the fixture corpus is ASCII)
@@ -1499,6 +1516,39 @@ object SparkEntry {
         |  floor(CAST(revq AS DOUBLE)/10000.0*100.0+0.5)/100.0 AS revenue,
         |  floor(CAST(revq AS DOUBLE)/CAST(totq AS DOUBLE)*1000000.0+0.5)/1000000.0 AS share
         |FROM g CROSS JOIN t ORDER BY n_name""".stripMargin,
+    // t126 twin: the identical distinct-activity range join over
+    // integer days
+    "t126_rolling_active" ->
+      """WITH du AS (SELECT DISTINCT user_id,
+        |  CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day FROM events),
+        |ds AS (SELECT DISTINCT day AS d FROM du)
+        |SELECT d, count(DISTINCT user_id) AS active_users
+        |FROM du JOIN ds ON du.day >= ds.d - 6 AND du.day <= ds.d
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // t127 twin: t125's interval CTEs probed with the identical
+    // containment rule and the same deterministic probe dates
+    "t127_pit_join" ->
+      """WITH o AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey)
+        |  - row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+        |    ORDER BY o_orderdate, o_orderkey) AS grp
+        |  FROM orders),
+        |r AS (SELECT o_custkey, o_orderstatus, grp,
+        |  min(o_orderdate) AS valid_from, min(o_orderkey) AS first_key
+        |  FROM o GROUP BY 1, 2, 3),
+        |iv AS (SELECT o_custkey, o_orderstatus, valid_from,
+        |  lead(valid_from, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY valid_from, first_key) AS valid_to
+        |  FROM r),
+        |p AS (SELECT event_id, user_id + 1 AS custkey,
+        |  DATE '1992-01-01' + CAST(event_id % 2500 AS INTEGER) AS pdate
+        |  FROM events)
+        |SELECT p.event_id, p.custkey, p.pdate, iv.o_orderstatus, iv.valid_from
+        |FROM p LEFT JOIN iv ON iv.o_custkey = p.custkey
+        |  AND iv.valid_from <= p.pdate
+        |  AND (iv.valid_to IS NULL OR p.pdate < iv.valid_to)
+        |ORDER BY p.event_id""".stripMargin,
     // t125 twin: the identical gaps-and-islands run collapse and
     // lead() interval chaining -- dates and integers only
     "t125_scd2_intervals" ->

@@ -390,6 +390,56 @@ object EventOps {
     (cohortFromActivity(updated), updated)
   }
 
+  /** ROLLING ACTIVE USERS: distinct users in the trailing
+    * `windowDays`-day window ending at each active day (WAU at the
+    * default 7) — the engagement curve next to [[cohortRetention]]'s
+    * triangle. Days are pure integer floor(epoch micros / 1 day).
+    *
+    * Scale shape: the distinct (user, day) activity table is the
+    * input (|users|·|active days|, tiny next to raw events); the
+    * trailing window is a bounded-fanout range join against the
+    * tiny distinct-day table (each activity row lands in ≤windowDays
+    * windows), then a partial-aggregated distinct count.
+    */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "window must cover at least one day")
+    val du = events.select(col("user_id"),
+      floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"))
+      .distinct()
+    val days = du.select(col("day").as("d")).distinct()
+    du.join(broadcast(days),
+        col("day") >= col("d") - (windowDays - 1) && col("day") <= col("d"))
+      .groupBy("d").agg(countDistinct("user_id").as("active_users"))
+      .orderBy("d")
+  }
+
+  /** POINT-IN-TIME join — the feature-store lookup: each probe row
+    * (key, date) joins the validity interval that CONTAINED its date
+    * (`from ≤ date < to`, null `to` = still current), never a later
+    * one — the join that makes training features leakage-free and
+    * dashboards historically accurate. Intervals are expected
+    * non-overlapping per key ([[Relational.scd2Intervals]]'s
+    * contract), so at most one interval matches; probes before their
+    * key's first interval (or with no intervals at all) keep nulls
+    * (left semantics).
+    *
+    * Scale shape: one key-partitioned equi-join with the containment
+    * as a join-time filter — per-key interval lists are SCD
+    * histories (small by nature), so the fan-out is bounded;
+    * AQE-skew-splittable for hot keys.
+    */
+  def pitJoin(
+      probes: DataFrame, probeKey: String, probeDate: String,
+      intervals: DataFrame, intervalKey: String,
+      payload: Seq[String],
+      from: String = "valid_from", to: String = "valid_to"): DataFrame =
+    probes.join(intervals,
+      probes(probeKey) === intervals(intervalKey) &&
+        intervals(from) <= probes(probeDate) &&
+        (intervals(to).isNull || probes(probeDate) < intervals(to)),
+      "left")
+      .select(probes.columns.map(probes(_)) ++ payload.map(intervals(_)): _*)
+
   /** Distinct (user_id, wk) activity rows — weeks as pure integer
     * floor(epoch micros / 7 days), no calendar dependency. Public as
     * the index builder for [[incrementalCohortRetention]]'s day one.

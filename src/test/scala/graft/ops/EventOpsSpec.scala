@@ -253,6 +253,46 @@ class EventOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rollingActiveUsers: trailing 7-day distinct counts (golden)") {
+    val d0 = ts("2026-01-01 12:00:00")
+    def plusDays(d: Int) = new Timestamp(d0.getTime + d * 86400000L)
+    val ev = Seq(
+      (1L, d0), (2L, d0),             // day D: users 1, 2
+      (1L, plusDays(3)),              // day D+3: user 1 again
+      (3L, plusDays(8))               // day D+8: user 3 (D out of window)
+    ).toDF("user_id", "ts")
+    val day0 = math.floorDiv(d0.getTime * 1000L, 86400000000L)
+    val out = EventOps.rollingActiveUsers(ev).collect()
+      .map(r => (r.getLong(0) - day0, r.getLong(1))).toSeq
+    // windows end at each ACTIVE day: D → {1,2}; D+3 → {1,2};
+    // D+8 → {1 (D+3 in window), 3} — D's users fell out
+    assert(out == Seq((0L, 2L), (3L, 2L), (8L, 2L)), out.toString)
+  }
+
+  test("pitJoin: probes hit the containing interval, not a later one; " +
+      "pre-history and keyless probes keep nulls") {
+    val d = java.sql.Date.valueOf(_: String)
+    val orders = Seq(
+      (1L, 101L, "O", d("2024-01-01")),
+      (1L, 103L, "F", d("2024-03-01")),
+      (1L, 104L, "O", d("2024-04-01"))
+    ).toDF("o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate")
+    val probes = Seq(
+      (10L, 1L, d("2023-12-01")), // before any interval → null
+      (11L, 1L, d("2024-02-15")), // inside the first O run
+      (12L, 1L, d("2024-03-01")), // boundary: F starts AT this date
+      (13L, 1L, d("2024-09-09")), // open current interval
+      (14L, 9L, d("2024-02-15"))  // key with no history → null
+    ).toDF("event_id", "custkey", "pdate")
+    val out = EventOps.pitJoin(probes, "custkey", "pdate",
+        Relational.scd2Intervals(orders), "o_custkey", Seq("o_orderstatus"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(3)))).toSeq
+    assert(out == Seq(
+      (10L, None), (11L, Some("O")), (12L, Some("F")),
+      (13L, Some("O")), (14L, None)), out.toString)
+  }
+
   test("cohortRetention: first-event week anchors the cohort; gaps leave holes") {
     // week boundary arithmetic in raw micros: wk = floor(us / 7d)
     val d0 = ts("2026-01-01 00:00:00")
