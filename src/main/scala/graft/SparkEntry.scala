@@ -479,6 +479,14 @@ object SparkEntry {
     // rolling 7-day active users over the event stream (integer days)
     "t126_rolling_active" -> ((s, d) => { val t = Tables.load(s, d)
       EventOps.rollingActiveUsers(t.events) }),
+    // the 100 TB form of the same curve: per-day mergeable HLL
+    // sketches unioned per window; gated the q38 way (exact count +
+    // within-10% boolean)
+    "t128_rolling_active_sketch" -> ((s, d) => { val t = Tables.load(s, d)
+      EventOps.rollingActiveUsersSketch(t.events) }),
+    // top length-3 event-type journeys across user timelines
+    "t129_event_paths" -> ((s, d) => { val t = Tables.load(s, d)
+      EventOps.topEventPaths(t.events) }),
     // POINT-IN-TIME join: deterministic probe dates (event_id-derived,
     // spanning the order-history years) look up the t125 intervals --
     // the leakage-free feature-store lookup; probes before a key's
@@ -1516,6 +1524,31 @@ object SparkEntry {
         |  floor(CAST(revq AS DOUBLE)/10000.0*100.0+0.5)/100.0 AS revenue,
         |  floor(CAST(revq AS DOUBLE)/CAST(totq AS DOUBLE)*1000000.0+0.5)/1000000.0 AS share
         |FROM g CROSS JOIN t ORDER BY n_name""".stripMargin,
+    // t128 twin: the exact window counts + literal TRUE tolerance
+    // booleans (the q38 oracle pattern — the estimate must land
+    // within 10% for the row to hash-match)
+    "t128_rolling_active_sketch" ->
+      """WITH du AS (SELECT DISTINCT user_id,
+        |  CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day FROM events),
+        |ds AS (SELECT DISTINCT day AS d FROM du)
+        |SELECT d, count(DISTINCT user_id) AS active_users, TRUE AS within_10pct
+        |FROM du JOIN ds ON du.day >= ds.d - 6 AND du.day <= ds.d
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // t129 twin: per-user ordered type sequence via string_agg, the
+    // same 3-gram slide, identical (count DESC, path) top-k
+    "t129_event_paths" ->
+      """WITH s AS (SELECT user_id,
+        |  string_agg(event_type, ' ' ORDER BY epoch_us(ts), event_id) AS seq
+        |  FROM events GROUP BY 1),
+        |tk AS (SELECT string_split(seq, ' ') AS t FROM s),
+        |g AS (SELECT array_to_string(t[i:i+2], ' ') AS path
+        |  FROM tk, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i) u
+        |  WHERE len(t) >= 3),
+        |c AS (SELECT path, count(*) AS n_paths FROM g GROUP BY 1)
+        |SELECT rnk, path, n_paths FROM (
+        |  SELECT path, n_paths,
+        |    CAST(row_number() OVER (ORDER BY n_paths DESC, path) AS BIGINT) AS rnk
+        |  FROM c) WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
     // t126 twin: the identical distinct-activity range join over
     // integer days
     "t126_rolling_active" ->

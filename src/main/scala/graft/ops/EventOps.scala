@@ -413,6 +413,70 @@ object EventOps {
       .orderBy("d")
   }
 
+  /** [[rollingActiveUsers]]'s 100 TB form: per-day MERGEABLE HLL
+    * sketches unioned over each trailing window — history days are
+    * sketched once and never re-scanned (the q49 incremental-NDV
+    * discipline applied to the engagement curve), where the exact
+    * form re-counts every window. Gated the q38 way: the report
+    * carries the EXACT count and a within-10% boolean, so the oracle
+    * checks the estimate's quality without having to reproduce the
+    * sketch.
+    */
+  def rollingActiveUsersSketch(events: DataFrame,
+      windowDays: Int = 7): DataFrame = {
+    val du = events.select(col("user_id"),
+      floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"))
+      .distinct()
+    val perDay = du.groupBy("day")
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    val days = du.select(col("day").as("d")).distinct()
+    val est = perDay.join(broadcast(days),
+        col("day") >= col("d") - (windowDays - 1) && col("day") <= col("d"))
+      .groupBy("d")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    rollingActiveUsers(events, windowDays)
+      .join(est, "d")
+      .select(col("d"), col("active_users"),
+        (abs(col("est") - col("active_users")) <=
+          col("active_users") * lit(0.10)).as("within_10pct"))
+      .orderBy("d")
+  }
+
+  /** TOP EVENT PATHS: the most common length-`n` event-type sequences
+    * across user timelines — the "what do users actually do" journey
+    * report. Each user's timeline becomes one ordered type string
+    * (deterministic (us, event_id) order), n-gram shingles count
+    * occurrences, top-k by (count DESC, path).
+    *
+    * Scale shape: one user-keyed aggregate builds the sequence (a
+    * user's timeline fits a row — the sessionize assumption), the
+    * shingle counts partial-aggregate to the tiny type^n space, and
+    * top-k is TakeOrderedAndProject.
+    */
+  def topEventPaths(events: DataFrame, n: Int = 3, k: Int = 20): DataFrame = {
+    val seqs = events
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("us"), col("event_id"),
+          col("event_type")).as("e"))
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(col("e"))).as("evs"))
+      .select(col("user_id"),
+        transform(col("evs"), e => e.getField("event_type")).as("types"))
+    // kgrams WITHOUT the dedup shingle wrapper: a user repeating a
+    // journey counts once per occurrence, exactly what the report
+    // measures
+    val grams = when(size(col("types")) >= n,
+      TextOps.kgrams(col("types"), n)).otherwise(array().cast("array<string>"))
+    seqs
+      .select(explode(grams).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n_paths").desc, col("path"))).cast("long"))
+      .select("rnk", "path", "n_paths")
+  }
+
   /** POINT-IN-TIME join — the feature-store lookup: each probe row
     * (key, date) joins the validity interval that CONTAINED its date
     * (`from ≤ date < to`, null `to` = still current), never a later

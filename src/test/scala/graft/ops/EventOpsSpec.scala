@@ -269,6 +269,37 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out == Seq((0L, 2L), (3L, 2L), (8L, 2L)), out.toString)
   }
 
+  test("rollingActiveUsersSketch: estimates within tolerance, exact counts ride along") {
+    val d0 = ts("2026-01-01 12:00:00")
+    def plusDays(d: Int) = new Timestamp(d0.getTime + d * 86400000L)
+    val ev = (1L to 40L).flatMap(u =>
+      Seq((u, d0), (u, plusDays((u % 5).toInt)))).toDF("user_id", "ts")
+    val out = EventOps.rollingActiveUsersSketch(ev).collect()
+      .map(r => (r.getLong(1), r.getBoolean(2))).toSeq
+    assert(out.nonEmpty && out.forall(_._2),
+      s"HLL at lgK=14 is near-exact at 40 users — every window within 10%: $out")
+    val exact = EventOps.rollingActiveUsers(ev).collect().map(_.getLong(1)).toSeq
+    assert(out.map(_._1) == exact)
+  }
+
+  test("topEventPaths: repeated journeys count per occurrence (golden)") {
+    val base = ts("2026-01-01 10:00:00")
+    def at(m: Int) = new Timestamp(base.getTime + m * 60000L)
+    val ev = Seq(
+      // u1 walks view→click→purchase twice (6 events → 4 trigrams,
+      // v c p appearing twice)
+      (1L, 1L, "view", at(0)), (2L, 1L, "click", at(1)), (3L, 1L, "purchase", at(2)),
+      (4L, 1L, "view", at(3)), (5L, 1L, "click", at(4)), (6L, 1L, "purchase", at(5)),
+      // u2 contributes one different trigram
+      (7L, 2L, "error", at(0)), (8L, 2L, "error", at(1)), (9L, 2L, "view", at(2))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventOps.topEventPaths(ev).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(out.head == (("view click purchase", 2L)), out.toString)
+    assert(out.contains(("error error view", 1L)))
+    assert(out.contains(("purchase view click", 1L)), "the bridging trigram counts")
+  }
+
   test("pitJoin: probes hit the containing interval, not a later one; " +
       "pre-history and keyless probes keep nulls") {
     val d = java.sql.Date.valueOf(_: String)
