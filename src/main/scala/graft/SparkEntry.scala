@@ -632,6 +632,19 @@ object SparkEntry {
     // pure integer cross-multiplied accept test, engine-exact
     "t121_importance_resample" -> ((s, d) => { val t = Tables.load(s, d)
       CorpusOps.importanceResample(t.documents) }),
+    // source-overlap matrix: content jaccard between source pairs
+    // over distinct fingerprints -- the mirror-detection report a
+    // mixture designer runs before assigning per-source budgets
+    "t130_source_overlap" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      // the fixture's dups are within-source, so the cross-source arm
+      // is PLANTED (t67 pattern): every 10th==4 doc mirrored into a
+      // synthetic aggregator source at fresh ids
+      val planted = t.documents.select(col("doc_id"), col("source"), col("text"))
+        .unionByName(t.documents.filter(col("doc_id") % 10 === 4)
+          .select((col("doc_id") + 50000L).as("doc_id"),
+            concat(lit("mirror-of-"), col("source")).as("source"), col("text")))
+      CorpusOps.sourceOverlap(planted) }),
     // MOSS-style winnowing-overlap pairs: partial-overlap dedup —
     // any shared >= w+k-1 token run guarantees a shared fingerprint;
     // boilerplate fingerprints df-capped before the pair join
@@ -1600,6 +1613,24 @@ object SparkEntry {
         |    ORDER BY valid_from, first_key) AS valid_to,
         |  first_key, n_orders
         |FROM r ORDER BY o_custkey, valid_from, first_key""".stripMargin,
+    // t130 twin: the identical distinct-fingerprint equi-join and
+    // exact-integer jaccard per source pair
+    "t130_source_overlap" ->
+      """WITH p AS (SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT 'mirror-of-' || source AS source, text FROM documents
+        |  WHERE doc_id % 10 = 4),
+        |sf AS (SELECT DISTINCT source,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |  FROM p),
+        |sz AS (SELECT source, count(*) AS n FROM sf GROUP BY 1),
+        |iv AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+        |  FROM sf a JOIN sf b ON a.fp = b.fp AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, inter,
+        |  floor(CAST(inter AS DOUBLE) / (za.n + zb.n - inter) * 10000.0 + 0.5) / 10000.0 AS jac
+        |FROM iv JOIN sz za ON za.source = src_a JOIN sz zb ON zb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     // t123 twin: t62's fingerprint CTEs exploded, the same df cap,
     // pair join and quantized overlap
     "t123_winnow_pairs" ->

@@ -150,6 +150,31 @@ object CorpusOps {
       .orderBy("cid", "rnk")
   }
 
+  /** SOURCE-OVERLAP matrix: content Jaccard between every pair of
+    * SOURCES over their distinct normalized-fingerprint sets — the
+    * "is src7 a mirror of src3" question a mixture designer asks
+    * before assigning per-source budgets (double-counting a mirrored
+    * source silently doubles its weight). The equi-join is on the
+    * 16-byte fingerprint, the aggregate collapses to ≤|sources|²
+    * rows, and the Jaccard division sees exact integer operands.
+    */
+  def sourceOverlap(documents: DataFrame): DataFrame = {
+    val sf = documents
+      .select(col("source"), TextOps.fingerprint(col("text")).as("fp"))
+      .distinct()
+    val sizes = sf.groupBy("source").agg(count(lit(1)).as("n"))
+    sf.as("a").join(sf.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("inter"),
+        Exact.quant4(col("inter").cast("double")
+          / (col("na") + col("nb") - col("inter"))).as("jac"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** SNAPSHOT DIFF between two crawls of the same id space — the
     * re-crawl report a monthly pipeline publishes before replacing a
     * corpus: per doc_id, `added` (new id), `removed` (id gone),

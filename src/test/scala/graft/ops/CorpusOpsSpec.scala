@@ -630,6 +630,19 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"topic docs must follow their seed, zero-norm excluded: $out")
   }
 
+  test("sourceOverlap: mirrored content surfaces with exact jaccard; " +
+      "normalization noise still counts as shared") {
+    val d = docs(
+      (1L, "a", "shared page one"), (2L, "a", "only in a"),
+      (3L, "b", "SHARED page ONE!!"),   // normalizes equal to doc 1
+      (4L, "b", "only in b"), (5L, "b", "also only b"),
+      (6L, "c", "nothing in common"))
+    val out = CorpusOps.sourceOverlap(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    // a∩b = 1 shared fp; |a|=2, |b|=3 → jac = 1/4
+    assert(out == Seq(("a", "b", 1L, 0.25)), out.toString)
+  }
+
   test("corpusDiff: all four arms classified by normalized fingerprint") {
     val before = docs(
       (1L, "s", "stays the same"),
