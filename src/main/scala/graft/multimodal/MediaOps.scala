@@ -190,6 +190,8 @@ object MediaOps {
     */
   object StubAudioDecoder extends AudioDecoder {
     override def decode(bytes: Array[Byte], durationMs: Long): (Int, Array[Float]) = {
+      require(durationMs <= Int.MaxValue,
+        s"stub decode of ${durationMs}ms exceeds one sample-array (Int.MaxValue samples at 1 kHz)")
       val seed = java.util.Arrays.hashCode(bytes).toLong & 0xffffffffL
       val rng = new scala.util.Random(seed)
       (1000, Array.fill(math.max(durationMs, 1L).toInt)(rng.nextFloat() * 2f - 1f))
@@ -216,7 +218,16 @@ object MediaOps {
       val frames = ais.readAllBytes()
       val ch = fmt.getChannels
       val big = fmt.isBigEndian
+      require(frames.length % (2 * ch) == 0,
+        s"corrupt PCM payload: ${frames.length} bytes is not a whole number of " +
+          s"$ch-channel 16-bit frames — truncated upload, fail loudly rather than drop the tail")
       val n = frames.length / (2 * ch)
+      // AudioInputStream frame-aligns reads, so a chopped-off byte
+      // surfaces as FEWER complete frames than the header claims, not
+      // as a misaligned buffer — check the claim too.
+      require(ais.getFrameLength < 0 || n.toLong == ais.getFrameLength,
+        s"corrupt PCM payload: header claims ${ais.getFrameLength} frames but " +
+          s"$n decoded — truncated upload, fail loudly rather than drop the tail")
       val out = new Array[Float](n)
       var i = 0
       while (i < n) {
@@ -428,6 +439,8 @@ object MediaOps {
       decoder: AudioDecoder = StubAudioDecoder,
       windowMs: Long = 10000L, strideMs: Long = 5000L,
       maxHamming: Int = 5): DataFrame = {
+    graft.ops.Dedup.requireDisjointIds(
+      newMedia, index, "media_id", "incrementalAudioNearDup")
     val newChunks = pigeonholeChunks(
       audioFingerprints(newMedia, decoder, windowMs, strideMs), "fhash", maxHamming)
     incrementalAudioCandidates(newChunks, index)
@@ -633,6 +646,8 @@ object MediaOps {
       newMedia: DataFrame, index: DataFrame,
       decoder: ImageDecoder = StubDecoder,
       maxHamming: Int = 5): DataFrame = {
+    graft.ops.Dedup.requireDisjointIds(
+      newMedia, index, "media_id", "incrementalImageNearDup")
     val newChunks = chunkHashes(imageHashes(newMedia, decoder), maxHamming)
     incrementalImageCandidates(newChunks, index)
       .distinct()

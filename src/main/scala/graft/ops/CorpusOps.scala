@@ -466,13 +466,15 @@ object CorpusOps {
     * all shift corpus-wide the moment a shard lands, exactly as a
     * rebuild would.
     */
-  def mergeBm25Index(a: Bm25Index, b: Bm25Index): Bm25Index =
+  def mergeBm25Index(a: Bm25Index, b: Bm25Index): Bm25Index = {
+    graft.ops.Dedup.requireDisjointIds(a.lens, b.lens, "doc_id", "mergeBm25Index")
     Bm25Index(
       a.tf.unionByName(b.tf),
       a.lens.unionByName(b.lens),
       a.totals.crossJoin(b.totals.withColumnRenamed("sl", "sl2")
           .withColumnRenamed("nd", "nd2"))
         .select((col("sl") + col("sl2")).as("sl"), (col("nd") + col("nd2")).as("nd")))
+  }
 
   /** Persist the index: postings bucketed by term (the probe and the
     * df count both key on term), lengths by doc_id (the join key),

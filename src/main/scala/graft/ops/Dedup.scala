@@ -35,6 +35,26 @@ object Dedup {
 
   private def persistTracked(df: DataFrame): DataFrame = ledger.persist(df)
 
+  /** Fail LOUDLY when an id-disjointness contract is violated. The
+    * incremental/cross-corpus family (crossNearDups, mergeBm25Index,
+    * incrementalImage/AudioNearDup) assumes the two sides slice one
+    * id space: with an id on both sides, within-corpus near-dups
+    * silently surface as cross-corpus pairs and token unions double
+    * count — plausible wrong output, the worst kind. One bounded
+    * semi-join job (short-circuits at the first overlap); call sites
+    * pass the RAW id frames so the check never forces tokenize/decode
+    * work.
+    */
+  private[graft] def requireDisjointIds(
+      a: DataFrame, b: DataFrame, idCol: String, what: String): Unit = {
+    val hit = a.select(col(idCol))
+      .join(b.select(col(idCol)), Seq(idCol), "left_semi")
+      .limit(1).collect()
+    require(hit.isEmpty,
+      s"$what: $idCol spaces must be disjoint across the two sides, " +
+        s"but '${hit.headOption.map(_.get(0)).getOrElse("")}' appears in both")
+  }
+
   /** Unpersist every frame the DEDUP pipelines persisted mid-plan —
     * scoped to this module's ledger, so a between-stages release here
     * can never free another pipeline's load-bearing frame. Call AFTER
@@ -442,6 +462,7 @@ object Dedup {
         .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     }
+    requireDisjointIds(train, holdout, "doc_id", "crossNearDups")
     // persisted (tracked): each side's tokenize+distinct subtree has
     // three consumers (its banded signatures, its verify arrays, its
     // n counts) — uncached, the corpus re-tokenizes per consumer

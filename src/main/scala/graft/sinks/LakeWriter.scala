@@ -386,21 +386,31 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
     * invisible to every reader, reclaimed by the next vacuum.
     */
   def commitManifested(
-      df: DataFrame, name: String, append: Boolean = true): Int = {
+      df: DataFrame, name: String, append: Boolean = true): Int =
+    withTableLock(df.sparkSession, s"$name@manifest") {
+      commitManifestedLocked(df, name, append)
+    }
+
+  /** Lock-free commit body — caller MUST hold the `name@manifest`
+    * table lock ([[withTableLock]] is a non-reentrant O_EXCL file
+    * lock, so operations that read-then-replace a snapshot — e.g.
+    * [[compactManifested]] — take the lock once around the whole
+    * read+rewrite+commit instead of nesting).
+    */
+  private def commitManifestedLocked(
+      df: DataFrame, name: String, append: Boolean): Int = {
     import org.apache.hadoop.fs.Path
     val spark = df.sparkSession
-    withTableLock(spark, s"$name@manifest") {
-      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val dataDir = new Path(s"$root/$name/data-${java.util.UUID.randomUUID()}")
-      df.write.mode("overwrite").parquet(dataDir.toString)
-      val newFiles = fs.listStatus(dataDir).toSeq
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath.toUri.toString).sorted
-      val v = latestManifestVersion(fs, name)
-      val carried = if (append && v > 0) manifestFiles(fs, name, v) else Nil
-      writeManifest(fs, name, v + 1, carried ++ newFiles)
-      v + 1
-    }
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDir = new Path(s"$root/$name/data-${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val newFiles = fs.listStatus(dataDir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toUri.toString).sorted
+    val v = latestManifestVersion(fs, name)
+    val carried = if (append && v > 0) manifestFiles(fs, name, v) else Nil
+    writeManifest(fs, name, v + 1, carried ++ newFiles, df.schema)
+    v + 1
   }
 
   /** Read the current snapshot (or a pinned `version`) of a
@@ -414,8 +424,14 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
     val v = if (version > 0) version else latestManifestVersion(fs, name)
     require(v > 0, s"manifested table $name has no committed snapshot under $root")
     val files = manifestFiles(fs, name, v)
-    if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files: _*)
+    if (files.nonEmpty) spark.read.parquet(files: _*)
+    else manifestSchema(fs, name, v) match {
+      // An empty snapshot (e.g. a zero-row commit) round-trips with
+      // its schema — downstream column references keep resolving.
+      case Some(schema) =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case None => spark.emptyDataFrame // pre-schema-header manifest
+    }
   }
 
   /** Rewrite the current snapshot's many small files into ~one file
@@ -427,13 +443,20 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
       spark: SparkSession, name: String,
       targetFileBytes: Long = 128L << 20): Int = {
     import org.apache.hadoop.fs.Path
-    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val current = readManifested(spark, name)
-    val total = math.max(1L,
-      manifestFiles(fs, name, latestManifestVersion(fs, name))
-        .map(f => fs.getFileStatus(new Path(f)).getLen).sum)
-    val n = math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt)
-    commitManifested(current.repartition(n), name, append = false)
+    // The lock spans read+size+rewrite+commit: an append landing after
+    // a lock-free snapshot read but before the replacement commit
+    // would be silently dropped from the replacement (the same
+    // lost-update shape withTableLock documents for compactBucketed).
+    withTableLock(spark, s"$name@manifest") {
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val v = latestManifestVersion(fs, name)
+      val current = readManifested(spark, name, version = v)
+      val total = math.max(1L,
+        manifestFiles(fs, name, v)
+          .map(f => fs.getFileStatus(new Path(f)).getLen).sum)
+      val n = math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt)
+      commitManifestedLocked(current.repartition(n), name, append = false)
+    }
   }
 
   /** Reclaim storage: drop manifests older than the newest
@@ -462,6 +485,13 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
         s.isDirectory && s.getPath.getName.startsWith("data-") &&
           !referenced.contains(s.getPath.getName))
       dropped.foreach(s => fs.delete(s.getPath, true))
+      // A commit that crashed between writing _manifest-<v>.json.tmp
+      // and the rename leaves the tmp forever; under the writer lock
+      // no commit is in flight, so EVERY tmp manifest here is stale.
+      fs.listStatus(tableDir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("_manifest-") &&
+          s.getPath.getName.endsWith(".json.tmp"))
+        .foreach(s => fs.delete(s.getPath, false))
       dropped.size
     }
   }
@@ -478,7 +508,7 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
 
   private val ManifestRe = "manifest-([0-9]+)\\.json".r
 
-  private def manifestFiles(
+  private def manifestBody(
       fs: org.apache.hadoop.fs.FileSystem, name: String, v: Int): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(s"$root/$name/manifest-$v.json")
     val in = fs.open(p)
@@ -487,19 +517,39 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
     body.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
   }
 
+  private def manifestFiles(
+      fs: org.apache.hadoop.fs.FileSystem, name: String, v: Int): Seq[String] =
+    manifestBody(fs, name, v).filterNot(_.startsWith("#"))
+
+  /** The snapshot's schema, recorded in the manifest header so an
+    * empty snapshot round-trips with its columns. None for manifests
+    * written before the header existed.
+    */
+  private def manifestSchema(
+      fs: org.apache.hadoop.fs.FileSystem, name: String,
+      v: Int): Option[org.apache.spark.sql.types.StructType] =
+    manifestBody(fs, name, v)
+      .find(_.startsWith("#schema "))
+      .map(l => org.apache.spark.sql.types.DataType
+        .fromJson(l.stripPrefix("#schema "))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
   /** Write `manifest-<v>.json` atomically: create under a temp name
     * in the SAME directory, then rename into place (same-dir rename is
     * atomic on HDFS and local filesystems; a manifest is therefore
-    * never observable half-written). One file path per line.
+    * never observable half-written). First line is a `#schema <json>`
+    * header; one file path per line after it.
     */
   private def writeManifest(
       fs: org.apache.hadoop.fs.FileSystem, name: String, v: Int,
-      files: Seq[String]): Unit = {
+      files: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Unit = {
     import org.apache.hadoop.fs.Path
     val tmp = new Path(s"$root/$name/_manifest-$v.json.tmp")
     val dst = new Path(s"$root/$name/manifest-$v.json")
     val out = fs.create(tmp, false)
-    try out.write(files.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write((s"#schema ${schema.json}" +: files)
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (!fs.rename(tmp, dst)) {
       fs.delete(tmp, false)

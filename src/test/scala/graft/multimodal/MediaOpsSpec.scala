@@ -319,6 +319,32 @@ class MediaOpsSpec extends AnyFunSuite {
     assert(inc == full)
   }
 
+  test("incrementalAudioNearDup fails loudly when a new media_id is already indexed") {
+    val old = MediaOps.goldenAudioFixture(spark)
+    val index = MediaOps.audioHashIndexFrame(old, MediaOps.WavDecoder,
+      windowMs = 2000L, strideMs = 2000L)
+    val e = intercept[IllegalArgumentException] {
+      MediaOps.incrementalAudioNearDup(old.limit(1), index,
+        MediaOps.WavDecoder, windowMs = 2000L, strideMs = 2000L)
+    }
+    assert(e.getMessage.contains("disjoint"), e.getMessage)
+  }
+
+  test("decoder guards: stub rejects overflow durations, WavDecoder rejects " +
+      "a truncated PCM payload instead of dropping the tail") {
+    val e1 = intercept[IllegalArgumentException] {
+      MediaOps.StubAudioDecoder.decode(Array[Byte](1, 2, 3), Int.MaxValue.toLong + 1L)
+    }
+    assert(e1.getMessage.contains("Int.MaxValue"), e1.getMessage)
+    // a valid WAV with its last byte chopped off: no longer a whole
+    // number of 16-bit frames
+    val wav = MediaOps.wav(8000, Array.fill[Short](100)(1234))
+    val e2 = intercept[IllegalArgumentException] {
+      MediaOps.WavDecoder.decode(wav.dropRight(1), durationMs = 0L)
+    }
+    assert(e2.getMessage.contains("corrupt"), e2.getMessage)
+  }
+
   test("persisted audio-hash index: probe scans history bucket-locally, zero exchange") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

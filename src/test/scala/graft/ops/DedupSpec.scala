@@ -64,6 +64,15 @@ class DedupSpec extends AnyFunSuite {
       "the within-train near-dup pair must be unrepresentable")
   }
 
+  test("crossNearDups fails loudly when the doc_id-disjointness contract is violated") {
+    val train = Seq((1L, base), (2L, nearDup)).toDF("doc_id", "text")
+    val eval_ = Seq((2L, other), (11L, base)).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.crossNearDups(train, eval_, threshold = 0.5)
+    }
+    assert(e.getMessage.contains("disjoint"), e.getMessage)
+  }
+
   test("winnowPairs: a lifted paragraph pairs even when token-set jaccard " +
       "is too diluted for the jaccard family to see") {
     val para = (1 to 12).map(i => s"lift$i").mkString(" ")

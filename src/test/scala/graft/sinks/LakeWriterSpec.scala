@@ -318,6 +318,34 @@ class LakeWriterSpec extends AnyFunSuite {
     assert(lw.readManifested(spark, "m3").count() == 5)
   }
 
+  test("manifested table: an empty snapshot round-trips with its schema, and " +
+      "compaction propagates it without losing columns") {
+    val root = Files.createTempDirectory("manifempty").toString
+    val lw = new LakeWriter(root)
+    lw.commitManifested(Seq.empty[(Long, String)].toDF("id", "v"), "m4")
+    val back = lw.readManifested(spark, "m4")
+    assert(back.columns.toSeq == Seq("id", "v"),
+      "empty snapshot must keep its schema so downstream column refs resolve")
+    assert(back.filter(back("v").isNotNull).count() == 0,
+      "column references on the empty snapshot must resolve")
+    lw.compactManifested(spark, "m4")
+    assert(lw.readManifested(spark, "m4").columns.toSeq == Seq("id", "v"),
+      "compaction of an empty snapshot must not strip the schema")
+  }
+
+  test("manifested table: vacuum reclaims a stale tmp manifest left by a commit " +
+      "that crashed before its rename") {
+    val root = Files.createTempDirectory("maniftmp").toString
+    val lw = new LakeWriter(root)
+    lw.commitManifested((1L to 5L).toDF("v"), "m5")
+    // simulate a crash between writing the tmp manifest and the rename
+    val tmp = new java.io.File(s"$root/m5/_manifest-2.json.tmp")
+    java.nio.file.Files.writeString(tmp.toPath, "stale")
+    lw.vacuumManifested(spark, "m5", keepVersions = 1)
+    assert(!tmp.exists, "vacuum must reclaim stale tmp manifests")
+    assert(lw.readManifested(spark, "m5").count() == 5)
+  }
+
   test("compact leaves no scratch artifacts (__compacting / __old / lock)") {
     val root = Files.createTempDirectory("lock4").toString
     val lw = new LakeWriter(root, mode = "append")
