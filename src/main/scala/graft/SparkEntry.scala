@@ -472,6 +472,9 @@ object SparkEntry {
     // integer-decimal sums on both levels, one exact share division
     "q52_revenue_share" -> ((s, d) => { val t = Tables.load(s, d)
       Relational.revenueShareByNation(t.lineitem, t.supplier, t.nation) }),
+    // CUBE over both dims (rollup's sibling; one-pass Expand)
+    "q53_cube_qty" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.cubeQty(t.lineitem) }),
     // SCD-2 interval build: order-status history collapsed into
     // validity intervals (gaps-and-islands, customer-partitioned)
     "t125_scd2_intervals" -> ((s, d) => { val t = Tables.load(s, d)
@@ -1337,6 +1340,12 @@ object SparkEntry {
          | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
          | ${mny("l_quantity")} AS sum_qty, count(*) AS n_lines
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q53_cube_qty" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         | ${mny("l_quantity")} AS sum_qty, count(*) AS n_lines
+         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q13_setops_status" ->
       """WITH o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),

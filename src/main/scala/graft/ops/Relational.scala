@@ -403,6 +403,23 @@ object Relational {
         count(lit(1)).as("n_lines"))
       .orderBy(col("gid"), col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** CUBE over both dimensions — rollup's sibling that also emits the
+    * (ALL, l_linestatus) slice rollup's hierarchy omits. Same one-pass
+    * Expand shape: the scan is read once and each row is replicated
+    * into its 4 grouping sets BEFORE the partial aggregate, so the
+    * shuffle carries ≤ 4·|groups| pre-aggregated rows, not 4× the
+    * fact table — cube at 100 TB costs one extra Expand, not three
+    * extra scans.
+    */
+  def cubeQty(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        moneySum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   /** INTERSECT / EXCEPT over customer key sets, tagged and unioned. */
   def setopsStatus(orders: DataFrame): DataFrame = {
     def keys(status: String) =
