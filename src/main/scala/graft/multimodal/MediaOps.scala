@@ -418,11 +418,11 @@ object MediaOps {
   def writeAudioHashIndex(
       index: DataFrame, writer: graft.sinks.LakeWriter,
       name: String, buckets: Int = 32): Unit =
-    writer.writeBucketed(index, s"${name}_achunks", buckets,
-      Seq("chunk", "ckey", "start_ms"))
+    writer.commitBucketed(index, s"${name}_achunks", buckets,
+      Seq("chunk", "ckey", "start_ms"), replace = writer.replaces)
 
   def readAudioHashIndex(spark: SparkSession, name: String): DataFrame =
-    spark.table(s"${name}_achunks")
+    graft.sinks.LakeWriter.readBucketedTable(spark, s"${name}_achunks")
 
   /** Audio near-dup window pairs for a NEW media shard against an
     * indexed history — the audio member of the incremental-dedup
@@ -625,10 +625,11 @@ object MediaOps {
   def writeImageHashIndex(
       index: DataFrame, writer: graft.sinks.LakeWriter,
       name: String, buckets: Int = 32): Unit =
-    writer.writeBucketed(index, s"${name}_chunks", buckets, Seq("chunk", "ckey"))
+    writer.commitBucketed(index, s"${name}_chunks", buckets, Seq("chunk", "ckey"),
+      replace = writer.replaces)
 
   def readImageHashIndex(spark: SparkSession, name: String): DataFrame =
-    spark.table(s"${name}_chunks")
+    graft.sinks.LakeWriter.readBucketedTable(spark, s"${name}_chunks")
 
   /** Image near-dup pairs for a NEW media shard against an indexed
     * history — the multimodal member of the incremental-dedup family

@@ -484,15 +484,20 @@ object CorpusOps {
     */
   def writeBm25Index(index: Bm25Index, writer: graft.sinks.LakeWriter,
       name: String, buckets: Int = 32): Unit = {
-    writer.writeBucketed(index.tf, s"${name}_tf", buckets, Seq("term"))
-    writer.writeBucketed(index.lens, s"${name}_lens", buckets, Seq("doc_id"))
-    writer.writeBucketed(index.totals, s"${name}_totals", 1, Seq("nd"))
+    writer.commitBucketed(index.tf, s"${name}_tf", buckets, Seq("term"),
+      replace = writer.replaces)
+    writer.commitBucketed(index.lens, s"${name}_lens", buckets, Seq("doc_id"),
+      replace = writer.replaces)
+    writer.commitBucketed(index.totals, s"${name}_totals", 1, Seq("nd"),
+      replace = writer.replaces)
   }
 
   def readBm25Index(spark: org.apache.spark.sql.SparkSession,
       name: String): Bm25Index =
-    Bm25Index(spark.table(s"${name}_tf"), spark.table(s"${name}_lens"),
-      spark.table(s"${name}_totals"))
+    Bm25Index(
+      graft.sinks.LakeWriter.readBucketedTable(spark, s"${name}_tf"),
+      graft.sinks.LakeWriter.readBucketedTable(spark, s"${name}_lens"),
+      graft.sinks.LakeWriter.readBucketedTable(spark, s"${name}_totals"))
 
   /** BM25 serving over a prepared (or merged) index — the online half
     * of [[bm25SearchBatch]], which is now this code over a one-shot

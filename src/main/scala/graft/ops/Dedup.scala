@@ -747,12 +747,16 @@ object Dedup {
   def writeMinhashIndex(
       index: MinhashIndex, writer: graft.sinks.LakeWriter,
       name: String, buckets: Int = 32): Unit = {
-    writer.writeBucketed(index.bands, s"${name}_bands", buckets, Seq("bkey"))
-    writer.writeBucketed(index.toks, s"${name}_toks", buckets, Seq("doc_id"))
+    writer.commitBucketed(index.bands, s"${name}_bands", buckets, Seq("bkey"),
+      replace = writer.replaces)
+    writer.commitBucketed(index.toks, s"${name}_toks", buckets, Seq("doc_id"),
+      replace = writer.replaces)
   }
 
   def readMinhashIndex(spark: SparkSession, name: String): MinhashIndex =
-    MinhashIndex(spark.table(s"${name}_bands"), spark.table(s"${name}_toks"))
+    MinhashIndex(
+      graft.sinks.LakeWriter.readBucketedTable(spark, s"${name}_bands"),
+      graft.sinks.LakeWriter.readBucketedTable(spark, s"${name}_toks"))
 
   /** Near-dup pairs involving a NEW shard against an indexed history —
     * the workflow a production pipeline actually runs daily: shard N+1

@@ -350,12 +350,16 @@ object Similarity {
   def writeEmbeddingIndex(
       index: EmbIndex, writer: graft.sinks.LakeWriter,
       name: String, buckets: Int = 32): Unit = {
-    writer.writeBucketed(index.bands, s"${name}_bands", buckets, Seq("band", "bkey"))
-    writer.writeBucketed(index.vecs, s"${name}_vecs", buckets, Seq("vec_id"))
+    writer.commitBucketed(index.bands, s"${name}_bands", buckets, Seq("band", "bkey"),
+      replace = writer.replaces)
+    writer.commitBucketed(index.vecs, s"${name}_vecs", buckets, Seq("vec_id"),
+      replace = writer.replaces)
   }
 
   def readEmbeddingIndex(spark: SparkSession, name: String): EmbIndex =
-    EmbIndex(spark.table(s"${name}_bands"), spark.table(s"${name}_vecs"))
+    EmbIndex(
+      graft.sinks.LakeWriter.readBucketedTable(spark, s"${name}_bands"),
+      graft.sinks.LakeWriter.readBucketedTable(spark, s"${name}_vecs"))
 
   /** Candidate pairs for the incremental embedding probe (with
     * duplicates): new probes × indexed keys plus new probes × new
@@ -493,9 +497,11 @@ object Similarity {
   def writeAnnIndex(
       index: DataFrame, writer: graft.sinks.LakeWriter,
       name: String, buckets: Int = 32): Unit =
-    writer.writeBucketed(index, name, buckets, Seq("bucket"))
+    writer.commitBucketed(index, name, buckets, Seq("bucket"),
+      replace = writer.replaces)
 
-  def readAnnIndex(spark: SparkSession, name: String): DataFrame = spark.table(name)
+  def readAnnIndex(spark: SparkSession, name: String): DataFrame =
+    graft.sinks.LakeWriter.readBucketedTable(spark, name)
 
   /** ANN k-NN SERVING: raw query vectors against a prepared (or
     * persisted, bucket-local) index — the online half of [[annLsh]],
@@ -616,12 +622,16 @@ object Similarity {
   def writeIvfIndex(
       index: IvfIndex, writer: graft.sinks.LakeWriter,
       name: String, buckets: Int = 32): Unit = {
-    writer.writeBucketed(index.centroids, s"${name}_cents", 1, Seq("cid"))
-    writer.writeBucketed(index.assigned, s"${name}_assigned", buckets, Seq("cid"))
+    writer.commitBucketed(index.centroids, s"${name}_cents", 1, Seq("cid"),
+      replace = writer.replaces)
+    writer.commitBucketed(index.assigned, s"${name}_assigned", buckets, Seq("cid"),
+      replace = writer.replaces)
   }
 
   def readIvfIndex(spark: SparkSession, name: String): IvfIndex =
-    IvfIndex(spark.table(s"${name}_cents"), spark.table(s"${name}_assigned"))
+    IvfIndex(
+      graft.sinks.LakeWriter.readBucketedTable(spark, s"${name}_cents"),
+      graft.sinks.LakeWriter.readBucketedTable(spark, s"${name}_assigned"))
 
   /** IVF k-NN SERVING: raw query vectors against a prepared (or
     * persisted) index — the online half of [[ivfTopK]], which is now
@@ -842,12 +852,16 @@ object Similarity {
   def writePqIndex(
       index: PqIndex, writer: graft.sinks.LakeWriter,
       name: String, buckets: Int = 32): Unit = {
-    writer.writeBucketed(index.codebook, s"${name}_codebook", 1, Seq("cid"))
-    writer.writeBucketed(index.codes, s"${name}_codes", buckets, Seq("vec_id"))
+    writer.commitBucketed(index.codebook, s"${name}_codebook", 1, Seq("cid"),
+      replace = writer.replaces)
+    writer.commitBucketed(index.codes, s"${name}_codes", buckets, Seq("vec_id"),
+      replace = writer.replaces)
   }
 
   def readPqIndex(spark: SparkSession, name: String): PqIndex =
-    PqIndex(spark.table(s"${name}_codebook"), spark.table(s"${name}_codes"))
+    PqIndex(
+      graft.sinks.LakeWriter.readBucketedTable(spark, s"${name}_codebook"),
+      graft.sinks.LakeWriter.readBucketedTable(spark, s"${name}_codes"))
 
   /** PQ k-NN SERVING from a prepared (or persisted) code index — the
     * online half of [[pqTopK]]: reconstructions materialize from the

@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
   */
 final class LakeWriter(root: String, mode: String = "overwrite") {
 
+  /** Whether this writer's commits REPLACE their target (constructor
+    * mode anything but "append") — the index write helpers translate
+    * it into [[commitBucketed]]'s `replace` flag so a writer
+    * constructed for daily shards appends and a rebuild writer
+    * supersedes, exactly as the legacy bucketed path behaved.
+    */
+  private[graft] def replaces: Boolean = mode != "append"
+
   /** Write an entity snapshot under `root/<entity>/load_date=<d>/`.
     * `partitionOverwriteMode=dynamic` scoped to this write: a re-run
     * replaces only the partitions it produces — monthly full loads
@@ -358,6 +366,164 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
   }
 
   // ------------------------------------------------------------------
+  // MANIFESTED BUCKETED tables: snapshot-isolated commits that keep
+  // the zero-exchange bucketed probe property (the persisted
+  // dedup/ANN/BM25 index storage contract)
+  // ------------------------------------------------------------------
+
+  /** Commit a shard to a manifested BUCKETED table — the
+    * snapshot-isolation upgrade of [[writeBucketed]] for maintained
+    * index tables, unifying them with the plain-table
+    * [[commitManifested]] protocol. Bucketing metadata must live in
+    * the catalog, so the file-list manifest can't be reused; instead
+    * every commit writes its rows under its own
+    * `graft_cv=<version>` PARTITION of one catalog table
+    * (partitionBy + bucketBy compose), and an atomically-renamed
+    * manifest lists the commit versions that are LIVE:
+    *
+    *  - readers ([[LakeWriter.readBucketedTable]]) take max(v) at
+    *    open and filter `graft_cv IN live` — a partition-pruning
+    *    predicate, so an in-flight commit's half-written partition is
+    *    never even listed into the scan. No torn appends, no retry
+    *    loop, and the scan stays `Bucketed: true`;
+    *  - `replace = true` makes the commit a full replacement (the
+    *    compaction shape): the new manifest lists only the new
+    *    version, superseded partitions stay on disk for pinned
+    *    readers until [[vacuumBucketed]];
+    *  - a crash after the data write but before the manifest rename
+    *    leaves an unreferenced partition directory — invisible to
+    *    every reader, reclaimed by the next vacuum.
+    *
+    * Commits serialize under the table writer lock. Returns the
+    * committed version.
+    */
+  def commitBucketed(
+      df: DataFrame, table: String, buckets: Int, bucketCols: Seq[String],
+      replace: Boolean = false): Int = {
+    val spark = df.sparkSession
+    require(!df.columns.contains(LakeWriter.CvCol),
+      s"column name ${LakeWriter.CvCol} is reserved for the commit-version partition")
+    withTableLock(spark, s"$table@manifest") {
+      commitBucketedManifestedLocked(df, table, buckets, bucketCols, replace)
+    }
+  }
+
+  /** [[commitBucketed]] body; caller holds the `table@manifest` lock
+    * (non-reentrant — compaction wraps read+rewrite+commit in ONE
+    * lock scope, the compactManifested discipline).
+    */
+  private def commitBucketedManifestedLocked(
+      df: DataFrame, table: String, buckets: Int, bucketCols: Seq[String],
+      replace: Boolean): Int = {
+    import org.apache.hadoop.fs.Path
+    val spark = df.sparkSession
+    val mdir = s"$root/${table}__manifests"
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prev = LakeWriter.latestManifestVersionIn(fs, mdir)
+    val v = prev + 1
+    // A catalog entry left by an EARLIER run against a different root
+    // (gates re-create indexes under fresh temp roots but reuse table
+    // names) must not swallow this commit: only append when the
+    // existing table already lives at OUR path.
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val ourPath = new Path(s"$root/$table")
+    val sameTable = spark.catalog.tableExists(table) && {
+      val loc = new Path(spark.sessionState.catalog.getTableMetadata(ident).location)
+      fs.makeQualified(loc) == fs.makeQualified(ourPath)
+    }
+    val base = df.withColumn(LakeWriter.CvCol, lit(v))
+      .write.mode(if (sameTable) "append" else "overwrite")
+      .partitionBy(LakeWriter.CvCol)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .option("path", ourPath.toString)
+    base.saveAsTable(table)
+    val carried =
+      if (replace || prev == 0 || !sameTable) Nil
+      else LakeWriter.manifestLines(fs, mdir, prev)
+    LakeWriter.writeManifestIn(fs, mdir, v, carried :+ v.toString, df.schema)
+    spark.catalog.refreshTable(table)
+    v
+  }
+
+  /** Compact a manifested bucketed table: rewrite the live snapshot's
+    * many per-commit files into one file per bucket and commit it as
+    * a REPLACEMENT version. Invisible to readers — pinned snapshots
+    * keep their partitions until [[vacuumBucketed]]; there is no
+    * directory swap and therefore no reader retry window (the
+    * [[compactBucketed]] weakness this protocol removes). The whole
+    * read+rewrite+commit runs under one writer-lock scope so a
+    * concurrent append can't vanish from the replacement.
+    */
+  def compactBucketedManifested(spark: SparkSession, table: String): Int = {
+    val cat = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    withTableLock(spark, s"$table@manifest") {
+      val meta = cat.getTableMetadata(ident)
+      val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+        s"$table is not bucketed; use compactManifested for plain manifested tables"))
+      // same scoped toggles as compactBucketed: force the
+      // bucket-aligned read so the rewrite is zero-shuffle with one
+      // task (and so one file) per bucket
+      val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+      val abs = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val absWas = spark.conf.get(abs)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set(abs, "false")
+      try {
+        val current = LakeWriter.readBucketedTable(spark, table)
+          .repartition(spec.numBuckets, spec.bucketColumnNames.map(col): _*)
+        commitBucketedManifestedLocked(
+          current, table, spec.numBuckets, spec.bucketColumnNames, replace = true)
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+        spark.conf.set(abs, absWas)
+      }
+    }
+  }
+
+  /** Reclaim a manifested bucketed table's storage: drop manifests
+    * older than the newest `keepVersions`, then delete every
+    * `graft_cv=<k>` partition directory no RETAINED manifest lists —
+    * including partitions from commits that crashed before their
+    * manifest landed. Runs under the writer lock.
+    */
+  def vacuumBucketed(
+      spark: SparkSession, table: String, keepVersions: Int = 1): Int = {
+    import org.apache.hadoop.fs.Path
+    require(keepVersions >= 1, "must retain at least the current snapshot")
+    withTableLock(spark, s"$table@manifest") {
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val mdir = s"$root/${table}__manifests"
+      val latest = LakeWriter.latestManifestVersionIn(fs, mdir)
+      val keepFrom = math.max(1, latest - keepVersions + 1)
+      (1 until keepFrom).foreach { v =>
+        fs.delete(new Path(s"$mdir/manifest-$v.json"), false)
+      }
+      val live = (keepFrom to latest)
+        .flatMap(v => LakeWriter.manifestLines(fs, mdir, v))
+        .map(_.toInt).toSet
+      val tableDir = new Path(s"$root/$table")
+      val dropped = fs.listStatus(tableDir).toSeq.filter { s =>
+        val n = s.getPath.getName
+        s.isDirectory && n.startsWith(s"${LakeWriter.CvCol}=") &&
+          !live.contains(n.stripPrefix(s"${LakeWriter.CvCol}=").toInt)
+      }
+      dropped.foreach(s => fs.delete(s.getPath, true))
+      // stale tmp manifests from crashed commits (no commit can be in
+      // flight under the lock)
+      val mPath = new Path(mdir)
+      if (fs.exists(mPath))
+        fs.listStatus(mPath).toSeq
+          .filter(s => s.isFile && s.getPath.getName.startsWith("_manifest-") &&
+            s.getPath.getName.endsWith(".json.tmp"))
+          .foreach(s => fs.delete(s.getPath, false))
+      spark.catalog.refreshTable(table)
+      dropped.size
+    }
+  }
+
+  // ------------------------------------------------------------------
   // MANIFESTED tables: snapshot-isolated commits (Iceberg-lite)
   // ------------------------------------------------------------------
 
@@ -497,38 +663,72 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
   }
 
   private def latestManifestVersion(
-      fs: org.apache.hadoop.fs.FileSystem, name: String): Int = {
-    val dir = new org.apache.hadoop.fs.Path(s"$root/$name")
-    if (!fs.exists(dir)) 0
-    else fs.listStatus(dir).toSeq
+      fs: org.apache.hadoop.fs.FileSystem, name: String): Int =
+    LakeWriter.latestManifestVersionIn(fs, s"$root/$name")
+
+  private def manifestFiles(
+      fs: org.apache.hadoop.fs.FileSystem, name: String, v: Int): Seq[String] =
+    LakeWriter.manifestLines(fs, s"$root/$name", v)
+
+  private def manifestSchema(
+      fs: org.apache.hadoop.fs.FileSystem, name: String,
+      v: Int): Option[org.apache.spark.sql.types.StructType] =
+    LakeWriter.manifestSchemaIn(fs, s"$root/$name", v)
+
+  private def writeManifest(
+      fs: org.apache.hadoop.fs.FileSystem, name: String, v: Int,
+      files: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Unit =
+    LakeWriter.writeManifestIn(fs, s"$root/$name", v, files, schema)
+}
+
+object LakeWriter {
+
+  /** Reserved commit-version partition column of manifested BUCKETED
+    * tables ([[LakeWriter.commitBucketed]]). Not underscore-prefixed:
+    * Spark's file listing hides `_`-prefixed paths, which would make
+    * the partition directories invisible to every scan.
+    */
+  val CvCol = "graft_cv"
+
+  // -- shared manifest-file machinery (atomic same-dir rename commit;
+  //    '#schema <json>' header + one payload line per entry). Used by
+  //    file-list manifests (plain manifested tables) and live-commit-
+  //    version manifests (manifested bucketed tables). --
+
+  private[sinks] val ManifestRe = "manifest-([0-9]+)\\.json".r
+
+  private[sinks] def latestManifestVersionIn(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).toSeq
       .map(_.getPath.getName)
       .collect { case ManifestRe(v) => v.toInt }
       .sorted.lastOption.getOrElse(0)
   }
 
-  private val ManifestRe = "manifest-([0-9]+)\\.json".r
-
-  private def manifestBody(
-      fs: org.apache.hadoop.fs.FileSystem, name: String, v: Int): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(s"$root/$name/manifest-$v.json")
+  private[sinks] def manifestBodyIn(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String, v: Int): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/manifest-$v.json")
     val in = fs.open(p)
     val body = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
                finally in.close()
     body.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
   }
 
-  private def manifestFiles(
-      fs: org.apache.hadoop.fs.FileSystem, name: String, v: Int): Seq[String] =
-    manifestBody(fs, name, v).filterNot(_.startsWith("#"))
+  private[sinks] def manifestLines(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String, v: Int): Seq[String] =
+    manifestBodyIn(fs, dir, v).filterNot(_.startsWith("#"))
 
   /** The snapshot's schema, recorded in the manifest header so an
     * empty snapshot round-trips with its columns. None for manifests
     * written before the header existed.
     */
-  private def manifestSchema(
-      fs: org.apache.hadoop.fs.FileSystem, name: String,
+  private[sinks] def manifestSchemaIn(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String,
       v: Int): Option[org.apache.spark.sql.types.StructType] =
-    manifestBody(fs, name, v)
+    manifestBodyIn(fs, dir, v)
       .find(_.startsWith("#schema "))
       .map(l => org.apache.spark.sql.types.DataType
         .fromJson(l.stripPrefix("#schema "))
@@ -538,28 +738,58 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
     * in the SAME directory, then rename into place (same-dir rename is
     * atomic on HDFS and local filesystems; a manifest is therefore
     * never observable half-written). First line is a `#schema <json>`
-    * header; one file path per line after it.
+    * header; one payload line per entry after it.
     */
-  private def writeManifest(
-      fs: org.apache.hadoop.fs.FileSystem, name: String, v: Int,
-      files: Seq[String],
+  private[sinks] def writeManifestIn(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String, v: Int,
+      lines: Seq[String],
       schema: org.apache.spark.sql.types.StructType): Unit = {
     import org.apache.hadoop.fs.Path
-    val tmp = new Path(s"$root/$name/_manifest-$v.json.tmp")
-    val dst = new Path(s"$root/$name/manifest-$v.json")
+    val tmp = new Path(s"$dir/_manifest-$v.json.tmp")
+    val dst = new Path(s"$dir/manifest-$v.json")
     val out = fs.create(tmp, false)
-    try out.write((s"#schema ${schema.json}" +: files)
+    try out.write((s"#schema ${schema.json}" +: lines)
       .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (!fs.rename(tmp, dst)) {
       fs.delete(tmp, false)
       throw new IllegalStateException(
-        s"manifest commit collision for $name v$v — concurrent writer without the lock?")
+        s"manifest commit collision in $dir v$v — concurrent writer without the lock?")
     }
   }
-}
 
-object LakeWriter {
+  /** Read the current (or a pinned `version`) snapshot of a manifested
+    * BUCKETED table ([[LakeWriter.commitBucketed]]) — THE read path
+    * for every persisted dedup/ANN/BM25 index probe. Lock-free and
+    * retry-free: the manifest pins the set of live commit partitions,
+    * and the `graft_cv IN (...)` predicate is a PARTITION filter, so
+    * an in-flight commit's partition directory is pruned before a
+    * single file of it is opened, a compaction's replacement commit is
+    * invisible until its manifest lands, and vacuumed partitions are
+    * only those no retained manifest references. The scan stays
+    * `Bucketed: true` — partition pruning composes with bucketing, so
+    * the zero-exchange probe plans are untouched (spec-asserted).
+    *
+    * Falls back to a plain `spark.table` read when the table has no
+    * manifest directory (a legacy [[LakeWriter.writeBucketed]]-era
+    * table), so mixed fleets read both generations.
+    */
+  def readBucketedTable(
+      spark: SparkSession, table: String, version: Int = 0): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc = spark.sessionState.catalog.getTableMetadata(ident).location.toString
+      .stripSuffix("/")
+    val mdir = s"${loc}__manifests"
+    val fs = new Path(mdir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(mdir))) return spark.table(table)
+    val v = if (version > 0) version else latestManifestVersionIn(fs, mdir)
+    require(v > 0, s"manifested bucketed table $table has no committed snapshot")
+    val live = manifestLines(fs, mdir, v).map(_.toInt)
+    spark.table(table)
+      .where(col(CvCol).isin(live: _*))
+      .drop(CvCol)
+  }
 
   /** Morton (Z-order) key: interleave the low `bits` bits of two
     * non-negative integer columns — a's bit i lands at position 2i+1,

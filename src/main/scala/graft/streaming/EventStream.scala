@@ -152,16 +152,21 @@ object EventStream {
         .filter(col("_rn") === 1).drop("_rn")
       val exists = spark.catalog.tableExists(indexName)
       val novel =
-        if (exists) first.join(spark.table(indexName), Seq("fp"), "left_anti")
+        if (exists)
+          first.join(
+            graft.sinks.LakeWriter.readBucketedTable(spark, indexName),
+            Seq("fp"), "left_anti")
         else first
       // two consumers (emit + index append) — evaluate once
       val cached = novel.persist()
       try {
         emit(cached.drop("fp"), batchId)
-        new graft.sinks.LakeWriter(indexRoot, mode = if (exists) "append" else "overwrite")
-          .writeBucketed(
-            cached.select(col("fp"), col("doc_id").as("canonical_id")),
-            indexName, buckets, Seq("fp"))
+        // manifested commit: the batch's index rows become visible
+        // atomically, so a concurrent probe never sees a torn append
+        new graft.sinks.LakeWriter(indexRoot).commitBucketed(
+          cached.select(col("fp"), col("doc_id").as("canonical_id")),
+          indexName, buckets, Seq("fp"))
+        ()
       } finally { cached.unpersist(); () }
     }
     val trig =
@@ -206,7 +211,8 @@ object EventStream {
         cleaned =
           (if (exists)
             graft.ops.Dedup.incrementalParagraphDedup(
-              b, spark.table(indexName), indexWins = true)
+              b, graft.sinks.LakeWriter.readBucketedTable(spark, indexName),
+              indexWins = true)
           else graft.ops.Dedup.paragraphDedup(b)).persist()
         // materialized BEFORE the index grows: `cleaned` reads the
         // index table and the novel-firsts append below MUTATES it —
@@ -221,10 +227,13 @@ object EventStream {
         val localIdx = graft.ops.Dedup.paragraphIndex(b)
         val novel =
           if (exists)
-            localIdx.join(spark.table(indexName).select("pfp"), Seq("pfp"), "left_anti")
+            localIdx.join(
+              graft.sinks.LakeWriter.readBucketedTable(spark, indexName).select("pfp"),
+              Seq("pfp"), "left_anti")
           else localIdx
-        new graft.sinks.LakeWriter(indexRoot, mode = if (exists) "append" else "overwrite")
-          .writeBucketed(novel, indexName, buckets, Seq("pfp"))
+        new graft.sinks.LakeWriter(indexRoot)
+          .commitBucketed(novel, indexName, buckets, Seq("pfp"))
+        ()
       } finally {
         b.unpersist()
         if (cleaned != null) cleaned.unpersist()
@@ -296,13 +305,15 @@ object EventStream {
         val local = graft.ops.Dedup.minhashIndexFrames(b, k, bands)
         val (novelBands, novelToks) =
           if (exists) {
-            val indexed = spark.table(s"${indexName}_toks").select("doc_id")
+            val indexed = graft.sinks.LakeWriter
+              .readBucketedTable(spark, s"${indexName}_toks").select("doc_id")
             (local.bands.join(indexed, Seq("doc_id"), "left_anti"),
               local.toks.join(indexed, Seq("doc_id"), "left_anti"))
           } else (local.bands, local.toks)
-        val w = new graft.sinks.LakeWriter(indexRoot, mode = if (exists) "append" else "overwrite")
-        w.writeBucketed(novelBands, s"${indexName}_bands", buckets, Seq("bkey"))
-        w.writeBucketed(novelToks, s"${indexName}_toks", buckets, Seq("doc_id"))
+        val w = new graft.sinks.LakeWriter(indexRoot)
+        w.commitBucketed(novelBands, s"${indexName}_bands", buckets, Seq("bkey"))
+        w.commitBucketed(novelToks, s"${indexName}_toks", buckets, Seq("doc_id"))
+        ()
       } finally {
         b.unpersist()
         if (pairs != null) pairs.unpersist()

@@ -222,19 +222,26 @@ class IncrementalDedupSpec extends AnyFunSuite {
       Dedup.minhashIndexFrames(
         Seq((30L, "quantum flux capacitor dilithium crystal")).toDF("doc_id", "text")),
       new LakeWriter(root, mode = "append"), "mhidx4", buckets = 4)
-    def dataFiles(dir: String): Int =
-      new java.io.File(dir).listFiles.count(f =>
-        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    // manifested layout: data files live under graft_cv=<v> commit
+    // partitions — count them recursively
+    def dataFiles(dir: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles.map(walk).sum
+        else if (!f.getName.startsWith("_") && !f.getName.startsWith(".")) 1
+        else 0
+      walk(new java.io.File(dir))
+    }
     try {
-      val rowsBefore = spark.table("mhidx4_bands").collect()
+      val rowsBefore = LakeWriter.readBucketedTable(spark, "mhidx4_bands").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSet
       val before = dataFiles(s"$root/mhidx4_bands")
       assert(before > 4, s"three bucketed writes should exceed one file per bucket, saw $before")
-      val perBucket = w.compactBucketed(spark, "mhidx4_bands")
-      assert(perBucket == 1, "compaction should leave one file per bucket")
-      assert(dataFiles(s"$root/mhidx4_bands") <= 4)
+      w.compactBucketedManifested(spark, "mhidx4_bands")
+      w.vacuumBucketed(spark, "mhidx4_bands", keepVersions = 1)
+      assert(dataFiles(s"$root/mhidx4_bands") <= 4,
+        "compaction + vacuum should leave at most one file per bucket")
       // rows survive byte-identically
-      assert(spark.table("mhidx4_bands").collect()
+      assert(LakeWriter.readBucketedTable(spark, "mhidx4_bands").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSet == rowsBefore)
       // and the table is still BUCKETED: the incremental probe plan
       // keeps its zero-exchange guarantee — the exact hazard plain
@@ -257,7 +264,6 @@ class IncrementalDedupSpec extends AnyFunSuite {
     } finally {
       spark.sql("DROP TABLE IF EXISTS mhidx4_bands")
       spark.sql("DROP TABLE IF EXISTS mhidx4_toks")
-      spark.sql("DROP TABLE IF EXISTS mhidx4_bands__compacting")
     }
   }
 
