@@ -1147,6 +1147,16 @@ object SparkEntry {
         M.audioHashIndexFrame(M.goldenAudioFixture(s), M.WavDecoder,
           windowMs = 2000L, strideMs = 2000L),
         M.WavDecoder, windowMs = 2000L, strideMs = 2000L, maxHamming = 5) }),
+    // STREAMING image near-dup intake: golden corpus in 3 cold-
+    // restart shards against the persisted manifested aHash index;
+    // emission union must equal the one-shot batch pairs (t93 ∪ t105
+    // golden frames — pair (11,14) straddles the restart boundary)
+    "t131_image_neardup_stream" -> ((s, _) =>
+      graft.streaming.StreamGates.imageNearDupStreamGate(s)),
+    // STREAMING audio near-dup intake: t106 corpus + t108 re-encodes
+    // across restarts; (31,34) straddles the boundary
+    "t132_audio_neardup_stream" -> ((s, _) =>
+      graft.streaming.StreamGates.audioNearDupStreamGate(s)),
     // label centroids: the vector-centroid capability under the gate
     // (order-independent exact means, unlike the pipeline Aggregator)
     "s37_label_centroids" -> ((s, d) => { val t = Tables.load(s, d)
@@ -2940,6 +2950,26 @@ object SparkEntry {
         | (CAST(21 AS BIGINT), CAST(31 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
         | (21, 34, 0, 0), (22, 31, 0, 0), (22, 34, 0, 0), (23, 31, 0, 1),
         | (23, 34, 0, 1), (24, 32, 0, 0), (31, 34, 0, 0)
+        |) AS t(media_a, media_b, start_ms, hamming)
+        |ORDER BY media_a, media_b, start_ms""".stripMargin,
+    // t131 twin: the streamed emission union must equal the one-shot
+    // batch pairs over the full golden corpus — t93's in-batch frame
+    // plus t105's incremental frame, nothing else (an index append
+    // bug, restart state loss, or replay fan-out shows as a row diff)
+    "t131_image_neardup_stream" ->
+      """SELECT * FROM (VALUES
+        | (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+        | (1, 3, 1), (1, 11, 0), (1, 14, 0), (2, 3, 1), (2, 11, 0),
+        | (2, 14, 0), (3, 11, 1), (3, 14, 1), (4, 12, 0), (11, 14, 0)
+        |) AS t(media_a, media_b, hamming) ORDER BY media_a, media_b""".stripMargin,
+    // t132 twin: t106's in-batch window pairs plus t108's incremental
+    // frame — the streamed union of both golden derivations
+    "t132_audio_neardup_stream" ->
+      """SELECT * FROM (VALUES
+        | (CAST(21 AS BIGINT), CAST(22 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        | (21, 23, 0, 1), (21, 31, 0, 0), (21, 34, 0, 0), (22, 23, 0, 1),
+        | (22, 31, 0, 0), (22, 34, 0, 0), (23, 31, 0, 1), (23, 34, 0, 1),
+        | (24, 32, 0, 0), (31, 34, 0, 0)
         |) AS t(media_a, media_b, start_ms, hamming)
         |ORDER BY media_a, media_b, start_ms""".stripMargin,
     // t85 twin: the GOLDEN encode frame — four planted docs under the

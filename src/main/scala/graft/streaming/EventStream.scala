@@ -327,6 +327,135 @@ object EventStream {
     checkpoint.fold(trig)(trig.option("checkpointLocation", _)).start()
   }
 
+  /** Streaming IMAGE near-dup intake against the persisted aHash
+    * index — the multimodal member of the index-backed intake family
+    * (exact/paragraph/near-dup text intakes above); media arrives
+    * incrementally too (the reference re-crawls monthly,
+    * `dota_extraction.yml:4-6`). Per micro-batch:
+    *
+    *  1. decode ONCE into the batch's 8-byte chunk-hash frame (the
+    *     only thing that ever shuffles — pixels stay in the batch);
+    *  2. probe: the same pigeonhole candidate join the batch path
+    *     runs ([[graft.multimodal.MediaOps.incrementalImageNearDup]]),
+    *     new×index plus new×new; first batch probes an empty index
+    *     slice of itself, leaving exactly the in-batch pairs;
+    *  3. emit the pairs — materialized BEFORE the index grows (the
+    *     probe plan reads the table step 4 appends to);
+    *  4. append the batch's NOVEL chunk rows (anti-join by media_id),
+    *     as one atomic manifested commit.
+    *
+    * Replay semantics match [[nearDupStream]]: a batch replayed after
+    * its append re-emits the same pairs (self-pairs are
+    * unrepresentable, re-found pairs collapse in distinct), and the
+    * index stays exactly-once by the anti-join — which is also why
+    * this path probes the candidate rule directly rather than through
+    * `incrementalImageNearDup`, whose id-disjointness guard would
+    * correctly reject a replayed batch.
+    */
+  def imageNearDupStream(
+      media: DataFrame, indexName: String, indexRoot: String,
+      decoder: graft.multimodal.MediaOps.ImageDecoder =
+        graft.multimodal.MediaOps.StubDecoder,
+      maxHamming: Int = 5, buckets: Int = 32,
+      checkpoint: Option[String] = None, availableNow: Boolean = false)(
+      emit: (DataFrame, Long) => Unit): StreamingQuery = {
+    val M = graft.multimodal.MediaOps
+    val writer = media.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      val spark = batch.sparkSession
+      val exists = spark.catalog.tableExists(s"${indexName}_chunks")
+      // persisted: the decoded hash frame has two consumers (probe +
+      // novel append) — without the cache every image decodes twice
+      val newChunks = M.chunkHashes(M.imageHashes(batch, decoder), maxHamming).persist()
+      var pairs: Dataset[Row] = null
+      try {
+        val idx =
+          if (exists) M.readImageHashIndex(spark, indexName)
+          else newChunks.limit(0) // schema-true empty: in-batch arm only
+        pairs = M.incrementalImageCandidates(newChunks, idx)
+          .distinct()
+          .filter(col("hamming") <= maxHamming)
+          .persist()
+        pairs.count() // pin pre-append results (the plan reads the index)
+        emit(pairs, batchId)
+        val novel =
+          if (exists)
+            newChunks.join(idx.select("media_id").distinct(),
+              Seq("media_id"), "left_anti")
+          else newChunks
+        M.writeImageHashIndex(novel,
+          new graft.sinks.LakeWriter(indexRoot, mode = "append"),
+          indexName, buckets)
+      } finally {
+        newChunks.unpersist()
+        if (pairs != null) pairs.unpersist()
+        ()
+      }
+    }
+    val trig =
+      if (availableNow)
+        writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      else writer
+    checkpoint.fold(trig)(trig.option("checkpointLocation", _)).start()
+  }
+
+  /** Streaming AUDIO near-dup intake against the persisted envelope-
+    * hash index — [[imageNearDupStream]] for the audio member: per
+    * batch, decode once into per-window chunk hashes, probe the
+    * (chunk, ckey, start_ms) candidate join (new×index + new×new),
+    * emit materialized pairs, append the novel rows as one manifested
+    * commit. `windowMs`/`strideMs`/`maxHamming` MUST equal the index
+    * build's (the [[graft.multimodal.MediaOps.audioHashIndexFrame]]
+    * contract — different values change window grids or chunk widths
+    * and silently drop true candidates). Same replay semantics as
+    * [[imageNearDupStream]].
+    */
+  def audioNearDupStream(
+      media: DataFrame, indexName: String, indexRoot: String,
+      decoder: graft.multimodal.MediaOps.AudioDecoder =
+        graft.multimodal.MediaOps.StubAudioDecoder,
+      windowMs: Long = 10000L, strideMs: Long = 5000L,
+      maxHamming: Int = 5, buckets: Int = 32,
+      checkpoint: Option[String] = None, availableNow: Boolean = false)(
+      emit: (DataFrame, Long) => Unit): StreamingQuery = {
+    val M = graft.multimodal.MediaOps
+    val writer = media.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      val spark = batch.sparkSession
+      val exists = spark.catalog.tableExists(s"${indexName}_achunks")
+      val newChunks = M.pigeonholeChunks(
+        M.audioFingerprints(batch, decoder, windowMs, strideMs),
+        "fhash", maxHamming).persist()
+      var pairs: Dataset[Row] = null
+      try {
+        val idx =
+          if (exists) M.readAudioHashIndex(spark, indexName)
+          else newChunks.limit(0)
+        pairs = M.incrementalAudioCandidates(newChunks, idx)
+          .distinct()
+          .filter(col("hamming") <= maxHamming)
+          .persist()
+        pairs.count()
+        emit(pairs, batchId)
+        val novel =
+          if (exists)
+            newChunks.join(idx.select("media_id").distinct(),
+              Seq("media_id"), "left_anti")
+          else newChunks
+        M.writeAudioHashIndex(novel,
+          new graft.sinks.LakeWriter(indexRoot, mode = "append"),
+          indexName, buckets)
+      } finally {
+        newChunks.unpersist()
+        if (pairs != null) pairs.unpersist()
+        ()
+      }
+    }
+    val trig =
+      if (availableNow)
+        writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      else writer
+    checkpoint.fold(trig)(trig.option("checkpointLocation", _)).start()
+  }
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

@@ -403,4 +403,73 @@ object StreamGates {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
     }
+
+  /** Cut a media frame into contiguous media_id ranges at the given
+    * boundaries — history first, re-encodes later, so the planted
+    * re-ingestions probe the index across restart boundaries (the
+    * [[shards]] arrival-order story for the media fixtures' sparse
+    * golden id spaces).
+    */
+  private def mediaShards(media: DataFrame, bounds: Seq[Long]): Seq[DataFrame] = {
+    val edges = Long.MinValue +: bounds :+ Long.MaxValue
+    edges.sliding(2).toSeq.map { case Seq(lo, hi) =>
+      media.filter(col("media_id") >= lo && col("media_id") < hi)
+    }
+  }
+
+  /** Streamed IMAGE near-dup intake, gated: the golden t93 corpus
+    * arrives first (in-batch pairs = t93's frame, and its hashes
+    * build the index), then the t105 re-encodes split across TWO
+    * further cold restarts — (11,14) straddles them, so it is only
+    * found if 11's hashes survived the restart in the persisted
+    * index. Emission union must equal the one-shot batch pairs over
+    * the full corpus: t93's golden frame ∪ t105's golden frame,
+    * hand-derived VALUES.
+    */
+  def imageNearDupStreamGate(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val M = graft.multimodal.MediaOps
+    val corpus = M.goldenImageFixture(spark)
+      .unionByName(M.goldenImageProbeFixture(spark))
+    val idxRoot = Files.createTempDirectory("sgate_img_idx").toString
+    val emit = Files.createTempDirectory("sgate_img_emit").toString + "/pairs"
+    val tbl = "sgate_img_index"
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_chunks")
+    drive(mediaShards(corpus, Seq(10L, 14L))) { (src, cp) =>
+      EventStream.imageNearDupStream(src, tbl, idxRoot,
+        decoder = M.ImageIoDecoder, maxHamming = 5, buckets = 8,
+        checkpoint = cp, availableNow = true) { (out, _) =>
+        out.select("media_a", "media_b", "hamming")
+          .write.mode("append").parquet(emit)
+      }
+    }
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_chunks")
+    spark.read.parquet(emit).orderBy("media_a", "media_b")
+  }
+
+  /** Streamed AUDIO near-dup intake, gated: the golden t106 corpus
+    * first (in-batch window pairs = t106's frame), then the t108
+    * re-encodes across two further cold restarts — (31,34) straddles
+    * them, provable only through the persisted index. Emission union
+    * must equal t106's ∪ t108's golden frames.
+    */
+  def audioNearDupStreamGate(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val M = graft.multimodal.MediaOps
+    val corpus = M.goldenAudioFixture(spark)
+      .unionByName(M.goldenAudioProbeFixture(spark))
+    val idxRoot = Files.createTempDirectory("sgate_aud_idx").toString
+    val emit = Files.createTempDirectory("sgate_aud_emit").toString + "/pairs"
+    val tbl = "sgate_aud_index"
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_achunks")
+    drive(mediaShards(corpus, Seq(30L, 33L))) { (src, cp) =>
+      EventStream.audioNearDupStream(src, tbl, idxRoot,
+        decoder = M.WavDecoder, windowMs = 2000L, strideMs = 2000L,
+        maxHamming = 5, buckets = 8,
+        checkpoint = cp, availableNow = true) { (out, _) =>
+        out.select("media_a", "media_b", "start_ms", "hamming")
+          .write.mode("append").parquet(emit)
+      }
+    }
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_achunks")
+    spark.read.parquet(emit).orderBy("media_a", "media_b", "start_ms")
+  }
 }
