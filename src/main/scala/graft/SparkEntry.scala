@@ -479,6 +479,18 @@ object SparkEntry {
     // validity intervals (gaps-and-islands, customer-partitioned)
     "t125_scd2_intervals" -> ((s, d) => { val t = Tables.load(s, d)
       Relational.scd2Intervals(t.orders) }),
+    // INCREMENTAL SCD-2: fold the post-1996 slice into the pre-1996
+    // state (closed intervals untouched, open intervals extend or
+    // close); must equal the full rebuild — twin is t125's verbatim
+    "t133_scd2_fold" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, lit, to_date}
+      val cut = to_date(lit("1996-01-01"))
+      Relational.scd2Fold(
+          Relational.scd2State(t.orders.filter(col("o_orderdate") < cut)),
+          t.orders.filter(col("o_orderdate") >= cut))
+        .select("o_custkey", "o_orderstatus", "valid_from", "valid_to",
+          "first_key", "n_orders")
+        .orderBy("o_custkey", "valid_from", "first_key") }),
     // rolling 7-day active users over the event stream (integer days)
     "t126_rolling_active" -> ((s, d) => { val t = Tables.load(s, d)
       EventOps.rollingActiveUsers(t.events) }),
@@ -1617,6 +1629,24 @@ object SparkEntry {
     // t125 twin: the identical gaps-and-islands run collapse and
     // lead() interval chaining -- dates and integers only
     "t125_scd2_intervals" ->
+      """WITH o AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey)
+        |  - row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+        |    ORDER BY o_orderdate, o_orderkey) AS grp
+        |  FROM orders),
+        |r AS (SELECT o_custkey, o_orderstatus, grp,
+        |  min(o_orderdate) AS valid_from, min(o_orderkey) AS first_key,
+        |  count(*) AS n_orders
+        |  FROM o GROUP BY 1, 2, 3)
+        |SELECT o_custkey, o_orderstatus, valid_from,
+        |  lead(valid_from, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY valid_from, first_key) AS valid_to,
+        |  first_key, n_orders
+        |FROM r ORDER BY o_custkey, valid_from, first_key""".stripMargin,
+    // t133 twin: t125's full-rebuild SQL VERBATIM — the incremental
+    // fold must be indistinguishable from rebuilding over all orders
+    "t133_scd2_fold" ->
       """WITH o AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
         |  row_number() OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate, o_orderkey)

@@ -160,23 +160,123 @@ object Relational {
     * customer-partitioned (one customer's history per task, never a
     * global sort).
     */
-  def scd2Intervals(orders: DataFrame): DataFrame = {
+  def scd2Intervals(orders: DataFrame): DataFrame =
+    scd2State(orders)
+      .select("o_custkey", "o_orderstatus", "valid_from", "valid_to",
+        "first_key", "n_orders")
+      .orderBy("o_custkey", "valid_from", "first_key")
+
+  /** [[scd2Intervals]] PLUS the incremental-maintenance state: each
+    * interval also carries the run's LAST order as `(last_date,
+    * last_key)`. That pair is the sufficient statistic for folding a
+    * later slice without rescanning history ([[scd2Fold]]): a new
+    * slice whose orders all sort after the open run's last order can
+    * only (a) extend the open run, or (b) close it and append new
+    * runs — never re-split a closed interval. (The t116 incremental-
+    * cohort discipline applied to the dimension table itself.)
+    */
+  def scd2State(orders: DataFrame): DataFrame = {
+    val w3 = Window.partitionBy("o_custkey").orderBy("valid_from", "first_key")
+    scd2Runs(orders).withColumn("valid_to", lead("valid_from", 1).over(w3))
+  }
+
+  /** Same-status run collapse (gaps-and-islands by the row_number
+    * difference) with per-run first/last stats — shared by the full
+    * build and the incremental fold so their run rule can never
+    * drift.
+    */
+  private def scd2Runs(orders: DataFrame): DataFrame = {
     val w1 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     val w2 = Window.partitionBy("o_custkey", "o_orderstatus")
       .orderBy("o_orderdate", "o_orderkey")
-    val runs = orders
+    orders
       .select(col("o_custkey"), col("o_orderstatus"),
         col("o_orderdate"), col("o_orderkey"))
       .withColumn("grp", row_number().over(w1) - row_number().over(w2))
       .groupBy("o_custkey", "o_orderstatus", "grp")
       .agg(min("o_orderdate").as("valid_from"),
         min("o_orderkey").as("first_key"),
-        count(lit(1)).as("n_orders"))
+        count(lit(1)).as("n_orders"),
+        // TEMPORAL first/last order of the run. start_key is NOT
+        // always first_key: first_key is the run's min key (the t125
+        // output convention), which a later-dated order can own — so
+        // run-order comparisons must use (valid_from, start_key),
+        // never (valid_from, first_key), or two runs sharing a start
+        // date can swap and the fold's adjacency merge misfires.
+        min(struct(col("o_orderdate"), col("o_orderkey"))).as("_first"),
+        max(struct(col("o_orderdate"), col("o_orderkey"))).as("_last"))
+      .select(col("o_custkey"), col("o_orderstatus"), col("valid_from"),
+        col("first_key"), col("n_orders"),
+        col("_first.o_orderkey").as("start_key"),
+        col("_last.o_orderdate").as("last_date"),
+        col("_last.o_orderkey").as("last_key"))
+  }
+
+  /** INCREMENTAL SCD-2 maintenance: fold a new slice of orders into
+    * an existing [[scd2State]] WITHOUT rebuilding history. Closed
+    * intervals pass through untouched; per affected customer, the
+    * open interval either extends (same status continues — counts
+    * add, `valid_from`/`first_key` keep their history values) or
+    * closes at the first new run's start; new runs chain behind it.
+    * Returns the new state — `scd2Fold(scd2State(old), new)` equals
+    * `scd2State(old ∪ new)` row-for-row (gated, t133; the twin is the
+    * full rebuild).
+    *
+    * Contract, ENFORCED: every new order must sort strictly after its
+    * customer's last folded order in the (o_orderdate, o_orderkey)
+    * run order — a later-arriving order inside an already-built run
+    * would need to re-split closed intervals, which no open-interval
+    * statistic can express; such slices take the rebuild path. The
+    * guard is one bounded semi-join-shaped probe, not a history scan.
+    *
+    * Scale shape: history appears ONLY as the state table (one row
+    * per interval, no window over raw history); all windows run over
+    * the new slice's runs plus one open row per affected customer.
+    */
+  def scd2Fold(state: DataFrame, newOrders: DataFrame): DataFrame = {
+    val closed = state.filter(col("valid_to").isNotNull)
+    val open = state.filter(col("valid_to").isNull)
+      .drop("valid_to")
+    val newRuns = scd2Runs(newOrders)
+    // guard: min new (date, key) per customer must sort strictly
+    // after the customer's open-run last (date, key)
+    val viol = newOrders
+      .groupBy("o_custkey")
+      .agg(min(struct(col("o_orderdate"), col("o_orderkey"))).as("first_new"))
+      .join(open.select(col("o_custkey"),
+        struct(col("last_date").as("o_orderdate"),
+          col("last_key").as("o_orderkey")).as("last_old")), Seq("o_custkey"))
+      .filter(col("first_new") <= col("last_old"))
+      .limit(1).collect()
+    require(viol.isEmpty,
+      s"scd2Fold: slice interleaves with folded history for customer " +
+        s"${viol.headOption.map(_.get(0)).getOrElse("")} — late-arriving orders " +
+          "re-split closed intervals; rebuild with scd2State instead")
+    // run-level collapse of (open run ∪ new runs): only the boundary
+    // pair can share a status, and the same row_number-difference
+    // trick merges exactly adjacent same-status runs
+    val comb = open.unionByName(newRuns)
+    // TEMPORAL run order (valid_from, start_key) — see scd2Runs on
+    // why (valid_from, first_key) would be wrong here
+    val w1 = Window.partitionBy("o_custkey").orderBy("valid_from", "start_key")
+    val w2 = Window.partitionBy("o_custkey", "o_orderstatus")
+      .orderBy("valid_from", "start_key")
+    val merged = comb
+      .withColumn("grp", row_number().over(w1) - row_number().over(w2))
+      .groupBy("o_custkey", "o_orderstatus", "grp")
+      .agg(min("first_key").as("first_key"),
+        sum("n_orders").as("n_orders"),
+        min(struct(col("valid_from"), col("start_key"))).as("_first"),
+        max(struct(col("last_date"), col("last_key"))).as("_last"))
+      .select(col("o_custkey"), col("o_orderstatus"),
+        col("_first.valid_from").as("valid_from"),
+        col("first_key"), col("n_orders"),
+        col("_first.start_key").as("start_key"),
+        col("_last.last_date").as("last_date"),
+        col("_last.last_key").as("last_key"))
     val w3 = Window.partitionBy("o_custkey").orderBy("valid_from", "first_key")
-    runs.withColumn("valid_to", lead("valid_from", 1).over(w3))
-      .select("o_custkey", "o_orderstatus", "valid_from", "valid_to",
-        "first_key", "n_orders")
-      .orderBy("o_custkey", "valid_from", "first_key")
+    closed.unionByName(
+      merged.withColumn("valid_to", lead("valid_from", 1).over(w3)))
   }
 
   /** FULL OUTER join with both null arms non-vacuous: BUILDING-segment

@@ -70,6 +70,60 @@ class RelationalSpec extends AnyFunSuite {
       (2L, "F", "2024-01-15", None, 1L)), out.toString)
   }
 
+  test("scd2Fold: extends/closes open intervals, equals the full rebuild on " +
+      "an adversarial same-date key-inverted fixture, and rejects interleaves") {
+    import spark.implicits._
+    val d = java.sql.Date.valueOf(_: String)
+    // old slice: customer 1 ends in an open O run; customer 2 open F
+    val old = Seq(
+      (1L, 101L, "O", d("2024-01-01")),
+      (1L, 103L, "F", d("2024-02-01")),
+      (1L, 104L, "O", d("2024-03-01")),
+      (2L, 201L, "F", d("2024-01-15"))
+    ).toDF("o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate")
+    // new slice: customer 1 continues O (extends the open run) then
+    // flips to F; customer 2's new runs land on ONE date with the
+    // SMALLER key in the LATER temporal run (key 298 F before 299 O
+    // at the same date? no — temporal order is (date, key): 298 then
+    // 299; but run2 spans into 05-02 via key 290, making run2's min
+    // key 290 < run1's 298 — the (valid_from, first_key) inversion);
+    // customer 3 is brand new
+    val fresh = Seq(
+      (1L, 105L, "O", d("2024-04-01")),
+      (1L, 106L, "F", d("2024-05-01")),
+      (2L, 298L, "F", d("2024-05-01")),
+      (2L, 299L, "O", d("2024-05-01")),
+      (2L, 290L, "O", d("2024-05-02")),
+      (3L, 301L, "P", d("2024-06-01"))
+    ).toDF("o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate")
+    val cols = Seq("o_custkey", "o_orderstatus", "valid_from", "valid_to",
+      "first_key", "n_orders")
+    def render(df: org.apache.spark.sql.DataFrame) = df
+      .select(cols.head, cols.tail: _*)
+      .orderBy("o_custkey", "valid_from", "first_key").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toString,
+        Option(r.getDate(3)).map(_.toString), r.getLong(4), r.getLong(5))).toSeq
+    val folded = render(Relational.scd2Fold(Relational.scd2State(old), fresh))
+    val rebuilt = render(Relational.scd2State(old.unionByName(fresh)))
+    assert(folded == rebuilt, s"fold must equal rebuild:\n$folded\nvs\n$rebuilt")
+    // the open O run of customer 1 extended in place: 2 orders now
+    assert(folded.exists(r => r._1 == 1L && r._2 == "O" && r._3 == "2024-03-01"
+      && r._6 == 2L), folded.toString)
+    // customer 2: new F at 05-01 merged into the open F interval
+    // (n=2), and the same-date O run stayed SEPARATE across the
+    // status flip with its min key 290 from the later date
+    assert(folded.filter(_._1 == 2L) == Seq(
+      (2L, "F", "2024-01-15", Some("2024-05-01"), 201L, 2L),
+      (2L, "O", "2024-05-01", None, 290L, 2L)), folded.toString)
+    // guard: an order interleaving with folded history fails loudly
+    val late = Seq((1L, 99L, "O", d("2024-02-15")))
+      .toDF("o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate")
+    val e = intercept[IllegalArgumentException] {
+      Relational.scd2Fold(Relational.scd2State(old.unionByName(fresh)), late)
+    }
+    assert(e.getMessage.contains("interleaves"), e.getMessage)
+  }
+
   test("revenueShareByNation: shares from exact integer sums (golden)") {
     import spark.implicits._
     val li = Seq((1L, 10L, 30.0, 0.0), (2L, 20L, 60.0, 0.5))
