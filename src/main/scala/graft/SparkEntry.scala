@@ -683,6 +683,21 @@ object SparkEntry {
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("src"), col("b.pk").as("dst"))
       GraphOps.triangleCounts(pairs) }),
+    // degree-CAPPED triangle counts: a planted star hub (id 9999999,
+    // an edge to every 3rd part) plus the natural co-purchase hubs
+    // are excluded before wedge generation; exact on the capped
+    // subgraph — the SCALE.md-named 100× lever for t120's Σ deg²
+    "t134_triangles_capped" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, lit}
+      val li = t.lineitem
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      val hub = t.part.select(col("p_partkey").as("src"))
+        .filter(col("src") % 3 === 0)
+        .withColumn("dst", lit(9999999L))
+      GraphOps.triangleCountsCapped(pairs.unionByName(hub), maxDeg = 100) }),
     // re-crawl snapshot diff: per doc_id added/removed/changed/
     // unchanged by content fingerprint — all four arms planted
     // in-query (edit every 7th, drop every 11th≡3, add re-ids)
@@ -1727,6 +1742,29 @@ object SparkEntry {
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (SELECT x AS id FROM tri UNION ALL
+        |  SELECT y FROM tri UNION ALL SELECT z FROM tri),
+        |pn AS (SELECT id, count(*) AS n_triangles FROM corners GROUP BY 1),
+        |n AS (SELECT a AS id FROM e UNION SELECT b FROM e)
+        |SELECT n.id, CAST(coalesce(pn.n_triangles, 0) AS BIGINT) AS n_triangles
+        |FROM n LEFT JOIN pn ON pn.id = n.id ORDER BY n.id""".stripMargin,
+    // t134 twin: the same planted hub, degree filter on the full
+    // canonical edge set, then t120's wedge closure on the survivors
+    "t134_triangles_capped" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  UNION
+        |  SELECT DISTINCT p_partkey AS a, CAST(9999999 AS BIGINT) AS b
+        |  FROM part WHERE p_partkey % 3 = 0),
+        |deg AS (SELECT id, count(*) AS d FROM
+        |  (SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+        |keep AS (SELECT id FROM deg WHERE d <= 100),
+        |e AS (SELECT a, b FROM e0
+        |  WHERE a IN (SELECT id FROM keep) AND b IN (SELECT id FROM keep)),
         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
         |  FROM e e1 JOIN e e2 ON e2.a = e1.b
         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),

@@ -68,13 +68,53 @@ object GraphOps {
     * LOWER-id neighbors instead of all landing on the hub). Output:
     * (id, n_triangles) for every node in some edge.
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    val canon = edges
+  def triangleCounts(edges: DataFrame): DataFrame =
+    triangleCountsFrom(canonicalEdges(edges).localCheckpoint())
+
+  /** [[triangleCounts]] with a DEGREE CAP — the 100× lever for the
+    * Σ deg² wedge bound exact enumeration carries: nodes whose
+    * undirected degree exceeds `maxDeg` (hubs — a viral page, a
+    * boilerplate template every page links) are removed WITH their
+    * edges before wedge generation, so the wedge volume is bounded by
+    * |E|·maxDeg instead of the hub's deg². This is the standard
+    * approximation for local-clustering signals at web scale: hub
+    * triangles are the least informative (everything closes through a
+    * hub) and the costliest; the capped count is EXACT on the capped
+    * subgraph, which is the semantics the gate twin replicates.
+    * Degrees are measured on the full input graph, so a node's hub
+    * edges count toward its own degree; output covers the nodes of
+    * the CAPPED edge set (a node connected only to hubs drops out
+    * with its edges).
+    */
+  def triangleCountsCapped(edges: DataFrame, maxDeg: Int): DataFrame = {
+    require(maxDeg >= 1, "maxDeg must be positive")
+    val canon = canonicalEdges(edges).localCheckpoint()
+    val deg = canon.select(col("a").as("id"))
+      .unionByName(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val keep = deg.filter(col("deg") <= maxDeg).select("id")
+    val capped = canon
+      .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+      .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+      .select("a", "b")
+      .localCheckpoint()
+    triangleCountsFrom(capped)
+  }
+
+  /** Canonical undirected edge set: a < b, self-loops dropped. */
+  private def canonicalEdges(edges: DataFrame): DataFrame =
+    edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint()
+
+  /** Oriented a<b<c wedge closure + per-corner counting — shared by
+    * the exact and degree-capped variants so the enumeration rule
+    * can never drift between them. `canon` is consumed four times;
+    * callers checkpoint it.
+    */
+  private def triangleCountsFrom(canon: DataFrame): DataFrame = {
     val tri = canon.as("e1")
       .join(canon.as("e2"), col("e1.b") === col("e2.a"))
       .join(canon.as("e3"),

@@ -41,6 +41,29 @@ class GraphOpsSpec extends AnyFunSuite {
       out.toString)
   }
 
+  test("triangleCountsCapped: the hub and its edges vanish, counts are exact " +
+      "on the capped subgraph, hub-only nodes drop out") {
+    // K4-minus-(3,4) as above, plus hub 9 wired to everything (deg 6
+    // > cap 3) and node 7 connected ONLY to the hub
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L), (9L, 5L), (9L, 7L),
+      (5L, 6L)
+    ).toDF("src", "dst")
+    val out = GraphOps.triangleCountsCapped(edges, maxDeg = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // degrees WITH hub edges: 1→4, 2→4 (over cap — they go too!),
+    // 3→3, 4→3, 5→2, 6→1, 7→1(hub only), 9→6. Surviving edges:
+    // (3,4)? absent from input. (5,6) only → no triangles.
+    assert(out == Map(5L -> 0L, 6L -> 0L), out.toString)
+    // a milder cap keeps 1 and 2: their mutual triangles survive
+    // minus any through the removed hub
+    val out4 = GraphOps.triangleCountsCapped(edges, maxDeg = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out4 == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 0L, 6L -> 0L),
+      out4.toString)
+  }
+
   test("pageRankInt: dangling nodes keep the base score; hubs outrank leaves") {
     // 4 → 1 only (4 is a source; nothing points at it)
     val edges = Seq((1L, 2L), (2L, 1L), (4L, 1L)).toDF("src", "dst")
