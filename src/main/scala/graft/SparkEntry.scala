@@ -446,6 +446,61 @@ object SparkEntry {
        |ORDER BY rnk""".stripMargin
   }
 
+  // s60 twin: s59's five unrolled greedy rounds GENERALIZED to a
+  // query table — the per-round argmax becomes a query-partitioned
+  // row_number and the selected-set joins key on query_id; identical
+  // quantized objective and tie-break
+  private lazy val s60Sql: String = {
+    val lam = 0.7
+    val om = (1.0 - lam).toString
+    def qdot(a: String, b: String) =
+      s"list_sum(list_transform(range(1,65), i -> $a.v[i]*$b.v[i]))"
+    val rounds = (2 to 5).map { i =>
+      s"""m$i AS (SELECT c.query_id, c.doc_id,
+         |  max(floor(${qdot("c", "s")}/(c.nrm*s.nrm)*1000000.0+0.5)/1000000.0) AS maxsim
+         |  FROM cand c JOIN sel${i - 1} s ON s.query_id = c.query_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
+         |    WHERE x.query_id = c.query_id AND x.doc_id = c.doc_id)
+         |  GROUP BY 1, 2),
+         |p$i AS (SELECT query_id, doc_id, score, v, nrm, mmr FROM (
+         |  SELECT c.query_id, c.doc_id, c.score, c.v, c.nrm,
+         |    floor(($lam*c.score - $om*m.maxsim)*1000000.0+0.5)/1000000.0 AS mmr,
+         |    row_number() OVER (PARTITION BY c.query_id
+         |      ORDER BY floor(($lam*c.score - $om*m.maxsim)*1000000.0+0.5)/1000000.0 DESC,
+         |        c.doc_id) AS rn
+         |  FROM m$i m JOIN cand c ON c.query_id = m.query_id AND c.doc_id = m.doc_id)
+         |  WHERE rn = 1),
+         |sel$i AS (SELECT query_id, doc_id, v, nrm FROM sel${i - 1}
+         |  UNION ALL SELECT query_id, doc_id, v, nrm FROM p$i)""".stripMargin
+    }.mkString(",\n")
+    val emit = (2 to 5).map(i =>
+      s"UNION ALL SELECT query_id, CAST($i AS BIGINT), doc_id, score, mmr FROM p$i")
+      .mkString("\n  ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nr AS (SELECT vec_id, $sqlNorm AS nrm FROM e),
+       |sc AS (SELECT a.vec_id AS query_id, b.vec_id,
+       |  floor(${qdot("a", "b")}/(na.nrm*nb.nrm)*1000000.0+0.5)/1000000.0 AS cos
+       |  FROM e a JOIN e b ON a.vec_id < 3 AND b.vec_id >= 3
+       |  JOIN nr na ON na.vec_id = a.vec_id JOIN nr nb ON nb.vec_id = b.vec_id),
+       |top AS (SELECT query_id, vec_id, cos FROM (SELECT query_id, vec_id, cos,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM sc) WHERE rnk <= 10),
+       |cand AS (SELECT t.query_id, t.vec_id AS doc_id, t.cos AS score, c.v, n.nrm
+       |  FROM top t JOIN e c ON c.vec_id = t.vec_id JOIN nr n ON n.vec_id = t.vec_id),
+       |p1 AS (SELECT query_id, doc_id, score, v, nrm, mmr FROM (
+       |  SELECT query_id, doc_id, score, v, nrm,
+       |    floor($lam*score*1000000.0+0.5)/1000000.0 AS mmr,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY floor($lam*score*1000000.0+0.5)/1000000.0 DESC, doc_id) AS rn
+       |  FROM cand) WHERE rn = 1),
+       |sel1 AS (SELECT query_id, doc_id, v, nrm FROM p1),
+       |$rounds
+       |SELECT query_id, rnk, doc_id, score, mmr FROM (
+       |  SELECT query_id, CAST(1 AS BIGINT) AS rnk, doc_id, score, mmr FROM p1
+       |  $emit)
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> ((s, d) => { val t = Tables.load(s, d)
       Relational.pricingSummary(t.lineitem) }),
@@ -984,6 +1039,12 @@ object SparkEntry {
     // diversification that stops k near-paraphrases of the best hit
     "s59_mmr_rerank" -> ((s, d) => { val t = Tables.load(s, d)
       Similarity.mmrRerankTop(t.embeddings) }),
+    // BATCH MMR serving: three queries' top-10 candidate sets
+    // diversified in ONE k-round composition — per-query argmax is a
+    // partitioned window, so a million-query batch costs the same k
+    // jobs as one query (the s55 batch treatment; s59 delegates here)
+    "s60_mmr_rerank_batch" -> ((s, d) => { val t = Tables.load(s, d)
+      Similarity.mmrRerankTopBatch(t.embeddings) }),
     // seeded JL random projection (64→16, 4× memory/compute cut):
     // brute-force cosine top-k in the PROJECTED space — projections
     // bit-reproducible from the seeded hyperplane constants
@@ -3247,6 +3308,7 @@ object SparkEntry {
     // deferred IEEE division (Exact.quant6's floor(x·1e6+0.5)/1e6).
     // Left join keeps silently-missed queries at recall 0.
     "s59_mmr_rerank" -> s59Sql,
+    "s60_mmr_rerank_batch" -> s60Sql,
     // s57 twin: the projection chain + the s31 top-k shape at 16 dims
     "s57_projected_topk" ->
       s"""WITH $projChainCtes

@@ -124,44 +124,73 @@ object Similarity {
     * mmr).
     */
   def mmrRerank(candidates: DataFrame, k: Int = 5,
+      lambda: Double = 0.7): DataFrame =
+    mmrRerankBatch(candidates.withColumn("query_id", lit(0L)), k, lambda)
+      .select("rnk", "doc_id", "score", "mmr")
+      .orderBy("rnk")
+
+  /** BATCH MMR serving — [[mmrRerank]] for a query TABLE, in ONE
+    * composition (the s55 batch-BM25 treatment): the greedy loop
+    * stays k rounds of driver-side composition, but each round is a
+    * single distributed job that advances EVERY query's selection at
+    * once — the per-query argmax is a `query_id`-partitioned
+    * row_number, and the max-sim-to-selected join keys on `query_id`
+    * with the ≤|queries|·k selected vectors broadcast. k bounds the
+    * round count no matter how many queries the table carries, so
+    * serving a million-query rerank batch costs the SAME k jobs as
+    * one query — that's the whole point.
+    *
+    * Exactness contract is [[mmrRerank]]'s verbatim (quantized
+    * objective, (mmr DESC, doc_id) tie-break, IEEE (1−λ)); the
+    * single-query path DELEGATES here, so the two can never drift.
+    * `candidates`: (query_id, doc_id, score, v), the bounded top-N of
+    * a per-query retrieval stage. Output: (query_id, rnk, doc_id,
+    * score, mmr); a query with fewer than k candidates exhausts
+    * early and emits the rows it has.
+    */
+  def mmrRerankBatch(candidates: DataFrame, k: Int = 5,
       lambda: Double = 0.7): DataFrame = {
     val spark = candidates.sparkSession
     val dp = dotWith(spark) _
     val oneMinus = 1.0 - lambda
-    var rem = candidates.select(col("doc_id"), col("score"), col("v"))
+    var rem = candidates.select(col("query_id"), col("doc_id"), col("score"), col("v"))
       .withColumn("nrm", sqrt(dp(col("v"), col("v"))))
       .localCheckpoint()
     var selected: DataFrame = null
     var out: DataFrame = null
+    val w = Window.partitionBy("query_id").orderBy(col("mmr").desc, col("doc_id"))
     for (i <- 1 to k) {
       val scored =
         if (selected == null)
           rem.withColumn("mmr", Exact.quant6(lit(lambda) * col("score")))
         else {
-          val s = selected.select(col("v").as("sv"), col("nrm").as("sn"))
-          val maxsim = rem.crossJoin(broadcast(s))
+          val s = selected.select(col("query_id"),
+            col("v").as("sv"), col("nrm").as("sn"))
+          val maxsim = rem.join(broadcast(s), Seq("query_id"))
             .withColumn("sim",
               Exact.quant6(dp(col("v"), col("sv")) / (col("nrm") * col("sn"))))
-            .groupBy("doc_id").agg(max("sim").as("maxsim"))
-          rem.join(maxsim, "doc_id")
+            .groupBy("query_id", "doc_id").agg(max("sim").as("maxsim"))
+          rem.join(maxsim, Seq("query_id", "doc_id"))
             .withColumn("mmr", Exact.quant6(
               lit(lambda) * col("score") - lit(oneMinus) * col("maxsim")))
         }
       val pick = scored
-        .orderBy(col("mmr").desc, col("doc_id"))
-        .limit(1)
-        .select(col("doc_id"), col("score"), col("v"), col("nrm"), col("mmr"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("query_id"), col("doc_id"), col("score"), col("v"),
+          col("nrm"), col("mmr"))
         .localCheckpoint()
       selected =
         if (selected == null) pick
         else selected.unionByName(pick).localCheckpoint()
-      val row = pick.select(lit(i.toLong).as("rnk"),
+      val row = pick.select(col("query_id"), lit(i.toLong).as("rnk"),
         col("doc_id"), col("score"), col("mmr"))
       out = if (out == null) row else out.unionByName(row)
-      rem = rem.join(pick.select("doc_id"), Seq("doc_id"), "left_anti")
+      rem = rem.join(pick.select("query_id", "doc_id"),
+        Seq("query_id", "doc_id"), "left_anti")
         .localCheckpoint()
     }
-    out.orderBy("rnk")
+    out.orderBy("query_id", "rnk")
   }
 
   /** [[mmrRerank]] driven end-to-end from an embedding table: the
@@ -176,6 +205,21 @@ object Similarity {
         "vec_id")
       .withColumnRenamed("vec_id", "doc_id")
     mmrRerank(cand, k, lambda)
+  }
+
+  /** [[mmrRerankBatch]] driven end-to-end from an embedding table:
+    * the cosine top-`n` of the first `nQueries` queries feeds one
+    * batched greedy diversification — every query reranks in the
+    * same k jobs.
+    */
+  def mmrRerankTopBatch(embeddings: DataFrame, nQueries: Int = 3,
+      n: Int = 10, k: Int = 5, lambda: Double = 0.7): DataFrame = {
+    val cand = cosineTopK(embeddings, nQueries = nQueries, k = n)
+      .select(col("query_id"), col("vec_id"), col("cos").as("score"))
+      .join(embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v")),
+        "vec_id")
+      .withColumnRenamed("vec_id", "doc_id")
+    mmrRerankBatch(cand, k, lambda)
   }
 
   /** Broadcast-query brute-force top-k over a prepared (vec_id, v,
