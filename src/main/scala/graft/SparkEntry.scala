@@ -242,7 +242,24 @@ object SparkEntry {
   // t71/t72 shared fragment: the planted raw-URL corpus (UrlOps
   // .plantUrls verbatim) canonicalized by the same rule chain — ends
   // at CTE `n` = (doc_id, url_norm, domain)
-  private def urlNormCte: String =
+  private def urlNormCte: String = urlNormCteNamed("", "")
+
+  /** [[urlNormCte]] with prefixed CTE names and a source predicate,
+    * so one twin (t135) can instantiate the chain twice — once
+    * shard-scoped, once corpus-wide — without CTE collisions.
+    */
+  private def urlNormCteNamed(p: String, where: String): String =
+    urlNormCteBody
+      .replace("FROM documents)", s"FROM documents$where)")
+      .replace("u AS (", s"${p}u AS (")
+      .replace("w AS (", s"${p}w AS (")
+      .replace("c AS (", s"${p}c AS (")
+      .replace("n AS (", s"${p}n AS (")
+      .replace("FROM u)", s"FROM ${p}u)")
+      .replace("FROM w)", s"FROM ${p}w)")
+      .replace("FROM c))", s"FROM ${p}c))")
+
+  private def urlNormCteBody: String =
     s"""u AS (SELECT doc_id,
        |  CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.News.Site' ELSE 'HTTP://WWW.News.Site' END ||
        |  (doc_id % 20) ||
@@ -499,6 +516,142 @@ object SparkEntry {
        |  SELECT query_id, CAST(1 AS BIGINT) AS rnk, doc_id, score, mmr FROM p1
        |  $emit)
        |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  // t135 twin: the crawl-to-corpus capstone as ONE chained query —
+  // each stage is its gated twin's CTEs verbatim (t71 URL chain ×2,
+  // t124 blocklist, t55 rules, t107 banded decontam, t87 incremental
+  // near-dup + recursive cluster min, t121 resample, t92 temperature,
+  // t54 pack, t91 shuffle), wired in the same order as
+  // CorpusOps.crawlCorpusBuild. Constants: blocklist 0.6, decontam
+  // and near-dup at 0.9, budget 64, seqLen 512, seed 42.
+  private lazy val t135Sql: String = {
+    val sigBlock =
+      s"""hb AS (SELECT doc_id,
+         |  CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) % $mhP AS h FROM fw),
+         |sig AS (SELECT doc_id,
+         |  ${mhCoeffs.zipWithIndex.map { case ((a, b), i) =>
+              s"min(($a*h+$b) % $mhP) AS h$i" }.mkString(",\n         |  ")}
+         |  FROM hb GROUP BY 1),
+         |band AS (
+         |  ${(0 until 4).map(b =>
+              s"SELECT doc_id, $b${if (b == 0) " AS b" else ""}, md5(${(4 * b until 4 * b + 4).map(i => s"h$i::VARCHAR").mkString("||','||")})${if (b == 0) " AS k" else ""} FROM sig")
+              .mkString(" UNION ALL\n         |  ")})""".stripMargin
+    val fp = "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
+    s"""WITH RECURSIVE
+       |${urlNormCteNamed("s", " WHERE doc_id % 5 = 0")},
+       |um AS (SELECT url_norm, min(doc_id) AS canonical_id FROM sn GROUP BY 1),
+       |d1 AS (SELECT sn.doc_id, sn.domain FROM sn JOIN um ON um.url_norm = sn.url_norm
+       |  AND sn.doc_id = um.canonical_id),
+       |$urlNormCte,
+       |ft AS MATERIALIZED (SELECT doc_id, $toks AS tk FROM documents),
+       |fm AS (SELECT doc_id,
+       |  CAST(len(tk) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq,
+       |  CAST(coalesce(list_aggregate(list_transform(tk, x -> length(x)), 'sum'), 0) AS BIGINT) AS sum_len,
+       |  CAST(len(list_filter(tk, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS BIGINT) AS n_stop,
+       |  CAST(len(list_filter(['the','a','of','and','is','to','in'], s -> list_contains(tk, s))) AS BIGINT) AS n_stop_uniq
+       |  FROM ft),
+       |fq AS (SELECT doc_id, CAST(floor(
+       |  (${q4("CAST(n_uniq AS DOUBLE)/n_tokens*0.5 + least(CAST(n_tokens AS DOUBLE)/100.0, 1.0)*0.3 + (1.0 - CAST(n_stop AS DOUBLE)/n_tokens)*0.2")})
+       |  * 10000.0 + 0.5) AS BIGINT) AS q4i
+       |  FROM fm WHERE n_tokens > 0),
+       |blocked AS (SELECT n.domain FROM n JOIN fq ON fq.doc_id = n.doc_id
+       |  GROUP BY 1 HAVING sum(fq.q4i) < 6000 * count(*)),
+       |d2 AS (SELECT d1.doc_id FROM d1 LEFT JOIN blocked b ON b.domain = d1.domain
+       |  WHERE b.domain IS NULL),
+       |d3 AS MATERIALIZED (SELECT m.doc_id FROM fm m JOIN d2 ON d2.doc_id = m.doc_id
+       |  WHERE m.n_tokens >= 20 AND m.n_tokens <= 400
+       |    AND m.sum_len >= 3*m.n_tokens AND m.sum_len <= 10*m.n_tokens
+       |    AND m.n_stop_uniq >= 2 AND 5*m.n_uniq >= m.n_tokens),
+       |fw AS MATERIALIZED (SELECT DISTINCT doc_id, tok FROM
+       |  (SELECT doc_id, unnest(tk) AS tok FROM ft)),
+       |$sigBlock,
+       |fn AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM fw GROUP BY 1),
+       |evaldocs AS MATERIALIZED (SELECT doc_id FROM documents
+       |  WHERE doc_id % 5 != 0 AND CAST(('0x'||substr($fp,1,4)) AS BIGINT) % 10 >= 8),
+       |db3 AS (SELECT band.* FROM band JOIN d3 ON d3.doc_id = band.doc_id),
+       |dbe AS (SELECT band.* FROM band JOIN evaldocs ev ON ev.doc_id = band.doc_id),
+       |dcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM db3 a JOIN dbe b ON a.b = b.b AND a.k = b.k),
+       |dp AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |  FROM dcand c JOIN fw wa ON wa.doc_id = c.doc_a
+       |  JOIN fw wb ON wb.doc_id = c.doc_b AND wb.tok = wa.tok GROUP BY 1,2),
+       |contaminated AS (SELECT DISTINCT dp.doc_a AS doc_id
+       |  FROM dp JOIN fn na ON na.doc_id = dp.doc_a JOIN fn nb ON nb.doc_id = dp.doc_b
+       |  WHERE ${q4("CAST(inter AS DOUBLE)/(na.n+nb.n-inter)")} >= 0.9),
+       |d4 AS MATERIALIZED (SELECT d3.doc_id FROM d3
+       |  LEFT JOIN contaminated c ON c.doc_id = d3.doc_id WHERE c.doc_id IS NULL),
+       |nb4 AS (SELECT band.* FROM band JOIN d4 ON d4.doc_id = band.doc_id),
+       |nbh AS (SELECT band.* FROM band WHERE band.doc_id % 5 != 0),
+       |ncand AS (SELECT DISTINCT least(a.doc_id, o.doc_id) AS doc_a,
+       |    greatest(a.doc_id, o.doc_id) AS doc_b
+       |  FROM nb4 a JOIN (SELECT * FROM nb4 UNION ALL SELECT * FROM nbh) o
+       |    ON a.b = o.b AND a.k = o.k AND a.doc_id != o.doc_id),
+       |np AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |  FROM ncand c JOIN fw wa ON wa.doc_id = c.doc_a
+       |  JOIN fw wb ON wb.doc_id = c.doc_b AND wb.tok = wa.tok GROUP BY 1,2),
+       |npr AS MATERIALIZED (SELECT np.doc_a, np.doc_b,
+       |    da.doc_id IS NOT NULL AS a_new, db.doc_id IS NOT NULL AS b_new
+       |  FROM np JOIN fn na ON na.doc_id = np.doc_a JOIN fn nb ON nb.doc_id = np.doc_b
+       |  LEFT JOIN d4 da ON da.doc_id = np.doc_a
+       |  LEFT JOIN d4 db ON db.doc_id = np.doc_b
+       |  WHERE ${q4("CAST(inter AS DOUBLE)/(na.n+nb.n-inter)")} >= 0.9),
+       |hd AS (SELECT DISTINCT CASE WHEN a_new THEN doc_a ELSE doc_b END AS doc_id
+       |  FROM npr WHERE a_new != b_new),
+       |sp AS (SELECT doc_a, doc_b FROM npr WHERE a_new AND b_new),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM sp UNION SELECT doc_b, doc_a FROM sp),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM e UNION SELECT src, dst FROM e
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+       |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |nc AS (SELECT doc_id FROM cl WHERE doc_id != cluster_id),
+       |d5 AS MATERIALIZED (SELECT d4.doc_id FROM d4
+       |  LEFT JOIN hd ON hd.doc_id = d4.doc_id
+       |  LEFT JOIN nc ON nc.doc_id = d4.doc_id
+       |  WHERE hd.doc_id IS NULL AND nc.doc_id IS NULL),
+       |rtb AS MATERIALIZED (SELECT doc_id,
+       |  CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) % 1024 AS b
+       |  FROM (SELECT doc_id, unnest(tk) AS tok FROM ft)),
+       |rtc AS (SELECT b, count(*) AS tc FROM rtb WHERE doc_id % 10 < 3 GROUP BY 1),
+       |rrc AS (SELECT b, count(*) AS rc FROM rtb WHERE doc_id % 10 >= 3 GROUP BY 1),
+       |rwt AS (SELECT rrc.b,
+       |  CAST(floor(CAST(coalesce(rtc.tc, 0) + 1 AS DOUBLE) / (rrc.rc + 1) * 1000000.0 + 0.5) AS BIGINT) AS wq
+       |  FROM rrc LEFT JOIN rtc ON rtc.b = rrc.b),
+       |rsc AS (SELECT tb.doc_id, count(*) AS n_tok, CAST(sum(wq) AS BIGINT) AS swq
+       |  FROM rtb tb JOIN rwt ON rwt.b = tb.b JOIN d5 ON d5.doc_id = tb.doc_id
+       |  WHERE tb.doc_id % 10 >= 3 GROUP BY 1),
+       |ru AS (SELECT doc_id, CAST(('0x'||substr($fp,1,4)) AS BIGINT) AS u16 FROM documents),
+       |d6 AS (SELECT doc_id FROM d5 WHERE doc_id % 10 < 3
+       |  UNION
+       |  SELECT rsc.doc_id FROM rsc JOIN ru ON ru.doc_id = rsc.doc_id
+       |  WHERE ru.u16 * rsc.n_tok * 1000000 < rsc.swq * 65536),
+       |md AS (SELECT d.doc_id, d.source, $fp AS h FROM documents d
+       |  JOIN d6 ON d6.doc_id = d.doc_id),
+       |mc AS (SELECT source, count(*) AS n_docs FROM md GROUP BY 1),
+       |mw AS (SELECT source, n_docs,
+       |  CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT) AS w FROM mc),
+       |mt AS (SELECT sum(w) AS w_total FROM mw),
+       |mr AS (SELECT source, n_docs, w,
+       |  CAST((64 * w) // w_total AS BIGINT) AS target,
+       |  floor(least(1.0, CAST((64 * w) // w_total AS DOUBLE) / n_docs) * 4294967296.0) AS cut
+       |  FROM mw CROSS JOIN mt),
+       |d7 AS (SELECT md.doc_id, md.source FROM md JOIN mr ON mr.source = md.source
+       |  WHERE CAST(CAST(('0x'||substr(md.h,1,8)) AS BIGINT) AS DOUBLE) < mr.cut),
+       |pk AS (SELECT d7.source, d7.doc_id, CAST(len(t.tk) AS BIGINT) AS n
+       |  FROM d7 JOIN ft t ON t.doc_id = d7.doc_id),
+       |po AS (SELECT source, doc_id, n,
+       |  CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n AS off FROM pk),
+       |seqs AS (SELECT source, CAST(floor(CAST(off AS DOUBLE)/512.0) AS BIGINT) AS seq_id,
+       |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |  FROM po GROUP BY 1,2)
+       |SELECT CAST(row_number() OVER (
+       |    ORDER BY md5('42:' || source || ':' || seq_id), source, seq_id) AS BIGINT) AS pos,
+       |  source, seq_id, n_docs, n_tokens, first_doc, last_doc
+       |FROM seqs ORDER BY pos""".stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -788,6 +941,12 @@ object SparkEntry {
     // one composed pipeline over the operators gated individually
     "t56_corpus_build" -> ((s, d) => { val t = Tables.load(s, d)
       CorpusOps.corpusBuild(t.documents) }),
+    // the CRAWL-TO-CORPUS capstone: nine gated operators wired in
+    // production order over today's shard (t71 URL dedup → t124
+    // blocklist → t55 quality → t107 decontam → t87 near-dup-vs-
+    // index → t121 DSIR → t92 temperature → t54 pack → t91 shuffle)
+    "t135_crawl_corpus_build" -> ((s, d) => { val t = Tables.load(s, d)
+      CorpusOps.crawlCorpusBuild(t.documents, UrlOps.plantUrls(t.documents)) }),
     // daily-shard incremental corpus build: shard (doc_id ≡ 0 mod 5)
     // dedups against the exact index of the rest, then the identical
     // filter/split/pack tail over shard survivors only. The natural
@@ -2453,6 +2612,7 @@ object SparkEntry {
          | (n >= 20 AND n <= 400 AND sum_len >= 3*n AND sum_len <= 10*n
          |   AND n_stop >= 2 AND 5*n_uniq >= n) AS keep
          |FROM m ORDER BY doc_id""".stripMargin,
+    "t135_crawl_corpus_build" -> t135Sql,
     // capstone twin: the t23 dedup CTE → t55 rule bounds → t51 split
     // rule (same fingerprint) → t54 packing per (source, split)
     "t56_corpus_build" ->

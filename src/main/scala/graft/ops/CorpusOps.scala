@@ -692,18 +692,8 @@ object CorpusOps {
     val h = ledger.persist(
       documents.select(col("doc_id"), col("source"),
         TextOps.fingerprint(col("text")).as("h")))
-    val counts = h.groupBy("source").agg(count(lit(1)).as("n_docs"))
-    val wts = counts.withColumn("w",
-      floor(sqrt(col("n_docs").cast("double")) * lit(1000000.0)).cast("long"))
-    val tot = wts.agg(sum("w").as("w_total"))
-    val rates = wts.crossJoin(broadcast(tot))
-      .withColumn("target", expr(s"(${budget}L * w) div w_total"))
-      .withColumn("cut",
-        floor(least(lit(1.0), col("target").cast("double") / col("n_docs"))
-          * lit(4294967296.0)))
-      .select("source", "w", "target", "cut")
     h.withColumn("u", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
-      .join(broadcast(rates), "source")
+      .join(broadcast(temperatureRates(h, budget)), "source")
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -711,6 +701,38 @@ object CorpusOps {
         first(col("target")).as("target"),
         sum(when(col("u").cast("double") < col("cut"), 1L).otherwise(0L)).as("n_kept"))
       .orderBy("source")
+  }
+
+  /** Per-source temperature rates (w ∝ √n, target from `budget`,
+    * accept cut) — shared by the report ([[mixtureSampleTemperature]])
+    * and the keep-set ([[mixtureTemperatureKeep]]) so the rate math
+    * can never drift between them. `h`: (doc_id, source, h).
+    */
+  private def temperatureRates(h: DataFrame, budget: Long): DataFrame = {
+    val counts = h.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val wts = counts.withColumn("w",
+      floor(sqrt(col("n_docs").cast("double")) * lit(1000000.0)).cast("long"))
+    val tot = wts.agg(sum("w").as("w_total"))
+    wts.crossJoin(broadcast(tot))
+      .withColumn("target", expr(s"(${budget}L * w) div w_total"))
+      .withColumn("cut",
+        floor(least(lit(1.0), col("target").cast("double") / col("n_docs"))
+          * lit(4294967296.0)))
+      .select("source", "w", "target", "cut")
+  }
+
+  /** The temperature mixture's KEEP SET — the documents the t92
+    * report counts as `n_kept`, for pipelines that consume the
+    * sampled docs rather than the report (the crawl capstone's
+    * stage 7). Output: (doc_id, source).
+    */
+  def mixtureTemperatureKeep(documents: DataFrame, budget: Long = 200L): DataFrame = {
+    val h = documents.select(col("doc_id"), col("source"),
+      TextOps.fingerprint(col("text")).as("h"))
+    h.withColumn("u", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
+      .join(broadcast(temperatureRates(h, budget)), "source")
+      .filter(col("u").cast("double") < col("cut"))
+      .select("doc_id", "source")
   }
 
   /** Deterministic training-order shuffle: a seeded global permutation
@@ -734,23 +756,35 @@ object CorpusOps {
     * parallel. Same two-phase shape as [[packSequences]]' token
     * offsets.
     */
-  def shuffleOrder(documents: DataFrame, seed: Long = 42L): DataFrame = {
-    val keyed = documents.select(
-      col("doc_id"),
-      md5(concat_ws(":", lit(seed.toString), col("doc_id").cast("string"))).as("hkey"))
-      .withColumn("bucket", substring(col("hkey"), 1, 4))
+  def shuffleOrder(documents: DataFrame, seed: Long = 42L): DataFrame =
+    shuffleRank(
+      documents.select(col("doc_id"),
+        md5(concat_ws(":", lit(seed.toString), col("doc_id").cast("string"))).as("hkey")),
+      tieCols = Seq("doc_id"))
+      .select("doc_id", "pos")
+      .orderBy("pos")
+
+  /** The two-phase seeded-permutation rank, key-generic: input rows
+    * carry a precomputed `hkey`; output adds `pos` = the 1-based rank
+    * under (hkey, tieCols…). Shared by the per-document shuffle and
+    * the packed-sequence shuffle (crawl capstone stage 9), so the
+    * bucket-offset trick — no global single-partition window — is
+    * written once.
+    */
+  private[ops] def shuffleRank(keyed0: DataFrame, tieCols: Seq[String]): DataFrame = {
+    val keyed = keyed0.withColumn("bucket", substring(col("hkey"), 1, 4))
     val offs = keyed.groupBy("bucket").agg(count(lit(1)).as("bn"))
     val cumW = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = offs
       .withColumn("off", coalesce(sum("bn").over(cumW), lit(0L)))
       .select("bucket", "off")
-    val inBucket = Window.partitionBy("bucket").orderBy("hkey", "doc_id")
+    val inBucket = Window.partitionBy("bucket")
+      .orderBy(col("hkey") +: tieCols.map(col): _*)
     keyed.join(broadcast(cum), "bucket")
       .withColumn("pos",
         (row_number().over(inBucket).cast("long") + col("off")))
-      .select("doc_id", "pos")
-      .orderBy("pos")
+      .drop("bucket", "off")
   }
 
   /** Capstone corpus build — the full path from raw documents to a
@@ -903,6 +937,20 @@ object CorpusOps {
   def incrementalCorpusBuildNearDup(
       newDocs: DataFrame, index: Dedup.MinhashIndex, threshold: Double = 0.9,
       seqLen: Long = 512L, minTokens: Long = 20L, maxTokens: Long = 400L): DataFrame = {
+    val kept0 = nearDupSurvivors(newDocs, index, threshold)
+      .select(col("doc_id"), col("source"), col("text"),
+        TextOps.fingerprint(col("text")).as("fp"))
+    manifestTail(kept0, seqLen, minTokens, maxTokens)
+  }
+
+  /** The t87 shard-vs-history drop rule, factored so the crawl
+    * capstone composes the SAME rule: shard docs near-dupping history
+    * drop (history-authoritative), shard-internal clusters keep their
+    * minimum member. Returns the surviving `newDocs` rows.
+    */
+  private[ops] def nearDupSurvivors(
+      newDocs: DataFrame, index: Dedup.MinhashIndex,
+      threshold: Double): DataFrame = {
     val pairs = Dedup.incrementalMinhashPairs(newDocs, index, threshold)
     val ids = newDocs.select("doc_id")
     val flagged = pairs
@@ -917,11 +965,99 @@ object CorpusOps {
     val nonCanonical = Dedup.dedupClusters(shardPairs)
       .filter(!col("is_canonical")).select("doc_id")
     val dropped = histDropped.unionByName(nonCanonical).distinct()
-    val kept0 = newDocs
-      .join(dropped, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("source"), col("text"),
-        TextOps.fingerprint(col("text")).as("fp"))
-    manifestTail(kept0, seqLen, minTokens, maxTokens)
+    newDocs.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
+  /** CRAWL-TO-CORPUS CAPSTONE — the full daily-intake path a crawl
+    * pipeline runs, composing NINE individually-gated operators in
+    * the order a production build chains them (the t56/t80 precedent:
+    * composition bugs hide between gates). Today's shard
+    * (doc_id ≡ 0 mod 5) flows; the rest of the corpus is the
+    * already-ingested history:
+    *
+    *  1. t71 URL canon/dedup WITHIN the shard (crawl refetches);
+    *  2. t124 domain blocklist from the FULL corpus (domain
+    *     reputation comes from history);
+    *  3. t55 Gopher quality rules on the survivors;
+    *  4. t107 fuzzy decontamination: survivors near-dupping the
+    *     held-out eval slice of history (content-hash bucket ≥ 8)
+    *     at `decontamThreshold` drop;
+    *  5. t87 near-dup vs the history minhash index at
+    *     `nearDupThreshold`: history-matched docs drop, shard-
+    *     internal clusters keep their minimum;
+    *  6. t121 DSIR resample: accept by the content-hash Bernoulli
+    *     against importance scores whose weight table comes from the
+    *     FULL corpus (the fixed target slice); reference-slice docs
+    *     (doc_id % 10 < 3) pass through — they ARE the target;
+    *  7. t92 temperature mixture (√n budgets) over the accepted docs;
+    *  8. t54 sequence packing per source;
+    *  9. t91 seeded training shuffle of the packed sequences.
+    *
+    * Output: (pos, source, seq_id, n_docs, n_tokens, first_doc,
+    * last_doc) — the shuffled training-shard manifest. Every stage
+    * reuses the gated operator's code path (urlDedup,
+    * domainQualityReport, gopherFilter, crossNearDups,
+    * nearDupSurvivors, importanceWeights, mixtureTemperatureKeep,
+    * packSequences, shuffleRank) — nothing is reimplemented here, so
+    * a capstone/gate divergence can only be a WIRING bug, which is
+    * exactly what this row exists to catch.
+    */
+  def crawlCorpusBuild(documents: DataFrame, withUrls: DataFrame,
+      minDomainQuality: Double = 0.6, decontamThreshold: Double = 0.9,
+      nearDupThreshold: Double = 0.9, budget: Long = 64L,
+      seqLen: Long = 512L, seed: Long = 42L): DataFrame = {
+    val shard = documents.filter(col("doc_id") % 5 === 0)
+    val history = documents.filter(col("doc_id") % 5 =!= 0)
+    // 1. URL canon/dedup within the shard
+    val shardUrls = withUrls.join(shard.select("doc_id"), "doc_id")
+    val d1 = UrlOps.urlDedup(shardUrls)
+      .filter(!col("is_dup")).select("doc_id", "domain")
+    // 2. domain blocklist from the full corpus
+    val blocked = UrlOps.domainQualityReport(documents, withUrls, minDomainQuality)
+      .filter(col("blocked")).select("domain")
+    val d2 = d1.join(blocked, Seq("domain"), "left_anti").select("doc_id")
+    // 3. Gopher quality rules
+    val d3 = gopherFilter(documents.join(d2, "doc_id"))
+      .filter(col("keep")).select("doc_id")
+    // localCheckpoint at each stage boundary: the surviving-id frames
+    // are tiny, and carrying nine stages of lineage into one plan
+    // blows analysis/codegen long before data size matters
+    val d3docs = documents.join(d3, "doc_id").localCheckpoint()
+    // 4. fuzzy decontamination vs the eval slice of history
+    val bucket = conv(substring(TextOps.fingerprint(col("text")), 1, 4), 16, 10)
+      .cast("long") % 10
+    val evalDocs = history.filter(bucket >= 8)
+    val contaminated = Dedup.crossNearDups(d3docs, evalDocs, decontamThreshold)
+      .select(col("train_id").as("doc_id")).distinct()
+    val d4docs = d3docs.join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // 5. near-dup vs the history index
+    val d5docs = nearDupSurvivors(
+      d4docs, Dedup.minhashIndexFrames(history), nearDupThreshold)
+      .localCheckpoint()
+    // 6. DSIR resample (weight table from the full corpus)
+    val u16 = conv(substring(TextOps.fingerprint(col("text")), 1, 4), 16, 10)
+      .cast("long")
+    val accepted = d5docs.select(col("doc_id"), u16.as("u16"))
+      .join(importanceWeights(documents), "doc_id")
+      .filter(col("u16") * col("n_tok") * lit(1000000L) < col("swq") * lit(65536L))
+      .select("doc_id")
+    val d6 = d5docs.filter(col("doc_id") % 10 < 3).select("doc_id")
+      .unionByName(accepted)
+    val d6docs = documents.join(d6, "doc_id").localCheckpoint()
+    // 7. temperature mixture over the accepted docs
+    val d7 = mixtureTemperatureKeep(d6docs, budget).select("doc_id")
+    // 8. pack per source
+    val packed = packSequences(documents.join(d7, "doc_id"), seqLen)
+    // 9. seeded training shuffle of the sequences
+    shuffleRank(
+      packed.withColumn("hkey",
+        md5(concat_ws(":", lit(seed.toString), col("source"),
+          col("seq_id").cast("string")))),
+      tieCols = Seq("source", "seq_id"))
+      .select("pos", "source", "seq_id", "n_docs", "n_tokens",
+        "first_doc", "last_doc")
+      .orderBy("pos")
   }
 
   /** Vocabulary construction: the `k` most frequent corpus tokens
