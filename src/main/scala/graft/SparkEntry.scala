@@ -906,6 +906,17 @@ object SparkEntry {
         .filter(col("src") % 3 === 0)
         .withColumn("dst", lit(9999999L))
       GraphOps.triangleCountsCapped(pairs.unionByName(hub), maxDeg = 100) }),
+    // DOULION-sampled triangle estimate: hash-Bernoulli edge keep at
+    // p=0.25 (no PRNG — the twin reproduces the subgraph exactly),
+    // exact count on the sample, unbiased 1/p^3 scale-up
+    "t136_triangles_sampled" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      val li = t.lineitem
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      GraphOps.triangleCountsSampled(pairs, p = 0.25) }),
     // re-crawl snapshot diff: per doc_id added/removed/changed/
     // unchanged by content fingerprint — all four arms planted
     // in-query (edit every 7th, drop every 11th≡3, add re-ids)
@@ -1993,6 +2004,25 @@ object SparkEntry {
         |pn AS (SELECT id, count(*) AS n_triangles FROM corners GROUP BY 1),
         |n AS (SELECT a AS id FROM e UNION SELECT b FROM e)
         |SELECT n.id, CAST(coalesce(pn.n_triangles, 0) AS BIGINT) AS n_triangles
+        |FROM n LEFT JOIN pn ON pn.id = n.id ORDER BY n.id""".stripMargin,
+    // t136 twin: identical hash-Bernoulli edge sample (cut =
+    // floor(0.25*2^32)), t120's wedge closure on the sample, the
+    // same exact 64.0 (=1/0.25^3) scale-up quantized to 4 dp
+    "t136_triangles_sampled" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |e AS (SELECT a, b FROM e0
+        |  WHERE CAST(('0x'||substr(md5('tri:'||a||':'||b),1,8)) AS BIGINT) < 1073741824),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (SELECT x AS id FROM tri UNION ALL
+        |  SELECT y FROM tri UNION ALL SELECT z FROM tri),
+        |pn AS (SELECT id, count(*) AS n_sampled FROM corners GROUP BY 1),
+        |n AS (SELECT a AS id FROM e UNION SELECT b FROM e)
+        |SELECT n.id, CAST(coalesce(pn.n_sampled, 0) AS BIGINT) AS n_sampled,
+        |  floor(CAST(coalesce(pn.n_sampled, 0) AS DOUBLE) * 64.0 * 10000.0 + 0.5)/10000.0 AS est_triangles
         |FROM n LEFT JOIN pn ON pn.id = n.id ORDER BY n.id""".stripMargin,
     // t118 twin: identical planted snapshot B (edit/drop/re-id arms)
     // and identical normalized-fingerprint comparison

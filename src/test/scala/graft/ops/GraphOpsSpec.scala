@@ -64,6 +64,25 @@ class GraphOpsSpec extends AnyFunSuite {
       out4.toString)
   }
 
+  test("triangleCountsSampled: p=1 equals the exact counts; sampling is " +
+      "deterministic and the estimate scales by 1/p^3") {
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (5L, 6L)
+    ).toDF("src", "dst")
+    val full = GraphOps.triangleCountsSampled(edges, p = 1.0).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = GraphOps.triangleCounts(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(full.view.mapValues(_._1).toMap == exact, "p=1 keeps every edge")
+    assert(full.forall { case (_, (n, est)) => est == n.toDouble },
+      "1/p^3 = 1 at p=1")
+    val s1 = GraphOps.triangleCountsSampled(edges, p = 0.5).collect().toSeq
+    val s2 = GraphOps.triangleCountsSampled(edges, p = 0.5).collect().toSeq
+    assert(s1 == s2, "hash-Bernoulli sampling must be deterministic")
+    assert(s1.forall(r => r.getDouble(2) == r.getLong(1) * 8.0),
+      "estimate = n_sampled / p^3")
+  }
+
   test("pageRankInt: dangling nodes keep the base score; hubs outrank leaves") {
     // 4 → 1 only (4 is a source; nothing points at it)
     val edges = Seq((1L, 2L), (2L, 1L), (4L, 1L)).toDF("src", "dst")
