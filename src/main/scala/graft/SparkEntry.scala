@@ -1989,8 +1989,9 @@ object SparkEntry {
         |e0 AS (SELECT DISTINCT a.pk AS a, b.pk AS b
         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
         |  UNION
-        |  SELECT DISTINCT p_partkey AS a, CAST(9999999 AS BIGINT) AS b
-        |  FROM part WHERE p_partkey % 3 = 0),
+        |  SELECT DISTINCT least(p_partkey, 9999999) AS a,
+        |    greatest(p_partkey, 9999999) AS b
+        |  FROM part WHERE p_partkey % 3 = 0 AND p_partkey <> 9999999),
         |deg AS (SELECT id, count(*) AS d FROM
         |  (SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
         |keep AS (SELECT id FROM deg WHERE d <= 100),

@@ -727,8 +727,12 @@ object CorpusOps {
     * stage 7). Output: (doc_id, source).
     */
   def mixtureTemperatureKeep(documents: DataFrame, budget: Long = 200L): DataFrame = {
-    val h = documents.select(col("doc_id"), col("source"),
-      TextOps.fingerprint(col("text")).as("h"))
+    // persisted (tracked) for the same reason the report path
+    // persists it: the rates subtree and the keep filter both read
+    // the fingerprint frame — bare, the corpus re-fingerprints per
+    // consumer
+    val h = ledger.persist(documents.select(col("doc_id"), col("source"),
+      TextOps.fingerprint(col("text")).as("h")))
     h.withColumn("u", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
       .join(broadcast(temperatureRates(h, budget)), "source")
       .filter(col("u").cast("double") < col("cut"))
@@ -891,7 +895,7 @@ object CorpusOps {
     *
     * Scale shape: history appears ONLY as the index side of one
     * left-anti join — bucketed by fp ([[graft.sinks.LakeWriter
-    * .writeBucketed]]), it joins without shuffling; everything else
+    * .commitBucketed]]), it joins without shuffling; everything else
     * is shard-sized. Re-running the FULL capstone to absorb a daily
     * shard re-shuffles the whole corpus; this runs in O(shard).
     */

@@ -664,7 +664,9 @@ object Dedup {
   /** Exact-dedup fingerprint index: (fp, canonical_id) per DISTINCT
     * fingerprint in the ingested corpus — the aggregated form, so the
     * index is |distinct texts|, not |corpus|. Persist bucketed by fp
-    * (LakeWriter.writeBucketed) and the daily probe joins history
+    * (`LakeWriter.commitBucketed` — the manifested protocol; legacy
+    * writeBucketed tables still read but no longer mix with
+    * manifested writers) and the daily probe joins history
     * without shuffling it. The index must stay UNIQUE per fp — when
     * appending a shard, anti-join its frame against the existing
     * index first (an already-indexed fp keeps its older, smaller
@@ -1102,7 +1104,8 @@ object Dedup {
   /** First-occurrence paragraph index — (pfp, f struct(doc_id, pos))
     * — the substrate of INCREMENTAL paragraph dedup, the paragraph-
     * level twin of [[exactDedupIndex]]. Persist bucketed BY pfp
-    * (`LakeWriter.writeBucketed(index, name, n, Seq("pfp"))`) and the
+    * (`LakeWriter.commitBucketed(index, name, n, Seq("pfp"))` — the
+    * manifested protocol the streaming intake uses) and the
     * daily shard probe joins history in place; append the shard's own
     * novel-paragraph firsts after its pass so tomorrow sees today.
     */

@@ -233,7 +233,12 @@ object Relational {
     * per interval, no window over raw history); all windows run over
     * the new slice's runs plus one open row per affected customer.
     */
-  def scd2Fold(state: DataFrame, newOrders: DataFrame): DataFrame = {
+  def scd2Fold(state0: DataFrame, newOrders: DataFrame): DataFrame = {
+    // materialized once: the state plan has THREE consumers here
+    // (guard, closed arm, open arm) — a lazy scd2State input would
+    // re-run its history windows per consumer, which is exactly the
+    // history rescan this function exists to avoid
+    val state = state0.localCheckpoint()
     val closed = state.filter(col("valid_to").isNotNull)
     val open = state.filter(col("valid_to").isNull)
       .drop("valid_to")

@@ -310,25 +310,27 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
     //    partition-id == writer-bucket-id correspondence the same way.
     // With both pinned, each task reads one bucket's files in place
     // and rewrites them; the repartition collapses into a no-op.
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
-    val abs = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val absWas = spark.conf.get(abs)
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set(abs, "false")
-    try {
-      val df = spark.table(table)
-        .repartition(buckets, bucketCols.map(col): _*)
-      val base = df.write
-        .mode("overwrite")
-        .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
-      val sorted =
-        if (spec.sortColumnNames.nonEmpty)
-          base.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
-        else base
-      sorted.option("path", s"$root/$swap").saveAsTable(swap)
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      spark.conf.set(abs, absWas)
+    LakeWriter.compactionConfLock.synchronized {
+      val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+      val abs = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val absWas = spark.conf.get(abs)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set(abs, "false")
+      try {
+        val df = spark.table(table)
+          .repartition(buckets, bucketCols.map(col): _*)
+        val base = df.write
+          .mode("overwrite")
+          .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+        val sorted =
+          if (spec.sortColumnNames.nonEmpty)
+            base.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+          else base
+        sorted.option("path", s"$root/$swap").saveAsTable(swap)
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+        spark.conf.set(abs, absWas)
+      }
     }
     // swap directories (old-aside-first, crash-safe as in compact).
     // The ORIGINAL catalog entry needs no surgery: it already points
@@ -431,8 +433,23 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
       val loc = new Path(spark.sessionState.catalog.getTableMetadata(ident).location)
       fs.makeQualified(loc) == fs.makeQualified(ourPath)
     }
+    if (sameTable)
+      // a legacy writeBucketed-era table (no commit-version
+      // partitioning) cannot absorb a partitioned append — Spark
+      // would throw an opaque spec-mismatch; fail with the migration
+      // story instead (rebuild the index through commitBucketed, or
+      // keep maintaining it with writeBucketed/compactBucketed)
+      require(spark.table(table).columns.contains(LakeWriter.CvCol),
+        s"$table is a legacy unmanifested bucketed table — rebuild it through " +
+          "commitBucketed (replace = true) before manifested maintenance; " +
+          "readBucketedTable reads both generations, the writers do not mix")
+    // sameTable with NO committed manifest = a first commit that
+    // crashed after its saveAsTable: the torn partition was never
+    // visible, so the retry OVERWRITES it rather than appending a
+    // second copy under the same version
+    val firstRetry = sameTable && prev == 0
     val base = df.withColumn(LakeWriter.CvCol, lit(v))
-      .write.mode(if (sameTable) "append" else "overwrite")
+      .write.mode(if (sameTable && !firstRetry) "append" else "overwrite")
       .partitionBy(LakeWriter.CvCol)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
@@ -464,20 +481,23 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
         s"$table is not bucketed; use compactManifested for plain manifested tables"))
       // same scoped toggles as compactBucketed: force the
       // bucket-aligned read so the rewrite is zero-shuffle with one
-      // task (and so one file) per bucket
-      val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
-      val abs = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-      val absWas = spark.conf.get(abs)
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      spark.conf.set(abs, "false")
-      try {
-        val current = LakeWriter.readBucketedTable(spark, table)
-          .repartition(spec.numBuckets, spec.bucketColumnNames.map(col): _*)
-        commitBucketedManifestedLocked(
-          current, table, spec.numBuckets, spec.bucketColumnNames, replace = true)
-      } finally {
-        spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-        spark.conf.set(abs, absWas)
+      // task (and so one file) per bucket. compactionConfLock
+      // serializes the save/restore across tables.
+      LakeWriter.compactionConfLock.synchronized {
+        val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+        val abs = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        val absWas = spark.conf.get(abs)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set(abs, "false")
+        try {
+          val current = LakeWriter.readBucketedTable(spark, table)
+            .repartition(spec.numBuckets, spec.bucketColumnNames.map(col): _*)
+          commitBucketedManifestedLocked(
+            current, table, spec.numBuckets, spec.bucketColumnNames, replace = true)
+        } finally {
+          spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+          spark.conf.set(abs, absWas)
+        }
       }
     }
   }
@@ -691,6 +711,19 @@ object LakeWriter {
     */
   val CvCol = "graft_cv"
 
+  /** JVM-wide mutex around the scoped session-conf toggles the
+    * bucketed compactions need (AQE + autoBucketedScan off during
+    * the rewrite): the per-TABLE writer locks don't stop two
+    * different tables' compactions from interleaving their
+    * save/restore of the same session-global confs — the second
+    * saver would capture the first one's toggled value and "restore"
+    * it permanently. Serializing the toggle window fixes the
+    * clobber; unrelated queries planned inside the window still see
+    * the toggled confs (inherent to session-global configuration —
+    * run compactions on a maintenance session when that matters).
+    */
+  private[sinks] val compactionConfLock = new Object
+
   // -- shared manifest-file machinery (atomic same-dir rename commit;
   //    '#schema <json>' header + one payload line per entry). Used by
   //    file-list manifests (plain manifested tables) and live-commit-
@@ -772,7 +805,13 @@ object LakeWriter {
     *
     * Falls back to a plain `spark.table` read when the table has no
     * manifest directory (a legacy [[LakeWriter.writeBucketed]]-era
-    * table), so mixed fleets read both generations.
+    * table), so mixed fleets read both generations. The fallback is
+    * gated on the table NOT carrying the reserved commit-version
+    * column: a table whose schema has `graft_cv` but no manifest is
+    * a FIRST commit that crashed before its manifest rename — its
+    * torn partition was never visible, so it reads as an EMPTY
+    * snapshot (schema kept), and the retried commit overwrites it
+    * ([[commitBucketed]]'s crashed-first-commit rule).
     */
   def readBucketedTable(
       spark: SparkSession, table: String, version: Int = 0): DataFrame = {
@@ -782,9 +821,16 @@ object LakeWriter {
       .stripSuffix("/")
     val mdir = s"${loc}__manifests"
     val fs = new Path(mdir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(mdir))) return spark.table(table)
+    if (!fs.exists(new Path(mdir))) {
+      val t = spark.table(table)
+      return if (t.columns.contains(CvCol)) t.where(lit(false)).drop(CvCol)
+      else t
+    }
     val v = if (version > 0) version else latestManifestVersionIn(fs, mdir)
-    require(v > 0, s"manifested bucketed table $table has no committed snapshot")
+    // v == 0 with a manifest dir: the first commit crashed after
+    // creating the dir (tmp manifest) but before the rename — same
+    // empty-snapshot semantics as the no-dir crash case above
+    if (v == 0) return spark.table(table).where(lit(false)).drop(CvCol)
     val live = manifestLines(fs, mdir, v).map(_.toInt)
     spark.table(table)
       .where(col(CvCol).isin(live: _*))

@@ -137,6 +137,45 @@ class ManifestedBucketedSpec extends AnyFunSuite {
     } finally dropT("mbk_o")
   }
 
+  test("a FIRST commit that crashed before its manifest reads as an EMPTY " +
+      "snapshot and the retried commit overwrites the torn partition") {
+    val root = Files.createTempDirectory("mbkfc").toString
+    val lw = new LakeWriter(root)
+    try {
+      // simulate the crash: partitioned+bucketed table written, no
+      // manifest dir at all
+      (1L to 5L).map(i => (i, i)).toDF("k", "n")
+        .withColumn(LakeWriter.CvCol, lit(1))
+        .write.mode("overwrite").partitionBy(LakeWriter.CvCol)
+        .bucketBy(2, "k").sortBy("k")
+        .option("path", s"$root/mbk_fc").saveAsTable("mbk_fc")
+      val r = LakeWriter.readBucketedTable(spark, "mbk_fc")
+      assert(r.columns.toSeq == Seq("k", "n"),
+        "torn first commit must read with schema, without graft_cv")
+      assert(r.count() == 0, "the torn partition must be invisible")
+      // the retried commit replaces the torn rows instead of doubling
+      assert(lw.commitBucketed((10L to 12L).map(i => (i, i)).toDF("k", "n"),
+        "mbk_fc", 2, Seq("k")) == 1)
+      assert(LakeWriter.readBucketedTable(spark, "mbk_fc")
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 11L, 12L))
+    } finally dropT("mbk_fc")
+  }
+
+  test("commitBucketed refuses a legacy writeBucketed table with the " +
+      "migration story instead of an opaque partitioning mismatch") {
+    val root = Files.createTempDirectory("mbklg").toString
+    val lw = new LakeWriter(root)
+    try {
+      lw.writeBucketed((1 to 10).map(i => (i.toLong, i)).toDF("k", "n"),
+        "mbk_lgw", 2, Seq("k"))
+      val e = intercept[IllegalArgumentException] {
+        lw.commitBucketed((11L to 12L).map(i => (i, i.toInt)).toDF("k", "n"),
+          "mbk_lgw", 2, Seq("k"))
+      }
+      assert(e.getMessage.contains("legacy"), e.getMessage)
+    } finally dropT("mbk_lgw")
+  }
+
   test("readBucketedTable falls back to a plain table read for a legacy " +
       "(unmanifested) bucketed table") {
     val root = Files.createTempDirectory("mbkleg").toString
