@@ -687,6 +687,12 @@ object SparkEntry {
     // validity intervals (gaps-and-islands, customer-partitioned)
     "t125_scd2_intervals" -> ((s, d) => { val t = Tables.load(s, d)
       Relational.scd2Intervals(t.orders) }),
+    // STREAMING SCD-2: the orders history streamed in three
+    // date-range shards (each a cold restart), the interval state
+    // folded forward in a manifested bucketed table per batch; final
+    // state must equal the one-shot rebuild (t125's twin verbatim)
+    "t137_scd2_stream" -> ((s, d) => { val t = Tables.load(s, d)
+      graft.streaming.StreamGates.scd2Gate(t.orders) }),
     // INCREMENTAL SCD-2: fold the post-1996 slice into the pre-1996
     // state (closed intervals untouched, open intervals extend or
     // close); must equal the full rebuild — twin is t125's verbatim
@@ -1890,9 +1896,26 @@ object SparkEntry {
         |    ORDER BY valid_from, first_key) AS valid_to,
         |  first_key, n_orders
         |FROM r ORDER BY o_custkey, valid_from, first_key""".stripMargin,
-    // t133 twin: t125's full-rebuild SQL VERBATIM — the incremental
-    // fold must be indistinguishable from rebuilding over all orders
+    // t133/t137 twins: t125's full-rebuild SQL VERBATIM — the
+    // incremental fold (batch and streamed) must be indistinguishable
+    // from rebuilding over all orders
     "t133_scd2_fold" ->
+      """WITH o AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey)
+        |  - row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+        |    ORDER BY o_orderdate, o_orderkey) AS grp
+        |  FROM orders),
+        |r AS (SELECT o_custkey, o_orderstatus, grp,
+        |  min(o_orderdate) AS valid_from, min(o_orderkey) AS first_key,
+        |  count(*) AS n_orders
+        |  FROM o GROUP BY 1, 2, 3)
+        |SELECT o_custkey, o_orderstatus, valid_from,
+        |  lead(valid_from, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY valid_from, first_key) AS valid_to,
+        |  first_key, n_orders
+        |FROM r ORDER BY o_custkey, valid_from, first_key""".stripMargin,
+    "t137_scd2_stream" ->
       """WITH o AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
         |  row_number() OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate, o_orderkey)

@@ -417,6 +417,64 @@ object StreamGates {
     }
   }
 
+  /** Streamed SCD-2 MAINTENANCE, gated: the orders history arrives in
+    * three contiguous o_orderdate range shards, each a cold restart;
+    * per micro-batch the persisted interval STATE (a manifested
+    * bucketed table — replace commits, snapshot-isolated) is folded
+    * forward with [[graft.ops.Relational.scd2Fold]] — closed
+    * intervals untouched, open intervals extend or close, new runs
+    * chain. Date-range sharding satisfies the fold's monotonicity
+    * contract by construction. The final state must equal the
+    * one-shot rebuild over all orders: t125's twin VERBATIM — any
+    * fold bug (a lost open interval, a double-counted run, state
+    * that didn't survive the restart) shows as a row diff.
+    */
+  def scd2Gate(orders: DataFrame, nShards: Int = 3): DataFrame = {
+    import graft.ops.Relational
+    import graft.sinks.LakeWriter
+    val spark = orders.sparkSession
+    val o = orders.select("o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate")
+    // day numbers, not JVM date types: the fixture's date column has
+    // stored as DATE or NTZ timestamp across generations (the events
+    // `ts` lesson) — integer datediff is agnostic to both
+    val dn = datediff(col("o_orderdate"), lit("1970-01-01"))
+    val b = o.agg(min(dn).as("lo"), max(dn).as("hi")).head()
+    val (lo, hi) = (b.getInt(0).toLong, b.getInt(1).toLong)
+    val span = hi - lo + 1
+    val shards = (0 until nShards).map { i =>
+      val l = lo + i * span / nShards
+      val h = lo + (i + 1) * span / nShards
+      if (i == nShards - 1) o.filter(dn >= l)
+      else o.filter(dn >= l && dn < h)
+    }
+    val root = Files.createTempDirectory("sgate_scd2").toString
+    val tbl = "sgate_scd2_state"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    drive(shards) { (src, cp) =>
+      src.writeStream
+        .option("checkpointLocation", cp.get)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val exists = spark.catalog.tableExists(tbl)
+          val st =
+            if (exists)
+              Relational.scd2Fold(LakeWriter.readBucketedTable(spark, tbl), batch)
+            else Relational.scd2State(batch)
+          new graft.sinks.LakeWriter(root).commitBucketed(
+            st, tbl, 8, Seq("o_custkey"), replace = true)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    val out = LakeWriter.readBucketedTable(spark, tbl)
+      .select("o_custkey", "o_orderstatus", "valid_from", "valid_to",
+        "first_key", "n_orders")
+      .orderBy("o_custkey", "valid_from", "first_key")
+      .localCheckpoint()
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    out
+  }
+
   /** Streamed IMAGE near-dup intake, gated: the golden t93 corpus
     * arrives first (in-batch pairs = t93's frame, and its hashes
     * build the index), then the t105 re-encodes split across TWO
