@@ -683,6 +683,21 @@ object SparkEntry {
     // CUBE over both dims (rollup's sibling; one-pass Expand)
     "q53_cube_qty" -> ((s, d) => { val t = Tables.load(s, d)
       Relational.cubeQty(t.lineitem) }),
+    // data-quality expectations: four row rules in one aggregate
+    // pass + a uniqueness constraint; the natural data violates the
+    // tight bounds, the planted re-ingestion (every 997th order's
+    // lines duplicated) violates the primary key
+    "t138_expectations" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      val planted = t.lineitem.unionByName(
+        t.lineitem.filter(col("l_orderkey") % 997 === 1))
+      Relational.expectationsReport(planted,
+        Seq(
+          "l_discount_le_005" -> (col("l_discount") <= 0.05),
+          "l_extendedprice_positive" -> (col("l_extendedprice") > 0),
+          "l_quantity_in_1_30" -> (col("l_quantity") >= 1 && col("l_quantity") <= 30),
+          "l_returnflag_domain" -> col("l_returnflag").isin("A", "N", "R")),
+        Seq("pk_unique" -> Seq("l_orderkey", "l_linenumber"))) }),
     // SCD-2 interval build: order-status history collapsed into
     // validity intervals (gaps-and-islands, customer-partitioned)
     "t125_scd2_intervals" -> ((s, d) => { val t = Tables.load(s, d)
@@ -1621,6 +1636,33 @@ object SparkEntry {
          | ${mny("l_quantity")} AS sum_qty, count(*) AS n_lines
          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    // t138 twin: identical planted dup slice, NOT-coalesce violation
+    // rule (NULL predicate = violation), surplus-row uniqueness count
+    "t138_expectations" ->
+      """WITH src AS (SELECT * FROM lineitem
+        |  UNION ALL SELECT * FROM lineitem WHERE l_orderkey % 997 = 1),
+        |rr AS (
+        |  SELECT 'l_discount_le_005' AS rule, CAST(sum(CASE WHEN NOT
+        |    coalesce(l_discount <= 0.05, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'l_extendedprice_positive', CAST(sum(CASE WHEN NOT
+        |    coalesce(l_extendedprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'l_quantity_in_1_30', CAST(sum(CASE WHEN NOT
+        |    coalesce(l_quantity >= 1 AND l_quantity <= 30, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'l_returnflag_domain', CAST(sum(CASE WHEN NOT
+        |    coalesce(l_returnflag IN ('A','N','R'), FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'pk_unique', CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+        |  FROM (SELECT count(*) AS c FROM src
+        |        GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1))
+        |SELECT rule, n_violations, n_violations = 0 AS pass
+        |FROM rr ORDER BY rule""".stripMargin,
     "q13_setops_status" ->
       """WITH o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
         |     f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')

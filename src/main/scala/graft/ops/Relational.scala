@@ -525,6 +525,45 @@ object Relational {
         count(lit(1)).as("n_lines"))
       .orderBy(col("gid"), col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** DATA-QUALITY EXPECTATIONS — the Deequ-shaped validation pass a
+    * warehouse runs before publishing a table: declarative row rules
+    * (each a Column predicate; a NULL predicate result counts as a
+    * violation — unknown is not clean) plus uniqueness constraints,
+    * reported as one (rule, n_violations, pass) row each.
+    *
+    * Scale shape: ALL row rules evaluate in ONE map-side-combined
+    * aggregate pass over the table (k rules = k conditional sums in
+    * one job, melted to rows afterward — never k scans); each
+    * uniqueness constraint is one partial-aggregating shuffle on its
+    * key, counting SURPLUS rows (Σ max(0, n−1) per duplicated key).
+    */
+  def expectationsReport(
+      df: DataFrame,
+      rowRules: Seq[(String, Column)],
+      uniqueKeys: Seq[(String, Seq[String])] = Nil): DataFrame = {
+    require(rowRules.nonEmpty || uniqueKeys.nonEmpty, "no rules given")
+    val rowReport =
+      if (rowRules.isEmpty) Nil
+      else {
+        val aggCols = rowRules.map { case (n, p) =>
+          sum(when(!coalesce(p, lit(false)), 1L).otherwise(0L)).as(n)
+        }
+        val one = df.agg(aggCols.head, aggCols.tail: _*)
+        Seq(one.select(explode(array(rowRules.map { case (n, _) =>
+          struct(lit(n).as("rule"), coalesce(col(n), lit(0L)).as("n_violations"))
+        }: _*)).as("r")).select("r.rule", "r.n_violations"))
+      }
+    val uniqReport = uniqueKeys.map { case (n, cols) =>
+      df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+        .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n_violations"))
+        .select(lit(n).as("rule"), col("n_violations"))
+    }
+    (rowReport ++ uniqReport).reduce(_ unionByName _)
+      .withColumn("pass", col("n_violations") === 0L)
+      .orderBy("rule")
+  }
+
   /** INTERSECT / EXCEPT over customer key sets, tagged and unioned. */
   def setopsStatus(orders: DataFrame): DataFrame = {
     def keys(status: String) =

@@ -124,6 +124,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("interleaves"), e.getMessage)
   }
 
+  test("expectationsReport: null predicates violate, uniqueness counts surplus " +
+      "rows, passing rules report zero") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(5.0), "a"),
+      (2L, None, "a"),        // null qty -> violates the range rule
+      (2L, Some(99.0), "a"),  // dup key 2 + out-of-range
+      (2L, Some(7.0), "b"),   // dup key 2 again (surplus = 2 for key 2)
+      (3L, Some(7.0), "b")
+    ).toDF("id", "qty", "tag")
+    val out = Relational.expectationsReport(df,
+      Seq(
+        "qty_in_1_10" -> (org.apache.spark.sql.functions.col("qty") >= 1.0 &&
+          org.apache.spark.sql.functions.col("qty") <= 10.0),
+        "tag_domain" -> org.apache.spark.sql.functions.col("tag").isin("a", "b")),
+      Seq("id_unique" -> Seq("id")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(out == Seq(
+      ("id_unique", 2L, false),
+      ("qty_in_1_10", 2L, false), // the null row AND the 99.0 row
+      ("tag_domain", 0L, true)), out.toString)
+  }
+
   test("revenueShareByNation: shares from exact integer sums (golden)") {
     import spark.implicits._
     val li = Seq((1L, 10L, 30.0, 0.0), (2L, 20L, 60.0, 0.5))
