@@ -698,6 +698,11 @@ object SparkEntry {
           "l_quantity_in_1_30" -> (col("l_quantity") >= 1 && col("l_quantity") <= 30),
           "l_returnflag_domain" -> col("l_returnflag").isin("A", "N", "R")),
         Seq("pk_unique" -> Seq("l_orderkey", "l_linenumber"))) }),
+    // partition completeness: calendar days inside the table's span
+    // with no orders — the silent-missing-day ingestion alarm (the
+    // fixture has 6 natural gaps at sf0.01)
+    "t139_date_gaps" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.dateGaps(t.orders, "o_orderdate") }),
     // SCD-2 interval build: order-status history collapsed into
     // validity intervals (gaps-and-islands, customer-partitioned)
     "t125_scd2_intervals" -> ((s, d) => { val t = Tables.load(s, d)
@@ -1663,6 +1668,15 @@ object SparkEntry {
         |        GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1))
         |SELECT rule, n_violations, n_violations = 0 AS pass
         |FROM rr ORDER BY rule""".stripMargin,
+    // t139 twin: same distinct-days → full-calendar anti-join
+    "t139_date_gaps" ->
+      """WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS dt FROM orders
+        |  WHERE o_orderdate IS NOT NULL),
+        |b AS (SELECT min(dt) AS lo, max(dt) AS hi FROM d),
+        |al AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS dt
+        |  FROM b)
+        |SELECT al.dt AS missing_date FROM al LEFT JOIN d ON d.dt = al.dt
+        |WHERE d.dt IS NULL ORDER BY missing_date""".stripMargin,
     "q13_setops_status" ->
       """WITH o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
         |     f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')

@@ -564,6 +564,26 @@ object Relational {
       .orderBy("rule")
   }
 
+  /** PARTITION-COMPLETENESS check — [[expectationsReport]]'s temporal
+    * sibling: the calendar days between the table's first and last
+    * day that have NO rows. An ingestion pipeline alarms on this
+    * (a silent missing day is the failure a monthly full-load hides);
+    * a partitioned lake runs it against the partition column.
+    * Scale shape: one distinct-days partial aggregate (≤ |days| rows
+    * however large the table), a two-column bound row, and the
+    * calendar explodes from that ONE row — nothing corpus-sized
+    * moves after the first aggregate.
+    */
+  def dateGaps(df: DataFrame, dateCol: String): DataFrame = {
+    val d = df.select(to_date(col(dateCol)).as("dt"))
+      .filter(col("dt").isNotNull).distinct()
+    val all = d.agg(min("dt").as("lo"), max("dt").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("dt"))
+    all.join(d, Seq("dt"), "left_anti")
+      .select(col("dt").as("missing_date"))
+      .orderBy("missing_date")
+  }
+
   /** INTERSECT / EXCEPT over customer key sets, tagged and unioned. */
   def setopsStatus(orders: DataFrame): DataFrame = {
     def keys(status: String) =
