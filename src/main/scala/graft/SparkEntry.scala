@@ -683,6 +683,9 @@ object SparkEntry {
     // CUBE over both dims (rollup's sibling; one-pass Expand)
     "q53_cube_qty" -> ((s, d) => { val t = Tables.load(s, d)
       Relational.cubeQty(t.lineitem) }),
+    // PIVOT with declared values: wide per-linestatus revenue columns
+    "q54_pivot_revenue" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.pivotRevenue(t.lineitem) }),
     // data-quality expectations: four row rules in one aggregate
     // pass + a uniqueness constraint; the natural data violates the
     // tight bounds, the planted re-ingestion (every 997th order's
@@ -703,6 +706,22 @@ object SparkEntry {
     // fixture has 6 natural gaps at sf0.01)
     "t139_date_gaps" -> ((s, d) => { val t = Tables.load(s, d)
       Relational.dateGaps(t.orders, "o_orderdate") }),
+    // fuzzy key match: planted one-edit name variants (every 37th
+    // part re-ingested with a mangled first character) recovered by
+    // suffix-blocked candidates + exact Levenshtein verify
+    "t140_fuzzy_match" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, concat, expr, lit, min, substring}
+      // entity resolution runs over DISTINCT name entities (the
+      // fixture reuses 64 names across 2000 parts — matching row
+      // instances would be quadratic in the reuse count and say
+      // nothing new); each name keyed by its min part key, and every
+      // entity re-ingested once with a mangled first character
+      val base = t.part.groupBy(col("p_name").as("name"))
+        .agg(min("p_partkey").as("key")).select("key", "name")
+      val planted = base.unionByName(
+        base.select((col("key") + 1000000L).as("key"),
+          concat(lit("x"), substring(col("name"), 2, 1000)).as("name")))
+      TextOps.fuzzyMatch(planted, expr("substr(name, 2)"), maxDist = 2) }),
     // SCD-2 interval build: order-status history collapsed into
     // validity intervals (gaps-and-islands, customer-partitioned)
     "t125_scd2_intervals" -> ((s, d) => { val t = Tables.load(s, d)
@@ -1641,6 +1660,17 @@ object SparkEntry {
          | ${mny("l_quantity")} AS sum_qty, count(*) AS n_lines
          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    // q54 twin: the pivot as portable conditional aggregation — the
+    // same exact integer-decimal money sums per declared value
+    "q54_pivot_revenue" ->
+      s"""SELECT l_returnflag,
+         | coalesce(floor(CAST(sum(CASE WHEN l_linestatus = 'F'
+         |   THEN CAST(floor(($rev)*10000.0+0.5) AS DECIMAL(18,0)) END) AS DOUBLE)
+         |   /10000.0*100.0+0.5)/100.0, 0.0) AS rev_f,
+         | coalesce(floor(CAST(sum(CASE WHEN l_linestatus = 'O'
+         |   THEN CAST(floor(($rev)*10000.0+0.5) AS DECIMAL(18,0)) END) AS DOUBLE)
+         |   /10000.0*100.0+0.5)/100.0, 0.0) AS rev_o
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // t138 twin: identical planted dup slice, NOT-coalesce violation
     // rule (NULL predicate = violation), surplus-row uniqueness count
     "t138_expectations" ->
@@ -1668,6 +1698,19 @@ object SparkEntry {
         |        GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1))
         |SELECT rule, n_violations, n_violations = 0 AS pass
         |FROM rr ORDER BY rule""".stripMargin,
+    // t140 twin: identical planted variants, identical suffix block
+    // and the same classic Levenshtein DP (engine-exact integers)
+    "t140_fuzzy_match" ->
+      """WITH ent AS (SELECT min(p_partkey) AS key, p_name AS name FROM part GROUP BY 2),
+        |named AS (SELECT key, name FROM ent
+        |  UNION ALL
+        |  SELECT key + 1000000, 'x' || substr(name, 2) FROM ent),
+        |blk AS (SELECT key, name, substr(name, 2) AS b FROM named)
+        |SELECT DISTINCT a.key AS key_a, b.key AS key_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM blk a JOIN blk b ON a.b = b.b AND a.key < b.key
+        |WHERE levenshtein(a.name, b.name) <= 2
+        |ORDER BY key_a, key_b""".stripMargin,
     // t139 twin: same distinct-days → full-calendar anti-join
     "t139_date_gaps" ->
       """WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS dt FROM orders

@@ -498,6 +498,24 @@ object Relational {
         col("n_lines"))
       .orderBy("l_returnflag")
 
+  /** PIVOT: per-returnflag rows with one revenue column per
+    * linestatus — the wide report shape BI consumers ask for. The
+    * pivot values are DECLARED (not discovered): an undeclared
+    * `pivot(col)` runs an extra distinct-value job and caps at
+    * `spark.sql.pivotMaxValues`; declaring them keeps the plan one
+    * aggregate with an Expand, which is also what makes the twin
+    * expressible as portable conditional aggregation.
+    */
+  def pivotRevenue(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(moneySum(revenueExpr))
+      .select(col("l_returnflag"),
+        coalesce(col("F"), lit(0.0)).as("rev_f"),
+        coalesce(col("O"), lit(0.0)).as("rev_o"))
+      .orderBy("l_returnflag")
+
   /** ROLLUP hierarchy with grouping_id — one pass, Expand-based. */
   def rollupQty(lineitem: DataFrame): DataFrame =
     lineitem

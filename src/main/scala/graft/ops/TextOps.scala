@@ -16,6 +16,29 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** FUZZY KEY MATCH — entity resolution's workhorse: pairs of names
+    * within `maxDist` Levenshtein edits, found via BLOCKED candidates
+    * (equal `blockKey`, e.g. a suffix the expected typo class does
+    * not touch) then exact edit-distance verify. The block is what
+    * makes it a 100 TB operator: candidates are an equi-join on the
+    * block key — never all-pairs — and the O(len²) DP runs only on
+    * block-mates. Levenshtein is the classic integer DP in both
+    * engines, so the distances (and the gate) are engine-exact.
+    * Input: (key, name). Output: (key_a, key_b, dist), key_a < key_b.
+    */
+  def fuzzyMatch(named: DataFrame, blockKey: Column,
+      maxDist: Int = 2): DataFrame = {
+    val blocked = named.withColumn("_blk", blockKey)
+    blocked.as("a")
+      .join(blocked.as("b"),
+        col("a._blk") === col("b._blk") && col("a.key") < col("b.key"))
+      .select(col("a.key").as("key_a"), col("b.key").as("key_b"),
+        levenshtein(col("a.name"), col("b.name")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+      .orderBy("key_a", "key_b")
+  }
+
   /** Canonical token list (lowercased alphanumeric runs). */
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
