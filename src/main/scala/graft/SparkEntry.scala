@@ -686,6 +686,10 @@ object SparkEntry {
     // PIVOT with declared values: wide per-linestatus revenue columns
     "q54_pivot_revenue" -> ((s, d) => { val t = Tables.load(s, d)
       Relational.pivotRevenue(t.lineitem) }),
+    // UNPIVOT (melt): the wide columns back to rows — one Expand,
+    // zero shuffle; round-trips q54 under the gate
+    "q55_unpivot_revenue" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.unpivotRevenue(t.lineitem) }),
     // data-quality expectations: four row rules in one aggregate
     // pass + a uniqueness constraint; the natural data violates the
     // tight bounds, the planted re-ingestion (every 997th order's
@@ -1671,6 +1675,21 @@ object SparkEntry {
          |   THEN CAST(floor(($rev)*10000.0+0.5) AS DECIMAL(18,0)) END) AS DOUBLE)
          |   /10000.0*100.0+0.5)/100.0, 0.0) AS rev_o
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q55 twin: the q54 aggregation melted by a two-arm UNION ALL
+    "q55_unpivot_revenue" ->
+      s"""WITH wide AS (SELECT l_returnflag,
+         | coalesce(floor(CAST(sum(CASE WHEN l_linestatus = 'F'
+         |   THEN CAST(floor(($rev)*10000.0+0.5) AS DECIMAL(18,0)) END) AS DOUBLE)
+         |   /10000.0*100.0+0.5)/100.0, 0.0) AS rev_f,
+         | coalesce(floor(CAST(sum(CASE WHEN l_linestatus = 'O'
+         |   THEN CAST(floor(($rev)*10000.0+0.5) AS DECIMAL(18,0)) END) AS DOUBLE)
+         |   /10000.0*100.0+0.5)/100.0, 0.0) AS rev_o
+         |FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag, metric, revenue FROM (
+         |  SELECT l_returnflag, 'rev_f' AS metric, rev_f AS revenue FROM wide
+         |  UNION ALL
+         |  SELECT l_returnflag, 'rev_o', rev_o FROM wide)
+         |ORDER BY l_returnflag, metric""".stripMargin,
     // t138 twin: identical planted dup slice, NOT-coalesce violation
     // rule (NULL predicate = violation), surplus-row uniqueness count
     "t138_expectations" ->

@@ -516,6 +516,20 @@ object Relational {
         coalesce(col("O"), lit(0.0)).as("rev_o"))
       .orderBy("l_returnflag")
 
+  /** UNPIVOT (melt) — [[pivotRevenue]]'s inverse: the wide
+    * per-linestatus columns back to (flag, metric, value) rows via
+    * `Dataset.unpivot`, which compiles to one Expand — each input row
+    * replicates to |value columns| rows in place, no shuffle at all.
+    * Round-tripping the pivot under the gate pins both reshapes.
+    */
+  def unpivotRevenue(lineitem: DataFrame): DataFrame =
+    pivotRevenue(lineitem)
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("rev_f"), col("rev_o")),
+        "metric", "revenue")
+      .orderBy("l_returnflag", "metric")
+
   /** ROLLUP hierarchy with grouping_id — one pass, Expand-based. */
   def rollupQty(lineitem: DataFrame): DataFrame =
     lineitem
