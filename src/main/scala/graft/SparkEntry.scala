@@ -710,6 +710,11 @@ object SparkEntry {
     // fixture has 6 natural gaps at sf0.01)
     "t139_date_gaps" -> ((s, d) => { val t = Tables.load(s, d)
       Relational.dateGaps(t.orders, "o_orderdate") }),
+    // time-series reindex + LOCF forward fill: per-flag daily revenue
+    // on the full calendar, missing days repaired from the last
+    // observation (dateGaps' repair; was_missing keeps it auditable)
+    "t141_forward_fill" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.forwardFillDaily(t.lineitem) }),
     // fuzzy key match: planted one-edit name variants (every 37th
     // part re-ingested with a mangled first character) recovered by
     // suffix-blocked candidates + exact Levenshtein verify
@@ -1717,6 +1722,27 @@ object SparkEntry {
         |        GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1))
         |SELECT rule, n_violations, n_violations = 0 AS pass
         |FROM rr ORDER BY rule""".stripMargin,
+    // t141 twin: same daily money sums, same full-calendar reindex,
+    // LOCF via the count-of-observations group trick (grp = number of
+    // non-null values so far; fill = max within (flag, grp))
+    "t141_forward_fill" ->
+      s"""WITH daily AS (SELECT l_returnflag, CAST(l_shipdate AS DATE) AS day,
+         |  ${mny("l_extendedprice*(1.0-l_discount)")} AS revenue
+         |  FROM lineitem GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+         |cal AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+         |flags AS (SELECT DISTINCT l_returnflag FROM lineitem),
+         |grid AS (SELECT f.l_returnflag, c.day, d.revenue
+         |  FROM cal c CROSS JOIN flags f
+         |  LEFT JOIN daily d ON d.l_returnflag = f.l_returnflag AND d.day = c.day),
+         |g AS (SELECT l_returnflag, day, revenue,
+         |  count(revenue) OVER (PARTITION BY l_returnflag ORDER BY day
+         |    ROWS UNBOUNDED PRECEDING) AS grp
+         |  FROM grid)
+         |SELECT l_returnflag, day,
+         |  max(revenue) OVER (PARTITION BY l_returnflag, grp) AS revenue,
+         |  revenue IS NULL AS was_missing
+         |FROM g ORDER BY l_returnflag, day""".stripMargin,
     // t140 twin: identical planted variants, identical suffix block
     // and the same classic Levenshtein DP (engine-exact integers)
     "t140_fuzzy_match" ->

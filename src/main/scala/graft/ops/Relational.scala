@@ -616,6 +616,35 @@ object Relational {
       .orderBy("missing_date")
   }
 
+  /** TIME-SERIES REINDEX + FORWARD FILL (LOCF) — [[dateGaps]]'s
+    * repair: the per-flag daily revenue series reindexed onto the
+    * full calendar (every flag × every day in the span), missing
+    * days filled with the last observation. The fill is
+    * `last(value, ignoreNulls)` over a flag-partitioned
+    * unbounded-preceding frame — each series fills in its own task,
+    * never a global window; the calendar explodes from a one-row
+    * bound (the t139 shape) and cross-joins the tiny flag dimension.
+    * `was_missing` keeps the repair auditable. Leading missing days
+    * (before a series' first observation) stay null by LOCF's
+    * definition.
+    */
+  def forwardFillDaily(lineitem: DataFrame): DataFrame = {
+    val daily = lineitem
+      .groupBy(col("l_returnflag"), to_date(col("l_shipdate")).as("day"))
+      .agg(moneySum(revenueExpr).as("revenue"))
+    val cal = daily.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val flags = lineitem.select("l_returnflag").distinct()
+    val w = Window.partitionBy("l_returnflag").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cal.crossJoin(broadcast(flags))
+      .join(daily, Seq("l_returnflag", "day"), "left")
+      .select(col("l_returnflag"), col("day"),
+        last("revenue", ignoreNulls = true).over(w).as("revenue"),
+        col("revenue").isNull.as("was_missing"))
+      .orderBy("l_returnflag", "day")
+  }
+
   /** INTERSECT / EXCEPT over customer key sets, tagged and unioned. */
   def setopsStatus(orders: DataFrame): DataFrame = {
     def keys(status: String) =
