@@ -1061,6 +1061,10 @@ object SparkEntry {
     // gate: the watermarked 1-hour tumbling aggregation driven over
     // time-contiguous micro-batch shards (complete-mode state
     // surviving per-shard cold restarts) == the q21 batch twin
+    // STREAMING sliding windows (2h width / 1h slide): every event in
+    // BOTH overlapping windows, across cold restarts
+    "t142_stream_sliding" -> ((s, d) => { val t = Tables.load(s, d)
+      graft.streaming.StreamGates.slidingGate(t.events) }),
     "t96_stream_hourly" -> ((s, d) => { val t = Tables.load(s, d)
       graft.streaming.StreamGates.hourlyGate(t.events) }),
     // session_window state must merge across batches AND restarts; the
@@ -1818,6 +1822,15 @@ object SparkEntry {
       s"""SELECT epoch_us(date_trunc('hour', ts)) AS hour, event_type, count(*) AS n_events,
          | ${mny("value")} AS sum_value, ${mean("value")} AS avg_value
          |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // t142 twin: each event assigned its TWO window starts explicitly
+    // (w <= ts < w+2h on hour boundaries), then the same money sums
+    "t142_stream_sliding" ->
+      s"""WITH e2 AS (
+         |  SELECT epoch_us(date_trunc('hour', ts)) AS wstart, event_type, value FROM events
+         |  UNION ALL
+         |  SELECT epoch_us(date_trunc('hour', ts) - INTERVAL 1 HOUR), event_type, value FROM events)
+         |SELECT wstart, event_type, count(*) AS n_events, ${mny("value")} AS sum_value
+         |FROM e2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // t96 twin: the stream's final complete-mode aggregate must equal
     // the one-shot batch rollup — q21's SQL verbatim
     "t96_stream_hourly" ->

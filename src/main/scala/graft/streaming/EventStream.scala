@@ -38,6 +38,25 @@ object EventStream {
         unix_micros(col("window.start")).as("hour"),
         col("event_type"), col("n_events"), col("sum_value"), col("avg_value"))
 
+  /** SLIDING event-time windows (2-hour width, 1-hour slide): every
+    * event lands in width/slide = 2 overlapping windows — the
+    * trailing-window dashboard aggregate tumbling windows can't
+    * express. Spark expands each row to its windows BEFORE the
+    * partial aggregate, so the shuffle carries ≤ 2·|groups|
+    * pre-aggregated rows, and the watermark bounds state exactly as
+    * in the tumbling form.
+    */
+  def slidingStats(events: DataFrame, watermark: String = "3 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Exact.moneySum(col("value")).as("sum_value"))
+      .select(
+        unix_micros(col("window.start")).as("wstart"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** Gap-based session windows (native session_window — state merges
     * adjacent windows, watermark evicts closed sessions).
     */

@@ -185,6 +185,21 @@ object StreamGates {
     events.sparkSession.read.parquet(out).orderBy("hour", "event_type")
   }
 
+  /** Streamed SLIDING windows, gated: [[EventStream.slidingStats]]
+    * (2-hour width, 1-hour slide) over the time-contiguous
+    * restart-per-shard drive — each event must land in BOTH of its
+    * overlapping windows, including windows straddling a shard
+    * boundary whose first half aggregated before a cold restart. The
+    * batch twin assigns each event its two window starts explicitly.
+    */
+  def slidingGate(events: DataFrame, nShards: Int = 3): DataFrame = {
+    val out = Files.createTempDirectory("sgate_slide_out").toString + "/agg"
+    completeGate(
+      timeShards(events.select("ts", "event_type", "value"), nShards), out)(
+      EventStream.slidingStats(_))
+    events.sparkSession.read.parquet(out).orderBy("wstart", "event_type")
+  }
+
   /** Streamed session windows, gated: [[EventStream.sessionStats]]
     * (native session_window, 30-minute gap) over the same
     * time-contiguous restart-per-shard drive as [[hourlyGate]]. The
