@@ -715,9 +715,9 @@ object SparkEntry {
     // observation (dateGaps' repair; was_missing keeps it auditable)
     "t141_forward_fill" -> ((s, d) => { val t = Tables.load(s, d)
       Relational.forwardFillDaily(t.lineitem) }),
-    // fuzzy key match: planted one-edit name variants (every 37th
-    // part re-ingested with a mangled first character) recovered by
-    // suffix-blocked candidates + exact Levenshtein verify
+    // fuzzy key match: every distinct name entity re-ingested once
+    // with a mangled first character, recovered by blocked
+    // candidates + exact Levenshtein verify
     "t140_fuzzy_match" -> ((s, d) => { val t = Tables.load(s, d)
       import org.apache.spark.sql.functions.{col, concat, expr, lit, min, substring}
       // entity resolution runs over DISTINCT name entities (the
@@ -1061,14 +1061,14 @@ object SparkEntry {
     // gate: the watermarked 1-hour tumbling aggregation driven over
     // time-contiguous micro-batch shards (complete-mode state
     // surviving per-shard cold restarts) == the q21 batch twin
-    // STREAMING sliding windows (2h width / 1h slide): every event in
-    // BOTH overlapping windows, across cold restarts
-    "t142_stream_sliding" -> ((s, d) => { val t = Tables.load(s, d)
-      graft.streaming.StreamGates.slidingGate(t.events) }),
     "t96_stream_hourly" -> ((s, d) => { val t = Tables.load(s, d)
       graft.streaming.StreamGates.hourlyGate(t.events) }),
     // session_window state must merge across batches AND restarts; the
     // twin is the batch lag-gap rule with end = last + gap
+    // STREAMING sliding windows (2h width / 1h slide): every event in
+    // BOTH overlapping windows, across cold restarts
+    "t142_stream_sliding" -> ((s, d) => { val t = Tables.load(s, d)
+      graft.streaming.StreamGates.slidingGate(t.events) }),
     "t97_stream_sessions" -> ((s, d) => { val t = Tables.load(s, d)
       graft.streaming.StreamGates.sessionGate(t.events) }),
     // mapGroupsWithState under the gate: per-user running totals with

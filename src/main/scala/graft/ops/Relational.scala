@@ -607,8 +607,11 @@ object Relational {
     * moves after the first aggregate.
     */
   def dateGaps(df: DataFrame, dateCol: String): DataFrame = {
+    // materialized once: both the bounds agg and the anti-join read
+    // the distinct-days frame (<= |days| rows)
     val d = df.select(to_date(col(dateCol)).as("dt"))
       .filter(col("dt").isNotNull).distinct()
+      .localCheckpoint()
     val all = d.agg(min("dt").as("lo"), max("dt").as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("dt"))
     all.join(d, Seq("dt"), "left_anti")
@@ -629,12 +632,16 @@ object Relational {
     * definition.
     */
   def forwardFillDaily(lineitem: DataFrame): DataFrame = {
+    // materialized once: the |flags|x|days| aggregate has three
+    // consumers (bounds, flag dimension, grid join) — unmaterialized,
+    // the corpus re-aggregates per consumer
     val daily = lineitem
       .groupBy(col("l_returnflag"), to_date(col("l_shipdate")).as("day"))
       .agg(moneySum(revenueExpr).as("revenue"))
+      .localCheckpoint()
     val cal = daily.agg(min("day").as("lo"), max("day").as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("day"))
-    val flags = lineitem.select("l_returnflag").distinct()
+    val flags = daily.select("l_returnflag").distinct()
     val w = Window.partitionBy("l_returnflag").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, 0)
     cal.crossJoin(broadcast(flags))

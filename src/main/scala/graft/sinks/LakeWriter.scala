@@ -433,21 +433,23 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
       val loc = new Path(spark.sessionState.catalog.getTableMetadata(ident).location)
       fs.makeQualified(loc) == fs.makeQualified(ourPath)
     }
-    if (sameTable)
+    if (sameTable && !replace)
       // a legacy writeBucketed-era table (no commit-version
-      // partitioning) cannot absorb a partitioned append — Spark
+      // partitioning) cannot absorb a partitioned APPEND — Spark
       // would throw an opaque spec-mismatch; fail with the migration
-      // story instead (rebuild the index through commitBucketed, or
-      // keep maintaining it with writeBucketed/compactBucketed)
+      // story instead. A replace commit IS that migration: it takes
+      // the overwrite path below and redefines the table manifested.
       require(spark.table(table).columns.contains(LakeWriter.CvCol),
         s"$table is a legacy unmanifested bucketed table — rebuild it through " +
           "commitBucketed (replace = true) before manifested maintenance; " +
           "readBucketedTable reads both generations, the writers do not mix")
     // sameTable with NO committed manifest = a first commit that
-    // crashed after its saveAsTable: the torn partition was never
-    // visible, so the retry OVERWRITES it rather than appending a
-    // second copy under the same version
-    val firstRetry = sameTable && prev == 0
+    // crashed after its saveAsTable (or a legacy table being migrated
+    // by a replace commit): the torn/legacy layout was never a
+    // manifested snapshot, so the write OVERWRITES it rather than
+    // appending into an incompatible or half-written layout
+    val firstRetry = sameTable && (prev == 0 || replace &&
+      !spark.table(table).columns.contains(LakeWriter.CvCol))
     val base = df.withColumn(LakeWriter.CvCol, lit(v))
       .write.mode(if (sameTable && !firstRetry) "append" else "overwrite")
       .partitionBy(LakeWriter.CvCol)

@@ -453,7 +453,14 @@ object StreamGates {
     // stored as DATE or NTZ timestamp across generations (the events
     // `ts` lesson) — integer datediff is agnostic to both
     val dn = datediff(col("o_orderdate"), lit("1970-01-01"))
-    val b = o.agg(min(dn).as("lo"), max(dn).as("hi")).head()
+    val b = o.agg(min(dn).as("lo"), max(dn).as("hi"),
+      sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("n_null")).head()
+    // the timeShards guards, ported: null dates would vanish from
+    // every range filter and an empty input would NPE opaquely
+    require(!b.isNullAt(0) && !b.isNullAt(1),
+      "scd2Gate: input has no non-null order dates")
+    require(b.getLong(2) == 0L,
+      s"scd2Gate: ${b.getLong(2)} null-date rows would vanish from every shard")
     val (lo, hi) = (b.getInt(0).toLong, b.getInt(1).toLong)
     val span = hi - lo + 1
     val shards = (0 until nShards).map { i =>

@@ -173,6 +173,14 @@ class ManifestedBucketedSpec extends AnyFunSuite {
           "mbk_lgw", 2, Seq("k"))
       }
       assert(e.getMessage.contains("legacy"), e.getMessage)
+      // ...and the advertised migration actually works: a REPLACE
+      // commit redefines the table manifested, and appends flow after
+      assert(lw.commitBucketed((11L to 12L).map(i => (i, i.toInt)).toDF("k", "n"),
+        "mbk_lgw", 2, Seq("k"), replace = true) == 1)
+      lw.commitBucketed((13L to 13L).map(i => (i, i.toInt)).toDF("k", "n"),
+        "mbk_lgw", 2, Seq("k"))
+      assert(LakeWriter.readBucketedTable(spark, "mbk_lgw")
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(11L, 12L, 13L))
     } finally dropT("mbk_lgw")
   }
 
