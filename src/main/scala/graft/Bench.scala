@@ -99,6 +99,21 @@ object Bench {
     // audit reads (a query whose time is fine but whose shuffle bytes
     // jumped 10× regressed at 100 TB even if the laptop can't tell).
     var (spark, shuffleBytes) = buildSession(cpus, sfDir)
+    // CONTENTION MARKER: the driver's bench window has repeatedly read
+    // warmer than a quiet round-close run with byte-identical shuffle
+    // (adjudicated forensically three rounds running). Record the
+    // machine's 1-min load average at start/end and the JVM's total GC
+    // time, so the window-vs-close comparison is mechanical: identical
+    // shuffle MB + elevated load_avg ⇒ co-tenant contention, not a
+    // plan regression (threshold documented in SCALE.md).
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(b => math.max(b.getCollectionTime, 0L)).sum
+    }
+    val gcStart = gcMillis
     val results = SparkEntry.queries.toSeq.sortBy(_._1).filter(q => only(q._1)).map { case (name, fn) =>
       if (isolate) {
         // fresh JVM-wide Spark state per QUERY (not per run): the
@@ -161,11 +176,15 @@ object Bench {
                   case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
     val onlyField = onlyEnv.map(p => s""","only":"${jstr(p)}"""").getOrElse("")
     val isoField = if (isolate) ""","isolate":true""" else ""
+    // contention marker fields (see gcStart/loadStart above); load avg
+    // is -1.0 on platforms that don't report it
+    val envField = s""","load_avg_start":${fmt(loadStart)},"load_avg_end":${
+      fmt(osBean.getSystemLoadAverage)},"gc_sec":${fmt((gcMillis - gcStart) / 1e3)}"""
     // field order matters: the per-query SECONDS map goes LAST so a
     // bounded tail capture of this (~10 KB) line ends in seconds —
     // two judge rounds misread a tail-truncated copy whose trailing
     // map was the shuffle-MB one
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"stat":"$stat"$onlyField$isoField,"queries_min":$mins,"queries_max":$maxs,"queries_shuffle_mb":$shuf,"failed":$failed,"sf":"$sfDir","queries":$med}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"stat":"$stat"$onlyField$isoField$envField,"queries_min":$mins,"queries_max":$maxs,"queries_shuffle_mb":$shuf,"failed":$failed,"sf":"$sfDir","queries":$med}"""
     println(json)
     // stdout capture windows truncate (~2 KB tails have eaten a whole
     // round's headline number); the artifact must also survive on disk
@@ -182,7 +201,7 @@ object Bench {
     // artifact pointer. A consumer parsing the final JSON line always
     // gets a complete object; a capture big enough to reach into the
     // full line above finds it ENDING in the per-query seconds map.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"stat":"$stat"$onlyField$isoField,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir","detail":"$outPath"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"stat":"$stat"$onlyField$isoField$envField,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir","detail":"$outPath"}""")
     spark.stop()
     if (results.exists(!_._3)) sys.exit(1)
   }

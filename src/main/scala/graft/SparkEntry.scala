@@ -248,16 +248,27 @@ object SparkEntry {
     * so one twin (t135) can instantiate the chain twice — once
     * shard-scoped, once corpus-wide — without CTE collisions.
     */
-  private def urlNormCteNamed(p: String, where: String): String =
-    urlNormCteBody
-      .replace("FROM documents)", s"FROM documents$where)")
-      .replace("u AS (", s"${p}u AS (")
-      .replace("w AS (", s"${p}w AS (")
-      .replace("c AS (", s"${p}c AS (")
-      .replace("n AS (", s"${p}n AS (")
-      .replace("FROM u)", s"FROM ${p}u)")
-      .replace("FROM w)", s"FROM ${p}w)")
-      .replace("FROM c))", s"FROM ${p}c))")
+  private def urlNormCteNamed(p: String, where: String): String = {
+    // every fragment must actually occur in the body — a silent no-op
+    // replace (after a body edit drifts whitespace or adds a second
+    // reference) would leave the prefixed chain pointing at the
+    // corpus-wide CTEs, caught only when the t135 gate diffs at runtime
+    def sub(s: String, from: String, to: String): String = {
+      require(s.contains(from),
+        s"urlNormCteNamed: fragment '$from' not found — urlNormCteBody drifted")
+      s.replace(from, to)
+    }
+    Seq(
+      "FROM documents)" -> s"FROM documents$where)",
+      "u AS (" -> s"${p}u AS (",
+      "w AS (" -> s"${p}w AS (",
+      "c AS (" -> s"${p}c AS (",
+      "n AS (" -> s"${p}n AS (",
+      "FROM u)" -> s"FROM ${p}u)",
+      "FROM w)" -> s"FROM ${p}w)",
+      "FROM c))" -> s"FROM ${p}c))"
+    ).foldLeft(urlNormCteBody) { case (acc, (from, to)) => sub(acc, from, to) }
+  }
 
   private def urlNormCteBody: String =
     s"""u AS (SELECT doc_id,

@@ -438,8 +438,8 @@ object MediaOps {
       newMedia: DataFrame, index: DataFrame,
       decoder: AudioDecoder = StubAudioDecoder,
       windowMs: Long = 10000L, strideMs: Long = 5000L,
-      maxHamming: Int = 5): DataFrame = {
-    graft.ops.Dedup.requireDisjointIds(
+      maxHamming: Int = 5, checkIds: Boolean = true): DataFrame = {
+    if (checkIds) graft.ops.Dedup.requireDisjointIds(
       newMedia, index, "media_id", "incrementalAudioNearDup")
     val newChunks = pigeonholeChunks(
       audioFingerprints(newMedia, decoder, windowMs, strideMs), "fhash", maxHamming)
@@ -646,8 +646,11 @@ object MediaOps {
   def incrementalImageNearDup(
       newMedia: DataFrame, index: DataFrame,
       decoder: ImageDecoder = StubDecoder,
-      maxHamming: Int = 5): DataFrame = {
-    graft.ops.Dedup.requireDisjointIds(
+      maxHamming: Int = 5, checkIds: Boolean = true): DataFrame = {
+    // checkIds = false skips the eager disjointness semi-join for hot
+    // per-batch loops where disjointness is structural (the streaming
+    // intake bypasses this wrapper for the same reason)
+    if (checkIds) graft.ops.Dedup.requireDisjointIds(
       newMedia, index, "media_id", "incrementalImageNearDup")
     val newChunks = chunkHashes(imageHashes(newMedia, decoder), maxHamming)
     incrementalImageCandidates(newChunks, index)

@@ -466,8 +466,11 @@ object CorpusOps {
     * all shift corpus-wide the moment a shard lands, exactly as a
     * rebuild would.
     */
-  def mergeBm25Index(a: Bm25Index, b: Bm25Index): Bm25Index = {
-    graft.ops.Dedup.requireDisjointIds(a.lens, b.lens, "doc_id", "mergeBm25Index")
+  def mergeBm25Index(a: Bm25Index, b: Bm25Index, checkIds: Boolean = true): Bm25Index = {
+    // checkIds = false skips the eager disjointness semi-join for hot
+    // per-shard loops where the shards structurally slice one id space
+    if (checkIds)
+      graft.ops.Dedup.requireDisjointIds(a.lens, b.lens, "doc_id", "mergeBm25Index")
     Bm25Index(
       a.tf.unionByName(b.tf),
       a.lens.unionByName(b.lens),

@@ -449,7 +449,8 @@ object Dedup {
     */
   def crossNearDups(
       train: DataFrame, holdout: DataFrame,
-      threshold: Double = 0.5, k: Int = 16, bands: Int = 4): DataFrame = {
+      threshold: Double = 0.5, k: Int = 16, bands: Int = 4,
+      checkIds: Boolean = true): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
     def banded(toks: DataFrame): DataFrame = {
@@ -462,7 +463,10 @@ object Dedup {
         .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     }
-    requireDisjointIds(train, holdout, "doc_id", "crossNearDups")
+    // skippable for hot loop contexts where disjointness is structural
+    // (e.g. monotone shard id ranges) — the check is one eager semi-join
+    // job per call against unpersisted inputs
+    if (checkIds) requireDisjointIds(train, holdout, "doc_id", "crossNearDups")
     // persisted (tracked): each side's tokenize+distinct subtree has
     // three consumers (its banded signatures, its verify arrays, its
     // n counts) — uncached, the corpus re-tokenizes per consumer

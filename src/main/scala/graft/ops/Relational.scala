@@ -284,6 +284,28 @@ object Relational {
       merged.withColumn("valid_to", lead("valid_from", 1).over(w3)))
   }
 
+  /** DELTA form of [[scd2Fold]] for per-key upsert maintenance
+    * ([[graft.sinks.LakeWriter.readBucketedTableMerged]]): returns
+    * ONLY the affected customers' post-fold interval sets — each
+    * affected customer complete (its untouched closed intervals
+    * included, so a latest-commit-wins merge read reconstructs the
+    * full state), untouched customers absent entirely. Committing
+    * this as an append delta makes state maintenance O(affected)
+    * physical I/O per batch instead of O(state) — the 100 TB shape
+    * for a dimension-sized state table taking narrow daily slices.
+    *
+    * The state restriction is a broadcast semi-join on the batch's
+    * distinct customers, so the state side (bucketed on o_custkey)
+    * scans without an exchange and only affected customers' rows flow
+    * into the fold. Same monotonicity contract as [[scd2Fold]],
+    * enforced by the same guard.
+    */
+  def scd2FoldDelta(state: DataFrame, newOrders: DataFrame): DataFrame = {
+    val keys = newOrders.select("o_custkey").distinct()
+    val affected = state.join(broadcast(keys), Seq("o_custkey"), "left_semi")
+    scd2Fold(affected, newOrders)
+  }
+
   /** FULL OUTER join with both null arms non-vacuous: BUILDING-segment
     * customers against finished-order counts — customers with no F
     * orders surface left-only, F-order customers outside the segment

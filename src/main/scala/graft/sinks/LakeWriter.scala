@@ -401,12 +401,14 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
     */
   def commitBucketed(
       df: DataFrame, table: String, buckets: Int, bucketCols: Seq[String],
-      replace: Boolean = false): Int = {
+      replace: Boolean = false,
+      expectations: Option[DataFrame => DataFrame] = None): Int = {
     val spark = df.sparkSession
     require(!df.columns.contains(LakeWriter.CvCol),
       s"column name ${LakeWriter.CvCol} is reserved for the commit-version partition")
     withTableLock(spark, s"$table@manifest") {
-      commitBucketedManifestedLocked(df, table, buckets, bucketCols, replace)
+      commitBucketedManifestedLocked(df, table, buckets, bucketCols, replace,
+        expectations)
     }
   }
 
@@ -416,7 +418,8 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
     */
   private def commitBucketedManifestedLocked(
       df: DataFrame, table: String, buckets: Int, bucketCols: Seq[String],
-      replace: Boolean): Int = {
+      replace: Boolean,
+      expectations: Option[DataFrame => DataFrame] = None): Int = {
     import org.apache.hadoop.fs.Path
     val spark = df.sparkSession
     val mdir = s"$root/${table}__manifests"
@@ -450,13 +453,37 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
     // appending into an incompatible or half-written layout
     val firstRetry = sameTable && (prev == 0 || replace &&
       !spark.table(table).columns.contains(LakeWriter.CvCol))
+    val appendMode = sameTable && !firstRetry
+    // Crashed-commit recovery for prev >= 1: a commit that died after
+    // its saveAsTable but before the manifest rename leaves a torn
+    // graft_cv=v partition; the retry recomputes the SAME v (manifest
+    // never advanced) and an append-mode write would land NEXT TO the
+    // torn rows, publishing them as silent duplicates. Under the lock,
+    // v = latest manifest + 1, so no retained manifest can reference
+    // this partition — deleting it first is always safe.
+    if (appendMode) {
+      val tornPart = new Path(s"${ourPath.toString}/${LakeWriter.CvCol}=$v")
+      if (fs.exists(tornPart)) fs.delete(tornPart, true)
+    }
     val base = df.withColumn(LakeWriter.CvCol, lit(v))
-      .write.mode(if (sameTable && !firstRetry) "append" else "overwrite")
+      .write.mode(if (appendMode) "append" else "overwrite")
       .partitionBy(LakeWriter.CvCol)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .option("path", ourPath.toString)
     base.saveAsTable(table)
+    // commit-time expectations: validate the WRITTEN rows (read back
+    // from this commit's partition — one columnar pass, and what was
+    // actually persisted, not a recomputation of a nondeterministic
+    // plan) BEFORE the manifest publishes. A refusal is atomic by
+    // construction: the manifest never advances, so the rejected
+    // partition is invisible to every reader and the next vacuum
+    // reclaims it — the Delta-constraints / Deequ enforcement shape.
+    expectations.foreach { rules =>
+      val written = spark.read.parquet(s"${ourPath.toString}/${LakeWriter.CvCol}=$v")
+        .drop(LakeWriter.CvCol)
+      LakeWriter.enforceExpectations(rules(written), table, v)
+    }
     val carried =
       if (replace || prev == 0 || !sameTable) Nil
       else LakeWriter.manifestLines(fs, mdir, prev)
@@ -474,7 +501,9 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
     * read+rewrite+commit runs under one writer-lock scope so a
     * concurrent append can't vanish from the replacement.
     */
-  def compactBucketedManifested(spark: SparkSession, table: String): Int = {
+  def compactBucketedManifested(
+      spark: SparkSession, table: String,
+      mergeKeys: Seq[String] = Nil): Int = {
     val cat = spark.sessionState.catalog
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     withTableLock(spark, s"$table@manifest") {
@@ -492,7 +521,14 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set(abs, "false")
         try {
-          val current = LakeWriter.readBucketedTable(spark, table)
+          // a DELTA-maintained table (per-key upsert commits) must
+          // compact through the merged view — the plain union read
+          // would bake superseded rows into the replacement snapshot
+          val snapshot =
+            if (mergeKeys.nonEmpty)
+              LakeWriter.readBucketedTableMerged(spark, table, mergeKeys)
+            else LakeWriter.readBucketedTable(spark, table)
+          val current = snapshot
             .repartition(spec.numBuckets, spec.bucketColumnNames.map(col): _*)
           commitBucketedManifestedLocked(
             current, table, spec.numBuckets, spec.bucketColumnNames, replace = true)
@@ -526,11 +562,16 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
         .flatMap(v => LakeWriter.manifestLines(fs, mdir, v))
         .map(_.toInt).toSet
       val tableDir = new Path(s"$root/$table")
-      val dropped = fs.listStatus(tableDir).toSeq.filter { s =>
-        val n = s.getPath.getName
-        s.isDirectory && n.startsWith(s"${LakeWriter.CvCol}=") &&
-          !live.contains(n.stripPrefix(s"${LakeWriter.CvCol}=").toInt)
-      }
+      // vacuum before any successful saveAsTable (or after a crash
+      // preceding it) finds no data directory at all — a no-op, not a
+      // FileNotFoundException
+      val dropped =
+        if (!fs.exists(tableDir)) Nil
+        else fs.listStatus(tableDir).toSeq.filter { s =>
+          val n = s.getPath.getName
+          s.isDirectory && n.startsWith(s"${LakeWriter.CvCol}=") &&
+            !live.contains(n.stripPrefix(s"${LakeWriter.CvCol}=").toInt)
+        }
       dropped.foreach(s => fs.delete(s.getPath, true))
       // stale tmp manifests from crashed commits (no commit can be in
       // flight under the lock)
@@ -540,7 +581,7 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
           .filter(s => s.isFile && s.getPath.getName.startsWith("_manifest-") &&
             s.getPath.getName.endsWith(".json.tmp"))
           .foreach(s => fs.delete(s.getPath, false))
-      spark.catalog.refreshTable(table)
+      if (spark.catalog.tableExists(table)) spark.catalog.refreshTable(table)
       dropped.size
     }
   }
@@ -574,9 +615,10 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
     * invisible to every reader, reclaimed by the next vacuum.
     */
   def commitManifested(
-      df: DataFrame, name: String, append: Boolean = true): Int =
+      df: DataFrame, name: String, append: Boolean = true,
+      expectations: Option[DataFrame => DataFrame] = None): Int =
     withTableLock(df.sparkSession, s"$name@manifest") {
-      commitManifestedLocked(df, name, append)
+      commitManifestedLocked(df, name, append, expectations)
     }
 
   /** Lock-free commit body — caller MUST hold the `name@manifest`
@@ -586,12 +628,22 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
     * read+rewrite+commit instead of nesting).
     */
   private def commitManifestedLocked(
-      df: DataFrame, name: String, append: Boolean): Int = {
+      df: DataFrame, name: String, append: Boolean,
+      expectations: Option[DataFrame => DataFrame] = None): Int = {
     import org.apache.hadoop.fs.Path
     val spark = df.sparkSession
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dataDir = new Path(s"$root/$name/data-${java.util.UUID.randomUUID()}")
     df.write.mode("overwrite").parquet(dataDir.toString)
+    // commit-time expectations on the WRITTEN files, before the
+    // manifest rename — a refusal leaves an unreferenced data dir
+    // (invisible to every reader, reclaimed by vacuum) and no new
+    // manifest version: rejection is atomic
+    expectations.foreach { rules =>
+      LakeWriter.enforceExpectations(
+        rules(spark.read.parquet(dataDir.toString)), name,
+        latestManifestVersion(fs, name) + 1)
+    }
     val newFiles = fs.listStatus(dataDir).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toUri.toString).sorted
@@ -704,7 +756,36 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
     LakeWriter.writeManifestIn(fs, s"$root/$name", v, files, schema)
 }
 
+/** A manifested commit refused by its pre-publish expectations: the
+  * violating rules with their violation counts. Nothing published —
+  * the rejected data dir/partition is unreferenced and vacuumable.
+  */
+final class CommitRejectedException(
+    val table: String, val version: Int,
+    val violations: Seq[(String, Long)])
+  extends IllegalStateException(
+    s"commit v$version of $table refused by expectations: " +
+      violations.map { case (r, n) => s"$r ($n violations)" }.mkString(", "))
+
 object LakeWriter {
+
+  /** Evaluate an expectations REPORT frame (the
+    * [[graft.ops.Relational.expectationsReport]] shape — one row per
+    * rule with `rule`, `n_violations`, `pass`) against a pending
+    * commit; any failing rule aborts the commit with
+    * [[CommitRejectedException]] BEFORE its manifest publishes — data
+    * quality as enforcement, not just reporting (the Delta
+    * constraints / Deequ VerificationSuite shape). The report is
+    * rule-sized (k rows), so the collect is bounded by construction.
+    */
+  private[sinks] def enforceExpectations(
+      report: DataFrame, table: String, version: Int): Unit = {
+    val bad = report.filter(!col("pass"))
+      .select(col("rule"), col("n_violations"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    if (bad.nonEmpty) throw new CommitRejectedException(table, version, bad)
+  }
 
   /** Reserved commit-version partition column of manifested BUCKETED
     * tables ([[LakeWriter.commitBucketed]]). Not underscore-prefixed:
@@ -816,7 +897,46 @@ object LakeWriter {
     * ([[commitBucketed]]'s crashed-first-commit rule).
     */
   def readBucketedTable(
-      spark: SparkSession, table: String, version: Int = 0): DataFrame = {
+      spark: SparkSession, table: String, version: Int = 0): DataFrame =
+    readBucketedRaw(spark, table, version).drop(CvCol)
+
+  /** Merge-on-read view of a manifested bucketed table maintained by
+    * per-key DELTA commits (the Hudi/Paimon MOR shape): each append
+    * commit carries the FULL current row set of the keys it touches,
+    * and the read keeps, per `keys`, only the rows of the LATEST live
+    * commit that mentions the key — later deltas supersede earlier
+    * rows of the same key without rewriting untouched keys' files.
+    * The max-version window partitions by `keys`; when `keys` are
+    * (a prefix-closed superset of) the table's bucket columns, the
+    * bucketed scan already satisfies the window's distribution and
+    * the merge adds NO exchange (spec-asserted) — the O(affected)
+    * maintenance story for dimension-state tables like streaming
+    * SCD-2 ([[graft.ops.Relational.scd2Fold]]).
+    *
+    * A plain [[readBucketedTable]] of such a table would union every
+    * live commit and resurrect superseded rows — delta-maintained
+    * tables must ALWAYS be read (and compacted) through this view.
+    */
+  def readBucketedTableMerged(
+      spark: SparkSession, table: String, keys: Seq[String],
+      version: Int = 0): DataFrame = {
+    require(keys.nonEmpty, "merge-on-read needs at least one key column")
+    val raw = readBucketedRaw(spark, table, version)
+    if (!raw.columns.contains(CvCol)) raw // legacy table: nothing to merge
+    else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+      raw.withColumn("_graft_maxcv", max(col(CvCol)).over(w))
+        .where(col(CvCol) === col("_graft_maxcv"))
+        .drop(CvCol, "_graft_maxcv")
+    }
+  }
+
+  /** Shared manifest-resolution body of the bucketed read paths:
+    * returns the live snapshot WITH the commit-version column (legacy
+    * tables come back without it — their read is version-free).
+    */
+  private def readBucketedRaw(
+      spark: SparkSession, table: String, version: Int): DataFrame = {
     import org.apache.hadoop.fs.Path
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val loc = spark.sessionState.catalog.getTableMetadata(ident).location.toString
@@ -825,18 +945,19 @@ object LakeWriter {
     val fs = new Path(mdir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(mdir))) {
       val t = spark.table(table)
-      return if (t.columns.contains(CvCol)) t.where(lit(false)).drop(CvCol)
+      if (t.columns.contains(CvCol)) t.where(lit(false))
       else t
+    } else {
+      val v = if (version > 0) version else latestManifestVersionIn(fs, mdir)
+      // v == 0 with a manifest dir: the first commit crashed after
+      // creating the dir (tmp manifest) but before the rename — same
+      // empty-snapshot semantics as the no-dir crash case above
+      if (v == 0) spark.table(table).where(lit(false))
+      else {
+        val live = manifestLines(fs, mdir, v).map(_.toInt)
+        spark.table(table).where(col(CvCol).isin(live: _*))
+      }
     }
-    val v = if (version > 0) version else latestManifestVersionIn(fs, mdir)
-    // v == 0 with a manifest dir: the first commit crashed after
-    // creating the dir (tmp manifest) but before the rename — same
-    // empty-snapshot semantics as the no-dir crash case above
-    if (v == 0) return spark.table(table).where(lit(false)).drop(CvCol)
-    val live = manifestLines(fs, mdir, v).map(_.toInt)
-    spark.table(table)
-      .where(col(CvCol).isin(live: _*))
-      .drop(CvCol)
   }
 
   /** Morton (Z-order) key: interleave the low `bits` bits of two

@@ -90,8 +90,14 @@ object StreamGates {
         out.select("doc_id").write.mode("append").parquet(emit)
       }
     }
-    val idx = spark.read.parquet(s"$idxRoot/$tbl")
+    // read the final index through the manifest view, exactly as every
+    // production consumer does — a raw directory read would also list
+    // superseded replace commits and orphaned crashed commits.
+    // localCheckpoint: the catalog entry is dropped two lines below,
+    // and a catalog-backed scan must not execute after its table is gone
+    val idx = graft.sinks.LakeWriter.readBucketedTable(spark, tbl)
       .select(col("canonical_id"), col("fp"))
+      .localCheckpoint()
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     spark.read.parquet(emit)
       .join(idx, col("doc_id") === col("canonical_id"), "full_outer")
@@ -476,19 +482,27 @@ object StreamGates {
       src.writeStream
         .option("checkpointLocation", cp.get)
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val exists = spark.catalog.tableExists(tbl)
-          val st =
-            if (exists)
-              Relational.scd2Fold(LakeWriter.readBucketedTable(spark, tbl), batch)
-            else Relational.scd2State(batch)
-          new graft.sinks.LakeWriter(root).commitBucketed(
-            st, tbl, 8, Seq("o_custkey"), replace = true)
+          // DELTA maintenance (r12): each batch commits ONLY the
+          // affected customers' post-fold intervals as an append
+          // commit — O(affected) physical I/O, not O(state); the
+          // merged read (latest commit wins per customer) is the
+          // state view, both here and for the final output
+          val lw = new graft.sinks.LakeWriter(root)
+          if (!spark.catalog.tableExists(tbl))
+            lw.commitBucketed(
+              Relational.scd2State(batch), tbl, 8, Seq("o_custkey"), replace = true)
+          else {
+            val state = LakeWriter.readBucketedTableMerged(
+              spark, tbl, Seq("o_custkey"))
+            lw.commitBucketed(
+              Relational.scd2FoldDelta(state, batch), tbl, 8, Seq("o_custkey"))
+          }
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
     }
-    val out = LakeWriter.readBucketedTable(spark, tbl)
+    val out = LakeWriter.readBucketedTableMerged(spark, tbl, Seq("o_custkey"))
       .select("o_custkey", "o_orderstatus", "valid_from", "valid_to",
         "first_key", "n_orders")
       .orderBy("o_custkey", "valid_from", "first_key")

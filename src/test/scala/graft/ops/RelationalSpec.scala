@@ -124,6 +124,46 @@ class RelationalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("interleaves"), e.getMessage)
   }
 
+  test("scd2FoldDelta: only affected customers emitted, each complete; " +
+      "latest-wins layering over the old state equals the full fold") {
+    import spark.implicits._
+    val d = java.sql.Date.valueOf(_: String)
+    val old = Seq(
+      (1L, 101L, "O", d("2024-01-01")),
+      (1L, 103L, "F", d("2024-02-01")),
+      (1L, 104L, "O", d("2024-03-01")),
+      (2L, 201L, "F", d("2024-01-15")),
+      (4L, 401L, "P", d("2024-01-20"))
+    ).toDF("o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate")
+    // the slice touches customers 1 and 3 only
+    val fresh = Seq(
+      (1L, 105L, "O", d("2024-04-01")),
+      (3L, 301L, "P", d("2024-06-01"))
+    ).toDF("o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate")
+    val cols = Seq("o_custkey", "o_orderstatus", "valid_from", "valid_to",
+      "first_key", "n_orders")
+    def render(df: org.apache.spark.sql.DataFrame) = df
+      .select(cols.head, cols.tail: _*)
+      .orderBy("o_custkey", "valid_from", "first_key").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toString,
+        Option(r.getDate(3)).map(_.toString), r.getLong(4), r.getLong(5))).toSeq
+    val state = Relational.scd2State(old)
+    val delta = Relational.scd2FoldDelta(state, fresh)
+    val deltaRows = render(delta)
+    assert(deltaRows.map(_._1).toSet == Set(1L, 3L),
+      s"delta must carry exactly the affected customers: $deltaRows")
+    // affected customers are COMPLETE (closed history included), so a
+    // latest-wins merge (delta replaces its customers, untouched
+    // customers keep their old rows) reconstructs the full fold
+    val untouched = state.join(
+      fresh.select("o_custkey").distinct(), Seq("o_custkey"), "left_anti")
+    val layered = render(untouched
+      .select(delta.columns.map(org.apache.spark.sql.functions.col): _*)
+      .unionByName(delta))
+    assert(layered == render(Relational.scd2Fold(state, fresh)),
+      s"layered delta must equal the full fold:\n$layered")
+  }
+
   test("expectationsReport: null predicates violate, uniqueness counts surplus " +
       "rows, passing rules report zero") {
     import spark.implicits._

@@ -115,6 +115,97 @@ class ManifestedBucketedSpec extends AnyFunSuite {
     } finally dropT("mbk_r")
   }
 
+  test("delta commits: a batch touching ONE key writes O(1 key) of files, " +
+      "merged read supersedes per key without an exchange, and compaction " +
+      "through the merged view bakes the right rows") {
+    val root = Files.createTempDirectory("mbkd").toString
+    val lw = new LakeWriter(root)
+    try {
+      // base state: 40 keys across 8 buckets, one version row each
+      val base = (1L to 40L).map(k => (k, s"v1-$k")).toDF("k", "v")
+      lw.commitBucketed(base, "mbk_d", 8, Seq("k"), replace = true)
+      val v1Files = new java.io.File(s"$root/mbk_d/${LakeWriter.CvCol}=1")
+        .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).sorted.toSeq
+      // delta: key 3 only (its complete current row set — two rows now)
+      val delta = Seq((3L, "v2-3a"), (3L, "v2-3b")).toDF("k", "v").coalesce(1)
+      lw.commitBucketed(delta, "mbk_d", 8, Seq("k"))
+      // O(affected) physical I/O: the delta commit's partition holds
+      // files for ONE bucket (one writing task), and the base commit's
+      // files are untouched
+      val v2Dir = new java.io.File(s"$root/mbk_d/${LakeWriter.CvCol}=2")
+      val v2Files = v2Dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(v2Files.length == 1,
+        s"one-key delta must write one bucket file: ${v2Files.map(_.getName).toSeq}")
+      val v1After = new java.io.File(s"$root/mbk_d/${LakeWriter.CvCol}=1")
+        .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).sorted.toSeq
+      assert(v1After == v1Files, "a delta commit must not touch prior commits' files")
+      // merged view: key 3 superseded (2 rows from v2), others from v1
+      val merged = LakeWriter.readBucketedTableMerged(spark, "mbk_d", Seq("k"))
+      val k3 = merged.filter(col("k") === 3L).collect().map(_.getString(1)).sorted
+      assert(k3.toSeq == Seq("v2-3a", "v2-3b"), k3.toSeq.toString)
+      assert(merged.count() == 41 && merged.filter(col("v").startsWith("v1-"))
+        .count() == 39, "untouched keys keep their v1 rows")
+      // the per-key max-cv window must ride the bucketed scan: no
+      // exchange anywhere in the merged-read plan
+      val plan = merged.queryExecution.executedPlan
+      assert(plan.toString.contains("Bucketed: true"), s"$plan")
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"merge-on-read must add no exchange over the bucketed scan:\n$plan")
+      // compaction must go through the merged view — superseded v1
+      // rows of key 3 must NOT be baked into the replacement
+      lw.compactBucketedManifested(spark, "mbk_d", mergeKeys = Seq("k"))
+      lw.vacuumBucketed(spark, "mbk_d", keepVersions = 1)
+      val after = LakeWriter.readBucketedTable(spark, "mbk_d")
+      assert(after.count() == 41 &&
+        after.filter(col("k") === 3L).count() == 2,
+        "merged compaction keeps exactly the superseding rows")
+    } finally dropT("mbk_d")
+  }
+
+  test("commit-time expectations: a violating commit is refused atomically " +
+      "(no manifest version published), a clean commit lands — both protocols") {
+    val root = Files.createTempDirectory("mbke").toString
+    val lw = new LakeWriter(root)
+    val rules = (df: org.apache.spark.sql.DataFrame) =>
+      graft.ops.Relational.expectationsReport(df,
+        rowRules = Seq("k_positive" -> (col("k") > 0L)),
+        uniqueKeys = Seq("k_unique" -> Seq("k")))
+    try {
+      // plain manifested table
+      assert(lw.commitManifested((1L to 5L).toDF("k"), "mbk_em",
+        expectations = Some(rules)) == 1)
+      val e1 = intercept[CommitRejectedException] {
+        lw.commitManifested(Seq(-1L, 7L).toDF("k"), "mbk_em",
+          expectations = Some(rules))
+      }
+      assert(e1.violations == Seq(("k_positive", 1L)), e1.getMessage)
+      assert(lw.readManifested(spark, "mbk_em").count() == 5,
+        "the refused commit must not be visible")
+      assert(lw.commitManifested(Seq(6L).toDF("k"), "mbk_em",
+        expectations = Some(rules)) == 2, "version numbering stays dense")
+      assert(lw.readManifested(spark, "mbk_em").count() == 6)
+      // the refused data dir is an orphan; vacuum reclaims it
+      assert(lw.vacuumManifested(spark, "mbk_em", keepVersions = 1) >= 1)
+
+      // manifested bucketed table
+      assert(lw.commitBucketed((1L to 5L).map(k => (k, s"v$k")).toDF("k", "v"),
+        "mbk_eb", 4, Seq("k"), expectations = Some(rules)) == 1)
+      intercept[CommitRejectedException] {
+        lw.commitBucketed(Seq((9L, "a"), (9L, "b")).toDF("k", "v"),
+          "mbk_eb", 4, Seq("k"), expectations = Some(rules)) // k not unique
+      }
+      assert(LakeWriter.readBucketedTable(spark, "mbk_eb").count() == 5,
+        "the refused bucketed commit must not be visible")
+      // the retried clean commit recomputes v=2: the crashed-commit
+      // recovery replaces the refused partition instead of appending
+      // beside its torn rows
+      assert(lw.commitBucketed(Seq((6L, "c")).toDF("k", "v"),
+        "mbk_eb", 4, Seq("k"), expectations = Some(rules)) == 2)
+      assert(LakeWriter.readBucketedTable(spark, "mbk_eb").count() == 6,
+        "the refused rows must not resurface under the retried version")
+    } finally dropT("mbk_eb")
+  }
+
   test("commitBucketed: a crashed commit (partition dir, no manifest) is " +
       "invisible to readers and reclaimed by vacuum") {
     val root = Files.createTempDirectory("mbkorph").toString
@@ -135,6 +226,47 @@ class ManifestedBucketedSpec extends AnyFunSuite {
       assert(dropped == 1, "vacuum must reclaim exactly the orphan partition")
       assert(LakeWriter.readBucketedTable(spark, "mbk_o").count() == 5)
     } finally dropT("mbk_o")
+  }
+
+  test("a LATER commit (prev >= 1) that crashed before its manifest is " +
+      "overwritten by the retry — torn rows never publish as duplicates") {
+    val root = Files.createTempDirectory("mbkrt").toString
+    val lw = new LakeWriter(root)
+    try {
+      lw.commitBucketed((1L to 5L).map(i => (i, i)).toDF("k", "n"), "mbk_rt", 2, Seq("k"))
+      // simulate a crash between the v=2 partition write and the
+      // manifest rename: populated graft_cv=2, manifest still at 1
+      (6L to 9L).map(i => (i, i)).toDF("k", "n")
+        .withColumn(LakeWriter.CvCol, lit(2))
+        .write.mode("append").partitionBy(LakeWriter.CvCol)
+        .bucketBy(2, "k").sortBy("k")
+        .option("path", s"$root/mbk_rt").saveAsTable("mbk_rt")
+      spark.catalog.refreshTable("mbk_rt")
+      // the retry (e.g. a replayed streaming micro-batch) recomputes
+      // v=2; it must REPLACE the torn partition, not append beside it
+      assert(lw.commitBucketed((6L to 9L).map(i => (i, i)).toDF("k", "n"),
+        "mbk_rt", 2, Seq("k")) == 2)
+      assert(LakeWriter.readBucketedTable(spark, "mbk_rt")
+        .collect().map(_.getLong(0)).sorted.toSeq == (1L to 9L),
+        "torn v2 rows must not surface as duplicates after the retry")
+      // same hole for REPLACE commits: torn v3, then a replace retry
+      (20L to 21L).map(i => (i, i)).toDF("k", "n")
+        .withColumn(LakeWriter.CvCol, lit(3))
+        .write.mode("append").partitionBy(LakeWriter.CvCol)
+        .bucketBy(2, "k").sortBy("k")
+        .option("path", s"$root/mbk_rt").saveAsTable("mbk_rt")
+      spark.catalog.refreshTable("mbk_rt")
+      assert(lw.commitBucketed((20L to 21L).map(i => (i, i)).toDF("k", "n"),
+        "mbk_rt", 2, Seq("k"), replace = true) == 3)
+      assert(LakeWriter.readBucketedTable(spark, "mbk_rt")
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(20L, 21L))
+    } finally dropT("mbk_rt")
+  }
+
+  test("vacuumBucketed on a table with no data directory is a no-op") {
+    val root = Files.createTempDirectory("mbkvn").toString
+    val lw = new LakeWriter(root)
+    assert(lw.vacuumBucketed(spark, "mbk_nodata") == 0)
   }
 
   test("a FIRST commit that crashed before its manifest reads as an EMPTY " +
