@@ -97,7 +97,7 @@ object Tables {
   def load(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
 
   /** Run a read action against catalog tables that a concurrent
-    * `compactBucketed`/`compact` may be swapping — the reader-side
+    * `compact` may be swapping — the reader-side
     * half of the maintenance contract. The swap is two directory
     * renames (original set aside, rewrite moved in), so a reader
     * listing or scanning inside that window — or holding a file

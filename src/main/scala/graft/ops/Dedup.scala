@@ -669,7 +669,7 @@ object Dedup {
     * fingerprint in the ingested corpus — the aggregated form, so the
     * index is |distinct texts|, not |corpus|. Persist bucketed by fp
     * (`LakeWriter.commitBucketed` — the manifested protocol; legacy
-    * writeBucketed tables still read but no longer mix with
+    * plain-bucketed tables still read but no longer mix with
     * manifested writers) and the daily probe joins history
     * without shuffling it. The index must stay UNIQUE per fp — when
     * appending a shard, anti-join its frame against the existing

@@ -40,35 +40,16 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
   def read(spark: SparkSession, entity: String): DataFrame =
     spark.read.parquet(s"$root/$entity")
 
-  /** Bucketed managed table: co-locates join keys at WRITE time so
-    * repeated joins/aggregations on `bucketCols` run with NO shuffle
-    * at all — the 100 TB answer for fact-to-fact joins that recur
-    * (lineitem⋈orders on the order key every day). Bucketing requires
-    * the table catalog (bucket metadata lives there), hence
-    * saveAsTable rather than a bare path.
-    */
-  def writeBucketed(
-      df: DataFrame, table: String, buckets: Int, bucketCols: Seq[String]): Unit =
-    withTableLock(df.sparkSession, table) {
-      df.write
-        .mode(mode)
-        .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
-        .sortBy(bucketCols.head, bucketCols.tail: _*)
-        .option("path", s"$root/$table")
-        .saveAsTable(table)
-    }
-
   /** Exclusive per-table WRITER lock — the single-writer contract for
     * bucketed index maintenance. The same bucketed tables grow by
-    * daily/streaming appends ([[writeBucketed]]) and get rewritten by
-    * [[compactBucketed]]; unsynchronized, an append landing between
-    * the compact's table read and its directory swap is carried into
-    * the set-aside `__old` directory and silently deleted with it.
-    * Both paths hold this lock, so maintenance and ingest serialize
-    * instead of losing data. Readers are unaffected (locking writes
-    * only); a reader overlapping the swap window may transiently fail
-    * its file listing and must retry — the standard non-transactional
-    * lake caveat.
+    * daily/streaming append commits ([[commitBucketed]]) and get
+    * rewritten by [[compactBucketedManifested]]; unsynchronized, an
+    * append landing between a compaction's snapshot read and its
+    * replacement commit would silently vanish from the replacement.
+    * Both paths hold this lock (scope `<table>@manifest`), so
+    * maintenance and ingest serialize instead of losing data.
+    * Readers are unaffected (locking writes only) — the manifested
+    * protocol gives them snapshot isolation with no retry loop.
     *
     * Mechanics: atomic create-no-overwrite of `root/<table>__lock`
     * (O_EXCL; atomic on HDFS, and on object stores whose committer
@@ -260,113 +241,6 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
     n
   }
 
-  /** [[compact]] for BUCKETED tables — the maintenance path the
-    * incremental dedup/ANN indexes need: each appended shard adds one
-    * file per bucket, so a daily-append index accumulates files
-    * forever, and plain [[compact]] would DESTROY the bucket metadata
-    * it joins exchange-free on (it reads with `spark.read.parquet`
-    * and rewrites unbucketed). This one reads THROUGH the catalog,
-    * re-buckets explicitly, and rewrites via the same
-    * bucketBy+saveAsTable path [[writeBucketed]] uses, into a swap
-    * table whose directory + catalog entry then replace the original
-    * atomically-enough (directory swap with the old-aside-first order
-    * [[compact]] documents; the catalog entry is re-pointed last).
-    * Returns the per-bucket file count after compaction (1 when the
-    * rewrite is healthy).
-    *
-    * The explicit `repartition(buckets, bucketCols)` before the write
-    * makes each task own exactly one bucket's rows, so the rewritten
-    * table has ONE file per bucket — without it, every write task
-    * holding rows of k buckets emits k files.
-    */
-  def compactBucketed(
-      spark: SparkSession, table: String,
-      lockWaitMs: Long = 600000L, lockStaleMs: Long = 600000L): Int =
-    withTableLock(spark, table, lockWaitMs, lockStaleMs) {
-      compactBucketedLocked(spark, table)
-    }
-
-  /** [[compactBucketed]] body; callers hold the table's writer lock. */
-  private def compactBucketedLocked(spark: SparkSession, table: String): Int = {
-    import org.apache.hadoop.fs.Path
-    val cat = spark.sessionState.catalog
-    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
-    val meta = cat.getTableMetadata(ident)
-    val spec = meta.bucketSpec.getOrElse(
-      throw new IllegalArgumentException(
-        s"$table is not bucketed; use compact() for plain directories"))
-    val buckets = spec.numBuckets
-    val bucketCols = spec.bucketColumnNames
-    val swap = s"${table}__compacting"
-    // Two scoped toggles make the rewrite ZERO-shuffle with exactly
-    // one file per bucket (both measured, Spark 4.1):
-    //  - autoBucketedScan OFF forces the bucket-aligned read. With it
-    //    on, the planner elides the repartition (scan partitioning
-    //    already matches) but ALSO disables the bucketed scan — the
-    //    tasks are then arbitrary file bins and every task spills one
-    //    file per bucket it happens to hold.
-    //  - AQE OFF because when the repartition DOES survive as a real
-    //    exchange, AQE's shuffle re-optimization breaks the
-    //    partition-id == writer-bucket-id correspondence the same way.
-    // With both pinned, each task reads one bucket's files in place
-    // and rewrites them; the repartition collapses into a no-op.
-    LakeWriter.compactionConfLock.synchronized {
-      val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
-      val abs = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-      val absWas = spark.conf.get(abs)
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      spark.conf.set(abs, "false")
-      try {
-        val df = spark.table(table)
-          .repartition(buckets, bucketCols.map(col): _*)
-        val base = df.write
-          .mode("overwrite")
-          .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
-        val sorted =
-          if (spec.sortColumnNames.nonEmpty)
-            base.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
-          else base
-        sorted.option("path", s"$root/$swap").saveAsTable(swap)
-      } finally {
-        spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-        spark.conf.set(abs, absWas)
-      }
-    }
-    // swap directories (old-aside-first, crash-safe as in compact).
-    // The ORIGINAL catalog entry needs no surgery: it already points
-    // at root/<table> with the same schema and bucket spec, and after
-    // the swap that directory holds the compacted files — only the
-    // swap table's now-dangling entry is dropped (external table:
-    // catalog-only, its data was moved, not deleted) and the file
-    // index refreshed.
-    val path = new Path(s"$root/$table")
-    val swapPath = new Path(s"$root/$swap")
-    val old = new Path(s"$root/${table}__old")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // same crash-recovery preamble as compact: a leftover __old from
-    // a prior crash would make the set-aside rename nest or fail
-    if (fs.exists(old)) {
-      if (!fs.exists(path)) require(fs.rename(old, path), s"could not recover $old")
-      else fs.delete(old, true)
-    }
-    require(fs.rename(path, old), s"compactBucketed could not set aside $path")
-    if (!fs.rename(swapPath, path)) {
-      fs.rename(old, path)
-      spark.sql(s"DROP TABLE IF EXISTS $swap")
-      // the rewrite output is unreachable after the catalog drop —
-      // delete it, or every failed swap leaks a full table copy and
-      // the next compact's saveAsTable collides with the leftover
-      fs.delete(swapPath, true)
-      throw new IllegalStateException(s"compactBucketed swap failed for $path; original restored")
-    }
-    spark.sql(s"DROP TABLE IF EXISTS $swap")
-    fs.delete(old, true)
-    spark.catalog.refreshTable(table)
-    // per-bucket file count: bucketed files are named ..._<bucketid>.
-    val files = fs.listStatus(path).count(s => s.isFile && !s.getPath.getName.startsWith("_"))
-    math.max(1, math.ceil(files.toDouble / buckets).toInt)
-  }
-
   // ------------------------------------------------------------------
   // MANIFESTED BUCKETED tables: snapshot-isolated commits that keep
   // the zero-exchange bucketed probe property (the persisted
@@ -374,7 +248,7 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
   // ------------------------------------------------------------------
 
   /** Commit a shard to a manifested BUCKETED table — the
-    * snapshot-isolation upgrade of [[writeBucketed]] for maintained
+    * snapshot-isolation storage protocol for maintained
     * index tables, unifying them with the plain-table
     * [[commitManifested]] protocol. Bucketing metadata must live in
     * the catalog, so the file-list manifest can't be reused; instead
@@ -437,7 +311,7 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
       fs.makeQualified(loc) == fs.makeQualified(ourPath)
     }
     if (sameTable && !replace)
-      // a legacy writeBucketed-era table (no commit-version
+      // a legacy plain-bucketed table (no commit-version
       // partitioning) cannot absorb a partitioned APPEND — Spark
       // would throw an opaque spec-mismatch; fail with the migration
       // story instead. A replace commit IS that migration: it takes
@@ -497,20 +371,21 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
     * a REPLACEMENT version. Invisible to readers — pinned snapshots
     * keep their partitions until [[vacuumBucketed]]; there is no
     * directory swap and therefore no reader retry window (the
-    * [[compactBucketed]] weakness this protocol removes). The whole
+    * directory-swap weakness this protocol removed). The whole
     * read+rewrite+commit runs under one writer-lock scope so a
     * concurrent append can't vanish from the replacement.
     */
   def compactBucketedManifested(
       spark: SparkSession, table: String,
-      mergeKeys: Seq[String] = Nil): Int = {
+      mergeKeys: Seq[String] = Nil,
+      lockWaitMs: Long = 600000L, lockStaleMs: Long = 600000L): Int = {
     val cat = spark.sessionState.catalog
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
-    withTableLock(spark, s"$table@manifest") {
+    withTableLock(spark, s"$table@manifest", lockWaitMs, lockStaleMs) {
       val meta = cat.getTableMetadata(ident)
       val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
         s"$table is not bucketed; use compactManifested for plain manifested tables"))
-      // same scoped toggles as compactBucketed: force the
+      // scoped conf toggles (measured, Spark 4.1): force the
       // bucket-aligned read so the rewrite is zero-shuffle with one
       // task (and so one file) per bucket. compactionConfLock
       // serializes the save/restore across tables.
@@ -686,7 +561,7 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
     // The lock spans read+size+rewrite+commit: an append landing after
     // a lock-free snapshot read but before the replacement commit
     // would be silently dropped from the replacement (the same
-    // lost-update shape withTableLock documents for compactBucketed).
+    // lost-update shape withTableLock documents for compactions).
     withTableLock(spark, s"$name@manifest") {
       val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val v = latestManifestVersion(fs, name)
@@ -887,7 +762,7 @@ object LakeWriter {
     * the zero-exchange probe plans are untouched (spec-asserted).
     *
     * Falls back to a plain `spark.table` read when the table has no
-    * manifest directory (a legacy [[LakeWriter.writeBucketed]]-era
+    * manifest directory (a legacy plain-bucketed-era
     * table), so mixed fleets read both generations. The fallback is
     * gated on the table NOT carrying the reserved commit-version
     * column: a table whose schema has `graft_cv` but no manifest is

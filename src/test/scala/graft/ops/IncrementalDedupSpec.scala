@@ -180,11 +180,11 @@ class IncrementalDedupSpec extends AnyFunSuite {
 
   test("exact fingerprint index: bucketed probe is exchange-free and append-mode grows it") {
     val root = Files.createTempDirectory("fpidx").toString
-    new LakeWriter(root).writeBucketed(
+    new LakeWriter(root).commitBucketed(
       Dedup.exactDedupIndex(history), "fpidx", buckets = 4, bucketCols = Seq("fp"))
     try {
       withStaticPlans {
-        val idx = spark.table("fpidx")
+        val idx = LakeWriter.readBucketedTable(spark, "fpidx")
         val probe = Dedup.incrementalExactDedup(newShard, idx)
         val plan = probe.queryExecution.executedPlan
         assert(scansOf(plan, "fpidx").size == 1)
@@ -197,10 +197,10 @@ class IncrementalDedupSpec extends AnyFunSuite {
       // an fp already indexed keeps its older canonical), tomorrow
       // sees the shard as history
       val novel = Dedup.exactDedupIndex(newShard)
-        .join(spark.table("fpidx"), Seq("fp"), "left_anti")
-      new LakeWriter(root, mode = "append").writeBucketed(
+        .join(LakeWriter.readBucketedTable(spark, "fpidx"), Seq("fp"), "left_anti")
+      new LakeWriter(root, mode = "append").commitBucketed(
         novel, "fpidx", buckets = 4, bucketCols = Seq("fp"))
-      val grown = spark.table("fpidx")
+      val grown = LakeWriter.readBucketedTable(spark, "fpidx")
       // one row per distinct text across both shards, min ids kept
       assert(grown.count() == Dedup.exactDedupIndex(corpus).count())
       assert(grown.collect().map(r => (r.getString(0), r.getLong(1))).toMap
@@ -209,7 +209,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS fpidx")
   }
 
-  test("compactBucketed: appended shards collapse to one file per bucket; probe stays exchange-free") {
+  test("compactBucketedManifested: appended shards collapse to one file per bucket; probe stays exchange-free") {
     val root = Files.createTempDirectory("mhidx4").toString
     val w = new LakeWriter(root)
     Dedup.writeMinhashIndex(

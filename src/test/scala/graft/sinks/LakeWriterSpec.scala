@@ -15,12 +15,13 @@ class LakeWriterSpec extends AnyFunSuite {
     val lw = new LakeWriter(root)
     val facts = (1 to 10000).map(i => (i.toLong % 500, i.toLong)).toDF("k", "v")
     val dims = (1 to 5000).map(i => (i.toLong % 500, s"d$i")).toDF("k", "d")
-    lw.writeBucketed(facts, "bk_facts", buckets = 8, bucketCols = Seq("k"))
-    lw.writeBucketed(dims, "bk_dims", buckets = 8, bucketCols = Seq("k"))
+    lw.commitBucketed(facts, "bk_facts", buckets = 8, bucketCols = Seq("k"))
+    lw.commitBucketed(dims, "bk_dims", buckets = 8, bucketCols = Seq("k"))
     try {
       // disable broadcast so the join would otherwise SHUFFLE both sides
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val joined = spark.table("bk_facts").join(spark.table("bk_dims"), "k")
+      val joined = LakeWriter.readBucketedTable(spark, "bk_facts")
+        .join(LakeWriter.readBucketedTable(spark, "bk_dims"), "k")
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"expected exchange-free bucketed join:\n$plan")
       assert(joined.count() == 10000L * 10) // each k has 10 dim rows
@@ -99,35 +100,35 @@ class LakeWriterSpec extends AnyFunSuite {
     assert(touching <= 8, s"x-slice touched $touching of 16 files")
   }
 
-  test("writer lock: compact cannot run while an append holds the table lock") {
+  test("writer lock: compaction cannot run while another writer holds the lock") {
     val root = Files.createTempDirectory("lock1").toString
     val lw = new LakeWriter(root, mode = "append")
-    lw.writeBucketed(Seq((1L, "a")).toDF("k", "v"), "lk_tbl", 4, Seq("k"))
+    lw.commitBucketed(Seq((1L, "a")).toDF("k", "v"), "lk_tbl", 4, Seq("k"))
     try {
       // the lock is not reentrant, so holding it and compacting in
       // the same thread deterministically exercises the waiter path
       val e = intercept[IllegalStateException] {
-        lw.withTableLock(spark, "lk_tbl") {
-          lw.compactBucketed(spark, "lk_tbl", lockWaitMs = 400)
+        lw.withTableLock(spark, "lk_tbl@manifest") {
+          lw.compactBucketedManifested(spark, "lk_tbl", lockWaitMs = 400)
         }
       }
       assert(e.getMessage.contains("writer lock"))
-      // released ⇒ the same compact succeeds
-      assert(lw.compactBucketed(spark, "lk_tbl") == 1)
+      // released ⇒ the same compact succeeds (replacement commit v2)
+      assert(lw.compactBucketedManifested(spark, "lk_tbl") == 2)
     } finally spark.sql("DROP TABLE IF EXISTS lk_tbl")
   }
 
   test("writer lock: a crashed holder's stale lock is broken, not wedged") {
     val root = Files.createTempDirectory("lock2").toString
     val lw = new LakeWriter(root, mode = "append")
-    lw.writeBucketed(Seq((1L, "a")).toDF("k", "v"), "lk_stale", 4, Seq("k"))
+    lw.commitBucketed(Seq((1L, "a")).toDF("k", "v"), "lk_stale", 4, Seq("k"))
     try {
       // simulate a kill -9 mid-compact: lockfile exists, holder gone
-      val lock = new java.io.File(s"$root/lk_stale__lock")
+      val lock = new java.io.File(s"$root/lk_stale@manifest__lock")
       assert(lock.createNewFile())
       assert(lock.setLastModified(System.currentTimeMillis() - 60000))
-      assert(lw.compactBucketed(spark, "lk_stale",
-        lockWaitMs = 5000, lockStaleMs = 1000) == 1)
+      assert(lw.compactBucketedManifested(spark, "lk_stale",
+        lockWaitMs = 5000, lockStaleMs = 1000) == 2)
       assert(!lock.exists(), "broken stale lock must not linger")
     } finally spark.sql("DROP TABLE IF EXISTS lk_stale")
   }
@@ -160,59 +161,58 @@ class LakeWriterSpec extends AnyFunSuite {
     // many appended shards ⇒ many files ⇒ a compact slow enough that
     // the racing append below really overlaps its window
     (0 until 6).foreach(_ =>
-      lw.writeBucketed(base.limit(2000), "lk_race", 4, Seq("k")))
-    val before = spark.table("lk_race").count()
+      lw.commitBucketed(base.limit(2000), "lk_race", 4, Seq("k")))
+    val before = LakeWriter.readBucketedTable(spark, "lk_race").count()
     try {
       val appended = new java.util.concurrent.atomic.AtomicLong(0)
       val t = new Thread(() => {
         val shard = Seq((999L, 999L), (998L, 998L)).toDF("k", "v")
-        lw.writeBucketed(shard, "lk_race", 4, Seq("k"))
+        lw.commitBucketed(shard, "lk_race", 4, Seq("k"))
         appended.set(2)
       })
       t.start()
-      lw.compactBucketed(spark, "lk_race")
+      lw.compactBucketedManifested(spark, "lk_race")
       t.join(120000)
       assert(!t.isAlive, "append thread must complete")
-      spark.catalog.refreshTable("lk_race")
-      assert(spark.table("lk_race").count() == before + appended.get(),
+      assert(LakeWriter.readBucketedTable(spark, "lk_race").count()
+        == before + appended.get(),
         "the appended shard must survive the compact — serialized, not dropped")
-      assert(spark.table("lk_race").filter($"k" === 999L).count() == 1)
+      assert(LakeWriter.readBucketedTable(spark, "lk_race")
+        .filter($"k" === 999L).count() == 1)
     } finally spark.sql("DROP TABLE IF EXISTS lk_race")
   }
 
-  test("withSwapRetry: a reader loop racing compactBucketed never throws " +
-    "and always sees the full table") {
+  test("withSwapRetry: a reader loop racing compact's directory swap never " +
+    "throws and always sees the full entity") {
     val root = Files.createTempDirectory("swapread").toString
     val lw = new LakeWriter(root, mode = "append")
     val base = (1 to 8000).map(i => (i.toLong % 32, i.toLong)).toDF("k", "v")
     (0 until 4).foreach(_ =>
-      lw.writeBucketed(base.limit(2000), "lk_read", 4, Seq("k")))
-    val expected = spark.table("lk_read").count()
-    try {
-      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
-      val reads = new java.util.concurrent.atomic.AtomicLong(0)
-      val reader = new Thread(() => {
-        try while (!stop.get()) {
-          val n = graft.core.Tables.withSwapRetry(spark, Seq("lk_read")) {
-            spark.table("lk_read").count()
-          }
-          if (n != expected)
-            failures.add(new AssertionError(s"torn read: $n != $expected"))
-          reads.incrementAndGet()
-          ()
-        } catch { case t: Throwable => failures.add(t) }
-      })
-      reader.start()
-      // several full swap cycles while the reader hammers the table
-      (0 until 3).foreach(_ => lw.compactBucketed(spark, "lk_read"))
-      stop.set(true)
-      reader.join(120000)
-      assert(!reader.isAlive, "reader thread must complete")
-      assert(failures.isEmpty,
-        s"reader racing the swap must never throw or tear: ${failures.peek()}")
-      assert(reads.get() > 0, "the reader loop must actually have read")
-    } finally spark.sql("DROP TABLE IF EXISTS lk_read")
+      base.limit(2000).write.mode("append").parquet(s"$root/lk_read"))
+    val expected = spark.read.parquet(s"$root/lk_read").count()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reads = new java.util.concurrent.atomic.AtomicLong(0)
+    val reader = new Thread(() => {
+      try while (!stop.get()) {
+        val n = graft.core.Tables.withSwapRetry(spark, Seq.empty) {
+          spark.read.parquet(s"$root/lk_read").count()
+        }
+        if (n != expected)
+          failures.add(new AssertionError(s"torn read: $n != $expected"))
+        reads.incrementAndGet()
+        ()
+      } catch { case t: Throwable => failures.add(t) }
+    })
+    reader.start()
+    // several full swap cycles while the reader hammers the entity
+    (0 until 3).foreach(_ => lw.compact(spark, "lk_read"))
+    stop.set(true)
+    reader.join(120000)
+    assert(!reader.isAlive, "reader thread must complete")
+    assert(failures.isEmpty,
+      s"reader racing the swap must never throw or tear: ${failures.peek()}")
+    assert(reads.get() > 0, "the reader loop must actually have read")
   }
 
   test("withSwapRetry: retries only missing-path failures, bounded, then rethrows") {
@@ -346,18 +346,20 @@ class LakeWriterSpec extends AnyFunSuite {
     assert(lw.readManifested(spark, "m5").count() == 5)
   }
 
-  test("compact leaves no scratch artifacts (__compacting / __old / lock)") {
+  test("bucketed maintenance leaves no scratch artifacts (lock / tmp manifest)") {
     val root = Files.createTempDirectory("lock4").toString
     val lw = new LakeWriter(root, mode = "append")
-    lw.writeBucketed((1 to 100).map(i => (i.toLong % 8, i.toLong)).toDF("k", "v"),
+    lw.commitBucketed((1 to 100).map(i => (i.toLong % 8, i.toLong)).toDF("k", "v"),
       "lk_fail", 4, Seq("k"))
     try {
-      // (the swap-FAILURE branch deletes __compacting too — that path
-      // needs rename fault injection and is covered by code audit)
-      lw.compactBucketed(spark, "lk_fail")
+      lw.compactBucketedManifested(spark, "lk_fail")
+      lw.vacuumBucketed(spark, "lk_fail", keepVersions = 1)
       val leftovers = new java.io.File(root).listFiles().map(_.getName)
-        .filter(n => n.contains("__compacting") || n.contains("__old") || n.contains("__lock"))
-      assert(leftovers.isEmpty, s"compact must clean its scratch: ${leftovers.toSeq}")
+        .filter(n => n.contains("__lock") || n.contains("__compacting") || n.contains("__old"))
+      val tmps = new java.io.File(s"$root/lk_fail__manifests").listFiles()
+        .map(_.getName).filter(_.endsWith(".json.tmp"))
+      assert(leftovers.isEmpty && tmps.isEmpty,
+        s"maintenance must clean its scratch: ${(leftovers ++ tmps).toSeq}")
     } finally spark.sql("DROP TABLE IF EXISTS lk_fail")
   }
 

@@ -18,6 +18,18 @@ class ManifestedBucketedSpec extends AnyFunSuite {
   private def dropT(names: String*): Unit =
     names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
 
+  /** Build a legacy (pre-manifest) plain bucketed table the way the
+    * retired writeBucketed did — the read-compat fixtures these specs
+    * exercise; no production writer emits this layout anymore.
+    */
+  private def writeLegacyBucketed(
+      df: org.apache.spark.sql.DataFrame, root: String, table: String,
+      buckets: Int, cols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, cols.head, cols.tail: _*)
+      .sortBy(cols.head, cols.tail: _*)
+      .option("path", s"$root/$table").saveAsTable(table)
+
   test("commitBucketed: append commits accumulate, replace supersedes, pinned " +
       "versions time-travel, and the probe plan stays bucketed + exchange-free") {
     val root = Files.createTempDirectory("mbk").toString
@@ -293,13 +305,13 @@ class ManifestedBucketedSpec extends AnyFunSuite {
     } finally dropT("mbk_fc")
   }
 
-  test("commitBucketed refuses a legacy writeBucketed table with the " +
+  test("commitBucketed refuses a legacy plain-bucketed table with the " +
       "migration story instead of an opaque partitioning mismatch") {
     val root = Files.createTempDirectory("mbklg").toString
     val lw = new LakeWriter(root)
     try {
-      lw.writeBucketed((1 to 10).map(i => (i.toLong, i)).toDF("k", "n"),
-        "mbk_lgw", 2, Seq("k"))
+      writeLegacyBucketed((1 to 10).map(i => (i.toLong, i)).toDF("k", "n"),
+        root, "mbk_lgw", 2, Seq("k"))
       val e = intercept[IllegalArgumentException] {
         lw.commitBucketed((11L to 12L).map(i => (i, i.toInt)).toDF("k", "n"),
           "mbk_lgw", 2, Seq("k"))
@@ -321,8 +333,8 @@ class ManifestedBucketedSpec extends AnyFunSuite {
     val root = Files.createTempDirectory("mbkleg").toString
     val lw = new LakeWriter(root)
     try {
-      lw.writeBucketed((1 to 10).map(i => (i.toLong, i)).toDF("k", "n"),
-        "mbk_leg", 2, Seq("k"))
+      writeLegacyBucketed((1 to 10).map(i => (i.toLong, i)).toDF("k", "n"),
+        root, "mbk_leg", 2, Seq("k"))
       assert(LakeWriter.readBucketedTable(spark, "mbk_leg").count() == 10)
     } finally dropT("mbk_leg")
   }
