@@ -239,6 +239,49 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY doc_id ORDER BY sim DESC, cid) AS rn
        |  FROM a)""".stripMargin
 
+  /** t143/t144 shared planting: one row per distinct part name
+    * (keyed by min part key), each entity re-ingested TWICE — first
+    * character mangled (+1e6, invisible to a prefix block) and last
+    * character mangled (+2e6, invisible to a suffix block) — plus an
+    * unmatched md5-named singleton for every 5th entity (+3e6, so the
+    * entity-id assignment's no-match arm is non-vacuous). The twin
+    * fragment [[fuzzyCte]] plants identically.
+    */
+  private def fuzzyPlanted(t: graft.core.Tables): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat, expr, lit, md5, min, substring}
+    val base = t.part.groupBy(col("p_name").as("name"))
+      .agg(min("p_partkey").as("key")).select("key", "name")
+    base
+      .unionByName(base.select((col("key") + 1000000L).as("key"),
+        concat(lit("x"), substring(col("name"), 2, 1000)).as("name")))
+      .unionByName(base.select((col("key") + 2000000L).as("key"),
+        concat(expr("substr(name, 1, length(name)-1)"), lit("x")).as("name")))
+      .unionByName(base.filter(col("key") % 5 === 0)
+        .select((col("key") + 3000000L).as("key"),
+          concat(lit("z"), md5(col("key").cast("string"))).as("name")))
+  }
+
+  /** DuckDB twin of [[fuzzyPlanted]] + the two-pass blocked candidate
+    * chain — ends at CTE `m` = (key_a, key_b, dist), verified pairs.
+    */
+  private def fuzzyCte: String =
+    """ent AS (SELECT min(p_partkey) AS key, p_name AS name FROM part GROUP BY 2),
+      |named AS (SELECT key, name FROM ent
+      |  UNION ALL SELECT key + 1000000, 'x' || substr(name, 2) FROM ent
+      |  UNION ALL SELECT key + 2000000, substr(name, 1, length(name)-1) || 'x' FROM ent
+      |  UNION ALL SELECT key + 3000000, 'z' || md5(CAST(key AS VARCHAR)) FROM ent WHERE key % 5 = 0),
+      |b1 AS (SELECT key, name, substr(name, 2) AS b FROM named),
+      |b2 AS (SELECT key, name, substr(name, 1, length(name)-1) AS b FROM named),
+      |cand AS (
+      |  SELECT a.key AS key_a, b.key AS key_b FROM b1 a JOIN b1 b ON a.b = b.b AND a.key < b.key
+      |  UNION
+      |  SELECT a.key, b.key FROM b2 a JOIN b2 b ON a.b = b.b AND a.key < b.key),
+      |m AS (SELECT c.key_a, c.key_b,
+      |    CAST(levenshtein(na.name, nb.name) AS BIGINT) AS dist
+      |  FROM cand c JOIN named na ON na.key = c.key_a
+      |  JOIN named nb ON nb.key = c.key_b
+      |  WHERE levenshtein(na.name, nb.name) <= 2)""".stripMargin
+
   // t71/t72 shared fragment: the planted raw-URL corpus (UrlOps
   // .plantUrls verbatim) canonicalized by the same rule chain — ends
   // at CTE `n` = (doc_id, url_norm, domain)
@@ -701,6 +744,11 @@ object SparkEntry {
     // zero shuffle; round-trips q54 under the gate
     "q55_unpivot_revenue" -> ((s, d) => { val t = Tables.load(s, d)
       Relational.unpivotRevenue(t.lineitem) }),
+    // correlated scalar subquery, decorrelated by Catalyst into one
+    // aggregate + one equi-join (no per-row re-execution; the plan is
+    // spec-asserted) — orders priced above their customer's average
+    "q56_correlated_subquery" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.priceAboveCustomerAvg(t.orders) }),
     // data-quality expectations: four row rules in one aggregate
     // pass + a uniqueness constraint; the natural data violates the
     // tight bounds, the planted re-ingestion (every 997th order's
@@ -742,6 +790,39 @@ object SparkEntry {
         base.select((col("key") + 1000000L).as("key"),
           concat(lit("x"), substring(col("name"), 2, 1000)).as("name")))
       TextOps.fuzzyMatch(planted, expr("substr(name, 2)"), maxDist = 2) }),
+    // TWO-PASS blocked fuzzy match: a first-character typo escapes
+    // the prefix block and a last-character typo escapes the suffix
+    // block — candidates union from BOTH complementary blocks, dedup,
+    // one shared verify. The planting mangles each entity at both
+    // ends, so each pass finds pairs the other is blind to
+    "t143_fuzzy_two_pass" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.expr
+      TextOps.fuzzyMatchMultiBlock(fuzzyPlanted(t),
+        Seq(expr("substr(name, 2)"), expr("substr(name, 1, length(name)-1)")),
+        maxDist = 2) }),
+    // entity-id assignment: the two-pass pairs through the shared
+    // min-label propagation core — every key gets the min key of its
+    // fuzzy component (base + both typo variants resolve to ONE id),
+    // unmatched singletons get themselves
+    "t144_entity_ids" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, expr}
+      val planted = fuzzyPlanted(t)
+      val pairs = TextOps.fuzzyMatchMultiBlock(planted,
+        Seq(expr("substr(name, 2)"), expr("substr(name, 1, length(name)-1)")),
+        maxDist = 2).select(col("key_a"), col("key_b"))
+      TextOps.entityIds(planted, pairs) }),
+    // generic connected components over a sparsified co-purchase
+    // graph (quantity-filtered, so components are real multi-hop
+    // structures, not one giant clique) — the dedup-cluster min-label
+    // core exposed for arbitrary edge frames
+    "t145_connected_components" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      val li = t.lineitem.filter(col("l_quantity") <= 5)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      GraphOps.connectedComponents(pairs, maxIter = 60) }),
     // SCD-2 interval build: order-status history collapsed into
     // validity intervals (gaps-and-islands, customer-partitioned)
     "t125_scd2_intervals" -> ((s, d) => { val t = Tables.load(s, d)
@@ -1710,6 +1791,19 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT l_returnflag, 'rev_o', rev_o FROM wide)
          |ORDER BY l_returnflag, metric""".stripMargin,
+    // q56 twin: the SAME correlated-scalar-subquery text — DuckDB
+    // decorrelates identically, and the exact integer-quantized mean
+    // makes the averages bit-identical
+    "q56_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey, price, cust_avg FROM (
+        |  SELECT o1.o_orderkey, o1.o_custkey,
+        |    CAST(floor(o1.o_totalprice * 100.0 + 0.5) / 100.0 AS DOUBLE) AS price,
+        |    CAST((SELECT floor(CAST(sum(CAST(floor(o2.o_totalprice * 1000000.0 + 0.5)
+        |         AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0 / count(*) * 10000.0 + 0.5) / 10000.0
+        |     FROM orders o2 WHERE o2.o_custkey = o1.o_custkey) AS DOUBLE) AS cust_avg
+        |  FROM orders o1)
+        |WHERE price > cust_avg
+        |ORDER BY o_orderkey""".stripMargin,
     // t138 twin: identical planted dup slice, NOT-coalesce violation
     // rule (NULL predicate = violation), surplus-row uniqueness count
     "t138_expectations" ->
@@ -1771,6 +1865,43 @@ object SparkEntry {
         |FROM blk a JOIN blk b ON a.b = b.b AND a.key < b.key
         |WHERE levenshtein(a.name, b.name) <= 2
         |ORDER BY key_a, key_b""".stripMargin,
+    // t143 twin: identical double planting, identical two complementary
+    // blocks, one shared exact-Levenshtein verify over the deduped
+    // candidate union
+    "t143_fuzzy_two_pass" ->
+      s"""WITH $fuzzyCte
+         |SELECT key_a, key_b, dist FROM m ORDER BY key_a, key_b""".stripMargin,
+    // t144 twin: recursive closure over the verified pair graph (the
+    // t49 reach pattern), min key per component, singletons filled
+    // from the full key universe by the left-join null arm
+    "t144_entity_ids" ->
+      s"""WITH RECURSIVE $fuzzyCte,
+         |e AS (SELECT key_a AS src, key_b AS dst FROM m
+         |      UNION SELECT key_b, key_a FROM m),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM e UNION SELECT src, dst FROM e
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+         |cl AS (SELECT id, min(r) AS cid FROM reach GROUP BY id)
+         |SELECT n.key, coalesce(cl.cid, n.key) AS entity_id,
+         |  n.key = coalesce(cl.cid, n.key) AS is_canonical
+         |FROM (SELECT DISTINCT key FROM named) n
+         |LEFT JOIN cl ON cl.id = n.key
+         |ORDER BY key""".stripMargin,
+    // t145 twin: the same sparsified co-purchase edges, recursive
+    // reachability closure, min node id per component
+    "t145_connected_components" ->
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity <= 5),
+        |p AS (SELECT a.pk AS src, b.pk AS dst
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM e UNION SELECT src, dst FROM e
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
+        |SELECT id, min(r) AS component FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin,
     // t139 twin: same distinct-days → full-calendar anti-join
     "t139_date_gaps" ->
       """WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS dt FROM orders

@@ -606,7 +606,7 @@ object Dedup {
     * checkpoint stays alive — the caller's action reads it;
     * GraftCaches.release (or Bench, between queries) reclaims it.
     */
-  private def propagateMin(
+  private[ops] def propagateMin(
       pairs: DataFrame, aCol: String, bCol: String, maxIter: Int,
       seedFrom: DataFrame => DataFrame): DataFrame = {
     // Materialize the pair frame ONCE before anything references it:

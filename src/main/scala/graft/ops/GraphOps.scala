@@ -12,6 +12,28 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** GENERIC CONNECTED COMPONENTS over an undirected edge frame —
+    * the dedup-cluster core ([[Dedup.dedupClusters]]) exposed for
+    * arbitrary graphs: iterative min-label propagation, each sweep
+    * one fully-distributed join+aggregate with the cached edge list
+    * exchange-free after the first sweep (the partitioned-cache
+    * discipline documented at the shared core). Iteration count is
+    * bounded by component DIAMETER — near-clique similarity graphs
+    * converge in 2–3 sweeps; long-path graphs (chains, road-like
+    * graphs) need ~diameter sweeps, so `maxIter` is a caller choice
+    * (the 100 TB alternative for huge-diameter graphs is the
+    * large-star/small-star contraction algorithm, out of scope while
+    * no gated graph needs it). Edges: (src, dst), direction ignored.
+    * Output: (id, component = min node id in the component) for every
+    * node with at least one edge, ordered by id.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame =
+    Dedup.propagateMin(edges, "src", "dst", maxIter,
+      es => es.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
+      .select(col("id"), col("label").as("component"))
+      .orderBy("id")
+
   /** INTEGER-SCALED PageRank: `iters` fixed power iterations of
     * s' = 150000 + Σ_in (85·s_src) div (100·deg_src), scores in
     * micro-units (1.0 ≡ 1,000,000) — the standard 0.15/0.85 damped

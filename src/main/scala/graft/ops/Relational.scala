@@ -579,6 +579,36 @@ object Relational {
         count(lit(1)).as("n_lines"))
       .orderBy(col("gid"), col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** CORRELATED SCALAR SUBQUERY — orders priced above their own
+    * customer's average order price, written as SQL with a correlated
+    * scalar subquery (the form analysts actually write) and executed
+    * by Catalyst's DECORRELATION: the optimizer rewrites the per-row
+    * subquery into ONE aggregate over orders plus ONE equi-join on
+    * o_custkey — no per-row re-execution, plan spec-asserted (the
+    * executed plan contains an Aggregate+Join and no subquery
+    * expression). The twin runs the same text in DuckDB, which
+    * decorrelates identically, and both sides use the [[Exact]]
+    * integer-quantized mean so the averages are bit-identical.
+    * Output: (o_orderkey, o_custkey, price, cust_avg), price strictly
+    * above the customer average.
+    */
+  def priceAboveCustomerAvg(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val vn = "graft_corr_orders"
+    orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      .createOrReplaceTempView(vn)
+    spark.sql(
+      s"""SELECT o_orderkey, o_custkey, price, cust_avg FROM (
+         |  SELECT o1.o_orderkey, o1.o_custkey,
+         |    CAST(floor(o1.o_totalprice * 100.0 + 0.5) / 100.0 AS DOUBLE) AS price,
+         |    CAST((SELECT floor(CAST(sum(CAST(floor(o2.o_totalprice * 1000000.0 + 0.5)
+         |         AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0 / count(*) * 10000.0 + 0.5) / 10000.0
+         |     FROM $vn o2 WHERE o2.o_custkey = o1.o_custkey) AS DOUBLE) AS cust_avg
+         |  FROM $vn o1)
+         |WHERE price > cust_avg
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** DATA-QUALITY EXPECTATIONS — the Deequ-shaped validation pass a
     * warehouse runs before publishing a table: declarative row rules
     * (each a Column predicate; a NULL predicate result counts as a

@@ -39,6 +39,65 @@ object TextOps {
       .orderBy("key_a", "key_b")
   }
 
+  /** [[fuzzyMatch]] with MULTIPLE complementary blocking passes — the
+    * standard recall fix for single-block fuzzy matching: a typo
+    * INSIDE the block-key region makes the pair invisible to that
+    * block (a first-character typo escapes a prefix block, a
+    * last-character typo escapes a suffix block), so candidates are
+    * unioned from every block (e.g. name-without-first-char AND
+    * name-without-last-char), deduped, and verified ONCE. Each pass
+    * stays an equi-join on its block key — never all-pairs — so k
+    * blocks cost k candidate joins plus one shared verify; candidate
+    * dedup happens BEFORE the O(len²) Levenshtein DP, so a pair found
+    * by both blocks is verified once. Output: (key_a, key_b, dist),
+    * key_a < key_b, pairs within `maxDist` edits that at least one
+    * block surfaced.
+    */
+  def fuzzyMatchMultiBlock(named: DataFrame, blockKeys: Seq[Column],
+      maxDist: Int = 2): DataFrame = {
+    require(blockKeys.nonEmpty, "need at least one blocking key")
+    val base = named.select(col("key"), col("name"))
+    val cands = blockKeys.map { bk =>
+      val blocked = base.withColumn("_blk", bk)
+      blocked.as("a")
+        .join(blocked.as("b"),
+          col("a._blk") === col("b._blk") && col("a.key") < col("b.key"))
+        .select(col("a.key").as("key_a"), col("b.key").as("key_b"))
+    }.reduce(_ unionByName _).distinct()
+    cands
+      .join(base.select(col("key").as("key_a"), col("name").as("name_a")), "key_a")
+      .join(base.select(col("key").as("key_b"), col("name").as("name_b")), "key_b")
+      .select(col("key_a"), col("key_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy("key_a", "key_b")
+  }
+
+  /** ENTITY-ID ASSIGNMENT over fuzzy pairs — the operator users
+    * actually join on: every key gets an `entity_id` (the minimum key
+    * of its connected component over the verified pairs — a
+    * deterministic canonical representative), keys with no fuzzy
+    * match get themselves. Components come from the same distributed
+    * min-label propagation the dedup clusters use
+    * ([[graft.ops.Dedup.dedupClusters]] — one shared core, so the two
+    * families can't drift); the singleton fill-in is a left join on
+    * the key, nothing corpus-sized beyond the pair graph moves.
+    * Input: `named` = (key, name) universe, `pairs` = (key_a, key_b)
+    * from [[fuzzyMatch]]/[[fuzzyMatchMultiBlock]].
+    * Output: (key, entity_id, is_canonical), one row per distinct key.
+    */
+  def entityIds(named: DataFrame, pairs: DataFrame): DataFrame = {
+    val clusters = Dedup.dedupClusters(
+      pairs.select(col("key_a").as("doc_a"), col("key_b").as("doc_b")))
+    named.select(col("key")).distinct()
+      .join(clusters.select(col("doc_id").as("key"), col("cluster_id")),
+        Seq("key"), "left")
+      .select(col("key"),
+        coalesce(col("cluster_id"), col("key")).as("entity_id"))
+      .withColumn("is_canonical", col("key") === col("entity_id"))
+      .orderBy("key")
+  }
+
   /** Canonical token list (lowercased alphanumeric runs). */
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))

@@ -8,6 +8,30 @@ class GraphOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("connectedComponents: chain + triangle + isolate-pair resolve to min " +
+      "labels; a long chain needs (and gets) diameter-many sweeps") {
+    import org.apache.spark.sql.functions.col
+    // components: a 6-node chain (diameter 5 — more sweeps than a
+    // clique), a triangle, and a 2-node pair; direction mixed to
+    // prove undirectedness
+    val edges = Seq(
+      (1L, 2L), (3L, 2L), (3L, 4L), (5L, 4L), (5L, 6L), // chain 1..6
+      (10L, 11L), (11L, 12L), (12L, 10L),               // triangle
+      (21L, 20L)                                        // pair
+    ).toDF("src", "dst")
+    val got = GraphOps.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = (1L to 6L).map((_, 1L)) ++
+      (10L to 12L).map((_, 10L)) ++ Seq((20L, 20L), (21L, 20L))
+    assert(got == want, got.toString)
+    // maxIter below the diameter must NOT silently converge wrong:
+    // the chain's far end still carries a non-min label
+    val capped = GraphOps.connectedComponents(edges, maxIter = 2)
+      .filter(col("id") === 6L).collect().head.getLong(1)
+    assert(capped != 1L, "2 sweeps cannot reach the chain's far end — " +
+      "if this is 1, the iteration bound is not what the scaladoc claims")
+  }
+
   test("pageRankInt: hand-derived star-graph scores, exact at every iteration") {
     // undirected star: hub 1 — leaves 2, 3 (both directions)
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)).toDF("src", "dst")

@@ -164,6 +164,31 @@ class RelationalSpec extends AnyFunSuite {
       s"layered delta must equal the full fold:\n$layered")
   }
 
+  test("priceAboveCustomerAvg: golden per-customer averages, and Catalyst " +
+      "DECORRELATES the scalar subquery into an aggregate + join — no " +
+      "per-row re-execution") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, 10L, 100.0), (2L, 10L, 300.0),             // cust 10: avg 200
+      (3L, 20L, 50.0), (4L, 20L, 50.0), (5L, 20L, 80.0) // cust 20: avg 60
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val out = Relational.priceAboveCustomerAvg(orders)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == Seq((2L, 300.0, 200.0), (5L, 80.0, 60.0)), got.toString)
+    // the executed plan must be the decorrelated form: at least one
+    // join, and NO subquery expression anywhere (a surviving
+    // ScalarSubquery would mean per-outer-row re-execution)
+    val plan = out.queryExecution.executedPlan
+    val planStr = plan.toString
+    assert(!planStr.contains("ScalarSubquery") && !planStr.contains("Subquery"),
+      s"scalar subquery must be decorrelated away:\n$planStr")
+    // (string match: plan.collect does not descend through AQE's
+    // query-stage wrappers, but the rendered tree shows every node)
+    assert(planStr.contains("Join"),
+      s"decorrelation must produce a join:\n$planStr")
+  }
+
   test("expectationsReport: null predicates violate, uniqueness counts surplus " +
       "rows, passing rules report zero") {
     import spark.implicits._

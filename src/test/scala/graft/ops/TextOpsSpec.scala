@@ -9,6 +9,49 @@ class TextOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("fuzzyMatchMultiBlock: a block-key typo is invisible to its own block " +
+      "and found only by the complementary pass; shared pairs verify once") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val named = Seq(
+      (1L, "alphabet"),  // base
+      (2L, "xlphabet"),  // first-char typo: escapes the prefix block
+      (3L, "alphabex"),  // last-char typo: escapes the suffix block
+      (4L, "zzzzzzzz")   // unrelated
+    ).toDF("key", "name")
+    val prefix = expr("substr(name, 1, length(name)-1)")
+    val suffix = expr("substr(name, 2)")
+    def pairs(blocks: Seq[org.apache.spark.sql.Column]) =
+      TextOps.fuzzyMatchMultiBlock(named, blocks, maxDist = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // each single block is blind to the typo INSIDE its key region
+    assert(pairs(Seq(suffix)) == Set((1L, 2L)))
+    assert(pairs(Seq(prefix)) == Set((1L, 3L)))
+    // the union finds both (1,2)-(1,3); (2,3) differs at both ends so
+    // NEITHER block surfaces it — candidate recall, not all-pairs
+    assert(pairs(Seq(suffix, prefix)) == Set((1L, 2L), (1L, 3L)))
+    // distances are the exact DP values
+    val d = TextOps.fuzzyMatchMultiBlock(named, Seq(suffix, prefix), 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(d == Map((1L, 2L) -> 1L, (1L, 3L) -> 1L))
+  }
+
+  test("entityIds: a 3-member typo cluster resolves to ONE deterministic id; " +
+      "unmatched keys get themselves") {
+    import org.apache.spark.sql.functions.expr
+    val named = Seq(
+      (5L, "alphabet"), (2L, "xlphabet"), (9L, "alphabex"), // one entity
+      (7L, "qqqqqqqq")                                      // singleton
+    ).toDF("key", "name")
+    val pairs = TextOps.fuzzyMatchMultiBlock(named,
+      Seq(expr("substr(name, 2)"), expr("substr(name, 1, length(name)-1)")), 2)
+    val got = TextOps.entityIds(named, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    // min key 2 is the canonical representative of the whole cluster —
+    // including key 9, connected only THROUGH key 5 (no direct 2-9 pair)
+    assert(got == Seq((2L, 2L, true), (5L, 2L, false), (7L, 7L, true),
+      (9L, 2L, false)), got.toString)
+  }
+
   test("fingerprint is invariant under case/punctuation/whitespace noise") {
     import org.apache.spark.sql.functions.col
     val fps = Seq("Hello,   World!", "hello world", "  HELLO?? world\t")
