@@ -749,6 +749,14 @@ object SparkEntry {
     // spec-asserted) — orders priced above their customer's average
     "q56_correlated_subquery" -> ((s, d) => { val t = Tables.load(s, d)
       Relational.priceAboveCustomerAvg(t.orders) }),
+    // RANGE-framed window: trailing 30 CALENDAR days by date value
+    // (not 30 rows), integer day-number frame, all-integer window math
+    "q57_range_frame" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.rolling30dOrders(t.orders) }),
+    // exact grouped median from per-value COUNTS — rank math over the
+    // <=50-row histogram, never a fact-table sort
+    "q58_exact_median" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.exactMedianQty(t.lineitem) }),
     // data-quality expectations: four row rules in one aggregate
     // pass + a uniqueness constraint; the natural data violates the
     // tight bounds, the planted re-ingestion (every 997th order's
@@ -823,6 +831,31 @@ object SparkEntry {
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("src"), col("b.pk").as("dst"))
       GraphOps.connectedComponents(pairs, maxIter = 60) }),
+    // the SAME graph through the alternating big-star/small-star
+    // contraction — O(log n) rounds instead of O(diameter) sweeps,
+    // the huge-diameter 100× lever; output must match t145 verbatim
+    "t146_cc_bigstar" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      val li = t.lineitem.filter(col("l_quantity") <= 5)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      GraphOps.connectedComponentsBigStar(pairs) }),
+    // MERGE INTO / SCD-1 upsert: every 7th customer's segment+balance
+    // overwritten in place, every 31st re-ingested under a new key —
+    // matched rows replaced wholesale, unmatched pass through, new
+    // keys insert
+    "t147_merge_upsert" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, lit}
+      val dim = t.customer.select("c_custkey", "c_mktsegment", "c_acctbal")
+      val upd = dim.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), lit("MERGED").as("c_mktsegment"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"))
+        .unionByName(dim.filter(col("c_custkey") % 31 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            lit("NEWKEY").as("c_mktsegment"), col("c_acctbal")))
+      Relational.mergeUpsert(dim, upd, "c_custkey").orderBy("c_custkey") }),
     // SCD-2 interval build: order-status history collapsed into
     // validity intervals (gaps-and-islands, customer-partitioned)
     "t125_scd2_intervals" -> ((s, d) => { val t = Tables.load(s, d)
@@ -1804,6 +1837,31 @@ object SparkEntry {
         |  FROM orders o1)
         |WHERE price > cust_avg
         |ORDER BY o_orderkey""".stripMargin,
+    // q57 twin: the same integer day-number RANGE frame
+    "q57_range_frame" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dn,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, dn,
+        |  count(*) OVER w AS n_30d,
+        |  sum(cents) OVER w AS cents_30d
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY dn
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, dn, o_orderkey""".stripMargin,
+    // q58 twin: identical histogram rank math — cumulative counts,
+    // min value reaching each middle rank, two-value average
+    "q58_exact_median" ->
+      """WITH x AS (SELECT l_returnflag AS rf, CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem),
+        |c AS (SELECT rf, q, count(*) AS c FROM x GROUP BY 1, 2),
+        |cum AS (SELECT rf, q, sum(c) OVER (PARTITION BY rf ORDER BY q) AS cum,
+        |        sum(c) OVER (PARTITION BY rf) AS n FROM c),
+        |v1 AS (SELECT rf, min(q) AS v1 FROM cum WHERE cum >= (n+1)//2 GROUP BY rf),
+        |v2 AS (SELECT rf, min(q) AS v2 FROM cum WHERE cum >= (n+2)//2 GROUP BY rf)
+        |SELECT v1.rf, CAST(v1.v1 + v2.v2 AS DOUBLE) / 2.0 AS median_qty
+        |FROM v1 JOIN v2 USING (rf) ORDER BY rf""".stripMargin,
     // t138 twin: identical planted dup slice, NOT-coalesce violation
     // rule (NULL predicate = violation), surplus-row uniqueness count
     "t138_expectations" ->
@@ -1902,6 +1960,36 @@ object SparkEntry {
         |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
         |SELECT id, min(r) AS component FROM reach GROUP BY id
         |ORDER BY id""".stripMargin,
+    // t146 twin: the t145 closure verbatim — the alternating
+    // contraction must produce the identical component map
+    "t146_cc_bigstar" ->
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity <= 5),
+        |p AS (SELECT a.pk AS src, b.pk AS dst
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM e UNION SELECT src, dst FROM e
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
+        |SELECT id, min(r) AS component FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin,
+    // t147 twin: identical update slice; MERGE = target-minus-matched
+    // UNION ALL updates
+    "t147_merge_upsert" ->
+      """WITH dim AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+        |upd AS (SELECT c_custkey, 'MERGED' AS c_mktsegment,
+        |    c_acctbal + 100.0 AS c_acctbal FROM dim WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'NEWKEY', c_acctbal FROM dim
+        |  WHERE c_custkey % 31 = 0)
+        |SELECT c_custkey, c_mktsegment, c_acctbal FROM (
+        |  SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal FROM dim d
+        |  LEFT JOIN upd u ON u.c_custkey = d.c_custkey
+        |  WHERE u.c_custkey IS NULL
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM upd)
+        |ORDER BY c_custkey""".stripMargin,
     // t139 twin: same distinct-days → full-calendar anti-join
     "t139_date_gaps" ->
       """WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS dt FROM orders

@@ -579,6 +579,77 @@ object Relational {
         count(lit(1)).as("n_lines"))
       .orderBy(col("gid"), col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** RANGE-framed rolling window — the VALUE-based frame §2.6's
+    * row-framed form (q09) can't express: each order sees its
+    * customer's orders in the trailing 30 CALENDAR days (by date
+    * value), not the trailing 30 rows — sparse histories make the two
+    * wildly different. Order key is the integer day number and the
+    * frame is `rangeBetween(-30, 0)`, so the window math is pure
+    * integers (count + cents sum) — engine-exact, and the window is
+    * customer-partitioned: one history per task, never a global sort.
+    * Output: (o_custkey, o_orderkey, dn, n_30d, cents_30d).
+    */
+  def rolling30dOrders(orders: DataFrame): DataFrame = {
+    val o = orders.select(col("o_custkey"), col("o_orderkey"),
+      datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("dn"),
+      floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+    val w = Window.partitionBy("o_custkey").orderBy("dn").rangeBetween(-30, 0)
+    o.select(col("o_custkey"), col("o_orderkey"), col("dn"),
+      count(lit(1)).over(w).as("n_30d"),
+      sum("cents").over(w).as("cents_30d"))
+      .orderBy("o_custkey", "dn", "o_orderkey")
+  }
+
+  /** EXACT grouped median — not an approximation
+    * (the GK-sketch grouped quantiles are q48's job; this is the
+    * exact answer a finance auditor wants), computed WITHOUT ranking
+    * the fact table: the value domain is small (quantities 1..50), so
+    * the median falls out of per-(group, value) COUNTS — one
+    * map-side-combined aggregate over the corpus, then all rank math
+    * runs on the ≤|domain| histogram rows (cumulative counts, min
+    * value whose cumulative count reaches the middle rank(s), average
+    * of the middle one-or-two). A row_number over the fact table
+    * would sort each group in ONE task — unusable with 3 groups at
+    * 100 TB; the histogram form shuffles |groups|·|domain| rows
+    * total. Integer counts and values throughout, one division of a
+    * two-value integer sum at the end — engine-exact.
+    */
+  def exactMedianQty(lineitem: DataFrame): DataFrame = {
+    val cnt = lineitem
+      .select(col("l_returnflag").as("rf"), col("l_quantity").cast("long").as("q"))
+      .groupBy("rf", "q").agg(count(lit(1)).as("c"))
+    val cum = cnt
+      .withColumn("cum", sum("c").over(Window.partitionBy("rf").orderBy("q")))
+      .withColumn("n", sum("c").over(Window.partitionBy("rf")))
+    def valAt(rank: String, alias: String): DataFrame =
+      cum.filter(col("cum") >= expr(rank)).groupBy("rf").agg(min("q").as(alias))
+    valAt("(n+1) DIV 2", "v1").join(valAt("(n+2) DIV 2", "v2"), "rf")
+      .select(col("rf"),
+        ((col("v1") + col("v2")).cast("double") / lit(2.0)).as("median_qty"))
+      .orderBy("rf")
+  }
+
+  /** MERGE INTO / SCD-1 UPSERT — the other dimension-maintenance
+    * shape next to SCD-2 ([[scd2Intervals]] keeps history; this
+    * overwrites in place): matched keys take the update slice's row
+    * wholesale, unmatched target rows pass through, brand-new keys
+    * insert. One left-anti join on the key (updates side broadcast
+    * when dimension-slice-sized) + a union — the WHEN MATCHED THEN
+    * UPDATE / WHEN NOT MATCHED THEN INSERT core of SQL MERGE without
+    * a delete arm. Schemas must match; the update slice must be
+    * unique per key (enforce upstream with [[expectationsReport]]'s
+    * uniqueness rule, or at commit time via the expectations hook).
+    * Scale shape: the target never shuffles on anything but the key
+    * anti-join; nothing is rewritten that a delta-maintained
+    * manifested table wouldn't rewrite
+    * ([[graft.sinks.LakeWriter.readBucketedTableMerged]] is the
+    * storage-level twin of this row-level rule).
+    */
+  def mergeUpsert(target: DataFrame, updates: DataFrame, key: String): DataFrame =
+    target
+      .join(updates.select(col(key)), Seq(key), "left_anti")
+      .unionByName(updates.select(target.columns.map(col): _*))
+
   /** CORRELATED SCALAR SUBQUERY — orders priced above their own
     * customer's average order price, written as SQL with a correlated
     * scalar subquery (the form analysts actually write) and executed

@@ -32,6 +32,30 @@ class GraphOpsSpec extends AnyFunSuite {
       "if this is 1, the iteration bound is not what the scaladoc claims")
   }
 
+  test("connectedComponentsBigStar: matches the propagation core on a mixed " +
+      "fixture, and resolves a 300-hop chain in O(log n) rounds where " +
+      "propagation would need 299 sweeps") {
+    val edges = Seq(
+      (1L, 2L), (3L, 2L), (3L, 4L), (5L, 4L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (21L, 20L)
+    ).toDF("src", "dst")
+    val viaProp = GraphOps.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaStar = GraphOps.connectedComponentsBigStar(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaStar == viaProp, s"$viaStar vs $viaProp")
+    // the diameter lever: a 300-node path converges inside 15 rounds
+    // (log-ish), which the require() inside the op enforces — label
+    // propagation at the same cap provably cannot finish (spec above)
+    import org.apache.spark.sql.functions.col
+    val chain = spark.range(1L, 300L)
+      .select(col("id").as("src"), (col("id") + 1L).as("dst"))
+    val far = GraphOps.connectedComponentsBigStar(chain, maxIter = 15)
+      .filter(col("id") === 300L).collect().head.getLong(1)
+    assert(far == 1L, s"chain far end must label 1, got $far")
+  }
+
   test("pageRankInt: hand-derived star-graph scores, exact at every iteration") {
     // undirected star: hub 1 — leaves 2, 3 (both directions)
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)).toDF("src", "dst")

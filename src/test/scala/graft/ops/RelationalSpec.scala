@@ -164,6 +164,20 @@ class RelationalSpec extends AnyFunSuite {
       s"layered delta must equal the full fold:\n$layered")
   }
 
+  test("mergeUpsert: matched keys replaced wholesale, unmatched pass " +
+      "through, new keys insert (golden)") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "seg", "bal")
+    val updates = Seq((2L, "B2", 99.0), (9L, "new", 1.0))
+      .toDF("k", "seg", "bal")
+    val got = Relational.mergeUpsert(target, updates, "k")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "B2", 99.0), (3L, "c", 30.0),
+      (9L, "new", 1.0)), got.toString)
+  }
+
   test("priceAboveCustomerAvg: golden per-customer averages, and Catalyst " +
       "DECORRELATES the scalar subquery into an aggregate + join — no " +
       "per-row re-execution") {
