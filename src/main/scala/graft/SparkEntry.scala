@@ -757,6 +757,11 @@ object SparkEntry {
     // <=50-row histogram, never a fact-table sort
     "q58_exact_median" -> ((s, d) => { val t = Tables.load(s, d)
       Relational.exactMedianQty(t.lineitem) }),
+    // sweep-line peak concurrent sessions per day — the global
+    // running sum via the two-phase distributed prefix sum, never an
+    // unpartitioned corpus window
+    "t148_concurrency" -> ((s, d) => { val t = Tables.load(s, d)
+      EventOps.concurrentSessions(t.events) }),
     // data-quality expectations: four row rules in one aggregate
     // pass + a uniqueness constraint; the natural data violates the
     // tight bounds, the planted re-ingestion (every 997th order's
@@ -1862,6 +1867,26 @@ object SparkEntry {
         |v2 AS (SELECT rf, min(q) AS v2 FROM cum WHERE cum >= (n+2)//2 GROUP BY rf)
         |SELECT v1.rf, CAST(v1.v1 + v2.v2 AS DOUBLE) / 2.0 AS median_qty
         |FROM v1 JOIN v2 USING (rf) ORDER BY rf""".stripMargin,
+    // t148 twin: q22's session CTEs -> interval deltas -> ONE global
+    // running sum (the oracle can afford the single window the engine
+    // replaces with the two-phase prefix sum), day peaks
+    "t148_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT user_id, event_id, us,
+        |  CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT user_id, us,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                    ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g),
+        |sess AS (SELECT user_id, session_id, min(us) AS st, max(us) AS en
+        |  FROM s GROUP BY 1, 2),
+        |d AS (SELECT st AS t, 1 AS d FROM sess
+        |      UNION ALL SELECT en + 1, -1 FROM sess),
+        |c AS (SELECT t, sum(d) OVER (ORDER BY t, d) AS conc FROM d)
+        |SELECT t // 86400000000 AS day, CAST(max(conc) AS BIGINT) AS peak
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // t138 twin: identical planted dup slice, NOT-coalesce violation
     // rule (NULL predicate = violation), surplus-row uniqueness count
     "t138_expectations" ->

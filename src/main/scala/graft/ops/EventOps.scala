@@ -317,6 +317,63 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** PEAK CONCURRENT SESSIONS per day — the sweep-line interval-
+    * overlap count (how many sessions were simultaneously open), the
+    * capacity-planning query interval data exists for. Sessions are
+    * [[sessionize]]'s gap-rule intervals; each contributes +1 at its
+    * start and −1 one microsecond after its end, and concurrency is
+    * the running sum over the globally time-ordered deltas.
+    *
+    * The running sum is the scale hazard: a naive unpartitioned
+    * window drags every delta through ONE task. Here it is the
+    * TWO-PHASE distributed prefix sum (the t54 sequence-packing
+    * pattern): range-partition the deltas by the sweep key, cumulate
+    * within each partition (peers share a range-frame value in both
+    * engines), then add each partition's exclusive offset — a
+    * ≤|partitions|-row frame, broadcast back. Identical row-level
+    * values to the oracle's single global window, computed without
+    * one. All integer math; ties order by (t, d) so closes at an
+    * instant count before opens at the same instant.
+    * Output: (day, peak) — day = µs-epoch day number.
+    */
+  def concurrentSessions(events: DataFrame, gapMin: Long = 30L): DataFrame = {
+    val gapUs = gapMin * 60000000L
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag("us", 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("is_new").over(run))
+      .groupBy("user_id", "session_id")
+      .agg(min("us").as("s"), max("us").as("e"))
+    val deltas = sess.select(col("s").as("t"), lit(1L).as("d"))
+      .unionByName(sess.select((col("e") + 1L).as("t"), lit(-1L).as("d")))
+    // phase 1: range-partition on the sweep key (equal keys land in
+    // ONE partition, so range-frame peers never straddle a boundary)
+    // and cumulate within each partition
+    val parts = deltas.repartitionByRange(32, col("t"), col("d"))
+      .withColumn("pid", spark_partition_id())
+    val within = parts.withColumn("cum",
+      sum("d").over(Window.partitionBy("pid").orderBy("t", "d")))
+    // phase 2: exclusive per-partition offsets — one row per
+    // partition, so the unpartitioned window moves ≤|partitions| rows
+    val offs = within.groupBy("pid").agg(sum("d").as("tot"))
+      .withColumn("off", coalesce(
+        sum("tot").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "off")
+    within.join(broadcast(offs), "pid")
+      .select(col("t"), (col("cum") + col("off")).as("conc"))
+      // integer DIV, not double division: a double quotient can land
+      // one ulp under an exact day boundary and truncate off-by-one
+      .withColumn("day", expr("t DIV 86400000000"))
+      .groupBy("day").agg(max("conc").as("peak"))
+      .orderBy("day")
+  }
+
   /** ORDERED FUNNEL per user: how far each user progressed through
     * `steps`, where step i+1 counts only if it happens STRICTLY AFTER
     * the user's first completion of step i (the product-analytics

@@ -152,6 +152,38 @@ class EventOpsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("timestamp or integral"))
   }
 
+  test("concurrentSessions: hand-derived day peaks, and the global running " +
+      "sum never rides an unpartitioned corpus-sized window") {
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    import org.apache.spark.sql.execution.window.WindowExec
+    // u1 session [0,600s] overlaps u2's [300,300] → day-0 peak 2;
+    // u3 and u1's second session are disjoint; u2's day-1 event alone
+    val ev = Seq(
+      (1L, 1L, 0L), (1L, 2L, 600L), (2L, 3L, 300L),
+      (3L, 4L, 7200L), (1L, 5L, 10800L), (2L, 6L, 90000L))
+      .toDF("user_id", "event_id", "secs")
+      .select(col("user_id"), col("event_id"),
+        timestamp_seconds(col("secs")).as("ts"))
+    val out = EventOps.concurrentSessions(ev)
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((0L, 2L), (1L, 1L)))
+    // scale shape: the only UNPARTITIONED window is the ≤|partitions|-
+    // row offset sum (over the per-partition totals), never the delta
+    // frame itself
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val wins = EventOps.concurrentSessions(ev)
+        .queryExecution.executedPlan.collect { case w: WindowExec => w }
+      val unpart = wins.filter(_.partitionSpec.isEmpty)
+      assert(unpart.nonEmpty && unpart.forall(_.toString.contains("tot")),
+        s"only the partition-totals offset window may be global:\n${unpart.mkString("\n")}")
+      assert(wins.exists(w => w.partitionSpec.nonEmpty &&
+        w.toString.contains("pid")),
+        "the delta cumulation must be pid-partitioned")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("asofJoinBucketed: a single hot key spreads across >1 window partition") {
     import org.apache.spark.sql.execution.window.WindowExec
     // ONE key, 400 left rows over 40 buckets — the window form would
