@@ -762,6 +762,16 @@ object SparkEntry {
     // unpartitioned corpus window
     "t148_concurrency" -> ((s, d) => { val t = Tables.load(s, d)
       EventOps.concurrentSessions(t.events) }),
+    // global interval-union coverage + peak: segment lengths from the
+    // same two-phase sweep, boundary lead stitched from a broadcast
+    // per-partition summary
+    "t149_active_coverage" -> ((s, d) => { val t = Tables.load(s, d)
+      EventOps.activeCoverage(t.events) }),
+    // EWMA (alpha = 1/2) of per-series daily counts: one corpus pass
+    // to the per-day histogram, then an in-task sequential fold over
+    // each series' sorted |days| array — bit-identical halving
+    "t150_ewma" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.ewmaDailyQty(t.lineitem) }),
     // data-quality expectations: four row rules in one aggregate
     // pass + a uniqueness constraint; the natural data violates the
     // tight bounds, the planted re-ingestion (every 997th order's
@@ -1887,6 +1897,38 @@ object SparkEntry {
         |c AS (SELECT t, sum(d) OVER (ORDER BY t, d) AS conc FROM d)
         |SELECT t // 86400000000 AS day, CAST(max(conc) AS BIGINT) AS peak
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // t149 twin: one global window for conc AND the segment lead (the
+    // engine splits both across the two-phase machinery); peers get
+    // zero-length segments, so tie order can't move the union sum
+    "t149_active_coverage" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT user_id, event_id, us,
+        |  CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT user_id, us,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                    ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g),
+        |sess AS (SELECT user_id, session_id, min(us) AS st, max(us) AS en
+        |  FROM s GROUP BY 1, 2),
+        |d AS (SELECT st AS t, 1 AS d FROM sess
+        |      UNION ALL SELECT en + 1, -1 FROM sess),
+        |c AS (SELECT t, sum(d) OVER (ORDER BY t, d) AS conc,
+        |  lead(t) OVER (ORDER BY t, d) AS nxt FROM d)
+        |SELECT CAST(coalesce(sum(CASE WHEN conc > 0 THEN nxt - t END), 0)
+        |    AS BIGINT) AS active_us,
+        |  CAST(max(conc) AS BIGINT) AS peak
+        |FROM c""".stripMargin,
+    // t150 twin: list_reduce seeds with the first element and folds
+    // left — exactly the engine's slice-and-seed aggregate
+    "t150_ewma" ->
+      """WITH daily AS (SELECT l_returnflag AS rf, CAST(l_shipdate AS DATE) AS dt,
+        |    CAST(count(*) AS DOUBLE) AS x
+        |  FROM lineitem GROUP BY 1, 2),
+        |arr AS (SELECT rf, list(x ORDER BY dt) AS a FROM daily GROUP BY rf)
+        |SELECT rf, list_reduce(a, (acc, x) -> (acc + x) / 2.0) AS ewma
+        |FROM arr ORDER BY rf""".stripMargin,
     // t138 twin: identical planted dup slice, NOT-coalesce violation
     // rule (NULL predicate = violation), surplus-row uniqueness count
     "t138_expectations" ->

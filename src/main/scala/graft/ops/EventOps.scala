@@ -374,6 +374,60 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** GLOBAL ACTIVE COVERAGE — the interval-UNION length: total time
+    * at least one session was open anywhere, plus the peak
+    * concurrency ([[concurrentSessions]]' sibling summary; "how busy
+    * was the service, and for how long was it busy at all"). The
+    * sweep assigns each inter-delta segment its concurrency and sums
+    * the lengths of the conc > 0 segments — an exact interval union
+    * with no interval-vs-interval join.
+    *
+    * Same two-phase distributed machinery as [[concurrentSessions]];
+    * the one new need is each segment's END, i.e. lead(t) in GLOBAL
+    * order — taken as lead(t) within the range partition, stitched
+    * across boundaries with the next partition's first key (a
+    * ≤|partitions|-row broadcast frame). Peers at one instant get
+    * zero-length segments, so tie order can't change the sum.
+    * Output: one row (active_us, peak).
+    */
+  def activeCoverage(events: DataFrame, gapMin: Long = 30L): DataFrame = {
+    val gapUs = gapMin * 60000000L
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag("us", 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("is_new").over(run))
+      .groupBy("user_id", "session_id")
+      .agg(min("us").as("s"), max("us").as("e"))
+    val deltas = sess.select(col("s").as("t"), lit(1L).as("d"))
+      .unionByName(sess.select((col("e") + 1L).as("t"), lit(-1L).as("d")))
+    val parts = deltas.repartitionByRange(32, col("t"), col("d"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // two consumers (sweep + boundary firsts)
+    val wIn = Window.partitionBy("pid").orderBy("t", "d")
+    val within = parts
+      .withColumn("cum", sum("d").over(wIn))
+      .withColumn("nxt_in", lead("t", 1).over(wIn))
+    // per-partition summary frame: exclusive offsets for the global
+    // running sum, next partition's first key for the boundary lead
+    val bounds = parts.groupBy("pid").agg(sum("d").as("tot"), min("t").as("ft"))
+      .withColumn("off", coalesce(
+        sum("tot").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("nft", lead("ft", 1).over(Window.orderBy("pid")))
+      .select("pid", "off", "nft")
+    within.join(broadcast(bounds), "pid")
+      .select((col("cum") + col("off")).as("conc"),
+        (coalesce(col("nxt_in"), col("nft")) - col("t")).as("len"))
+      .agg(
+        coalesce(sum(when(col("conc") > 0L, col("len"))), lit(0L)).as("active_us"),
+        max("conc").as("peak"))
+  }
+
   /** ORDERED FUNNEL per user: how far each user progressed through
     * `steps`, where step i+1 counts only if it happens STRICTLY AFTER
     * the user's first completion of step i (the product-analytics

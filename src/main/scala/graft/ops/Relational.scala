@@ -629,6 +629,29 @@ object Relational {
       .orderBy("rf")
   }
 
+  /** EWMA — exponentially weighted moving average (α = 1/2) of each
+    * series' DAILY totals, the classic smoothing statistic
+    * ([[forwardFillDaily]]'s sibling). An EWMA is inherently a
+    * SEQUENTIAL recurrence (y = (y + x)/2), which no window aggregate
+    * expresses; the scale-honest shape is: pre-aggregate the corpus
+    * to per-(series, day) counts — ONE map-side-combined pass, the
+    * only corpus-sized step — then fold each series' |days|-sized
+    * sorted array with a higher-order `aggregate` in-task. Halving is
+    * exact in IEEE and the fold order is fixed by the sort, so the
+    * doubles are bit-identical to DuckDB's `list_reduce` twin.
+    * Output: (rf, ewma) — the smoothed level at end of history.
+    */
+  def ewmaDailyQty(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_returnflag").as("rf"), to_date(col("l_shipdate")).as("dt"))
+      .groupBy("rf", "dt").agg(count(lit(1)).cast("double").as("x"))
+      .groupBy("rf")
+      .agg(sort_array(collect_list(struct(col("dt"), col("x")))).as("a"))
+      .select(col("rf"), expr(
+        "aggregate(slice(a, 2, size(a) - 1), a[0].x, " +
+          "(acc, e) -> (acc + e.x) / CAST(2.0 AS DOUBLE))").as("ewma"))
+      .orderBy("rf")
+
   /** MERGE INTO / SCD-1 UPSERT — the other dimension-maintenance
     * shape next to SCD-2 ([[scd2Intervals]] keeps history; this
     * overwrites in place): matched keys take the update slice's row

@@ -184,6 +184,19 @@ class EventOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("activeCoverage: interval union length + peak (golden, incl. " +
+      "1µs point sessions and an overlap)") {
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val ev = Seq(
+      (1L, 1L, 0L), (1L, 2L, 600L), (2L, 3L, 300L), // overlap: union [0, 600s]+1µs
+      (3L, 4L, 7200L), (1L, 5L, 10800L), (2L, 6L, 90000L)) // 3 point sessions, 1µs each
+      .toDF("user_id", "event_id", "secs")
+      .select(col("user_id"), col("event_id"),
+        timestamp_seconds(col("secs")).as("ts"))
+    val r = EventOps.activeCoverage(ev).collect().head
+    assert((r.getLong(0), r.getLong(1)) == (600000004L, 2L), r.toString)
+  }
+
   test("asofJoinBucketed: a single hot key spreads across >1 window partition") {
     import org.apache.spark.sql.execution.window.WindowExec
     // ONE key, 400 left rows over 40 buckets — the window form would

@@ -164,6 +164,21 @@ class RelationalSpec extends AnyFunSuite {
       s"layered delta must equal the full fold:\n$layered")
   }
 
+  test("ewmaDailyQty: sequential half-life fold over sorted daily counts " +
+      "(golden: [4,2,8] -> 5.5)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // rf A: 4 rows day1, 2 rows day2, 8 rows day3 → (4+2)/2=3, (3+8)/2=5.5
+    val rows = Seq.fill(4)("2024-01-01") ++ Seq.fill(2)("2024-01-02") ++
+      Seq.fill(8)("2024-01-03")
+    val li = rows.toDF("d")
+      .select(org.apache.spark.sql.functions.lit("A").as("l_returnflag"),
+        to_timestamp(col("d")).as("l_shipdate"))
+    val got = Relational.ewmaDailyQty(li).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == Seq(("A", 5.5)), got.toString)
+  }
+
   test("mergeUpsert: matched keys replaced wholesale, unmatched pass " +
       "through, new keys insert (golden)") {
     import spark.implicits._
