@@ -415,6 +415,43 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
     }
   }
 
+  /** Maintenance observability for a manifested bucketed table — the
+    * numbers an operator alarms compaction/vacuum on: how many
+    * commits the live snapshot unions (every one adds a file per
+    * touched bucket to every probe's scan), how many data files and
+    * bytes that snapshot reads, and the worst per-bucket file count
+    * (1 = freshly compacted). Driver-side pure metadata listing —
+    * manifest + file status, no Spark job. Returns
+    * (live_commits, files, bytes, max_files_per_bucket).
+    */
+  def bucketedTableStats(
+      spark: SparkSession, table: String): (Int, Int, Long, Int) = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mdir = s"$root/${table}__manifests"
+    val v = LakeWriter.latestManifestVersionIn(fs, mdir)
+    if (v == 0) (0, 0, 0L, 0)
+    else {
+      val live = LakeWriter.manifestLines(fs, mdir, v).map(_.toInt)
+      val files = live.flatMap { cv =>
+        val dir = new Path(s"$root/$table/${LakeWriter.CvCol}=$cv")
+        if (fs.exists(dir))
+          fs.listStatus(dir).toSeq.filter(s =>
+            s.isFile && s.getPath.getName.endsWith(".parquet"))
+        else Nil
+      }
+      // bucketed file names are part-<task>-<uuid>_<bucketid>.<ext>…;
+      // the _NNNNN bucket id after the uuid groups files per bucket
+      val perBucket = files.groupBy { s =>
+        val n = s.getPath.getName
+        val i = n.lastIndexOf('_')
+        if (i >= 0) n.substring(i + 1).takeWhile(_.isDigit) else ""
+      }.values.map(_.size)
+      (live.size, files.size, files.map(_.getLen).sum,
+        if (perBucket.isEmpty) 0 else perBucket.max)
+    }
+  }
+
   /** Reclaim a manifested bucketed table's storage: drop manifests
     * older than the newest `keepVersions`, then delete every
     * `graft_cv=<k>` partition directory no RETAINED manifest lists —

@@ -174,6 +174,28 @@ class ManifestedBucketedSpec extends AnyFunSuite {
     } finally dropT("mbk_d")
   }
 
+  test("bucketedTableStats: live commits / files / max-per-bucket track " +
+      "appends, compaction, and vacuum") {
+    val root = Files.createTempDirectory("mbks").toString
+    val lw = new LakeWriter(root)
+    try {
+      assert(lw.bucketedTableStats(spark, "mbk_s") == ((0, 0, 0L, 0)),
+        "no manifest yet → all zeros")
+      (1 to 3).foreach { i =>
+        lw.commitBucketed((1L to 64L).map(k => (k, i)).toDF("k", "n"),
+          "mbk_s", 4, Seq("k"))
+      }
+      val (live, files, bytes, maxPb) = lw.bucketedTableStats(spark, "mbk_s")
+      assert(live == 3 && files >= 4 && bytes > 0L && maxPb >= 3,
+        s"three appends: ($live, $files, $bytes, $maxPb)")
+      lw.compactBucketedManifested(spark, "mbk_s")
+      lw.vacuumBucketed(spark, "mbk_s", keepVersions = 1)
+      val (live2, files2, _, maxPb2) = lw.bucketedTableStats(spark, "mbk_s")
+      assert(live2 == 1 && files2 <= 4 && maxPb2 == 1,
+        s"compact+vacuum: ($live2, $files2, $maxPb2)")
+    } finally dropT("mbk_s")
+  }
+
   test("commit-time expectations: a violating commit is refused atomically " +
       "(no manifest version published), a clean commit lands — both protocols") {
     val root = Files.createTempDirectory("mbke").toString
