@@ -772,6 +772,11 @@ object SparkEntry {
     // each series' sorted |days| array — bit-identical halving
     "t150_ewma" -> ((s, d) => { val t = Tables.load(s, d)
       Relational.ewmaDailyQty(t.lineitem) }),
+    // linear multi-touch attribution: each purchase splits 1e6
+    // micro-credits over its segment's touches, remainder to the last
+    // touch — integer-auditable, all windows user-partitioned
+    "t151_attribution" -> ((s, d) => { val t = Tables.load(s, d)
+      EventOps.attribution(t.events) }),
     // data-quality expectations: four row rules in one aggregate
     // pass + a uniqueness constraint; the natural data violates the
     // tight bounds, the planted re-ingestion (every 997th order's
@@ -1929,6 +1934,30 @@ object SparkEntry {
         |arr AS (SELECT rf, list(x ORDER BY dt) AS a FROM daily GROUP BY rf)
         |SELECT rf, list_reduce(a, (acc, x) -> (acc + x) / 2.0) AS ewma
         |FROM arr ORDER BY rf""".stripMargin,
+    // t151 twin: identical segmentation (purchases strictly before),
+    // identical integer credit split with last-touch remainder
+    "t151_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |pb AS (SELECT user_id, event_id, event_type, us,
+        |  coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+        |  FROM e),
+        |t AS (SELECT user_id, seg, event_id, event_type, us FROM pb
+        |  WHERE event_type IN ('click', 'view')),
+        |p AS (SELECT user_id, seg FROM pb WHERE event_type = 'purchase'),
+        |j AS (SELECT t.user_id, t.seg, t.event_id, t.event_type, t.us
+        |  FROM t JOIN p ON p.user_id = t.user_id AND p.seg = t.seg),
+        |c AS (SELECT event_type,
+        |    1000000 // (count(*) OVER w)
+        |    + CASE WHEN row_number() OVER
+        |        (PARTITION BY user_id, seg ORDER BY us DESC, event_id DESC) = 1
+        |      THEN 1000000 % (count(*) OVER w) ELSE 0 END AS credit
+        |  FROM j WINDOW w AS (PARTITION BY user_id, seg))
+        |SELECT event_type, CAST(sum(credit) AS BIGINT) AS credit_micro,
+        |  count(*) AS n_touches
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // t138 twin: identical planted dup slice, NOT-coalesce violation
     // rule (NULL predicate = violation), surplus-row uniqueness count
     "t138_expectations" ->

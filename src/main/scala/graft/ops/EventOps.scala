@@ -428,6 +428,46 @@ object EventOps {
         max("conc").as("peak"))
   }
 
+  /** MULTI-TOUCH ATTRIBUTION — marketing's linear model made exact:
+    * every purchase splits 1,000,000 micro-credits equally over the
+    * user's click/view touches since their previous purchase, with
+    * the integer remainder going to the LAST touch (deterministic; no
+    * fractional credit ever — Σ credits ≡ 1e6 per attributed
+    * purchase, auditable to the unit). Segmentation is one per-user
+    * cumulative purchase count (a gaps-and-islands variant: a touch's
+    * segment = purchases strictly before it, a purchase closes the
+    * segment bearing its own count), then touches equi-join their
+    * segment's purchase on (user, segment).
+    *
+    * Scale shape: all windows are user-partitioned, the join is an
+    * equi-join on (user, segment), and the output aggregates to
+    * |touch types| rows — nothing corpus-sized moves unpartitioned.
+    * Output: (event_type, credit_micro, n_touches).
+    */
+  def attribution(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val e = events
+      .withColumn("us", unix_micros(col("ts")))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("us"))
+      .withColumn("seg", coalesce(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val touches = e.filter(col("event_type").isin("click", "view"))
+      .select("user_id", "seg", "event_id", "event_type", "us")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("seg"))
+    val wSeg = Window.partitionBy("user_id", "seg")
+    val wLast = wSeg.orderBy(col("us").desc, col("event_id").desc)
+    touches.join(purchases, Seq("user_id", "seg"))
+      .withColumn("n", count(lit(1)).over(wSeg))
+      .withColumn("rk", row_number().over(wLast))
+      .withColumn("credit", expr("1000000 DIV n") +
+        when(col("rk") === 1, expr("1000000 % n")).otherwise(lit(0L)))
+      .groupBy("event_type")
+      .agg(sum("credit").as("credit_micro"), count(lit(1)).as("n_touches"))
+      .orderBy("event_type")
+  }
+
   /** ORDERED FUNNEL per user: how far each user progressed through
     * `steps`, where step i+1 counts only if it happens STRICTLY AFTER
     * the user's first completion of step i (the product-analytics

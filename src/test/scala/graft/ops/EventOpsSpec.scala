@@ -184,6 +184,25 @@ class EventOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("attribution: integer credit split with last-touch remainder; " +
+      "credits sum to exactly 1e6 per attributed purchase (golden)") {
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    // segment 0: click,view,click before purchase@4 → 333333 each,
+    // remainder 1 to the LAST touch (click@3 → click total 666667);
+    // segment 1: one view before purchase@6 → full 1e6
+    val ev = Seq(
+      (1L, 1L, "click", 1L), (1L, 2L, "view", 2L), (1L, 3L, "click", 3L),
+      (1L, 4L, "purchase", 4L), (1L, 5L, "view", 5L), (1L, 6L, "purchase", 6L),
+      (2L, 7L, "click", 10L) // touch with NO purchase after: unattributed
+    ).toDF("user_id", "event_id", "event_type", "secs")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_seconds(col("secs")).as("ts"))
+    val got = EventOps.attribution(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("click", 666667L, 2L), ("view", 1333333L, 2L)),
+      got.toString)
+  }
+
   test("activeCoverage: interval union length + peak (golden, incl. " +
       "1µs point sessions and an overlap)") {
     import org.apache.spark.sql.functions.{col, timestamp_seconds}
