@@ -662,6 +662,15 @@ object Dedup {
     // the final labels checkpoint is materialized — nothing reads
     // edges again; release the cached partitioned edge list now
     edges.unpersist(blocking = false)
+    // fail LOUDLY on a hit iteration cap: labels that haven't
+    // converged are silently-wrong component maps — the worst output.
+    // (Iteration count is bounded by component diameter; near-clique
+    // similarity graphs converge in 2–3 sweeps, long-path graphs
+    // belong on the big-star contraction.)
+    require(converged,
+      s"min-label propagation did not converge within $maxIter sweeps — " +
+        "component diameter exceeds the iteration bound; raise maxIter or use " +
+        "GraphOps.connectedComponentsBigStar")
     labels
   }
 

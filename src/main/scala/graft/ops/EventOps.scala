@@ -290,16 +290,18 @@ object EventOps {
       col("value"), col("k").cast("double"),
       xBinWidth = 25.0, yBinWidth = 2.0)
 
-  /** Gap-based sessionization: a new session starts after `gapMin`
-    * minutes of inactivity. Two window passes, both over the same
-    * (user_id, ts) partitioning — one shuffle total.
+  /** Gap-rule session bounds — THE shared sessionization core
+    * ([[sessionize]], [[concurrentSessions]], [[activeCoverage]] all
+    * read it, so the gap rule and its (us, event_id) tie order can
+    * never drift between the ops or from their oracle twins): a new
+    * session starts after `gapUs` of inactivity; two window passes
+    * over one (user_id) partitioning — one shuffle total.
+    * Output: (user_id, session_id, n_events, s, e) — bounds in µs.
     */
-  def sessionize(events: DataFrame, gapMin: Long = 30L): DataFrame = {
-    val gapUs = gapMin * 60000000L // gap in microseconds — exact int math
+  private def sessionBounds(events: DataFrame, gapUs: Long): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
-    val run = Window.partitionBy("user_id").orderBy("us", "event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sessions = events
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
       .withColumn("us", unix_micros(col("ts")))
       .withColumn("prev_us", lag("us", 1).over(byUser))
       .withColumn(
@@ -307,15 +309,56 @@ object EventOps {
         when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
       .withColumn("session_id", sum("is_new").over(run))
       .groupBy("user_id", "session_id")
-      .agg(count(lit(1)).as("n_events"), (max("us") - min("us")).as("dur_us"))
-    sessions
+      .agg(count(lit(1)).as("n_events"), min("us").as("s"), max("us").as("e"))
+  }
+
+  /** Session interval deltas swept into per-segment concurrency — the
+    * shared TWO-PHASE global-prefix-sum core of [[concurrentSessions]]
+    * and [[activeCoverage]]: +1 at each session start, −1 one µs after
+    * its end; range-partition on the sweep key (equal keys never
+    * split), cumulate within partitions (range-frame peers share
+    * values in both engines), add broadcast EXCLUSIVE per-partition
+    * offsets; each row also gets its segment length from the
+    * within-partition lead, boundary-stitched with the next
+    * partition's first key from the same ≤|partitions|-row summary.
+    * Output: (t, conc, len) — len null only for the final row.
+    */
+  private def sweepSegments(sess: DataFrame): DataFrame = {
+    val deltas = sess.select(col("s").as("t"), lit(1L).as("d"))
+      .unionByName(sess.select((col("e") + 1L).as("t"), lit(-1L).as("d")))
+    val parts = deltas.repartitionByRange(32, col("t"), col("d"))
+      .withColumn("pid", spark_partition_id())
+      // materialized: TWO consumers (the sweep and the partition
+      // summary) — without it, a re-executed range exchange could
+      // re-sample different bounds and desync pid between them
+      .localCheckpoint()
+    val wIn = Window.partitionBy("pid").orderBy("t", "d")
+    val within = parts
+      .withColumn("cum", sum("d").over(wIn))
+      .withColumn("nxt_in", lead("t", 1).over(wIn))
+    val bounds = parts.groupBy("pid").agg(sum("d").as("tot"), min("t").as("ft"))
+      .withColumn("off", coalesce(
+        sum("tot").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("nft", lead("ft", 1).over(Window.orderBy("pid")))
+      .select("pid", "off", "nft")
+    within.join(broadcast(bounds), "pid")
+      .select(col("t"), (col("cum") + col("off")).as("conc"),
+        (coalesce(col("nxt_in"), col("nft")) - col("t")).as("len"))
+  }
+
+  /** Gap-based sessionization: a new session starts after `gapMin`
+    * minutes of inactivity ([[sessionBounds]] is the shared core).
+    */
+  def sessionize(events: DataFrame, gapMin: Long = 30L): DataFrame =
+    sessionBounds(events, gapMin * 60000000L)
+      .withColumn("dur_us", col("e") - col("s"))
       .groupBy("user_id")
       .agg(
         count(lit(1)).as("n_sessions"),
         Exact.meanOfLong(col("n_events")).as("avg_events"),
         max("dur_us").as("max_dur_us"))
       .orderBy("user_id")
-  }
 
   /** PEAK CONCURRENT SESSIONS per day — the sweep-line interval-
     * overlap count (how many sessions were simultaneously open), the
@@ -336,43 +379,13 @@ object EventOps {
     * instant count before opens at the same instant.
     * Output: (day, peak) — day = µs-epoch day number.
     */
-  def concurrentSessions(events: DataFrame, gapMin: Long = 30L): DataFrame = {
-    val gapUs = gapMin * 60000000L
-    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
-    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sess = events
-      .withColumn("us", unix_micros(col("ts")))
-      .withColumn("prev_us", lag("us", 1).over(byUser))
-      .withColumn("is_new",
-        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
-          .otherwise(0L))
-      .withColumn("session_id", sum("is_new").over(run))
-      .groupBy("user_id", "session_id")
-      .agg(min("us").as("s"), max("us").as("e"))
-    val deltas = sess.select(col("s").as("t"), lit(1L).as("d"))
-      .unionByName(sess.select((col("e") + 1L).as("t"), lit(-1L).as("d")))
-    // phase 1: range-partition on the sweep key (equal keys land in
-    // ONE partition, so range-frame peers never straddle a boundary)
-    // and cumulate within each partition
-    val parts = deltas.repartitionByRange(32, col("t"), col("d"))
-      .withColumn("pid", spark_partition_id())
-    val within = parts.withColumn("cum",
-      sum("d").over(Window.partitionBy("pid").orderBy("t", "d")))
-    // phase 2: exclusive per-partition offsets — one row per
-    // partition, so the unpartitioned window moves ≤|partitions| rows
-    val offs = within.groupBy("pid").agg(sum("d").as("tot"))
-      .withColumn("off", coalesce(
-        sum("tot").over(Window.orderBy("pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("pid", "off")
-    within.join(broadcast(offs), "pid")
-      .select(col("t"), (col("cum") + col("off")).as("conc"))
+  def concurrentSessions(events: DataFrame, gapMin: Long = 30L): DataFrame =
+    sweepSegments(sessionBounds(events, gapMin * 60000000L))
       // integer DIV, not double division: a double quotient can land
       // one ulp under an exact day boundary and truncate off-by-one
       .withColumn("day", expr("t DIV 86400000000"))
       .groupBy("day").agg(max("conc").as("peak"))
       .orderBy("day")
-  }
 
   /** GLOBAL ACTIVE COVERAGE — the interval-UNION length: total time
     * at least one session was open anywhere, plus the peak
@@ -390,43 +403,11 @@ object EventOps {
     * zero-length segments, so tie order can't change the sum.
     * Output: one row (active_us, peak).
     */
-  def activeCoverage(events: DataFrame, gapMin: Long = 30L): DataFrame = {
-    val gapUs = gapMin * 60000000L
-    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
-    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sess = events
-      .withColumn("us", unix_micros(col("ts")))
-      .withColumn("prev_us", lag("us", 1).over(byUser))
-      .withColumn("is_new",
-        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
-          .otherwise(0L))
-      .withColumn("session_id", sum("is_new").over(run))
-      .groupBy("user_id", "session_id")
-      .agg(min("us").as("s"), max("us").as("e"))
-    val deltas = sess.select(col("s").as("t"), lit(1L).as("d"))
-      .unionByName(sess.select((col("e") + 1L).as("t"), lit(-1L).as("d")))
-    val parts = deltas.repartitionByRange(32, col("t"), col("d"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint() // two consumers (sweep + boundary firsts)
-    val wIn = Window.partitionBy("pid").orderBy("t", "d")
-    val within = parts
-      .withColumn("cum", sum("d").over(wIn))
-      .withColumn("nxt_in", lead("t", 1).over(wIn))
-    // per-partition summary frame: exclusive offsets for the global
-    // running sum, next partition's first key for the boundary lead
-    val bounds = parts.groupBy("pid").agg(sum("d").as("tot"), min("t").as("ft"))
-      .withColumn("off", coalesce(
-        sum("tot").over(Window.orderBy("pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("nft", lead("ft", 1).over(Window.orderBy("pid")))
-      .select("pid", "off", "nft")
-    within.join(broadcast(bounds), "pid")
-      .select((col("cum") + col("off")).as("conc"),
-        (coalesce(col("nxt_in"), col("nft")) - col("t")).as("len"))
+  def activeCoverage(events: DataFrame, gapMin: Long = 30L): DataFrame =
+    sweepSegments(sessionBounds(events, gapMin * 60000000L))
       .agg(
         coalesce(sum(when(col("conc") > 0L, col("len"))), lit(0L)).as("active_us"),
         max("conc").as("peak"))
-  }
 
   /** MULTI-TOUCH ATTRIBUTION — marketing's linear model made exact:
     * every purchase splits 1,000,000 micro-credits equally over the

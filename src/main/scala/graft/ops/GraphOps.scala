@@ -61,11 +61,7 @@ object GraphOps {
     * need 299).
     */
   def connectedComponentsBigStar(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    def canon(df: DataFrame): DataFrame =
-      df.select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
-        .filter(col("a") =!= col("b")).distinct()
-    var (e, eIds) = Dedup.checkpointTracked(
-      canon(edges.select(col("src").as("x"), col("dst").as("y"))))
+    var (e, eIds) = Dedup.checkpointTracked(canonicalEdges(edges))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -78,17 +74,17 @@ object GraphOps {
         .select(col("u").as("mu"), col("mn"))
       val ls = sym.join(lsMin, col("u") === col("mu"))
         .filter(col("v") > col("u"))
-        .select(col("v").as("x"), least(col("mn"), col("u")).as("y"))
-      val (e1, e1Ids) = Dedup.checkpointTracked(canon(ls))
+        .select(col("v").as("src"), least(col("mn"), col("u")).as("dst"))
+      val (e1, e1Ids) = Dedup.checkpointTracked(canonicalEdges(ls))
       // small-star on the (small, large) orientation
       val ssMin = e1.groupBy("b").agg(min("a").as("mn"))
         .select(col("b").as("mb"), col("mn"))
       val ss = e1.join(ssMin, col("b") === col("mb"))
         .select(explode(array(
-          struct(col("b").as("x"), col("mn").as("y")),
-          struct(col("a").as("x"), col("mn").as("y")))).as("s"))
-        .select(col("s.x").as("x"), col("s.y").as("y"))
-      val (e2, e2Ids) = Dedup.checkpointTracked(canon(ss))
+          struct(col("b").as("src"), col("mn").as("dst")),
+          struct(col("a").as("src"), col("mn").as("dst")))).as("s"))
+        .select(col("s.src").as("src"), col("s.dst").as("dst"))
+      val (e2, e2Ids) = Dedup.checkpointTracked(canonicalEdges(ss))
       Dedup.freeRdds(e1, e1Ids)
       // fixed-point probe: same cardinality + no edge outside the old
       // set ⇒ identical distinct sets (bounded: count + limit-1 probe)
@@ -100,9 +96,17 @@ object GraphOps {
     }
     require(converged,
       s"connectedComponentsBigStar did not reach its star fixed point in $maxIter rounds")
-    e.select(col("b").as("id"), col("a").as("component"))
+    // the node universe comes from the ORIGINAL edges: canonicalEdges
+    // drops self-loops, so a node whose only edge is (v, v) would
+    // otherwise vanish — connectedComponents keeps it, and the two
+    // forms are documented row-for-row identical
+    val nodes = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id"))).distinct()
+    val labels = e.select(col("b").as("id"), col("a").as("component"))
       .unionByName(e.select(col("a").as("id"), col("a").as("component")))
       .distinct()
+    nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
       .orderBy("id")
   }
 

@@ -688,10 +688,14 @@ object Relational {
     */
   def priceAboveCustomerAvg(orders: DataFrame): DataFrame = {
     val spark = orders.sparkSession
-    val vn = "graft_corr_orders"
+    // unique per call: a fixed view name would leak into the session
+    // and let two concurrent callers resolve each other's frames; the
+    // view is dropped right after spark.sql — analysis is eager, so
+    // the returned plan no longer references it
+    val vn = s"graft_corr_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     orders.select("o_orderkey", "o_custkey", "o_totalprice")
       .createOrReplaceTempView(vn)
-    spark.sql(
+    try spark.sql(
       s"""SELECT o_orderkey, o_custkey, price, cust_avg FROM (
          |  SELECT o1.o_orderkey, o1.o_custkey,
          |    CAST(floor(o1.o_totalprice * 100.0 + 0.5) / 100.0 AS DOUBLE) AS price,
@@ -701,6 +705,7 @@ object Relational {
          |  FROM $vn o1)
          |WHERE price > cust_avg
          |ORDER BY o_orderkey""".stripMargin)
+    finally spark.catalog.dropTempView(vn)
   }
 
   /** DATA-QUALITY EXPECTATIONS — the Deequ-shaped validation pass a

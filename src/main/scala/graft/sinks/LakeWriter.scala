@@ -354,8 +354,14 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
     // partition is invisible to every reader and the next vacuum
     // reclaims it — the Delta-constraints / Deequ enforcement shape.
     expectations.foreach { rules =>
-      val written = spark.read.parquet(s"${ourPath.toString}/${LakeWriter.CvCol}=$v")
-        .drop(LakeWriter.CvCol)
+      // a zero-row commit writes NO partition directory at all — the
+      // rules then evaluate over an empty frame of df's schema
+      // (vacuously clean row rules, zero surplus rows) instead of a
+      // PATH_NOT_FOUND crash that would wedge every retry
+      val partDir = new Path(s"${ourPath.toString}/${LakeWriter.CvCol}=$v")
+      val written =
+        if (fs.exists(partDir)) spark.read.parquet(partDir.toString)
+        else df.where(lit(false))
       LakeWriter.enforceExpectations(rules(written), table, v)
     }
     val carried =

@@ -24,12 +24,21 @@ class GraphOpsSpec extends AnyFunSuite {
     val want = (1L to 6L).map((_, 1L)) ++
       (10L to 12L).map((_, 10L)) ++ Seq((20L, 20L), (21L, 20L))
     assert(got == want, got.toString)
-    // maxIter below the diameter must NOT silently converge wrong:
-    // the chain's far end still carries a non-min label
-    val capped = GraphOps.connectedComponents(edges, maxIter = 2)
-      .filter(col("id") === 6L).collect().head.getLong(1)
-    assert(capped != 1L, "2 sweeps cannot reach the chain's far end — " +
-      "if this is 1, the iteration bound is not what the scaladoc claims")
+    // maxIter below the diameter fails LOUDLY — a silently-wrong
+    // component map is the worst output
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.connectedComponents(edges, maxIter = 2)
+        .filter(col("id") === 6L).collect()
+    }
+    assert(e.getMessage.contains("did not converge"), e.getMessage)
+    // self-loop-only nodes survive in BOTH forms
+    val loop = Seq((7L, 7L), (1L, 2L)).toDF("src", "dst")
+    val viaP = GraphOps.connectedComponents(loop)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaS = GraphOps.connectedComponentsBigStar(loop)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaP == Seq((1L, 1L), (2L, 1L), (7L, 7L)) && viaS == viaP,
+      s"$viaP vs $viaS")
   }
 
   test("connectedComponentsBigStar: matches the propagation core on a mixed " +

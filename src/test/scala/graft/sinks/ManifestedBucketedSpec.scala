@@ -237,6 +237,12 @@ class ManifestedBucketedSpec extends AnyFunSuite {
         "mbk_eb", 4, Seq("k"), expectations = Some(rules)) == 2)
       assert(LakeWriter.readBucketedTable(spark, "mbk_eb").count() == 6,
         "the refused rows must not resurface under the retried version")
+      // a ZERO-row commit writes no partition directory — the rules
+      // evaluate vacuously clean instead of crashing on a missing path
+      assert(lw.commitBucketed(
+        Seq.empty[(Long, String)].toDF("k", "v"), "mbk_eb", 4, Seq("k"),
+        expectations = Some(rules)) == 3)
+      assert(LakeWriter.readBucketedTable(spark, "mbk_eb").count() == 6)
     } finally dropT("mbk_eb")
   }
 
