@@ -179,6 +179,48 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == Seq(("A", 5.5)), got.toString)
   }
 
+  test("SCD-2 delta maintenance end-to-end: a batch touching ONE customer " +
+      "commits O(1 customer) of files and the merged state equals the fold") {
+    import spark.implicits._
+    import graft.sinks.LakeWriter
+    val d = java.sql.Date.valueOf(_: String)
+    val root = java.nio.file.Files.createTempDirectory("scd2d").toString
+    val lw = new LakeWriter(root)
+    val tbl = "scd2d_state"
+    try {
+      // 40 customers' histories → initial full state commit
+      val old = (1L to 40L).flatMap(c => Seq(
+        (c, c * 100L + 1L, "O", d("2024-01-01")),
+        (c, c * 100L + 2L, "F", d("2024-02-01"))))
+        .toDF("o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate")
+      lw.commitBucketed(Relational.scd2State(old), tbl, 8, Seq("o_custkey"),
+        replace = true)
+      val v1Files = new java.io.File(s"$root/$tbl/${LakeWriter.CvCol}=1")
+        .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).sorted.toSeq
+      // a slice touching customer 7 only
+      val fresh = Seq((7L, 999L, "F", d("2024-03-01")))
+        .toDF("o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate")
+      val state = LakeWriter.readBucketedTableMerged(spark, tbl, Seq("o_custkey"))
+      lw.commitBucketed(Relational.scd2FoldDelta(state, fresh).coalesce(1),
+        tbl, 8, Seq("o_custkey"))
+      // O(affected): one bucket file for customer 7, prior files untouched
+      val v2Files = new java.io.File(s"$root/$tbl/${LakeWriter.CvCol}=2")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(v2Files.length == 1, v2Files.map(_.getName).toSeq.toString)
+      val v1After = new java.io.File(s"$root/$tbl/${LakeWriter.CvCol}=1")
+        .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).sorted.toSeq
+      assert(v1After == v1Files, "the delta must not rewrite the state table")
+      // merged view == one-shot fold of the full state
+      val cols = Seq("o_custkey", "o_orderstatus", "valid_from", "valid_to",
+        "first_key", "n_orders")
+      def render(df: org.apache.spark.sql.DataFrame) = df
+        .select(cols.map(org.apache.spark.sql.functions.col): _*)
+        .orderBy("o_custkey", "valid_from", "first_key").collect().toSeq
+      assert(render(LakeWriter.readBucketedTableMerged(spark, tbl, Seq("o_custkey")))
+        == render(Relational.scd2Fold(Relational.scd2State(old), fresh)))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("mergeUpsert: matched keys replaced wholesale, unmatched pass " +
       "through, new keys insert (golden)") {
     import spark.implicits._
