@@ -777,6 +777,21 @@ object SparkEntry {
     // touch — integer-auditable, all windows user-partitioned
     "t151_attribution" -> ((s, d) => { val t = Tables.load(s, d)
       EventOps.attribution(t.events) }),
+    // incremental connected components: half the co-purchase edges
+    // labeled first, the other half FOLDED in — new edges contract
+    // onto current components, propagation runs on the contracted
+    // graph only; must equal the full-graph closure verbatim
+    "t152_incremental_cc" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      val li = t.lineitem.filter(col("l_quantity") <= 5)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.ok").as("ok"), col("a.pk").as("src"), col("b.pk").as("dst"))
+      val oldE = pairs.filter(col("ok") % 2 === 0).select("src", "dst")
+      val newE = pairs.filter(col("ok") % 2 === 1).select("src", "dst")
+      GraphOps.foldComponents(
+        GraphOps.connectedComponents(oldE, maxIter = 60), newE, maxIter = 60) }),
     // data-quality expectations: four row rules in one aggregate
     // pass + a uniqueness constraint; the natural data violates the
     // tight bounds, the planted re-ingestion (every 997th order's
@@ -2045,6 +2060,20 @@ object SparkEntry {
     // t145 twin: the same sparsified co-purchase edges, recursive
     // reachability closure, min node id per component
     "t145_connected_components" ->
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity <= 5),
+        |p AS (SELECT a.pk AS src, b.pk AS dst
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM e UNION SELECT src, dst FROM e
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
+        |SELECT id, min(r) AS component FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin,
+    // t152 twin: the t145 full-graph closure verbatim — the fold over
+    // the half-graph labeling must reproduce it exactly
+    "t152_incremental_cc" ->
       """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |  FROM lineitem WHERE l_quantity <= 5),
         |p AS (SELECT a.pk AS src, b.pk AS dst

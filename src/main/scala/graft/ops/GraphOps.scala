@@ -34,6 +34,45 @@ object GraphOps {
       .select(col("id"), col("label").as("component"))
       .orderBy("id")
 
+  /** INCREMENTAL connected components — fold a new edge slice into an
+    * existing component labeling WITHOUT rescanning the old graph
+    * (the incremental-index discipline applied to graph state): new
+    * edges are CONTRACTED onto their endpoints' current components
+    * (one equi-join per endpoint against the label table; unseen
+    * nodes label themselves), and the propagation then runs on the
+    * contracted graph only — whose size is bounded by the number of
+    * components the slice TOUCHES, not by the accumulated graph.
+    * Old labels relabel through one broadcast-joinable (old → merged)
+    * map; untouched components pass through byte-identical.
+    *
+    * Correct because component minima compose: the union graph's
+    * component min is the min over its merged old components' minima
+    * and its new nodes' ids — exactly what propagation over the
+    * contracted graph computes. `foldComponents(cc(E₁), E₂)` equals
+    * `cc(E₁ ∪ E₂)` row-for-row (gated t152; twin = the full-graph
+    * closure). Requires `labels` to be a CONVERGED labeling (both
+    * [[connectedComponents]] forms fail loudly otherwise).
+    */
+  def foldComponents(labels: DataFrame, newEdges: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val nodes = newEdges.select(col("src").as("id"))
+      .unionByName(newEdges.select(col("dst").as("id"))).distinct()
+    val lbl = nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    val contracted = newEdges
+      .join(lbl.select(col("id").as("src"), col("component").as("ca")), Seq("src"))
+      .join(lbl.select(col("id").as("dst"), col("component").as("cb")), Seq("dst"))
+      .select(col("ca").as("src"), col("cb").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val remap = connectedComponents(contracted, maxIter)
+      .select(col("id").as("oldc"), col("component").as("newc"))
+    labels
+      .unionByName(lbl.join(labels, Seq("id"), "left_anti"))
+      .join(remap, col("component") === col("oldc"), "left")
+      .select(col("id"), coalesce(col("newc"), col("component")).as("component"))
+      .orderBy("id")
+  }
+
   /** Connected components by ALTERNATING big-star/small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce
     * and Beyond", SoCC'14 — public algorithm) — the huge-diameter

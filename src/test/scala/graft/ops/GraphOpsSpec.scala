@@ -41,6 +41,25 @@ class GraphOpsSpec extends AnyFunSuite {
       s"$viaP vs $viaS")
   }
 
+  test("foldComponents: bridges merge components, a smaller-id NEW node " +
+      "takes over as the min, intra-component edges no-op, untouched " +
+      "components pass through — equal to the full recompute") {
+    val oldE = Seq((10L, 11L), (20L, 21L), (30L, 31L)).toDF("src", "dst")
+    val labels = GraphOps.connectedComponents(oldE)
+    // bridge {10,11}–{20,21}; attach NEW node 5 (< every old min) to 21;
+    // (30,31) is an intra-component no-op; {30,31} otherwise untouched
+    val newE = Seq((11L, 20L), (5L, 21L), (30L, 31L)).toDF("src", "dst")
+    val folded = GraphOps.foldComponents(labels, newE)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val full = GraphOps.connectedComponents(
+      oldE.unionByName(newE))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(folded == full, s"$folded vs $full")
+    assert(folded.contains((21L, 5L)) && folded.contains((10L, 5L)),
+      "the new node's smaller id must become the merged component's label")
+    assert(folded.contains((30L, 30L)) && folded.contains((31L, 30L)))
+  }
+
   test("connectedComponentsBigStar: matches the propagation core on a mixed " +
       "fixture, and resolves a 300-hop chain in O(log n) rounds where " +
       "propagation would need 299 sweeps") {
