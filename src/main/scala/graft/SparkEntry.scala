@@ -781,6 +781,11 @@ object SparkEntry {
     // labeled first, the other half FOLDED in — new edges contract
     // onto current components, propagation runs on the contracted
     // graph only; must equal the full-graph closure verbatim
+    // STREAMING incremental components: edge shards across cold
+    // restarts, per-batch contraction folds + O(touched) delta commits
+    // to the manifested label table; final merged view = full closure
+    "t153_stream_cc" -> ((s, d) => { val t = Tables.load(s, d)
+      graft.streaming.StreamGates.ccGate(t.lineitem) }),
     "t152_incremental_cc" -> ((s, d) => { val t = Tables.load(s, d)
       import org.apache.spark.sql.functions.col
       val li = t.lineitem.filter(col("l_quantity") <= 5)
@@ -2060,6 +2065,20 @@ object SparkEntry {
     // t145 twin: the same sparsified co-purchase edges, recursive
     // reachability closure, min node id per component
     "t145_connected_components" ->
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity <= 5),
+        |p AS (SELECT a.pk AS src, b.pk AS dst
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM e UNION SELECT src, dst FROM e
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
+        |SELECT id, min(r) AS component FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin,
+    // t153 twin: the t145 full-graph closure verbatim — the streamed
+    // delta-committed label table must reproduce it exactly
+    "t153_stream_cc" ->
       """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |  FROM lineitem WHERE l_quantity <= 5),
         |p AS (SELECT a.pk AS src, b.pk AS dst

@@ -55,6 +55,43 @@ object GraphOps {
     */
   def foldComponents(labels: DataFrame, newEdges: DataFrame,
       maxIter: Int = 20): DataFrame = {
+    val (lbl, remap) = componentRemap(labels, newEdges, maxIter)
+    labels
+      .unionByName(lbl.join(labels, Seq("id"), "left_anti"))
+      .join(remap, col("component") === col("oldc"), "left")
+      .select(col("id"), coalesce(col("newc"), col("component")).as("component"))
+      .orderBy("id")
+  }
+
+  /** DELTA form of [[foldComponents]] for per-key upsert maintenance
+    * ([[graft.sinks.LakeWriter.readBucketedTableMerged]]): returns
+    * ONLY the rows the slice TOUCHES — members of every merged
+    * component (relabeled to the new minimum) plus the slice's new
+    * nodes — so a maintained label table commits O(touched
+    * components) per slice, never O(all labels). Layered
+    * latest-key-wins over the old labels, the result equals
+    * [[foldComponents]] verbatim (gated t153 through the streaming
+    * intake).
+    */
+  def foldComponentsDelta(labels: DataFrame, newEdges: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val (lbl, remap) = componentRemap(labels, newEdges, maxIter)
+    val touchedOld = labels.join(remap, col("component") === col("oldc"))
+      .select(col("id"), col("newc").as("component"))
+    val newNodes = lbl.join(labels, Seq("id"), "left_anti")
+      .join(remap, col("component") === col("oldc"), "left")
+      .select(col("id"), coalesce(col("newc"), col("component")).as("component"))
+    touchedOld.unionByName(newNodes).orderBy("id")
+  }
+
+  /** Shared contraction core of the fold forms: the slice's node
+    * labels (unseen nodes label themselves) and the (old component →
+    * merged component) map from propagation over the CONTRACTED
+    * graph — whose size is bounded by the components the slice
+    * touches, never the accumulated graph.
+    */
+  private def componentRemap(labels: DataFrame, newEdges: DataFrame,
+      maxIter: Int): (DataFrame, DataFrame) = {
     val nodes = newEdges.select(col("src").as("id"))
       .unionByName(newEdges.select(col("dst").as("id"))).distinct()
     val lbl = nodes.join(labels, Seq("id"), "left")
@@ -66,11 +103,7 @@ object GraphOps {
       .filter(col("src") =!= col("dst")).distinct()
     val remap = connectedComponents(contracted, maxIter)
       .select(col("id").as("oldc"), col("component").as("newc"))
-    labels
-      .unionByName(lbl.join(labels, Seq("id"), "left_anti"))
-      .join(remap, col("component") === col("oldc"), "left")
-      .select(col("id"), coalesce(col("newc"), col("component")).as("component"))
-      .orderBy("id")
+    (lbl, remap)
   }
 
   /** Connected components by ALTERNATING big-star/small-star

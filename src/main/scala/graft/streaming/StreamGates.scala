@@ -511,6 +511,69 @@ object StreamGates {
     out
   }
 
+  /** Streamed INCREMENTAL connected components, gated: the sparsified
+    * co-purchase edges arrive in three contiguous order-key range
+    * shards, each a cold restart; the first batch labels its subgraph
+    * outright, every later batch folds in through
+    * [[graft.ops.GraphOps.foldComponentsDelta]] — contraction onto
+    * the CURRENT merged labels, propagation on the contracted graph
+    * only — and commits O(touched components) as an append delta to
+    * the manifested bucketed label table (latest commit wins per id:
+    * [[graft.sinks.LakeWriter.readBucketedTableMerged]]). The final
+    * merged view must equal the one-shot full-graph closure: t145's
+    * twin VERBATIM — a lost merge, a stale label surviving a restart,
+    * or a delta that missed a touched member shows as a row diff.
+    */
+  def ccGate(lineitem: DataFrame, nShards: Int = 3): DataFrame = {
+    import graft.ops.GraphOps
+    import graft.sinks.LakeWriter
+    val spark = lineitem.sparkSession
+    val li = lineitem.filter(col("l_quantity") <= 5)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.ok").as("ok"), col("a.pk").as("src"), col("b.pk").as("dst"))
+      .localCheckpoint() // bounds probe + three shard filters read it
+    val b = pairs.agg(min("ok").as("lo"), max("ok").as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val span = hi - lo + 1
+    val shardFrames = (0 until nShards).map { i =>
+      val l = lo + i * span / nShards
+      val h = lo + (i + 1) * span / nShards
+      (if (i == nShards - 1) pairs.filter(col("ok") >= l)
+       else pairs.filter(col("ok") >= l && col("ok") < h))
+        .select("src", "dst")
+    }
+    val root = Files.createTempDirectory("sgate_cc").toString
+    val tbl = "sgate_cc_labels"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    drive(shardFrames) { (src, cp) =>
+      src.writeStream
+        .option("checkpointLocation", cp.get)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val lw = new graft.sinks.LakeWriter(root)
+          if (!spark.catalog.tableExists(tbl))
+            lw.commitBucketed(
+              GraphOps.connectedComponents(batch, maxIter = 60),
+              tbl, 8, Seq("id"), replace = true)
+          else {
+            val cur = LakeWriter.readBucketedTableMerged(spark, tbl, Seq("id"))
+            lw.commitBucketed(
+              GraphOps.foldComponentsDelta(cur, batch, maxIter = 60),
+              tbl, 8, Seq("id"))
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    val out = LakeWriter.readBucketedTableMerged(spark, tbl, Seq("id"))
+      .orderBy("id")
+      .localCheckpoint()
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    out
+  }
+
   /** Streamed IMAGE near-dup intake, gated: the golden t93 corpus
     * arrives first (in-batch pairs = t93's frame, and its hashes
     * build the index), then the t105 re-encodes split across TWO
