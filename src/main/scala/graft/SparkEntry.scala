@@ -781,6 +781,11 @@ object SparkEntry {
     // labeled first, the other half FOLDED in — new edges contract
     // onto current components, propagation runs on the contracted
     // graph only; must equal the full-graph closure verbatim
+    // market-basket association rules: A-Priori-pruned pair support,
+    // confidence and lift from exact integer products, one-row basket
+    // total broadcast
+    "t154_market_basket" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.marketBasket(t.lineitem) }),
     // STREAMING incremental components: edge shards across cold
     // restarts, per-batch contraction folds + O(touched) delta commits
     // to the manifested label table; final merged view = full closure
@@ -2076,6 +2081,23 @@ object SparkEntry {
         |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
         |SELECT id, min(r) AS component FROM reach GROUP BY id
         |ORDER BY id""".stripMargin,
+    // t154 twin: identical pair/item supports, identical quantized
+    // confidence and lift divisions
+    "t154_market_basket" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |nb AS (SELECT count(DISTINCT ok) AS nb FROM b),
+        |isupp AS (SELECT pk, count(*) AS supp FROM b GROUP BY 1),
+        |ps AS (SELECT a.pk AS pa, b2.pk AS pb, count(*) AS pair_supp
+        |  FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT pa, pb, pair_supp,
+        |  floor(CAST(pair_supp AS DOUBLE) / sa.supp * 1000000.0 + 0.5) / 1000000.0 AS conf_ab,
+        |  floor(CAST(pair_supp AS DOUBLE) / sb.supp * 1000000.0 + 0.5) / 1000000.0 AS conf_ba,
+        |  floor(CAST(pair_supp * nb.nb AS DOUBLE) / CAST(sa.supp * sb.supp AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS lift
+        |FROM ps JOIN isupp sa ON sa.pk = ps.pa
+        |JOIN isupp sb ON sb.pk = ps.pb CROSS JOIN nb
+        |ORDER BY pa, pb""".stripMargin,
     // t153 twin: the t145 full-graph closure verbatim — the streamed
     // delta-committed label table must reproduce it exactly
     "t153_stream_cc" ->

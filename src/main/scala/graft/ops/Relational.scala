@@ -652,6 +652,42 @@ object Relational {
           "(acc, e) -> (acc + e.x) / CAST(2.0 AS DOUBLE))").as("ewma"))
       .orderBy("rf")
 
+  /** MARKET-BASKET association rules — support / confidence / lift
+    * over co-purchase pairs, the classic recommendation statistic:
+    * pair support from ONE self-join on the basket key (a < b
+    * orientation, each pair once), item supports and the basket count
+    * from partial-aggregating passes, the one-row total broadcast
+    * (never a window). `minSupport` prunes BEFORE the item-support
+    * joins — the A-Priori downward-closure trick that keeps the rule
+    * table support-bounded instead of pair-quadratic. All counts are
+    * integers; confidence and lift are single divisions of integer
+    * products (< 2^53, exact), quantized with the portable
+    * [[Exact.quant6]]. Output: (pa, pb, pair_supp, conf_ab, conf_ba,
+    * lift), lift > 1 ⇔ the pair co-occurs above independence.
+    */
+  def marketBasket(lineitem: DataFrame, minSupport: Long = 3L): DataFrame = {
+    val baskets = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val nb = baskets.agg(countDistinct(col("ok")).as("nb"))
+    val itemSupp = baskets.groupBy("pk").agg(count(lit(1)).as("supp"))
+    val pairSupp = baskets.as("a")
+      .join(baskets.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("pair_supp"))
+      .filter(col("pair_supp") >= minSupport)
+    pairSupp
+      .join(itemSupp.select(col("pk").as("pa"), col("supp").as("sa")), "pa")
+      .join(itemSupp.select(col("pk").as("pb"), col("supp").as("sb")), "pb")
+      .crossJoin(broadcast(nb))
+      .select(col("pa"), col("pb"), col("pair_supp"),
+        Exact.quant6(col("pair_supp").cast("double") / col("sa")).as("conf_ab"),
+        Exact.quant6(col("pair_supp").cast("double") / col("sb")).as("conf_ba"),
+        Exact.quant6((col("pair_supp") * col("nb")).cast("double")
+          / (col("sa") * col("sb")).cast("double")).as("lift"))
+      .orderBy("pa", "pb")
+  }
+
   /** MERGE INTO / SCD-1 UPSERT — the other dimension-maintenance
     * shape next to SCD-2 ([[scd2Intervals]] keeps history; this
     * overwrites in place): matched keys take the update slice's row
