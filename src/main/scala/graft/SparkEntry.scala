@@ -781,6 +781,10 @@ object SparkEntry {
     // labeled first, the other half FOLDED in — new edges contract
     // onto current components, propagation runs on the contracted
     // graph only; must equal the full-graph closure verbatim
+    // per-group 2-sigma outlier counts with ZERO floating point: the
+    // cross-multiplied integer test (n*x - S)^2 > 4n(nQ - S^2)
+    "t155_outliers" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.outlierCounts(t.lineitem) }),
     // market-basket association rules: A-Priori-pruned pair support,
     // confidence and lift from exact integer products, one-row basket
     // total broadcast
@@ -2081,6 +2085,21 @@ object SparkEntry {
         |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
         |SELECT id, min(r) AS component FROM reach GROUP BY id
         |ORDER BY id""".stripMargin,
+    // t155 twin: the identical integer test in HUGEINT — nothing to
+    // round on either side
+    "t155_outliers" ->
+      """WITH x AS (SELECT l_returnflag AS rf,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT) AS c
+        |  FROM lineitem),
+        |st AS (SELECT rf, CAST(count(*) AS HUGEINT) AS n, sum(c) AS s,
+        |    sum(c * c) AS q
+        |  FROM x GROUP BY 1)
+        |SELECT x.rf, CAST(st.n AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN (st.n * x.c - st.s) * (st.n * x.c - st.s)
+        |    > 4 * st.n * (st.n * st.q - st.s * st.s) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM x JOIN st ON st.rf = x.rf
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // t154 twin: identical pair/item supports, identical quantized
     // confidence and lift divisions
     "t154_market_basket" ->

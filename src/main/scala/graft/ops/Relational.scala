@@ -652,6 +652,39 @@ object Relational {
           "(acc, e) -> (acc + e.x) / CAST(2.0 AS DOUBLE))").as("ewma"))
       .orderBy("rf")
 
+  /** ANOMALY DETECTION — per-group 2σ outlier counts with ZERO
+    * floating point: `x` is an outlier iff |x − μ| > 2σ, which
+    * cross-multiplies to the PURE INTEGER test
+    * `(n·x − S)² > 4·n·(n·Q − S²)` with S = Σx, Q = Σx² — no mean, no
+    * sqrt, no division, so there is nothing to round and the oracle
+    * twin is exact by construction (Spark DECIMAL(38,0) ⟷ DuckDB
+    * HUGEINT; cent-scale values keep every product under 10³⁸ to
+    * ~10¹¹ rows per group — beyond that, rescale the unit). Two
+    * passes, both partial-aggregating: one for the per-group (n, S,
+    * Q) sufficient statistic (broadcast back — |groups| rows), one
+    * for the outlier count. The per-row test is codegen'd integer
+    * math inside the scan pass.
+    * Output: (rf, n, n_outliers).
+    */
+  def outlierCounts(lineitem: DataFrame): DataFrame = {
+    val dec = "DECIMAL(38,0)"
+    val x = lineitem.select(col("l_returnflag").as("rf"),
+      floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+        .cast(dec).as("c"))
+    val stats = x.groupBy("rf").agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum("c").cast(dec).as("s"),
+      sum(col("c") * col("c")).cast(dec).as("q"))
+    x.join(broadcast(stats), "rf")
+      .select(col("rf"), col("n"),
+        when((col("n") * col("c") - col("s")) * (col("n") * col("c") - col("s"))
+          > lit(4).cast(dec) * col("n") * (col("n") * col("q") - col("s") * col("s")),
+          1L).otherwise(0L).as("is_out"))
+      .groupBy("rf")
+      .agg(first("n").cast("long").as("n"), sum("is_out").as("n_outliers"))
+      .orderBy("rf")
+  }
+
   /** MARKET-BASKET association rules — support / confidence / lift
     * over co-purchase pairs, the classic recommendation statistic:
     * pair support from ONE self-join on the basket key (a < b
