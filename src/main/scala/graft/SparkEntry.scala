@@ -39,6 +39,31 @@ object SparkEntry {
   private val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
   // sequential-fold dot/norm over DOUBLE[] lists — bit-identical to
   // Spark's aggregate() fold (see Similarity scaladoc)
+  /** t161 twin builder: k-core peeling unrolled to exactly `rounds`
+    * degree→filter→restrict rounds as MATERIALIZED chained CTEs (a
+    * plain CTE referenced three times per round would re-evaluate the
+    * whole prefix each time).
+    */
+  private def kCoreUnrolledSql(k: Int, rounds: Int): String = {
+    val head =
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity <= 5),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS a, b.pk AS b
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""n$i AS MATERIALIZED (SELECT id FROM (
+         |    SELECT a AS id FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+         |  GROUP BY id HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+         |  WHERE a IN (SELECT id FROM n$i) AND b IN (SELECT id FROM n$i))""".stripMargin
+    }
+    val tail =
+      s"""SELECT id, count(*) AS deg FROM (
+         |  SELECT a AS id FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+         |GROUP BY id HAVING count(*) >= $k ORDER BY id""".stripMargin
+    (head +: steps).mkString(",\n") + "\n" + tail
+  }
+
   private def sqlDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1,65), i -> $a.v[i]*$b.v[i]))"
   private val sqlNorm = "sqrt(list_sum(list_transform(range(1,65), i -> v[i]*v[i])))"
@@ -806,6 +831,74 @@ object SparkEntry {
       val newE = pairs.filter(col("ok") % 2 === 1).select("src", "dst")
       GraphOps.foldComponents(
         GraphOps.connectedComponents(oldE, maxIter = 60), newE, maxIter = 60) }),
+    // CDC SNAPSHOT DIFF: the t147 upsert (plus a deletion arm)
+    // committed as manifested snapshot v2 over the dim's v1, both
+    // read back via TIME TRAVEL, diffed into the insert/update/delete
+    // change feed — O(changed) rows out
+    "t156_cdc_diff" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, lit}
+      import graft.sinks.LakeWriter
+      val dim = t.customer.select("c_custkey", "c_mktsegment", "c_acctbal")
+      val upd = dim.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), lit("MERGED").as("c_mktsegment"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"))
+        .unionByName(dim.filter(col("c_custkey") % 31 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            lit("NEWKEY").as("c_mktsegment"), col("c_acctbal")))
+      val v2 = Relational.mergeUpsert(dim, upd, "c_custkey")
+        .filter(col("c_custkey") % 13 =!= 3)
+      val root = java.nio.file.Files.createTempDirectory("cdc_gate").toString
+      val lw = new LakeWriter(root)
+      lw.commitManifested(dim, "cdc_dim", append = false)
+      lw.commitManifested(v2, "cdc_dim", append = false)
+      Relational.snapshotDiff(
+          lw.readManifested(s, "cdc_dim", 1),
+          lw.readManifested(s, "cdc_dim", 2), "c_custkey")
+        .orderBy("c_custkey", "change_type") }),
+    // BLOOM-prefiltered join: the dim key set crosses as a broadcast
+    // Bloom bitset, non-matching fact rows die on the scan side of
+    // the shuffle; result bit-identical to the plain join
+    "t157_bloom_join" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val dim = t.customer.filter(
+        col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 7000.0)
+      Skew.bloomFilteredJoin(t.orders, dim, "o_custkey", "c_custkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          graft.ops.Exact.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderpriority") }),
+    // HEAVY HITTERS: Misra-Gries candidates per partition (O(k)
+    // memory), exact recount of candidates only — the
+    // full-cardinality groupBy never runs; planted heavy values
+    // (low-quantity lines folded onto l_partkey % 7) sit over a long
+    // rare tail
+    "t158_heavy_hitters" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, when}
+      Relational.heavyHitters(t.lineitem,
+        when(col("l_quantity") <= 3.0, col("l_partkey") % 7)
+          .otherwise(col("l_partkey")), minCount = 400L) }),
+    // DETERMINISTIC stratified sample: exactly 20 docs per language
+    // by md5 rank of doc_id — reproducible across engines/retries,
+    // no RNG state (the twin re-derives the identical sample)
+    "t159_stratified_sample" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.stratifiedSample(t.documents, "lang", "doc_id", 20)
+        .select("doc_id", "lang").orderBy("lang", "doc_id") }),
+    // 2-D SKYLINE (min price, max size): local sorted-sweep skylines
+    // per range partition, then one tiny global sweep — no O(n²)
+    // dominance join at any stage
+    "t160_skyline" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.skyline2D(t.part, "p_retailprice", "p_size") }),
+    // K-CORE peeling (k=3, exactly 6 rounds) on the sparsified
+    // co-purchase graph; the twin unrolls the same 6 rounds as
+    // chained CTEs — replayable bit-for-bit
+    "t161_kcore" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      val li = t.lineitem.filter(col("l_quantity") <= 5)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      GraphOps.kCore(pairs, k = 3, rounds = 6) }),
     // data-quality expectations: four row rules in one aggregate
     // pass + a uniqueness constraint; the natural data violates the
     // tight bounds, the planted re-ingestion (every 997th order's
@@ -2100,6 +2193,70 @@ object SparkEntry {
         |    AS BIGINT) AS n_outliers
         |FROM x JOIN st ON st.rf = x.rf
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // t156 twin: the v2 state re-derived relationally (t147's merge
+    // plus the deletion arm), full-outer diff against the dim,
+    // null-safe payload compare
+    "t156_cdc_diff" ->
+      """WITH dim AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+        |upd AS (SELECT c_custkey, 'MERGED' AS c_mktsegment,
+        |    c_acctbal + 100.0 AS c_acctbal FROM dim WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'NEWKEY', c_acctbal FROM dim
+        |  WHERE c_custkey % 31 = 0),
+        |v2 AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM (
+        |    SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal FROM dim d
+        |    LEFT JOIN upd u ON u.c_custkey = d.c_custkey
+        |    WHERE u.c_custkey IS NULL
+        |    UNION ALL
+        |    SELECT c_custkey, c_mktsegment, c_acctbal FROM upd)
+        |  WHERE c_custkey % 13 <> 3)
+        |SELECT COALESCE(n.c_custkey, o.c_custkey) AS c_custkey,
+        |  CASE WHEN o.c_custkey IS NULL THEN 'insert'
+        |       WHEN n.c_custkey IS NULL THEN 'delete'
+        |       ELSE 'update' END AS change_type,
+        |  CASE WHEN n.c_custkey IS NULL THEN o.c_mktsegment
+        |       ELSE n.c_mktsegment END AS c_mktsegment,
+        |  CASE WHEN n.c_custkey IS NULL THEN o.c_acctbal
+        |       ELSE n.c_acctbal END AS c_acctbal
+        |FROM dim o FULL OUTER JOIN v2 n ON o.c_custkey = n.c_custkey
+        |WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+        |   OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+        |   OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+        |ORDER BY c_custkey, change_type""".stripMargin,
+    // t157 twin: the PLAIN join — the Bloom prefilter must be
+    // result-invisible at any fpp
+    "t157_bloom_join" ->
+      s"""SELECT o_orderpriority, count(*) AS n_orders,
+         | ${mny("o_totalprice")} AS total_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 7000.0
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // t158 twin: the full-cardinality HAVING the sketch avoids
+    "t158_heavy_hitters" ->
+      """WITH x AS (SELECT CASE WHEN l_quantity <= 3.0 THEN l_partkey % 7
+        |    ELSE l_partkey END AS v FROM lineitem)
+        |SELECT v, count(*) AS cnt FROM x GROUP BY v
+        |HAVING count(*) >= 400 ORDER BY cnt DESC, v""".stripMargin,
+    // t159 twin: the identical md5-rank sample re-derived
+    "t159_stratified_sample" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r WHERE rn <= 20
+        |ORDER BY lang, doc_id""".stripMargin,
+    // t160 twin: the O(n²) dominance definition the sweep replaces
+    "t160_skyline" ->
+      """WITH pts AS (SELECT DISTINCT CAST(p_retailprice AS DOUBLE) AS p_retailprice,
+        |    CAST(p_size AS BIGINT) AS p_size FROM part)
+        |SELECT p_retailprice, p_size FROM pts p
+        |WHERE NOT EXISTS (SELECT 1 FROM pts q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p_retailprice, p_size""".stripMargin,
+    // t161 twin: the same 6 peeling rounds unrolled as materialized
+    // chained CTEs (DuckDB re-evaluates plain CTEs per reference)
+    "t161_kcore" -> kCoreUnrolledSql(k = 3, rounds = 6),
     // t154 twin: identical pair/item supports, identical quantized
     // confidence and lift divisions
     "t154_market_basket" ->

@@ -330,4 +330,37 @@ object GraphOps {
       .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
       .orderBy("id")
   }
+
+  /** K-CORE peeling, run for EXACTLY `rounds` rounds: each round
+    * drops nodes whose degree in the CURRENT residual graph is < k,
+    * then restricts the edge set to surviving endpoints (one degree
+    * aggregation + two semi-joins per round — all on the edge key,
+    * no global collection). With enough rounds this is the classic
+    * k-core fixed point (dense-community extraction / spam-farm
+    * coreness); the round count is an explicit parameter rather than
+    * a convergence loop so the computation is REPLAYABLE bit-for-bit
+    * by any engine running the same number of rounds — the oracle
+    * twin unrolls the identical rounds as chained CTEs. Output:
+    * (id, deg) for surviving nodes with their residual-graph degree.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be positive")
+    var e = canonicalEdges(edges).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("a").as("id"))
+        .unionByName(e.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val live = deg.filter(col("deg") >= k).select("id").localCheckpoint()
+      e = e
+        .join(live.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+        .join(live.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint()
+    }
+    e.select(col("a").as("id"))
+      .unionByName(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+      .orderBy("id")
+  }
 }

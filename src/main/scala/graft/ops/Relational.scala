@@ -981,6 +981,127 @@ object Relational {
     * ~|orders|·avg_lines² — linear in the fact table, and the join key
     * is the natural partitioning.
     */
+  /** CDC SNAPSHOT DIFF — the change feed between two versions of the
+    * same keyed table (e.g. two [[graft.sinks.LakeWriter]] manifested
+    * commits read via time travel): one full outer join on the key,
+    * payload columns compared null-safely. Emits `insert` (key only
+    * in `newer`), `delete` (key only in `older`) and `update` (key in
+    * both, any payload column changed; POST-image) rows — unchanged
+    * keys are dropped, so downstream incremental consumers touch
+    * O(changed) rows, not O(table). Scale: one shuffle on the key for
+    * both sides (co-partitioned if both snapshots are bucketed on the
+    * key, in which case the exchange vanishes).
+    */
+  def snapshotDiff(older: DataFrame, newer: DataFrame, key: String): DataFrame = {
+    val payload = older.columns.filterNot(_ == key).toSeq
+    require(payload.nonEmpty, "snapshotDiff needs at least one payload column")
+    require(newer.columns.sorted.sameElements(older.columns.sorted),
+      "snapshotDiff requires identical schemas")
+    val o = older.select(col(key).as("_ok"),
+      struct(payload.map(col): _*).as("_opay"))
+    val n = newer.select(col(key).as("_nk"),
+      struct(payload.map(col): _*).as("_npay"))
+    val changed = o.join(n, col("_ok") === col("_nk"), "full_outer")
+      .withColumn("change_type",
+        when(col("_ok").isNull, lit("insert"))
+          .when(col("_nk").isNull, lit("delete"))
+          .when(!(col("_opay") <=> col("_npay")), lit("update")))
+      .filter(col("change_type").isNotNull)
+    val image = when(col("change_type") === "delete", col("_opay"))
+      .otherwise(col("_npay"))
+    changed.select(
+      Seq(coalesce(col("_nk"), col("_ok")).as(key), col("change_type")) ++
+        payload.map(c => image.getField(c).as(c)): _*)
+  }
+
+  /** HEAVY HITTERS over a (possibly huge-cardinality) column: a
+    * Misra–Gries summary per partition (k counters in a plain hash
+    * map, O(k) memory regardless of input size) proposes candidates,
+    * then ONE semi-join recount gives exact counts for candidates
+    * only. k is sized from the table count so that every value with
+    * true frequency ≥ `minCount` provably survives the sketch
+    * (undercount ≤ n_p/(k+1) per partition ⇒ any value with global
+    * count > n/(k+1) surfaces in at least one partition), making the
+    * output EXACT — the sketch is purely a shuffle-avoidance device:
+    * the full-cardinality groupBy that a naive HAVING needs never
+    * runs; only |candidates| × |partitions| summary rows shuffle.
+    */
+  def heavyHitters(df: DataFrame, valueCol: Column, minCount: Long): DataFrame = {
+    require(minCount > 1, "minCount must exceed 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(valueCol.cast("long").as("v")).localCheckpoint()
+    val n = vals.count()
+    val k = (n / minCount + 1).toInt.max(16)
+    val candidates = vals.mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[Long, Long]
+      it.foreach { row =>
+        val v = row.getLong(0)
+        if (counters.contains(v) || counters.size < k)
+          counters(v) = counters.getOrElse(v, 0L) + 1L
+        else {
+          // decrement-all step (the arriving value is absorbed by the
+          // same decrement); drop exhausted counters
+          counters.keys.toArray.foreach { key =>
+            val c = counters(key) - 1L
+            if (c == 0L) counters.remove(key) else counters(key) = c
+          }
+        }
+      }
+      counters.keysIterator
+    }.toDF("v").distinct()
+    vals.join(broadcast(candidates), Seq("v"))
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("v"))
+  }
+
+  /** DETERMINISTIC STRATIFIED SAMPLE — exactly `perStratum` rows per
+    * stratum, chosen by md5 rank of the row id: no RNG state, so the
+    * sample is reproducible across engines, retries and partitionings
+    * (the property that makes eval/holdout splits auditable). The
+    * window sort shuffles once on the stratum key; rows-per-stratum
+    * at 100 TB is the usual skew concern — a hot stratum sorts on one
+    * task, so for massively-skewed strata pre-prune with a hash
+    * threshold before ranking.
+    */
+  def stratifiedSample(
+      df: DataFrame, stratum: String, idCol: String, perStratum: Int): DataFrame = {
+    val rank = row_number().over(Window.partitionBy(stratum)
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol)))
+    df.withColumn("_r", rank).filter(col("_r") <= perStratum).drop("_r")
+  }
+
+  /** 2-D SKYLINE (Pareto frontier): the distinct (minimize `xCol`,
+    * maximize `yCol`) points no other point dominates. Distributed
+    * shape: range-partition by x and take each partition's LOCAL
+    * skyline with a sorted running-max sweep (a locally-dominated
+    * point is globally dominated, so survivors are a superset of the
+    * answer and ~|skyline|-sized), then one tiny global sweep on the
+    * survivors. No cross join at any stage — the naive NOT EXISTS is
+    * O(n²).
+    */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def sweep(pts: DataFrame): DataFrame =
+      pts.mapPartitions { it =>
+        var best = Long.MinValue
+        it.flatMap { row =>
+          val y = row.getLong(1)
+          if (y > best) { best = y; Some((row.getDouble(0), y)) } else None
+        }
+      }.toDF(xCol, yCol)
+    val pts = df.select(col(xCol).cast("double"), col(yCol).cast("long")).distinct()
+    // per x keep only the max y, then sort by (x asc, y desc) so the
+    // running max admits exactly the undominated points
+    val perX = pts.groupBy(xCol).agg(max(yCol).as(yCol))
+    val local = sweep(perX.repartitionByRange(col(xCol))
+      .sortWithinPartitions(col(xCol), col(yCol).desc))
+    sweep(local.coalesce(1).sortWithinPartitions(col(xCol), col(yCol).desc))
+      .orderBy(xCol, yCol)
+  }
+
   def partPairs(lineitem: DataFrame, k: Int = 20): DataFrame = {
     val a = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa")).distinct()
     val b = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb")).distinct()

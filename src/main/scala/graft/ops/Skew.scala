@@ -33,4 +33,35 @@ object Skew {
       .join(replicated, Seq(key, "_salt"))
       .drop("_salt")
   }
+
+  /** Bloom-prefiltered inner equi-join — the runtime-filter pattern
+    * for the shape where the dimension side is too large to broadcast
+    * as ROWS but its join-KEY set fits a Bloom filter: build a Bloom
+    * over the dim keys (distributed aggregation, only the ~MB-sized
+    * bitset reaches the driver), broadcast it, and drop fact rows
+    * whose key cannot match BEFORE the join's shuffle. At 100 TB the
+    * win is shuffle volume: a 1% -selective dimension means ~99% of
+    * the fact table never leaves its input partition. False positives
+    * only let extra rows THROUGH to the exact join, so the result is
+    * bit-identical to the plain join at any `fpp`.
+    *
+    * The probe is a deliberately thin non-codegen filter (a lambda
+    * over the broadcast bitset) sitting directly on the scan; the
+    * join itself stays whatever Catalyst picks (SMJ/shuffled-hash on
+    * the surviving rows).
+    */
+  def bloomFilteredJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      expectedKeys: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val bf = dim.stat.bloomFilter(dimKey, expectedKeys, fpp)
+    val bfB = fact.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
+    fact
+      .filter(mightContain(col(factKey).cast("long")))
+      .join(dim, col(factKey) === col(dimKey))
+  }
 }
