@@ -899,6 +899,46 @@ object SparkEntry {
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("src"), col("b.pk").as("dst"))
       GraphOps.kCore(pairs, k = 3, rounds = 6) }),
+    // GRID-BUCKETED distance self-join: synthetic integer coords,
+    // 3x3 neighbor-cell equi-join + exact Chebyshev filter — the
+    // spatial/embedding-cell join with NO cross product (the twin IS
+    // the quadratic predicate join)
+    "t162_grid_pairs" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      val pts = t.customer.select(col("c_custkey").as("id"),
+        (col("c_custkey") * 48271 % 10007 % 300).as("x"),
+        (col("c_custkey") * 16807 % 10007 % 300).as("y"))
+      GeoOps.chebyshevPairs(pts, d = 4) }),
+    // K-ANONYMITY release: md5 pseudonyms, quasi-identifier groups
+    // under k=10 suppressed wholesale, each surviving row carries its
+    // group size as the anonymity evidence
+    "t163_k_anonymity" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, floor}
+      Relational.kAnonymize(t.customer, "c_custkey",
+        Seq(col("c_nationkey"), floor(col("c_acctbal") / 1000.0).cast("long")),
+        Seq("nation", "bal_band"), k = 10) }),
+    // TOP-K AS AN AGGREGATE: bounded O(k) buffer per group with
+    // map-side combine — each partition ships <= k entries per group
+    // instead of the window-sort's every-row shuffle; twin is the
+    // row_number form it replaces
+    "t164_topk_aggregate" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{arrays_zip, col, posexplode}
+      t.customer.groupBy("c_mktsegment")
+        .agg(graft.functions.TopKAggregate.topK(5)(
+          col("c_acctbal"), col("c_custkey")).as("tk"))
+        .select(col("c_mktsegment"),
+          posexplode(arrays_zip(col("tk.vs"), col("tk.ids"))))
+        .select(col("c_mktsegment"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.ids").as("c_custkey"), col("col.vs").as("c_acctbal"))
+        .orderBy("c_mktsegment", "rnk") }),
+    // PARENT-POINTER FOREST root+depth by pointer DOUBLING — log2(D)
+    // self-joins instead of D parent hops; twin is the recursive CTE
+    "t165_forest_depth" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, expr, when}
+      val nodes = t.part.select(col("p_partkey").cast("long").as("id"),
+        when(col("p_partkey") >= 7,
+          expr("CAST(p_partkey AS BIGINT) div 7")).as("parent"))
+      GraphOps.forestRootDepth(nodes) }),
     // data-quality expectations: four row rules in one aggregate
     // pass + a uniqueness constraint; the natural data violates the
     // tight bounds, the planted re-ingestion (every 997th order's
@@ -2257,6 +2297,47 @@ object SparkEntry {
     // t161 twin: the same 6 peeling rounds unrolled as materialized
     // chained CTEs (DuckDB re-evaluates plain CTEs per reference)
     "t161_kcore" -> kCoreUnrolledSql(k = 3, rounds = 6),
+    // t162 twin: the quadratic predicate join (DuckDB IEJoin) the
+    // grid buckets replace
+    "t162_grid_pairs" ->
+      """WITH p AS (SELECT c_custkey AS id,
+        |    c_custkey * 48271 % 10007 % 300 AS x,
+        |    c_custkey * 16807 % 10007 % 300 AS y FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b, b.x - a.x AS dx, b.y - a.y AS dy
+        |FROM p a JOIN p b ON a.id < b.id
+        |  AND b.x BETWEEN a.x - 4 AND a.x + 4
+        |  AND b.y BETWEEN a.y - 4 AND a.y + 4
+        |ORDER BY id_a, id_b""".stripMargin,
+    // t163 twin: same pseudonym map, same suppression rule
+    "t163_k_anonymity" ->
+      """WITH r AS (SELECT md5(CAST(c_custkey AS VARCHAR)) AS pseud,
+        |    c_nationkey AS nation,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+        |  FROM customer),
+        |g AS (SELECT nation, bal_band, count(*) AS group_size FROM r
+        |  GROUP BY 1, 2 HAVING count(*) >= 10)
+        |SELECT r.pseud, r.nation, r.bal_band, g.group_size
+        |FROM r JOIN g USING (nation, bal_band)
+        |ORDER BY pseud""".stripMargin,
+    // t164 twin: the window-sort form the bounded-buffer aggregate
+    // replaces (identical deterministic (value DESC, id) order)
+    "t164_topk_aggregate" ->
+      """WITH r AS (SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        |  FROM customer)
+        |SELECT c_mktsegment, rnk, c_custkey, c_acctbal FROM r WHERE rnk <= 5
+        |ORDER BY c_mktsegment, rnk""".stripMargin,
+    // t165 twin: the recursive CTE the pointer doubling replaces
+    "t165_forest_depth" ->
+      """WITH RECURSIVE r(id, node, d) AS (
+        |  SELECT p_partkey, p_partkey, CAST(0 AS BIGINT) FROM part
+        |  UNION ALL
+        |  SELECT id, node // 7, d + 1 FROM r WHERE node // 7 >= 1)
+        |SELECT id, node AS root, d AS depth FROM (
+        |  SELECT id, node, d,
+        |    row_number() OVER (PARTITION BY id ORDER BY d DESC) AS rn FROM r)
+        |WHERE rn = 1 ORDER BY id""".stripMargin,
     // t154 twin: identical pair/item supports, identical quantized
     // confidence and lift divisions
     "t154_market_basket" ->

@@ -363,4 +363,45 @@ object GraphOps {
       .filter(col("deg") >= k)
       .orderBy("id")
   }
+
+  /** ROOT + DEPTH for every node of a parent-pointer FOREST (org
+    * charts, bill-of-materials, thread trees) by POINTER DOUBLING:
+    * each round joins the ancestor map onto itself, so a node's known
+    * ancestor jumps 1 → 2 → 4 → … levels and a depth-D forest
+    * resolves in ⌈log₂ D⌉ self-joins instead of D sequential parent
+    * hops — the recursive-CTE workload made shuffle-bounded. State is
+    * (id, anc, d); a row is final when `anc` has no parent. Fails
+    * loudly at `maxIter` (2^30-deep chains are data bugs). Output:
+    * (id, root, depth), roots at depth 0.
+    */
+  def forestRootDepth(parents: DataFrame, maxIter: Int = 30): DataFrame = {
+    val p = parents.select(col("id").cast("long").as("id"),
+      col("parent").cast("long").as("parent")).localCheckpoint()
+    val hasPar = p.filter(col("parent").isNotNull)
+    // ids that are parents of others but have no own row are implicit roots
+    val roots = p.select(col("parent").as("id")).distinct()
+      .join(p.select("id"), Seq("id"), "left_anti")
+      .unionByName(p.filter(col("parent").isNull).select("id"))
+      .filter(col("id").isNotNull).distinct().localCheckpoint()
+    var state = hasPar.select(col("id"), col("parent").as("anc"), lit(1L).as("d"))
+      .localCheckpoint()
+    var done = false
+    var it = 0
+    while (!done) {
+      it += 1
+      require(it <= maxIter, s"forest deeper than 2^$maxIter — cycle or data bug")
+      val jumped = state.as("s")
+        .join(state.as("t"), col("s.anc") === col("t.id"), "left")
+        .select(col("s.id"),
+          coalesce(col("t.anc"), col("s.anc")).as("anc"),
+          (col("s.d") + coalesce(col("t.d"), lit(0L))).as("d"))
+        .localCheckpoint()
+      done = jumped.as("j").join(state.as("s"), Seq("id"))
+        .filter(col("j.anc") =!= col("s.anc")).isEmpty
+      state = jumped
+    }
+    state.select(col("id"), col("anc").as("root"), col("d").as("depth"))
+      .unionByName(roots.select(col("id"), col("id").as("root"), lit(0L).as("depth")))
+      .orderBy("id")
+  }
 }

@@ -1102,6 +1102,31 @@ object Relational {
       .orderBy(xCol, yCol)
   }
 
+  /** K-ANONYMOUS RELEASE: rows whose quasi-identifier combination is
+    * shared by ≥ k rows survive with the identifier replaced by a
+    * deterministic md5 pseudonym; rarer combinations are SUPPRESSED
+    * wholesale (the re-identification risk is exactly the small
+    * groups). One hash aggregation for the group sizes, one semi-ish
+    * broadcast-able join back — the release never materializes the
+    * suppressed rows. Pseudonymization is a pure column map, so the
+    * release stays joinable to itself across tables hashed with the
+    * same salt-free scheme (swap in a keyed hash for production
+    * salting).
+    */
+  def kAnonymize(df: DataFrame, idCol: String, quasi: Seq[Column],
+      quasiNames: Seq[String], k: Int): DataFrame = {
+    require(quasi.nonEmpty && quasi.size == quasiNames.size && k >= 2,
+      "need quasi-identifiers and k >= 2")
+    val qcols = quasi.zip(quasiNames).map { case (c, n) => c.as(n) }
+    val rows = df.select(
+      md5(col(idCol).cast("string").cast("binary")).as("pseud") +: qcols: _*)
+    val big = rows.groupBy(quasiNames.map(col): _*)
+      .agg(count(lit(1)).as("_n")).filter(col("_n") >= k)
+    rows.join(big, quasiNames)
+      .select((col("pseud") +: quasiNames.map(col)) :+ col("_n").as("group_size"): _*)
+      .orderBy("pseud")
+  }
+
   def partPairs(lineitem: DataFrame, k: Int = 20): DataFrame = {
     val a = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa")).distinct()
     val b = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb")).distinct()
