@@ -939,6 +939,50 @@ object SparkEntry {
         when(col("p_partkey") >= 7,
           expr("CAST(p_partkey AS BIGINT) div 7")).as("parent"))
       GraphOps.forestRootDepth(nodes) }),
+    // per-group LEAST-SQUARES trend in exact integer sufficient
+    // statistics (DECIMAL(38,0)); only the final division is float
+    "t166_linear_trend" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, datediff, floor, lit, to_date}
+      Relational.linearTrend(t.lineitem, col("l_returnflag"),
+        datediff(col("l_shipdate"), to_date(lit("1992-01-01"))).cast("long"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")) }),
+    // KEY-SKEW PROFILE: exact collision mass and hottest-key bound
+    // per candidate shuffle key — the pre-join planning statistic
+    "t167_key_skew" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      Relational.keySkewProfile(t.lineitem, Seq(
+        "l_orderkey" -> col("l_orderkey"),
+        "l_partkey" -> col("l_partkey"),
+        "l_suppkey" -> col("l_suppkey"))) }),
+    // TWO-PROPORTION A/B test with zero floating point: planted
+    // variant bias (conversion threshold 45 vs 50), pooled z-squared
+    // as a cross-multiplied DECIMAL(38,0) inequality
+    "t168_ab_test" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, lit}
+      EventOps.abTest(t.events, col("event_type"), col("user_id") % 2,
+        col("value") > lit(45.0) + lit(5.0) * (col("user_id") % 2).cast("double")) }),
+    // INCREMENTAL MV MAINTENANCE: the t156-style change feed folded
+    // into a grouped (count, cents-sum) materialized view — must
+    // equal the full recompute (the twin) without re-reading the base
+    "t169_incremental_mv" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, floor, lit, to_date, when}
+      val cut = to_date(lit("1996-01-01"))
+      val base = t.orders.select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"), col("o_orderdate"))
+      val mut = base.withColumn("o_totalprice",
+          when(col("o_orderkey") % 97 === 7, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")))
+        .filter(col("o_orderkey") % 691 =!= 5)
+      val v1 = base.filter(col("o_orderdate") < cut).drop("o_orderdate")
+      val v2 = mut.drop("o_orderdate")
+      val cents = floor(col("o_totalprice") * 100.0 + 0.5).cast("long")
+      val mv0 = v1.groupBy(col("o_orderpriority").as("grp"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum(cents).as("s"))
+      Relational.incrementalGroupSum(mv0,
+          Relational.snapshotDiff(v1, v2, "o_orderkey"),
+          col("o_orderpriority"), cents)
+        .orderBy("grp") }),
     // data-quality expectations: four row rules in one aggregate
     // pass + a uniqueness constraint; the natural data violates the
     // tight bounds, the planted re-ingestion (every 997th order's
@@ -2250,18 +2294,22 @@ object SparkEntry {
         |    UNION ALL
         |    SELECT c_custkey, c_mktsegment, c_acctbal FROM upd)
         |  WHERE c_custkey % 13 <> 3)
-        |SELECT COALESCE(n.c_custkey, o.c_custkey) AS c_custkey,
-        |  CASE WHEN o.c_custkey IS NULL THEN 'insert'
-        |       WHEN n.c_custkey IS NULL THEN 'delete'
-        |       ELSE 'update' END AS change_type,
-        |  CASE WHEN n.c_custkey IS NULL THEN o.c_mktsegment
-        |       ELSE n.c_mktsegment END AS c_mktsegment,
-        |  CASE WHEN n.c_custkey IS NULL THEN o.c_acctbal
-        |       ELSE n.c_acctbal END AS c_acctbal
-        |FROM dim o FULL OUTER JOIN v2 n ON o.c_custkey = n.c_custkey
-        |WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
-        |   OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
-        |   OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+        |, j AS (SELECT o.c_custkey AS ko, n.c_custkey AS kn,
+        |    o.c_mktsegment AS os, o.c_acctbal AS ob,
+        |    n.c_mktsegment AS ns, n.c_acctbal AS nb
+        |  FROM dim o FULL OUTER JOIN v2 n ON o.c_custkey = n.c_custkey)
+        |SELECT kn AS c_custkey, 'insert' AS change_type,
+        |  ns AS c_mktsegment, nb AS c_acctbal FROM j WHERE ko IS NULL
+        |UNION ALL
+        |SELECT ko, 'delete', os, ob FROM j WHERE kn IS NULL
+        |UNION ALL
+        |SELECT ko, 'update_preimage', os, ob FROM j
+        |WHERE ko IS NOT NULL AND kn IS NOT NULL
+        |  AND (os IS DISTINCT FROM ns OR ob IS DISTINCT FROM nb)
+        |UNION ALL
+        |SELECT ko, 'update_postimage', ns, nb FROM j
+        |WHERE ko IS NOT NULL AND kn IS NOT NULL
+        |  AND (os IS DISTINCT FROM ns OR ob IS DISTINCT FROM nb)
         |ORDER BY c_custkey, change_type""".stripMargin,
     // t157 twin: the PLAIN join — the Bloom prefilter must be
     // result-invisible at any fpp
@@ -2338,6 +2386,67 @@ object SparkEntry {
         |  SELECT id, node, d,
         |    row_number() OVER (PARTITION BY id ORDER BY d DESC) AS rn FROM r)
         |WHERE rn = 1 ORDER BY id""".stripMargin,
+    // t166 twin: identical integer sufficient statistics in HUGEINT,
+    // identical final quantized division
+    "t166_linear_trend" ->
+      """WITH x AS (SELECT l_returnflag AS grp,
+        |    CAST(datediff('day', DATE '1992-01-01', l_shipdate) AS HUGEINT) AS x,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT) AS y
+        |  FROM lineitem),
+        |s AS (SELECT grp, CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM x GROUP BY 1)
+        |SELECT grp, CAST(n AS BIGINT) AS n,
+        |  floor(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS slope,
+        |  floor(CAST(sy * sxx - sx * sxy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS intercept
+        |FROM s ORDER BY grp""".stripMargin,
+    // t167 twin: per-key frequency tables, exact integer moments
+    "t167_key_skew" ->
+      """WITH f1 AS (SELECT l_orderkey AS k, count(*) AS f FROM lineitem GROUP BY 1),
+        |f2 AS (SELECT l_partkey AS k, count(*) AS f FROM lineitem GROUP BY 1),
+        |f3 AS (SELECT l_suppkey AS k, count(*) AS f FROM lineitem GROUP BY 1)
+        |SELECT 'l_orderkey' AS key_name, CAST(sum(f) AS BIGINT) AS n_rows,
+        |  count(*) AS n_keys, CAST(sum(f * f) AS BIGINT) AS sum_f2,
+        |  max(f) AS max_f FROM f1
+        |UNION ALL
+        |SELECT 'l_partkey', CAST(sum(f) AS BIGINT), count(*),
+        |  CAST(sum(f * f) AS BIGINT), max(f) FROM f2
+        |UNION ALL
+        |SELECT 'l_suppkey', CAST(sum(f) AS BIGINT), count(*),
+        |  CAST(sum(f * f) AS BIGINT), max(f) FROM f3
+        |ORDER BY key_name""".stripMargin,
+    // t168 twin: the same cross-multiplied z-squared inequality in
+    // HUGEINT — borderline experiments can never flip on an ulp
+    "t168_ab_test" ->
+      """WITH e AS (SELECT event_type AS grp, user_id % 2 AS v,
+        |    CASE WHEN value > 45.0 + 5.0 * CAST(user_id % 2 AS DOUBLE)
+        |      THEN 1 ELSE 0 END AS c
+        |  FROM events),
+        |s AS (SELECT grp,
+        |    sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS n_a,
+        |    sum(CASE WHEN v = 0 THEN c ELSE 0 END) AS x_a,
+        |    sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS n_b,
+        |    sum(CASE WHEN v = 1 THEN c ELSE 0 END) AS x_b
+        |  FROM e GROUP BY 1)
+        |SELECT grp, CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
+        |  CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
+        |  625 * CAST(x_a * n_b - x_b * n_a AS HUGEINT)
+        |      * CAST(x_a * n_b - x_b * n_a AS HUGEINT) * (n_a + n_b)
+        |    > 2401 * CAST(n_a AS HUGEINT) * n_b * (x_a + x_b)
+        |      * ((n_a + n_b) - (x_a + x_b)) AS significant
+        |FROM s ORDER BY grp""".stripMargin,
+    // t169 twin: the FULL recompute over the mutated base — the
+    // incremental fold must land on exactly these integers
+    "t169_incremental_mv" ->
+      """WITH v2 AS (SELECT o_orderpriority,
+        |    CASE WHEN o_orderkey % 97 = 7 THEN o_totalprice + 10.0
+        |      ELSE o_totalprice END AS tp
+        |  FROM orders WHERE o_orderkey % 691 <> 5)
+        |SELECT o_orderpriority AS grp, count(*) AS n,
+        |  CAST(sum(CAST(floor(tp * 100.0 + 0.5) AS HUGEINT)) AS BIGINT) AS s
+        |FROM v2 GROUP BY 1 ORDER BY 1""".stripMargin,
     // t154 twin: identical pair/item supports, identical quantized
     // confidence and lift divisions
     "t154_market_basket" ->

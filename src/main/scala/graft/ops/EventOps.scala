@@ -645,6 +645,38 @@ object EventOps {
       floor(unix_micros(col("ts")) / lit(604800000000L)).cast("long").as("wk"))
       .distinct()
 
+  /** TWO-PROPORTION A/B SIGNIFICANCE per group with ZERO floating
+    * point: the pooled two-proportion z-test z² > 3.8416 (95%, the
+    * χ²₁ bound) evaluated as the cross-multiplied INTEGER inequality
+    *
+    *   625·D²·n > 2401·n_a·n_b·x·(n−x),  D = x_a·n_b − x_b·n_a
+    *
+    * (3.8416 = 2401/625 exactly), in DECIMAL(38,0) — so two engines
+    * can never disagree by an ulp on a borderline experiment. One
+    * partial-aggregating pass builds the four sufficient counts per
+    * group; the verdict is a pure column expression. `variant` must
+    * be 0/1, `converted` a boolean column.
+    */
+  def abTest(df: DataFrame, grp: Column, variant: Column, converted: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val c = converted.cast("long")
+    val s = df.select(grp.as("grp"), variant.cast("long").as("v"), c.as("c"))
+      .groupBy("grp")
+      .agg(sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("v") === 0, col("c")).otherwise(0L)).as("x_a"),
+        sum(when(col("v") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("v") === 1, col("c")).otherwise(0L)).as("x_b"))
+    def d(n: String) = col(n).cast(dec)
+    val bigD = d("x_a") * d("n_b") - d("x_b") * d("n_a")
+    val n = d("n_a") + d("n_b")
+    val x = d("x_a") + d("x_b")
+    s.select(col("grp"), col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        (lit(625).cast(dec) * bigD * bigD * n >
+          lit(2401).cast(dec) * d("n_a") * d("n_b") * x * (n - x))
+          .as("significant"))
+      .orderBy("grp")
+  }
+
   private def cohortFromActivity(activity: DataFrame): DataFrame = {
     val first = activity.groupBy("user_id").agg(min("wk").as("cohort_wk"))
     activity.join(first, "user_id")

@@ -975,20 +975,17 @@ object Relational {
         count(lit(1)).as("n_lines"))
       .orderBy("o_orderpriority")
 
-  /** Part-pair co-occurrence (the reference's "hero combinations"
-    * capability): self-join on the order key with a `<` guard. Scale:
-    * lines-per-order is small and bounded, so the self-join output is
-    * ~|orders|·avg_lines² — linear in the fact table, and the join key
-    * is the natural partitioning.
-    */
   /** CDC SNAPSHOT DIFF — the change feed between two versions of the
     * same keyed table (e.g. two [[graft.sinks.LakeWriter]] manifested
     * commits read via time travel): one full outer join on the key,
     * payload columns compared null-safely. Emits `insert` (key only
-    * in `newer`), `delete` (key only in `older`) and `update` (key in
-    * both, any payload column changed; POST-image) rows — unchanged
-    * keys are dropped, so downstream incremental consumers touch
-    * O(changed) rows, not O(table). Scale: one shuffle on the key for
+    * in `newer`), `delete` (key only in `older`) and, for keys in
+    * both with any payload column changed, an `update_preimage` +
+    * `update_postimage` row PAIR (the standard change-data-feed
+    * format — the pre-image is what lets a downstream aggregate
+    * RETRACT the old contribution, see [[incrementalGroupSum]]).
+    * Unchanged keys are dropped, so downstream incremental consumers
+    * touch O(changed) rows, not O(table). Scale: one shuffle on the key for
     * both sides (co-partitioned if both snapshots are bucketed on the
     * key, in which case the exchange vanishes).
     */
@@ -1002,16 +999,88 @@ object Relational {
     val n = newer.select(col(key).as("_nk"),
       struct(payload.map(col): _*).as("_npay"))
     val changed = o.join(n, col("_ok") === col("_nk"), "full_outer")
-      .withColumn("change_type",
-        when(col("_ok").isNull, lit("insert"))
-          .when(col("_nk").isNull, lit("delete"))
-          .when(!(col("_opay") <=> col("_npay")), lit("update")))
-      .filter(col("change_type").isNotNull)
-    val image = when(col("change_type") === "delete", col("_opay"))
-      .otherwise(col("_npay"))
+      .withColumn("_arm",
+        when(col("_ok").isNull, array(lit("insert")))
+          .when(col("_nk").isNull, array(lit("delete")))
+          .when(!(col("_opay") <=> col("_npay")),
+            array(lit("update_preimage"), lit("update_postimage"))))
+      .filter(col("_arm").isNotNull)
+      .withColumn("change_type", explode(col("_arm")))
+    val image = when(col("change_type").isin("delete", "update_preimage"),
+      col("_opay")).otherwise(col("_npay"))
     changed.select(
       Seq(coalesce(col("_nk"), col("_ok")).as(key), col("change_type")) ++
         payload.map(c => image.getField(c).as(c)): _*)
+  }
+
+  /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE for a grouped
+    * (count, integer-sum) aggregate: fold a [[snapshotDiff]] change
+    * feed into the previous MV state without touching the base table.
+    * Inserts and update POST-images add their contribution, deletes
+    * and update PRE-images retract theirs — group-moving updates come
+    * out right by construction. Cost is O(|feed| + |groups|): one
+    * aggregation of the feed, one full-outer merge with the MV; the
+    * 100 TB base table is never re-read. Groups whose count reaches
+    * zero are dropped. `mv` schema: (grp, n, s).
+    */
+  def incrementalGroupSum(mv: DataFrame, feed: DataFrame,
+      grp: Column, valueInt: Column): DataFrame = {
+    val sign = when(col("change_type").isin("insert", "update_postimage"), lit(1L))
+      .when(col("change_type").isin("delete", "update_preimage"), lit(-1L))
+    val delta = feed.select(grp.as("grp"), sign.as("_sg"), valueInt.as("_v"))
+      .groupBy("grp")
+      .agg(sum(col("_sg")).as("dn"), sum(col("_sg") * col("_v")).as("ds"))
+    mv.select(col("grp"), col("n"), col("s"))
+      .join(delta, Seq("grp"), "full_outer")
+      .select(col("grp"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("s"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("s"))
+      .filter(col("n") > 0)
+  }
+
+  /** Per-group LEAST-SQUARES linear trend (slope + intercept) with
+    * ZERO float accumulation: x/y pre-quantized to integer units by
+    * the caller, the five sufficient statistics (n, Σx, Σy, Σxy, Σx²)
+    * summed in DECIMAL(38,0), the closed-form solution's numerator
+    * and denominator formed as exact integer products, and only the
+    * FINAL division done in (portably-quantized) doubles. One
+    * partial-aggregating pass; no per-group iteration anywhere.
+    * Output: (grp, n, slope, intercept) in y-units per x-unit.
+    */
+  def linearTrend(df: DataFrame, grp: Column, xInt: Column, yInt: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val x = df.select(grp.as("grp"), xInt.cast(dec).as("x"), yInt.cast(dec).as("y"))
+    x.groupBy("grp")
+      .agg(count(lit(1)).cast(dec).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("grp"), col("n").cast("long").as("n"),
+        quant6((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")).as("slope"),
+        quant6((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")).as("intercept"))
+      .orderBy("grp")
+  }
+
+  /** KEY-SKEW PROFILE — the shuffle-planning statistic: for each
+    * named key expression, the row count, distinct-key count, the
+    * exact collision mass Σf² (Σf²/n is the expected number of rows
+    * sharing a random row's key) and the heaviest key's frequency.
+    * Pure integers — nothing to quantize. This is what decides
+    * salting / AQE-skew settings BEFORE launching a 100 TB join:
+    * max_f bounds the hottest post-shuffle partition no matter how
+    * many reducers there are.
+    */
+  def keySkewProfile(df: DataFrame, keys: Seq[(String, Column)]): DataFrame = {
+    require(keys.nonEmpty, "need at least one key expression")
+    val profiles = keys.map { case (name, k) =>
+      df.select(k.cast("long").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("f"))
+        .agg(count(lit(1)).as("n_keys"), sum("f").as("n_rows"),
+          sum(col("f") * col("f")).as("sum_f2"), max("f").as("max_f"))
+        .select(lit(name).as("key_name"), col("n_rows"), col("n_keys"),
+          col("sum_f2"), col("max_f"))
+    }
+    profiles.reduce(_ unionByName _).orderBy("key_name")
   }
 
   /** HEAVY HITTERS over a (possibly huge-cardinality) column: a
@@ -1127,6 +1196,12 @@ object Relational {
       .orderBy("pseud")
   }
 
+  /** Part-pair co-occurrence (the reference's "hero combinations"
+    * capability): self-join on the order key with a `<` guard. Scale:
+    * lines-per-order is small and bounded, so the self-join output is
+    * ~|orders|·avg_lines² — linear in the fact table, and the join key
+    * is the natural partitioning.
+    */
   def partPairs(lineitem: DataFrame, k: Int = 20): DataFrame = {
     val a = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa")).distinct()
     val b = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb")).distinct()

@@ -81,13 +81,49 @@ class ScaleOpsSpec extends AnyFunSuite {
       (3L, None, 30.0),                          // value → null update
       (5L, Some("e"), 50.0)).toDF("k", "s", "m") // insert; 4 deleted
     val got = Relational.snapshotDiff(v1, v2, "k")
-      .orderBy("k")
+      .orderBy("k", "change_type")
       .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)), r.getDouble(3))).toSeq
     assert(got == Seq(
-      (2L, "update", Some("b2"), 20.0),
-      (3L, "update", None, 30.0),
+      (2L, "update_postimage", Some("b2"), 20.0),
+      (2L, "update_preimage", None, 20.0),
+      (3L, "update_postimage", None, 30.0),
+      (3L, "update_preimage", Some("c"), 30.0),
       (4L, "delete", Some("d"), 40.0),
       (5L, "insert", Some("e"), 50.0)))
+  }
+
+  test("incrementalGroupSum folds inserts/deletes/group-moving updates " +
+      "to exactly the full recompute") {
+    val v1 = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "b", 40L))
+      .toDF("k", "g", "v")
+    // 1 deleted; 2 moves a→b with new value; 5 inserted into a
+    val v2 = Seq((2L, "b", 25L), (3L, "b", 30L), (4L, "b", 40L), (5L, "a", 50L))
+      .toDF("k", "g", "v")
+    val mv0 = v1.groupBy(col("g").as("grp"))
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val got = Relational.incrementalGroupSum(mv0,
+        Relational.snapshotDiff(v1, v2, "k"), col("g"), col("v"))
+      .orderBy("grp").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = v2.groupBy(col("g").as("grp"))
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .orderBy("grp").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want && want == Seq(("a", 1L, 50L), ("b", 3L, 95L)))
+    // a group emptied by the feed disappears instead of lingering at 0
+    val v3 = Seq((3L, "b", 30L), (4L, "b", 40L)).toDF("k", "g", "v")
+    val gone = Relational.incrementalGroupSum(mv0,
+        Relational.snapshotDiff(v1, v3, "k"), col("g"), col("v"))
+      .collect().map(_.getString(0)).toSeq
+    assert(gone == Seq("b"))
+  }
+
+  test("linearTrend recovers a planted exact line per group") {
+    // group p: y = 3x + 7 exactly; group q: y = -2x + 100
+    val rows = (0L to 50L).map(x => ("p", x, 3 * x + 7)) ++
+      (0L to 50L).map(x => ("q", x, -2 * x + 100))
+    val got = Relational.linearTrend(rows.toDF("g", "x", "y"),
+        col("g"), col("x"), col("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == Seq(("p", 51L, 3.0, 7.0), ("q", 51L, -2.0, 100.0)))
   }
 
   test("kCore: triangle core survives, pendant chain peels; the round " +
