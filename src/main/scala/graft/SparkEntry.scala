@@ -983,6 +983,177 @@ object SparkEntry {
           Relational.snapshotDiff(v1, v2, "o_orderkey"),
           col("o_orderpriority"), cents)
         .orderBy("grp") }),
+    // NULL-SAFE equi-join (<=>): NULL keys MATCH each other — the
+    // join SQL's = silently drops; still a hash join (EqualNullSafe
+    // is a supported join key), never a nested loop
+    "q59_nullsafe_join" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, count, expr, lit}
+      val a = t.customer.select(expr("nullif(c_nationkey % 7, 3)").as("k"))
+      val b = t.supplier.select(expr("nullif(s_nationkey % 7, 3)").as("kb"))
+      a.join(b, col("k") <=> col("kb"))
+        .groupBy("k").agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("k").asc_nulls_first) }),
+    // MULTISET set ops: EXCEPT ALL / INTERSECT ALL keep per-row
+    // multiplicity (q13 gates the DISTINCT forms) — the reconcile
+    // primitive for comparing two loads of the same feed
+    "q60_multiset_setops" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val a = t.orders.filter(col("o_orderkey") % 2 === 0).select("o_orderpriority")
+      val b = t.orders.filter(col("o_orderkey") % 3 === 0).select("o_orderpriority")
+      def cnt(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+          .select(lit(tag).as("op"), col("o_orderpriority"), col("n"))
+      cnt(a.exceptAll(b), "except_all")
+        .unionByName(cnt(a.intersectAll(b), "intersect_all"))
+        .orderBy("op", "o_orderpriority") }),
+    // TPC-H Q5-shaped snowflake: region→nation broadcast down a
+    // 6-table star, date-range filter pushed to the orders scan,
+    // customer and supplier co-located on nation — one plan, every
+    // dim broadcast, the fact tables shuffle at most once
+    "q61_star_join" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{broadcast, col, count, lit, to_date}
+      val nat = t.nation.join(
+        broadcast(t.region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      val cust = t.customer.join(broadcast(nat),
+        col("c_nationkey") === col("n_nationkey"))
+      val ord = t.orders.filter(
+        col("o_orderdate") >= to_date(lit("1994-01-01")) &&
+        col("o_orderdate") < to_date(lit("1996-01-01")))
+      ord.join(cust, col("o_custkey") === col("c_custkey"))
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(graft.ops.Exact.moneySum(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("n_name") }),
+    // IGNORE NULLS window navigation: last_value carries the most
+    // recent non-null observation forward (running frame),
+    // first_value pins the partition's first non-null — the sparse-
+    // column navigation SQL's plain first/last can't express
+    "q62_ignore_nulls" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{col, first, last, when}
+      val rows = t.orders.filter(col("o_custkey") % 50 === 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          when(col("o_totalprice") > 150000.0, col("o_orderpriority")).as("big_pri"))
+      val ord = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      rows.select(col("o_custkey"), col("o_orderkey"),
+          last("big_pri", ignoreNulls = true).over(run).as("last_big_pri"),
+          first("big_pri", ignoreNulls = true).over(full).as("first_big_pri"))
+        .orderBy("o_custkey", "o_orderkey") }),
+    // LATEST ROW PER KEY over an out-of-order version stream: ONE
+    // max_by aggregate (map-side combine ships <= |keys| rows per
+    // partition) instead of the window-sort that shuffles every
+    // version — the merge-on-read compaction kernel
+    "t170_latest_rows" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, lit}
+      val dim = t.customer.select("c_custkey", "c_mktsegment", "c_acctbal")
+      val versions = dim.withColumn("seq", lit(0L))
+        .unionByName(dim.filter(col("c_custkey") % 5 === 0)
+          .select(col("c_custkey"), lit("UPD1").as("c_mktsegment"),
+            (col("c_acctbal") + 10.0).as("c_acctbal"), lit(1L).as("seq")))
+        .unionByName(dim.filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"), lit("UPD2").as("c_mktsegment"),
+            (col("c_acctbal") + 20.0).as("c_acctbal"), lit(2L).as("seq")))
+      Relational.latestRows(versions, "c_custkey", "seq")
+        .orderBy("c_custkey") }),
+    // REFERENTIAL-INTEGRITY audit: planted orphans (shifted FK
+    // values) counted per declared FK — exactly the rows an inner
+    // join would silently drop
+    "t171_fk_orphans" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, when}
+      val li = t.lineitem.withColumn("l_orderkey",
+        when(col("l_orderkey") % 1009 === 17, col("l_orderkey") + 100000000L)
+          .otherwise(col("l_orderkey")))
+      val ord = t.orders.withColumn("o_custkey",
+        when(col("o_orderkey") % 997 === 13, col("o_custkey") + 100000000L)
+          .otherwise(col("o_custkey")))
+      Relational.fkOrphanReport(Seq(
+        ("lineitem.l_orderkey->orders", li, "l_orderkey", t.orders, "o_orderkey"),
+        ("orders.o_custkey->customer", ord, "o_custkey", t.customer, "c_custkey"))) }),
+    // per-group WEIGHTED MEDIAN (price cents weighted by quantity):
+    // the window cumsum runs over the per-value histogram, never the
+    // fact rows
+    "t172_weighted_median" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, floor}
+      Relational.weightedMedian(t.lineitem, col("l_returnflag"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long"),
+        col("l_quantity").cast("long")) }),
+    // MULTI-SOURCE BFS on the sparsified co-purchase graph: minimum
+    // hops (<= 4) from the seed parts; level-synchronous frontier
+    // expansion — work is frontier-sized per round, twin is the
+    // bounded recursive CTE
+    "t173_bfs" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      val li = t.lineitem.filter(col("l_quantity") <= 5)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      val nodes = pairs.select(col("src").as("id"))
+        .unionByName(pairs.select(col("dst").as("id"))).distinct()
+      GraphOps.bfsLevels(pairs, nodes.filter(col("id") % 101 === 0), rounds = 4) }),
+    // EXACT JOIN-CARDINALITY profile: predicted output rows for three
+    // candidate joins from per-key frequency products — the decision
+    // statistic BEFORE launching a 100 TB join
+    "t174_join_cardinality" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      Relational.joinCardinality(Seq(
+        ("lineitem_x_orders", t.lineitem, col("l_orderkey"), t.orders, col("o_orderkey")),
+        ("lineitem_x_part", t.lineitem, col("l_partkey"), t.part, col("p_partkey")),
+        // the many-to-many arm: a partkey self-join EXPLODES (est >>
+        // left+right) — exactly what the profile exists to catch
+        ("lineitem_x_lineitem", t.lineitem, col("l_partkey"), t.lineitem, col("l_partkey")),
+        ("orders_x_customer", t.orders, col("o_custkey"), t.customer, col("c_custkey")))) }),
+    // EQUI-WIDTH HISTOGRAM in two passes (tiny bounds aggregate
+    // broadcast back, then one hash agg on the bin index) — never a
+    // sort; integer bin math buckets identically on any engine
+    "t175_histogram" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, floor}
+      Relational.histogramInt(t.orders,
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long"), bins = 20) }),
+    // STREAMING MV maintenance: the orders fact in three key-range
+    // shards (each a cold restart), the grouped (count, cents-sum) MV
+    // folded per batch and committed as O(touched groups) deltas to a
+    // merge-on-read state table; final view = full recompute exactly
+    "t176_stream_mv" -> ((s, d) => { val t = Tables.load(s, d)
+      graft.streaming.StreamGates.mvGate(t.orders) }),
+    // CROSS-TABLE RECONCILIATION: the copy lost every 911th order,
+    // duplicated every 1013th, and corrupted every 509th by one cent;
+    // 64 bucketed integer checksums localize ALL of it without a
+    // row-level join
+    "t177_reconciliation" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, floor, when}
+      val dst = t.orders.filter(col("o_orderkey") % 911 =!= 5)
+        .unionByName(t.orders.filter(col("o_orderkey") % 1013 === 7))
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 509 === 11, col("o_totalprice") + 0.01)
+            .otherwise(col("o_totalprice")))
+      Relational.reconciliationReport(t.orders, dst, col("o_orderkey"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long"), buckets = 64) }),
+    // GRID NEAREST NEIGHBOR: each point's closest other point within
+    // Chebyshev radius 4 — cell candidates + ONE argmin aggregate per
+    // point (min(struct(dist, id)) partial-aggregates; no per-point
+    // sort); twin is the quadratic candidate join + rank
+    "t178_geo_nn" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      val pts = t.customer.select(col("c_custkey").as("id"),
+        (col("c_custkey") * 48271 % 10007 % 300).as("x"),
+        (col("c_custkey") * 16807 % 10007 % 300).as("y"))
+      GeoOps.nearestNeighbor(pts, d = 4) }),
+    // ITEM-ITEM collaborative filtering: basket-cosine top-3 partners
+    // per part ("bought X also bought Y" serving table) — pair frame
+    // bounded by basket width, windows only over each item's
+    // candidates
+    "t179_item_recs" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.itemItemRecs(t.lineitem, "l_orderkey", "l_partkey",
+        minSupport = 3L, k = 3) }),
     // data-quality expectations: four row rules in one aggregate
     // pass + a uniqueness constraint; the natural data violates the
     // tight bounds, the planted re-ingestion (every 997th order's
@@ -2447,6 +2618,220 @@ object SparkEntry {
         |SELECT o_orderpriority AS grp, count(*) AS n,
         |  CAST(sum(CAST(floor(tp * 100.0 + 0.5) AS HUGEINT)) AS BIGINT) AS s
         |FROM v2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q59 twin: IS NOT DISTINCT FROM — the ANSI spelling of <=>
+    "q59_nullsafe_join" ->
+      """WITH a AS (SELECT nullif(c_nationkey % 7, 3) AS k FROM customer),
+        |b AS (SELECT nullif(s_nationkey % 7, 3) AS kb FROM supplier)
+        |SELECT k, count(*) AS n_pairs
+        |FROM a JOIN b ON k IS NOT DISTINCT FROM kb
+        |GROUP BY k ORDER BY k NULLS FIRST""".stripMargin,
+    // q60 twin: the ANSI multiset operators verbatim
+    "q60_multiset_setops" ->
+      """WITH a AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderkey % 2 = 0),
+        |b AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderkey % 3 = 0),
+        |ea AS (SELECT p FROM a EXCEPT ALL SELECT p FROM b),
+        |ia AS (SELECT p FROM a INTERSECT ALL SELECT p FROM b)
+        |SELECT 'except_all' AS op, p AS o_orderpriority, count(*) AS n
+        |FROM ea GROUP BY 2
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, p AS o_orderpriority, count(*) AS n
+        |FROM ia GROUP BY 2
+        |ORDER BY op, o_orderpriority""".stripMargin,
+    // q61 twin: the same 6-table snowflake as one SQL block
+    "q61_star_join" ->
+      s"""SELECT n_name, ${mny(rev)} AS revenue, count(*) AS n_lines
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |JOIN orders ON o_custkey = c_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= DATE '1994-01-01'
+         |  AND o_orderdate < DATE '1996-01-01'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q62 twin: the ANSI IGNORE NULLS window spelling
+    "q62_ignore_nulls" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CASE WHEN o_totalprice > 150000.0 THEN o_orderpriority END AS big_pri
+        |  FROM orders WHERE o_custkey % 50 = 3)
+        |SELECT o_custkey, o_orderkey,
+        |  last_value(big_pri IGNORE NULLS) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_big_pri,
+        |  first_value(big_pri IGNORE NULLS) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_big_pri
+        |FROM r ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // t170 twin: the window-sort form the one-pass aggregate replaces
+    "t170_latest_rows" ->
+      """WITH v AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal, CAST(0 AS BIGINT) AS seq
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'UPD1', c_acctbal + 10.0, 1 FROM customer
+        |  WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 'UPD2', c_acctbal + 20.0, 2 FROM customer
+        |  WHERE c_custkey % 10 = 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |    ORDER BY seq DESC) AS rn FROM v)
+        |SELECT c_custkey, seq, c_mktsegment, c_acctbal FROM r WHERE rn = 1
+        |ORDER BY c_custkey""".stripMargin,
+    // t171 twin: NOT IN anti-joins over the same planted orphans
+    "t171_fk_orphans" ->
+      """WITH li AS (SELECT CASE WHEN l_orderkey % 1009 = 17
+        |      THEN l_orderkey + 100000000 ELSE l_orderkey END AS k FROM lineitem),
+        |lpk AS (SELECT k, count(*) AS f FROM li GROUP BY 1),
+        |lo AS (SELECT k, f FROM lpk WHERE k NOT IN (SELECT o_orderkey FROM orders)),
+        |od AS (SELECT CASE WHEN o_orderkey % 997 = 13
+        |      THEN o_custkey + 100000000 ELSE o_custkey END AS k FROM orders),
+        |opk AS (SELECT k, count(*) AS f FROM od GROUP BY 1),
+        |oo AS (SELECT k, f FROM opk WHERE k NOT IN (SELECT c_custkey FROM customer))
+        |SELECT 'lineitem.l_orderkey->orders' AS fk_name,
+        |  (SELECT CAST(sum(f) AS BIGINT) FROM lpk) AS child_rows,
+        |  CAST(coalesce(sum(f), 0) AS BIGINT) AS orphan_rows,
+        |  count(*) AS orphan_keys, min(k) AS min_orphan_key FROM lo
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer',
+        |  (SELECT CAST(sum(f) AS BIGINT) FROM opk),
+        |  CAST(coalesce(sum(f), 0) AS BIGINT), count(*), min(k) FROM oo
+        |ORDER BY fk_name""".stripMargin,
+    // t172 twin: histogram-collapse first, identical cross-multiplied
+    // half-weight test
+    "t172_weighted_median" ->
+      """WITH h AS (SELECT l_returnflag AS grp,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS v,
+        |    CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+        |g AS (SELECT grp, v, CAST(sum(w) AS BIGINT) AS w FROM h GROUP BY 1, 2),
+        |c AS (SELECT grp, v,
+        |    sum(w) OVER (PARTITION BY grp ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(w) OVER (PARTITION BY grp) AS tot FROM g)
+        |SELECT grp, min(v) AS weighted_median,
+        |  CAST(max(tot) AS BIGINT) AS total_weight
+        |FROM c WHERE cum * 2 >= tot GROUP BY grp ORDER BY grp""".stripMargin,
+    // t173 twin: the bounded recursive CTE (states are (node, depth)
+    // pairs with depth <= 4, so the walk can't blow up)
+    "t173_bfs" ->
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity <= 5),
+        |p AS (SELECT a.pk AS src, b.pk AS dst
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+        |walk(id, d) AS (
+        |  SELECT DISTINCT src, 0 FROM e WHERE src % 101 = 0
+        |  UNION
+        |  SELECT e.dst, w.d + 1 FROM walk w JOIN e ON w.id = e.src WHERE w.d < 4)
+        |SELECT id, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY id
+        |ORDER BY id""".stripMargin,
+    // t174 twin: per-key frequency products summed — the exact
+    // cardinality the profile predicts
+    "t174_join_cardinality" ->
+      """WITH fl1 AS (SELECT l_orderkey AS k, count(*) AS f FROM lineitem GROUP BY 1),
+        |fr1 AS (SELECT o_orderkey AS k, count(*) AS f FROM orders GROUP BY 1),
+        |fl2 AS (SELECT l_partkey AS k, count(*) AS f FROM lineitem GROUP BY 1),
+        |fr2 AS (SELECT p_partkey AS k, count(*) AS f FROM part GROUP BY 1),
+        |fl3 AS (SELECT o_custkey AS k, count(*) AS f FROM orders GROUP BY 1),
+        |fr3 AS (SELECT c_custkey AS k, count(*) AS f FROM customer GROUP BY 1)
+        |SELECT 'lineitem_x_orders' AS join_name,
+        |  (SELECT CAST(sum(f) AS BIGINT) FROM fl1) AS left_rows,
+        |  (SELECT CAST(sum(f) AS BIGINT) FROM fr1) AS right_rows,
+        |  (SELECT CAST(coalesce(sum(a.f * b.f), 0) AS BIGINT)
+        |    FROM fl1 a JOIN fr1 b ON a.k = b.k) AS est_rows
+        |UNION ALL
+        |SELECT 'lineitem_x_part',
+        |  (SELECT CAST(sum(f) AS BIGINT) FROM fl2),
+        |  (SELECT CAST(sum(f) AS BIGINT) FROM fr2),
+        |  (SELECT CAST(coalesce(sum(a.f * b.f), 0) AS BIGINT)
+        |    FROM fl2 a JOIN fr2 b ON a.k = b.k)
+        |UNION ALL
+        |SELECT 'lineitem_x_lineitem',
+        |  (SELECT CAST(sum(f) AS BIGINT) FROM fl2),
+        |  (SELECT CAST(sum(f) AS BIGINT) FROM fl2),
+        |  (SELECT CAST(coalesce(sum(a.f * b.f), 0) AS BIGINT)
+        |    FROM fl2 a JOIN fl2 b ON a.k = b.k)
+        |UNION ALL
+        |SELECT 'orders_x_customer',
+        |  (SELECT CAST(sum(f) AS BIGINT) FROM fl3),
+        |  (SELECT CAST(sum(f) AS BIGINT) FROM fr3),
+        |  (SELECT CAST(coalesce(sum(a.f * b.f), 0) AS BIGINT)
+        |    FROM fl3 a JOIN fr3 b ON a.k = b.k)
+        |ORDER BY join_name""".stripMargin,
+    // t175 twin: identical integer bin math (// is floor division;
+    // numerators are non-negative, matching Spark's div)
+    "t175_histogram" ->
+      """WITH v AS (SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v
+        |  FROM orders),
+        |b AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
+        |x AS (SELECT v, lo, hi, (hi - lo + 20) // 20 AS w FROM v CROSS JOIN b)
+        |SELECT (v - lo) // w AS bin,
+        |  min(lo + ((v - lo) // w) * w) AS bin_lo,
+        |  min(lo + ((v - lo) // w + 1) * w - 1) AS bin_hi,
+        |  count(*) AS cnt
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    // t176 twin: the full recompute the streamed fold must land on
+    "t176_stream_mv" ->
+      """SELECT o_orderpriority AS grp, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS HUGEINT)) AS BIGINT) AS s
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // t177 twin: identical planted drift, identical bucket checksums
+    "t177_reconciliation" ->
+      """WITH s AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v FROM orders),
+        |d0 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 911 <> 5
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 1013 = 7),
+        |d AS (SELECT o_orderkey AS k, CAST(floor(
+        |    (CASE WHEN o_orderkey % 509 = 11 THEN o_totalprice + 0.01
+        |      ELSE o_totalprice END) * 100.0 + 0.5) AS BIGINT) AS v FROM d0),
+        |ss AS (SELECT k % 64 AS bucket, count(*) AS n_src,
+        |    CAST(sum((k * 1000003) % 2147483647) AS BIGINT) AS ksum_src,
+        |    CAST(sum(v) AS BIGINT) AS vsum_src FROM s GROUP BY 1),
+        |dd AS (SELECT k % 64 AS bucket, count(*) AS n_dst,
+        |    CAST(sum((k * 1000003) % 2147483647) AS BIGINT) AS ksum_dst,
+        |    CAST(sum(v) AS BIGINT) AS vsum_dst FROM d GROUP BY 1)
+        |SELECT bucket, coalesce(n_src, 0) AS n_src, coalesce(n_dst, 0) AS n_dst,
+        |  coalesce(ksum_src, 0) AS ksum_src, coalesce(ksum_dst, 0) AS ksum_dst,
+        |  coalesce(vsum_src, 0) AS vsum_src, coalesce(vsum_dst, 0) AS vsum_dst
+        |FROM ss FULL OUTER JOIN dd USING (bucket)
+        |WHERE coalesce(n_src, 0) <> coalesce(n_dst, 0)
+        |  OR coalesce(ksum_src, 0) <> coalesce(ksum_dst, 0)
+        |  OR coalesce(vsum_src, 0) <> coalesce(vsum_dst, 0)
+        |ORDER BY bucket""".stripMargin,
+    // t178 twin: quadratic candidate join + deterministic (dist, id)
+    // rank — the definition the grid argmin must reproduce
+    "t178_geo_nn" ->
+      """WITH p AS (SELECT c_custkey AS id,
+        |    c_custkey * 48271 % 10007 % 300 AS x,
+        |    c_custkey * 16807 % 10007 % 300 AS y FROM customer),
+        |c AS (SELECT a.id AS id, greatest(abs(a.x - b.x), abs(a.y - b.y)) AS dist,
+        |    b.id AS nid
+        |  FROM p a JOIN p b ON a.id <> b.id
+        |    AND b.x BETWEEN a.x - 4 AND a.x + 4
+        |    AND b.y BETWEEN a.y - 4 AND a.y + 4),
+        |r AS (SELECT id, dist, nid,
+        |    row_number() OVER (PARTITION BY id ORDER BY dist, nid) AS rn FROM c)
+        |SELECT id, nid AS nn_id, dist AS nn_dist FROM r WHERE rn = 1
+        |ORDER BY id""".stripMargin,
+    // t179 twin: identical supports, identical quantized cosine,
+    // identical (sim DESC, id) rank
+    "t179_item_recs" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+        |supp AS (SELECT it, count(*) AS supp FROM b GROUP BY 1),
+        |ps AS (SELECT x.it AS ia, y.it AS ib, count(*) AS co
+        |  FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |dir AS (SELECT ia, ib, co FROM ps
+        |  UNION ALL SELECT ib, ia, co FROM ps),
+        |sc AS (SELECT d.ia, d.ib, d.co,
+        |    floor(CAST(d.co AS DOUBLE) / sqrt(CAST(sa.supp * sb.supp AS DOUBLE))
+        |      * 1000000.0 + 0.5) / 1000000.0 AS sim
+        |  FROM dir d JOIN supp sa ON sa.it = d.ia JOIN supp sb ON sb.it = d.ib),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY ia
+        |    ORDER BY sim DESC, ib) AS rnk FROM sc)
+        |SELECT ia AS item, CAST(rnk AS BIGINT) AS rnk, ib AS rec, co, sim
+        |FROM r WHERE rnk <= 3 ORDER BY item, rnk""".stripMargin,
     // t154 twin: identical pair/item supports, identical quantized
     // confidence and lift divisions
     "t154_market_basket" ->

@@ -43,4 +43,38 @@ object GeoOps {
         (col("xb") - col("xa")).as("dx"), (col("yb") - col("ya")).as("dy"))
       .orderBy("id_a", "id_b")
   }
+
+  /** NEAREST NEIGHBOR within Chebyshev radius `d`: for each point,
+    * the closest OTHER point (min distance, then min id — fully
+    * deterministic), or no row if none is within `d`. Same 3×3
+    * neighbor-cell candidate join as [[chebyshevPairs]], then ONE
+    * `min(struct(dist, id))` aggregate per point — argmin as a
+    * partial-aggregating fold (each partition ships one candidate
+    * per probe point), never a per-point sort. This is the spatial
+    * analogue of embedding top-1 serving: candidates from a cell
+    * structure, exact refine, bounded state per key.
+    */
+  def nearestNeighbor(points: DataFrame, d: Int): DataFrame = {
+    require(d >= 1, "distance must be positive")
+    val cellX = floor(col("x") / d).cast("long")
+    val cellY = floor(col("y") / d).cast("long")
+    val build = points.select(col("id").as("id_b"), col("x").as("xb"),
+      col("y").as("yb"), cellX.as("cx"), cellY.as("cy"))
+    val probe = points.select(col("id").as("id_a"), col("x").as("xa"),
+      col("y").as("ya"), cellX.as("pcx"), cellY.as("pcy"))
+      .withColumn("ox", explode(sequence(lit(-1), lit(1))))
+      .withColumn("oy", explode(sequence(lit(-1), lit(1))))
+      .select(col("id_a"), col("xa"), col("ya"),
+        (col("pcx") + col("ox")).as("cx"), (col("pcy") + col("oy")).as("cy"))
+    probe.join(build, Seq("cx", "cy"))
+      .filter(col("id_a") =!= col("id_b") &&
+        abs(col("xa") - col("xb")) <= d && abs(col("ya") - col("yb")) <= d)
+      .select(col("id_a"),
+        greatest(abs(col("xa") - col("xb")), abs(col("ya") - col("yb"))).as("dist"),
+        col("id_b"))
+      .groupBy(col("id_a").as("id"))
+      .agg(min(struct(col("dist"), col("id_b"))).as("_nn"))
+      .select(col("id"), col("_nn.id_b").as("nn_id"), col("_nn.dist").as("nn_dist"))
+      .orderBy("id")
+  }
 }

@@ -404,4 +404,38 @@ object GraphOps {
       .unionByName(roots.select(col("id"), col("id").as("root"), lit(0L).as("depth")))
       .orderBy("id")
   }
+
+  /** MULTI-SOURCE BFS run for EXACTLY `rounds` rounds: every node's
+    * minimum hop distance (≤ rounds) to the nearest source — the
+    * "how far is each page from a seed domain" / "blast radius of a
+    * bad record" query. Level-synchronous frontier expansion: each
+    * round joins ONLY the newest frontier against the edge list (one
+    * equi-join + an anti-join against already-settled nodes), so
+    * total work is Σ |frontier_i| · avg-degree — never |V|·rounds.
+    * The round count is an explicit parameter (not a convergence
+    * loop) so any engine replays it bit-for-bit; nodes beyond
+    * `rounds` hops are absent from the output by design. Output:
+    * (id, dist), sources at dist 0.
+    */
+  def bfsLevels(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be non-negative")
+    val canon = canonicalEdges(edges)
+    // undirected adjacency: both orientations of each canonical edge
+    val adj = canon.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(canon.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var settled = sources.select(col("id").cast("long").as("id")).distinct()
+      .select(col("id"), lit(0L).as("dist")).localCheckpoint()
+    var frontier = settled
+    for (r <- 1 to rounds if !frontier.isEmpty) {
+      val next = frontier.join(adj, col("id") === col("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(settled, Seq("id"), "left_anti")
+        .select(col("id"), lit(r.toLong).as("dist"))
+        .localCheckpoint()
+      settled = settled.unionByName(next).localCheckpoint()
+      frontier = next
+    }
+    settled.orderBy("id")
+  }
 }

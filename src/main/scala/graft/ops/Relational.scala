@@ -1212,4 +1212,202 @@ object Relational {
       .orderBy(col("n_orders").desc, col("pa"), col("pb"))
       .limit(k)
   }
+
+  /** LATEST ROW PER KEY — the read side of an out-of-order CDC/upsert
+    * stream: of all versions of a key, keep the one with the highest
+    * `seqCol` (ties impossible by contract — enforce uniqueness
+    * upstream with [[expectationsReport]]). ONE partial-aggregating
+    * pass: `max_by` over the payload struct combines map-side, so the
+    * shuffle carries ≤ |keys| rows per partition — unlike the
+    * window-sort form (`row_number ... rn=1`), which shuffles and
+    * sorts EVERY version. This is the compaction kernel for
+    * merge-on-read tables at 100 TB: version count per key can be
+    * huge; the aggregate never materializes the losers post-shuffle.
+    */
+  def latestRows(df: DataFrame, key: String, seqCol: String): DataFrame = {
+    val payload = df.columns.filterNot(c => c == key || c == seqCol).toSeq
+    require(payload.nonEmpty, "latestRows needs at least one payload column")
+    df.groupBy(col(key))
+      .agg(max(col(seqCol)).as(seqCol),
+        max_by(struct(payload.map(col): _*), col(seqCol)).as("_p"))
+      .select(Seq(col(key), col(seqCol)) ++ payload.map(c => col(s"_p.$c").as(c)): _*)
+  }
+
+  /** REFERENTIAL-INTEGRITY AUDIT: for each declared foreign key,
+    * count the child rows whose key has no parent (one left-anti join
+    * per FK — the anti side partial-aggregates to distinct keys
+    * first, so the join carries |distinct child keys| rows, not
+    * |child|), plus the smallest offending key as the repro pointer.
+    * This is the "can I trust my joins" report a warehouse runs after
+    * every load: an inner join silently DROPS orphan rows, so orphan
+    * counts are exactly the rows each downstream join would lose.
+    * Output one row per FK: (fk_name, child_rows, orphan_rows,
+    * orphan_keys, min_orphan_key).
+    */
+  def fkOrphanReport(
+      checks: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(checks.nonEmpty, "need at least one FK to audit")
+    checks.map { case (name, child, childKey, parent, parentKey) =>
+      val keyed = child.select(col(childKey).cast("long").as("k"))
+      val perKey = keyed.groupBy("k").agg(count(lit(1)).as("f"))
+      val orphans = perKey.join(
+        parent.select(col(parentKey).cast("long").as("k")).distinct(),
+        Seq("k"), "left_anti")
+      val totals = perKey.agg(sum("f").as("child_rows"))
+      val o = orphans.agg(
+        coalesce(sum("f"), lit(0L)).as("orphan_rows"),
+        count(lit(1)).as("orphan_keys"),
+        min("k").as("min_orphan_key"))
+      totals.crossJoin(broadcast(o)) // both one-row aggregates
+        .select(lit(name).as("fk_name"), col("child_rows"),
+          col("orphan_rows"), col("orphan_keys"), col("min_orphan_key"))
+    }.reduce(_ unionByName _).orderBy("fk_name")
+  }
+
+  /** Per-group WEIGHTED MEDIAN: the smallest value whose cumulative
+    * weight reaches half the group total (lower weighted median —
+    * deterministic, no interpolation, integer-only comparisons via
+    * the cross-multiplied `2·cum ≥ total` test). Distributed shape:
+    * collapse to one row per DISTINCT (grp, value) with a partial
+    * aggregate FIRST — the window cumsum then runs over the
+    * value-histogram, which is bounded by the value domain, not the
+    * row count (a 100 TB fact table with a few thousand distinct
+    * prices windows over a few thousand rows per group).
+    */
+  def weightedMedian(df: DataFrame, grp: Column,
+      valueInt: Column, weightInt: Column): DataFrame = {
+    val hist = df.select(grp.as("grp"), valueInt.as("v"), weightInt.as("w"))
+      .groupBy("grp", "v").agg(sum("w").as("w"))
+    val wCum = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("grp")
+    hist
+      .withColumn("_cum", sum("w").over(wCum))
+      .withColumn("_tot", sum("w").over(wTot))
+      .filter(col("_cum") * 2 >= col("_tot"))
+      .groupBy("grp")
+      .agg(min("v").as("weighted_median"), max("_tot").as("total_weight"))
+      .orderBy("grp")
+  }
+
+  /** EXACT JOIN-CARDINALITY profile — the planner statistic that
+    * predicts a join's output size WITHOUT running the join: per-key
+    * frequency tables on both sides (partial-aggregated), joined on
+    * the key (distinct-key-sized, not row-sized), Σ f_L·f_R summed in
+    * DECIMAL(38,0) so hot keys can't overflow. Reading `est_rows`
+    * against `left_rows + right_rows` is how you decide — BEFORE
+    * launching a 100 TB join — whether the output explodes (many-to-
+    * many key) or the join is safe; pairs with [[keySkewProfile]],
+    * which bounds the hottest single key.
+    */
+  def joinCardinality(
+      joins: Seq[(String, DataFrame, Column, DataFrame, Column)]): DataFrame = {
+    require(joins.nonEmpty, "need at least one join to profile")
+    val dec = DecimalType(38, 0)
+    joins.map { case (name, left, lk, right, rk) =>
+      val fl = left.select(lk.cast("long").as("k")).groupBy("k")
+        .agg(count(lit(1)).cast(dec).as("fl"))
+      val fr = right.select(rk.cast("long").as("k")).groupBy("k")
+        .agg(count(lit(1)).cast(dec).as("fr"))
+      fl.agg(sum("fl").as("lr")).crossJoin(broadcast(fr.agg(sum("fr").as("rr"))))
+        .crossJoin(broadcast(fl.join(fr, Seq("k"))
+          .agg(coalesce(sum(col("fl") * col("fr")), lit(0).cast(dec)).as("er"))))
+        .select(lit(name).as("join_name"),
+          col("lr").cast("long").as("left_rows"),
+          col("rr").cast("long").as("right_rows"),
+          col("er").cast("long").as("est_rows"))
+    }.reduce(_ unionByName _).orderBy("join_name")
+  }
+
+  /** CROSS-TABLE RECONCILIATION by bucketed checksums: did a copy /
+    * migration / replication stream lose, duplicate, or corrupt rows?
+    * Comparing 100 TB row-by-row is a full shuffle of both tables;
+    * instead each side collapses to `buckets` rows — per key-hash
+    * bucket: row count, an order-independent integer key checksum
+    * (Σ k·C mod M — commutative, so partial aggregation works), and
+    * the integer value sum. One full-outer join of two
+    * `buckets`-sized frames localizes any drift to its bucket; only
+    * mismatched buckets are emitted, each a targeted re-scan range
+    * for the row-level diff that follows. All-integer arithmetic —
+    * a one-cent value change flips its bucket deterministically.
+    */
+  def reconciliationReport(src: DataFrame, dst: DataFrame,
+      key: Column, valueInt: Column, buckets: Int): DataFrame = {
+    require(buckets >= 1, "buckets must be positive")
+    def side(df: DataFrame, tag: String): DataFrame =
+      df.select(key.cast("long").as("k"), valueInt.cast("long").as("v"))
+        .groupBy(pmod(col("k"), lit(buckets.toLong)).as("bucket"))
+        .agg(count(lit(1)).as(s"n_$tag"),
+          sum(pmod(col("k") * 1000003L, lit(2147483647L))).as(s"ksum_$tag"),
+          sum("v").as(s"vsum_$tag"))
+    side(src, "src").join(side(dst, "dst"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_src"), lit(0L)).as("n_src"),
+        coalesce(col("n_dst"), lit(0L)).as("n_dst"),
+        coalesce(col("ksum_src"), lit(0L)).as("ksum_src"),
+        coalesce(col("ksum_dst"), lit(0L)).as("ksum_dst"),
+        coalesce(col("vsum_src"), lit(0L)).as("vsum_src"),
+        coalesce(col("vsum_dst"), lit(0L)).as("vsum_dst"))
+      .filter(col("n_src") =!= col("n_dst") ||
+        col("ksum_src") =!= col("ksum_dst") || col("vsum_src") =!= col("vsum_dst"))
+      .orderBy("bucket")
+  }
+
+  /** ITEM-ITEM COLLABORATIVE FILTERING top-k: cosine similarity on
+    * binary baskets — sim(a,b) = co(a,b)/√(n_a·n_b) — for each item's
+    * co-purchased partners, keeping the k most similar (quantized
+    * sim DESC, partner id tiebreak). The pair frame comes from the
+    * basket self-join on the basket key (output ~|baskets|·width², the
+    * [[partPairs]] bound — never item×item), support joins are
+    * item-cardinality-sized, and the final per-item rank windows over
+    * each item's candidate partners only. √ is correctly-rounded
+    * IEEE, so the quantized similarity is engine-portable. This is
+    * the serving table behind "customers who bought X also bought Y".
+    */
+  def itemItemRecs(baskets: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long, k: Int): DataFrame = {
+    val b = baskets.select(col(basketCol).as("bk"), col(itemCol).as("it")).distinct()
+    val supp = b.groupBy(col("it")).agg(count(lit(1)).as("supp"))
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.bk") === col("y.bk") && col("x.it") < col("y.it"))
+      .groupBy(col("x.it").as("ia"), col("y.it").as("ib"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minSupport)
+    // both directions: each pair serves recs for BOTH endpoints
+    val directed = pairs
+      .unionByName(pairs.select(col("ib").as("ia"), col("ia").as("ib"), col("co")))
+      .join(supp.select(col("it").as("ia"), col("supp").as("sa")), Seq("ia"))
+      .join(supp.select(col("it").as("ib"), col("supp").as("sb")), Seq("ib"))
+      .withColumn("sim", quant6(col("co").cast("double") /
+        sqrt((col("sa") * col("sb")).cast("double"))))
+    val w = Window.partitionBy("ia").orderBy(col("sim").desc, col("ib"))
+    directed.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("ia").as("item"), col("rnk"), col("ib").as("rec"),
+        col("co"), col("sim"))
+      .orderBy("item", "rnk")
+  }
+
+  /** EQUI-WIDTH HISTOGRAM in two passes: one tiny (min, max) aggregate
+    * broadcast back onto the scan, then one hash aggregation on the
+    * computed bin index — never a sort, never a window; the shuffle
+    * carries ≤ `bins` rows per partition. Bin bounds are derived in
+    * pure integer arithmetic over caller-quantized values (width =
+    * ⌈range+1 / bins⌉), so every engine buckets identically; the max
+    * value lands in the last bin by the +1. Empty bins are absent
+    * (the report is |non-empty bins| rows at any data size).
+    */
+  def histogramInt(df: DataFrame, valueInt: Column, bins: Int): DataFrame = {
+    require(bins >= 1, "bins must be positive")
+    val vals = df.select(valueInt.cast("long").as("v"))
+    val bounds = vals.agg(min("v").as("lo"), max("v").as("hi"))
+    vals.crossJoin(broadcast(bounds))
+      .withColumn("_w", expr(s"(hi - lo + $bins) div $bins")) // ceil((range+1)/bins)
+      .withColumn("bin", expr("(v - lo) div _w"))
+      .groupBy("bin")
+      .agg(min(col("lo") + col("bin") * col("_w")).as("bin_lo"),
+        min(col("lo") + (col("bin") + 1) * col("_w") - 1).as("bin_hi"),
+        count(lit(1)).as("cnt"))
+      .orderBy("bin")
+  }
 }

@@ -574,6 +574,73 @@ object StreamGates {
     out
   }
 
+  /** Streamed MATERIALIZED-VIEW maintenance, gated: the orders fact
+    * arrives in three contiguous order-key range shards, each a cold
+    * restart; per micro-batch the grouped (count, cents-sum) MV folds
+    * the batch as an all-insert change feed through
+    * [[graft.ops.Relational.incrementalGroupSum]] and commits ONLY
+    * the touched groups as an append delta to a manifested bucketed
+    * MV table (latest commit wins per group:
+    * [[graft.sinks.LakeWriter.readBucketedTableMerged]]). The base
+    * table is never re-read after its shard passes — per-batch I/O is
+    * O(batch + touched groups), the 100 TB continuous-aggregation
+    * shape. The final merged view must equal the one-shot full
+    * recompute (the twin) exactly — integer sums, so a dropped batch,
+    * a double-applied replay, or a stale group surviving a restart
+    * shows as an off-by-N, never as float noise.
+    */
+  def mvGate(orders: DataFrame, nShards: Int = 3): DataFrame = {
+    import graft.ops.Relational
+    import graft.sinks.LakeWriter
+    val spark = orders.sparkSession
+    val o = orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val b = o.agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val span = hi - lo + 1
+    val shardFrames = (0 until nShards).map { i =>
+      val l = lo + i * span / nShards
+      val h = lo + (i + 1) * span / nShards
+      if (i == nShards - 1) o.filter(col("o_orderkey") >= l)
+      else o.filter(col("o_orderkey") >= l && col("o_orderkey") < h)
+    }
+    val cents = floor(col("o_totalprice") * 100.0 + 0.5).cast("long")
+    val root = Files.createTempDirectory("sgate_mv").toString
+    val tbl = "sgate_mv_state"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    drive(shardFrames) { (src, cp) =>
+      src.writeStream
+        .option("checkpointLocation", cp.get)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val lw = new graft.sinks.LakeWriter(root)
+          val feed = batch.withColumn("change_type", lit("insert"))
+          if (!spark.catalog.tableExists(tbl))
+            lw.commitBucketed(
+              batch.groupBy(col("o_orderpriority").as("grp"))
+                .agg(count(lit(1)).as("n"), sum(cents).as("s")),
+              tbl, 4, Seq("grp"), replace = true)
+          else {
+            val mv = LakeWriter.readBucketedTableMerged(spark, tbl, Seq("grp"))
+            // commit only groups the batch touched — the untouched
+            // groups' rows stay carried by their older commits
+            val touched = feed.select(col("o_orderpriority").as("grp")).distinct()
+            lw.commitBucketed(
+              Relational.incrementalGroupSum(mv, feed,
+                  col("o_orderpriority"), cents)
+                .join(touched, Seq("grp"), "left_semi"),
+              tbl, 4, Seq("grp"))
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    val out = LakeWriter.readBucketedTableMerged(spark, tbl, Seq("grp"))
+      .orderBy("grp")
+      .localCheckpoint()
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    out
+  }
+
   /** Streamed IMAGE near-dup intake, gated: the golden t93 corpus
     * arrives first (in-batch pairs = t93's frame, and its hashes
     * build the index), then the t105 re-encodes split across TWO
