@@ -1154,6 +1154,92 @@ object SparkEntry {
     "t179_item_recs" -> ((s, d) => { val t = Tables.load(s, d)
       Relational.itemItemRecs(t.lineitem, "l_orderkey", "l_partkey",
         minSupport = 3L, k = 3) }),
+    // TPC-H Q21 SHAPE: correlated EXISTS + NOT EXISTS with the
+    // suppkey INEQUALITY in both inner predicates — decorrelated by
+    // Catalyst into semi/anti joins, never re-executed per row
+    "q63_waiting_suppliers" -> ((s, d) => { val t = Tables.load(s, d)
+      Relational.waitingSuppliers(t.lineitem, t.supplier, t.orders) }),
+    // SCHEMA EVOLUTION on a manifested table: commit v1 without
+    // c_acctbal, append v2 WITH it — the snapshot read pins the
+    // latest manifest's schema, so v1's carried files surface the
+    // added column as NULL (never footer-sampling nondeterminism)
+    "t180_schema_evolution" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      val root = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+      val lw = new graft.sinks.LakeWriter(root)
+      lw.commitManifested(t.customer.filter(col("c_custkey") % 2 === 0)
+        .select("c_custkey", "c_mktsegment"), "dim", append = false)
+      lw.commitManifested(t.customer.filter(col("c_custkey") % 2 === 1)
+        .select("c_custkey", "c_mktsegment", "c_acctbal"), "dim")
+      lw.readManifested(s, "dim").orderBy("c_custkey") }),
+    // SPEARMAN rank correlation (ties-correct, integer moments in
+    // DECIMAL(38,0), ranks from bounded-domain histograms): does
+    // quantity move with discount within each return flag?
+    "t181_spearman" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, floor}
+      Relational.spearmanByGroup(t.lineitem, col("l_returnflag"),
+        col("l_quantity").cast("long"),
+        floor(col("l_discount") * 100.0 + 0.5).cast("long")) }),
+    // MARKOV first-order transition matrix over per-user event
+    // sequences: one per-user lag window + one pair aggregate; row
+    // probabilities normalized against a broadcast |types|-sized total
+    "t182_markov" -> ((s, d) => { val t = Tables.load(s, d)
+      EventOps.markovTransitions(t.events) }),
+    // HITS hubs/authorities on the customer->part bipartite graph,
+    // two mutual-reinforcement rounds in EXACT integer arithmetic
+    // (max-normalized by integer division, the t119 trick)
+    "t183_hits" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      val e = t.orders.select("o_orderkey", "o_custkey")
+        .join(t.lineitem.select("l_orderkey", "l_partkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+      GraphOps.hits(e, iters = 2) }),
+    // STREAM-STREAM LEFT OUTER interval join across cold restarts:
+    // null arms emit only when the watermark closes each window —
+    // driven past the corpus by two sentinel shards
+    "t184_stream_outer_join" -> ((s, d) => { val t = Tables.load(s, d)
+      graft.streaming.StreamGates.outerJoinGate(t.events) }),
+    // ROBUST OUTLIERS by median absolute deviation (3-MAD rule),
+    // all-integer via x2/x4 scaling; values = ship-delay days, a
+    // bounded domain so both medians run on tiny histograms
+    "t185_mad_outliers" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, datediff}
+      val joined = t.lineitem.select("l_orderkey", "l_shipdate")
+        .join(t.orders.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+      Relational.madOutliers(joined, col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate"))) }),
+    // dropDuplicatesWithinWatermark gate: same-batch exact copies AND
+    // cross-restart 90-minute re-deliveries both dropped — survivors
+    // must equal the natural corpus (ts in the checksum)
+    "t186_stream_dropdup" -> ((s, d) => { val t = Tables.load(s, d)
+      graft.streaming.StreamGates.dropDupGate(t.events) }),
+    // CDC APPLY with full merge semantics: out-of-order upserts AND
+    // deletes per key, latest seq wins via ONE max_by aggregate —
+    // %12 keys are deleted then re-upserted (seq 3 beats 2), %6-only
+    // keys vanish, %4-only keys update, +1e6 keys insert
+    "t187_cdc_apply" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, lit}
+      val dim = t.customer.select("c_custkey", "c_mktsegment", "c_acctbal")
+      val feed = dim.filter(col("c_custkey") % 4 === 0)
+        .select(col("c_custkey"), lit("upsert").as("change_type"),
+          lit(1L).as("seq"), lit("UPD1").as("c_mktsegment"),
+          (col("c_acctbal") + 5.0).as("c_acctbal"))
+        .unionByName(dim.filter(col("c_custkey") % 6 === 0)
+          .select(col("c_custkey"), lit("delete").as("change_type"),
+            lit(2L).as("seq"), lit(null).cast("string").as("c_mktsegment"),
+            lit(null).cast("double").as("c_acctbal")))
+        .unionByName(dim.filter(col("c_custkey") % 12 === 0)
+          .select(col("c_custkey"), lit("upsert").as("change_type"),
+            lit(3L).as("seq"), lit("UPD3").as("c_mktsegment"),
+            (col("c_acctbal") + 7.0).as("c_acctbal")))
+        .unionByName(dim.filter(col("c_custkey") % 31 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            lit("upsert").as("change_type"), lit(1L).as("seq"),
+            lit("NEW").as("c_mktsegment"), col("c_acctbal")))
+      Relational.applyCdc(dim, feed, "c_custkey", "seq")
+        .orderBy("c_custkey") }),
     // data-quality expectations: four row rules in one aggregate
     // pass + a uniqueness constraint; the natural data violates the
     // tight bounds, the planted re-ingestion (every 997th order's
@@ -2832,6 +2918,162 @@ object SparkEntry {
         |    ORDER BY sim DESC, ib) AS rnk FROM sc)
         |SELECT ia AS item, CAST(rnk AS BIGINT) AS rnk, ib AS rec, co, sim
         |FROM r WHERE rnk <= 3 ORDER BY item, rnk""".stripMargin,
+    // q63 twin: the same Q21 shape — DuckDB decorrelates the same way
+    "q63_waiting_suppliers" ->
+      """WITH l AS (SELECT l_orderkey, l_suppkey,
+        |    CASE WHEN datediff('day', o_orderdate, l_shipdate) > 90
+        |      THEN 1 ELSE 0 END AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT s_name, count(*) AS numwait
+        |FROM supplier, l l1
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND l1.late = 1
+        |  AND EXISTS (SELECT 1 FROM l l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM l l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.late = 1)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 50""".stripMargin,
+    // t180 twin: v1 rows surface the added column as typed NULL
+    "t180_schema_evolution" ->
+      """SELECT c_custkey, c_mktsegment, CAST(NULL AS DOUBLE) AS c_acctbal
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, c_acctbal
+        |FROM customer WHERE c_custkey % 2 = 1
+        |ORDER BY c_custkey""".stripMargin,
+    // t181 twin: identical 2x-average-rank histograms, identical
+    // integer moments (HUGEINT), one IEEE division at the end
+    "t181_spearman" ->
+      """WITH b AS (SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS y FROM lineitem),
+        |hx AS (SELECT grp, x, count(*) AS c FROM b GROUP BY 1, 2),
+        |rx AS (SELECT grp, x, 2 * sum(c) OVER (PARTITION BY grp ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1 AS rx FROM hx),
+        |hy AS (SELECT grp, y, count(*) AS c FROM b GROUP BY 1, 2),
+        |ry AS (SELECT grp, y, 2 * sum(c) OVER (PARTITION BY grp ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1 AS ry FROM hy),
+        |j AS (SELECT b.grp, rx.rx, ry.ry FROM b
+        |  JOIN rx ON b.grp = rx.grp AND b.x = rx.x
+        |  JOIN ry ON b.grp = ry.grp AND b.y = ry.y),
+        |m AS (SELECT grp, count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+        |    sum(rx * rx) AS sxx, sum(ry * ry) AS syy, sum(rx * ry) AS sxy
+        |  FROM j GROUP BY 1)
+        |SELECT grp, CAST(n AS BIGINT) AS n,
+        |  floor(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |         CAST(n * syy - sy * sy AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+        |    AS spearman
+        |FROM m ORDER BY grp""".stripMargin,
+    // t182 twin: identical per-user lead window, identical quantized
+    // row normalization
+    "t182_markov" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        |  FROM events),
+        |p AS (SELECT event_type AS from_type, lead(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id) AS to_type FROM e),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  floor(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS p
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+    // t183 twin: two unrolled mutual-reinforcement rounds, identical
+    // integer max-normalization (// is floor division on positives)
+    "t183_hits" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |h0 AS (SELECT DISTINCT src AS id, 1000000 AS score FROM e),
+        |a1r AS (SELECT dst AS id, sum(score) AS raw FROM e
+        |  JOIN h0 ON src = h0.id GROUP BY dst),
+        |a1 AS (SELECT id, raw * 1000000 // (SELECT max(raw) FROM a1r) AS score
+        |  FROM a1r),
+        |h1r AS (SELECT src AS id, sum(score) AS raw FROM e
+        |  JOIN a1 ON dst = a1.id GROUP BY src),
+        |h1 AS (SELECT id, raw * 1000000 // (SELECT max(raw) FROM h1r) AS score
+        |  FROM h1r),
+        |a2r AS (SELECT dst AS id, sum(score) AS raw FROM e
+        |  JOIN h1 ON src = h1.id GROUP BY dst),
+        |a2 AS (SELECT id, raw * 1000000 // (SELECT max(raw) FROM a2r) AS score
+        |  FROM a2r),
+        |h2r AS (SELECT src AS id, sum(score) AS raw FROM e
+        |  JOIN a2 ON dst = a2.id GROUP BY src),
+        |h2 AS (SELECT id, raw * 1000000 // (SELECT max(raw) FROM h2r) AS score
+        |  FROM h2r)
+        |SELECT 'hub' AS role, id, CAST(score AS BIGINT) AS score FROM h2
+        |UNION ALL
+        |SELECT 'authority' AS role, id, CAST(score AS BIGINT) AS score FROM a2
+        |ORDER BY role, id""".stripMargin,
+    // t184 twin: the plain batch LEFT JOIN — every unmatched click's
+    // window closed before the sentinel-driven final watermark
+    "t184_stream_outer_join" ->
+      """WITH c AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id AS vuser, event_id AS b_id, epoch_us(ts) AS b_us
+        |  FROM events WHERE event_type = 'view')
+        |SELECT user_id, a_id, b_id, a_us, b_us
+        |FROM c LEFT JOIN v ON user_id = vuser
+        |  AND b_us >= a_us AND b_us <= a_us + 600000000
+        |ORDER BY a_id, b_id NULLS FIRST""".stripMargin,
+    // t185 twin: identical x2/x4-scaled histogram medians, identical
+    // integer 3-MAD test
+    "t185_mad_outliers" ->
+      """WITH b AS (SELECT o_orderpriority AS grp,
+        |    CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS v
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |h AS (SELECT grp, v, count(*) AS c FROM b GROUP BY 1, 2),
+        |hc AS (SELECT grp, v,
+        |    sum(c) OVER (PARTITION BY grp ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY grp) AS n FROM h),
+        |m1 AS (SELECT grp, min(v) AS v1 FROM hc WHERE cum >= (n+1)//2 GROUP BY grp),
+        |m2 AS (SELECT grp, min(v) AS v2 FROM hc WHERE cum >= (n+2)//2 GROUP BY grp),
+        |med AS (SELECT grp, v1 + v2 AS med2 FROM m1 JOIN m2 USING (grp)),
+        |d AS (SELECT b.grp, abs(b.v * 2 - med.med2) AS v
+        |  FROM b JOIN med ON b.grp = med.grp),
+        |dh AS (SELECT grp, v, count(*) AS c FROM d GROUP BY 1, 2),
+        |dhc AS (SELECT grp, v,
+        |    sum(c) OVER (PARTITION BY grp ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY grp) AS n FROM dh),
+        |dm1 AS (SELECT grp, min(v) AS v1 FROM dhc WHERE cum >= (n+1)//2 GROUP BY grp),
+        |dm2 AS (SELECT grp, min(v) AS v2 FROM dhc WHERE cum >= (n+2)//2 GROUP BY grp),
+        |mad AS (SELECT grp, v1 + v2 AS mad2 FROM dm1 JOIN dm2 USING (grp))
+        |SELECT b.grp, count(*) AS n,
+        |  CAST(min(med2) AS DOUBLE) / 2.0 AS median,
+        |  CAST(min(mad2) AS DOUBLE) / 4.0 AS mad,
+        |  CAST(sum(CASE WHEN abs(b.v * 2 - med2) * 2 > 3 * mad2
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM b JOIN med USING (grp) JOIN mad USING (grp)
+        |GROUP BY b.grp ORDER BY b.grp""".stripMargin,
+    // t186 twin: survivors = the natural corpus, every planted
+    // re-delivery dropped (ts_sum catches a wrong-copy survival)
+    "t186_stream_dropdup" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(epoch_us(ts)) AS BIGINT) AS ts_sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // t187 twin: the latest-change-wins semantics spelled as CASE
+    // arms — %12 re-upserted after delete, %6-only deleted, %4-only
+    // updated, %31 inserted under +1e6 keys
+    "t187_cdc_apply" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |WHERE c_custkey % 4 <> 0 AND c_custkey % 6 <> 0
+        |UNION ALL
+        |SELECT c_custkey, 'UPD1', c_acctbal + 5.0 FROM customer
+        |WHERE c_custkey % 4 = 0 AND c_custkey % 6 <> 0
+        |UNION ALL
+        |SELECT c_custkey, 'UPD3', c_acctbal + 7.0 FROM customer
+        |WHERE c_custkey % 12 = 0
+        |UNION ALL
+        |SELECT c_custkey + 1000000, 'NEW', c_acctbal FROM customer
+        |WHERE c_custkey % 31 = 0
+        |ORDER BY c_custkey""".stripMargin,
     // t154 twin: identical pair/item supports, identical quantized
     // confidence and lift divisions
     "t154_market_basket" ->

@@ -677,6 +677,34 @@ object EventOps {
       .orderBy("grp")
   }
 
+  /** MARKOV TRANSITION MATRIX over per-user event sequences: the
+    * (from_type → to_type) first-order transition counts and
+    * probabilities — the statistic behind next-event prediction,
+    * funnel leak analysis, and bot detection (a bot's transition row
+    * is near-deterministic). One lag window per USER partition (the
+    * sessionize discipline — never a global sort), then a hash
+    * aggregate on the (from, to) pair; `p` is the row-normalized
+    * probability, computed with one broadcast join of the
+    * |event types|-sized from-totals and quantized to 6 dp. Ties in
+    * simultaneous events break on event_id, so the sequence — and
+    * therefore every count — is deterministic on any engine.
+    */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum("n").as("tot"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        Exact.quant6(col("n").cast("double") / col("tot").cast("double")).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
   private def cohortFromActivity(activity: DataFrame): DataFrame = {
     val first = activity.groupBy("user_id").agg(min("wk").as("cohort_wk"))
     activity.join(first, "user_id")

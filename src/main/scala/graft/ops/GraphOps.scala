@@ -438,4 +438,43 @@ object GraphOps {
     }
     settled.orderBy("id")
   }
+
+  /** HITS hubs & authorities (Kleinberg) on a DIRECTED bipartite
+    * edge list, `iters` mutual-reinforcement rounds in EXACT integer
+    * arithmetic: a(d) = Σ h(s) over in-edges, h(s) = Σ a(d) over
+    * out-edges, each side renormalized to max = `scale` by INTEGER
+    * division (floor) — the same engine-portable trick as the t119
+    * integer PageRank, so the twin unrolls the identical CTEs and
+    * matches bit-for-bit. Per round: one equi-join of the edge list
+    * with a node-sized score table + one partial-aggregating groupBy
+    * (shuffle ≤ |nodes| rows/partition), and the normalizing max is a
+    * ONE-ROW broadcast — nothing driver-side, nothing quadratic.
+    * Overflow bound: post-normalize scores ≤ scale, so a raw sum ≤
+    * scale·maxDegree and the scale·sum product stays ≤ 1e6·1e6·maxDeg
+    * — within long for maxDegree < 9e6 (assert-free by domain; use a
+    * smaller scale for denser graphs). Output one row per node:
+    * (role 'hub'|'authority', id, score).
+    */
+  def hits(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "need at least one HITS round")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct().localCheckpoint()
+    // raw scores → max-normalized integers: floor(raw·scale / max),
+    // one-row max broadcast, integer `div` (identical to DuckDB //)
+    def normalize(raw: DataFrame): DataFrame =
+      raw.crossJoin(broadcast(raw.agg(max("raw").as("mx"))))
+        .select(col("id"), expr(s"raw * ${scale}L div mx").as("score"))
+    var hubs = e.select(col("src").as("id")).distinct()
+      .withColumn("score", lit(scale))
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      auths = normalize(e.join(hubs, e("src") === hubs("id"))
+        .groupBy(col("dst").as("id")).agg(sum("score").as("raw")))
+      hubs = normalize(e.join(auths, e("dst") === auths("id"))
+        .groupBy(col("src").as("id")).agg(sum("score").as("raw")))
+    }
+    hubs.select(lit("hub").as("role"), col("id"), col("score"))
+      .unionByName(auths.select(lit("authority").as("role"), col("id"), col("score")))
+      .orderBy("role", "id")
+  }
 }

@@ -1410,4 +1410,168 @@ object Relational {
         count(lit(1)).as("cnt"))
       .orderBy("bin")
   }
+
+  /** APPLY A CDC FEED — the full merge semantics [[mergeUpsert]]
+    * stops short of: the feed carries `change_type` ∈
+    * {upsert, delete} plus a monotone `seqCol`, possibly MANY changes
+    * per key and out of order. Per key the LATEST change wins (ONE
+    * `max_by` aggregate — map-side combine ships ≤ |touched keys|
+    * rows per partition, the [[latestRows]] kernel; never a window
+    * sort of the whole feed), then: untouched target rows pass
+    * through an anti-join, latest-upsert keys take the feed payload,
+    * latest-delete keys vanish. Target is scanned once, shuffled at
+    * most once; the feed side is |touched keys| after its aggregate —
+    * broadcast-eligible when the day's changes are small, which is
+    * the usual 100 TB shape (fact-sized target, dimension-day feed).
+    */
+  def applyCdc(target: DataFrame, feed: DataFrame, key: String,
+      seqCol: String): DataFrame = {
+    val payload = target.columns.filterNot(_ == key).toSeq
+    require(payload.nonEmpty, "applyCdc needs at least one payload column")
+    val latest = feed.groupBy(col(key))
+      .agg(max_by(struct((Seq("change_type") ++ payload).map(col): _*),
+        col(seqCol)).as("_c"))
+      .select(Seq(col(key), col("_c.change_type").as("change_type")) ++
+        payload.map(c => col(s"_c.$c").as(c)): _*)
+    target.join(latest.select(col(key)), Seq(key), "left_anti")
+      .unionByName(latest.filter(col("change_type") === "upsert")
+        .select(target.columns.map(col): _*))
+  }
+
+  /** SPEARMAN RANK CORRELATION per group, engine-exact: Pearson over
+    * AVERAGE ranks (the ties-correct definition), with every rank
+    * doubled so tied averages stay integral — for a value with c
+    * copies below-cumulative cum, 2·avgrank = 2·cum − c + 1. Ranks
+    * come from per-(group, value) HISTOGRAMS (one map-side-combined
+    * pass per variable; the rank cumsum windows over ≤|domain| rows,
+    * never the fact table — callers pick bounded-domain variables,
+    * the [[exactMedianQty]] discipline), joined back to the facts on
+    * (group, value). The five moments accumulate in DECIMAL(38,0) —
+    * exact integers — and the single ρ division happens once per
+    * group in IEEE double, quantized to 6 dp. ρ ∈ [−1, 1]; +1 ⇒
+    * monotone increasing relationship, robust to any monotone
+    * transform (the reason analysts reach for Spearman over Pearson
+    * on skewed data).
+    */
+  def spearmanByGroup(df: DataFrame, grp: Column,
+      xInt: Column, yInt: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val base = df.select(grp.as("grp"), xInt.cast("long").as("x"),
+      yInt.cast("long").as("y"))
+    def rank2(valCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy("grp").orderBy(valCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.groupBy(col("grp"), col(valCol)).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(w))
+        .select(col("grp"), col(valCol),
+          (col("cum") * 2 - col("c") + 1).cast(dec).as(out))
+    }
+    base
+      .join(rank2("x", "rx"), Seq("grp", "x"))
+      .join(rank2("y", "ry"), Seq("grp", "y"))
+      .groupBy("grp")
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum("rx").as("sx"), sum("ry").as("sy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"),
+        sum(col("rx") * col("ry")).as("sxy"))
+      .select(col("grp"), col("n").cast("long").as("n"),
+        quant6((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+          .as("spearman"))
+      .orderBy("grp")
+  }
+
+  /** ROBUST OUTLIERS by MEDIAN ABSOLUTE DEVIATION, zero floating
+    * point until the display columns: x is an outlier iff
+    * |x − median| > k·MAD. [[outlierCounts]]'s 2σ rule breaks when
+    * the outliers themselves inflate σ (masking); median/MAD have a
+    * 50% breakdown point. Everything ×2-scaled to dodge the
+    * half-integer medians: med2 = v₁+v₂ (sum of the middle one-or-two
+    * values), dev2 = |2x − med2|, mad2 = median of dev2 doubled the
+    * same way, and the test 2·dev2 > k·mad2 is pure integer. BOTH
+    * medians run on per-(group, value) histograms (the
+    * [[exactMedianQty]] shape — rank math over ≤|domain| rows, one
+    * corpus pass each; dev2's domain is ≤ 2·|x domain|), so nothing
+    * fact-sized is ever sorted. Output per group: n, median, mad (the
+    * exact halved doubles), n_outliers.
+    */
+  def madOutliers(df: DataFrame, grp: Column, vInt: Column,
+      k: Int = 3): DataFrame = {
+    val base = df.select(grp.as("grp"), vInt.cast("long").as("v"))
+    // histogram median, ×2: v1 + v2 at ranks (n+1)/2 and (n+2)/2
+    def med2Of(rows: DataFrame, out: String): DataFrame = {
+      val cum = rows.groupBy("grp", "v").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(Window.partitionBy("grp").orderBy("v")))
+        .withColumn("n", sum("c").over(Window.partitionBy("grp")))
+      def valAt(rank: String, alias: String): DataFrame =
+        cum.filter(col("cum") >= expr(rank)).groupBy("grp").agg(min("v").as(alias))
+      valAt("(n+1) DIV 2", "v1").join(valAt("(n+2) DIV 2", "v2"), "grp")
+        .select(col("grp"), (col("v1") + col("v2")).as(out))
+    }
+    val med = med2Of(base, "med2")
+    val dev = base.join(med, "grp")
+      .select(col("grp"), abs(col("v") * 2 - col("med2")).as("v"))
+    val mad = med2Of(dev, "mad2")
+    base.join(med, "grp").join(mad, "grp")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        min(col("med2").cast("double") / 2.0).as("median"),
+        min(col("mad2").cast("double") / 4.0).as("mad"),
+        sum(when(abs(col("v") * 2 - col("med2")) * 2 >
+          lit(k.toLong) * col("mad2"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("grp")
+  }
+
+  /** TPC-H Q21 SHAPE — "the supplier who kept the order waiting":
+    * LATE lines (shipped > 90 days after order date — the fixture's
+    * lateness signal) on finished multi-supplier orders where EVERY
+    * late line belongs to this one supplier, written as the
+    * correlated EXISTS / NOT EXISTS SQL an analyst writes (the twin
+    * runs the same shape). Catalyst DECORRELATES both subqueries
+    * into one semi- and one anti-join on l_orderkey — no per-row
+    * re-execution (q56's spec-asserted discipline; the probe sides
+    * carry only (orderkey, suppkey, late)). The classic hard case
+    * for subquery planners: the inner predicates reference BOTH the
+    * outer row's orderkey and its suppkey
+    * (`l2.l_suppkey <> l1.l_suppkey`), so naive unnesting loses the
+    * inequality.
+    */
+  def waitingSuppliers(lineitem: DataFrame, supplier: DataFrame,
+      orders: DataFrame, k: Int = 50): DataFrame = {
+    val spark = lineitem.sparkSession
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (lv, sv, ov) = (s"graft_q21l_$tag", s"graft_q21s_$tag", s"graft_q21o_$tag")
+    lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+      .createOrReplaceTempView(lv)
+    supplier.select("s_suppkey", "s_name").createOrReplaceTempView(sv)
+    orders.select("o_orderkey", "o_orderstatus", "o_orderdate")
+      .createOrReplaceTempView(ov)
+    try spark.sql(
+      s"""WITH l AS (SELECT l_orderkey, l_suppkey,
+         |    CASE WHEN datediff(l_shipdate, o_orderdate) > 90
+         |      THEN 1 ELSE 0 END AS late
+         |  FROM $lv JOIN $ov ON l_orderkey = o_orderkey
+         |  WHERE o_orderstatus = 'F')
+         |SELECT s_name, count(*) AS numwait
+         |FROM $sv, l l1
+         |WHERE s_suppkey = l1.l_suppkey
+         |  AND l1.late = 1
+         |  AND EXISTS (SELECT 1 FROM l l2
+         |    WHERE l2.l_orderkey = l1.l_orderkey
+         |      AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM l l3
+         |    WHERE l3.l_orderkey = l1.l_orderkey
+         |      AND l3.l_suppkey <> l1.l_suppkey
+         |      AND l3.late = 1)
+         |GROUP BY s_name
+         |ORDER BY numwait DESC, s_name
+         |LIMIT $k""".stripMargin)
+    finally {
+      spark.catalog.dropTempView(lv)
+      spark.catalog.dropTempView(sv)
+      spark.catalog.dropTempView(ov)
+    }
+  }
 }

@@ -582,7 +582,18 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
     val v = if (version > 0) version else latestManifestVersion(fs, name)
     require(v > 0, s"manifested table $name has no committed snapshot under $root")
     val files = manifestFiles(fs, name, v)
-    if (files.nonEmpty) spark.read.parquet(files: _*)
+    // Pin the read to the MANIFEST's schema (written by the commit
+    // that published this version): carried files from older commits
+    // may physically lack columns added since (schema evolution) —
+    // under an explicit schema they read back as nulls, and a
+    // column dropped by the latest commit is pruned from every file.
+    // Without this, spark.read.parquet samples one file's footer and
+    // the visible schema would depend on WHICH file — nondeterminism
+    // the snapshot contract can't allow.
+    if (files.nonEmpty) manifestSchema(fs, name, v) match {
+      case Some(schema) => spark.read.schema(schema).parquet(files: _*)
+      case None => spark.read.parquet(files: _*) // pre-schema-header manifest
+    }
     else manifestSchema(fs, name, v) match {
       // An empty snapshot (e.g. a zero-row commit) round-trips with
       // its schema — downstream column references keep resolving.

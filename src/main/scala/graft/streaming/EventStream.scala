@@ -116,6 +116,36 @@ object EventStream {
         unix_micros(col("a_ts")).as("a_us"), unix_micros(col("b_ts")).as("b_us"))
   }
 
+  /** LEFT OUTER stream-stream interval join — [[correlatedPairs]]
+    * with the unmatched-left arm: a click with NO view inside its
+    * window emits (click, null) once the watermark passes the
+    * window's close (Spark buffers the left row until
+    * `a_ts + within` falls behind the watermark, THEN emits the null
+    * arm — the only point at which "no match" is decidable on an
+    * unbounded stream). Same bounded-state shape as the inner form:
+    * both sides watermarked, the range condition bounds event time on
+    * both ends, state ≤ rate·(watermark + within) per key. This is
+    * the funnel-abandonment primitive: the null-arm rows ARE the
+    * clicks that never converted.
+    */
+  def correlatedPairsOuter(
+      events: DataFrame, leftType: String = "click", rightType: String = "view",
+      within: String = "10 minutes", watermark: String = "2 hours"): DataFrame = {
+    val a = events.filter(col("event_type") === leftType)
+      .select(col("user_id").as("a_user"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", watermark)
+    val b = events.filter(col("event_type") === rightType)
+      .select(col("user_id").as("b_user"), col("event_id").as("b_id"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", watermark)
+    a.join(b,
+      col("a_user") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $within"),
+      "left_outer")
+      .select(col("a_user").as("user_id"), col("a_id"), col("b_id"),
+        unix_micros(col("a_ts")).as("a_us"), unix_micros(col("b_ts")).as("b_us"))
+  }
+
   /** Streaming exact dedup with BOUNDED state: drops re-deliveries of
     * the same `idCols` seen within the watermark horizon
     * (`dropDuplicatesWithinWatermark` — state for an id is evicted

@@ -380,6 +380,100 @@ object StreamGates {
     events.sparkSession.read.parquet(out).orderBy("a_id", "b_id")
   }
 
+  /** Streamed LEFT OUTER interval join, gated
+    * ([[EventStream.correlatedPairsOuter]]): matched (click, view)
+    * pairs emit as they occur; clicks with NO view in their window
+    * emit a null arm only when the WATERMARK closes the window — so
+    * the gate appends two sentinel shards (far-future click+view
+    * markers, one per branch so BOTH watermark operators advance,
+    * `user_id = -1` and filtered from output) after the real
+    * time-contiguous shards: sentinel 1 advances the watermark past
+    * every real window, sentinel 2 runs the batch in which Spark
+    * actually evicts-and-emits the null arms (eviction uses the
+    * PREVIOUS batch's watermark). Every shard boundary is a cold
+    * restart, so unmatched-left state must survive checkpoint
+    * recovery to emit at all. The emission union must equal the
+    * batch LEFT JOIN twin exactly.
+    */
+  def outerJoinGate(events: DataFrame, nShards: Int = 3): DataFrame = {
+    val spark = events.sparkSession
+    val ev = events.select("ts", "user_id", "event_id", "event_type")
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val hourUs = 3600L * 1000000L
+    def sentinels(off: Long, clickId: Long, viewId: Long): DataFrame =
+      spark.range(1).select(
+          timestamp_micros(lit(maxUs + off)).as("ts"), lit(-1L).as("user_id"),
+          lit(clickId).as("event_id"), lit("click").as("event_type"))
+        .unionByName(spark.range(1).select(
+          timestamp_micros(lit(maxUs + off)).as("ts"), lit(-1L).as("user_id"),
+          lit(viewId).as("event_id"), lit("view").as("event_type")))
+    val out = Files.createTempDirectory("sgate_oj_out").toString + "/pairs"
+    drive(timeShards(ev, nShards) ++
+        Seq(sentinels(4 * hourUs, -1L, -2L), sentinels(6 * hourUs, -3L, -4L))) {
+      (src, cp) =>
+        EventStream.correlatedPairsOuter(src).writeStream
+          .outputMode("append")
+          .option("checkpointLocation", cp.get)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(out)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+    }
+    spark.read.parquet(out).filter(col("user_id") >= 0)
+      .orderBy(col("a_id"), col("b_id").asc_nulls_first)
+  }
+
+  /** Streamed BOUNDED-STATE ingest dedup, gated
+    * ([[EventStream.dedupedEvents]] —
+    * `dropDuplicatesWithinWatermark`): two planted re-delivery arms —
+    * exact same-timestamp copies (id % 13 == 4) that land in the SAME
+    * micro-batch and are dropped by in-batch state alone, and
+    * CROSS-RESTART re-deliveries (originals from the last hour of
+    * shard 1, re-arriving 90 minutes later — inside shard 2, inside
+    * the 2-hour horizon) that only the checkpointed dedup state can
+    * drop across the cold restart. Both horizons hold by
+    * construction (eviction at a shard boundary reaches back
+    * watermark+horizon ≈ 4 h; the re-delivery gap is 1.5 h), so the
+    * survivor set must equal the natural corpus exactly — one
+    * (event_type, n, id_sum) checksum row per type.
+    */
+  def dropDupGate(events: DataFrame, nShards: Int = 3): DataFrame = {
+    val spark = events.sparkSession
+    val ev = events.select("ts", "user_id", "event_id", "event_type")
+    val sameBatch = ev.filter(col("event_id") % 13 === 4)
+    val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    // shard-1/2 boundary, the same integer math as timeShards
+    val b1 = lo + (hi - lo + 1) / nShards
+    val hourUs = 3600L * 1000000L
+    val redeliver = ev
+      .filter(unix_micros(col("ts")) > b1 - hourUs && unix_micros(col("ts")) <= b1)
+      .withColumn("ts",
+        timestamp_micros(unix_micros(col("ts")) + 90L * 60L * 1000000L))
+    val out = Files.createTempDirectory("sgate_ddw_out").toString + "/ev"
+    drive(timeShards(ev.unionByName(sameBatch).unionByName(redeliver), nShards)) {
+      (src, cp) =>
+        EventStream.dedupedEvents(src).writeStream
+          .outputMode("append")
+          .option("checkpointLocation", cp.get)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(out)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+    }
+    spark.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"),
+        // ts in the checksum: a re-delivered copy surviving in place
+        // of its original has the same id but a +90 min ts — id_sum
+        // alone would miss exactly that bug
+        sum(unix_micros(col("ts"))).as("ts_sum"))
+      .orderBy("event_type")
+  }
+
   /** Cut an event frame into `n` contiguous event-TIME ranges — the
     * arrival order under which nothing is ever behind the watermark
     * (shard i+1 starts at or after shard i's max event time), so the
