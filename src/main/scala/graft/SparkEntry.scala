@@ -1240,6 +1240,63 @@ object SparkEntry {
             lit("NEW").as("c_mktsegment"), col("c_acctbal")))
       Relational.applyCdc(dim, feed, "c_custkey", "seq")
         .orderBy("c_custkey") }),
+    // WEIGHTED SHORTEST PATHS (bounded Bellman-Ford): exact min cost
+    // within 4 hops from the seed parts over the sparsified
+    // co-purchase graph, synthetic deterministic integer weights —
+    // per round one equi-join + min-combining groupBy, never |V|·|E|
+    "t188_sssp" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      val li = t.lineitem.filter(col("l_quantity") <= 5)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      val both = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val weighted = both.withColumn("w",
+        (col("src") * 7 + col("dst") * 13) % 20 + 1)
+      val sources = both.select(col("src").as("id")).distinct()
+        .filter(col("id") % 101 === 0)
+      GraphOps.ssspInt(weighted, sources, rounds = 4) }),
+    // PERSONALIZED PageRank: restart mass concentrated on the seed
+    // parts (TrustRank shape) — exact integer micro-unit scores,
+    // bit-identical to the twin's unrolled CTEs
+    "t189_ppr" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      val li = t.lineitem.filter(col("l_quantity") <= 5)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      val sources = pairs.select(col("src").as("id")).distinct()
+        .filter(col("id") % 101 === 0)
+      GraphOps.pageRankPersonalizedInt(pairs, sources, iters = 3) }),
+    // LINK PREDICTION: non-adjacent part pairs with >= 2 common
+    // co-purchase neighbors, scored by common-neighbor count and
+    // degree product — the oriented wedge enumeration, existing
+    // edges anti-joined away
+    "t190_link_prediction" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      val li = t.lineitem.filter(col("l_quantity") <= 10)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      GraphOps.linkPrediction(pairs, minCommon = 2L) }),
+    // DETERMINISTIC random walks: 4 hash-argmin steps from every
+    // seed part — the replayable DeepWalk-style walk corpus; the
+    // twin unrolls the identical md5-argmin step rule
+    "t191_random_walks" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      val li = t.lineitem.filter(col("l_quantity") <= 5)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      val starts = pairs.select(col("src").as("id"))
+        .unionByName(pairs.select(col("dst").as("id"))).distinct()
+        .filter(col("id") % 29 === 0)
+      GraphOps.randomWalksDet(pairs, starts, steps = 4, seed = "walk13") }),
     // data-quality expectations: four row rules in one aggregate
     // pass + a uniqueness constraint; the natural data violates the
     // tight bounds, the planted re-ingestion (every 997th order's
@@ -3074,6 +3131,86 @@ object SparkEntry {
         |SELECT c_custkey + 1000000, 'NEW', c_acctbal FROM customer
         |WHERE c_custkey % 31 = 0
         |ORDER BY c_custkey""".stripMargin,
+    // t188 twin: hop-bounded recursive enumeration of weighted walks
+    // (h <= 4), min cost per node — exactly what 4 Bellman-Ford
+    // relaxation rounds compute
+    "t188_sssp" ->
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity <= 5),
+        |p AS (SELECT a.pk AS src, b.pk AS dst
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |e0 AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+        |e AS (SELECT src, dst, (src * 7 + dst * 13) % 20 + 1 AS w FROM e0),
+        |walk(id, d, h) AS (
+        |  SELECT DISTINCT src, CAST(0 AS BIGINT), 0 FROM e WHERE src % 101 = 0
+        |  UNION
+        |  SELECT e.dst, wk.d + e.w, wk.h + 1
+        |  FROM walk wk JOIN e ON wk.id = e.src WHERE wk.h < 4)
+        |SELECT id, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY id
+        |ORDER BY id""".stripMargin,
+    // t189 twin: t119's unrolled integer power iteration with the
+    // restart mass CASE-gated onto the seed set
+    "t189_ppr" -> {
+      val iter = (i: Int) =>
+        s"""c$i AS (SELECT e.dst AS id, sum((85 * s.s) // (100 * d.deg)) AS sc
+           |  FROM e JOIN s${i - 1} s ON s.id = e.src JOIN deg d ON d.src = e.src
+           |  GROUP BY 1),
+           |s$i AS (SELECT n.id,
+           |  CAST(CASE WHEN n.id % 101 = 0 THEN 150000 ELSE 0 END
+           |    + coalesce(c$i.sc, 0) AS BIGINT) AS s
+           |  FROM n LEFT JOIN c$i ON c$i.id = n.id)""".stripMargin
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem WHERE l_quantity <= 5),
+         |e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |s0 AS (SELECT id, CAST(CASE WHEN id % 101 = 0 THEN 1000000 ELSE 0 END
+         |  AS BIGINT) AS s FROM n),
+         |${(1 to 3).map(iter).mkString(",\n")}
+         |SELECT id, s FROM s3 ORDER BY id""".stripMargin
+    },
+    // t190 twin: the same oriented wedge candidates, existing edges
+    // anti-joined, integer degree products
+    "t190_link_prediction" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity <= 10),
+        |e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |cand AS (SELECT x.v AS a, y.v AS b, count(*) AS common_neighbors
+        |  FROM adj x JOIN adj y ON x.u = y.u AND x.v < y.v
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ne AS (SELECT c.* FROM cand c LEFT JOIN e ON e.a = c.a AND e.b = c.b
+        |  WHERE e.a IS NULL),
+        |deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY 1)
+        |SELECT ne.a AS id_a, ne.b AS id_b, ne.common_neighbors,
+        |  da.deg * db.deg AS deg_product
+        |FROM ne JOIN deg da ON da.u = ne.a JOIN deg db ON db.u = ne.b
+        |ORDER BY common_neighbors DESC, id_a, id_b""".stripMargin,
+    // t191 twin: the identical md5-argmin step rule unrolled — one
+    // row_number CTE pair per step
+    "t191_random_walks" -> {
+      val step = (i: Int) =>
+        s"""n$i AS (SELECT w.walk_id, e.dst,
+           |    md5(concat_ws(':', 'walk13', '$i',
+           |      CAST(w.node AS VARCHAR), CAST(e.dst AS VARCHAR))) AS h
+           |  FROM w${i - 1} w JOIN e ON w.node = e.src),
+           |w$i AS (SELECT walk_id, CAST($i AS BIGINT) AS step, dst AS node
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY walk_id
+           |      ORDER BY h, dst) AS rn FROM n$i) WHERE rn = 1)""".stripMargin
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem WHERE l_quantity <= 5),
+         |p AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         |e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+         |n AS (SELECT DISTINCT src AS id FROM e),
+         |w0 AS (SELECT id AS walk_id, CAST(0 AS BIGINT) AS step, id AS node
+         |  FROM n WHERE id % 29 = 0),
+         |${(1 to 4).map(step).mkString(",\n")}
+         |${(0 to 4).map(i => s"SELECT * FROM w$i").mkString("\nUNION ALL\n")}
+         |ORDER BY walk_id, step""".stripMargin
+    },
     // t154 twin: identical pair/item supports, identical quantized
     // confidence and lift divisions
     "t154_market_basket" ->

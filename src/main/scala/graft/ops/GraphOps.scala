@@ -301,6 +301,161 @@ object GraphOps {
       .orderBy("id")
   }
 
+  /** SINGLE-SOURCE (multi-seed) SHORTEST PATHS with integer weights,
+    * run for EXACTLY `rounds` Bellman-Ford relaxation rounds: after
+    * round r, `dist(id)` is the exact minimum cost over paths of
+    * ≤ r edges from the nearest seed — the weighted generalization of
+    * [[bfsLevels]] ("cheapest route to a seed within k hops").
+    * Each round is ONE equi-join of the current distance table
+    * against the edge list plus one min-combining groupBy (partial
+    * aggregation collapses duplicate relaxations map-side), so the
+    * per-round cost is frontier-edges, never |V|·|E|. Integer weights
+    * keep the result engine-portable bit-for-bit (the [[Exact]]
+    * discipline — float path sums would depend on addition order);
+    * the explicit round count makes the computation replayable by the
+    * oracle twin (a hop-bounded recursive CTE). Edges: DIRECTED
+    * (src, dst, w); w ≥ 0 expected (negative weights still relax
+    * correctly within the hop bound, but lose the "shortest within
+    * k hops" reading). Nodes beyond `rounds` hops are absent. Output:
+    * (id, dist), seeds at 0.
+    */
+  def ssspInt(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be non-negative")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .groupBy("src", "dst").agg(min("w").as("w"))
+      .localCheckpoint()
+    var dist = sources.select(col("id").cast("long").as("id")).distinct()
+      .select(col("id"), lit(0L).as("dist")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(e, col("id") === col("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("id").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist.orderBy("id")
+  }
+
+  /** PERSONALIZED PageRank — [[pageRankInt]] with the restart mass
+    * concentrated on a SEED set instead of spread uniformly ("rank
+    * pages by proximity to the trusted seeds", the TrustRank /
+    * seed-expansion shape used for crawl frontier scoring and
+    * related-entity retrieval). Same exact-integer discipline: scores
+    * in micro-units, every per-edge contribution floored before the
+    * order-free integer sum, s' = (seed ? 150000 : 0) + Σ_in
+    * (85·s_src) div (100·deg_src), seeds start at 1,000,000 and
+    * non-seeds at 0. Per iteration: one edge⋈score equi-join + one
+    * partial-aggregating sum — the Pregel cost shape, nothing
+    * driver-side. Output: (id, s) micro-unit proximity scores,
+    * deterministic and bit-identical across engines.
+    */
+  def pageRankPersonalizedInt(edges: DataFrame, sources: DataFrame,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, "at least one power iteration")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val seeds = sources.select(col("id")).distinct()
+      .withColumn("is_seed", lit(1L))
+    val base = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .join(seeds, Seq("id"), "left")
+      .select(col("id"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+      .localCheckpoint()
+    var scores = base.select(col("id"), (col("is_seed") * 1000000L).as("s"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(scores.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("id"),
+          expr("(85 * s) div (100 * deg)").as("c"))
+        .groupBy("id").agg(sum("c").as("sc"))
+      scores = base.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (col("is_seed") * 150000L + coalesce(col("sc"), lit(0L))).as("s"))
+        .localCheckpoint()
+    }
+    scores.orderBy("id")
+  }
+
+  /** LINK PREDICTION by common-neighbor counting — for every
+    * NON-ADJACENT pair with at least `minCommon` shared neighbors,
+    * the two classic integer scores: `common_neighbors` (the
+    * strongest simple predictor, Liben-Nowell & Kleinberg 2003) and
+    * `deg_product` (preferential attachment). The candidate set is
+    * the oriented wedge enumeration [[triangleCounts]] uses — pairs
+    * (a < b) sharing a middle node, generated with the same
+    * lower-id-splits-the-fanout skew defense and bounded by Σ deg²
+    * (compose with [[triangleCountsCapped]]'s degree cap upstream
+    * for hub-heavy graphs); existing edges leave via one anti-join.
+    * All integers — engine-portable without quantization (the
+    * float Adamic-Adar refinement would break the exactness
+    * contract for a constant ranking gain). Output:
+    * (id_a, id_b, common_neighbors, deg_product), best first.
+    */
+  def linkPrediction(edges: DataFrame, minCommon: Long): DataFrame = {
+    require(minCommon >= 1, "minCommon must be positive")
+    val canon = canonicalEdges(edges).localCheckpoint()
+    val adj = canon.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(canon.select(col("b").as("u"), col("a").as("v")))
+    val cand = adj.as("x")
+      .join(adj.as("y"), col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.v").as("a"), col("y.v").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common_neighbors"))
+      .filter(col("common_neighbors") >= minCommon)
+      .join(canon, Seq("a", "b"), "left_anti")
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+    cand
+      .join(deg.select(col("u").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("u").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .select(col("a").as("id_a"), col("b").as("id_b"),
+        col("common_neighbors"), (col("deg_a") * col("deg_b")).as("deg_product"))
+      .orderBy(col("common_neighbors").desc, col("id_a"), col("id_b"))
+  }
+
+  /** DETERMINISTIC seeded random walks — `steps` steps from every
+    * start node, the next hop at step t chosen as the neighbor
+    * minimizing md5(seed:t:cur:neighbor). Hash-argmin instead of a
+    * PRNG makes every walk REPRODUCIBLE across engines, retries, and
+    * partitionings (the t121/t136 hash-Bernoulli discipline applied
+    * to path sampling — the walk corpus that feeds DeepWalk-style
+    * embedding trainers must be replayable or the training set is
+    * unauditable). Each step is one frontier⋈adjacency equi-join
+    * plus a per-walk row_number argmin — the window partitions by
+    * walk id, so a million concurrent walks spread across the
+    * cluster and no step ever materializes more than frontier-edges
+    * rows. Walks at a degree-0 node stop early (no padding rows).
+    * Output: the full trace (walk_id = start node, step, node),
+    * step 0 = the start.
+    */
+  def randomWalksDet(edges: DataFrame, starts: DataFrame, steps: Int,
+      seed: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(steps >= 0, "steps must be non-negative")
+    val canon = canonicalEdges(edges)
+    val adj = canon.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(canon.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var cur = starts.select(col("id").cast("long").as("node")).distinct()
+      .select(col("node").as("walk_id"), lit(0L).as("step"), col("node"))
+      .localCheckpoint()
+    var trace = cur
+    for (st <- 1 to steps) {
+      val next = cur.join(adj, col("node") === col("src"))
+        .select(col("walk_id"), col("dst"),
+          md5(concat_ws(":", lit(seed), lit(st.toString),
+            col("node").cast("string"), col("dst").cast("string"))).as("h"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("walk_id").orderBy(col("h"), col("dst"))))
+        .filter(col("rn") === 1)
+        .select(col("walk_id"), lit(st.toLong).as("step"), col("dst").as("node"))
+        .localCheckpoint()
+      trace = trace.unionByName(next)
+      cur = next
+    }
+    trace.orderBy("walk_id", "step")
+  }
+
   /** Canonical undirected edge set: a < b, self-loops dropped. */
   private def canonicalEdges(edges: DataFrame): DataFrame =
     edges
