@@ -1297,6 +1297,52 @@ object SparkEntry {
         .unionByName(pairs.select(col("dst").as("id"))).distinct()
         .filter(col("id") % 29 === 0)
       GraphOps.randomWalksDet(pairs, starts, steps = 4, seed = "walk13") }),
+    // BENFORD first-digit conformance: integer per-mille deviations
+    // against the fixed Benford constants — no float logs; synthetic
+    // TPC-H prices are uniform-ish, so the report SHOWS the
+    // non-conformance a fraud audit would flag
+    "t192_benford" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, floor}
+      Relational.benfordReport(t.orders, col("o_orderpriority"),
+        floor(col("o_totalprice"))) }),
+    // LAG-7 AUTOCORRELATION of each priority's daily order counts:
+    // one lead window over the pre-aggregated series, integer
+    // moments, one quantized double
+    "t193_autocorr" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val daily = t.orders.groupBy(col("o_orderpriority").as("pri"),
+          col("o_orderdate").as("dt"))
+        .agg(count(lit(1)).as("x"))
+      Relational.autocorrInt(daily, col("pri"), col("dt"), col("x"), lag = 7) }),
+    // GINI concentration of order revenue per priority: exact integer
+    // numerator/denominator via the rank identity (tie-permutation
+    // invariant), quantized ratio for humans
+    "t194_gini" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, floor}
+      Relational.giniInt(t.orders, col("o_orderpriority"),
+        floor(col("o_totalprice") * 100.0 + 0.5)) }),
+    // L-DIVERSITY release: k=10 anonymity PLUS >= 3 distinct market
+    // segments per quasi-identifier group — the homogeneity-attack
+    // hardening over t163's k-anonymity
+    "t195_l_diversity" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, floor}
+      Relational.lDiversify(t.customer, "c_custkey",
+        Seq(col("c_nationkey"), floor(col("c_acctbal") / 1000.0).cast("long")),
+        Seq("nation", "bal_band"), col("c_mktsegment"), k = 10, l = 3) }),
+    // CUSUM changepoint: clamped cumulative sum = cumsum minus
+    // running min (two windows, no sequential fold), all integer via
+    // the n-scaled deviations; a planted +25/day level shift from
+    // 1996-06-01 must be detected, the pre-shift period must not
+    "t196_cusum" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, count, lit, when}
+      val daily = t.orders.groupBy(col("o_orderpriority").as("pri"),
+          col("o_orderdate").as("dt"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("pri"), col("dt"),
+          (col("c") + when(col("dt") >= lit("1996-06-01"), 25L)
+            .otherwise(0L)).as("x"))
+      Relational.cusumChangepoint(daily, col("pri"), col("dt"), col("x"),
+        h = 1000L) }),
     // data-quality expectations: four row rules in one aggregate
     // pass + a uniqueness constraint; the natural data violates the
     // tight bounds, the planted re-ingestion (every 997th order's

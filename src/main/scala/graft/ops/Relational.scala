@@ -1574,4 +1574,172 @@ object Relational {
       spark.catalog.dropTempView(ov)
     }
   }
+
+  /** Benford's-law first-digit conformance per group (Benford 1938 —
+    * public): fabricated or unit-mixed numeric columns betray
+    * themselves by a first-significant-digit distribution that
+    * departs from log₁₀(1 + 1/d). To keep the report ENGINE-EXACT the
+    * expected distribution is carried as the standard integer
+    * PER-MILLE constants (301, 176, 125, 97, 79, 67, 58, 51, 46 —
+    * they sum to 1000), and the deviation is the pure-integer
+    * `1000·observed − n·expected_milli` (positive = digit
+    * over-represented, in milli-row units) — no float logs, nothing
+    * to round, digits absent from a group still emit a row. The first
+    * digit comes from the value's decimal string, not a float log
+    * (log10 at power-of-ten boundaries is ulp-fragile). One
+    * map-side-combined aggregate over the corpus + a 9-row-per-group
+    * broadcast shape. Output: (grp, digit, observed, n,
+    * dev_milli).
+    */
+  def benfordReport(df: DataFrame, grp: Column, vPos: Column): DataFrame = {
+    val expected = Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L, 51L, 46L)
+    val base = df.select(grp.as("grp"), vPos.cast("long").as("v"))
+      .filter(col("v") > 0)
+      .select(col("grp"), substring(col("v").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+    val obs = base.groupBy("grp", "digit").agg(count(lit(1)).as("observed"))
+    val totals = base.groupBy("grp").agg(count(lit(1)).as("n"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val digits = expected.zipWithIndex
+      .map { case (e, i) => (i + 1L, e) }.toDF("digit", "exp_milli")
+    totals.crossJoin(broadcast(digits))
+      .join(obs, Seq("grp", "digit"), "left")
+      .select(col("grp"), col("digit"),
+        coalesce(col("observed"), lit(0L)).as("observed"), col("n"),
+        (coalesce(col("observed"), lit(0L)) * 1000L -
+          col("n") * col("exp_milli")).as("dev_milli"))
+      .orderBy("grp", "digit")
+  }
+
+  /** LAG-k AUTOCORRELATION of a per-group integer series — the
+    * seasonality detector ("do Mondays look like last Monday?"):
+    * Pearson correlation between the series and itself shifted by
+    * `lag` positions in `tOrd` order. The (x, y) pairs come from one
+    * `lead` window over the PRE-AGGREGATED series (the corpus never
+    * sorts — callers pass a per-period aggregate, so the window runs
+    * over |periods| rows per group); the correlation then uses the
+    * [[spearmanByGroup]] integer-moment tail: all five sums in
+    * DECIMAL(38,0), one final quantized double. Groups with fewer
+    * than lag+2 points emit NULL (degenerate variance divides by
+    * zero → null, never a crash). Output: (grp, n_pairs, acf).
+    */
+  def autocorrInt(df: DataFrame, grp: Column, tOrd: Column, vInt: Column,
+      lag: Int): DataFrame = {
+    require(lag >= 1, "lag must be positive")
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy("grp").orderBy("t")
+    df.select(grp.as("grp"), tOrd.as("t"), vInt.cast("long").as("x"))
+      .withColumn("y", lead("x", lag).over(w))
+      .filter(col("y").isNotNull)
+      .select(col("grp"), col("x").cast(dec).as("x"), col("y").cast(dec).as("y"))
+      .groupBy("grp")
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("grp"), col("n").cast("long").as("n_pairs"),
+        quant6((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+          .as("acf"))
+      .orderBy("grp")
+  }
+
+  /** GINI COEFFICIENT per group over integer values — the
+    * concentration statistic for corpus audits ("is 90% of the
+    * revenue / token mass in 1% of the keys?"). Uses the rank
+    * identity G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) with x ascending;
+    * Σᵢ i·xᵢ is INVARIANT under permuting equal values, so the
+    * row_number tie-break cannot leak nondeterminism. Emits the exact
+    * integer numerator and denominator (DECIMAL(38,0) — audit-grade,
+    * no quantization) plus the quantized ratio for humans. The rank
+    * runs over a per-group sort window; at 100 TB replace with the
+    * two-phase distributed rank (per-partition counts → offset
+    * broadcast) — the [[weightedMedian]] histogram discipline —
+    * before windowing a fact-sized group. Output: (grp, n, numer,
+    * denom, gini).
+    */
+  def giniInt(df: DataFrame, grp: Column, vInt: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy("grp").orderBy(col("v"), col("rnd"))
+    df.select(grp.as("grp"), vInt.cast("long").as("v"))
+      .withColumn("rnd", monotonically_increasing_id())
+      .withColumn("i", row_number().over(w).cast(dec))
+      .groupBy("grp")
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("v").cast(dec)).as("sx"),
+        sum(col("i") * col("v").cast(dec)).as("six"))
+      .select(col("grp"), col("n").cast("long").as("n"),
+        (lit(2).cast(dec) * col("six") - (col("n") + 1) * col("sx")).as("numer"),
+        (col("n") * col("sx")).as("denom"),
+        quant6((lit(2).cast(dec) * col("six") - (col("n") + 1) * col("sx"))
+          .cast("double") / (col("n") * col("sx")).cast("double")).as("gini"))
+      .orderBy("grp")
+  }
+
+  /** L-DIVERSITY release — [[kAnonymize]] hardened against the
+    * homogeneity attack: a k-anonymous group whose SENSITIVE value is
+    * constant still leaks it ("all 10 people in this ZIP+age band
+    * have the same diagnosis"), so a group survives only if it has
+    * ≥ k rows AND ≥ l DISTINCT sensitive values (Machanavajjhala et
+    * al. 2007 — public). Same shape as k-anonymity: one aggregate
+    * over the quasi-identifier groups (count + exact count-distinct
+    * of the sensitive column), suppression by inner join, each
+    * released row carrying (group_size, sensitive_diversity) as the
+    * evidence. The sensitive value itself is NOT released — that's
+    * the point.
+    */
+  def lDiversify(df: DataFrame, idCol: String, quasi: Seq[Column],
+      quasiNames: Seq[String], sensitive: Column, k: Int, l: Int): DataFrame = {
+    require(quasi.nonEmpty && quasi.size == quasiNames.size && k >= 2 && l >= 2,
+      "need quasi-identifiers, k >= 2, l >= 2")
+    val qcols = quasi.zip(quasiNames).map { case (c, n) => c.as(n) }
+    val rows = df.select(md5(col(idCol).cast("string").cast("binary")).as("pseud")
+      +: (qcols :+ sensitive.as("_sens")): _*)
+    val ok = rows.groupBy(quasiNames.map(col): _*)
+      .agg(count(lit(1)).as("_n"), countDistinct(col("_sens")).as("_l"))
+      .filter(col("_n") >= k && col("_l") >= l)
+    rows.join(ok, quasiNames)
+      .select((col("pseud") +: quasiNames.map(col)) ++
+        Seq(col("_n").as("group_size"), col("_l").as("sensitive_diversity")): _*)
+      .orderBy("pseud")
+  }
+
+  /** CUSUM CHANGEPOINT detection per series, zero floating point:
+    * the one-sided cumulative-sum statistic s_t = max(0, s_{t−1} +
+    * (x_t − target)) flags a sustained upward shift when s_t exceeds
+    * a threshold. Two exactness moves: (1) the recurrence is replaced
+    * by the closed form s_t = c_t − min(0, min_{j≤t} c_j) with
+    * c_t = Σ_{i≤t} d_i — clamped CUSUM is cumsum minus running min,
+    * so it's TWO WINDOW AGGREGATES, not a sequential fold; (2) the
+    * target is the series' own mean, cross-multiplied away:
+    * d_t = n·x_t − S (n = points, S = Σx), making every quantity a
+    * pure integer in DECIMAL(38,0). The threshold is in the same
+    * n-scaled units: s_t > h·n triggers. Windows run over the
+    * PRE-AGGREGATED per-period series (|periods| rows per group).
+    * Output: (grp, n_periods, t_detect = first triggering t or NULL,
+    * s_max) — s_max in n-scaled units.
+    */
+  def cusumChangepoint(df: DataFrame, grp: Column, tOrd: Column,
+      vInt: Column, h: Long): DataFrame = {
+    require(h > 0, "threshold must be positive")
+    val dec = DecimalType(38, 0)
+    val base = df.select(grp.as("grp"), tOrd.as("t"), vInt.cast("long").as("x"))
+    val stats = base.groupBy("grp").agg(
+      count(lit(1)).cast(dec).as("n"), sum(col("x").cast(dec)).as("s"))
+    val w = Window.partitionBy("grp").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(stats, "grp")
+      .withColumn("c", sum(col("n") * col("x").cast(dec) - col("s")).over(w))
+      .withColumn("cusum", col("c") -
+        least(lit(0).cast(dec), min("c").over(w)))
+      .groupBy("grp")
+      .agg(max(col("n")).cast("long").as("n_periods"),
+        min(when(col("cusum") > col("n") * lit(h).cast(dec), col("t")))
+          .as("t_detect"),
+        max("cusum").cast("long").as("s_max"))
+      .orderBy("grp")
+  }
 }
