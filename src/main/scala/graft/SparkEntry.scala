@@ -1307,7 +1307,11 @@ object SparkEntry {
         floor(col("o_totalprice"))) }),
     // LAG-7 AUTOCORRELATION of each priority's daily order counts:
     // one lead window over the pre-aggregated series, integer
-    // moments, one quantized double
+    // moments, one quantized double. The lag is POSITIONAL over the
+    // observed dates (lead(x, 7)), not calendar days — exact here
+    // because TPC-H order dates are dense per priority; a sparse
+    // series needs a date-spine join before this call
+
     "t193_autocorr" -> ((s, d) => { val t = Tables.load(s, d)
       import org.apache.spark.sql.functions.{col, count, lit}
       val daily = t.orders.groupBy(col("o_orderpriority").as("pri"),
@@ -2431,7 +2435,7 @@ object SparkEntry {
         |  FROM orders)
         |SELECT o_custkey, o_orderkey, dn,
         |  count(*) OVER w AS n_30d,
-        |  sum(cents) OVER w AS cents_30d
+        |  CAST(sum(cents) OVER w AS BIGINT) AS cents_30d
         |FROM o
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY dn
         |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
@@ -3159,7 +3163,7 @@ object SparkEntry {
     "t186_stream_dropdup" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(event_id) AS BIGINT) AS id_sum,
-        |  CAST(sum(epoch_us(ts)) AS BIGINT) AS ts_sum
+        |  CAST(sum(epoch_us(ts)) AS DECIMAL(38,0)) AS ts_sum
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // t187 twin: the latest-change-wins semantics spelled as CASE
     // arms — %12 re-upserted after delete, %6-only deleted, %4-only
@@ -3257,6 +3261,99 @@ object SparkEntry {
          |${(0 to 4).map(i => s"SELECT * FROM w$i").mkString("\nUNION ALL\n")}
          |ORDER BY walk_id, step""".stripMargin
     },
+    // t192 twin: identical first-digit histogram against the fixed
+    // Benford per-mille constants, identical integer deviations
+    "t192_benford" ->
+      """WITH base AS (SELECT o_orderpriority AS grp,
+        |    CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+        |      1, 1) AS BIGINT) AS digit
+        |  FROM orders WHERE CAST(floor(o_totalprice) AS BIGINT) > 0),
+        |obs AS (SELECT grp, digit, count(*) AS observed FROM base GROUP BY 1, 2),
+        |tot AS (SELECT grp, count(*) AS n FROM base GROUP BY 1),
+        |dig AS (SELECT CAST(d AS BIGINT) AS digit, CAST(e AS BIGINT) AS exp_milli
+        |  FROM (VALUES (1, 301), (2, 176), (3, 125), (4, 97), (5, 79),
+        |    (6, 67), (7, 58), (8, 51), (9, 46)) AS t(d, e))
+        |SELECT tot.grp AS grp, dig.digit AS digit,
+        |  CAST(coalesce(obs.observed, 0) AS BIGINT) AS observed,
+        |  CAST(tot.n AS BIGINT) AS n,
+        |  CAST(coalesce(obs.observed, 0) * 1000 - tot.n * dig.exp_milli
+        |    AS BIGINT) AS dev_milli
+        |FROM tot CROSS JOIN dig
+        |LEFT JOIN obs ON obs.grp = tot.grp AND obs.digit = dig.digit
+        |ORDER BY tot.grp, dig.digit""".stripMargin,
+    // t193 twin: identical positional lead(7) over the pre-aggregated
+    // daily series, identical HUGEINT moments, one quantized division
+    "t193_autocorr" ->
+      """WITH daily AS (SELECT o_orderpriority AS pri, o_orderdate AS dt,
+        |    count(*) AS x FROM orders GROUP BY 1, 2),
+        |p AS (SELECT pri AS grp, CAST(x AS HUGEINT) AS x,
+        |    CAST(lead(x, 7) OVER (PARTITION BY pri ORDER BY dt) AS HUGEINT) AS y
+        |  FROM daily),
+        |f AS (SELECT grp, x, y FROM p WHERE y IS NOT NULL),
+        |m AS (SELECT grp, CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy,
+        |    sum(x * y) AS sxy FROM f GROUP BY 1)
+        |SELECT grp, CAST(n AS BIGINT) AS n_pairs,
+        |  floor(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |         CAST(n * syy - sy * sy AS DOUBLE)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS acf
+        |FROM m ORDER BY grp""".stripMargin,
+    // t194 twin: the identical histogram-run fold of the rank
+    // identity — 2·Σ i·x = Σ_runs v·c·(2r+c+1), exact integers
+    "t194_gini" ->
+      """WITH b AS (SELECT o_orderpriority AS grp,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS HUGEINT) AS v FROM orders),
+        |h AS (SELECT grp, v, CAST(count(*) AS HUGEINT) AS c FROM b GROUP BY 1, 2),
+        |r AS (SELECT grp, v, c,
+        |    sum(c) OVER (PARTITION BY grp ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS r FROM h),
+        |m AS (SELECT grp, sum(c) AS n, sum(v * c) AS sx,
+        |    sum(v * c * (2 * r + c + 1)) AS six2 FROM r GROUP BY 1)
+        |SELECT grp, CAST(n AS BIGINT) AS n,
+        |  CAST(six2 - (n + 1) * sx AS DECIMAL(38,0)) AS numer,
+        |  CAST(n * sx AS DECIMAL(38,0)) AS denom,
+        |  floor(CAST(six2 - (n + 1) * sx AS DOUBLE) / CAST(n * sx AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS gini
+        |FROM m ORDER BY grp""".stripMargin,
+    // t195 twin: t163's pseudonym map + suppression rule hardened
+    // with the distinct-sensitive-values floor (null-safe group join)
+    "t195_l_diversity" ->
+      """WITH r AS (SELECT md5(CAST(c_custkey AS VARCHAR)) AS pseud,
+        |    c_nationkey AS nation,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        |    c_mktsegment AS sens
+        |  FROM customer),
+        |g AS (SELECT nation, bal_band, count(*) AS group_size,
+        |    count(DISTINCT sens) AS sensitive_diversity FROM r
+        |  GROUP BY 1, 2 HAVING count(*) >= 10 AND count(DISTINCT sens) >= 3)
+        |SELECT r.pseud, r.nation, r.bal_band, g.group_size,
+        |  g.sensitive_diversity
+        |FROM r JOIN g ON r.nation IS NOT DISTINCT FROM g.nation
+        |  AND r.bal_band IS NOT DISTINCT FROM g.bal_band
+        |ORDER BY pseud""".stripMargin,
+    // t196 twin: the identical closed form — clamped CUSUM = cumsum
+    // minus running min, n-scaled integer deviations, planted shift
+    "t196_cusum" ->
+      """WITH daily AS (SELECT o_orderpriority AS pri, o_orderdate AS dt,
+        |    count(*) + CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1996-06-01'
+        |      THEN 25 ELSE 0 END AS x
+        |  FROM orders GROUP BY 1, 2),
+        |b AS (SELECT pri AS grp, dt AS t, CAST(x AS HUGEINT) AS x FROM daily),
+        |s AS (SELECT grp, CAST(count(*) AS HUGEINT) AS n, sum(x) AS sm
+        |  FROM b GROUP BY 1),
+        |c AS (SELECT b.grp, b.t, s.n,
+        |    sum(b.x * s.n - s.sm) OVER (PARTITION BY b.grp ORDER BY b.t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM b JOIN s USING (grp)),
+        |k AS (SELECT grp, t, n, c - least(CAST(0 AS HUGEINT),
+        |    min(c) OVER (PARTITION BY grp ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
+        |  FROM c)
+        |SELECT grp, CAST(max(n) AS BIGINT) AS n_periods,
+        |  min(CASE WHEN cusum > n * 1000 THEN t END) AS t_detect,
+        |  CAST(max(cusum) AS BIGINT) AS s_max
+        |FROM k GROUP BY grp ORDER BY grp""".stripMargin,
     // t154 twin: identical pair/item supports, identical quantized
     // confidence and lift divisions
     "t154_market_basket" ->

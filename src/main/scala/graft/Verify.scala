@@ -45,6 +45,17 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // the board contract: EVERY declared query has a DuckDB twin. An
+    // ungated query must be a LOCAL failure, not a driver discovery
+    // (round 13 shipped five `no_oracle` rows this guard now forbids).
+    val ungated = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val orphanSql = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    if (ungated.nonEmpty || orphanSql.nonEmpty) {
+      System.err.println(s"[verify] BOARD MISMATCH — queries without a " +
+        s"twin: ${ungated.toSeq.sorted.mkString(", ")}; twins without a " +
+        s"query: ${orphanSql.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     // a broken run must exit nonzero — never mistakable for green
     if (failed.nonEmpty) {
       System.err.println(s"[verify] ${failed.size} queries failed: ${failed.mkString(", ")}")

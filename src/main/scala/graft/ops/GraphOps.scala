@@ -425,6 +425,11 @@ object GraphOps {
     * walk id, so a million concurrent walks spread across the
     * cluster and no step ever materializes more than frontier-edges
     * rows. Walks at a degree-0 node stop early (no padding rows).
+    * EDGE SEMANTICS: the input is canonicalized UNDIRECTED first
+    * (via [[canonicalEdges]] — both orientations merged, duplicates
+    * dropped, self-loops removed), so walks traverse every edge in
+    * both directions and never take a self-loop step; a caller with
+    * a genuinely directed graph must not use this walker as-is.
     * Output: the full trace (walk_id = start node, step, node),
     * step 0 = the start.
     */

@@ -1621,8 +1621,11 @@ object Relational {
     * over |periods| rows per group); the correlation then uses the
     * [[spearmanByGroup]] integer-moment tail: all five sums in
     * DECIMAL(38,0), one final quantized double. Groups with fewer
-    * than lag+2 points emit NULL (degenerate variance divides by
-    * zero → null, never a crash). Output: (grp, n_pairs, acf).
+    * than lag+1 points have NO (x, y) pair at all and are OMITTED
+    * from the output (the y.isNotNull filter removes every row);
+    * groups with exactly lag+1 points emit one row whose acf is NULL
+    * via the zero-variance division — never a crash. Output:
+    * (grp, n_pairs, acf).
     */
   def autocorrInt(df: DataFrame, grp: Column, tOrd: Column, vInt: Column,
       lag: Int): DataFrame = {
@@ -1650,31 +1653,39 @@ object Relational {
   /** GINI COEFFICIENT per group over integer values — the
     * concentration statistic for corpus audits ("is 90% of the
     * revenue / token mass in 1% of the keys?"). Uses the rank
-    * identity G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) with x ascending;
-    * Σᵢ i·xᵢ is INVARIANT under permuting equal values, so the
-    * row_number tie-break cannot leak nondeterminism. Emits the exact
-    * integer numerator and denominator (DECIMAL(38,0) — audit-grade,
-    * no quantization) plus the quantized ratio for humans. The rank
-    * runs over a per-group sort window; at 100 TB replace with the
-    * two-phase distributed rank (per-partition counts → offset
-    * broadcast) — the [[weightedMedian]] histogram discipline —
-    * before windowing a fact-sized group. Output: (grp, n, numer,
-    * denom, gini).
+    * identity G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) with x ascending.
+    * Σᵢ i·xᵢ is INVARIANT under permuting equal values, so it folds
+    * over the per-(grp, value) HISTOGRAM instead of ranking rows: a
+    * run of c copies of v occupying ranks r+1..r+c contributes
+    * Σ i·v = v·c·(2r+c+1)/2, i.e. 2·Σᵢ i·xᵢ = Σ_runs v·c·(2r+c+1)
+    * with r the cumulative count of strictly-smaller values. The
+    * only window runs over the histogram (|distinct values| rows per
+    * group, value-domain-bounded), NEVER the fact table — the same
+    * two-phase discipline as [[weightedMedian]] / the MAD medians —
+    * so the fact table contributes one map-side-combined aggregate
+    * and nothing else sorts at 100 TB. Emits the exact integer
+    * numerator and denominator (DECIMAL(38,0) — audit-grade, no
+    * quantization) plus the quantized ratio for humans. Output:
+    * (grp, n, numer, denom, gini).
     */
   def giniInt(df: DataFrame, grp: Column, vInt: Column): DataFrame = {
     val dec = DecimalType(38, 0)
-    val w = Window.partitionBy("grp").orderBy(col("v"), col("rnd"))
-    df.select(grp.as("grp"), vInt.cast("long").as("v"))
-      .withColumn("rnd", monotonically_increasing_id())
-      .withColumn("i", row_number().over(w).cast(dec))
+    val hist = df.select(grp.as("grp"), vInt.cast("long").as("v"))
+      .groupBy("grp", "v").agg(count(lit(1)).cast(dec).as("c"))
+    val w = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("r", sum("c").over(w) - col("c"))
       .groupBy("grp")
-      .agg(count(lit(1)).cast(dec).as("n"),
-        sum(col("v").cast(dec)).as("sx"),
-        sum(col("i") * col("v").cast(dec)).as("six"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("v").cast(dec) * col("c")).as("sx"),
+        // 2·Σ i·x accumulated run-wise: v·c·(2r + c + 1)
+        sum(col("v").cast(dec) * col("c") *
+          (lit(2).cast(dec) * col("r") + col("c") + 1)).as("six2"))
       .select(col("grp"), col("n").cast("long").as("n"),
-        (lit(2).cast(dec) * col("six") - (col("n") + 1) * col("sx")).as("numer"),
+        (col("six2") - (col("n") + 1) * col("sx")).as("numer"),
         (col("n") * col("sx")).as("denom"),
-        quant6((lit(2).cast(dec) * col("six") - (col("n") + 1) * col("sx"))
+        quant6((col("six2") - (col("n") + 1) * col("sx"))
           .cast("double") / (col("n") * col("sx")).cast("double")).as("gini"))
       .orderBy("grp")
   }
@@ -1686,10 +1697,12 @@ object Relational {
     * ≥ k rows AND ≥ l DISTINCT sensitive values (Machanavajjhala et
     * al. 2007 — public). Same shape as k-anonymity: one aggregate
     * over the quasi-identifier groups (count + exact count-distinct
-    * of the sensitive column), suppression by inner join, each
-    * released row carrying (group_size, sensitive_diversity) as the
-    * evidence. The sensitive value itself is NOT released — that's
-    * the point.
+    * of the sensitive column), suppression by NULL-SAFE inner join
+    * (`<=>` — groupBy places NULL quasi values in one group, and a
+    * plain-equality release join would silently suppress that group
+    * even when it passes the k/l filter), each released row carrying
+    * (group_size, sensitive_diversity) as the evidence. The sensitive
+    * value itself is NOT released — that's the point.
     */
   def lDiversify(df: DataFrame, idCol: String, quasi: Seq[Column],
       quasiNames: Seq[String], sensitive: Column, k: Int, l: Int): DataFrame = {
@@ -1701,7 +1714,10 @@ object Relational {
     val ok = rows.groupBy(quasiNames.map(col): _*)
       .agg(count(lit(1)).as("_n"), countDistinct(col("_sens")).as("_l"))
       .filter(col("_n") >= k && col("_l") >= l)
-    rows.join(ok, quasiNames)
+      .select(quasiNames.map(c => col(c).as(s"_g_$c")) ++
+        Seq(col("_n"), col("_l")): _*)
+    val cond = quasiNames.map(c => col(c) <=> col(s"_g_$c")).reduce(_ && _)
+    rows.join(ok, cond)
       .select((col("pseud") +: quasiNames.map(col)) ++
         Seq(col("_n").as("group_size"), col("_l").as("sensitive_diversity")): _*)
       .orderBy("pseud")

@@ -469,8 +469,11 @@ object StreamGates {
       .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"),
         // ts in the checksum: a re-delivered copy surviving in place
         // of its original has the same id but a +90 min ts — id_sum
-        // alone would miss exactly that bug
-        sum(unix_micros(col("ts"))).as("ts_sum"))
+        // alone would miss exactly that bug. Sum in DECIMAL(38,0):
+        // unix_micros is ~1.7e15 per row, so a LongType sum overflows
+        // 2^63 past ~5400 rows per type — sf0.1 already crosses it.
+        sum(unix_micros(col("ts"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("ts_sum"))
       .orderBy("event_type")
   }
 

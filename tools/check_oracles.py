@@ -20,7 +20,21 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
-    for name in sorted(oracle):
+    # board contract: every dumped query has a twin and vice versa —
+    # an ungated query is a failure here, not a driver discovery
+    import os
+    dumped = {d for d in os.listdir(out_dir)
+              if os.path.isdir(os.path.join(out_dir, d))}
+    if dumped and dumped != set(oracle):
+        only_dump = sorted(dumped - set(oracle))
+        only_sql = sorted(set(oracle) - dumped)
+        if only_dump:
+            print(f"FAIL board: queries without a twin: {only_dump}")
+            n_fail += len(only_dump)
+        if only_sql:
+            print(f"NOTE board: {len(only_sql)} twins with no dump here "
+                  f"(partial dev run) — checking dumped queries only")
+    for name in sorted(set(oracle) & dumped if dumped else set(oracle)):
         sql = oracle[name]
         try:
             want = con.execute(sql).fetch_arrow_table()
@@ -40,6 +54,29 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns differ: oracle={wcols} spark={gcols}")
             n_fail += 1
             continue
+        # the driver's hash is TYPE-sensitive for decimal-vs-integer
+        # (round-13 q57: values bit-identical, hash red on int64 vs
+        # decimal128) while tolerating int-width and decimal-vs-float
+        # differences (q39/q41/t93 green for rounds) — FAIL the known
+        # red class, WARN the rest so drift stays visible
+        def fam(t):
+            t = str(t)
+            if t.startswith("decimal"): return "decimal"
+            if t.startswith(("int", "uint")): return "int"
+            if t in ("float", "double", "halffloat"): return "float"
+            return t
+        tdif = [(c, str(want.schema.field(c).type), str(got.schema.field(c).type))
+                for c in wcols
+                if str(want.schema.field(c).type) != str(got.schema.field(c).type)]
+        tbad = [d for d in tdif if {fam(d[1]), fam(d[2])} == {"decimal", "int"}]
+        if tbad:
+            print(f"FAIL {name}: decimal-vs-integer type mismatch (the "
+                  f"driver-hash-red class): {tbad}")
+            n_fail += 1
+            continue
+        if tdif:
+            print(f"WARN {name}: arrow types differ (driver-tolerated "
+                  f"class): {tdif}")
         if want.num_rows != got.num_rows:
             print(f"FAIL {name}: rows differ: oracle={want.num_rows} spark={got.num_rows}")
             n_fail += 1
