@@ -1347,6 +1347,12 @@ object SparkEntry {
             .otherwise(0L)).as("x"))
       Relational.cusumChangepoint(daily, col("pri"), col("dt"), col("x"),
         h = 1000L) }),
+    // STREAMING CUSUM monitoring: the t196 planted shift, but the
+    // orders fact arrives in three date-range shards across cold
+    // restarts and the fixed-target clamped CUSUM folds forward with
+    // O(groups) carried state; must equal the batch closed form
+    "t197_stream_cusum" -> ((s, d) => { val t = Tables.load(s, d)
+      graft.streaming.StreamGates.cusumGate(t.orders) }),
     // data-quality expectations: four row rules in one aggregate
     // pass + a uniqueness constraint; the natural data violates the
     // tight bounds, the planted re-ingestion (every 997th order's
@@ -3352,6 +3358,25 @@ object SparkEntry {
         |  FROM c)
         |SELECT grp, CAST(max(n) AS BIGINT) AS n_periods,
         |  min(CASE WHEN cusum > n * 1000 THEN t END) AS t_detect,
+        |  CAST(max(cusum) AS BIGINT) AS s_max
+        |FROM k GROUP BY grp ORDER BY grp""".stripMargin,
+    // t197 twin: the one-shot fixed-target closed form over the full
+    // corpus — the streamed carry fold must land on it exactly
+    "t197_stream_cusum" ->
+      """WITH daily AS (SELECT o_orderpriority AS pri, o_orderdate AS dt,
+        |    count(*) + CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1996-06-01'
+        |      THEN 25 ELSE 0 END AS x
+        |  FROM orders GROUP BY 1, 2),
+        |b AS (SELECT pri AS grp, dt AS t, CAST(x AS HUGEINT) AS x FROM daily),
+        |c AS (SELECT grp, t,
+        |    sum(x - 2) OVER (PARTITION BY grp ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM b),
+        |k AS (SELECT grp, t, c - least(CAST(0 AS HUGEINT),
+        |    min(c) OVER (PARTITION BY grp ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
+        |  FROM c)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n_periods,
+        |  min(CASE WHEN cusum > 500 THEN t END) AS t_detect,
         |  CAST(max(cusum) AS BIGINT) AS s_max
         |FROM k GROUP BY grp ORDER BY grp""".stripMargin,
     // t154 twin: identical pair/item supports, identical quantized

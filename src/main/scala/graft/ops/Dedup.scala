@@ -545,23 +545,34 @@ object Dedup {
     * IDENTICAL to `dedupClusters(jaccardPairs(documents))` (the gate
     * proves it against the same doc-level recursive-closure oracle):
     * co-members of a set share a node, cross-set pairs connect nodes,
-    * and labels seed at each set's minimum member doc — so the
-    * converged set label IS the component's minimum doc id. On a
-    * dup-heavy corpus (exactly where clustering matters) this shrinks
-    * the iterated joins by the dup-multiplicity² factor and never
-    * materializes the doc-pair expansion — the largest frame of the
-    * pairs pipeline — at all. Multi-member sets with no cross-set
-    * edge (pure exact-dup groups) bypass propagation entirely and
-    * label directly.
+    * and the component representative is each component's minimum
+    * member doc — so the converged set label IS the component's
+    * minimum doc id. On a dup-heavy corpus (exactly where clustering
+    * matters) this shrinks the iterated joins by the
+    * dup-multiplicity² factor and never materializes the doc-pair
+    * expansion — the largest frame of the pairs pipeline — at all.
+    * Multi-member sets with no cross-set edge (pure exact-dup groups)
+    * bypass propagation entirely and label directly.
+    *
+    * The components come from the big-star/small-star contraction
+    * ([[graft.ops.GraphOps.connectedComponentsBigStar]] — Kiveris et
+    * al.), NOT diameter-bounded label propagation: O(log n) rounds on
+    * any topology, measured ~3× faster on the same corpus (round-13
+    * t146 vs t49). The set-graph component key is a sid; one extra
+    * per-component aggregate (min of the member-set min-docs) turns
+    * it into the doc-id label the contract promises.
     */
   def jaccardClusters(
-      documents: DataFrame, threshold: Double = 0.6, maxIter: Int = 20): DataFrame = {
+      documents: DataFrame, threshold: Double = 0.6, maxIter: Int = 25): DataFrame = {
     val (setPairs, members) = setPairsFrom(docTokens(documents), threshold)
     val minDoc = members.groupBy("sid")
       .agg(min("doc_id").as("mdoc"), count(lit(1)).as("nm"))
-    val propagated = propagateMin(setPairs, "sid_a", "sid_b", maxIter,
-      edges => edges.select(col("src").as("id")).distinct()
-        .join(minDoc.select(col("sid").as("id"), col("mdoc").as("label")), "id"))
+    val comp = GraphOps.connectedComponentsBigStar(
+      setPairs.select(col("sid_a").as("src"), col("sid_b").as("dst")), maxIter)
+    val compLabel = comp
+      .join(minDoc.select(col("sid").as("id"), col("mdoc")), "id")
+      .groupBy("component").agg(min("mdoc").as("label"))
+    val propagated = comp.join(compLabel, "component")
       .select(col("id").as("sid"), col("label"))
     val isolated = minDoc.filter(col("nm") >= 2)
       .join(propagated, Seq("sid"), "left_anti")

@@ -1758,4 +1758,37 @@ object Relational {
         max("cusum").cast("long").as("s_max"))
       .orderBy("grp")
   }
+
+  /** CUSUM against a FIXED reference target — the true MONITORING
+    * form ([[cusumChangepoint]] self-calibrates against the series'
+    * own mean, which needs the whole series; a 100 TB ingest monitors
+    * against a target fixed a priori, which is what makes the
+    * statistic streamable: s_t = max(0, s_{t−1} + (x_t − target)) is
+    * a per-group sequential fold whose carried state is ONE number).
+    * Batch closed form, zero floating point: s_t = c_t − min(0,
+    * min_{j≤t} c_j) with c_t = Σ d_i, d_i = x_i − target, everything
+    * DECIMAL(38,0). Windows run over the PRE-AGGREGATED per-period
+    * series. The streamed fold
+    * ([[graft.streaming.StreamGates.cusumGate]]) continues the same
+    * recurrence across micro-batches via the carry identity
+    * s_t = max(s₀ + c_t, c_t − min_{1≤k≤t} c_k) and must land on
+    * this exact output. Output: (grp, n_periods, t_detect = first t
+    * with s_t > h or NULL, s_max).
+    */
+  def cusumFixedTarget(df: DataFrame, grp: Column, tOrd: Column,
+      vInt: Column, target: Long, h: Long): DataFrame = {
+    require(h > 0, "threshold must be positive")
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy("grp").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(grp.as("grp"), tOrd.as("t"), vInt.cast("long").as("x"))
+      .withColumn("c", sum((col("x") - lit(target)).cast(dec)).over(w))
+      .withColumn("cusum", col("c") -
+        least(lit(0).cast(dec), min("c").over(w)))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_periods"),
+        min(when(col("cusum") > lit(h).cast(dec), col("t"))).as("t_detect"),
+        max("cusum").cast("long").as("s_max"))
+      .orderBy("grp")
+  }
 }

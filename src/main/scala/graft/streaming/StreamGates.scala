@@ -738,6 +738,118 @@ object StreamGates {
     out
   }
 
+  /** Streamed CUSUM changepoint monitoring, gated: the orders fact
+    * arrives in three contiguous DATE-range shards (each a cold
+    * restart — days never split, so every per-day period is complete
+    * within its batch and shards arrive in time order), and each
+    * micro-batch folds the fixed-target clamped CUSUM
+    * s_t = max(0, s_{t−1} + (x_t − target)) forward per priority via
+    * the carry identity s_t = max(s₀ + c_t, c_t − min_{1≤k≤t} c_k)
+    * (c = batch-local cumsum of deviations, s₀ = the carried value) —
+    * so the per-group state is FOUR numbers (last s, first detection,
+    * running max, period count), not the series, and each batch
+    * commits O(touched groups) as an append delta to a manifested
+    * bucketed state table (latest commit wins per group). This is the
+    * monitoring shape a 100 TB ingest actually runs: the fact stream
+    * is read once, state is O(groups). The final merged view must
+    * equal [[graft.ops.Relational.cusumFixedTarget]] on the full
+    * corpus exactly — all-integer DECIMAL(38,0) arithmetic, so a
+    * dropped batch, a replayed fold, or a stale carry shows as an
+    * off-by-N. The planted +25/day level shift from 1996-06-01 (the
+    * t196 fixture) must be detected; target = 2 ≈ the sf0.01 natural
+    * daily rate so the pre-shift walk hovers near the clamp.
+    */
+  def cusumGate(orders: DataFrame, nShards: Int = 3,
+      target: Long = 2L, h: Long = 500L): DataFrame = {
+    import graft.sinks.LakeWriter
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val spark = orders.sparkSession
+    val o = orders.select("o_orderkey", "o_orderpriority", "o_orderdate")
+    // date-range shards, the scd2Gate discipline: integer day numbers
+    // are agnostic to the fixture's DATE-vs-NTZ storage generations
+    val dn = datediff(col("o_orderdate"), lit("1970-01-01"))
+    val b = o.agg(min(dn).as("lo"), max(dn).as("hi"),
+      sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("n_null")).head()
+    require(!b.isNullAt(0) && !b.isNullAt(1), "cusumGate: no non-null dates")
+    require(b.getLong(2) == 0L, "cusumGate: null dates would vanish")
+    val (lo, hi) = (b.getInt(0).toLong, b.getInt(1).toLong)
+    val span = hi - lo + 1
+    val shards = (0 until nShards).map { i =>
+      val l = lo + i * span / nShards
+      val h2 = lo + (i + 1) * span / nShards
+      if (i == nShards - 1) o.filter(dn >= l)
+      else o.filter(dn >= l && dn < h2)
+    }
+    val root = Files.createTempDirectory("sgate_cusum").toString
+    val tbl = "sgate_cusum_state"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    drive(shards) { (src, cp) =>
+      src.writeStream
+        .option("checkpointLocation", cp.get)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val lw = new graft.sinks.LakeWriter(root)
+          // complete per-day periods (days never straddle a shard),
+          // with the planted level shift applied at source
+          val daily = batch
+            .groupBy(col("o_orderpriority").as("grp"),
+              col("o_orderdate").as("t"))
+            .agg(count(lit(1)).as("cnt"))
+            .select(col("grp"), col("t"),
+              (col("cnt") + when(col("t") >= lit("1996-06-01"), 25L)
+                .otherwise(0L)).as("x"))
+          val exists = spark.catalog.tableExists(tbl)
+          val state =
+            if (exists) LakeWriter.readBucketedTableMerged(spark, tbl, Seq("grp"))
+            else daily.limit(0).select(col("grp"),
+              lit(null).cast(dec).as("s_last"), col("t").as("t_detect"),
+              lit(null).cast(dec).as("s_max"),
+              lit(null).cast("long").as("n_periods"), col("t").as("last_t"))
+          val w = Window.partitionBy("grp").orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val scored = daily.join(state, Seq("grp"), "left")
+            .withColumn("c", sum((col("x") - lit(target)).cast(dec)).over(w))
+            .withColumn("s", greatest(
+              coalesce(col("s_last"), lit(0).cast(dec)) + col("c"),
+              col("c") - min("c").over(w)))
+          // time-ordered delivery is the fold's correctness premise —
+          // a period at or before the carried frontier means the
+          // shards were not time-contiguous: refuse, don't corrupt
+          val regressed = scored
+            .filter(col("last_t").isNotNull && col("t") <= col("last_t")).count()
+          require(regressed == 0L,
+            s"cusumGate: $regressed periods arrived behind the carried frontier")
+          val upd = scored.groupBy("grp").agg(
+            expr("max_by(s, t)").as("new_s_last"),
+            min(when(col("s") > lit(h).cast(dec), col("t"))).as("batch_detect"),
+            max("s").as("batch_smax"),
+            count(lit(1)).as("batch_n"),
+            max(col("t")).as("batch_last_t"),
+            min(col("t_detect")).as("old_detect"),
+            max(col("s_max")).as("old_smax"),
+            max(col("n_periods")).as("old_n"))
+            .select(col("grp"), col("new_s_last").as("s_last"),
+              coalesce(col("old_detect"), col("batch_detect")).as("t_detect"),
+              greatest(coalesce(col("old_smax"), lit(0).cast(dec)),
+                col("batch_smax")).as("s_max"),
+              (coalesce(col("old_n"), lit(0L)) + col("batch_n")).as("n_periods"),
+              col("batch_last_t").as("last_t"))
+          lw.commitBucketed(upd, tbl, 4, Seq("grp"), replace = !exists)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    val out = LakeWriter.readBucketedTableMerged(spark, tbl, Seq("grp"))
+      .select(col("grp"), col("n_periods"), col("t_detect"),
+        col("s_max").cast("long").as("s_max"))
+      .orderBy("grp")
+      .localCheckpoint()
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    out
+  }
+
   /** Streamed IMAGE near-dup intake, gated: the golden t93 corpus
     * arrives first (in-batch pairs = t93's frame, and its hashes
     * build the index), then the t105 re-encodes split across TWO

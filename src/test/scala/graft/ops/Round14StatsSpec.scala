@@ -134,4 +134,27 @@ class Round14StatsSpec extends AnyFunSuite {
         ((r.getLong(1), Option(r.get(2)), r.getLong(3)))).toMap
     assert(m2("a")._2 == Some(9))
   }
+
+  test("cusumFixedTarget: closed form equals the clamped recurrence, " +
+      "and the carry identity folds a split series to the same result") {
+    // series: x = 5,1,9,9,1,9 target 4 → d = 1,-3,5,5,-3,5
+    // recurrence s: 1,0,5,10,7,12 — s_max 12, h=9 detects at t=4
+    val full = Seq(("a", 1, 5L), ("a", 2, 1L), ("a", 3, 9L), ("a", 4, 9L),
+      ("a", 5, 1L), ("a", 6, 9L)).toDF("g", "t", "x")
+    val got = Relational.cusumFixedTarget(full, col("g"), col("t"), col("x"),
+      target = 4L, h = 9L).collect()(0)
+    assert((got.getLong(1), Option(got.get(2)), got.getLong(3)) ==
+      ((6L, Some(4), 12L)))
+    // carry identity: fold the prefix, then continue on the suffix
+    // with s0 = prefix's final s — must reproduce the full-series
+    // tail values: s_t = max(s0 + c_t, c_t - min_{1<=k<=t} c_k)
+    // prefix t=1..3 ends at s0 = 5; suffix d = 5,-3,5 → c = 5,2,7,
+    // min-prefix = 5,2,2 → max(s0+c, c-min) = (10,7,12) — matches
+    val s0 = 5L
+    val sufD = Seq(5L, -3L, 5L)
+    val c = sufD.scanLeft(0L)(_ + _).tail
+    val mins = c.inits.toSeq.reverse.tail.map(_.min)
+    val s = c.zip(mins).map { case (ct, mn) => math.max(s0 + ct, ct - mn) }
+    assert(s == Seq(10L, 7L, 12L))
+  }
 }
