@@ -554,25 +554,27 @@ object Dedup {
     * Multi-member sets with no cross-set edge (pure exact-dup groups)
     * bypass propagation entirely and label directly.
     *
-    * The components come from the big-star/small-star contraction
-    * ([[graft.ops.GraphOps.connectedComponentsBigStar]] — Kiveris et
-    * al.), NOT diameter-bounded label propagation: O(log n) rounds on
-    * any topology, measured ~3× faster on the same corpus (round-13
-    * t146 vs t49). The set-graph component key is a sid; one extra
-    * per-component aggregate (min of the member-set min-docs) turns
-    * it into the doc-id label the contract promises.
+    * The propagation core is min-label sweeps, NOT the big-star
+    * contraction — MEASURED, round 14: swapping in
+    * [[graft.ops.GraphOps.connectedComponentsBigStar]] (the round-13
+    * advice) ran t49 at 25.2 s min / 304 MB shuffle vs 15.9 s min /
+    * 126 MB for propagation on the identical sf0.1 corpus in the same
+    * quiet window. The set graph here is TINY and near-clique-shaped
+    * (propagation converges in 2–3 cheap sweeps) while big-star pays
+    * two star joins + two canonicalize-distincts + a count-and-except
+    * fixed-point probe per round regardless of graph size. Big-star
+    * stays the right core for huge-diameter graphs (t146 gates it);
+    * diameter-bounded propagation is the right core for dedup
+    * clusters.
     */
   def jaccardClusters(
-      documents: DataFrame, threshold: Double = 0.6, maxIter: Int = 25): DataFrame = {
+      documents: DataFrame, threshold: Double = 0.6, maxIter: Int = 20): DataFrame = {
     val (setPairs, members) = setPairsFrom(docTokens(documents), threshold)
     val minDoc = members.groupBy("sid")
       .agg(min("doc_id").as("mdoc"), count(lit(1)).as("nm"))
-    val comp = GraphOps.connectedComponentsBigStar(
-      setPairs.select(col("sid_a").as("src"), col("sid_b").as("dst")), maxIter)
-    val compLabel = comp
-      .join(minDoc.select(col("sid").as("id"), col("mdoc")), "id")
-      .groupBy("component").agg(min("mdoc").as("label"))
-    val propagated = comp.join(compLabel, "component")
+    val propagated = propagateMin(setPairs, "sid_a", "sid_b", maxIter,
+      edges => edges.select(col("src").as("id")).distinct()
+        .join(minDoc.select(col("sid").as("id"), col("mdoc").as("label")), "id"))
       .select(col("id").as("sid"), col("label"))
     val isolated = minDoc.filter(col("nm") >= 2)
       .join(propagated, Seq("sid"), "left_anti")
