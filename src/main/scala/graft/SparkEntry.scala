@@ -1353,6 +1353,77 @@ object SparkEntry {
     // O(groups) carried state; must equal the batch closed form
     "t197_stream_cusum" -> ((s, d) => { val t = Tables.load(s, d)
       graft.streaming.StreamGates.cusumGate(t.orders) }),
+    // DENSE DAILY SPINE: every calendar day between each priority's
+    // first and last SPARSE observation (1-in-97 orders), gaps
+    // zero-filled — the preprocessing that makes positional windows
+    // calendar-correct
+    "t198_date_spine" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val sparse = t.orders.filter(col("o_orderkey") % 97 === 0)
+        .groupBy(col("o_orderpriority").as("pri"), col("o_orderdate").as("dt"))
+        .agg(count(lit(1)).as("c"))
+      Relational.denseDailySpine(sparse, col("pri"), col("dt"), col("c")) }),
+    // EXACT GROUPED CDF: cume_dist() semantics from the (grp, value)
+    // histogram — one fact aggregate, no fact-table sort window; twin
+    // is DuckDB's real cume_dist() window DISTINCT'd
+    "t199_cdf" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      Relational.cdfByGroup(t.lineitem, col("l_returnflag"),
+        col("l_quantity").cast("long")) }),
+    // DISCRETE HAZARD TABLE: per-user lifetime in HOURS (last - first
+    // activity; the fixture spans ~30 days), right-censored inside
+    // the final 24 hours; at-risk = reverse cumulative histogram,
+    // hazard in integer micro-units
+    "t200_hazard" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{broadcast, col, expr, max, min}
+      val ud = t.events.select(col("user_id"),
+        expr("unix_micros(ts) DIV 3600000000").as("hn"))
+      val span = ud.groupBy("user_id")
+        .agg(min("hn").as("fst"), max("hn").as("lst"))
+      val subj = span.crossJoin(broadcast(ud.agg(max("hn").as("cut"))))
+        .select((col("lst") - col("fst")).as("dur"),
+          (col("lst") < col("cut") - 24).as("churned"))
+      Relational.hazardTable(subj, col("dur"), col("churned")) }),
+    // KEY ERASURE on a manifested bucketed table: three key-range
+    // commits, then right-to-be-forgotten for custkey % 37 == 3 —
+    // the selective path rewrites ONLY affected commits and retires
+    // them in the same manifest publish; read-back must equal the
+    // batch filter
+    "t201_erasure" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, floor, max}
+      val root = java.nio.file.Files.createTempDirectory("g_erasure").toString
+      val lw = new graft.sinks.LakeWriter(root)
+      val tbl = "g_erasure_orders"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val o = t.orders.select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      val mx = o.agg(max("o_orderkey")).head().getLong(0)
+      lw.commitBucketed(o.filter(col("o_orderkey") * 3 <= mx),
+        tbl, 8, Seq("o_custkey"), replace = true)
+      lw.commitBucketed(
+        o.filter(col("o_orderkey") * 3 > mx && col("o_orderkey") * 3 <= 2 * mx),
+        tbl, 8, Seq("o_custkey"))
+      lw.commitBucketed(o.filter(col("o_orderkey") * 3 > 2 * mx),
+        tbl, 8, Seq("o_custkey"))
+      val keys = o.select("o_custkey").distinct()
+        .filter(col("o_custkey") % 37 === 3)
+      lw.deleteKeysBucketed(s, tbl, Seq("o_custkey"), keys)
+      val out = graft.sinks.LakeWriter.readBucketedTable(s, tbl)
+        .select("o_orderkey", "o_custkey", "cents")
+        .orderBy("o_orderkey").localCheckpoint()
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      out }),
+    // CALENDAR-correct lag-7 autocorrelation: the t193 positional lag
+    // run over the t198 spine-filled sparse series — dense by
+    // construction, so position IS calendar
+    "t202_autocorr_calendar" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val sparse = t.orders.filter(col("o_orderkey") % 97 === 0)
+        .groupBy(col("o_orderpriority").as("pri"), col("o_orderdate").as("dt"))
+        .agg(count(lit(1)).as("c"))
+      val dense = Relational.denseDailySpine(sparse, col("pri"), col("dt"),
+        col("c"))
+      Relational.autocorrInt(dense, col("grp"), col("dt"), col("x"), lag = 7) }),
     // data-quality expectations: four row rules in one aggregate
     // pass + a uniqueness constraint; the natural data violates the
     // tight bounds, the planted re-ingestion (every 997th order's
@@ -3379,6 +3450,74 @@ object SparkEntry {
         |  min(CASE WHEN cusum > 500 THEN t END) AS t_detect,
         |  CAST(max(cusum) AS BIGINT) AS s_max
         |FROM k GROUP BY grp ORDER BY grp""".stripMargin,
+    // t198 twin: the same per-group bounds + generate_series spine,
+    // zero-filled left join
+    "t198_date_spine" ->
+      """WITH daily AS (SELECT o_orderpriority AS grp,
+        |    CAST(o_orderdate AS DATE) AS dt, count(*) AS x
+        |  FROM orders WHERE o_orderkey % 97 = 0 GROUP BY 1, 2),
+        |b AS (SELECT grp, min(dt) AS lo, max(dt) AS hi FROM daily GROUP BY 1),
+        |s AS (SELECT grp, CAST(unnest(generate_series(lo, hi,
+        |    INTERVAL 1 DAY)) AS DATE) AS dt FROM b)
+        |SELECT s.grp, s.dt, CAST(coalesce(d.x, 0) AS BIGINT) AS x
+        |FROM s LEFT JOIN daily d USING (grp, dt)
+        |ORDER BY grp, dt""".stripMargin,
+    // t199 twin: the REAL cume_dist() window, DISTINCT'd per value —
+    // the histogram form must equal it exactly (one IEEE division)
+    "t199_cdf" ->
+      """SELECT DISTINCT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS v,
+        |  cume_dist() OVER (PARTITION BY l_returnflag
+        |    ORDER BY CAST(l_quantity AS BIGINT)) AS cd
+        |FROM lineitem ORDER BY grp, v""".stripMargin,
+    // t200 twin: identical lifetime/censoring rule, reverse cumulative
+    // at-risk histogram, integer micro-hazard
+    "t200_hazard" ->
+      """WITH ud AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hn
+        |  FROM events),
+        |span AS (SELECT user_id, min(hn) AS fst, max(hn) AS lst
+        |  FROM ud GROUP BY 1),
+        |cut AS (SELECT max(hn) AS cut FROM ud),
+        |subj AS (SELECT lst - fst AS t,
+        |    CASE WHEN lst < cut - 24 THEN 1 ELSE 0 END AS e
+        |  FROM span CROSS JOIN cut),
+        |h AS (SELECT t, count(*) AS c, sum(e) AS d FROM subj GROUP BY 1),
+        |r AS (SELECT t, c, d, sum(c) OVER (ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS at_risk
+        |  FROM h)
+        |SELECT t, CAST(at_risk AS BIGINT) AS at_risk,
+        |  CAST(d AS BIGINT) AS events,
+        |  CAST((d * 1000000) // at_risk AS BIGINT) AS hazard_micro
+        |FROM r WHERE d > 0 ORDER BY t""".stripMargin,
+    // t201 twin: erasure = the batch anti-filter over the fact
+    "t201_erasure" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |FROM orders WHERE o_custkey % 37 <> 3
+        |ORDER BY o_orderkey""".stripMargin,
+    // t202 twin: the t198 spine feeding the t193 lead(7) moments —
+    // positional lag over a dense series IS the calendar lag
+    "t202_autocorr_calendar" ->
+      """WITH daily AS (SELECT o_orderpriority AS grp,
+        |    CAST(o_orderdate AS DATE) AS dt, count(*) AS x
+        |  FROM orders WHERE o_orderkey % 97 = 0 GROUP BY 1, 2),
+        |b AS (SELECT grp, min(dt) AS lo, max(dt) AS hi FROM daily GROUP BY 1),
+        |s AS (SELECT grp, CAST(unnest(generate_series(lo, hi,
+        |    INTERVAL 1 DAY)) AS DATE) AS dt FROM b),
+        |dense AS (SELECT s.grp, s.dt, coalesce(d.x, 0) AS x
+        |  FROM s LEFT JOIN daily d USING (grp, dt)),
+        |p AS (SELECT grp, CAST(x AS HUGEINT) AS x,
+        |    CAST(lead(x, 7) OVER (PARTITION BY grp ORDER BY dt) AS HUGEINT) AS y
+        |  FROM dense),
+        |f AS (SELECT grp, x, y FROM p WHERE y IS NOT NULL),
+        |m AS (SELECT grp, CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy,
+        |    sum(x * y) AS sxy FROM f GROUP BY 1)
+        |SELECT grp, CAST(n AS BIGINT) AS n_pairs,
+        |  floor(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |         CAST(n * syy - sy * sy AS DOUBLE)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS acf
+        |FROM m ORDER BY grp""".stripMargin,
     // t154 twin: identical pair/item supports, identical quantized
     // confidence and lift divisions
     "t154_market_basket" ->

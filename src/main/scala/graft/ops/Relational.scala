@@ -1791,4 +1791,79 @@ object Relational {
         max("cusum").cast("long").as("s_max"))
       .orderBy("grp")
   }
+
+  /** DENSE DAILY SPINE gap fill: every calendar day between each
+    * group's first and last observation, missing days zero-filled —
+    * the preprocessing step that makes POSITIONAL window semantics
+    * (lag/lead-k, rolling ROWS frames) CALENDAR-correct on sparse
+    * series (the t193 caveat: `lead(x, 7)` is only "one week" if no
+    * date is missing). One aggregate to the per-group bounds, one
+    * `sequence` explode over the bounds (rows = groups × span days —
+    * the pre-aggregated period domain, never fact-sized), one left
+    * join back. Output: (grp, dt, x) dense per group.
+    */
+  def denseDailySpine(df: DataFrame, grp: Column, dt: Column,
+      vInt: Column): DataFrame = {
+    val base = df.select(grp.as("grp"), to_date(dt).as("dt"),
+      vInt.cast("long").as("x"))
+    val spine = base.groupBy("grp")
+      .agg(min("dt").as("lo"), max("dt").as("hi"))
+      .select(col("grp"), explode(sequence(col("lo"), col("hi"))).as("dt"))
+    spine.join(base, Seq("grp", "dt"), "left")
+      .select(col("grp"), col("dt"), coalesce(col("x"), lit(0L)).as("x"))
+      .orderBy("grp", "dt")
+  }
+
+  /** EXACT GROUPED CDF — `cume_dist()` semantics with NO fact-table
+    * sort window: one map-side-combined histogram aggregate, then the
+    * cumulative count runs over the (grp, value) histogram
+    * (value-domain bounded). cume_dist assigns every tie the fraction
+    * of rows ≤ v, which is exactly cum/n over the histogram — so one
+    * row per DISTINCT value carries the whole distribution, and a
+    * per-row assignment is a cheap equi-join back. The division is a
+    * single IEEE op on both engines (bit-identical, no quantization
+    * needed). Output: (grp, v, cd).
+    */
+  def cdfByGroup(df: DataFrame, grp: Column, vInt: Column): DataFrame = {
+    val h = df.select(grp.as("grp"), vInt.cast("long").as("v"))
+      .groupBy("grp", "v").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.withColumn("cum", sum("c").over(w))
+      .withColumn("n", sum("c").over(Window.partitionBy("grp")))
+      .select(col("grp"), col("v"),
+        (col("cum").cast("double") / col("n").cast("double")).as("cd"))
+      .orderBy("grp", "v")
+  }
+
+  /** DISCRETE HAZARD TABLE — the survival-analysis life table with
+    * ZERO floating point: for every duration t at which an event
+    * (churn, failure) occurred, the number at risk (subjects with
+    * duration ≥ t, censored or not), the event count, and the hazard
+    * d/n in exact integer micro-units (`d·1e6 DIV n`). Right-censored
+    * subjects (still alive at observation end) leave the risk set at
+    * their censoring time without an event — the Kaplan-Meier
+    * accounting, emitted as the exact integer table rather than the
+    * survival product (Π(1−dᵢ/nᵢ) needs exp/ln or float products,
+    * neither bit-portable; the table is the auditable form and the
+    * product is one in-memory fold for whoever wants it). At-risk
+    * counts are a REVERSE cumulative sum over the duration histogram
+    * — one corpus aggregate, then windows over |distinct durations|
+    * rows (global window, single task: the histogram is
+    * domain-bounded, never fact-sized). Output:
+    * (t, at_risk, events, hazard_micro) for event times only.
+    */
+  def hazardTable(df: DataFrame, duration: Column, event: Column): DataFrame = {
+    val base = df.select(duration.cast("long").as("t"),
+      event.cast("boolean").as("e"))
+    val h = base.groupBy("t").agg(count(lit(1)).as("c"),
+      sum(when(col("e"), 1L).otherwise(0L)).as("d"))
+    val w = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.withColumn("at_risk", sum("c").over(w))
+      .filter(col("d") > 0)
+      .select(col("t"), col("at_risk"), col("d").as("events"),
+        expr("CAST((d * 1000000) DIV at_risk AS BIGINT)").as("hazard_micro"))
+      .orderBy("t")
+  }
 }

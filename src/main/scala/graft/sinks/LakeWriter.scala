@@ -293,7 +293,8 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
   private def commitBucketedManifestedLocked(
       df: DataFrame, table: String, buckets: Int, bucketCols: Seq[String],
       replace: Boolean,
-      expectations: Option[DataFrame => DataFrame] = None): Int = {
+      expectations: Option[DataFrame => DataFrame] = None,
+      dropCommits: Set[Int] = Set.empty): Int = {
     import org.apache.hadoop.fs.Path
     val spark = df.sparkSession
     val mdir = s"$root/${table}__manifests"
@@ -367,6 +368,9 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
     val carried =
       if (replace || prev == 0 || !sameTable) Nil
       else LakeWriter.manifestLines(fs, mdir, prev)
+        // selective-rewrite commits (key erasure) retire the commits
+        // they rewrote in the SAME manifest publish — atomic swap
+        .filterNot(l => dropCommits.contains(l.toInt))
     LakeWriter.writeManifestIn(fs, mdir, v, carried :+ v.toString, df.schema)
     spark.catalog.refreshTable(table)
     v
@@ -416,6 +420,73 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
         } finally {
           spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
           spark.conf.set(abs, absWas)
+        }
+      }
+    }
+  }
+
+  /** TARGETED KEY ERASURE (right-to-be-forgotten) on a manifested
+    * bucketed table: physically remove every row whose key appears in
+    * `keys`, rewriting ONLY the live commits that contain an affected
+    * row — O(affected commits) physical I/O, not O(state). Survivors
+    * of all affected commits land as ONE new commit whose manifest
+    * publish simultaneously retires the rewritten commits: readers
+    * see the pre-erasure snapshot or the post-erasure one, never a
+    * partial (erased bytes persist in the retired partitions until
+    * [[vacuumBucketed]] — run it to complete the physical erasure,
+    * exactly like Delta/Iceberg DELETE + VACUUM).
+    *
+    * APPEND-ONLY (fact) tables take the selective path. For a
+    * DELTA-maintained table (per-key upsert commits read through
+    * [[LakeWriter.readBucketedTableMerged]]) selective rewrite would
+    * be WRONG: surviving rows would be renumbered above later
+    * commits and steal latest-wins from newer versions of their
+    * keys. Pass `mergeKeys` and the erasure runs as a filtered
+    * replacement of the merged view instead — O(state), the
+    * Delta/Iceberg DELETE shape, correct for both disciplines.
+    *
+    * Returns the new manifest version, or 0 when no live commit
+    * holds an affected key (nothing written, nothing retired).
+    */
+  def deleteKeysBucketed(
+      spark: SparkSession, table: String, keyCols: Seq[String],
+      keys: DataFrame, mergeKeys: Seq[String] = Nil): Int = {
+    import org.apache.hadoop.fs.Path
+    require(keyCols.nonEmpty, "need at least one key column")
+    val cat = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    withTableLock(spark, s"$table@manifest") {
+      val meta = cat.getTableMetadata(ident)
+      val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+        s"$table is not bucketed — key erasure targets bucketed index tables"))
+      if (mergeKeys.nonEmpty) {
+        val snapshot = LakeWriter.readBucketedTableMerged(spark, table, mergeKeys)
+        val survivors = snapshot.join(keys, keyCols, "left_anti")
+          .repartition(spec.numBuckets, spec.bucketColumnNames.map(col): _*)
+        commitBucketedManifestedLocked(survivors, table, spec.numBuckets,
+          spec.bucketColumnNames, replace = true)
+      } else {
+        val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val mdir = s"$root/${table}__manifests"
+        val prev = LakeWriter.latestManifestVersionIn(fs, mdir)
+        if (prev == 0) 0
+        else {
+          val live = LakeWriter.manifestLines(fs, mdir, prev).map(_.toInt)
+          val raw = spark.table(table)
+            .where(col(LakeWriter.CvCol).isin(live: _*))
+          // bounded driver list: at most |live commits| rows
+          val affected = raw.join(keys, keyCols, "left_semi")
+            .select(col(LakeWriter.CvCol)).distinct()
+            .collect().map(_.get(0).toString.toInt).toSet
+          if (affected.isEmpty) 0
+          else {
+            val survivors = raw
+              .where(col(LakeWriter.CvCol).isin(affected.toSeq: _*))
+              .join(keys, keyCols, "left_anti")
+              .drop(LakeWriter.CvCol)
+            commitBucketedManifestedLocked(survivors, table, spec.numBuckets,
+              spec.bucketColumnNames, replace = false, dropCommits = affected)
+          }
         }
       }
     }

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Round-14 analytics + lake wave: dense date spine, histogram CDF,
+  * discrete hazard table, and manifested-table key erasure.
+  */
+class Round14OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("denseDailySpine: per-group gaps zero-filled, bounds honored, " +
+      "dense groups pass through unchanged") {
+    val df = Seq(("a", "2020-01-01", 5L), ("a", "2020-01-04", 7L),
+      ("b", "2020-03-01", 1L), ("b", "2020-03-02", 2L))
+      .toDF("g", "dt", "x")
+    val got = Relational.denseDailySpine(df, col("g"), col("dt"), col("x"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("a", "2020-01-01", 5L), ("a", "2020-01-02", 0L),
+      ("a", "2020-01-03", 0L), ("a", "2020-01-04", 7L),
+      ("b", "2020-03-01", 1L), ("b", "2020-03-02", 2L)))
+  }
+
+  test("cdfByGroup: ties share cum/n exactly like cume_dist; " +
+      "distribution sums to 1.0 at the max value") {
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 2L), ("g", 5L)).toDF("k", "v")
+    val got = Relational.cdfByGroup(df, col("k"), col("v"))
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 0.25), (2L, 0.75), (5L, 1.0)))
+  }
+
+  test("hazardTable: at-risk is the reverse cumulative count including " +
+      "censored subjects; censored-only durations emit no row") {
+    // durations: 2 (event), 2 (censored), 5 (event), 7 (censored)
+    // t=2: at risk 4, events 1, hazard 250000; t=5: at risk 2, events 1,
+    // hazard 500000; t=7: censored only -> absent
+    val df = Seq((2L, true), (2L, false), (5L, true), (7L, false))
+      .toDF("dur", "ev")
+    val got = Relational.hazardTable(df, col("dur"), col("ev"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((2L, 4L, 1L, 250000L), (5L, 2L, 1L, 500000L)))
+  }
+
+  test("deleteKeysBucketed selective path: only affected commits are " +
+      "rewritten and retired; untouched commit partitions stay on disk " +
+      "byte-identical; absent keys are a version-free no-op") {
+    import graft.sinks.LakeWriter
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("del_sel").toString
+    val lw = new LakeWriter(root)
+    val tbl = "del_sel_t"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    // commit 1: keys 1..10, commit 2: keys 11..20, commit 3: 21..30
+    def frame(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, s"row$i")).toDF("k", "payload")
+    lw.commitBucketed(frame(1, 10), tbl, 4, Seq("k"), replace = true)
+    lw.commitBucketed(frame(11, 20), tbl, 4, Seq("k"))
+    lw.commitBucketed(frame(21, 30), tbl, 4, Seq("k"))
+    val cv2dir = Paths.get(s"$root/$tbl/graft_cv=2")
+    val before = Files.list(cv2dir).toArray.map(_.toString).sorted.toSeq
+    val mtimes = before.map(p => Files.getLastModifiedTime(Paths.get(p)).toMillis)
+    // erase keys 3 and 25 — commits 1 and 3 affected, commit 2 untouched
+    val v = lw.deleteKeysBucketed(spark, tbl, Seq("k"),
+      Seq(3L, 25L).toDF("k"))
+    assert(v == 4, s"erasure must publish manifest version 4, got $v")
+    val out = LakeWriter.readBucketedTable(spark, tbl)
+      .select("k").as[Long].collect().sorted
+    assert(out.toSeq == ((1L to 30L).filterNot(k => k == 3L || k == 25L)))
+    // commit 2's partition untouched on disk (same files, same mtimes)
+    val after = Files.list(cv2dir).toArray.map(_.toString).sorted.toSeq
+    assert(after == before &&
+      after.map(p => Files.getLastModifiedTime(Paths.get(p)).toMillis) == mtimes,
+      "untouched commit's files must not be rewritten")
+    // retired partitions persist until vacuum (pinned snapshots), but
+    // are invisible to the read
+    assert(Files.exists(Paths.get(s"$root/$tbl/graft_cv=1")))
+    // absent keys: no write, version unchanged
+    assert(lw.deleteKeysBucketed(spark, tbl, Seq("k"), Seq(999L).toDF("k")) == 0)
+    // vacuum completes the physical erasure of retired partitions
+    lw.vacuumBucketed(spark, tbl)
+    assert(!Files.exists(Paths.get(s"$root/$tbl/graft_cv=1")),
+      "vacuum must reclaim the retired pre-erasure partition")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("deleteKeysBucketed merged path: erasure through the merged view " +
+      "preserves latest-wins for surviving keys") {
+    import graft.sinks.LakeWriter
+    val root = java.nio.file.Files.createTempDirectory("del_mor").toString
+    val lw = new LakeWriter(root)
+    val tbl = "del_mor_t"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    // v1: k=1 -> a, k=2 -> b; v2 upserts k=1 -> a2
+    lw.commitBucketed(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      tbl, 4, Seq("k"), replace = true)
+    lw.commitBucketed(Seq((1L, "a2")).toDF("k", "v"), tbl, 4, Seq("k"))
+    // erase k=2 through the merged path: k=1 must stay at its LATEST
+    lw.deleteKeysBucketed(spark, tbl, Seq("k"), Seq(2L).toDF("k"),
+      mergeKeys = Seq("k"))
+    val out = LakeWriter.readBucketedTableMerged(spark, tbl, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "a2")))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+}
