@@ -1424,6 +1424,86 @@ object SparkEntry {
       val dense = Relational.denseDailySpine(sparse, col("pri"), col("dt"),
         col("c"))
       Relational.autocorrInt(dense, col("grp"), col("dt"), col("x"), lag = 7) }),
+    // CHANGE DATA FEED between snapshots: two delta commits to a
+    // manifested bucketed table, then table_changes(v1, v2) — the
+    // planted upserts/inserts come back as exact CDC arms
+    "t203_table_changes" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, floor, when}
+      val root = java.nio.file.Files.createTempDirectory("g_cdf").toString
+      val lw = new graft.sinks.LakeWriter(root)
+      val tbl = "g_cdf_cust"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val base = t.customer.select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") * 100.0 + 0.5).cast("long").as("cents"))
+      lw.commitBucketed(base, tbl, 8, Seq("k"), replace = true)
+      val delta = base.filter(col("k") % 4 === 0)
+          .select(col("k"), col("seg"), (col("cents") + 500L).as("cents"))
+        .unionByName(base.filter(col("k") % 31 === 0)
+          .select((col("k") + 1000000L).as("k"), col("seg"), col("cents")))
+      lw.commitBucketed(delta, tbl, 8, Seq("k"))
+      val out = graft.sinks.LakeWriter.tableChanges(s, tbl, "k", Seq("k"),
+        fromVersion = 1, toVersion = 2)
+        .orderBy("k", "change_type").localCheckpoint()
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      out }),
+    // ISLANDS & GAPS over a sparse key domain (the fixture's order
+    // keys are contiguous, so every key ≡ 5 (mod 13) is dropped to
+    // plant real gaps): two anti-joins find the boundaries, only
+    // O(islands) rows reach a window — never the classic full-domain
+    // id - row_number() sort
+    "t204_islands" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      Relational.islands(t.orders.filter(col("o_orderkey") % 13 =!= 5),
+        col("o_orderkey")) }),
+    // SUBTREE AGGREGATION (BOM rollup) over the part %7 forest:
+    // ancestor closure by repeated squaring (log-depth rounds), one
+    // groupBy on the ancestor — descendant counts + cents sums
+    "t205_subtree_agg" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, expr, floor}
+      val parents = t.part
+        .select(col("p_partkey").as("child"),
+          expr("p_partkey DIV 7").as("parent"))
+        .filter(col("parent") >= 1)
+      val values = t.part.select(col("p_partkey").as("id"),
+        floor(col("p_retailprice") * 100.0 + 0.5).cast("long").as("v"))
+      GraphOps.subtreeAggInt(parents, values, maxDepth = 8) }),
+    // NEAREST-event join: each click to its closest view of the same
+    // user within ±10 min, either direction — bucketed candidates +
+    // one argmin aggregate, ties to the earlier view
+    "t206_nearest_event" -> ((s, d) => { val t = Tables.load(s, d)
+      EventOps.nearestEvent(t.events, "click", "view",
+        windowUs = 600L * 1000000L) }),
+    // PIVOT: order counts + cents by priority × status, the wide BI
+    // crosstab via Spark's pivot operator (null-safe zero fill)
+    "t207_pivot" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{coalesce, col, count, floor, lit, sum}
+      val cents = floor(col("o_totalprice") * 100.0 + 0.5).cast("long")
+      val wide = t.orders.groupBy(col("o_orderpriority").as("pri"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("cnt"), sum(cents).as("cents"))
+      wide.select(col("pri"),
+        coalesce(col("F_cnt"), lit(0L)).as("f_cnt"),
+        coalesce(col("F_cents"), lit(0L)).as("f_cents"),
+        coalesce(col("O_cnt"), lit(0L)).as("o_cnt"),
+        coalesce(col("O_cents"), lit(0L)).as("o_cents"),
+        coalesce(col("P_cnt"), lit(0L)).as("p_cnt"),
+        coalesce(col("P_cents"), lit(0L)).as("p_cents"))
+        .orderBy("pri") }),
+    // UNPIVOT: the same crosstab melted back to long form via
+    // Dataset.unpivot — (pri, status, n) rows
+    "t208_unpivot" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{coalesce, col, count, lit}
+      val wide = t.orders.groupBy(col("o_orderpriority").as("pri"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+      val filled = wide.select(col("pri"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"),
+        coalesce(col("P"), lit(0L)).as("P"))
+      filled.unpivot(Array(col("pri")),
+          Array(col("F"), col("O"), col("P")), "status", "n")
+        .orderBy("pri", "status") }),
     // data-quality expectations: four row rules in one aggregate
     // pass + a uniqueness constraint; the natural data violates the
     // tight bounds, the planted re-ingestion (every 997th order's
@@ -3518,6 +3598,83 @@ object SparkEntry {
         |         CAST(n * syy - sy * sy AS DOUBLE)) * 1000000.0 + 0.5)
         |    / 1000000.0 AS acf
         |FROM m ORDER BY grp""".stripMargin,
+    // t203 twin: the planted CDC arms spelled out — %4 upserts emit
+    // pre+post images, %31 new keys emit inserts
+    "t203_table_changes" ->
+      """WITH base AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM customer)
+        |SELECT k, 'update_preimage' AS change_type, seg, cents
+        |FROM base WHERE k % 4 = 0
+        |UNION ALL
+        |SELECT k, 'update_postimage', seg, cents + 500 FROM base WHERE k % 4 = 0
+        |UNION ALL
+        |SELECT k + 1000000, 'insert', seg, cents FROM base WHERE k % 31 = 0
+        |ORDER BY k, change_type""".stripMargin,
+    // t204 twin: the classic id - row_number() islands form the
+    // anti-join boundaries replace
+    "t204_islands" ->
+      """WITH ids AS (SELECT DISTINCT o_orderkey AS id FROM orders
+        |  WHERE o_orderkey % 13 <> 5),
+        |g AS (SELECT id, id - row_number() OVER (ORDER BY id) AS grpk FROM ids)
+        |SELECT min(id) AS island_start, max(id) AS island_end,
+        |  max(id) - min(id) + 1 AS span_len
+        |FROM g GROUP BY grpk ORDER BY island_start""".stripMargin,
+    // t205 twin: the recursive ancestor CTE the squaring closure
+    // replaces — same self-inclusive subtree accounting
+    "t205_subtree_agg" ->
+      """WITH RECURSIVE anc(id, a) AS (
+        |  SELECT p_partkey, p_partkey FROM part
+        |  UNION ALL
+        |  SELECT id, a // 7 FROM anc WHERE a // 7 >= 1),
+        |v AS (SELECT p_partkey AS id,
+        |    CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS v FROM part)
+        |SELECT anc.a AS id, count(*) AS n_nodes,
+        |  CAST(sum(v.v) AS BIGINT) AS subtree_v
+        |FROM anc JOIN v ON anc.id = v.id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // t206 twin: the quadratic same-user candidate join + the same
+    // deterministic (|Δ|, earlier, smaller-id) argmin rank
+    "t206_nearest_event" ->
+      """WITH c AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id AS vu, event_id AS b_id, epoch_us(ts) AS b_us
+        |  FROM events WHERE event_type = 'view'),
+        |cand AS (SELECT c.user_id, c.a_id, c.a_us, v.b_id, v.b_us
+        |  FROM c JOIN v ON c.user_id = v.vu
+        |    AND abs(v.b_us - c.a_us) <= 600000000),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY a_id
+        |    ORDER BY abs(b_us - a_us), b_us, b_id) AS rn FROM cand)
+        |SELECT user_id, a_id, b_id, CAST(b_us - a_us AS BIGINT) AS delta_us
+        |FROM rk WHERE rn = 1 ORDER BY a_id""".stripMargin,
+    // t207 twin: the conditional-aggregation crosstab Spark's pivot
+    // compiles to, zero-filled
+    "t207_pivot" ->
+      """SELECT o_orderpriority AS pri,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,
+        |  CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) END), 0)
+        |    AS BIGINT) AS f_cents,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_cnt,
+        |  CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) END), 0)
+        |    AS BIGINT) AS o_cents,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_cnt,
+        |  CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) END), 0)
+        |    AS BIGINT) AS p_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // t208 twin: the long form as explicit UNION arms
+    "t208_unpivot" ->
+      """WITH w AS (SELECT o_orderpriority AS pri,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |  FROM orders GROUP BY 1)
+        |SELECT pri, 'F' AS status, f AS n FROM w
+        |UNION ALL SELECT pri, 'O', o FROM w
+        |UNION ALL SELECT pri, 'P', p FROM w
+        |ORDER BY pri, status""".stripMargin,
     // t154 twin: identical pair/item supports, identical quantized
     // confidence and lift divisions
     "t154_market_basket" ->

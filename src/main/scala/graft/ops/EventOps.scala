@@ -714,4 +714,42 @@ object EventOps {
       .groupBy("cohort_wk", "wk_offset").agg(count(lit(1)).as("n_users"))
       .orderBy("cohort_wk", "wk_offset")
   }
+
+  /** NEAREST-event join — each `leftType` event matched to its
+    * temporally CLOSEST `rightType` event of the same user within
+    * ±`windowUs`, EITHER direction (the as-of join is
+    * backward-only; attribution and sensor alignment want "the
+    * nearest reading", past or future). Candidates come from a
+    * time-bucket equi-join (bucket width = the window, left rows
+    * probe buckets b−1/b/b+1 — every |Δ| ≤ window pair shares one of
+    * the three, so it's lossless and never a theta join), then one
+    * `min(struct(|Δ|, ts, id))` argmin partial-aggregates per left
+    * event — ties on distance break to the EARLIER right event, then
+    * the smaller id, deterministic on any engine. Unmatched left
+    * events are omitted (inner semantics). Output:
+    * (user_id, a_id, b_id, delta_us).
+    */
+  def nearestEvent(events: DataFrame, leftType: String, rightType: String,
+      windowUs: Long): DataFrame = {
+    require(windowUs > 0, "window must be positive")
+    val base = events.select(col("user_id"), col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    val l = base.filter(col("event_type") === leftType)
+      .select(col("user_id"), col("event_id").as("a_id"), col("us").as("a_us"))
+      .withColumn("b0", expr(s"a_us DIV ${windowUs}L"))
+      .withColumn("bkt", explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
+      .drop("b0")
+    val r = base.filter(col("event_type") === rightType)
+      .select(col("user_id").as("_ru"), col("event_id").as("b_id"),
+        col("us").as("b_us"))
+      .withColumn("bkt", expr(s"b_us DIV ${windowUs}L"))
+    l.join(r, col("user_id") === col("_ru") && l("bkt") === r("bkt"))
+      .filter(abs(col("b_us") - col("a_us")) <= windowUs)
+      .groupBy("user_id", "a_id", "a_us")
+      .agg(min(struct(abs(col("b_us") - col("a_us")).as("d"),
+        col("b_us"), col("b_id"))).as("best"))
+      .select(col("user_id"), col("a_id"), col("best.b_id").as("b_id"),
+        (col("best.b_us") - col("a_us")).as("delta_us"))
+      .orderBy("a_id")
+  }
 }

@@ -1866,4 +1866,32 @@ object Relational {
         expr("CAST((d * 1000000) DIV at_risk AS BIGINT)").as("hazard_micro"))
       .orderBy("t")
   }
+
+  /** ISLANDS & GAPS over a sparse integer key domain — contiguous
+    * runs of PRESENT ids, the sequence-completeness audit ("which
+    * order-key ranges did the extract actually deliver?"). The
+    * classic SQL form sorts the whole domain under one
+    * `id − row_number()` window; here the fact table only feeds two
+    * distributed ANTI-JOINS (an island start has no id−1, an island
+    * end has no id+1 — shuffle-partitioned equi-joins), and only the
+    * BOUNDARY rows (2 per island) reach the pairing windows. The
+    * k-th start matches the k-th end, so two row_number windows over
+    * O(islands) rows zip them. Output:
+    * (island_start, island_end, span_len).
+    */
+  def islands(df: DataFrame, idCol: Column): DataFrame = {
+    val ids = df.select(idCol.cast("long").as("id")).distinct()
+    val starts = ids
+      .join(ids.select((col("id") + 1).as("id")), Seq("id"), "left_anti")
+      .select(col("id").as("island_start"))
+      .withColumn("rk", row_number().over(Window.orderBy("island_start")))
+    val ends = ids
+      .join(ids.select((col("id") - 1).as("id")), Seq("id"), "left_anti")
+      .select(col("id").as("island_end"))
+      .withColumn("rk", row_number().over(Window.orderBy("island_end")))
+    starts.join(ends, "rk")
+      .select(col("island_start"), col("island_end"),
+        (col("island_end") - col("island_start") + 1).as("span_len"))
+      .orderBy("island_start")
+  }
 }

@@ -917,6 +917,25 @@ object LakeWriter {
     * live commit and resurrect superseded rows — delta-maintained
     * tables must ALWAYS be read (and compacted) through this view.
     */
+  /** CHANGE DATA FEED between two committed snapshots of a manifested
+    * bucketed table — the Delta `table_changes(from, to)` shape:
+    * reads BOTH versions through the merge-on-read view (so a
+    * delta-maintained table diffs its logical states, not its
+    * physical commits) and emits one row per insert / delete /
+    * update_preimage / update_postimage via
+    * [[graft.ops.Relational.snapshotDiff]]. Time travel is manifest
+    * pinning — no log replay, both sides are plain pruned scans.
+    * `key` must be the table's logical primary key (one row per key
+    * per version).
+    */
+  def tableChanges(
+      spark: SparkSession, table: String, key: String,
+      mergeKeys: Seq[String], fromVersion: Int, toVersion: Int): DataFrame =
+    graft.ops.Relational.snapshotDiff(
+      readBucketedTableMerged(spark, table, mergeKeys, version = fromVersion),
+      readBucketedTableMerged(spark, table, mergeKeys, version = toVersion),
+      key)
+
   def readBucketedTableMerged(
       spark: SparkSession, table: String, keys: Seq[String],
       version: Int = 0): DataFrame = {

@@ -87,6 +87,72 @@ class Round14OpsSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("islands: boundaries pair k-th start with k-th end; singletons " +
+      "and the open ends are their own islands") {
+    val df = Seq(1L, 2L, 3L, 7L, 9L, 10L).toDF("id")
+    val got = Relational.islands(df, col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 3L, 3L), (7L, 7L, 1L), (9L, 10L, 2L)))
+  }
+
+  test("ancestorClosure + subtreeAggInt: closure by squaring reaches " +
+      "full depth; subtree sums are self-inclusive; roots carry all") {
+    // chain 8 -> 4 -> 2 -> 1 plus sibling 5 -> 2 (parent = id / 2)
+    val parents = Seq((8L, 4L), (4L, 2L), (2L, 1L), (5L, 2L))
+      .toDF("child", "parent")
+    val values = Seq((1L, 1L), (2L, 10L), (4L, 100L), (5L, 1000L),
+      (8L, 10000L)).toDF("id", "v")
+    val got = GraphOps.subtreeAggInt(parents, values, maxDepth = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((5L, 11111L)), s"root must see all 5 nodes: $got")
+    assert(got(2L) == ((4L, 11110L)))
+    assert(got(4L) == ((2L, 10100L)))
+    assert(got(5L) == ((1L, 1000L)) && got(8L) == ((1L, 10000L)))
+    // depth check: maxDepth = 2 would miss 8 -> 1 (3 hops); the
+    // closure must NOT undershoot when maxDepth covers it
+    val shallow = GraphOps.ancestorClosure(parents, maxDepth = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shallow.contains((8L, 1L)), "squaring must reach depth 3 pairs")
+  }
+
+  test("nearestEvent: picks the closest either-direction match within " +
+      "the window; distance ties break to the earlier right event") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val ev = Seq(
+      // click at t=1000; views at 940 (|d|=60) and 1050 (|d|=50) -> 1050
+      (1L, 10L, "click", ts(1000)), (1L, 20L, "view", ts(940)),
+      (1L, 21L, "view", ts(1050)),
+      // click at t=5000; views at 4990 and 5010 (tie |d|=10) -> earlier 4990
+      (2L, 11L, "click", ts(5000)), (2L, 22L, "view", ts(4990)),
+      (2L, 23L, "view", ts(5010)),
+      // click with no view inside 10 min -> omitted
+      (3L, 12L, "click", ts(9000)), (3L, 24L, "view", ts(20000)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = EventOps.nearestEvent(ev, "click", "view", 600L * 1000000L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((10L, 21L, 50000000L), (11L, 22L, -10000000L)))
+  }
+
+  test("tableChanges: v1 -> v2 emits exact CDC arms; same-version diff " +
+      "is empty") {
+    import graft.sinks.LakeWriter
+    val root = java.nio.file.Files.createTempDirectory("cdf_t").toString
+    val lw = new LakeWriter(root)
+    val tbl = "cdf_spec_t"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    lw.commitBucketed(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      tbl, 4, Seq("k"), replace = true)
+    lw.commitBucketed(Seq((1L, "a2"), (3L, "c")).toDF("k", "v"),
+      tbl, 4, Seq("k"))
+    val got = LakeWriter.tableChanges(spark, tbl, "k", Seq("k"), 1, 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1L, "update_preimage", "a"),
+      (1L, "update_postimage", "a2"), (3L, "insert", "c")))
+    assert(LakeWriter.tableChanges(spark, tbl, "k", Seq("k"), 2, 2).isEmpty)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("deleteKeysBucketed merged path: erasure through the merged view " +
       "preserves latest-wins for surviving keys") {
     import graft.sinks.LakeWriter
