@@ -1474,6 +1474,79 @@ object SparkEntry {
     "t206_nearest_event" -> ((s, d) => { val t = Tables.load(s, d)
       EventOps.nearestEvent(t.events, "click", "view",
         windowUs = 600L * 1000000L) }),
+    // TIME-WEIGHTED AVERAGE balance per customer: each order's cents
+    // held until the next order (LOCF step function), exact integer
+    // integral / span in micro-units; single-order customers omitted
+    "t209_twap" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, datediff, floor, lit}
+      Relational.timeWeightedAvg(t.orders, col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")),
+        floor(col("o_totalprice") * 100.0 + 0.5)) }),
+    // OHLC candlesticks per (event_type, hour): open/close via
+    // deterministic min/max-struct argmin (ties by id), one
+    // partial-aggregating pass; event_id stands in for the price
+    "t210_ohlc" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, expr}
+      Relational.ohlcBars(t.events, col("event_type"),
+        expr("unix_micros(ts) DIV 3600000000"), expr("unix_micros(ts)"),
+        col("event_id"), col("event_id")) }),
+    // BITEMPORAL lookup: SCD-2 state committed at two TRANSACTION
+    // versions (pre-1996 build, then the fold delta); "status as of
+    // valid date 1997-06-01" answered at BOTH txn versions — the
+    // stale-knowledge arm vs the corrected one, via manifest pinning
+    "t211_bitemporal" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, lit, to_date}
+      val root = java.nio.file.Files.createTempDirectory("g_bitemp").toString
+      val lw = new graft.sinks.LakeWriter(root)
+      val tbl = "g_bitemp_scd2"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val cut = to_date(lit("1996-01-01"))
+      lw.commitBucketed(
+        Relational.scd2State(t.orders.filter(col("o_orderdate") < cut)),
+        tbl, 8, Seq("o_custkey"), replace = true)
+      val st1 = graft.sinks.LakeWriter.readBucketedTableMerged(
+        s, tbl, Seq("o_custkey"))
+      lw.commitBucketed(
+        Relational.scd2FoldDelta(st1,
+          t.orders.filter(col("o_orderdate") >= cut)),
+        tbl, 8, Seq("o_custkey"))
+      val v = to_date(lit("1997-06-01"))
+      def asOf(tx: Int) = graft.sinks.LakeWriter
+        .readBucketedTableMerged(s, tbl, Seq("o_custkey"), version = tx)
+        .filter(col("valid_from") <= v &&
+          (col("valid_to").isNull || col("valid_to") > v))
+        .select(lit(tx).as("txn_v"), col("o_custkey"),
+          col("o_orderstatus"), col("valid_from"))
+      val out = asOf(1).unionByName(asOf(2))
+        .orderBy("txn_v", "o_custkey").localCheckpoint()
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      out }),
+    // DYNAMIC PARTITION PRUNING: the fact written month-partitioned,
+    // joined to a 12-row month dim — Catalyst injects the runtime
+    // pruning subquery so only 1995's partitions are scanned
+    // (plan-asserted in DppSpec); revenue per pruned month
+    "t212_dpp" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{broadcast, col, count, date_format, floor, lit, sum}
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("g_dpp").toString +
+        "/orders_bymonth"
+      t.orders.select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .write.mode("overwrite").partitionBy("month").parquet(dir)
+      val fact = s.read.parquet(dir)
+      // the dim must be a FILE source carrying a selective filter —
+      // a literal relation constant-folds the predicate away and
+      // Catalyst then skips the pruning subquery
+      val dimDir = java.nio.file.Files.createTempDirectory("g_dpp_dim")
+        .toString + "/months"
+      (1 to 24).map(m => f"${1994 + (m - 1) / 12}-${(m - 1) % 12 + 1}%02d")
+        .toDF("month").write.mode("overwrite").parquet(dimDir)
+      val dim = s.read.parquet(dimDir).filter(col("month").startsWith("1995"))
+      fact.join(broadcast(dim), "month")
+        .groupBy("month")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+        .orderBy("month") }),
     // PIVOT: order counts + cents by priority × status, the wide BI
     // crosstab via Spark's pivot operator (null-safe zero fill)
     "t207_pivot" -> ((s, d) => { val t = Tables.load(s, d)
@@ -3647,6 +3720,83 @@ object SparkEntry {
         |    ORDER BY abs(b_us - a_us), b_us, b_id) AS rn FROM cand)
         |SELECT user_id, a_id, b_id, CAST(b_us - a_us AS BIGINT) AS delta_us
         |FROM rk WHERE rn = 1 ORDER BY a_id""".stripMargin,
+    // t211 twin: the t125 run collapse evaluated at both knowledge
+    // states (pre-cut slice, full history), as-of-filtered and
+    // union'd with txn arms
+    "t211_bitemporal" ->
+      """WITH o1 AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey)
+        |  - row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+        |    ORDER BY o_orderdate, o_orderkey) AS grp
+        |  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1996-01-01'),
+        |r1 AS (SELECT o_custkey, o_orderstatus, grp,
+        |  min(o_orderdate) AS valid_from, min(o_orderkey) AS first_key
+        |  FROM o1 GROUP BY 1, 2, 3),
+        |s1 AS (SELECT o_custkey, o_orderstatus, valid_from,
+        |  lead(valid_from, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY valid_from, first_key) AS valid_to FROM r1),
+        |o2 AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey)
+        |  - row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+        |    ORDER BY o_orderdate, o_orderkey) AS grp
+        |  FROM orders),
+        |r2 AS (SELECT o_custkey, o_orderstatus, grp,
+        |  min(o_orderdate) AS valid_from, min(o_orderkey) AS first_key
+        |  FROM o2 GROUP BY 1, 2, 3),
+        |s2 AS (SELECT o_custkey, o_orderstatus, valid_from,
+        |  lead(valid_from, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY valid_from, first_key) AS valid_to FROM r2)
+        |SELECT CAST(1 AS INTEGER) AS txn_v, o_custkey, o_orderstatus,
+        |  valid_from
+        |FROM s1 WHERE valid_from <= DATE '1997-06-01'
+        |  AND (valid_to IS NULL OR valid_to > DATE '1997-06-01')
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), o_custkey, o_orderstatus, valid_from
+        |FROM s2 WHERE valid_from <= DATE '1997-06-01'
+        |  AND (valid_to IS NULL OR valid_to > DATE '1997-06-01')
+        |ORDER BY txn_v, o_custkey""".stripMargin,
+    // t212 twin: the pruned months recomputed as a plain filter-group
+    "t212_dpp" ->
+      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents
+        |FROM orders
+        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m') LIKE '1995-%'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // t209 twin: identical lead window, HUGEINT integral, identical
+    // integer micro-division
+    "t209_twap" ->
+      """WITH o AS (SELECT o_custkey AS k,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS t,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v FROM orders),
+        |p AS (SELECT k, t, v,
+        |    lead(t) OVER (PARTITION BY k ORDER BY t, v) AS t2 FROM o),
+        |f AS (SELECT k, CAST(t2 - t AS HUGEINT) AS w, CAST(v AS HUGEINT) AS v
+        |  FROM p WHERE t2 IS NOT NULL),
+        |m AS (SELECT k, count(*) AS n1, sum(w) AS span, sum(w * v) AS integral
+        |  FROM f GROUP BY 1)
+        |SELECT k, CAST(n1 + 1 AS BIGINT) AS n_obs, CAST(span AS BIGINT) AS span,
+        |  CAST((integral * 1000000) // span AS BIGINT) AS twap_micro
+        |FROM m WHERE span > 0 ORDER BY k""".stripMargin,
+    // t210 twin: open/close as rank-1 rows under the same (t, id)
+    // tie-break, high/low/n from the plain aggregate
+    "t210_ohlc" ->
+      """WITH e AS (SELECT event_type AS s, epoch_us(ts) // 3600000000 AS b,
+        |    epoch_us(ts) AS t, event_id AS i, event_id AS v FROM events),
+        |rko AS (SELECT s, b, v, row_number() OVER (PARTITION BY s, b
+        |    ORDER BY t, i) AS rn FROM e),
+        |rkc AS (SELECT s, b, v, row_number() OVER (PARTITION BY s, b
+        |    ORDER BY t DESC, i DESC) AS rn FROM e),
+        |agg AS (SELECT s, b, max(v) AS high, min(v) AS low, count(*) AS n
+        |  FROM e GROUP BY 1, 2)
+        |SELECT agg.s AS s, agg.b AS b, o.v AS open, agg.high, agg.low,
+        |  c.v AS close, agg.n
+        |FROM agg JOIN rko o ON o.s = agg.s AND o.b = agg.b AND o.rn = 1
+        |JOIN rkc c ON c.s = agg.s AND c.b = agg.b AND c.rn = 1
+        |ORDER BY agg.s, agg.b""".stripMargin,
     // t207 twin: the conditional-aggregation crosstab Spark's pivot
     // compiles to, zero-filled
     "t207_pivot" ->

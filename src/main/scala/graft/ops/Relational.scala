@@ -1894,4 +1894,56 @@ object Relational {
         (col("island_end") - col("island_start") + 1).as("span_len"))
       .orderBy("island_start")
   }
+
+  /** TIME-WEIGHTED AVERAGE of a step series per key — the TWAP /
+    * time-weighted-balance statistic: each observation holds until
+    * the next one (last-observation-carried-forward), so the average
+    * weights every value by its holding time, all in exact integers:
+    * integral = Σ vᵢ·(tᵢ₊₁ − tᵢ) in DECIMAL(38,0), twap_micro =
+    * (integral·1e6) DIV span. Keys with one observation (zero span)
+    * are omitted — a step function needs two points to hold. The lead
+    * window partitions by key (per-key series are short; the fact
+    * table never sorts globally). Output:
+    * (key, n_obs, span, twap_micro).
+    */
+  def timeWeightedAvg(df: DataFrame, key: Column, tOrd: Column,
+      vInt: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy("k").orderBy("t", "v")
+    df.select(key.as("k"), tOrd.cast("long").as("t"),
+        vInt.cast("long").as("v"))
+      .withColumn("t2", lead("t", 1).over(w))
+      .filter(col("t2").isNotNull)
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("t2") - col("t")).as("span"),
+        sum((col("t2") - col("t")).cast(dec) * col("v").cast(dec))
+          .as("integral"))
+      .filter(col("span") > 0)
+      .select(col("k"), (col("n_obs") + 1).as("n_obs"), col("span"),
+        expr("CAST((integral * 1000000) DIV CAST(span AS DECIMAL(38,0)) " +
+          "AS BIGINT)").as("twap_micro"))
+      .orderBy("k")
+  }
+
+  /** OHLC BARS — open/high/low/close of an integer value per
+    * (series, bucket): the candlestick aggregation, one
+    * partial-aggregating pass with `min(struct(t, id, v))` /
+    * `max(struct(t, id, v))` argmin/argmax for open/close (ties on
+    * time break by id — deterministic on any engine, never a
+    * first()-in-partition-order trap) and plain min/max for low/high.
+    * Output: (series, bucket, open, high, low, close, n).
+    */
+  def ohlcBars(df: DataFrame, series: Column, bucket: Column, tOrd: Column,
+      id: Column, vInt: Column): DataFrame =
+    df.select(series.as("s"), bucket.as("b"), tOrd.cast("long").as("t"),
+        id.cast("long").as("i"), vInt.cast("long").as("v"))
+      .groupBy("s", "b")
+      .agg(min(struct(col("t"), col("i"), col("v"))).as("_o"),
+        max("v").as("high"), min("v").as("low"),
+        max(struct(col("t"), col("i"), col("v"))).as("_c"),
+        count(lit(1)).as("n"))
+      .select(col("s"), col("b"), col("_o.v").as("open"), col("high"),
+        col("low"), col("_c.v").as("close"), col("n"))
+      .orderBy("s", "b")
 }

@@ -153,6 +153,52 @@ class Round14OpsSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("timeWeightedAvg: LOCF holding-time weights, exact integer " +
+      "micro-average; single-observation keys omitted") {
+    // key a: v=100 held 3 ticks, v=200 held 1 tick -> (300+200)/4 = 125
+    val df = Seq(("a", 0L, 100L), ("a", 3L, 200L), ("a", 4L, 999L),
+      ("lone", 5L, 7L)).toDF("k", "t", "v")
+    val got = Relational.timeWeightedAvg(df, col("k"), col("t"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", 3L, 4L, 125000000L)))
+  }
+
+  test("ohlcBars: open/close via deterministic (t, id) struct argmin; " +
+      "same-timestamp ties break by id") {
+    val df = Seq(("x", 1L, 10L, 11L, 50L), ("x", 1L, 20L, 12L, 80L),
+      ("x", 1L, 20L, 13L, 20L), ("x", 1L, 5L, 14L, 60L))
+      .toDF("s", "b", "t", "i", "v")
+    val got = Relational.ohlcBars(df, col("s"), col("b"), col("t"),
+      col("i"), col("v")).collect()(0)
+    // open = t=5 row (v 60); close = t=20, larger id 13 (v 20)
+    assert((got.getLong(2), got.getLong(3), got.getLong(4), got.getLong(5),
+      got.getLong(6)) == ((60L, 80L, 20L, 20L, 4L)))
+  }
+
+  test("dynamic partition pruning: the month-partitioned fact joined " +
+      "to a broadcast dim carries a runtime pruning subquery") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("dpp_spec").toString + "/fact"
+    (1 to 200).map(i => (i.toLong, f"2020-${i % 12 + 1}%02d"))
+      .toDF("id", "month")
+      .write.mode("overwrite").partitionBy("month").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // DPP requires a SELECTIVE predicate on the build side — a
+    // literal relation constant-folds its filter away, so the dim
+    // must be a file source with a surviving Filter node
+    val dimDir = Files.createTempDirectory("dpp_spec").toString + "/dim"
+    (1 to 12).map(m => f"2020-$m%02d").toDF("month")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("month") < "2020-03")
+    val q = fact.join(broadcast(dim), "month").groupBy("month")
+      .agg(count(lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning subquery in the plan:\n$plan")
+    assert(q.collect().map(_.getLong(1)).sum == 33L,
+      "month 01 (16 ids: 12,24..192) + month 02 (17 ids: 1,13..193)")
+  }
+
   test("deleteKeysBucketed merged path: erasure through the merged view " +
       "preserves latest-wins for surviving keys") {
     import graft.sinks.LakeWriter
