@@ -394,6 +394,38 @@ object SparkEntry {
 
   // s36/s41 twin: one definition, two gate rows (the serving path
   // must answer bit-identically to the one-shot Lloyd-refined IVF)
+  // s35's seed-centroid IVF SQL (kmeansIters = 0) — shared verbatim
+  // by the t213 streaming-intake twin: the streamed index must be
+  // indistinguishable from the one-shot build
+  private lazy val s35Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nr AS (SELECT vec_id, $sqlNorm AS nrm FROM e),
+       |ev AS (SELECT e.vec_id, e.v, nr.nrm FROM e JOIN nr ON nr.vec_id = e.vec_id),
+       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM ev
+       |  WHERE vec_id >= 5 ORDER BY vec_id LIMIT 16),
+       |asg AS (SELECT vec_id, v, nrm, cid FROM (
+       |  SELECT c.vec_id, c.v, c.nrm, ct.cid,
+       |    row_number() OVER (PARTITION BY c.vec_id
+       |      ORDER BY list_sum(list_transform(range(1,65), j -> c.v[j]*ct.cv[j]))/(c.nrm*ct.cn) DESC,
+       |        ct.cid) AS rn
+       |  FROM ev c CROSS JOIN cent ct WHERE c.vec_id >= 5)
+       |  WHERE rn = 1),
+       |qp AS (SELECT query_id, qv, qn, cid FROM (
+       |  SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, ct.cid,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_sum(list_transform(range(1,65), j -> q.v[j]*ct.cv[j]))/(q.nrm*ct.cn) DESC,
+       |        ct.cid) AS rn
+       |  FROM ev q CROSS JOIN cent ct WHERE q.vec_id < 5)
+       |  WHERE rn <= 4),
+       |s AS (SELECT DISTINCT query_id, a.vec_id,
+       |  floor(list_sum(list_transform(range(1,65), j -> qv[j]*a.v[j]))/(qn*a.nrm)*1000000.0+0.5)/1000000.0 AS cos
+       |  FROM qp JOIN asg a ON qp.cid = a.cid)
+       |SELECT query_id, rnk, vec_id, cos FROM (
+       |  SELECT query_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM s)
+       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   private lazy val s36Sql: String =
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |nr AS (SELECT vec_id, $sqlNorm AS nrm FROM e),
@@ -1490,6 +1522,62 @@ object SparkEntry {
       Relational.ohlcBars(t.events, col("event_type"),
         expr("unix_micros(ts) DIV 3600000000"), expr("unix_micros(ts)"),
         col("event_id"), col("event_id")) }),
+    // STREAMING IVF intake: vec_id-range shards across cold restarts,
+    // centroids fixed by the first batch (seed contract), later
+    // batches assign-and-append only; serving must equal the one-shot
+    // s35 build bit-for-bit
+    "t213_stream_ivf" -> ((s, d) => { val t = Tables.load(s, d)
+      graft.streaming.StreamGates.ivfGate(t.embeddings) }),
+    // TPC-H Q17 shape: revenue from small-quantity lineitems of one
+    // brand — quantity below 0.2× the part's average, the correlated
+    // aggregate CROSS-MULTIPLIED into pure integers (5·n·q < Σq)
+    "t214_tpch_q17" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, count, expr, floor, lit, sum}
+      import org.apache.spark.sql.types.DecimalType
+      val li = t.lineitem.select(col("l_partkey"),
+        floor(col("l_quantity") * 100.0 + 0.5).cast("long").as("q"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("cents"))
+      val brand = t.part.filter(col("p_brand") === "Brand#4")
+        .select(col("p_partkey"))
+      val joined = li.join(brand, col("l_partkey") === col("p_partkey"))
+      val stats = joined.groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"), sum("q").as("sq"))
+      joined.join(stats, "l_partkey")
+        .filter(lit(5L) * col("n") * col("q") < col("sq"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents").cast(DecimalType(38, 0))).cast("long")
+            .as("total_cents"))
+        .select(col("n_rows"), col("total_cents"),
+          expr("CAST((total_cents * 1000) DIV 7 AS BIGINT)")
+            .as("avg_yearly_milli")) }),
+    // TPC-H Q22 shape: DORMANT rich customers — balance above the
+    // positive-balance average (integer cross-multiplied), from a
+    // nation set, with no order since 2001 (every fixture customer
+    // has SOME order, so the anti-join arm is recency-scoped) —
+    // scalar subquery + anti-join, per-nation rollup
+    "t215_tpch_q22" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{broadcast, col, count, floor, lit, sum}
+      val cust = t.customer
+        .filter(col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+        .select(col("c_custkey"), col("c_nationkey"),
+          floor(col("c_acctbal") * 100.0 + 0.5).cast("long").as("bal"))
+      val pos = cust.filter(col("bal") > 0)
+        .agg(count(lit(1)).as("pn"), sum("bal").as("ps"))
+      cust.crossJoin(broadcast(pos))
+        .filter(col("bal") * col("pn") > col("ps"))
+        .join(t.orders.filter(col("o_orderdate") >= lit("2001-01-01"))
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"), sum("bal").as("totbal_cents"))
+        .orderBy("c_nationkey") }),
+    // EXACT NTILE(10): decile assignment with no fact-sized sort —
+    // histogram rank + within-tie row_number over $1000 price bands
+    "t216_ntile" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, expr, floor}
+      Relational.ntileExact(t.orders, col("o_orderpriority"),
+        expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) DIV 100000"),
+        col("o_orderkey"), k = 10) }),
     // BITEMPORAL lookup: SCD-2 state committed at two TRANSACTION
     // versions (pre-1996 build, then the fold delta); "status as of
     // valid date 1997-06-01" answered at BOTH txn versions — the
@@ -3720,6 +3808,43 @@ object SparkEntry {
         |    ORDER BY abs(b_us - a_us), b_us, b_id) AS rn FROM cand)
         |SELECT user_id, a_id, b_id, CAST(b_us - a_us AS BIGINT) AS delta_us
         |FROM rk WHERE rn = 1 ORDER BY a_id""".stripMargin,
+    // t214 twin: the same integer cross-multiplied Q17 predicate
+    "t214_tpch_q17" ->
+      """WITH li AS (SELECT l_partkey,
+        |    CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS q,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |b AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'),
+        |j AS (SELECT li.l_partkey, li.q, li.cents FROM li
+        |  JOIN b ON li.l_partkey = b.p_partkey),
+        |st AS (SELECT l_partkey, count(*) AS n, sum(q) AS sq
+        |  FROM j GROUP BY 1),
+        |f AS (SELECT j.cents FROM j JOIN st ON j.l_partkey = st.l_partkey
+        |  WHERE 5 * st.n * j.q < st.sq)
+        |SELECT count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  CAST((sum(cents) * 1000) // 7 AS BIGINT) AS avg_yearly_milli
+        |FROM f""".stripMargin,
+    // t215 twin: the same scalar average cross-multiplied + NOT EXISTS
+    "t215_tpch_q22" ->
+      """WITH cust AS (SELECT c_custkey, c_nationkey,
+        |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal
+        |  FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+        |pos AS (SELECT count(*) AS pn, sum(bal) AS ps FROM cust WHERE bal > 0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(sum(bal) AS BIGINT) AS totbal_cents
+        |FROM cust CROSS JOIN pos
+        |WHERE bal * pn > ps
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND CAST(o_orderdate AS DATE) >= DATE '2001-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // t216 twin: DuckDB's real ntile(10) under the identical
+    // (band, orderkey) ordering
+    "t216_ntile" ->
+      """SELECT o_orderpriority AS grp, o_orderkey AS id,
+        |  CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+        |      // 100000, o_orderkey) AS BIGINT) AS bucket
+        |FROM orders ORDER BY grp, id""".stripMargin,
     // t211 twin: the t125 run collapse evaluated at both knowledge
     // states (pre-cut slice, full history), as-of-filtered and
     // union'd with txn arms
@@ -5786,34 +5911,10 @@ object SparkEntry {
     // is the sequential-fold dot over DOUBLE[], so assignment argmax,
     // probe ranking, and final scores are bit-identical to the Spark
     // plan by construction.
-    "s35_ivf_topk" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |nr AS (SELECT vec_id, $sqlNorm AS nrm FROM e),
-         |ev AS (SELECT e.vec_id, e.v, nr.nrm FROM e JOIN nr ON nr.vec_id = e.vec_id),
-         |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM ev
-         |  WHERE vec_id >= 5 ORDER BY vec_id LIMIT 16),
-         |asg AS (SELECT vec_id, v, nrm, cid FROM (
-         |  SELECT c.vec_id, c.v, c.nrm, ct.cid,
-         |    row_number() OVER (PARTITION BY c.vec_id
-         |      ORDER BY list_sum(list_transform(range(1,65), j -> c.v[j]*ct.cv[j]))/(c.nrm*ct.cn) DESC,
-         |        ct.cid) AS rn
-         |  FROM ev c CROSS JOIN cent ct WHERE c.vec_id >= 5)
-         |  WHERE rn = 1),
-         |qp AS (SELECT query_id, qv, qn, cid FROM (
-         |  SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, ct.cid,
-         |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY list_sum(list_transform(range(1,65), j -> q.v[j]*ct.cv[j]))/(q.nrm*ct.cn) DESC,
-         |        ct.cid) AS rn
-         |  FROM ev q CROSS JOIN cent ct WHERE q.vec_id < 5)
-         |  WHERE rn <= 4),
-         |s AS (SELECT DISTINCT query_id, a.vec_id,
-         |  floor(list_sum(list_transform(range(1,65), j -> qv[j]*a.v[j]))/(qn*a.nrm)*1000000.0+0.5)/1000000.0 AS cos
-         |  FROM qp JOIN asg a ON qp.cid = a.cid)
-         |SELECT query_id, rnk, vec_id, cos FROM (
-         |  SELECT query_id, vec_id, cos,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
-         |  FROM s)
-         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "s35_ivf_topk" -> s35Sql,
+    // t213 twin: s35's one-shot build SQL VERBATIM — the streamed
+    // train-once/assign-forever intake must be indistinguishable
+    "t213_stream_ivf" -> s35Sql,
     // s48 twin: s31's brute-force CTEs and s35's IVF CTEs verbatim,
     // then recall = |overlap| / k per ground-truth query with the one
     // deferred IEEE division (Exact.quant6's floor(x·1e6+0.5)/1e6).

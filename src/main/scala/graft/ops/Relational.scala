@@ -1895,6 +1895,39 @@ object Relational {
       .orderBy("island_start")
   }
 
+  /** EXACT DISTRIBUTED NTILE — the SQL-standard bucket assignment
+    * (first n mod k buckets take one extra row) with NO fact-sized
+    * sort window: global rank = (cumulative histogram count of
+    * strictly-smaller values) + (row_number within the tie group by
+    * unique id). The histogram windows run over |distinct values|
+    * rows per group; the tie window partitions by (grp, value), so
+    * its sort is bounded by the largest tie multiplicity, never the
+    * group. The bucket formula is pure integer CASE math, identical
+    * in DuckDB. Output: (grp, id, bucket).
+    */
+  def ntileExact(df: DataFrame, grp: Column, vInt: Column, id: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, "need at least one bucket")
+    val base = df.select(grp.as("grp"), vInt.cast("long").as("v"),
+      id.cast("long").as("id"))
+    val wcum = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = base.groupBy("grp", "v").agg(count(lit(1)).as("c"))
+      .withColumn("cumb", sum("c").over(wcum) - col("c"))
+      .withColumn("n", sum("c").over(Window.partitionBy("grp")))
+      .drop("c")
+    val wtie = Window.partitionBy("grp", "v").orderBy("id")
+    base.join(hist, Seq("grp", "v"))
+      .withColumn("rank", col("cumb") + row_number().over(wtie))
+      .withColumn("bucket", expr(
+        s"""CASE WHEN rank <= (n % $k) * (n DIV $k + 1)
+           |  THEN (rank - 1) DIV (n DIV $k + 1) + 1
+           |  ELSE (n % $k) + (rank - (n % $k) * (n DIV $k + 1) - 1)
+           |    DIV (n DIV $k) + 1 END""".stripMargin))
+      .select(col("grp"), col("id"), col("bucket").cast("long").as("bucket"))
+      .orderBy("grp", "id")
+  }
+
   /** TIME-WEIGHTED AVERAGE of a step series per key — the TWAP /
     * time-weighted-balance statistic: each observation holds until
     * the next one (last-observation-carried-forward), so the average

@@ -663,6 +663,18 @@ object Similarity {
     IvfIndex(cents, nearestCellsWith(dp)(cents, e, 1))
   }
 
+  /** The index-build ASSIGN step alone, public for incremental /
+    * streaming intakes: new corpus vectors against a FIXED persisted
+    * centroid table (assignment is per-row against a broadcast — no
+    * retraining, so a streamed index equals the one-shot build over
+    * the same corpus bit-for-bit). Output matches
+    * [[IvfIndex]].assigned: (vec_id, v, nrm, cid).
+    */
+  def ivfAssign(centroids: DataFrame, corpus: DataFrame): DataFrame = {
+    val dp = dotWith(corpus.sparkSession) _
+    nearestCellsWith(dp)(centroids, normedVecs(corpus, dp), 1)
+  }
+
   def writeIvfIndex(
       index: IvfIndex, writer: graft.sinks.LakeWriter,
       name: String, buckets: Int = 32): Unit = {

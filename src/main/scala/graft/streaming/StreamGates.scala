@@ -850,6 +850,68 @@ object StreamGates {
     out
   }
 
+  /** Streamed EMBEDDING→IVF index intake, gated: corpus vectors
+    * arrive in three vec_id-range shards (each a cold restart). The
+    * FIRST batch trains nothing — the deterministic seed-centroid
+    * contract (first nCells corpus vectors by id, the s35 shape)
+    * fixes the centroid table once, and every later batch only runs
+    * the ASSIGN step against that broadcast table and appends its
+    * cell-bucketed rows as a manifested commit — O(batch) work, the
+    * way a production ANN index actually ingests (train once, assign
+    * forever, retrain offline). Because assignment is per-row against
+    * fixed centroids, the streamed index is bit-identical to the
+    * one-shot build, and serving the standard queries against it must
+    * reproduce s35's gated output exactly — twin is s35's SQL
+    * verbatim.
+    */
+  def ivfGate(embeddings: DataFrame, nShards: Int = 3): DataFrame = {
+    import graft.ops.Similarity
+    import graft.sinks.LakeWriter
+    val spark = embeddings.sparkSession
+    val queries = embeddings.filter(col("vec_id") < 5)
+    val corpus = embeddings.filter(col("vec_id") >= 5)
+    val b = corpus.agg(min("vec_id").as("lo"), max("vec_id").as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val span = hi - lo + 1
+    // id-range shards: shard 1 contains the first nCells corpus ids,
+    // so the seed-centroid contract sees exactly the s35 centroids
+    val shardFrames = (0 until nShards).map { i =>
+      val l = lo + i * span / nShards
+      val h = lo + (i + 1) * span / nShards
+      if (i == nShards - 1) corpus.filter(col("vec_id") >= l)
+      else corpus.filter(col("vec_id") >= l && col("vec_id") < h)
+    }
+    val root = Files.createTempDirectory("sgate_ivf").toString
+    val name = "sgate_ivf_idx"
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_cents")
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_assigned")
+    drive(shardFrames) { (src, cp) =>
+      src.writeStream
+        .option("checkpointLocation", cp.get)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val lw = new LakeWriter(root)
+          if (!spark.catalog.tableExists(s"${name}_cents"))
+            Similarity.writeIvfIndex(
+              Similarity.ivfIndexFrames(batch, nCells = 16, kmeansIters = 0),
+              lw, name)
+          else {
+            val cents = LakeWriter.readBucketedTable(spark, s"${name}_cents")
+            lw.commitBucketed(Similarity.ivfAssign(cents, batch),
+              s"${name}_assigned", 32, Seq("cid"))
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    val out = Similarity
+      .ivfServe(queries, Similarity.readIvfIndex(spark, name))
+      .localCheckpoint()
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_cents")
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_assigned")
+    out
+  }
+
   /** Streamed IMAGE near-dup intake, gated: the golden t93 corpus
     * arrives first (in-batch pairs = t93's frame, and its hashes
     * build the index), then the t105 re-encodes split across TWO

@@ -199,6 +199,22 @@ class Round14OpsSpec extends AnyFunSuite {
       "month 01 (16 ids: 12,24..192) + month 02 (17 ids: 1,13..193)")
   }
 
+  test("ntileExact: differential against Spark's own ntile window under " +
+      "the identical (v, id) ordering, uneven buckets and heavy ties") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 23).map(i => ("g", (i % 5).toLong, i.toLong))
+      .toDF("g", "v", "id")
+    for (k <- Seq(1, 4, 10, 23, 30)) {
+      val got = Relational.ntileExact(df, col("g"), col("v"), col("id"), k)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+      val want = df.withColumn("bucket",
+          ntile(k).over(Window.partitionBy("g").orderBy("v", "id"))
+            .cast("long"))
+        .collect().map(r => (r.getLong(2), r.getLong(3))).toMap
+      assert(got == want, s"k=$k diverged from the reference ntile")
+    }
+  }
+
   test("deleteKeysBucketed merged path: erasure through the merged view " +
       "preserves latest-wins for surviving keys") {
     import graft.sinks.LakeWriter
