@@ -64,6 +64,46 @@ object SparkEntry {
     (head +: steps).mkString(",\n") + "\n" + tail
   }
 
+  // t218 twin builder: Luby's MIS unrolled round by round over the
+  // co-purchase graph — same md5 priorities, same (hash, id) tuple
+  // comparisons, same fixed round count (vacuous once empty)
+  private def misUnrolledSql(seed: String, rounds: Int): String = {
+    def ph(i: Int, c: String) =
+      s"md5(concat_ws(':', '$seed', '$i', CAST($c AS VARCHAR)))"
+    val head =
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity <= 5),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS a, b.pk AS b
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |rem0 AS MATERIALIZED (SELECT a AS id FROM e0 UNION SELECT b FROM e0)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""sym$i AS (SELECT a AS u, b AS v FROM e${i - 1}
+         |  UNION ALL SELECT b, a FROM e${i - 1}),
+         |mn$i AS MATERIALIZED (SELECT u, ph, v FROM (
+         |  SELECT u, ${ph(i, "v")} AS ph, v,
+         |    row_number() OVER (PARTITION BY u
+         |      ORDER BY ${ph(i, "v")}, v) AS rn
+         |  FROM sym$i) WHERE rn = 1),
+         |sel$i AS MATERIALIZED (SELECT u AS id FROM mn$i
+         |  WHERE (${ph(i, "u")}, u) < (ph, v)),
+         |iso$i AS MATERIALIZED (SELECT id FROM rem${i - 1}
+         |  WHERE id NOT IN (SELECT u FROM sym$i)),
+         |rm$i AS MATERIALIZED (SELECT id FROM sel$i
+         |  UNION SELECT v FROM sym$i WHERE u IN (SELECT id FROM sel$i)),
+         |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+         |  WHERE a NOT IN (SELECT id FROM rm$i)
+         |    AND b NOT IN (SELECT id FROM rm$i)),
+         |rem$i AS MATERIALIZED (SELECT id FROM rem${i - 1}
+         |  WHERE id NOT IN (SELECT id FROM iso$i)
+         |    AND id NOT IN (SELECT id FROM rm$i))""".stripMargin
+    }
+    val arms = (1 to rounds).flatMap(i =>
+      Seq(s"SELECT id FROM sel$i", s"SELECT id FROM iso$i")) :+
+      s"SELECT id FROM rem$rounds"
+    (head +: steps).mkString(",\n") + "\n" +
+      arms.mkString("", "\nUNION\n", "\nORDER BY id")
+  }
+
   private def sqlDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1,65), i -> $a.v[i]*$b.v[i]))"
   private val sqlNorm = "sqrt(list_sum(list_transform(range(1,65), i -> v[i]*v[i])))"
@@ -394,6 +434,22 @@ object SparkEntry {
 
   // s36/s41 twin: one definition, two gate rows (the serving path
   // must answer bit-identically to the one-shot Lloyd-refined IVF)
+  // t209's one-shot TWAP SQL — shared verbatim by the t217 streaming
+  // carry-fold twin
+  private lazy val t209Sql: String =
+    """WITH o AS (SELECT o_custkey AS k,
+      |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS t,
+      |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v FROM orders),
+      |p AS (SELECT k, t, v,
+      |    lead(t) OVER (PARTITION BY k ORDER BY t, v) AS t2 FROM o),
+      |f AS (SELECT k, CAST(t2 - t AS HUGEINT) AS w, CAST(v AS HUGEINT) AS v
+      |  FROM p WHERE t2 IS NOT NULL),
+      |m AS (SELECT k, count(*) AS n1, sum(w) AS span, sum(w * v) AS integral
+      |  FROM f GROUP BY 1)
+      |SELECT k, CAST(n1 + 1 AS BIGINT) AS n_obs, CAST(span AS BIGINT) AS span,
+      |  CAST((integral * 1000000) // span AS BIGINT) AS twap_micro
+      |FROM m WHERE span > 0 ORDER BY k""".stripMargin
+
   // s35's seed-centroid IVF SQL (kmeansIters = 0) — shared verbatim
   // by the t213 streaming-intake twin: the streamed index must be
   // indistinguishable from the one-shot build
@@ -1522,6 +1578,23 @@ object SparkEntry {
       Relational.ohlcBars(t.events, col("event_type"),
         expr("unix_micros(ts) DIV 3600000000"), expr("unix_micros(ts)"),
         col("event_id"), col("event_id")) }),
+    // MAXIMAL INDEPENDENT SET: Luby's algorithm with md5-hash
+    // priorities over the co-purchase graph — replayable symmetry
+    // breaking, O(log n) rounds, fail-loud round bound
+    "t218_mis" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      val li = t.lineitem.filter(col("l_quantity") <= 5)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst")).distinct()
+      GraphOps.maximalIndependentSet(pairs, seed = "mis14", rounds = 12) }),
+    // STREAMING TWAP maintenance: date-range shards across cold
+    // restarts, per-customer LOCF integral folded forward with
+    // O(keys) carried state; must equal the batch closed form
+    "t217_stream_twap" -> ((s, d) => { val t = Tables.load(s, d)
+      graft.streaming.StreamGates.twapGate(t.orders) }),
     // STREAMING IVF intake: vec_id-range shards across cold restarts,
     // centroids fixed by the first batch (seed contract), later
     // batches assign-and-append only; serving must equal the one-shot
@@ -3893,19 +3966,12 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // t209 twin: identical lead window, HUGEINT integral, identical
     // integer micro-division
-    "t209_twap" ->
-      """WITH o AS (SELECT o_custkey AS k,
-        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS t,
-        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v FROM orders),
-        |p AS (SELECT k, t, v,
-        |    lead(t) OVER (PARTITION BY k ORDER BY t, v) AS t2 FROM o),
-        |f AS (SELECT k, CAST(t2 - t AS HUGEINT) AS w, CAST(v AS HUGEINT) AS v
-        |  FROM p WHERE t2 IS NOT NULL),
-        |m AS (SELECT k, count(*) AS n1, sum(w) AS span, sum(w * v) AS integral
-        |  FROM f GROUP BY 1)
-        |SELECT k, CAST(n1 + 1 AS BIGINT) AS n_obs, CAST(span AS BIGINT) AS span,
-        |  CAST((integral * 1000000) // span AS BIGINT) AS twap_micro
-        |FROM m WHERE span > 0 ORDER BY k""".stripMargin,
+    "t209_twap" -> t209Sql,
+    // t217 twin: t209's one-shot SQL VERBATIM — the streamed carry
+    // fold must be indistinguishable from the batch closed form
+    "t217_stream_twap" -> t209Sql,
+    // t218 twin: the identical Luby rounds unrolled
+    "t218_mis" -> misUnrolledSql(seed = "mis14", rounds = 12),
     // t210 twin: open/close as rank-1 rows under the same (t, id)
     // tie-break, high/low/n from the plain aggregate
     "t210_ohlc" ->

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over relational edge frames. The engine already
@@ -636,6 +636,64 @@ object GraphOps {
     hubs.select(lit("hub").as("role"), col("id"), col("score"))
       .unionByName(auths.select(lit("authority").as("role"), col("id"), col("score")))
       .orderBy("role", "id")
+  }
+
+  /** DETERMINISTIC MAXIMAL INDEPENDENT SET — Luby's algorithm (Luby
+    * 1986, public) with md5 hash PRIORITIES instead of a PRNG: in
+    * round r, a node joins the MIS iff its (md5(seed:r:id), id) pair
+    * is strictly smaller than every live neighbor's; the node and its
+    * neighbors then leave the graph, and nodes whose last live edge
+    * vanished join the MIS as isolates the following round. Hash
+    * priorities make every round REPLAYABLE across engines, retries,
+    * and partitionings (the hash-Bernoulli discipline applied to
+    * symmetry breaking) — and Luby's analysis holds because the
+    * per-round priorities are independent across rounds. Each round
+    * is one partial-aggregating neighbor-min plus two anti-joins over
+    * the SHRINKING edge set; expected O(log n) rounds. Runs exactly
+    * `rounds` rounds (vacuous once the graph is empty — the twin
+    * unrolls the same fixed count) and FAILS LOUDLY if edges remain.
+    * Input (src, dst), treated undirected. Output: (id) — the MIS.
+    */
+  def maximalIndependentSet(edges: DataFrame, seed: String,
+      rounds: Int = 12): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    var (live, liveIds) = Dedup.checkpointTracked(canonicalEdges(edges))
+    var remaining = live.select(col("a").as("id"))
+      .unionByName(live.select(col("b").as("id"))).distinct().localCheckpoint()
+    var mis = remaining.limit(0)
+    for (r <- 1 to rounds) {
+      def prio(idc: Column): Column =
+        md5(concat_ws(":", lit(seed), lit(r.toString), idc.cast("string")))
+      val sym = live.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(live.select(col("b").as("u"), col("a").as("v")))
+      val minN = sym
+        .groupBy("u")
+        .agg(min(struct(prio(col("v")).as("ph"), col("v").as("v"))).as("mn"))
+        .select(col("u").as("id"), col("mn"))
+      val isolated = remaining.join(minN.select("id"), Seq("id"), "left_anti")
+      val selected = minN
+        .filter(struct(prio(col("id")).as("ph"), col("id").as("v")) < col("mn"))
+        .select("id")
+      mis = mis.unionByName(selected).unionByName(isolated).localCheckpoint()
+      val removed = selected.unionByName(
+          sym.join(selected.select(col("id").as("u")), Seq("u"), "left_semi")
+            .select(col("v").as("id")))
+        .distinct().localCheckpoint()
+      // remaining references the OLD live (through isolated/minN):
+      // materialize it before that checkpoint is freed
+      remaining = remaining.join(isolated, Seq("id"), "left_anti")
+        .join(removed, Seq("id"), "left_anti").localCheckpoint()
+      val (live2, live2Ids) = Dedup.checkpointTracked(
+        live.join(removed.select(col("id").as("a")), Seq("a"), "left_anti")
+          .join(removed.select(col("id").as("b")), Seq("b"), "left_anti"))
+      Dedup.freeRdds(live, liveIds)
+      live = live2; liveIds = live2Ids
+    }
+    require(live.isEmpty,
+      s"maximalIndependentSet: edges remain after $rounds rounds — raise the bound")
+    // nodes never touched by any edge-removal path but still remaining
+    // (graph emptied exactly at the last round) are isolates now
+    mis.unionByName(remaining).orderBy("id")
   }
 
   /** ANCESTOR CLOSURE of a forest by REPEATED SQUARING: all proper

@@ -850,6 +850,113 @@ object StreamGates {
     out
   }
 
+  /** Streamed TIME-WEIGHTED-AVERAGE maintenance, gated: the orders
+    * fact in three date-range shards across cold restarts, each
+    * micro-batch folding the per-customer LOCF integral forward with
+    * O(keys) carried state — (first_t, last observation, running
+    * integral, count). The boundary segment between a batch and its
+    * carry is computed by UNIONING one virtual row (the carried last
+    * observation) into the batch before the lead window, so the
+    * batch-internal pairs and the cross-batch pair ride one code
+    * path. Time-ordered delivery is asserted (a period at or behind
+    * the carried frontier refuses the fold). Final view must equal
+    * [[graft.ops.Relational.timeWeightedAvg]] on the full corpus —
+    * twin is t209's SQL verbatim.
+    */
+  def twapGate(orders: DataFrame, nShards: Int = 3): DataFrame = {
+    import graft.sinks.LakeWriter
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val spark = orders.sparkSession
+    val o = orders.select("o_orderkey", "o_custkey", "o_orderdate",
+      "o_totalprice")
+    val dn = datediff(col("o_orderdate"), lit("1970-01-01"))
+    val b = o.agg(min(dn).as("lo"), max(dn).as("hi"),
+      sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("n_null")).head()
+    require(!b.isNullAt(0) && !b.isNullAt(1), "twapGate: no non-null dates")
+    require(b.getLong(2) == 0L, "twapGate: null dates would vanish")
+    val (lo, hi) = (b.getInt(0).toLong, b.getInt(1).toLong)
+    val span = hi - lo + 1
+    val shards = (0 until nShards).map { i =>
+      val l = lo + i * span / nShards
+      val h = lo + (i + 1) * span / nShards
+      if (i == nShards - 1) o.filter(dn >= l)
+      else o.filter(dn >= l && dn < h)
+    }
+    val root = Files.createTempDirectory("sgate_twap").toString
+    val tbl = "sgate_twap_state"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    drive(shards) { (src, cp) =>
+      src.writeStream
+        .option("checkpointLocation", cp.get)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val lw = new graft.sinks.LakeWriter(root)
+          val rows = batch.select(col("o_custkey").as("k"),
+            datediff(col("o_orderdate"), lit("1970-01-01"))
+              .cast("long").as("t"),
+            floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("v"))
+          val exists = spark.catalog.tableExists(tbl)
+          val state =
+            if (exists) LakeWriter.readBucketedTableMerged(spark, tbl, Seq("k"))
+            else rows.limit(0).select(col("k"),
+              lit(null).cast("long").as("first_t"),
+              lit(null).cast("long").as("last_t"),
+              lit(null).cast("long").as("last_v"),
+              lit(null).cast(dec).as("integral"),
+              lit(null).cast("long").as("n_obs"))
+          val touched = rows.select("k").distinct()
+          // the carried last observation enters the batch as ONE
+          // virtual row per touched key — its lead pair IS the
+          // cross-batch boundary segment
+          val virt = state.join(touched, Seq("k"), "left_semi")
+            .select(col("k"), col("last_t").as("t"), col("last_v").as("v"))
+            .withColumn("real", lit(false))
+          val uni = rows.withColumn("real", lit(true)).unionByName(virt)
+          val regressed = uni.filter(col("real"))
+            .join(state.select(col("k"), col("last_t")), Seq("k"), "left")
+            .filter(col("last_t").isNotNull && col("t") <= col("last_t"))
+            .count()
+          require(regressed == 0L,
+            s"twapGate: $regressed rows arrived behind the carried frontier")
+          val w = Window.partitionBy("k").orderBy("t", "v")
+          val segs = uni.withColumn("t2", lead("t", 1).over(w))
+            .filter(col("t2").isNotNull)
+            .groupBy("k")
+            .agg(sum((col("t2") - col("t")).cast(dec) * col("v").cast(dec))
+              .as("int_add"))
+          val tops = uni.groupBy("k").agg(
+            max(struct(col("t"), col("v"))).as("lastS"),
+            min(when(col("real"), col("t"))).as("bfirst"),
+            sum(when(col("real"), 1L).otherwise(0L)).as("n_add"))
+          val upd = tops
+            .join(segs, Seq("k"), "left")
+            .join(state, Seq("k"), "left")
+            .select(col("k"),
+              coalesce(col("first_t"), col("bfirst")).as("first_t"),
+              col("lastS.t").as("last_t"), col("lastS.v").as("last_v"),
+              (coalesce(col("integral"), lit(0).cast(dec)) +
+                coalesce(col("int_add"), lit(0).cast(dec))).as("integral"),
+              (coalesce(col("n_obs"), lit(0L)) + col("n_add")).as("n_obs"))
+          lw.commitBucketed(upd, tbl, 8, Seq("k"), replace = !exists)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    val out = LakeWriter.readBucketedTableMerged(spark, tbl, Seq("k"))
+      .filter(col("last_t") - col("first_t") > 0)
+      .select(col("k"), col("n_obs"),
+        (col("last_t") - col("first_t")).as("span"),
+        expr("CAST((integral * 1000000) DIV " +
+          "CAST(last_t - first_t AS DECIMAL(38,0)) AS BIGINT)")
+          .as("twap_micro"))
+      .orderBy("k")
+      .localCheckpoint()
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    out
+  }
+
   /** Streamed EMBEDDING→IVF index intake, gated: corpus vectors
     * arrive in three vec_id-range shards (each a cold restart). The
     * FIRST batch trains nothing — the deterministic seed-centroid

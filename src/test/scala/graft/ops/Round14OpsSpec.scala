@@ -215,6 +215,32 @@ class Round14OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("maximalIndependentSet: independent (no edge inside), maximal " +
+      "(every outsider has an MIS neighbor), deterministic across runs " +
+      "and partitionings") {
+    // two triangles bridged by a path + a pendant
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 7L), (7L, 5L), (8L, 1L)).toDF("src", "dst")
+    val mis = GraphOps.maximalIndependentSet(e, "spec", rounds = 10)
+      .as[Long].collect().toSet
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 7L), (7L, 5L), (8L, 1L))
+    assert(edges.forall { case (a, b) => !(mis(a) && mis(b)) },
+      s"MIS contains an edge: $mis")
+    val nodes = edges.flatMap(p => Seq(p._1, p._2)).toSet
+    val nbrs = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((nodes -- mis).forall(v => nbrs(v).exists(mis)),
+      s"not maximal: $mis")
+    val again = GraphOps.maximalIndependentSet(e.repartition(7), "spec", 10)
+      .as[Long].collect().toSet
+    assert(again == mis, "must be replay-deterministic")
+    // a different seed is allowed to pick a different (still valid) set
+    val other = GraphOps.maximalIndependentSet(e, "spec2", 10)
+      .as[Long].collect().toSet
+    assert(edges.forall { case (a, b) => !(other(a) && other(b)) })
+  }
+
   test("deleteKeysBucketed merged path: erasure through the merged view " +
       "preserves latest-wins for surviving keys") {
     import graft.sinks.LakeWriter
