@@ -434,6 +434,16 @@ object SparkEntry {
 
   // s36/s41 twin: one definition, two gate rows (the serving path
   // must answer bit-identically to the one-shot Lloyd-refined IVF)
+  // t204's one-shot islands SQL — shared verbatim by the t220
+  // streaming seam-stitch twin
+  private lazy val t204Sql: String =
+    """WITH ids AS (SELECT DISTINCT o_orderkey AS id FROM orders
+      |  WHERE o_orderkey % 13 <> 5),
+      |g AS (SELECT id, id - row_number() OVER (ORDER BY id) AS grpk FROM ids)
+      |SELECT min(id) AS island_start, max(id) AS island_end,
+      |  max(id) - min(id) + 1 AS span_len
+      |FROM g GROUP BY grpk ORDER BY island_start""".stripMargin
+
   // t209's one-shot TWAP SQL — shared verbatim by the t217 streaming
   // carry-fold twin
   private lazy val t209Sql: String =
@@ -1578,6 +1588,26 @@ object SparkEntry {
       Relational.ohlcBars(t.events, col("event_type"),
         expr("unix_micros(ts) DIV 3600000000"), expr("unix_micros(ts)"),
         col("event_id"), col("event_id")) }),
+    // STREAMING ISLANDS maintenance: key-range shards across cold
+    // restarts, each batch's islands seam-stitched onto the carried
+    // frontier island by a one-row latest-wins delta; O(islands) state
+    "t220_stream_islands" -> ((s, d) => { val t = Tables.load(s, d)
+      graft.streaming.StreamGates.islandsGate(t.orders) }),
+    // RECORD-LINKAGE EVALUATION: pairwise precision/recall/F1 of the
+    // t144 entity assignment against the planted ground truth (the
+    // +1e6/+2e6 variants share their base key's cluster; the +3e6
+    // md5 decoys are singletons) — pure integer pair counting
+    "t219_linkage_eval" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, expr}
+      val planted = fuzzyPlanted(t)
+      val pairs = TextOps.fuzzyMatchMultiBlock(planted,
+        Seq(expr("substr(name, 2)"), expr("substr(name, 1, length(name)-1)")),
+        maxDist = 2).select(col("key_a"), col("key_b"))
+      val assigned = TextOps.entityIds(planted, pairs)
+        .withColumn("truth", expr(
+          "CASE WHEN key >= 3000000 THEN key ELSE key % 1000000 END"))
+      Relational.clusteringPairMetrics(assigned, col("entity_id"),
+        col("truth")) }),
     // MAXIMAL INDEPENDENT SET: Luby's algorithm with md5-hash
     // priorities over the co-purchase graph — replayable symmetry
     // breaking, O(log n) rounds, fail-loud round bound
@@ -3847,13 +3877,10 @@ object SparkEntry {
         |ORDER BY k, change_type""".stripMargin,
     // t204 twin: the classic id - row_number() islands form the
     // anti-join boundaries replace
-    "t204_islands" ->
-      """WITH ids AS (SELECT DISTINCT o_orderkey AS id FROM orders
-        |  WHERE o_orderkey % 13 <> 5),
-        |g AS (SELECT id, id - row_number() OVER (ORDER BY id) AS grpk FROM ids)
-        |SELECT min(id) AS island_start, max(id) AS island_end,
-        |  max(id) - min(id) + 1 AS span_len
-        |FROM g GROUP BY grpk ORDER BY island_start""".stripMargin,
+    "t204_islands" -> t204Sql,
+    // t220 twin: t204's one-shot SQL VERBATIM — the streamed
+    // seam-stitched fold must be indistinguishable
+    "t220_stream_islands" -> t204Sql,
     // t205 twin: the recursive ancestor CTE the squaring closure
     // replaces — same self-inclusive subtree accounting
     "t205_subtree_agg" ->
@@ -3972,6 +3999,36 @@ object SparkEntry {
     "t217_stream_twap" -> t209Sql,
     // t218 twin: the identical Luby rounds unrolled
     "t218_mis" -> misUnrolledSql(seed = "mis14", rounds = 12),
+    // t219 twin: t144's assignment chain + the same integer pair sums
+    "t219_linkage_eval" ->
+      s"""WITH RECURSIVE $fuzzyCte,
+         |e AS (SELECT key_a AS src, key_b AS dst FROM m
+         |      UNION SELECT key_b, key_a FROM m),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM e UNION SELECT src, dst FROM e
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+         |cl AS (SELECT id, min(r) AS cid FROM reach GROUP BY id),
+         |asg AS (SELECT n.key, coalesce(cl.cid, n.key) AS entity_id
+         |  FROM (SELECT DISTINCT key FROM named) n
+         |  LEFT JOIN cl ON cl.id = n.key),
+         |w AS (SELECT entity_id AS p,
+         |    CASE WHEN key >= 3000000 THEN key ELSE key % 1000000 END AS t
+         |  FROM asg),
+         |pp AS (SELECT coalesce(sum((c * (c - 1)) // 2), 0) AS pred_pairs
+         |  FROM (SELECT count(*) AS c FROM w GROUP BY p)),
+         |tt AS (SELECT coalesce(sum((c * (c - 1)) // 2), 0) AS true_pairs
+         |  FROM (SELECT count(*) AS c FROM w GROUP BY t)),
+         |b AS (SELECT coalesce(sum((c * (c - 1)) // 2), 0) AS tp
+         |  FROM (SELECT count(*) AS c FROM w GROUP BY p, t))
+         |SELECT CAST(tp AS BIGINT) AS tp,
+         |  CAST(pred_pairs AS BIGINT) AS pred_pairs,
+         |  CAST(true_pairs AS BIGINT) AS true_pairs,
+         |  CAST((tp * 1000000) // pred_pairs AS BIGINT) AS precision_micro,
+         |  CAST((tp * 1000000) // true_pairs AS BIGINT) AS recall_micro,
+         |  CAST((2 * tp * 1000000) // (pred_pairs + true_pairs) AS BIGINT)
+         |    AS f1_micro
+         |FROM b CROSS JOIN pp CROSS JOIN tt""".stripMargin,
     // t210 twin: open/close as rank-1 rows under the same (t, id)
     // tie-break, high/low/n from the plain aggregate
     "t210_ohlc" ->

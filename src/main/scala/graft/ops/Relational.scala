@@ -1928,6 +1928,36 @@ object Relational {
       .orderBy("grp", "id")
   }
 
+  /** PAIRWISE CLUSTERING-QUALITY METRICS — precision / recall / F1 of
+    * a predicted clustering against ground truth, counted over PAIRS
+    * (the record-linkage evaluation standard: a pair is a true
+    * positive iff the two records share a predicted cluster AND a
+    * truth cluster). Three aggregates over the (pred, truth) frame —
+    * per-cluster sizes, per-truth sizes, per-joint sizes — each
+    * reduced to Σ c·(c−1)/2 in pure integer math, then the three
+    * one-row totals cross-joined and divided once into micro-units.
+    * Never materializes a pair. Output: one row (tp, pred_pairs,
+    * true_pairs, precision_micro, recall_micro, f1_micro).
+    */
+  def clusteringPairMetrics(assigned: DataFrame, pred: Column,
+      truth: Column): DataFrame = {
+    val a = assigned.select(pred.as("p"), truth.as("t"))
+    def pairSum(keys: Column*): DataFrame =
+      a.groupBy(keys: _*).agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(expr("(c * (c - 1)) DIV 2")), lit(0L)).as("s"))
+    val pp = pairSum(col("p")).select(col("s").as("pred_pairs"))
+    val tt = pairSum(col("t")).select(col("s").as("true_pairs"))
+    val tp = pairSum(col("p"), col("t")).select(col("s").as("tp"))
+    tp.crossJoin(pp).crossJoin(tt)
+      .select(col("tp"), col("pred_pairs"), col("true_pairs"),
+        expr("CAST((tp * 1000000) DIV pred_pairs AS BIGINT)")
+          .as("precision_micro"),
+        expr("CAST((tp * 1000000) DIV true_pairs AS BIGINT)")
+          .as("recall_micro"),
+        expr("CAST((2 * tp * 1000000) DIV (pred_pairs + true_pairs) " +
+          "AS BIGINT)").as("f1_micro"))
+  }
+
   /** TIME-WEIGHTED AVERAGE of a step series per key — the TWAP /
     * time-weighted-balance statistic: each observation holds until
     * the next one (last-observation-carried-forward), so the average

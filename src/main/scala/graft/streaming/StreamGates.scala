@@ -957,6 +957,81 @@ object StreamGates {
     out
   }
 
+  /** Streamed ISLANDS & GAPS maintenance, gated: the (gap-planted)
+    * order-key domain arrives in three contiguous key-range shards
+    * across cold restarts; each batch computes ITS islands with the
+    * batch-local anti-join form, then stitches the single possible
+    * cross-batch seam — the batch's first island extends the carried
+    * last island iff it starts exactly one past its end (latest-wins
+    * per island_start makes the extension a one-row delta commit).
+    * State is O(islands); the fact stream is read once. Final view
+    * must equal the one-shot [[graft.ops.Relational.islands]] — twin
+    * is t204's SQL verbatim.
+    */
+  def islandsGate(orders: DataFrame, nShards: Int = 3): DataFrame = {
+    import graft.ops.Relational
+    import graft.sinks.LakeWriter
+    val spark = orders.sparkSession
+    val ids = orders.filter(col("o_orderkey") % 13 =!= 5)
+      .select("o_orderkey")
+    val bb = ids.agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi")).head()
+    val (lo, hi) = (bb.getLong(0), bb.getLong(1))
+    val span = hi - lo + 1
+    val shardFrames = (0 until nShards).map { i =>
+      val l = lo + i * span / nShards
+      val h = lo + (i + 1) * span / nShards
+      if (i == nShards - 1) ids.filter(col("o_orderkey") >= l)
+      else ids.filter(col("o_orderkey") >= l && col("o_orderkey") < h)
+    }
+    val root = Files.createTempDirectory("sgate_isl").toString
+    val tbl = "sgate_islands_state"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    drive(shardFrames) { (src, cp) =>
+      src.writeStream
+        .option("checkpointLocation", cp.get)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val lw = new graft.sinks.LakeWriter(root)
+          val bi = Relational.islands(batch, col("o_orderkey"))
+            .select("island_start", "island_end")
+          val exists = spark.catalog.tableExists(tbl)
+          if (!exists)
+            lw.commitBucketed(bi, tbl, 4, Seq("island_start"), replace = true)
+          else {
+            val state = LakeWriter.readBucketedTableMerged(
+              spark, tbl, Seq("island_start"))
+            // the carried frontier island — one bounded driver row
+            val c = state
+              .agg(max(struct(col("island_start"), col("island_end"))))
+              .head().getStruct(0)
+            val (cs, ce) = (c.getLong(0), c.getLong(1))
+            val bmin = bi.agg(min("island_start")).head().getLong(0)
+            require(bmin > ce,
+              s"islandsGate: batch island at $bmin is behind the carried frontier $ce")
+            // seam stitch: a batch island starting exactly one past
+            // the carried end inherits the carried start — the
+            // latest-wins commit replaces the frontier row in place
+            val upd =
+              if (bmin == ce + 1)
+                bi.withColumn("island_start",
+                  when(col("island_start") === ce + 1, cs)
+                    .otherwise(col("island_start")))
+              else bi
+            lw.commitBucketed(upd, tbl, 4, Seq("island_start"))
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    val out = LakeWriter.readBucketedTableMerged(spark, tbl, Seq("island_start"))
+      .select(col("island_start"), col("island_end"),
+        (col("island_end") - col("island_start") + 1).as("span_len"))
+      .orderBy("island_start")
+      .localCheckpoint()
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    out
+  }
+
   /** Streamed EMBEDDING→IVF index intake, gated: corpus vectors
     * arrive in three vec_id-range shards (each a cold restart). The
     * FIRST batch trains nothing — the deterministic seed-centroid

@@ -241,6 +241,20 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(edges.forall { case (a, b) => !(other(a) && other(b)) })
   }
 
+  test("clusteringPairMetrics: pair counting matches the hand-computed " +
+      "confusion (over-merge costs precision, over-split costs recall)") {
+    // truth: {1,2,3} and {4,5}; predicted: {1,2} {3,4} {5}
+    // pred_pairs = 1 + 1 = 2; true_pairs = 3 + 1 = 4; tp = 1 (pair 1-2)
+    val df = Seq((1L, 10L, 100L), (2L, 10L, 100L), (3L, 20L, 100L),
+      (4L, 20L, 200L), (5L, 30L, 200L)).toDF("id", "pred", "truth")
+    val r = Relational.clusteringPairMetrics(df, col("pred"), col("truth"))
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 2L, 4L)))
+    assert(r.getLong(3) == 500000L, "precision 1/2")
+    assert(r.getLong(4) == 250000L, "recall 1/4")
+    assert(r.getLong(5) == 333333L, "f1 = 2/6")
+  }
+
   test("deleteKeysBucketed merged path: erasure through the merged view " +
       "preserves latest-wins for surviving keys") {
     import graft.sinks.LakeWriter
