@@ -434,6 +434,31 @@ object SparkEntry {
 
   // s36/s41 twin: one definition, two gate rows (the serving path
   // must answer bit-identically to the one-shot Lloyd-refined IVF)
+  // t127's one-shot PIT-join SQL — shared verbatim by the t221
+  // streaming enrichment twin
+  private lazy val t127Sql: String =
+    """WITH o AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+      |  row_number() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey)
+      |  - row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+      |    ORDER BY o_orderdate, o_orderkey) AS grp
+      |  FROM orders),
+      |r AS (SELECT o_custkey, o_orderstatus, grp,
+      |  min(o_orderdate) AS valid_from, min(o_orderkey) AS first_key
+      |  FROM o GROUP BY 1, 2, 3),
+      |iv AS (SELECT o_custkey, o_orderstatus, valid_from,
+      |  lead(valid_from, 1) OVER (PARTITION BY o_custkey
+      |    ORDER BY valid_from, first_key) AS valid_to
+      |  FROM r),
+      |p AS (SELECT event_id, user_id + 1 AS custkey,
+      |  DATE '1992-01-01' + CAST(event_id % 2500 AS INTEGER) AS pdate
+      |  FROM events)
+      |SELECT p.event_id, p.custkey, p.pdate, iv.o_orderstatus, iv.valid_from
+      |FROM p LEFT JOIN iv ON iv.o_custkey = p.custkey
+      |  AND iv.valid_from <= p.pdate
+      |  AND (iv.valid_to IS NULL OR p.pdate < iv.valid_to)
+      |ORDER BY p.event_id""".stripMargin
+
   // t204's one-shot islands SQL — shared verbatim by the t220
   // streaming seam-stitch twin
   private lazy val t204Sql: String =
@@ -1588,6 +1613,11 @@ object SparkEntry {
       Relational.ohlcBars(t.events, col("event_type"),
         expr("unix_micros(ts) DIV 3600000000"), expr("unix_micros(ts)"),
         col("event_id"), col("event_id")) }),
+    // STREAMING POINT-IN-TIME enrichment: probe shards across cold
+    // restarts, each micro-batch PIT-joined to the static SCD-2
+    // interval table; emissions union to the batch join
+    "t221_stream_pit" -> ((s, d) => { val t = Tables.load(s, d)
+      graft.streaming.StreamGates.pitGate(t.events, t.orders) }),
     // STREAMING ISLANDS maintenance: key-range shards across cold
     // restarts, each batch's islands seam-stitched onto the carried
     // frontier island by a one-row latest-wins delta; O(islands) state
@@ -4401,28 +4431,10 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // t127 twin: t125's interval CTEs probed with the identical
     // containment rule and the same deterministic probe dates
-    "t127_pit_join" ->
-      """WITH o AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
-        |  row_number() OVER (PARTITION BY o_custkey
-        |    ORDER BY o_orderdate, o_orderkey)
-        |  - row_number() OVER (PARTITION BY o_custkey, o_orderstatus
-        |    ORDER BY o_orderdate, o_orderkey) AS grp
-        |  FROM orders),
-        |r AS (SELECT o_custkey, o_orderstatus, grp,
-        |  min(o_orderdate) AS valid_from, min(o_orderkey) AS first_key
-        |  FROM o GROUP BY 1, 2, 3),
-        |iv AS (SELECT o_custkey, o_orderstatus, valid_from,
-        |  lead(valid_from, 1) OVER (PARTITION BY o_custkey
-        |    ORDER BY valid_from, first_key) AS valid_to
-        |  FROM r),
-        |p AS (SELECT event_id, user_id + 1 AS custkey,
-        |  DATE '1992-01-01' + CAST(event_id % 2500 AS INTEGER) AS pdate
-        |  FROM events)
-        |SELECT p.event_id, p.custkey, p.pdate, iv.o_orderstatus, iv.valid_from
-        |FROM p LEFT JOIN iv ON iv.o_custkey = p.custkey
-        |  AND iv.valid_from <= p.pdate
-        |  AND (iv.valid_to IS NULL OR p.pdate < iv.valid_to)
-        |ORDER BY p.event_id""".stripMargin,
+    "t127_pit_join" -> t127Sql,
+    // t221 twin: t127's one-shot SQL VERBATIM — per-micro-batch
+    // enrichment emissions must union to the batch join
+    "t221_stream_pit" -> t127Sql,
     // t125 twin: the identical gaps-and-islands run collapse and
     // lead() interval chaining -- dates and integers only
     "t125_scd2_intervals" ->

@@ -1032,6 +1032,50 @@ object StreamGates {
     out
   }
 
+  /** Streamed POINT-IN-TIME enrichment, gated: the t127 probe stream
+    * (event-derived lookup dates) arrives in three id-range shards
+    * across cold restarts; each micro-batch LEFT-joins the STATIC
+    * SCD-2 interval table (built once, checkpointed — the
+    * stream-static dimension-lookup shape) and appends its
+    * enrichments. Per-batch work is O(batch ⋈ intervals); the
+    * emission union must equal the one-shot batch PIT join — twin is
+    * t127's SQL verbatim.
+    */
+  def pitGate(events: DataFrame, orders: DataFrame,
+      nShards: Int = 3): DataFrame = {
+    import graft.ops.{EventOps, Relational}
+    val spark = events.sparkSession
+    val probes = events.select(col("event_id"),
+      (col("user_id") + 1).as("custkey"),
+      date_add(to_date(lit("1992-01-01")),
+        (col("event_id") % 2500).cast("int")).as("pdate"))
+    val mb = probes.agg(min("event_id").as("lo"), max("event_id").as("hi"))
+      .head()
+    val (lo, hi) = (mb.getLong(0), mb.getLong(1))
+    val span = hi - lo + 1
+    val shardFrames = (0 until nShards).map { i =>
+      val l = lo + i * span / nShards
+      val h = lo + (i + 1) * span / nShards
+      if (i == nShards - 1) probes.filter(col("event_id") >= l)
+      else probes.filter(col("event_id") >= l && col("event_id") < h)
+    }
+    val intervals = Relational.scd2Intervals(orders).localCheckpoint()
+    val out = Files.createTempDirectory("sgate_pit_out").toString + "/enriched"
+    drive(shardFrames) { (src, cp) =>
+      src.writeStream
+        .option("checkpointLocation", cp.get)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          EventOps.pitJoin(batch, "custkey", "pdate", intervals, "o_custkey",
+              payload = Seq("o_orderstatus", "valid_from"))
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    spark.read.parquet(out).orderBy("event_id")
+  }
+
   /** Streamed EMBEDDING→IVF index intake, gated: corpus vectors
     * arrive in three vec_id-range shards (each a cold restart). The
     * FIRST batch trains nothing — the deterministic seed-centroid
