@@ -1613,6 +1613,18 @@ object SparkEntry {
       Relational.ohlcBars(t.events, col("event_type"),
         expr("unix_micros(ts) DIV 3600000000"), expr("unix_micros(ts)"),
         col("event_id"), col("event_id")) }),
+    // DEGREE ASSORTATIVITY of the co-purchase graph: Pearson over the
+    // degrees at every directed-pair's two ends, integer moments, one
+    // quantized division
+    "t222_assortativity" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      val li = t.lineitem.filter(col("l_quantity") <= 5)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      GraphOps.degreeAssortativity(pairs) }),
     // STREAMING POINT-IN-TIME enrichment: probe shards across cold
     // restarts, each micro-batch PIT-joined to the static SCD-2
     // interval table; emissions union to the batch join
@@ -4029,6 +4041,25 @@ object SparkEntry {
     "t217_stream_twap" -> t209Sql,
     // t218 twin: the identical Luby rounds unrolled
     "t218_mis" -> misUnrolledSql(seed = "mis14", rounds = 12),
+    // t222 twin: identical degree-pair HUGEINT moments, one division
+    "t222_assortativity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity <= 5),
+        |p AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |sym AS (SELECT a AS u, b AS v FROM p UNION ALL SELECT b, a FROM p),
+        |deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY 1),
+        |x AS (SELECT CAST(d1.deg AS HUGEINT) AS x, CAST(d2.deg AS HUGEINT) AS y
+        |  FROM sym JOIN deg d1 ON d1.u = sym.u JOIN deg d2 ON d2.u = sym.v),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy,
+        |    sum(x * y) AS sxy FROM x)
+        |SELECT CAST(n AS BIGINT) AS n_pairs,
+        |  floor(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |         CAST(n * syy - sy * sy AS DOUBLE)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS assortativity
+        |FROM m""".stripMargin,
     // t219 twin: t144's assignment chain + the same integer pair sums
     "t219_linkage_eval" ->
       s"""WITH RECURSIVE $fuzzyCte,

@@ -696,6 +696,41 @@ object GraphOps {
     mis.unionByName(remaining).orderBy("id")
   }
 
+  /** DEGREE ASSORTATIVITY — the Pearson correlation between the
+    * degrees at the two ends of every edge (Newman 2002, public):
+    * positive = hubs attach to hubs (social shape), negative = hubs
+    * attach to leaves (star/infrastructure shape). Computed over the
+    * SYMMETRIC directed-pair view (each undirected edge contributes
+    * both orientations — the standard convention, and it makes the
+    * two marginals identical), with the [[graft.ops.Relational]]
+    * integer-moment discipline: one degree aggregate, two broadcast-
+    * able joins back to the edge list, six DECIMAL(38,0) sums, ONE
+    * final quantized IEEE division. Output: (n_pairs, assortativity).
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val canon = canonicalEdges(edges).localCheckpoint()
+    val sym = canon.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(canon.select(col("b").as("u"), col("a").as("v")))
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+    sym
+      .join(deg.select(col("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(col("du").cast(dec).as("x"), col("dv").cast(dec).as("y"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n").cast("long").as("n_pairs"),
+        graft.ops.Exact.quant6(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+          .as("assortativity"))
+  }
+
   /** ANCESTOR CLOSURE of a forest by REPEATED SQUARING: all proper
     * (descendant, ancestor) pairs in ⌈log₂ depth⌉ self-join rounds —
     * P ← P ∪ (P ∘ P) doubles the reachable ancestor distance per
