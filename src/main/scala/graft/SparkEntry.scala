@@ -1613,6 +1613,32 @@ object SparkEntry {
       Relational.ohlcBars(t.events, col("event_type"),
         expr("unix_micros(ts) DIV 3600000000"), expr("unix_micros(ts)"),
         col("event_id"), col("event_id")) }),
+    // WEIGHTED PageRank: co-purchase edges weighted by shared-order
+    // count, 85% mass spread weight-proportionally, integer-floored
+    // contributions — heavier ties pull more rank
+    "t225_weighted_pagerank" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val li = t.lineitem.filter(col("l_quantity") <= 5)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val weighted = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      GraphOps.pageRankWeightedInt(weighted, iters = 3) }),
+    // POSITIONAL PHRASE SEARCH: 'table table' as a posting-list join
+    // chain on (doc_id, pos - k) — adjacency, not bag-of-words
+    "t223_phrase_search" -> ((s, d) => { val t = Tables.load(s, d)
+      TextOps.phraseSearch(t.documents, Seq("table", "table")) }),
+    // DETERMINISTIC STRING_AGG: per-priority sorted distinct status
+    // roster — collect_set + array_sort + concat_ws, never the
+    // partition-order trap of bare collect_list
+    "t224_string_agg" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{array_sort, col, collect_set, concat_ws, count, lit}
+      t.orders.groupBy(col("o_orderpriority").as("pri"))
+        .agg(concat_ws(",", array_sort(collect_set(col("o_orderstatus"))))
+          .as("statuses"), count(lit(1)).as("n"))
+        .orderBy("pri") }),
     // DEGREE ASSORTATIVITY of the co-purchase graph: Pearson over the
     // degrees at every directed-pair's two ends, integer moments, one
     // quantized division
@@ -4041,6 +4067,48 @@ object SparkEntry {
     "t217_stream_twap" -> t209Sql,
     // t218 twin: the identical Luby rounds unrolled
     "t218_mis" -> misUnrolledSql(seed = "mis14", rounds = 12),
+    // t225 twin: the identical weighted power iteration unrolled
+    "t225_weighted_pagerank" -> {
+      val iter = (i: Int) =>
+        s"""c$i AS (SELECT e.dst AS id,
+           |  sum((85 * s.s * e.w) // (100 * wo.wsum)) AS sc
+           |  FROM e JOIN s${i - 1} s ON s.id = e.src
+           |  JOIN wo ON wo.src = e.src
+           |  GROUP BY 1),
+           |s$i AS (SELECT n.id,
+           |  CAST(150000 + coalesce(c$i.sc, 0) AS BIGINT) AS s
+           |  FROM n LEFT JOIN c$i ON c$i.id = n.id)""".stripMargin
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem WHERE l_quantity <= 5),
+         |e AS (SELECT a.pk AS src, b.pk AS dst, count(*) AS w
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+         |  GROUP BY 1, 2),
+         |wo AS (SELECT src, sum(w) AS wsum FROM e GROUP BY 1),
+         |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |s0 AS (SELECT id, CAST(1000000 AS BIGINT) AS s FROM n),
+         |${(1 to 3).map(iter).mkString(",\n")}
+         |SELECT id, s FROM s3 ORDER BY id""".stripMargin
+    },
+    // t223 twin: the same adjacency predicate evaluated list-wise
+    "t223_phrase_search" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents),
+         |h AS (SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(1, len(tk)),
+         |    i -> CASE WHEN tk[i] = 'table' AND tk[i + 1] = 'table'
+         |      THEN 1 ELSE 0 END)) AS BIGINT) AS n_hits,
+         |  CAST(list_aggregate(list_filter(range(1, len(tk)),
+         |    i -> tk[i] = 'table' AND tk[i + 1] = 'table'), 'min')
+         |    AS BIGINT) AS first_pos
+         |  FROM d)
+         |SELECT doc_id, n_hits, first_pos FROM h
+         |WHERE n_hits > 0 ORDER BY doc_id""".stripMargin,
+    // t224 twin: sorted-distinct list rendered to the same csv
+    "t224_string_agg" ->
+      """SELECT o_orderpriority AS pri,
+        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+        |    AS statuses,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // t222 twin: identical degree-pair HUGEINT moments, one division
     "t222_assortativity" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

@@ -696,6 +696,36 @@ object GraphOps {
     mis.unionByName(remaining).orderBy("id")
   }
 
+  /** WEIGHTED integer PageRank — [[pageRankInt]] with per-edge
+    * weights: each source spreads 85% of its score proportionally to
+    * edge weight, every contribution FLOORED to an integer before the
+    * order-free sum: s' = 150000 + Σ_in (85·s_src·w) div (100·W_src),
+    * W_src = Σ out-weights. Parallel edges merge their weights first
+    * (one aggregate), so multi-edges behave as one heavier edge.
+    * Same Pregel cost shape as the unweighted form: one edge⋈score
+    * equi-join + partial-aggregating sum per iteration, weights and
+    * weight-sums riding the edge side. Output: (id, s) micro-units.
+    */
+  def pageRankWeightedInt(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, "at least one power iteration")
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .groupBy("src", "dst").agg(sum("w").as("w")).localCheckpoint()
+    val wout = e.groupBy("src").agg(sum("w").as("wsum")).localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    var s = nodes.withColumn("s", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(s, e("src") === s("id")).join(wout, Seq("src"))
+        .groupBy(col("dst").as("nid"))
+        .agg(sum(expr("(85 * s * w) DIV (100 * wsum)")).as("sc"))
+      s = nodes.join(contrib, nodes("id") === contrib("nid"), "left")
+        .select(col("id"),
+          (lit(150000L) + coalesce(col("sc"), lit(0L))).as("s"))
+        .localCheckpoint()
+    }
+    s.orderBy("id")
+  }
+
   /** DEGREE ASSORTATIVITY — the Pearson correlation between the
     * degrees at the two ends of every edge (Newman 2002, public):
     * positive = hubs attach to hubs (social shape), negative = hubs

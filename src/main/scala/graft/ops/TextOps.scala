@@ -102,6 +102,33 @@ object TextOps {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
+  /** POSITIONAL PHRASE SEARCH — exact adjacent-term matching over a
+    * positional inverted index, the IR operator BM25 can't express
+    * ("term A immediately followed by term B"): posexplode builds
+    * (doc_id, pos, tok) postings, the phrase becomes a CHAIN of
+    * equi-joins on (doc_id, pos − k) — each join consumes only the
+    * k-th term's posting list (term-selective, shuffle-partitioned
+    * by doc), never a scan of the text. Positions are reported
+    * 1-based. Output: (doc_id, n_hits, first_pos) for matching docs.
+    */
+  def phraseSearch(documents: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val pos = documents.select(col("doc_id"),
+      posexplode(tokens(col("text")))).toDF("doc_id", "pos", "tok")
+    val first = pos.filter(col("tok") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val hits = phrase.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (term, k)) =>
+        acc.join(pos.filter(col("tok") === term)
+          .select(col("doc_id"), (col("pos") - k).as("pos")),
+          Seq("doc_id", "pos"))
+    }
+    hits.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        (min("pos") + 1).cast("long").as("first_pos"))
+      .orderBy("doc_id")
+  }
+
   /** Raw word n-gram sequence — in document order, WITH multiplicity
     * — the shared core of the shingle family ([[shinglesFromTokens]]
     * distincts it, [[repetitionScores]] sorts it, [[winnowSets]]
