@@ -1613,6 +1613,37 @@ object SparkEntry {
       Relational.ohlcBars(t.events, col("event_type"),
         expr("unix_micros(ts) DIV 3600000000"), expr("unix_micros(ts)"),
         col("event_id"), col("event_id")) }),
+    // DETERMINISTIC EXACT-k RESERVOIR: exactly 7 customers per market
+    // segment by md5 hash rank — fixed-size replayable sampling (the
+    // rate-based t52 gives binomial counts; this gives exactly k)
+    "t226_reservoir_k" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      Relational.reservoirK(
+          t.customer.select("c_custkey", "c_mktsegment", "c_nationkey"),
+          col("c_mktsegment"), col("c_custkey"), k = 7, seed = "res14")
+        .select("c_mktsegment", "sample_rank", "c_custkey", "c_nationkey")
+        .orderBy("c_mktsegment", "sample_rank") }),
+    // SNAPSHOT CLONE: version 1 of a delta-maintained table cloned to
+    // an independent table AFTER a v2 upsert landed — the clone must
+    // show the pre-upsert state (pinning, not latest)
+    "t227_snapshot_clone" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, floor}
+      val root = java.nio.file.Files.createTempDirectory("g_clone").toString
+      val lw = new graft.sinks.LakeWriter(root)
+      val (tbl, cln) = ("g_clone_src", "g_clone_v1")
+      s.sql(s"DROP TABLE IF EXISTS $tbl"); s.sql(s"DROP TABLE IF EXISTS $cln")
+      val base = t.customer.select(col("c_custkey").as("k"),
+        floor(col("c_acctbal") * 100.0 + 0.5).cast("long").as("cents"))
+      lw.commitBucketed(base, tbl, 8, Seq("k"), replace = true)
+      lw.commitBucketed(base.filter(col("k") % 3 === 0)
+          .select(col("k"), (col("cents") + 111L).as("cents")),
+        tbl, 8, Seq("k"))
+      lw.cloneSnapshot(s, tbl, cln, version = 1, mergeKeys = Seq("k"))
+      val out = graft.sinks.LakeWriter
+        .readBucketedTableMerged(s, cln, Seq("k"))
+        .orderBy("k").localCheckpoint()
+      s.sql(s"DROP TABLE IF EXISTS $tbl"); s.sql(s"DROP TABLE IF EXISTS $cln")
+      out }),
     // WEIGHTED PageRank: co-purchase edges weighted by shared-order
     // count, 85% mass spread weight-proportionally, integer-floored
     // contributions — heavier ties pull more rank
@@ -4067,6 +4098,21 @@ object SparkEntry {
     "t217_stream_twap" -> t209Sql,
     // t218 twin: the identical Luby rounds unrolled
     "t218_mis" -> misUnrolledSql(seed = "mis14", rounds = 12),
+    // t226 twin: the identical md5 rank under the same tie-break
+    "t226_reservoir_k" ->
+      """SELECT c_mktsegment, CAST(rn AS BIGINT) AS sample_rank,
+        |  c_custkey, c_nationkey
+        |FROM (SELECT c_mktsegment, c_custkey, c_nationkey,
+        |  row_number() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY md5(concat_ws(':', 'res14', CAST(c_custkey AS VARCHAR))),
+        |      c_custkey) AS rn
+        |  FROM customer)
+        |WHERE rn <= 7 ORDER BY c_mktsegment, rn""".stripMargin,
+    // t227 twin: the clone must equal the PRE-upsert base exactly
+    "t227_snapshot_clone" ->
+      """SELECT c_custkey AS k,
+        |  CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+        |FROM customer ORDER BY k""".stripMargin,
     // t225 twin: the identical weighted power iteration unrolled
     "t225_weighted_pagerank" -> {
       val iter = (i: Int) =>

@@ -1928,6 +1928,28 @@ object Relational {
       .orderBy("grp", "id")
   }
 
+  /** DETERMINISTIC EXACT-k RESERVOIR per group — keep exactly
+    * min(k, |group|) rows per group, chosen as the k smallest
+    * md5(seed:id) values: the hash IS the reservoir (uniform over any
+    * arrival order, replayable across engines/retries/partitionings —
+    * the hash-Bernoulli discipline for FIXED-SIZE samples, where
+    * [[stratifiedSample]]'s rate form gives binomial counts). The
+    * rank window partitions per group ordered by (hash, id) — group-
+    * bounded, and at 100 TB a group is sampled, not sorted: the
+    * window input can be pre-filtered by any hash prefix bound ≥
+    * k/|group| before ranking. Output: input columns + sample_rank.
+    */
+  def reservoirK(df: DataFrame, grp: Column, id: Column, k: Int,
+      seed: String): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val h = md5(concat_ws(":", lit(seed), id.cast("string")))
+    val w = Window.partitionBy("_g").orderBy(col("_h"), col("_id"))
+    df.withColumn("_g", grp).withColumn("_id", id).withColumn("_h", h)
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .drop("_g", "_id", "_h")
+  }
+
   /** PAIRWISE CLUSTERING-QUALITY METRICS — precision / recall / F1 of
     * a predicted clustering against ground truth, counted over PAIRS
     * (the record-linkage evaluation standard: a pair is a true

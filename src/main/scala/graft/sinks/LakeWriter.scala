@@ -492,6 +492,31 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
     }
   }
 
+  /** SNAPSHOT CLONE — materialize one committed version of a
+    * manifested bucketed table as a NEW manifested table (the
+    * dev/test "zero-risk copy of prod as of Tuesday" workflow):
+    * reads the pinned snapshot (merge-on-read when `mergeKeys` is
+    * given) and replace-commits it under the clone's own manifest
+    * line — the clone is a full physical copy with an independent
+    * lifecycle, so vacuuming the source can never hollow it out
+    * (contrast zero-copy clones, which pin source files). Returns the
+    * clone's manifest version (always 1).
+    */
+  def cloneSnapshot(
+      spark: SparkSession, table: String, cloneName: String,
+      version: Int = 0, mergeKeys: Seq[String] = Nil): Int = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$table is not bucketed — cloneSnapshot targets bucketed tables"))
+    val snap =
+      if (mergeKeys.nonEmpty)
+        LakeWriter.readBucketedTableMerged(spark, table, mergeKeys, version)
+      else LakeWriter.readBucketedTable(spark, table, version)
+    commitBucketed(snap, cloneName, spec.numBuckets,
+      spec.bucketColumnNames, replace = true)
+  }
+
   /** Maintenance observability for a manifested bucketed table — the
     * numbers an operator alarms compaction/vacuum on: how many
     * commits the live snapshot unions (every one adds a file per

@@ -255,6 +255,51 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(r.getLong(5) == 333333L, "f1 = 2/6")
   }
 
+  test("reservoirK: exactly min(k, |group|) rows, contiguous ranks, " +
+      "deterministic under repartitioning, disjoint seeds differ") {
+    val df = (1 to 40).map(i => (i.toLong, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "g")
+    val got = Relational.reservoirK(df, col("g"), col("id"), 5, "s1")
+    val byG = got.collect().groupBy(_.getString(1))
+    assert(byG("even").length == 5 && byG("odd").length == 5)
+    assert(byG("even").map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // tiny group: keeps all rows
+    val tiny = Relational.reservoirK(df.filter(col("id") <= 3), col("g"),
+      col("id"), 5, "s1")
+    assert(tiny.count() == 3)
+    // replay-deterministic
+    val again = Relational.reservoirK(df.repartition(7), col("g"),
+      col("id"), 5, "s1").select("id").as[Long].collect().sorted.toSeq
+    assert(again == got.select("id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("cloneSnapshot: a v1 clone is a physical copy pinned to the " +
+      "pre-upsert state and survives vacuuming the source") {
+    import graft.sinks.LakeWriter
+    val root = java.nio.file.Files.createTempDirectory("clone_spec").toString
+    val lw = new LakeWriter(root)
+    spark.sql("DROP TABLE IF EXISTS clone_spec_src")
+    spark.sql("DROP TABLE IF EXISTS clone_spec_v1")
+    lw.commitBucketed(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      "clone_spec_src", 4, Seq("k"), replace = true)
+    lw.commitBucketed(Seq((1L, "a2")).toDF("k", "v"),
+      "clone_spec_src", 4, Seq("k"))
+    assert(lw.cloneSnapshot(spark, "clone_spec_src", "clone_spec_v1",
+      version = 1, mergeKeys = Seq("k")) == 1)
+    def cloneRows() = LakeWriter
+      .readBucketedTableMerged(spark, "clone_spec_v1", Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(cloneRows() == Set((1L, "a"), (2L, "b")),
+      "clone must show the PRE-upsert state")
+    // compact + vacuum the source down to one version — the clone is
+    // physically independent and must be unaffected
+    lw.compactBucketedManifested(spark, "clone_spec_src", Seq("k"))
+    lw.vacuumBucketed(spark, "clone_spec_src")
+    assert(cloneRows() == Set((1L, "a"), (2L, "b")))
+    spark.sql("DROP TABLE IF EXISTS clone_spec_src")
+    spark.sql("DROP TABLE IF EXISTS clone_spec_v1")
+  }
+
   test("deleteKeysBucketed merged path: erasure through the merged view " +
       "preserves latest-wins for surviving keys") {
     import graft.sinks.LakeWriter
