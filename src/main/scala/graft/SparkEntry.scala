@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.analytics.TpchSuite
 import graft.core.Tables
 import graft.ops._
 
@@ -36,6 +37,15 @@ object SparkEntry {
     s"floor(CAST(sum($x) AS DOUBLE)/count(*)*10000.0+0.5)/10000.0"
   private def q4(x: String): String = s"floor(($x)*10000.0+0.5)/10000.0"
   private val rev = "l_extendedprice*(1.0-l_discount)"
+  // derived PARTSUPP for the TPC-H twins — the identical integer
+  // derivation as TpchSuite.partsupp (no partsupp table in the
+  // synthetic schema; DIV/`//` exact in both engines)
+  private val psCte =
+    """ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |  CAST(sum(l_quantity) AS BIGINT) * 7 AS ps_availqty,
+      |  min(CAST(floor(l_extendedprice*100.0+0.5) AS BIGINT) //
+      |      CAST(l_quantity AS BIGINT)) AS ps_supplycost_cents
+      |  FROM lineitem GROUP BY 1, 2)""".stripMargin
   private val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
   // sequential-fold dot/norm over DOUBLE[] lists — bit-identical to
   // Spark's aggregate() fold (see Similarity scaladoc)
@@ -1442,12 +1452,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("x"))
       Relational.autocorrInt(daily, col("pri"), col("dt"), col("x"), lag = 7) }),
     // GINI concentration of order revenue per priority: exact integer
-    // numerator/denominator via the rank identity (tie-permutation
-    // invariant), quantized ratio for humans
+    // rank-identity fold; the GATE hashes only small bounded integers
+    // (grp, n, gini_micro) — the DECIMAL(38,0) numer/denom audit
+    // columns stay in the library output but out of the hash, and no
+    // float is emitted at all (driver-hash portability, round 15)
     "t194_gini" -> ((s, d) => { val t = Tables.load(s, d)
       import org.apache.spark.sql.functions.{col, floor}
       Relational.giniInt(t.orders, col("o_orderpriority"),
-        floor(col("o_totalprice") * 100.0 + 0.5)) }),
+        floor(col("o_totalprice") * 100.0 + 0.5))
+        .select("grp", "n", "gini_micro") }),
     // L-DIVERSITY release: k=10 anonymity PLUS >= 3 distinct market
     // segments per quasi-identifier group — the homogeneity-attack
     // hardening over t163's k-anonymity
@@ -2821,7 +2834,33 @@ object SparkEntry {
     // ANN bucket index (annIndexFrame + annLshServe inside annLsh) —
     // 4× index memory with the serving plan unchanged
     "s45_quantized_ann" -> ((s, d) => { val t = Tables.load(s, d)
-      Similarity.annLsh(Similarity.dequantizedEmbeddings(t.embeddings)) })
+      Similarity.annLsh(Similarity.dequantizedEmbeddings(t.embeddings)) }),
+    // ---- the full TPC-H suite (Q1-Q22), adapted to the synthetic
+    // schema (analytics/TpchSuite.scala documents every adaptation).
+    // Each keeps the canonical plan shape: decorrelated scalars,
+    // broadcast dims, semi/anti EXISTS, exact-integer ratios.
+    "q64_tpch01" -> ((s, d) => TpchSuite.q01(Tables.load(s, d))),
+    "q65_tpch02" -> ((s, d) => TpchSuite.q02(Tables.load(s, d))),
+    "q66_tpch03" -> ((s, d) => TpchSuite.q03(Tables.load(s, d))),
+    "q67_tpch04" -> ((s, d) => TpchSuite.q04(Tables.load(s, d))),
+    "q68_tpch05" -> ((s, d) => TpchSuite.q05(Tables.load(s, d))),
+    "q69_tpch06" -> ((s, d) => TpchSuite.q06(Tables.load(s, d))),
+    "q70_tpch07" -> ((s, d) => TpchSuite.q07(Tables.load(s, d))),
+    "q71_tpch08" -> ((s, d) => TpchSuite.q08(Tables.load(s, d))),
+    "q72_tpch09" -> ((s, d) => TpchSuite.q09(Tables.load(s, d))),
+    "q73_tpch10" -> ((s, d) => TpchSuite.q10(Tables.load(s, d))),
+    "q74_tpch11" -> ((s, d) => TpchSuite.q11(Tables.load(s, d))),
+    "q75_tpch12" -> ((s, d) => TpchSuite.q12(Tables.load(s, d))),
+    "q76_tpch13" -> ((s, d) => TpchSuite.q13(Tables.load(s, d))),
+    "q77_tpch14" -> ((s, d) => TpchSuite.q14(Tables.load(s, d))),
+    "q78_tpch15" -> ((s, d) => TpchSuite.q15(Tables.load(s, d))),
+    "q79_tpch16" -> ((s, d) => TpchSuite.q16(Tables.load(s, d))),
+    "q80_tpch17" -> ((s, d) => TpchSuite.q17(Tables.load(s, d))),
+    "q81_tpch18" -> ((s, d) => TpchSuite.q18(Tables.load(s, d))),
+    "q82_tpch19" -> ((s, d) => TpchSuite.q19(Tables.load(s, d))),
+    "q83_tpch20" -> ((s, d) => TpchSuite.q20(Tables.load(s, d))),
+    "q84_tpch21" -> ((s, d) => TpchSuite.q21(Tables.load(s, d))),
+    "q85_tpch22" -> ((s, d) => TpchSuite.q22(Tables.load(s, d)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3679,11 +3718,14 @@ object SparkEntry {
         |FROM b JOIN med USING (grp) JOIN mad USING (grp)
         |GROUP BY b.grp ORDER BY b.grp""".stripMargin,
     // t186 twin: survivors = the natural corpus, every planted
-    // re-delivery dropped (ts_sum catches a wrong-copy survival)
+    // re-delivery dropped. ts_chk sums BOUNDED residues (epoch_us mod
+    // 1000003) so every hashed value stays < 2^53 — exact in BIGINT,
+    // HUGEINT, and any float64 round-trip; a surviving +90 min copy
+    // still shifts the residue (983803 mod 1000003 ≠ 0)
     "t186_stream_dropdup" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(event_id) AS BIGINT) AS id_sum,
-        |  CAST(sum(epoch_us(ts)) AS DECIMAL(38,0)) AS ts_sum
+        |  CAST(sum(epoch_us(ts) % 1000003) AS BIGINT) AS ts_chk
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // t187 twin: the latest-change-wins semantics spelled as CASE
     // arms — %12 re-upserted after delete, %6-only deleted, %4-only
@@ -3820,7 +3862,9 @@ object SparkEntry {
         |    / 1000000.0 AS acf
         |FROM m ORDER BY grp""".stripMargin,
     // t194 twin: the identical histogram-run fold of the rank
-    // identity — 2·Σ i·x = Σ_runs v·c·(2r+c+1), exact integers
+    // identity — 2·Σ i·x = Σ_runs v·c·(2r+c+1). All-integer output:
+    // gini_micro = ⌊numer·10⁶/denom⌋ via HUGEINT // (exact, no float
+    // and no >2⁵³ value anywhere in the hashed row)
     "t194_gini" ->
       """WITH b AS (SELECT o_orderpriority AS grp,
         |    CAST(floor(o_totalprice * 100.0 + 0.5) AS HUGEINT) AS v FROM orders),
@@ -3831,10 +3875,9 @@ object SparkEntry {
         |m AS (SELECT grp, sum(c) AS n, sum(v * c) AS sx,
         |    sum(v * c * (2 * r + c + 1)) AS six2 FROM r GROUP BY 1)
         |SELECT grp, CAST(n AS BIGINT) AS n,
-        |  CAST(six2 - (n + 1) * sx AS DECIMAL(38,0)) AS numer,
-        |  CAST(n * sx AS DECIMAL(38,0)) AS denom,
-        |  floor(CAST(six2 - (n + 1) * sx AS DOUBLE) / CAST(n * sx AS DOUBLE)
-        |    * 1000000.0 + 0.5) / 1000000.0 AS gini
+        |  CAST(CASE WHEN n * sx > 0
+        |    THEN (six2 - (n + 1) * sx) * 1000000 // (n * sx) END
+        |    AS BIGINT) AS gini_micro
         |FROM m ORDER BY grp""".stripMargin,
     // t195 twin: t163's pseudonym map + suppression rule hardened
     // with the distinct-sensitive-values floor (null-safe group join)
@@ -4199,10 +4242,15 @@ object SparkEntry {
          |SELECT CAST(tp AS BIGINT) AS tp,
          |  CAST(pred_pairs AS BIGINT) AS pred_pairs,
          |  CAST(true_pairs AS BIGINT) AS true_pairs,
-         |  CAST((tp * 1000000) // pred_pairs AS BIGINT) AS precision_micro,
-         |  CAST((tp * 1000000) // true_pairs AS BIGINT) AS recall_micro,
-         |  CAST((2 * tp * 1000000) // (pred_pairs + true_pairs) AS BIGINT)
-         |    AS f1_micro
+         |  CAST(CASE WHEN pred_pairs > 0
+         |    THEN (tp * 1000000) // pred_pairs END AS BIGINT)
+         |    AS precision_micro,
+         |  CAST(CASE WHEN true_pairs > 0
+         |    THEN (tp * 1000000) // true_pairs END AS BIGINT)
+         |    AS recall_micro,
+         |  CAST(CASE WHEN pred_pairs + true_pairs > 0
+         |    THEN (2 * tp * 1000000) // (pred_pairs + true_pairs) END
+         |    AS BIGINT) AS f1_micro
          |FROM b CROSS JOIN pp CROSS JOIN tt""".stripMargin,
     // t210 twin: open/close as rank-1 rows under the same (t, id)
     // tie-break, high/low/n from the plain aggregate
@@ -6540,6 +6588,280 @@ object SparkEntry {
          |ORDER BY asg.vec_id""".stripMargin,
     // s45: the quantized-index ANN composition — s33's pipeline over
     // the s43 dequantization chain
-    "s45_quantized_ann" -> s45Sql
+    "s45_quantized_ann" -> s45Sql,
+    // ---- TPC-H suite twins (adaptations documented in TpchSuite) --
+    "q64_tpch01" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+         | ${mny("l_extendedprice")} AS sum_base_price,
+         | ${mny(rev)} AS sum_disc_price,
+         | ${mny(rev + "*(1.0+l_tax)")} AS sum_charge,
+         | ${meanL("CAST(l_quantity AS BIGINT)")} AS avg_qty,
+         | ${mean("l_extendedprice")} AS avg_price,
+         | ${mean("l_discount")} AS avg_disc,
+         | count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q65_tpch02" ->
+      s"""WITH $psCte,
+         |eur AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+         |pse AS (SELECT ps.*, eur.s_name, eur.s_acctbal, eur.n_name
+         |  FROM ps JOIN eur ON ps_suppkey = eur.s_suppkey),
+         |mc AS (SELECT ps_partkey AS mc_partkey,
+         |  min(ps_supplycost_cents) AS mc_cost FROM pse GROUP BY 1)
+         |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+         |  ps_supplycost_cents
+         |FROM part JOIN pse ON p_partkey = ps_partkey
+         |JOIN mc ON ps_partkey = mc_partkey
+         |  AND ps_supplycost_cents = mc_cost
+         |WHERE p_size = 15 AND p_type = 'STANDARD'
+         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+         |LIMIT 100""".stripMargin,
+    "q66_tpch03" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |  ${mny(rev)} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-03-15'
+         |  AND l_shipdate > TIMESTAMP '1998-03-15'
+         |GROUP BY 1,2,3
+         |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+    "q67_tpch04" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q68_tpch05" ->
+      s"""SELECT n_name, ${mny(rev)} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |  AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q69_tpch06" ->
+      s"""SELECT ${mny("l_extendedprice*l_discount")} AS revenue,
+         |  count(*) AS n_lines
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07
+         |  AND l_quantity < 24""".stripMargin,
+    "q70_tpch07" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year, ${mny(rev)} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+    "q71_tpch08" ->
+      """WITH r AS (
+        | SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |   CAST(floor((l_extendedprice*(1.0-l_discount))*10000.0+0.5)
+        |     AS BIGINT) AS v,
+        |   n2.n_name AS supp_nation
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        | JOIN region ON n1.n_regionkey = r_regionkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        | WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        |   AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |   AND o_orderdate < TIMESTAMP '1998-01-01'),
+        |m AS (SELECT o_year,
+        |   CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN v ELSE 0 END)
+        |     AS HUGEINT) AS num,
+        |   CAST(sum(v) AS HUGEINT) AS den FROM r GROUP BY 1)
+        |SELECT o_year,
+        |  CAST(CASE WHEN den > 0 THEN (num * 1000000) // den END AS BIGINT)
+        |    AS mkt_share_micro
+        |FROM m ORDER BY o_year""".stripMargin,
+    "q72_tpch09" ->
+      s"""WITH $psCte
+         |SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         | CAST(sum(CAST(floor((l_extendedprice*(1.0-l_discount))*10000.0+0.5)
+         |     AS BIGINT)
+         |   - ps_supplycost_cents * 100 * CAST(l_quantity AS BIGINT))
+         |   AS BIGINT) AS profit_tmil
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_brand IN ('Brand#1','Brand#2','Brand#3')
+         |GROUP BY 1,2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q73_tpch10" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name, ${mny(rev)} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1997-10-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1,2,3,4 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q74_tpch11" ->
+      s"""WITH $psCte,
+         |v AS (SELECT ps_partkey,
+         |   CAST(sum(ps_supplycost_cents * ps_availqty) AS BIGINT)
+         |     AS value_cents
+         | FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+         | JOIN nation ON s_nationkey = n_nationkey
+         | WHERE n_name = 'NATION_5' GROUP BY 1),
+         |g AS (SELECT CAST(sum(value_cents) AS BIGINT) AS global_cents FROM v)
+         |SELECT ps_partkey, value_cents FROM v CROSS JOIN g
+         |WHERE value_cents * 10000 > global_cents
+         |ORDER BY value_cents DESC, ps_partkey""".stripMargin,
+    "q75_tpch12" ->
+      """SELECT l_returnflag AS ship_mode,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |   THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |WHERE l_returnflag IN ('A','N')
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q76_tpch13" ->
+      """WITH co AS (SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |SELECT CAST(c_count AS BIGINT) AS c_count, count(*) AS custdist
+        |FROM co GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q77_tpch14" ->
+      """WITH r AS (SELECT
+        |  CAST(floor((l_extendedprice*(1.0-l_discount))*10000.0+0.5)
+        |    AS BIGINT) AS v, p_type
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |   AND l_shipdate < TIMESTAMP '1997-10-01'),
+        |m AS (SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN v ELSE 0 END)
+        |    AS HUGEINT) AS num,
+        |  CAST(sum(v) AS HUGEINT) AS den, count(*) AS n_lines FROM r)
+        |SELECT CAST(CASE WHEN den > 0 THEN (num * 1000000) // den END
+        |  AS BIGINT) AS promo_share_micro, n_lines FROM m""".stripMargin,
+    "q78_tpch15" ->
+      """WITH rev AS (SELECT l_suppkey AS supplier_no,
+        |  CAST(sum(CAST(floor((l_extendedprice*(1.0-l_discount))*10000.0+0.5)
+        |    AS BIGINT)) AS BIGINT) AS total_rev_tmil
+        | FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |   AND l_shipdate < TIMESTAMP '1997-04-01'
+        | GROUP BY 1),
+        |m AS (SELECT max(total_rev_tmil) AS max_rev FROM rev)
+        |SELECT s_suppkey, s_name, total_rev_tmil
+        |FROM rev CROSS JOIN m JOIN supplier ON supplier_no = s_suppkey
+        |WHERE total_rev_tmil = max_rev ORDER BY s_suppkey""".stripMargin,
+    "q79_tpch16" ->
+      s"""WITH $psCte
+         |SELECT p_brand, p_type, p_size,
+         |  count(DISTINCT ps_suppkey) AS supplier_cnt
+         |FROM ps JOIN part ON ps_partkey = p_partkey
+         |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+         |  AND p_size IN (1,4,9,16,25,36,49)
+         |  AND ps_suppkey NOT IN
+         |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         |GROUP BY 1,2,3
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q80_tpch17" ->
+      """WITH b AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+        |   CAST(floor(l_extendedprice*10000.0+0.5) AS BIGINT) AS pt
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE p_brand = 'Brand#7'),
+        |a AS (SELECT l_partkey AS ap_key, CAST(sum(q) AS BIGINT) AS sum_q,
+        |   count(*) AS n_q FROM b GROUP BY 1)
+        |SELECT CAST(CAST(sum(pt) AS HUGEINT) // 7 AS BIGINT) AS weekly_tmil,
+        |  count(*) AS n_lines
+        |FROM b JOIN a ON l_partkey = ap_key
+        |WHERE q * 5 * n_q < sum_q""".stripMargin,
+    "q81_tpch18" ->
+      """WITH big AS (SELECT l_orderkey AS big_okey,
+        |  CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        | FROM lineitem GROUP BY 1
+        | HAVING CAST(sum(l_quantity) AS BIGINT) > 320)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  total_qty
+        |FROM orders JOIN big ON o_orderkey = big_okey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q82_tpch19" ->
+      s"""SELECT ${mny(rev)} AS revenue, count(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+         |    AND l_quantity BETWEEN 1 AND 11)
+         |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+         |    AND l_quantity BETWEEN 10 AND 20)
+         |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+         |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q83_tpch20" ->
+      s"""WITH $psCte,
+         |sh AS (SELECT l_partkey AS sh_pkey, l_suppkey AS sh_skey,
+         |  CAST(sum(l_quantity) AS BIGINT) AS sh_qty
+         | FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |   AND l_shipdate < TIMESTAMP '1998-01-01'
+         | GROUP BY 1,2),
+         |ex AS (SELECT DISTINCT ps_suppkey FROM ps
+         | JOIN sh ON ps_partkey = sh_pkey AND ps_suppkey = sh_skey
+         | WHERE ps_partkey IN
+         |     (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4')
+         |   AND ps_availqty * 2 > sh_qty)
+         |SELECT s_suppkey, s_name FROM supplier
+         |WHERE s_nationkey IN
+         |    (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_4')
+         |  AND s_suppkey IN (SELECT ps_suppkey FROM ex)
+         |ORDER BY s_suppkey""".stripMargin,
+    "q84_tpch21" ->
+      """WITH ofo AS (SELECT o_orderkey, o_orderdate FROM orders
+        |  WHERE o_orderstatus = 'F'),
+        |ln AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+        |  FROM lineitem JOIN ofo ON l_orderkey = o_orderkey),
+        |late AS (SELECT l_orderkey AS okey, l_suppkey AS skey FROM ln
+        |  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY),
+        |l1 AS (SELECT late.okey, late.skey, s_name
+        |  FROM late JOIN supplier ON skey = s_suppkey
+        |  WHERE s_nationkey IN
+        |    (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_6'))
+        |SELECT s_name, count(*) AS numwait FROM l1
+        |WHERE EXISTS (SELECT 1 FROM ln
+        |    WHERE ln.l_orderkey = l1.okey AND ln.l_suppkey <> l1.skey)
+        |  AND NOT EXISTS (SELECT 1 FROM late la
+        |    WHERE la.okey = l1.okey AND la.skey <> l1.skey)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    "q85_tpch22" ->
+      """WITH cust AS (SELECT c_custkey, c_acctbal,
+        |   CAST(CAST(c_nationkey % 10 AS BIGINT) AS VARCHAR) AS cntrycode
+        | FROM customer WHERE c_nationkey % 10 IN (1,3,5,7,9)),
+        |a AS (SELECT CAST(sum(CAST(floor(c_acctbal*100.0+0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents, count(*) AS n_pos
+        |  FROM cust WHERE c_acctbal > 0.0)
+        |SELECT cntrycode, count(*) AS numcust,
+        |  floor(CAST(sum(CAST(floor(c_acctbal*100.0+0.5) AS BIGINT))
+        |    AS DOUBLE)/100.0*100.0+0.5)/100.0 AS totacctbal
+        |FROM cust CROSS JOIN a
+        |WHERE CAST(floor(c_acctbal*100.0+0.5) AS BIGINT) * n_pos > sum_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -770,12 +770,18 @@ object GraphOps {
     * org charts, BOM trees, category taxonomies), so the win is
     * ROUND COUNT, not volume: depth 20 needs 5 shuffles, not 20.
     * Input (child, parent) one parent per child; lineage cut per
-    * round.
+    * round. FAILS LOUDLY (like [[maximalIndependentSet]]'s round
+    * bound) if the forest is deeper than `maxDepth`: a truncated
+    * closure would silently under-roll every downstream subtree
+    * aggregate, so completeness is asserted with one anti-join — a
+    * maximal ancestor that still appears as a child means an
+    * un-traversed level remains.
     */
   def ancestorClosure(parents: DataFrame, maxDepth: Int): DataFrame = {
     require(maxDepth >= 1, "maxDepth must be positive")
-    var p = parents.select(col("child").cast("long").as("id"),
+    val edges = parents.select(col("child").cast("long").as("id"),
       col("parent").cast("long").as("anc")).distinct().localCheckpoint()
+    var p = edges
     var reach = 1
     while (reach < maxDepth) {
       val hop = p.select(col("id").as("_m"), col("anc").as("_a2"))
@@ -785,6 +791,17 @@ object GraphOps {
         .distinct().localCheckpoint()
       reach *= 2
     }
+    // completeness = fixed point: one more parent hop must add no new
+    // (id, anc) pair. Costs one join over the closure (Σ depth rows,
+    // not the fact table) and turns "deeper than maxDepth" from a
+    // silent wrong answer into a loud failure.
+    val oneMore = p
+      .join(edges.select(col("id").as("_m"), col("anc").as("_a2")),
+        col("anc") === col("_m"))
+      .select(col("id"), col("_a2").as("anc"))
+    require(oneMore.join(p, Seq("id", "anc"), "left_anti").limit(1).isEmpty,
+      s"ancestorClosure: forest deeper than maxDepth=$maxDepth — " +
+        "closure would be silently truncated; raise maxDepth")
     p
   }
 

@@ -1665,8 +1665,13 @@ object Relational {
     * so the fact table contributes one map-side-combined aggregate
     * and nothing else sorts at 100 TB. Emits the exact integer
     * numerator and denominator (DECIMAL(38,0) — audit-grade, no
-    * quantization) plus the quantized ratio for humans. Output:
-    * (grp, n, numer, denom, gini).
+    * quantization) plus `gini_micro` = ⌊numer·10⁶ / denom⌋ as BIGINT —
+    * an EXACT integral division (Spark `div` on decimals), never a
+    * float: every value in the row is engine-portable bit-for-bit.
+    * (numer·10⁶ must fit DECIMAL(38,0) — holds to ~10³¹ fact rows per
+    * group at cent-scale values; a zero denominator — all values 0 —
+    * yields NULL in both engines by the explicit guard.) Output:
+    * (grp, n, numer, denom, gini_micro).
     */
   def giniInt(df: DataFrame, grp: Column, vInt: Column): DataFrame = {
     val dec = DecimalType(38, 0)
@@ -1684,9 +1689,10 @@ object Relational {
           (lit(2).cast(dec) * col("r") + col("c") + 1)).as("six2"))
       .select(col("grp"), col("n").cast("long").as("n"),
         (col("six2") - (col("n") + 1) * col("sx")).as("numer"),
-        (col("n") * col("sx")).as("denom"),
-        quant6((col("six2") - (col("n") + 1) * col("sx"))
-          .cast("double") / (col("n") * col("sx")).cast("double")).as("gini"))
+        (col("n") * col("sx")).as("denom"))
+      .withColumn("gini_micro",
+        when(col("denom") > 0,
+          expr("(numer * 1000000) div denom")).cast("long"))
       .orderBy("grp")
   }
 
@@ -1933,21 +1939,57 @@ object Relational {
     * md5(seed:id) values: the hash IS the reservoir (uniform over any
     * arrival order, replayable across engines/retries/partitionings —
     * the hash-Bernoulli discipline for FIXED-SIZE samples, where
-    * [[stratifiedSample]]'s rate form gives binomial counts). The
-    * rank window partitions per group ordered by (hash, id) — group-
-    * bounded, and at 100 TB a group is sampled, not sorted: the
-    * window input can be pre-filtered by any hash prefix bound ≥
-    * k/|group| before ranking. Output: input columns + sample_rank.
+    * [[stratifiedSample]]'s rate form gives binomial counts).
+    *
+    * At 100 TB a group is SAMPLED, not sorted: for groups of
+    * ≥ `fullRankBelow` rows a hash-prefix pre-filter keeps only rows
+    * whose 60-bit hash prefix falls under a per-group cutoff sized
+    * (k + 6√k + 16)/|group| — a Binomial(‑6σ) margin, so fewer than
+    * k survivors has probability ~10⁻⁹ per group — and ONLY the
+    * survivors (≈ k per group) enter the rank window. Prefix order
+    * agrees with full-hash order (fixed-length hex), so the k
+    * smallest hashes all pass the filter whenever ≥ k rows do; the
+    * optional `verified` pass recounts survivors per group and FAILS
+    * LOUDLY on the ~10⁻⁹ under-sample instead of returning a biased
+    * sample (costs one extra scan — disable for known-safe replays).
+    * Output: input columns + sample_rank. The input must not already
+    * contain the working column names (refused, not overwritten).
     */
   def reservoirK(df: DataFrame, grp: Column, id: Column, k: Int,
-      seed: String): DataFrame = {
+      seed: String, fullRankBelow: Long = 10000L,
+      verified: Boolean = true): DataFrame = {
     require(k >= 1, "k must be positive")
+    val helpers = Seq("_g", "_id", "_h", "_h60", "_cnt", "_cut")
+    val clash = helpers.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"reservoirK: input already has working column(s) ${clash.mkString(", ")}")
     val h = md5(concat_ws(":", lit(seed), id.cast("string")))
+    val base = df.withColumn("_g", grp).withColumn("_id", id)
+      .withColumn("_h", h)
+      // numeric value of the first 15 hex chars: 60 uniform bits,
+      // order-compatible with the full hash string
+      .withColumn("_h60", conv(substring(col("_h"), 1, 15), 16, 10)
+        .cast("long"))
+    val counts = base.groupBy("_g").agg(count(lit(1)).as("_cnt"))
+    val margin = k + 6.0 * math.sqrt(k.toDouble) + 16.0
+    val filtered = base.join(counts, "_g")
+      .withColumn("_cut",
+        floor(least(lit(1.0), lit(margin) / col("_cnt")) *
+          lit(math.pow(2.0, 60))).cast("long"))
+      .filter(col("_cnt") < fullRankBelow || col("_h60") <= col("_cut"))
     val w = Window.partitionBy("_g").orderBy(col("_h"), col("_id"))
-    df.withColumn("_g", grp).withColumn("_id", id).withColumn("_h", h)
+    val ranked = filtered
       .withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= k)
-      .drop("_g", "_id", "_h")
+    if (verified) {
+      val bad = ranked.groupBy("_g")
+        .agg(count(lit(1)).as("_got"), first(col("_cnt")).as("_c"))
+        .filter(col("_got") =!= least(lit(k.toLong), col("_c")))
+      require(bad.limit(1).isEmpty,
+        "reservoirK: hash-prefix pre-filter under-sampled a group — " +
+          "raise the margin (probability ~1e-9; this is the loud check)")
+    }
+    ranked.drop("_g", "_id", "_h", "_h60", "_cnt", "_cut")
   }
 
   /** PAIRWISE CLUSTERING-QUALITY METRICS — precision / recall / F1 of
@@ -1972,12 +2014,19 @@ object Relational {
     val tp = pairSum(col("p"), col("t")).select(col("s").as("tp"))
     tp.crossJoin(pp).crossJoin(tt)
       .select(col("tp"), col("pred_pairs"), col("true_pairs"),
-        expr("CAST((tp * 1000000) DIV pred_pairs AS BIGINT)")
+        // explicit zero guards: an all-singleton clustering has zero
+        // pairs — Spark's non-ANSI DIV would null silently but the
+        // DuckDB twin's // ERRORS on divide-by-zero; the CASE makes
+        // both engines emit NULL identically in the degenerate case
+        expr("CAST(CASE WHEN pred_pairs > 0 THEN " +
+          "(tp * 1000000) DIV pred_pairs END AS BIGINT)")
           .as("precision_micro"),
-        expr("CAST((tp * 1000000) DIV true_pairs AS BIGINT)")
+        expr("CAST(CASE WHEN true_pairs > 0 THEN " +
+          "(tp * 1000000) DIV true_pairs END AS BIGINT)")
           .as("recall_micro"),
-        expr("CAST((2 * tp * 1000000) DIV (pred_pairs + true_pairs) " +
-          "AS BIGINT)").as("f1_micro"))
+        expr("CAST(CASE WHEN pred_pairs + true_pairs > 0 THEN " +
+          "(2 * tp * 1000000) DIV (pred_pairs + true_pairs) " +
+          "END AS BIGINT)").as("f1_micro"))
   }
 
   /** TIME-WEIGHTED AVERAGE of a step series per key — the TWAP /

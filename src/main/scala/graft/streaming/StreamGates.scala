@@ -448,8 +448,13 @@ object StreamGates {
     // shard-1/2 boundary, the same integer math as timeShards
     val b1 = lo + (hi - lo + 1) / nShards
     val hourUs = 3600L * 1000000L
+    // STRICTLY < b1: an original at exactly ts == b1 belongs to shard
+    // 2 (timeShards ranges are [lo + i·span/n, …)), so its +90 min
+    // copy would land in the SAME micro-batch, where the in-batch
+    // survivor is arbitrary — a partition-order-dependent checksum.
+    // The planted re-deliveries must all cross the restart boundary.
     val redeliver = ev
-      .filter(unix_micros(col("ts")) > b1 - hourUs && unix_micros(col("ts")) <= b1)
+      .filter(unix_micros(col("ts")) > b1 - hourUs && unix_micros(col("ts")) < b1)
       .withColumn("ts",
         timestamp_micros(unix_micros(col("ts")) + 90L * 60L * 1000000L))
     val out = Files.createTempDirectory("sgate_ddw_out").toString + "/ev"
@@ -464,16 +469,27 @@ object StreamGates {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
     }
-    spark.read.parquet(out)
+    val survivors = spark.read.parquet(out)
+    // belt-and-braces determinism: the dedup key is event_id, so any
+    // id with two distinct surviving timestamps means a planted copy
+    // survived ALONGSIDE (not instead of) its original — fail loudly
+    // rather than emit an order-dependent checksum
+    require(survivors.groupBy("event_id")
+      .agg(countDistinct(col("ts")).as("nts")).filter(col("nts") > 1)
+      .limit(1).isEmpty,
+      "dropDupGate: an event_id survived with two distinct timestamps")
+    survivors
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"),
         // ts in the checksum: a re-delivered copy surviving in place
         // of its original has the same id but a +90 min ts — id_sum
-        // alone would miss exactly that bug. Sum in DECIMAL(38,0):
-        // unix_micros is ~1.7e15 per row, so a LongType sum overflows
-        // 2^63 past ~5400 rows per type — sf0.1 already crosses it.
-        sum(unix_micros(col("ts"))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("ts_sum"))
+        // alone would miss exactly that bug (+90 min ≡ 983803 mod
+        // 1000003, never 0). Summed as small residues so the total
+        // stays ~10¹¹ at sf0.1 — exact in BIGINT, in HUGEINT, AND in
+        // a float64 round-trip (< 2⁵³): no engine/driver can distort
+        // it. (A raw unix_micros sum is ~10¹⁹ — decimal-exact but
+        // outside float64, the round-14 driver-hash-red class.)
+        sum(pmod(unix_micros(col("ts")), lit(1000003L))).as("ts_chk"))
       .orderBy("event_type")
   }
 
@@ -994,7 +1010,12 @@ object StreamGates {
           val bi = Relational.islands(batch, col("o_orderkey"))
             .select("island_start", "island_end")
           val exists = spark.catalog.tableExists(tbl)
-          if (!exists)
+          // an empty micro-batch (possible: shard ranges are
+          // data-derived) has no islands and no frontier to stitch —
+          // skip the commit entirely, like cusumGate/twapGate's guards
+          val biMin = bi.agg(min("island_start")).head()
+          if (biMin.isNullAt(0)) ()
+          else if (!exists)
             lw.commitBucketed(bi, tbl, 4, Seq("island_start"), replace = true)
           else {
             val state = LakeWriter.readBucketedTableMerged(
@@ -1004,7 +1025,7 @@ object StreamGates {
               .agg(max(struct(col("island_start"), col("island_end"))))
               .head().getStruct(0)
             val (cs, ce) = (c.getLong(0), c.getLong(1))
-            val bmin = bi.agg(min("island_start")).head().getLong(0)
+            val bmin = biMin.getLong(0)
             require(bmin > ce,
               s"islandsGate: batch island at $bmin is behind the carried frontier $ce")
             // seam stitch: a batch island starting exactly one past

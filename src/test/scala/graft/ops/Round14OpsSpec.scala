@@ -113,6 +113,12 @@ class Round14OpsSpec extends AnyFunSuite {
     val shallow = GraphOps.ancestorClosure(parents, maxDepth = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(shallow.contains((8L, 1L)), "squaring must reach depth 3 pairs")
+    // a forest DEEPER than maxDepth must fail loudly (fixed-point
+    // check), never return a silently truncated closure
+    val deep = intercept[IllegalArgumentException] {
+      GraphOps.ancestorClosure(parents, maxDepth = 2).collect()
+    }
+    assert(deep.getMessage.contains("deeper than maxDepth"))
   }
 
   test("nearestEvent: picks the closest either-direction match within " +
@@ -271,6 +277,29 @@ class Round14OpsSpec extends AnyFunSuite {
     val again = Relational.reservoirK(df.repartition(7), col("g"),
       col("id"), 5, "s1").select("id").as[Long].collect().sorted.toSeq
     assert(again == got.select("id").as[Long].collect().sorted.toSeq)
+    // the 100 TB path: forcing the hash-prefix pre-filter (threshold
+    // below the group size) must select the IDENTICAL sample — the
+    // prefix cutoff only discards rows that can never rank ≤ k
+    val pre = Relational.reservoirK(df, col("g"), col("id"), 5, "s1",
+      fullRankBelow = 10).select("id").as[Long].collect().sorted.toSeq
+    assert(pre == again, "pre-filtered sample must equal the full rank")
+    // plan shape: the hash-prefix cutoff predicate (on _h60) must sit
+    // BELOW the rank Window — the window sorts survivors (~k per
+    // group), never the group. (Catalyst folds the cutoff into the
+    // count-join's condition, which is below the Window — fine.)
+    val plan = Relational.reservoirK(df, col("g"), col("id"), 5, "s1",
+      fullRankBelow = 10, verified = false)
+      .queryExecution.optimizedPlan.toString
+    val winIdx = plan.indexOf("Window")
+    val cutBelow = plan.indexOf("_h60", winIdx)
+    assert(winIdx >= 0 && cutBelow > winIdx,
+      s"expected the _h60 cutoff predicate BELOW the Window, plan:\n$plan")
+    // working-name collision is refused, not silently overwritten
+    val boom = intercept[IllegalArgumentException] {
+      Relational.reservoirK(df.withColumn("_h", col("id")), col("g"),
+        col("id"), 5, "s1")
+    }
+    assert(boom.getMessage.contains("_h"))
   }
 
   test("cloneSnapshot: a v1 clone is a physical copy pinned to the " +

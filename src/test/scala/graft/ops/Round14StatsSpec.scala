@@ -64,12 +64,16 @@ class Round14StatsSpec extends AnyFunSuite {
     val g0 = Relational.giniInt(eq, col("g"), col("v")).collect()(0)
     assert(g0.getLong(1) == 4L)
     assert(g0.getDecimal(2).longValueExact == 0L, "numer must be exactly 0")
-    assert(g0.getDouble(4) == 0.0)
+    assert(g0.getLong(4) == 0L)
     // (0,0,0,10): G = (2*40 - 5*10) / (4*10) = 30/40 = 0.75
     val conc = Seq(("a", 0L), ("a", 0L), ("a", 10L), ("a", 0L)).toDF("g", "v")
     val g1 = Relational.giniInt(conc, col("g"), col("v")).collect()(0)
     assert(g1.getDecimal(2).longValueExact == 30L &&
-      g1.getDecimal(3).longValueExact == 40L && g1.getDouble(4) == 0.75)
+      g1.getDecimal(3).longValueExact == 40L && g1.getLong(4) == 750000L)
+    // all-zero values: denom = 0 → NULL gini_micro in BOTH engines
+    // (the explicit guard — Spark would null silently, DuckDB errors)
+    val zs = Seq(("a", 0L), ("a", 0L)).toDF("g", "v")
+    assert(Relational.giniInt(zs, col("g"), col("v")).collect()(0).isNullAt(4))
     // repartitioned ties: the histogram fold is order-independent
     val g2 = Relational.giniInt(conc.repartition(7), col("g"), col("v"))
       .collect()(0)
