@@ -27,7 +27,9 @@ object RecallProbe {
       "ivf_seed_probe4" -> Similarity.ivfTopK(emb, kmeansIters = 0),
       "ivfpq_probe4" -> Similarity.ivfPqTopK(emb))
     paths.foreach { case (name, approx) =>
-      val rows = Similarity.recallAtK(exact, approx).collect()
+      val rows = graft.core.DriverProbe.boundedCollect(
+        Similarity.recallAtK(exact, approx), maxRows = 100000,
+        what = s"recall probe $name")
       val mean = rows.map(_.getDouble(2)).sum / math.max(rows.length, 1)
       println(f"RECALL $name%-18s mean=$mean%.4f  " +
         rows.map(r => s"q${r.getLong(0)}=${r.getDouble(2)}").mkString(" "))

@@ -77,6 +77,70 @@ object SparkEntry {
   // t218 twin builder: Luby's MIS unrolled round by round over the
   // co-purchase graph — same md5 priorities, same (hash, id) tuple
   // comparisons, same fixed round count (vacuous once empty)
+  /** TPC-H Q1 twin — shared by the one-shot gate (q64) and the
+    * streaming-MV gate (t230), whose folded state must render the
+    * identical rows. */
+  private lazy val tpch01Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       | CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       | ${mny("l_extendedprice")} AS sum_base_price,
+       | ${mny(rev)} AS sum_disc_price,
+       | ${mny(rev + "*(1.0+l_tax)")} AS sum_charge,
+       | ${meanL("CAST(l_quantity AS BIGINT)")} AS avg_qty,
+       | ${mean("l_extendedprice")} AS avg_price,
+       | ${mean("l_discount")} AS avg_disc,
+       | count(*) AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+       |GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  /** t229 twin builder: BPE merge learning unrolled to `steps`
+    * count → top-1 → greedy-apply rounds as materialized chained CTEs
+    * — including the run-parity rule for overlapping (l, l) matches
+    * (leftmost-greedy merges the even offsets of each maximal run).
+    */
+  private def bpeUnrolledSql(steps: Int): String = {
+    val head =
+      s"""WITH s0 AS MATERIALIZED (SELECT doc_id,
+         |    CAST(unnest(range(1, len(tk) + 1)) AS BIGINT) AS pos,
+         |    unnest(tk) AS tok
+         |  FROM (SELECT doc_id, $toks AS tk FROM documents))""".stripMargin
+    val rounds = (1 to steps).map { i =>
+      val p = i - 1
+      s"""w$i AS MATERIALIZED (SELECT a.doc_id, a.pos, a.tok, b.tok AS btok
+         |  FROM s$p a LEFT JOIN s$p b
+         |    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+         |t$i AS MATERIALIZED (SELECT tok AS l, btok AS r, count(*) AS cnt
+         |  FROM w$i WHERE btok IS NOT NULL
+         |  GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
+         |runs$i AS MATERIALIZED (SELECT doc_id, pos,
+         |    (pos - min(pos) OVER (PARTITION BY doc_id, island)) % 2 = 0
+         |      AS even
+         |  FROM (SELECT w.doc_id, w.pos, w.pos - row_number()
+         |        OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS island
+         |    FROM w$i w CROSS JOIN t$i t
+         |    WHERE w.tok = t.l AND t.l = t.r)),
+         |st$i AS MATERIALIZED (SELECT w.doc_id, w.pos, w.tok, t.l, t.r,
+         |    coalesce(w.tok = t.l AND w.btok = t.r
+         |      AND (t.l <> t.r OR coalesce(rs.even, false)), false) AS start
+         |  FROM w$i w CROSS JOIN t$i t
+         |  LEFT JOIN runs$i rs ON rs.doc_id = w.doc_id AND rs.pos = w.pos),
+         |s$i AS MATERIALIZED (SELECT doc_id,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+         |      AS BIGINT) AS pos,
+         |    CASE WHEN start THEN l || '_' || r ELSE tok END AS tok
+         |  FROM st$i x WHERE NOT EXISTS (SELECT 1 FROM st$i y
+         |    WHERE y.doc_id = x.doc_id AND y.pos = x.pos - 1 AND y.start))"""
+        .stripMargin
+    }
+    val finals = (1 to steps).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS step, l AS left_tok, r AS right_tok,
+         |  CAST(cnt AS BIGINT) AS cnt,
+         |  (SELECT count(*) FROM s$i) AS n_tokens_after
+         |FROM t$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    (head +: rounds).mkString(",\n") + "\n" + finals + "\nORDER BY step"
+  }
+
   private def misUnrolledSql(seed: String, rounds: Int): String = {
     def ph(i: Int, c: String) =
       s"md5(concat_ws(':', '$seed', '$i', CAST($c AS VARCHAR)))"
@@ -562,7 +626,7 @@ object SparkEntry {
   // defines `e` (vec_id, v DOUBLE[]) — raw embeddings for s33/s40,
   // the int8 quantize→dequantize chain (s43's arithmetic, verbatim)
   // for the quantized-index composition s45
-  private def s33SqlFrom(eCtes: String): String =
+  private def s33SqlFrom(eCtes: String, bandWhere: String = ""): String =
       s"""WITH $eCtes,
          |nr AS (SELECT vec_id, $sqlNorm AS nrm FROM e),
          |pl AS (SELECT * FROM (VALUES
@@ -585,11 +649,24 @@ object SparkEntry {
          |SELECT query_id, rnk, vec_id, cos FROM (
          |  SELECT query_id, vec_id, cos,
          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
-         |  FROM s)
+         |  FROM s $bandWhere)
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
   private lazy val s33Sql: String =
     s33SqlFrom("e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)")
+
+  // s61: the s33 candidate pipeline over the s42/s44 planted corpus
+  // with the hard-negative cosine band filtered BEFORE the rank
+  private lazy val s61Sql: String = s33SqlFrom(
+    """u AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id,
+      |    list_transform(range(1,65),
+      |      i -> CASE WHEN i = 64 THEN -embedding[i] ELSE embedding[i] END) AS embedding
+      |  FROM embeddings WHERE vec_id % 10 = 0),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM u)""".stripMargin,
+    bandWhere = "WHERE cos >= 0.02 AND cos < 0.9")
 
   // s45: the s43 quantize→dequantize chain feeding the s33 pipeline
   private lazy val s45Sql: String = s33SqlFrom(
@@ -2260,6 +2337,25 @@ object SparkEntry {
     // index → t121 DSIR → t92 temperature → t54 pack → t91 shuffle)
     "t135_crawl_corpus_build" -> ((s, d) => { val t = Tables.load(s, d)
       CorpusOps.crawlCorpusBuild(t.documents, UrlOps.plantUrls(t.documents)) }),
+    // the SAME nine-operator capstone as a foreachBatch intake stream
+    // across cold restarts (stages 1-4 per micro-batch against a
+    // persisted URL index + staging table, stages 5-9 at day close) —
+    // final corpus must equal the batch capstone VERBATIM, so the
+    // twin IS t135's SQL unchanged
+    "t228_stream_crawl_corpus" -> ((s, d) => { val t = Tables.load(s, d)
+      graft.streaming.StreamGates.crawlCorpusGate(
+        t.documents, UrlOps.plantUrls(t.documents)) }),
+    // BPE merge-pair learning: 3 count→top-1→greedy-apply rounds over
+    // the document token streams; the run-parity rule makes greedy
+    // leftmost application exact in both engines
+    "t229_bpe_merges" -> ((s, d) => { val t = Tables.load(s, d)
+      CorpusOps.bpeMerges(t.documents, nMerges = 3) }),
+    // TPC-H Q1 as a streaming MATERIALIZED VIEW: exact integer
+    // sufficient statistics folded per micro-batch across cold
+    // restarts, rendered at day close with the batch quant formulas —
+    // must equal the one-shot q64_tpch01 verbatim
+    "t230_stream_tpch_q1" -> ((s, d) => { val t = Tables.load(s, d)
+      graft.streaming.StreamGates.tpchQ1Gate(t.lineitem) }),
     // daily-shard incremental corpus build: shard (doc_id ≡ 0 mod 5)
     // dedups against the exact index of the rest, then the identical
     // filter/split/pack tail over shard survivors only. The natural
@@ -2835,6 +2931,14 @@ object SparkEntry {
     // 4× index memory with the serving plan unchanged
     "s45_quantized_ann" -> ((s, d) => { val t = Tables.load(s, d)
       Similarity.annLsh(Similarity.dequantizedEmbeddings(t.embeddings)) }),
+    // hard-negative mining over the PLANTED near-dup corpus: in-band
+    // (cos ∈ [0.02, 0.9)) top-k per anchor from the LSH bucket
+    // candidates — the ceiling excludes the planted near-dups (cos ≈
+    // 0.97, would be FALSE negatives), the floor excludes the
+    // uninformative tail, survivors are the contrastive negatives
+    "s61_hard_negatives" -> ((s, d) => { val t = Tables.load(s, d)
+      Similarity.hardNegatives(Similarity.plantNearDups(t.embeddings),
+        lo = 0.02, hi = 0.9) }),
     // ---- the full TPC-H suite (Q1-Q22), adapted to the synthetic
     // schema (analytics/TpchSuite.scala documents every adaptation).
     // Each keeps the canonical plan shape: decorrelated scalars,
@@ -5417,6 +5521,11 @@ object SparkEntry {
          |   AND n_stop >= 2 AND 5*n_uniq >= n) AS keep
          |FROM m ORDER BY doc_id""".stripMargin,
     "t135_crawl_corpus_build" -> t135Sql,
+    // t228 twin: the batch capstone's SQL verbatim — the streaming
+    // intake must converge to the identical corpus
+    "t228_stream_crawl_corpus" -> t135Sql,
+    // t229 twin: the identical 3 unrolled BPE rounds (builder above)
+    "t229_bpe_merges" -> bpeUnrolledSql(steps = 3),
     // capstone twin: the t23 dedup CTE → t55 rule bounds → t51 split
     // rule (same fingerprint) → t54 packing per (source, split)
     "t56_corpus_build" ->
@@ -6589,19 +6698,12 @@ object SparkEntry {
     // s45: the quantized-index ANN composition — s33's pipeline over
     // the s43 dequantization chain
     "s45_quantized_ann" -> s45Sql,
+    // s61: the s33 pipeline + the pre-rank cosine band
+    "s61_hard_negatives" -> s61Sql,
     // ---- TPC-H suite twins (adaptations documented in TpchSuite) --
-    "q64_tpch01" ->
-      s"""SELECT l_returnflag, l_linestatus,
-         | CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-         | ${mny("l_extendedprice")} AS sum_base_price,
-         | ${mny(rev)} AS sum_disc_price,
-         | ${mny(rev + "*(1.0+l_tax)")} AS sum_charge,
-         | ${meanL("CAST(l_quantity AS BIGINT)")} AS avg_qty,
-         | ${mean("l_extendedprice")} AS avg_price,
-         | ${mean("l_discount")} AS avg_disc,
-         | count(*) AS count_order
-         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
-         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q64_tpch01" -> tpch01Sql,
+    // t230 twin: the MV must equal the one-shot Q1 verbatim
+    "t230_stream_tpch_q1" -> tpch01Sql,
     "q65_tpch02" ->
       s"""WITH $psCte,
          |eur AS (SELECT s_suppkey, s_name, s_acctbal, n_name

@@ -1031,13 +1031,37 @@ object CorpusOps {
     // blows analysis/codegen long before data size matters
     val d3docs = documents.join(d3, "doc_id").localCheckpoint()
     // 4. fuzzy decontamination vs the eval slice of history
-    val bucket = conv(substring(TextOps.fingerprint(col("text")), 1, 4), 16, 10)
-      .cast("long") % 10
-    val evalDocs = history.filter(bucket >= 8)
-    val contaminated = Dedup.crossNearDups(d3docs, evalDocs, decontamThreshold)
+    val contaminated = Dedup.crossNearDups(d3docs, evalSlice(history),
+        decontamThreshold)
       .select(col("train_id").as("doc_id")).distinct()
     val d4docs = d3docs.join(contaminated, Seq("doc_id"), "left_anti")
       .localCheckpoint()
+    corpusTail(documents, d4docs, history, nearDupThreshold, budget,
+      seqLen, seed)
+  }
+
+  /** The held-out eval slice of the history corpus (content-hash
+    * bucket ≥ 8) — the decontamination target of the capstone's
+    * stage 4, shared with the streaming intake gate. */
+  private[graft] def evalSlice(history: DataFrame): DataFrame = {
+    val bucket = conv(substring(TextOps.fingerprint(col("text")), 1, 4), 16, 10)
+      .cast("long") % 10
+    history.filter(bucket >= 8)
+  }
+
+  /** Stages 5–9 of [[crawlCorpusBuild]] — the DAY-CLOSE tail: shard-
+    * internal + history near-dup resolution, DSIR resample,
+    * temperature mixture, packing, seeded shuffle. Factored out so
+    * the STREAMING intake gate can run the identical tail over its
+    * staged survivors: stages 1–4 are per-document decisions against
+    * static context (union-stable across micro-batches), stage 5's
+    * shard-internal clustering is NOT (a cluster's members can span
+    * batches), so an exactly-batch-equal stream must defer from here
+    * down to day close. `d4docs` = the decontaminated survivors.
+    */
+  private[graft] def corpusTail(documents: DataFrame, d4docs: DataFrame,
+      history: DataFrame, nearDupThreshold: Double, budget: Long,
+      seqLen: Long, seed: Long): DataFrame = {
     // 5. near-dup vs the history index
     val d5docs = nearDupSurvivors(
       d4docs, Dedup.minhashIndexFrames(history), nearDupThreshold)
@@ -1065,6 +1089,100 @@ object CorpusOps {
       .select("pos", "source", "seq_id", "n_docs", "n_tokens",
         "first_doc", "last_doc")
       .orderBy("pos")
+  }
+
+  /** BPE MERGE-PAIR LEARNING over the document TOKEN STREAMS — the
+    * phrase/merge-mining complement of the word-internal char-level
+    * [[bpeTrain]] (which runs on the vocabulary-sized word-TYPE table
+    * and can't learn cross-word units): `nMerges` times, count all
+    * adjacent token bigrams across each document's full stream, take
+    * the most frequent pair (ties broken (cnt desc, left, right) —
+    * fully deterministic), and GREEDILY apply it left-to-right before
+    * recounting (Sennrich et al. 2016, public). Greedy
+    * application is the classic correctness trap: occurrences of a
+    * pair (l, r) can only overlap when l == r, where leftmost-greedy
+    * merges exactly the EVEN offsets of each maximal run ("aaaa" →
+    * "(aa)(aa)", never "a(aa)a") — computed as run-position parity
+    * over gaps-and-islands, no sequential scan needed, so the apply
+    * step stays one windowed pass in BOTH engines. Output: one row
+    * per step (step, left, right, cnt, n_tokens_after) — the learned
+    * merge table plus the post-apply stream length, which checksums
+    * the apply itself.
+    *
+    * Scale shape: each step is one (doc_id, pos+1) self-equi-join
+    * (shuffle by doc_id) + per-doc windows (bounded by document
+    * length, never corpus-sized) + one global top-1
+    * (TakeOrderedAndProject). The step LOOP is driver-sequential by
+    * nature — merge k+1's counts depend on merge k's stream — which
+    * is inherent to BPE, not a distribution defect; each iteration's
+    * work is fully distributed and the carried stream is
+    * localCheckpointed so lineage stays flat.
+    */
+  def bpeMerges(documents: DataFrame, nMerges: Int = 3): DataFrame = {
+    require(nMerges >= 1, "need at least one merge step")
+    val spark = documents.sparkSession
+    var stream = documents
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("tok"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long, Long)]()
+    for (step <- 1 to nMerges) {
+      val nxt = stream.select(col("doc_id").as("bdoc"),
+        col("pos").as("bpos"), col("tok").as("btok"))
+      val withNext = stream.join(nxt,
+          col("doc_id") === col("bdoc") && col("bpos") === col("pos") + 1,
+          "left")
+        .select(col("doc_id"), col("pos"), col("tok"), col("btok"))
+      val top = graft.core.DriverProbe.boundedCollect(
+        withNext.filter(col("btok").isNotNull)
+          .groupBy(col("tok").as("l"), col("btok").as("r"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r")).limit(1),
+        maxRows = 1, what = "bpeMerges top pair")
+      require(top.nonEmpty, s"bpeMerges: no adjacent pairs left at step $step")
+      val (l, r, cnt) = (top(0).getString(0), top(0).getString(1),
+        top(0).getLong(2))
+      val isMatch = col("tok") === l && col("btok") === r
+      // run parity — only l == r occurrences can overlap
+      val flagged =
+        if (l != r) withNext.withColumn("even", lit(true))
+        else {
+          val rn = Window.partitionBy("doc_id").orderBy("pos")
+          val runs = withNext.filter(col("tok") === l)
+            .withColumn("island",
+              col("pos") - row_number().over(rn).cast("long"))
+            .withColumn("run_start",
+              min("pos").over(Window.partitionBy("doc_id", "island")))
+            .select(col("doc_id"), col("pos"),
+              (((col("pos") - col("run_start")) % 2) === 0).as("even"))
+          withNext.join(runs, Seq("doc_id", "pos"), "left")
+        }
+      val started = flagged
+        .withColumn("start",
+          when(isMatch && coalesce(col("even"), lit(false)), lit(true))
+            .otherwise(lit(false)))
+        .select("doc_id", "pos", "tok", "start")
+        .localCheckpoint()
+      val consumed = started.filter(col("start"))
+        .select(col("doc_id").as("cdoc"), (col("pos") + 1).as("cpos"))
+      stream = started
+        .join(consumed,
+          col("doc_id") === col("cdoc") && col("pos") === col("cpos"),
+          "left_anti")
+        .withColumn("tok",
+          when(col("start"), lit(s"${l}_$r")).otherwise(col("tok")))
+        .withColumn("pos", row_number()
+          .over(Window.partitionBy("doc_id").orderBy("pos")).cast("long"))
+        .select("doc_id", "pos", "tok")
+        .localCheckpoint()
+      out += ((step.toLong, l, r, cnt, stream.count()))
+    }
+    import spark.implicits._
+    // left_tok/right_tok, not left/right: LEFT and RIGHT are SQL
+    // keywords and a twin would have to quote them in every dialect
+    out.toSeq.toDF("step", "left_tok", "right_tok", "cnt", "n_tokens_after")
+      .orderBy("step")
   }
 
   /** Vocabulary construction: the `k` most frequent corpus tokens

@@ -512,6 +512,43 @@ object Similarity {
       when(dotWith(session)(v, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** HARD-NEGATIVE MINING for contrastive training — per anchor, the
+    * top-k most-similar corpus vectors whose cosine falls in
+    * [lo, hi): similar enough to be informative negatives, below the
+    * near-duplicate ceiling that would make them false negatives
+    * (the standard in-batch-negatives upgrade for embedding-model
+    * training). Candidates come from the SAME multiprobe LSH bucket
+    * rule as [[annLsh]] (equi-join on bucket, no cross product — the
+    * 100 TB path), scores are the quantized exact cosine, and the
+    * band filter runs BEFORE the per-anchor rank so k survivors are
+    * k in-band negatives, not k candidates. Output:
+    * (query_id, rnk, vec_id, cos).
+    */
+  def hardNegatives(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5,
+      lo: Double = 0.2, hi: Double = 0.98,
+      bits: Int = 12, dim: Int = 64): DataFrame = {
+    val dp = dotWith(embeddings.sparkSession) _
+    val idx = annIndexFrame(embeddings, bits, dim)
+      .filter(col("vec_id") >= nQueries)
+    val probes = array(lit(0L) +: (0 until bits).map(i => lit(1L << i)): _*)
+    val q = annIndexFrame(embeddings.filter(col("vec_id") < nQueries),
+        bits, dim)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        explode(transform(probes, m => col("bucket").bitwiseXOR(m)))
+          .as("bucket"))
+    val scored = q.join(idx, Seq("bucket"))
+      .withColumn("cos",
+        Exact.quant6(dp(col("qv"), col("v")) / (col("qn") * col("nrm"))))
+      .filter(col("cos") >= lo && col("cos") < hi)
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.select("query_id", "vec_id", "cos").distinct()
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy("query_id", "rnk")
+      .select("query_id", "rnk", "vec_id", "cos")
+  }
+
   /** Approximate top-k: candidates share the query's bucket or any
     * hamming-1 neighbor bucket (multiprobe). Equi-join on bucket —
     * shuffle-partitioned by bucket, no cross product.

@@ -475,9 +475,11 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
           val raw = spark.table(table)
             .where(col(LakeWriter.CvCol).isin(live: _*))
           // bounded driver list: at most |live commits| rows
-          val affected = raw.join(keys, keyCols, "left_semi")
-            .select(col(LakeWriter.CvCol)).distinct()
-            .collect().map(_.get(0).toString.toInt).toSet
+          val affected = graft.core.DriverProbe.boundedCollect(
+              raw.join(keys, keyCols, "left_semi")
+                .select(col(LakeWriter.CvCol)).distinct(),
+              maxRows = live.size, what = "deleteKeys affected-versions")
+            .map(_.get(0).toString.toInt).toSet
           if (affected.isEmpty) 0
           else {
             val survivors = raw
@@ -805,9 +807,9 @@ object LakeWriter {
     */
   private[sinks] def enforceExpectations(
       report: DataFrame, table: String, version: Int): Unit = {
-    val bad = report.filter(!col("pass"))
-      .select(col("rule"), col("n_violations"))
-      .collect()
+    val bad = graft.core.DriverProbe.boundedCollect(
+        report.filter(!col("pass")).select(col("rule"), col("n_violations")),
+        maxRows = 10000, what = "enforceExpectations")
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     if (bad.nonEmpty) throw new CommitRejectedException(table, version, bad)
   }

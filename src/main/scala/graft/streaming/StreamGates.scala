@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -104,6 +104,206 @@ object StreamGates {
       .select(coalesce(col("doc_id"), col("canonical_id")).as("doc_id"),
         col("fp"))
       .orderBy("doc_id")
+  }
+
+  /** STREAMING CRAWL-TO-CORPUS CAPSTONE — t135's nine-operator daily
+    * build run as a foreachBatch intake stream across COLD RESTARTS,
+    * final corpus ≡ the batch capstone VERBATIM (the twin is t135's
+    * SQL unchanged). The day's shard (doc_id ≡ 0 mod 5) arrives in
+    * `nShards` contiguous doc_id-range micro-batches, each a fresh
+    * query against the shared checkpoint:
+    *
+    *  - PER BATCH (stages 1–4 — each a per-document decision against
+    *    STATIC context, so the union over batches equals the batch
+    *    run): URL canon/dedup against a PERSISTED first-wins URL
+    *    index (≡ the batch min-doc_id rule because ranges ascend),
+    *    the full-corpus domain blocklist, Gopher quality rules, and
+    *    fuzzy decontamination vs the static eval slice; survivors
+    *    are STAGED into a bucketed table (the cross-restart state,
+    *    alongside the URL index and the checkpoint).
+    *  - AT DAY CLOSE (stages 5–9 via [[graft.ops.CorpusOps.corpusTail]],
+    *    the batch code path itself): shard-internal near-dup
+    *    clustering — NOT union-stable, a cluster's members span
+    *    batches, which is exactly why an honest streaming build
+    *    defers it — then DSIR, mixture, packing, seeded shuffle over
+    *    the staged survivor set, which equals the batch stage-4
+    *    output by the per-batch argument above.
+    *
+    * At 100 TB the per-batch work is shard-sized (index probes are
+    * bucketed, zero-shuffle), staging appends O(batch) rows, and day
+    * close touches only the day's survivors — the same two-phase
+    * intake-then-compact shape as the SCD-2/MV maintenance gates.
+    */
+  def crawlCorpusGate(documents: DataFrame, withUrls: DataFrame,
+      nShards: Int = 3, minDomainQuality: Double = 0.6,
+      decontamThreshold: Double = 0.9, nearDupThreshold: Double = 0.9,
+      budget: Long = 64L, seqLen: Long = 512L, seed: Long = 42L): DataFrame = {
+    import graft.ops.{CorpusOps, UrlOps}
+    val spark = documents.sparkSession
+    val shard = documents.filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "source", "text")
+    val history = documents.filter(col("doc_id") % 5 =!= 0)
+    val mx = shard.agg(max("doc_id")).head().getLong(0)
+    // static context, exactly what the batch capstone derives from
+    // the full corpus / history
+    val blocked = UrlOps.domainQualityReport(documents, withUrls,
+        minDomainQuality)
+      .filter(col("blocked")).select("domain").localCheckpoint()
+    val evalDocs = CorpusOps.evalSlice(history).localCheckpoint()
+    val root = Files.createTempDirectory("sgate_crawl").toString
+    val urlTbl = "sgate_crawl_urls"
+    val stagTbl = "sgate_crawl_staged"
+    spark.sql(s"DROP TABLE IF EXISTS $urlTbl")
+    spark.sql(s"DROP TABLE IF EXISTS $stagTbl")
+    drive(shards(shard, mx, nShards)) { (src, cp) =>
+      src.writeStream
+        .option("checkpointLocation", cp.get)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val lw = new graft.sinks.LakeWriter(root)
+            // 1. URL canon/dedup: in-batch min per url_norm, then
+            // first-wins against the persisted index — under
+            // ascending ranges this IS the batch global-min rule
+            val n = UrlOps.normalizeUrls(
+              withUrls.join(batch.select("doc_id"), "doc_id"))
+            val firsts = n.groupBy("url_norm").agg(min("doc_id").as("doc_id"))
+              .join(n.select("doc_id", "url_norm", "domain"),
+                Seq("url_norm", "doc_id"))
+            val haveUrls = spark.catalog.tableExists(urlTbl)
+            val novel =
+              if (!haveUrls) firsts
+              else firsts.join(
+                graft.sinks.LakeWriter
+                  .readBucketedTableMerged(spark, urlTbl, Seq("url_norm"))
+                  .select("url_norm"),
+                Seq("url_norm"), "left_anti")
+            lw.commitBucketed(novel.select("url_norm", "doc_id"), urlTbl,
+              8, Seq("url_norm"), replace = !haveUrls)
+            // 2. full-corpus domain blocklist
+            val d2 = novel.select("doc_id", "domain")
+              .join(blocked, Seq("domain"), "left_anti").select("doc_id")
+            // 3. Gopher quality rules
+            val d3 = CorpusOps.gopherFilter(documents.join(d2, "doc_id"))
+              .filter(col("keep")).select("doc_id")
+            val d3docs = documents.join(d3, "doc_id")
+            // 4. fuzzy decontamination vs the static eval slice
+            val contaminated = Dedup
+              .crossNearDups(d3docs, evalDocs, decontamThreshold)
+              .select(col("train_id").as("doc_id")).distinct()
+            val d4 = d3docs.join(contaminated, Seq("doc_id"), "left_anti")
+              .select("doc_id")
+            lw.commitBucketed(d4, stagTbl, 8, Seq("doc_id"),
+              replace = !spark.catalog.tableExists(stagTbl))
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    val staged = graft.sinks.LakeWriter
+      .readBucketedTableMerged(spark, stagTbl, Seq("doc_id"))
+      .select("doc_id").localCheckpoint()
+    spark.sql(s"DROP TABLE IF EXISTS $urlTbl")
+    spark.sql(s"DROP TABLE IF EXISTS $stagTbl")
+    // day close: stages 5-9, the batch capstone tail verbatim
+    CorpusOps.corpusTail(documents,
+      documents.join(staged, "doc_id").localCheckpoint(),
+      history, nearDupThreshold, budget, seqLen, seed)
+  }
+
+  /** STREAMING TPC-H Q1 — the pricing-summary aggregate maintained as
+    * a materialized view under lineitem inserts across COLD RESTARTS.
+    * Q1 is the canonical self-maintainable MV: every measure reduces
+    * to sums and counts, so the carried state is the EXACT integer
+    * sufficient statistics (count, Σqty, and the Exact-quantized
+    * per-row addend sums Σ⌊x·10⁴+0.5⌋ / Σ⌊x·10⁶+0.5⌋ as
+    * DECIMAL(38,0) — associative by construction, so partial sums
+    * folded in any batch order equal the one-shot batch sums
+    * bit-for-bit), and day close renders the Q1 output with the SAME
+    * quantize formulas as the batch query. Twin = the q64_tpch01 SQL
+    * VERBATIM. State is group-cardinality-sized (6 rows for Q1 — a
+    * grouped MV's state is always |groups|, never |facts|); each
+    * micro-batch contributes one partial aggregate and one tiny
+    * latest-wins commit.
+    */
+  def tpchQ1Gate(lineitem: DataFrame, nShards: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val spark = lineitem.sparkSession
+    val dec = DecimalType(38, 0)
+    val li = lineitem.select("l_orderkey", "l_returnflag", "l_linestatus",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate")
+    val b = li.agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val span = hi - lo + 1
+    val shardFrames = (0 until nShards).map { i =>
+      val l = lo + i * span / nShards
+      val h = lo + (i + 1) * span / nShards
+      if (i == nShards - 1) li.filter(col("l_orderkey") >= l)
+      else li.filter(col("l_orderkey") >= l && col("l_orderkey") < h)
+    }
+    def q(x: Column, s: Double): Column =
+      floor(x * lit(s) + lit(0.5)).cast(dec)
+    val tbl = "sgate_tpch_q1_state"
+    val root = Files.createTempDirectory("sgate_q1mv").toString
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    drive(shardFrames) { (src, cp) =>
+      src.writeStream
+        .option("checkpointLocation", cp.get)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val part = batch
+            .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(count(lit(1)).cast(dec).as("n"),
+              sum(col("l_quantity").cast("long")).cast(dec).as("sqty"),
+              sum(q(col("l_extendedprice"), 10000.0)).as("sb4"),
+              sum(q(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+                10000.0)).as("sd4"),
+              sum(q(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+                (lit(1.0) + col("l_tax")), 10000.0)).as("sc4"),
+              sum(q(col("l_extendedprice"), 1000000.0)).as("sp6"),
+              sum(q(col("l_discount"), 1000000.0)).as("sdc6"))
+          if (!part.isEmpty) {
+            val lw = new graft.sinks.LakeWriter(root)
+            val exists = spark.catalog.tableExists(tbl)
+            val merged =
+              if (!exists) part
+              else graft.sinks.LakeWriter
+                .readBucketedTableMerged(spark, tbl,
+                  Seq("l_returnflag", "l_linestatus"))
+                .unionByName(part)
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(sum("n").as("n"), sum("sqty").as("sqty"),
+                  sum("sb4").as("sb4"), sum("sd4").as("sd4"),
+                  sum("sc4").as("sc4"), sum("sp6").as("sp6"),
+                  sum("sdc6").as("sdc6"))
+            lw.commitBucketed(merged, tbl, 4,
+              Seq("l_returnflag", "l_linestatus"), replace = true)
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    val state = graft.sinks.LakeWriter
+      .readBucketedTableMerged(spark, tbl,
+        Seq("l_returnflag", "l_linestatus"))
+      .localCheckpoint()
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    // render with the identical Exact formulas as the batch query
+    import graft.ops.Exact.{quant2, quant4}
+    state.select(col("l_returnflag"), col("l_linestatus"),
+        col("sqty").cast("long").as("sum_qty"),
+        quant2(col("sb4").cast("double") / lit(10000.0)).as("sum_base_price"),
+        quant2(col("sd4").cast("double") / lit(10000.0)).as("sum_disc_price"),
+        quant2(col("sc4").cast("double") / lit(10000.0)).as("sum_charge"),
+        quant4(col("sqty").cast("double") / col("n").cast("double"))
+          .as("avg_qty"),
+        quant4(col("sp6").cast("double") / lit(1000000.0) /
+          col("n").cast("double")).as("avg_price"),
+        quant4(col("sdc6").cast("double") / lit(1000000.0) /
+          col("n").cast("double")).as("avg_disc"),
+        col("n").cast("long").as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
   }
 
   /** Streamed paragraph dedup, gated: the t70 planted-boilerplate

@@ -881,4 +881,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     // differs per occurrence: "shared phrase again" is position 6
     assert(out("shared phrase again") == ((1L, 1L, "1:6")))
   }
+
+  test("bpeMerges: top pair by (cnt desc, l, r), greedy leftmost apply " +
+      "merges even run offsets only, stream lengths checksum the apply") {
+    // "a a a a a" : pair (a,a) count 4; greedy merges offsets 0 and 2
+    // -> "a_a a_a a" (3 tokens), the lone 5th 'a' survives
+    val d = docs(
+      (1L, "s", "a a a a a"),
+      (2L, "s", "b c b c"))
+    val m = CorpusOps.bpeMerges(d, nMerges = 1).collect()
+    assert(m.length == 1)
+    val r1 = m(0)
+    assert((r1.getString(1), r1.getString(2), r1.getLong(3)) == (("a", "a", 4L)),
+      s"top pair must be (a,a) x4 (b-c pairs count 2), got $r1")
+    // doc1: 5 -> 3 tokens; doc2 unchanged: 4 -> total 7
+    assert(r1.getLong(4) == 7L)
+    // second round: doc2's (b,c) x2 wins over (a_a,a_a) x1 by count;
+    // apply leaves doc2 as "b_c b_c" (2 tokens), doc1 3 -> total 5
+    val m2 = CorpusOps.bpeMerges(d, nMerges = 2).collect()
+    val r2 = m2(1)
+    assert((r2.getString(1), r2.getString(2), r2.getLong(3)) == (("b", "c", 2L)))
+    assert(r2.getLong(4) == 5L)
+    // determinism: a repartitioned input learns the identical table
+    val again = CorpusOps.bpeMerges(d.repartition(5), nMerges = 2).collect()
+    assert(again.map(_.toString).toSeq == m2.map(_.toString).toSeq)
+  }
 }

@@ -103,6 +103,19 @@ def main(sf_dir, out_dir):
             print(f"PASS {name} ({want.num_rows} rows)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    # board-size vs STATUS.md declared count (the round-13/14
+    # compounding-debt class: STATUS said 264 when the board was 266)
+    try:
+        import re
+        status = open("/root/repo/STATUS.md").read()
+        m = re.search(r"board = (\d+) gated queries", status)
+        declared = int(m.group(1)) if m else None
+        print(f"board size: {len(oracle)} twins; STATUS.md declares: {declared}")
+        if declared is not None and declared != len(oracle):
+            print(f"WARN STATUS.md is stale: declares {declared}, "
+                  f"board has {len(oracle)}")
+    except OSError:
+        pass
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
