@@ -77,6 +77,15 @@ object SparkEntry {
   // t218 twin builder: Luby's MIS unrolled round by round over the
   // co-purchase graph — same md5 priorities, same (hash, id) tuple
   // comparisons, same fixed round count (vacuous once empty)
+  /** Vocabulary twin — shared by the one-shot gate (t58) and the
+    * streaming count-MV gate (t232). */
+  private lazy val vocabSql: String =
+    s"""WITH w AS (SELECT unnest($toks) AS token FROM documents),
+       |c AS (SELECT token, count(*) AS cnt FROM w GROUP BY 1)
+       |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS token_id,
+       | token, cnt
+       |FROM c ORDER BY cnt DESC, token LIMIT 500""".stripMargin
+
   /** TPC-H Q1 twin — shared by the one-shot gate (q64) and the
     * streaming-MV gate (t230), whose folded state must render the
     * identical rows. */
@@ -2356,6 +2365,19 @@ object SparkEntry {
     // must equal the one-shot q64_tpch01 verbatim
     "t230_stream_tpch_q1" -> ((s, d) => { val t = Tables.load(s, d)
       graft.streaming.StreamGates.tpchQ1Gate(t.lineitem) }),
+    // ANALYZE-style column statistics: exact equi-depth histogram
+    // (ntileExact — no fact-sized sort) + per-bucket n/NDV/min/max
+    // over order totals in cents
+    "t231_column_stats" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, expr}
+      Relational.columnStats(t.orders,
+        expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"),
+        col("o_orderkey"), k = 8) }),
+    // streaming VOCABULARY maintenance: additive token counts folded
+    // per micro-batch across cold restarts (O(batch-vocab) delta
+    // commits), day-close top-k ≡ the one-shot t58 verbatim
+    "t232_stream_vocab" -> ((s, d) => { val t = Tables.load(s, d)
+      graft.streaming.StreamGates.vocabGate(t.documents) }),
     // daily-shard incremental corpus build: shard (doc_id ≡ 0 mod 5)
     // dedups against the exact index of the rest, then the identical
     // filter/split/pack tail over shard survivors only. The natural
@@ -5763,12 +5785,20 @@ object SparkEntry {
         |FROM documents ORDER BY pos""".stripMargin,
     // vocabulary twin: same (count desc, token) total order for both
     // the top-k cut and the dense ids
-    "t58_vocabulary" ->
-      s"""WITH w AS (SELECT unnest($toks) AS token FROM documents),
-         |c AS (SELECT token, count(*) AS cnt FROM w GROUP BY 1)
-         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS token_id,
-         | token, cnt
-         |FROM c ORDER BY cnt DESC, token LIMIT 500""".stripMargin,
+    "t58_vocabulary" -> vocabSql,
+    // t232 twin: the streamed count-MV must equal the one-shot
+    // vocabulary verbatim
+    "t232_stream_vocab" -> vocabSql,
+    // t231 twin: DuckDB's real ntile under the identical (v, id)
+    // total order, then the per-bucket statistics
+    "t231_column_stats" ->
+      """WITH b AS (SELECT CAST(floor(o_totalprice*100.0+0.5) AS BIGINT) AS v,
+        |    o_orderkey AS id FROM orders),
+        |t AS (SELECT v, id,
+        |    CAST(ntile(8) OVER (ORDER BY v, id) AS BIGINT) AS bucket FROM b)
+        |SELECT bucket, count(*) AS n, count(DISTINCT v) AS ndv,
+        |  min(v) AS min_v, max(v) AS max_v
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     // co-occurrence twin: parallel unnests zip positions with tokens;
     // the ratio multiplies exactly-representable ints as doubles, so
     // the single division (then quant) is bit-identical

@@ -1934,6 +1934,28 @@ object Relational {
       .orderBy("grp", "id")
   }
 
+  /** ANALYZE-style COLUMN STATISTICS — the optimizer-statistics
+    * collection pass a warehouse runs per column: an EXACT equi-depth
+    * histogram (SQL-standard ntile semantics via [[ntileExact]], so
+    * NO fact-sized sort — the quantile boundaries come from the value
+    * histogram, only tie groups window) with per-bucket row count,
+    * exact NDV, and min/max. These are precisely the statistics
+    * cost-based optimizers feed on (selectivity from depth + NDV,
+    * range pruning from min/max). `id` must be unique (the ntile tie
+    * break and the join-back key). Output:
+    * (bucket, n, ndv, min_v, max_v).
+    */
+  def columnStats(df: DataFrame, vInt: Column, id: Column,
+      k: Int): DataFrame = {
+    val base = df.select(vInt.cast("long").as("v"), id.cast("long").as("id"))
+    val buckets = ntileExact(base, lit("all"), col("v"), col("id"), k)
+    base.join(buckets.select(col("id"), col("bucket")), "id")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), countDistinct(col("v")).as("ndv"),
+        min("v").as("min_v"), max("v").as("max_v"))
+      .orderBy("bucket")
+  }
+
   /** DETERMINISTIC EXACT-k RESERVOIR per group — keep exactly
     * min(k, |group|) rows per group, chosen as the k smallest
     * md5(seed:id) values: the hash IS the reservoir (uniform over any

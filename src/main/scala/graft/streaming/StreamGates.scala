@@ -306,6 +306,66 @@ object StreamGates {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** STREAMING VOCABULARY maintenance — the corpus token-count table
+    * kept as a materialized view under document intake across COLD
+    * RESTARTS: token counts are ADDITIVE, so the per-batch delta is
+    * one partial aggregate and the commit touches only the batch's
+    * tokens (O(batch-vocabulary), never the accumulated state); day
+    * close cuts the top-k with dense ids under the (cnt desc, token)
+    * total order. Must equal the one-shot
+    * [[graft.ops.CorpusOps.vocabulary]] — twin = t58's SQL VERBATIM.
+    */
+  def vocabGate(documents: DataFrame, nShards: Int = 3,
+      k: Int = 500): DataFrame = {
+    import graft.ops.TextOps
+    val spark = documents.sparkSession
+    val docs = documents.select("doc_id", "text")
+    val mx = docs.agg(max("doc_id")).head().getLong(0)
+    val root = Files.createTempDirectory("sgate_vocab").toString
+    val tbl = "sgate_vocab_state"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    drive(shards(docs, mx, nShards)) { (src, cp) =>
+      src.writeStream
+        .option("checkpointLocation", cp.get)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val part = batch
+            .select(explode(TextOps.tokens(col("text"))).as("token"))
+            .groupBy("token").agg(count(lit(1)).as("cnt"))
+          if (!part.isEmpty) {
+            val lw = new graft.sinks.LakeWriter(root)
+            val exists = spark.catalog.tableExists(tbl)
+            val delta =
+              if (!exists) part
+              else {
+                // only the TOUCHED tokens re-commit: prior counts for
+                // this batch's tokens fold in via a semi-restricted
+                // read; untouched tokens keep their latest version
+                val state = graft.sinks.LakeWriter
+                  .readBucketedTableMerged(spark, tbl, Seq("token"))
+                  .join(part.select("token"), Seq("token"), "left_semi")
+                part.unionByName(state)
+                  .groupBy("token").agg(sum("cnt").as("cnt"))
+              }
+            lw.commitBucketed(delta, tbl, 8, Seq("token"),
+              replace = !exists)
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    val state = graft.sinks.LakeWriter
+      .readBucketedTableMerged(spark, tbl, Seq("token"))
+      .localCheckpoint()
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    state.orderBy(col("cnt").desc, col("token")).limit(k)
+      .withColumn("token_id", row_number().over(w).cast("long"))
+      .select("token_id", "token", "cnt")
+      .orderBy("token_id")
+  }
+
   /** Streamed paragraph dedup, gated: the t70 planted-boilerplate
     * corpus streamed in range shards. Every doc carries one of the
     * shared banner paragraphs, so the cross-batch index arm fires on

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class Round15OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("columnStats: SQL-standard equi-depth split (first n mod k " +
+      "buckets one deeper), exact NDV and bounds per bucket") {
+    // 10 rows, k=4 -> depths 3,3,2,2 over ascending v
+    val df = Seq(5L, 5L, 5L, 10L, 10L, 20L, 30L, 30L, 40L, 50L)
+      .zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("v", "id")
+    val got = Relational.columnStats(df, col("v"), col("id"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.map(_._2).toSeq == Seq(3L, 3L, 2L, 2L), s"depths: ${got.toSeq}")
+    // bucket 1 = three 5s: ndv 1, bounds [5,5]; bucket 2 = 10,10,20
+    assert(got(0) == ((1L, 3L, 1L, 5L, 5L)))
+    assert(got(1) == ((2L, 3L, 2L, 10L, 20L)))
+    // bucket 3 = 30,30; bucket 4 = 40,50
+    assert(got(2) == ((3L, 2L, 1L, 30L, 30L)))
+    assert(got(3) == ((4L, 2L, 2L, 40L, 50L)))
+    // the fact table must not globally sort: the only Sort allowed
+    // below the final orderBy is window-local over histogram/tie rows
+    val plan = Relational.columnStats(df, col("v"), col("id"), k = 4)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("Window"), "expected the histogram windows")
+  }
+
+  test("hardNegatives: band filter applies BEFORE the per-anchor rank " +
+      "and the near-dup ceiling excludes high-cosine candidates") {
+    // 4-dim toy corpus, every vector in one LSH bucket-reachable set:
+    // anchor q=(1,0,0,0); candidates: near-dup (0.999..), in-band
+    // (~0.6), in-band (~0.3), out-of-band low (~0.05)
+    def row(id: Long, v: Seq[Double]) = (id, v)
+    val emb = Seq(
+      row(0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      row(1L, Seq(0.999, 0.01, 0.0, 0.0)),
+      row(2L, Seq(0.6, 0.8, 0.0, 0.0)),
+      row(3L, Seq(0.3, 0.954, 0.0, 0.0)),
+      row(4L, Seq(0.05, 0.999, 0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.hardNegatives(emb, nQueries = 1, k = 5,
+      lo = 0.1, hi = 0.9, bits = 2, dim = 4).collect()
+      .map(r => (r.getLong(2), r.getLong(1)))
+    val ids = got.map(_._1).toSet
+    assert(!ids.contains(1L), "near-dup above the ceiling must be excluded")
+    assert(!ids.contains(4L), "below-floor candidate must be excluded")
+    // the two in-band vectors rank by cosine desc IF bucket-reachable;
+    // with 2 hyperplanes all-positive-x vectors share buckets or a
+    // hamming-1 probe, so both must appear
+    assert(ids == Set(2L, 3L), s"got $ids")
+    assert(got.toMap.apply(2L) == 1L, "higher cosine ranks first")
+  }
+}
