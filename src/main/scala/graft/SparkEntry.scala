@@ -2373,6 +2373,19 @@ object SparkEntry {
       Relational.columnStats(t.orders,
         expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"),
         col("o_orderkey"), k = 8) }),
+    // ROLLING EXACT MEDIAN: 7-observation lower median over the daily
+    // order-count series per priority — windows sort |series| rows,
+    // never the fact table (the autocorr/EWMA series contract)
+    "t233_rolling_median" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, count, datediff, lit}
+      val daily = t.orders.groupBy(col("o_orderpriority").as("pri"),
+          col("o_orderdate").as("dt"))
+        .agg(count(lit(1)).as("x"))
+      // day index, not epoch micros: o_orderdate is NTZ in some
+      // fixture generations and unix_micros rejects NTZ
+      Relational.rollingMedianInt(daily, col("pri"),
+        datediff(col("dt").cast("date"), lit("1995-01-01").cast("date"))
+          .cast("long"), col("x"), window = 7) }),
     // streaming VOCABULARY maintenance: additive token counts folded
     // per micro-batch across cold restarts (O(batch-vocab) delta
     // commits), day-close top-k ≡ the one-shot t58 verbatim
@@ -5789,6 +5802,20 @@ object SparkEntry {
     // t232 twin: the streamed count-MV must equal the one-shot
     // vocabulary verbatim
     "t232_stream_vocab" -> vocabSql,
+    // t233 twin: the identical lower-median element index over the
+    // same ROWS frame — no interpolation on either side
+    "t233_rolling_median" ->
+      """WITH daily AS (SELECT o_orderpriority AS grp,
+        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |      AS tt, count(*) AS x
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT grp, CAST(tt AS BIGINT) AS t, CAST(x AS BIGINT) AS x,
+        |  CAST((list_sort(list(x) OVER w))[
+        |    CAST((count(*) OVER w + 1) // 2 AS BIGINT)] AS BIGINT) AS med
+        |FROM daily
+        |WINDOW w AS (PARTITION BY grp ORDER BY tt
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY grp, t""".stripMargin,
     // t231 twin: DuckDB's real ntile under the identical (v, id)
     // total order, then the per-bucket statistics
     "t231_column_stats" ->

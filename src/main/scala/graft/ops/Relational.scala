@@ -1934,6 +1934,31 @@ object Relational {
       .orderBy("grp", "id")
   }
 
+  /** ROLLING EXACT MEDIAN over a per-key SERIES — the robust
+    * trend-line a monitoring pipeline wants where a rolling mean is
+    * outlier-dragged: for each observation, the LOWER MEDIAN (element
+    * ⌈n/2⌉ of the ascending window — integer-exact, no interpolation,
+    * so both engines index the same element) of the last `window`
+    * observations in t-order, partial windows included. Input must be
+    * a pre-aggregated series (grp, t, x) — the same contract as the
+    * autocorrelation/EWMA family: at 100 TB the fact table reduces to
+    * the series in ONE partial-agg pass and the window sorts only
+    * |series| rows per key, never facts. Output: (grp, t, x, med).
+    */
+  def rollingMedianInt(df: DataFrame, grp: Column, tOrd: Column,
+      vInt: Column, window: Int = 7): DataFrame = {
+    require(window >= 1, "window must be positive")
+    val w = Window.partitionBy("grp").orderBy("t")
+      .rowsBetween(-(window - 1), Window.currentRow)
+    df.select(grp.as("grp"), tOrd.as("t"), vInt.cast("long").as("x"))
+      .withColumn("win", sort_array(collect_list(col("x")).over(w)))
+      .withColumn("med",
+        element_at(col("win"), ((size(col("win")) + 1) / 2)
+          .cast("int")).cast("long"))
+      .select("grp", "t", "x", "med")
+      .orderBy("grp", "t")
+  }
+
   /** ANALYZE-style COLUMN STATISTICS — the optimizer-statistics
     * collection pass a warehouse runs per column: an EXACT equi-depth
     * histogram (SQL-standard ntile semantics via [[ntileExact]], so

@@ -143,7 +143,10 @@ object StreamGates {
     val shard = documents.filter(col("doc_id") % 5 === 0)
       .select("doc_id", "source", "text")
     val history = documents.filter(col("doc_id") % 5 =!= 0)
-    val mx = shard.agg(max("doc_id")).head().getLong(0)
+    val mxRow = shard.agg(max("doc_id")).head()
+    require(!mxRow.isNullAt(0),
+      "crawlCorpusGate: empty crawl shard — no ranges to derive")
+    val mx = mxRow.getLong(0)
     // static context, exactly what the batch capstone derives from
     // the full corpus / history
     val blocked = UrlOps.domainQualityReport(documents, withUrls,
@@ -233,6 +236,8 @@ object StreamGates {
     val li = lineitem.select("l_orderkey", "l_returnflag", "l_linestatus",
       "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate")
     val b = li.agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi")).head()
+    require(!b.isNullAt(0) && !b.isNullAt(1),
+      "tpchQ1Gate: empty lineitem — no shard ranges to derive")
     val (lo, hi) = (b.getLong(0), b.getLong(1))
     val span = hi - lo + 1
     val shardFrames = (0 until nShards).map { i =>
@@ -320,7 +325,10 @@ object StreamGates {
     import graft.ops.TextOps
     val spark = documents.sparkSession
     val docs = documents.select("doc_id", "text")
-    val mx = docs.agg(max("doc_id")).head().getLong(0)
+    val mxRow = docs.agg(max("doc_id")).head()
+    require(!mxRow.isNullAt(0),
+      "vocabGate: empty documents — no shard ranges to derive")
+    val mx = mxRow.getLong(0)
     val root = Files.createTempDirectory("sgate_vocab").toString
     val tbl = "sgate_vocab_state"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")

@@ -31,6 +31,20 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(plan.contains("Window"), "expected the histogram windows")
   }
 
+  test("rollingMedianInt: lower median over partial and full windows, " +
+      "outlier-resistant where the mean is not") {
+    val s = Seq(("a", 1L, 10L), ("a", 2L, 12L), ("a", 3L, 1000L),
+      ("a", 4L, 11L), ("a", 5L, 13L)).toDF("g", "t", "x")
+    val got = Relational.rollingMedianInt(s, col("g"), col("t"), col("x"),
+      window = 3).collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // t=1: [10] -> 10; t=2: [10,12] lower median -> 10
+    assert(got(1L) == 10L && got(2L) == 10L)
+    // t=3: [10,12,1000] -> 12 (the outlier does not drag the median)
+    assert(got(3L) == 12L)
+    // t=4: [12,1000,11] sorted [11,12,1000] -> 12; t=5: [1000,11,13] -> 13
+    assert(got(4L) == 12L && got(5L) == 13L)
+  }
+
   test("hardNegatives: band filter applies BEFORE the per-anchor rank " +
       "and the near-dup ceiling excludes high-cosine candidates") {
     // 4-dim toy corpus, every vector in one LSH bucket-reachable set:
