@@ -2373,6 +2373,13 @@ object SparkEntry {
       Relational.columnStats(t.orders,
         expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"),
         col("o_orderkey"), k = 8) }),
+    // SYSTEMATIC PPS SAMPLE: exactly 16 token-weighted draws from the
+    // documents corpus — deterministic weight-proportional selection
+    // with multiplicity (two-phase prefix sum, broadcast grid)
+    "t234_pps_sample" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, size}
+      CorpusOps.ppsSystematic(t.documents, col("doc_id"),
+        size(graft.ops.TextOps.tokens(col("text"))), k = 16) }),
     // ROLLING EXACT MEDIAN: 7-observation lower median over the daily
     // order-count series per priority — windows sort |series| rows,
     // never the fact table (the autocorr/EWMA series contract)
@@ -5802,6 +5809,21 @@ object SparkEntry {
     // t232 twin: the streamed count-MV must equal the one-shot
     // vocabulary verbatim
     "t232_stream_vocab" -> vocabSql,
+    // t234 twin: the identical grid-containment rule over the same
+    // cumulative weight layout (HUGEINT grid arithmetic)
+    "t234_pps_sample" ->
+      s"""WITH s AS (SELECT doc_id AS id,
+         |    CAST(len($toks) AS BIGINT) AS w FROM documents),
+         |c AS (SELECT id, w, sum(w) OVER (ORDER BY id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+         |  FROM s),
+         |t AS (SELECT max(hi) AS wtot FROM c),
+         |g AS (SELECT j, CAST((CAST(wtot AS HUGEINT) * (2*j + 1)) // 32
+         |    AS BIGINT) AS g
+         |  FROM t CROSS JOIN (SELECT unnest(range(0, 16)) AS j))
+         |SELECT g.j AS sample_ord, c.id, c.w
+         |FROM c JOIN g ON g.g >= c.hi - c.w AND g.g < c.hi
+         |ORDER BY sample_ord""".stripMargin,
     // t233 twin: the identical lower-median element index over the
     // same ROWS frame — no interpolation on either side
     "t233_rolling_median" ->

@@ -631,6 +631,56 @@ object CorpusOps {
       .drop("cum", "base")
   }
 
+  /** SYSTEMATIC PPS SAMPLE — exactly `k` draws with probability
+    * proportional to an integer size/weight (tokens, bytes, clicks):
+    * the classic weighted corpus subsample where hash-Bernoulli rates
+    * give binomial counts and [[Relational.reservoirK]] is uniform.
+    * Fully deterministic (no randomness: the grid anchors at stratum
+    * midpoints — "systematic sampling with implicit stratification",
+    * Madow 1949, public): rows ordered by unique `id` lay their
+    * weights end-to-end on [0, W); draw j selects the row covering
+    * grid point ⌊W·(2j+1)/(2k)⌋. A row heavier than W/k can be drawn
+    * multiple times — correct PPS-with-multiplicity semantics, the
+    * multiplicity IS its weight share.
+    *
+    * Scale shape: the global cumulative weight comes from the SAME
+    * two-phase prefix sum as [[tokenOffsets]] (range-partition,
+    * in-chunk window, broadcast base offsets — no global sort-window
+    * over facts); the k-row grid broadcasts into a containment join
+    * (O(n·k) predicate work, zero extra shuffle — k ≪ n always).
+    * Grid arithmetic runs in DECIMAL(38,0) so W·(2k−1) can't
+    * overflow. Output: (sample_ord, id, w), exactly k rows.
+    */
+  def ppsSystematic(df: DataFrame, id: Column, wInt: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val spark = df.sparkSession
+    val slim = df.select(id.cast("long").as("id"), wInt.cast("long").as("w"))
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val ranged = ledger.persist(slim.repartitionByRange(nParts, col("id"))
+      .withColumn("pid", spark_partition_id()))
+    val wLocal = Window.partitionBy("pid").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("cum", sum("w").over(wLocal))
+    // the only unpartitioned window runs over ≤|chunks| subtotal rows
+    val wPrev = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = ranged.groupBy("pid").agg(sum("w").as("subtotal"))
+      .withColumn("base", coalesce(sum("subtotal").over(wPrev), lit(0L)))
+      .select("pid", "base")
+    val cum = local.join(broadcast(bases), "pid")
+      .withColumn("hi", col("cum") + col("base"))
+      .withColumn("lo", col("hi") - col("w"))
+    val grid = cum.agg(max("hi").as("wtot"))
+      .select(explode(sequence(lit(0L), lit(k - 1L))).as("j"), col("wtot"))
+      .select(col("j"), expr(
+        s"CAST((CAST(wtot AS DECIMAL(38,0)) * (2*j + 1)) div ${2L * k} " +
+          "AS BIGINT)").as("g"))
+    cum.join(broadcast(grid), col("g") >= col("lo") && col("g") < col("hi"))
+      .select(col("j").as("sample_ord"), col("id"), col("w"))
+      .orderBy("sample_ord")
+  }
+
   /** Mixture (re-weighting) sample: given a total document `budget`
     * spread uniformly across sources, keep each source's deterministic
     * content-hash slice at rate target/n — the "data mixing" step of a

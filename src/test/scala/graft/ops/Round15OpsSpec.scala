@@ -45,6 +45,21 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(got(4L) == 12L && got(5L) == 13L)
   }
 
+  test("ppsSystematic: exactly k draws, heavy rows drawn with " +
+      "multiplicity, deterministic under repartitioning") {
+    // weights 1,1,8,1,1 -> W=12, k=4 grid = floor(12(2j+1)/8) = 1,4,7,10
+    // layout: id1 [0,1) id2 [1,2) id3 [2,10) id4 [10,11) id5 [11,12)
+    val df = Seq((1L, 1L), (2L, 1L), (3L, 8L), (4L, 1L), (5L, 1L))
+      .toDF("id", "w")
+    val got = CorpusOps.ppsSystematic(df, col("id"), col("w"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)),
+      s"got ${got.toSeq}")
+    val again = CorpusOps.ppsSystematic(df.repartition(7), col("id"),
+      col("w"), k = 4).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("hardNegatives: band filter applies BEFORE the per-anchor rank " +
       "and the near-dup ceiling excludes high-cosine candidates") {
     // 4-dim toy corpus, every vector in one LSH bucket-reachable set:
