@@ -77,6 +77,27 @@ object SparkEntry {
   // t218 twin builder: Luby's MIS unrolled round by round over the
   // co-purchase graph — same md5 priorities, same (hash, id) tuple
   // comparisons, same fixed round count (vacuous once empty)
+  /** OLS trend twin — shared by the one-shot gate (t235) and the
+    * streaming moment-MV gate (t236). */
+  private lazy val trendSql: String =
+    """WITH daily AS (SELECT o_orderpriority AS grp,
+      |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+      |      AS t, count(*) AS x
+      |  FROM orders GROUP BY 1, 2),
+      |m AS (SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(t) AS HUGEINT) AS st, CAST(sum(x) AS HUGEINT) AS sx,
+      |    CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt,
+      |    CAST(sum(CAST(t AS HUGEINT) * x) AS HUGEINT) AS stx
+      |  FROM daily GROUP BY 1)
+      |SELECT grp, CAST(n AS BIGINT) AS n,
+      |  CAST(CASE WHEN n * stt - st * st > 0 THEN
+      |    ((n * stx - st * sx) * 1000000) // (n * stt - st * st)
+      |    END AS BIGINT) AS slope_micro,
+      |  CAST(CASE WHEN n * stt - st * st > 0 THEN
+      |    ((sx * stt - st * stx) * 1000000) // (n * stt - st * st)
+      |    END AS BIGINT) AS intercept_micro
+      |FROM m ORDER BY grp""".stripMargin
+
   /** Vocabulary twin — shared by the one-shot gate (t58) and the
     * streaming count-MV gate (t232). */
   private lazy val vocabSql: String =
@@ -2373,6 +2394,41 @@ object SparkEntry {
       Relational.columnStats(t.orders,
         expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"),
         col("o_orderkey"), k = 8) }),
+    // streaming LINEAR-TREND MV: additive OLS moments folded per
+    // complete-day micro-batch across cold restarts ≡ t235 verbatim
+    "t236_stream_trend" -> ((s, d) => { val t = Tables.load(s, d)
+      graft.streaming.StreamGates.trendGate(t.orders) }),
+    // MANN-KENDALL trend test: distribution-free monotone-trend S
+    // statistic per priority over the same daily series — all sign
+    // counts, no division anywhere
+    "t237_mann_kendall" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, count, datediff, lit}
+      val daily = t.orders.groupBy(col("o_orderpriority").as("pri"),
+          col("o_orderdate").as("dt"))
+        .agg(count(lit(1)).as("x"))
+      Relational.mannKendallInt(daily, col("pri"),
+        datediff(col("dt").cast("date"), lit("1995-01-01").cast("date"))
+          .cast("long"), col("x")) }),
+    // THEIL-SEN robust slope: lower-median pairwise micro slope per
+    // priority — the ~29%-contamination-proof trend companion
+    "t238_theil_sen" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, count, datediff, lit}
+      val daily = t.orders.groupBy(col("o_orderpriority").as("pri"),
+          col("o_orderdate").as("dt"))
+        .agg(count(lit(1)).as("x"))
+      Relational.theilSenInt(daily, col("pri"),
+        datediff(col("dt").cast("date"), lit("1995-01-01").cast("date"))
+          .cast("long"), col("x")) }),
+    // LINEAR TREND per priority: OLS slope/intercept of the daily
+    // order-count series in exact integer moments, micro-unit DIV
+    "t235_linear_trend" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, count, datediff, lit}
+      val daily = t.orders.groupBy(col("o_orderpriority").as("pri"),
+          col("o_orderdate").as("dt"))
+        .agg(count(lit(1)).as("x"))
+      Relational.linearTrendInt(daily, col("pri"),
+        datediff(col("dt").cast("date"), lit("1995-01-01").cast("date"))
+          .cast("long"), col("x")) }),
     // SYSTEMATIC PPS SAMPLE: exactly 16 token-weighted draws from the
     // documents corpus — deterministic weight-proportional selection
     // with multiplicity (two-phase prefix sum, broadcast grid)
@@ -2981,6 +3037,25 @@ object SparkEntry {
     "s61_hard_negatives" -> ((s, d) => { val t = Tables.load(s, d)
       Similarity.hardNegatives(Similarity.plantNearDups(t.embeddings),
         lo = 0.02, hi = 0.9) }),
+    // explicit GROUPING SETS (cube/rollup's general form): revenue at
+    // (flag, status), (flag), and grand-total levels in ONE Expand
+    // pass, aggregation level derived from the null pattern (source
+    // keys are non-null, so the derivation is unambiguous)
+    "q86_grouping_sets" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, count, lit, when}
+      t.lineitem
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(graft.ops.Exact.moneySum(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .withColumn("lvl",
+          when(col("l_returnflag").isNull && col("l_linestatus").isNull, 2L)
+            .when(col("l_linestatus").isNull, 1L).otherwise(0L))
+        .orderBy(col("lvl"), col("l_returnflag"), col("l_linestatus")) }),
     // ---- the full TPC-H suite (Q1-Q22), adapted to the synthetic
     // schema (analytics/TpchSuite.scala documents every adaptation).
     // Each keeps the canonical plan shape: decorrelated scalars,
@@ -5809,6 +5884,38 @@ object SparkEntry {
     // t232 twin: the streamed count-MV must equal the one-shot
     // vocabulary verbatim
     "t232_stream_vocab" -> vocabSql,
+    // t236 twin: the streamed moment-MV must equal the one-shot OLS
+    "t236_stream_trend" -> trendSql,
+    // t237 twin: the identical pair-sign sum over the same series
+    "t237_mann_kendall" ->
+      """WITH daily AS (SELECT o_orderpriority AS grp,
+        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |      AS t, count(*) AS x
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT a.grp, count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN b.x > a.x THEN 1
+        |    WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |FROM daily a JOIN daily b ON a.grp = b.grp AND a.t < b.t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // t235 twin: the identical HUGEINT moments and micro DIV with the
+    // same variance guard (shared with the streamed MV t236)
+    "t235_linear_trend" -> trendSql,
+    // t238 twin: the identical pair-slope micro DIV and lower-median
+    // rank cut under the same (sm, ta, tb) total order
+    "t238_theil_sen" ->
+      """WITH daily AS (SELECT o_orderpriority AS grp,
+        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |      AS t, count(*) AS x
+        |  FROM orders GROUP BY 1, 2),
+        |p AS (SELECT a.grp, a.t AS ta, b.t AS tb,
+        |    ((b.x - a.x) * 1000000) // (b.t - a.t) AS sm
+        |  FROM daily a JOIN daily b ON a.grp = b.grp AND a.t < b.t),
+        |r AS (SELECT grp, sm,
+        |    row_number() OVER (PARTITION BY grp ORDER BY sm, ta, tb) AS rn,
+        |    count(*) OVER (PARTITION BY grp) AS m FROM p)
+        |SELECT grp, CAST(m AS BIGINT) AS n_pairs,
+        |  CAST(sm AS BIGINT) AS theil_sen_micro
+        |FROM r WHERE rn = (m + 1) // 2 ORDER BY grp""".stripMargin,
     // t234 twin: the identical grid-containment rule over the same
     // cumulative weight layout (HUGEINT grid arithmetic)
     "t234_pps_sample" ->
@@ -6779,6 +6886,18 @@ object SparkEntry {
     "s45_quantized_ann" -> s45Sql,
     // s61: the s33 pipeline + the pre-rank cosine band
     "s61_hard_negatives" -> s61Sql,
+    // q86 twin: the identical three grouping sets and null-pattern
+    // level derivation
+    "q86_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus, ${mny(rev)} AS revenue,
+         |  count(*) AS n_lines,
+         |  CAST(CASE WHEN l_returnflag IS NULL AND l_linestatus IS NULL
+         |    THEN 2 WHEN l_linestatus IS NULL THEN 1 ELSE 0 END
+         |    AS BIGINT) AS lvl
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+         |  (l_returnflag), ())
+         |ORDER BY lvl, l_returnflag, l_linestatus""".stripMargin,
     // ---- TPC-H suite twins (adaptations documented in TpchSuite) --
     "q64_tpch01" -> tpch01Sql,
     // t230 twin: the MV must equal the one-shot Q1 verbatim

@@ -1934,6 +1934,97 @@ object Relational {
       .orderBy("grp", "id")
   }
 
+  /** PER-GROUP LINEAR TREND (OLS) in EXACT INTEGER MOMENTS — the
+    * "is this metric rising and how fast" statistic per key:
+    * slope = (n·Σty − Σt·Σy) / (n·Σt² − (Σt)²) and the matching
+    * intercept, both emitted as micro-units via integral DIV over
+    * DECIMAL(38,0) moments — one map-side-combined aggregate per
+    * group, no window, no float until nothing is left to round.
+    * Input is a series (grp, t, x) of integers (the autocorr/EWMA
+    * contract). Degenerate groups (single point / constant t) emit
+    * NULL in both engines via the explicit variance guard. Output:
+    * (grp, n, slope_micro, intercept_micro).
+    */
+  def linearTrendInt(df: DataFrame, grp: Column, tOrd: Column,
+      vInt: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    df.select(grp.as("grp"), tOrd.cast("long").as("t"),
+        vInt.cast("long").as("x"))
+      .groupBy("grp")
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("t").cast(dec)).as("st"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("t").cast(dec) * col("t").cast(dec)).as("stt"),
+        sum(col("t").cast(dec) * col("x").cast(dec)).as("stx"))
+      .select(col("grp"), col("n").cast("long").as("n"),
+        expr("CAST(CASE WHEN n * stt - st * st > 0 THEN " +
+          "((n * stx - st * sx) * 1000000) div (n * stt - st * st) " +
+          "END AS BIGINT)").as("slope_micro"),
+        expr("CAST(CASE WHEN n * stt - st * st > 0 THEN " +
+          "((sx * stt - st * stx) * 1000000) div (n * stt - st * st) " +
+          "END AS BIGINT)").as("intercept_micro"))
+      .orderBy("grp")
+  }
+
+  /** MANN–KENDALL TREND TEST statistic per group — the
+    * distribution-free companion to [[linearTrendInt]]: S = Σ_{i<j}
+    * sign(x_j − x_i) over the series in t order (Mann 1945 / Kendall,
+    * public). Pure integer arithmetic — sign counts, no moments, no
+    * division — so a monotone drift is detected regardless of
+    * magnitude or outliers. Input is a pre-aggregated series
+    * (grp, t, x); the pair join is per-group over |series|² /2 pairs
+    * (bounded by the series length, NEVER facts — the same contract
+    * that keeps autocorr/EWMA/trend windows small). Output:
+    * (grp, n_pairs, s_stat); S ≈ +n_pairs = strongly rising,
+    * −n_pairs = strongly falling, near 0 = no monotone trend.
+    */
+  def mannKendallInt(df: DataFrame, grp: Column, tOrd: Column,
+      vInt: Column): DataFrame = {
+    val s = df.select(grp.as("grp"), tOrd.cast("long").as("t"),
+      vInt.cast("long").as("x"))
+    val a = s.select(col("grp"), col("t").as("ta"), col("x").as("xa"))
+    val b = s.select(col("grp").as("grpb"), col("t").as("tb"),
+      col("x").as("xb"))
+    a.join(b, col("grp") === col("grpb") && col("ta") < col("tb"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("xb") > col("xa"), 1L)
+          .when(col("xb") < col("xa"), -1L).otherwise(0L)).as("s_stat"))
+      .orderBy("grp")
+  }
+
+  /** THEIL–SEN ROBUST SLOPE per group — the median of all pairwise
+    * slopes (Theil 1950 / Sen 1968, public): up to ~29% contaminated
+    * observations cannot move it, where one bad day drags the OLS
+    * slope ([[linearTrendInt]]) arbitrarily. Each pair's slope is an
+    * exact micro-unit integral division (truncation toward zero —
+    * verified identical to the twin's `//` on negatives); the median
+    * is the LOWER median element of the slope multiset (rank
+    * (m+1) div 2 under a total order — no interpolation, the same
+    * element in both engines). Pair frame bounded by |series|² per
+    * group, never facts. Output: (grp, n_pairs, theil_sen_micro).
+    */
+  def theilSenInt(df: DataFrame, grp: Column, tOrd: Column,
+      vInt: Column): DataFrame = {
+    val s = df.select(grp.as("grp"), tOrd.cast("long").as("t"),
+      vInt.cast("long").as("x"))
+    val a = s.select(col("grp"), col("t").as("ta"), col("x").as("xa"))
+    val b = s.select(col("grp").as("grpb"), col("t").as("tb"),
+      col("x").as("xb"))
+    val pairs = a.join(b, col("grp") === col("grpb") && col("ta") < col("tb"))
+      .withColumn("sm", expr("((xb - xa) * 1000000) div (tb - ta)"))
+    val wRank = Window.partitionBy("grp")
+      .orderBy(col("sm"), col("ta"), col("tb"))
+    val wAll = Window.partitionBy("grp")
+    pairs
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .filter(col("rn") === expr("(m + 1) div 2"))
+      .select(col("grp"), col("m").as("n_pairs"),
+        col("sm").as("theil_sen_micro"))
+      .orderBy("grp")
+  }
+
   /** ROLLING EXACT MEDIAN over a per-key SERIES — the robust
     * trend-line a monitoring pipeline wants where a rolling mean is
     * outlier-dragged: for each observation, the LOWER MEDIAN (element

@@ -374,6 +374,88 @@ object StreamGates {
       .orderBy("token_id")
   }
 
+  /** STREAMING LINEAR-TREND maintenance — the t235 OLS statistic kept
+    * as a materialized view across COLD RESTARTS: the five moments
+    * (n, Σt, Σy, Σt², Σty) are ADDITIVE in DECIMAL(38,0), so each
+    * micro-batch of COMPLETE days (date-range shards — a day never
+    * straddles a batch, the cusumGate discipline, because the moment
+    * of a PARTIAL day's count is not a partial moment) folds one
+    * per-group delta into a |groups|-row state table; day close
+    * renders slope/intercept with the identical micro-DIV formulas.
+    * Twin = t235's SQL verbatim. This pins the general rule: a
+    * statistic is streamable as an MV exactly when its sufficient
+    * statistics are associative over the GRAIN the batches cut on.
+    */
+  def trendGate(orders: DataFrame, nShards: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val spark = orders.sparkSession
+    val o = orders.select("o_orderkey", "o_orderpriority", "o_orderdate")
+    val dn = datediff(col("o_orderdate"), lit("1970-01-01"))
+    val b = o.agg(min(dn).as("lo"), max(dn).as("hi"),
+      sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("n_null")).head()
+    require(!b.isNullAt(0) && !b.isNullAt(1), "trendGate: no non-null dates")
+    require(b.getLong(2) == 0L, "trendGate: null dates would vanish")
+    val (lo, hi) = (b.getInt(0).toLong, b.getInt(1).toLong)
+    val span = hi - lo + 1
+    val shardFrames = (0 until nShards).map { i =>
+      val l = lo + i * span / nShards
+      val h2 = lo + (i + 1) * span / nShards
+      if (i == nShards - 1) o.filter(dn >= l)
+      else o.filter(dn >= l && dn < h2)
+    }
+    val epoch95 = lit("1995-01-01").cast("date")
+    val tbl = "sgate_trend_state"
+    val root = Files.createTempDirectory("sgate_trend").toString
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    drive(shardFrames) { (src, cp) =>
+      src.writeStream
+        .option("checkpointLocation", cp.get)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val part = batch
+            .groupBy(col("o_orderpriority").as("grp"),
+              datediff(col("o_orderdate").cast("date"), epoch95)
+                .cast("long").as("t"))
+            .agg(count(lit(1)).as("x"))
+            .groupBy("grp")
+            .agg(count(lit(1)).cast(dec).as("n"),
+              sum(col("t").cast(dec)).as("st"),
+              sum(col("x").cast(dec)).as("sx"),
+              sum(col("t").cast(dec) * col("t").cast(dec)).as("stt"),
+              sum(col("t").cast(dec) * col("x").cast(dec)).as("stx"))
+          if (!part.isEmpty) {
+            val lw = new graft.sinks.LakeWriter(root)
+            val exists = spark.catalog.tableExists(tbl)
+            val merged =
+              if (!exists) part
+              else graft.sinks.LakeWriter
+                .readBucketedTableMerged(spark, tbl, Seq("grp"))
+                .unionByName(part)
+                .groupBy("grp")
+                .agg(sum("n").as("n"), sum("st").as("st"),
+                  sum("sx").as("sx"), sum("stt").as("stt"),
+                  sum("stx").as("stx"))
+            lw.commitBucketed(merged, tbl, 4, Seq("grp"), replace = true)
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    val state = graft.sinks.LakeWriter
+      .readBucketedTableMerged(spark, tbl, Seq("grp"))
+      .localCheckpoint()
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    state.select(col("grp"), col("n").cast("long").as("n"),
+        expr("CAST(CASE WHEN n * stt - st * st > 0 THEN " +
+          "((n * stx - st * sx) * 1000000) div (n * stt - st * st) " +
+          "END AS BIGINT)").as("slope_micro"),
+        expr("CAST(CASE WHEN n * stt - st * st > 0 THEN " +
+          "((sx * stt - st * stx) * 1000000) div (n * stt - st * st) " +
+          "END AS BIGINT)").as("intercept_micro"))
+      .orderBy("grp")
+  }
+
   /** Streamed paragraph dedup, gated: the t70 planted-boilerplate
     * corpus streamed in range shards. Every doc carries one of the
     * shared banner paragraphs, so the cross-batch index arm fires on

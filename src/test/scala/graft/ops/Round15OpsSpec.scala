@@ -45,6 +45,39 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(got(4L) == 12L && got(5L) == 13L)
   }
 
+  test("linearTrendInt: exact micro slope/intercept, negative slopes " +
+      "truncate toward zero like the twin, degenerate groups NULL") {
+    // y = 3t + 10 exactly: slope 3e6, intercept 1e7
+    val s = Seq(("a", 0L, 10L), ("a", 1L, 13L), ("a", 2L, 16L),
+      // falling series: y = -2t + 100
+      ("b", 0L, 100L), ("b", 1L, 98L), ("b", 2L, 96L),
+      // single point: variance 0 -> NULL
+      ("c", 5L, 7L)).toDF("g", "t", "x")
+    val got = Relational.linearTrendInt(s, col("g"), col("t"), col("x"))
+      .collect()
+    val m = got.map(r => r.getString(0) ->
+      ((if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(m("a") == ((Some(3000000L), Some(10000000L))))
+    assert(m("b") == ((Some(-2000000L), Some(100000000L))))
+    assert(m("c") == ((None, None)))
+  }
+
+  test("theilSenInt: median pairwise slope shrugs off an outlier that " +
+      "drags OLS; lower-median rank, trunc-toward-zero parity") {
+    // y = 2t except t=4 spikes to 1000: OLS slope is wrecked, the
+    // median pairwise slope stays 2e6 micro
+    val s = Seq(("a", 0L, 0L), ("a", 1L, 2L), ("a", 2L, 4L),
+      ("a", 3L, 6L), ("a", 4L, 1000L)).toDF("g", "t", "x")
+    val ts = Relational.theilSenInt(s, col("g"), col("t"), col("x"))
+      .collect()(0)
+    assert(ts.getLong(1) == 10L, "C(5,2) pairs")
+    assert(ts.getLong(2) == 2000000L, s"robust slope, got $ts")
+    val ols = Relational.linearTrendInt(s, col("g"), col("t"), col("x"))
+      .collect()(0)
+    assert(ols.getLong(2) > 100000000L, "OLS must be dragged by the spike")
+  }
+
   test("ppsSystematic: exactly k draws, heavy rows drawn with " +
       "multiplicity, deterministic under repartitioning") {
     // weights 1,1,8,1,1 -> W=12, k=4 grid = floor(12(2j+1)/8) = 1,4,7,10
