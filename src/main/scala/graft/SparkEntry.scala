@@ -98,6 +98,38 @@ object SparkEntry {
       |    END AS BIGINT) AS intercept_micro
       |FROM m ORDER BY grp""".stripMargin
 
+  /** s49 candidate core — seed PQ codebooks, encode, reconstruct,
+    * ADC-score every (query, corpus) pair into `sc` (query_id,
+    * vec_id, cos). Shared by the one-shot top-k (s49) and the
+    * retrieve-rerank composition (s62). */
+  private lazy val s49CandCtes: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+      |  WHERE vec_id >= 5 ORDER BY vec_id LIMIT 16),
+      |cs AS (SELECT cid, j, cv[j*8+1:j*8+8] AS scv
+      |  FROM cent, LATERAL (SELECT unnest(range(0, 8)) AS j) u),
+      |xs AS (SELECT vec_id, j, v[j*8+1:j*8+8] AS sv
+      |  FROM e, LATERAL (SELECT unnest(range(0, 8)) AS j) u
+      |  WHERE vec_id >= 5),
+      |code AS (SELECT vec_id, j, cid FROM (
+      |  SELECT xs.vec_id, xs.j, cs.cid,
+      |    row_number() OVER (PARTITION BY xs.vec_id, xs.j ORDER BY
+      |      list_sum(list_transform(range(1, 9), i -> (sv[i]-scv[i])*(sv[i]-scv[i]))),
+      |      cs.cid) AS rn
+      |  FROM xs JOIN cs ON cs.j = xs.j) WHERE rn = 1),
+      |rec AS (SELECT c.vec_id, flatten(list(cs.scv ORDER BY c.j)) AS rv
+      |  FROM code c JOIN cs ON cs.j = c.j AND cs.cid = c.cid GROUP BY 1),
+      |rn2 AS (SELECT vec_id, rv,
+      |  sqrt(list_sum(list_transform(range(1, 65), i -> rv[i]*rv[i]))) AS rnrm
+      |  FROM rec),
+      |q AS (SELECT vec_id AS query_id, v AS qv,
+      |  sqrt(list_sum(list_transform(range(1, 65), i -> v[i]*v[i]))) AS qn
+      |  FROM e WHERE vec_id < 5),
+      |sc AS (SELECT query_id, r.vec_id,
+      |  floor(list_sum(list_transform(range(1, 65), i -> qv[i]*r.rv[i]))
+      |    /(qn*r.rnrm)*1000000.0+0.5)/1000000.0 AS cos
+      |  FROM q CROSS JOIN rn2 r)""".stripMargin
+
   /** Vocabulary twin — shared by the one-shot gate (t58) and the
     * streaming count-MV gate (t232). */
   private lazy val vocabSql: String =
@@ -2394,6 +2426,12 @@ object SparkEntry {
       Relational.columnStats(t.orders,
         expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"),
         col("o_orderkey"), k = 8) }),
+    // WEEKDAY SEASONAL PROFILE: robust per-(priority, ISO weekday)
+    // lower median of daily order counts via the histogram rank
+    "t239_weekday_profile" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.col
+      Relational.weekdayMedianProfile(t.orders, col("o_orderpriority"),
+        col("o_orderdate")) }),
     // streaming LINEAR-TREND MV: additive OLS moments folded per
     // complete-day micro-batch across cold restarts ≡ t235 verbatim
     "t236_stream_trend" -> ((s, d) => { val t = Tables.load(s, d)
@@ -3029,6 +3067,12 @@ object SparkEntry {
     // 4× index memory with the serving plan unchanged
     "s45_quantized_ann" -> ((s, d) => { val t = Tables.load(s, d)
       Similarity.annLsh(Similarity.dequantizedEmbeddings(t.embeddings)) }),
+    // two-stage RETRIEVE-RERANK: PQ-ADC retrieves 32 candidates per
+    // query, finalists re-scored on the raw vectors — the production
+    // ANN serving shape (compressed scan, full precision only for
+    // the shortlist)
+    "s62_retrieve_rerank" -> ((s, d) => { val t = Tables.load(s, d)
+      Similarity.retrieveRerank(t.embeddings) }),
     // hard-negative mining over the PLANTED near-dup corpus: in-band
     // (cos ∈ [0.02, 0.9)) top-k per anchor from the LSH bucket
     // candidates — the ceiling excludes the planted near-dups (cos ≈
@@ -5886,6 +5930,22 @@ object SparkEntry {
     "t232_stream_vocab" -> vocabSql,
     // t236 twin: the streamed moment-MV must equal the one-shot OLS
     "t236_stream_trend" -> trendSql,
+    // t239 twin: identical histogram rank cut per (grp, isodow) cell
+    "t239_weekday_profile" ->
+      """WITH daily AS (SELECT o_orderpriority AS grp,
+        |    CAST(o_orderdate AS DATE) AS d, count(*) AS x
+        |  FROM orders GROUP BY 1, 2),
+        |h AS (SELECT grp, isodow(d) AS wd, x, count(*) AS c
+        |  FROM daily GROUP BY 1, 2, 3),
+        |cum AS (SELECT grp, wd, x, c,
+        |    sum(c) OVER (PARTITION BY grp, wd ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY grp, wd) AS n FROM h)
+        |SELECT grp, CAST(wd AS BIGINT) AS wd,
+        |  CAST(max(n) AS BIGINT) AS n_days,
+        |  CAST(min(x) AS BIGINT) AS median_daily
+        |FROM cum WHERE cum >= (n + 1) // 2
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // t237 twin: the identical pair-sign sum over the same series
     "t237_mann_kendall" ->
       """WITH daily AS (SELECT o_orderpriority AS grp,
@@ -6621,36 +6681,30 @@ object SparkEntry {
     // order; then s31's broadcast-query top-k over the
     // reconstructions (query side full precision — ADC)
     "s49_pq_topk" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |cent AS (SELECT vec_id AS cid, v AS cv FROM e
-         |  WHERE vec_id >= 5 ORDER BY vec_id LIMIT 16),
-         |cs AS (SELECT cid, j, cv[j*8+1:j*8+8] AS scv
-         |  FROM cent, LATERAL (SELECT unnest(range(0, 8)) AS j) u),
-         |xs AS (SELECT vec_id, j, v[j*8+1:j*8+8] AS sv
-         |  FROM e, LATERAL (SELECT unnest(range(0, 8)) AS j) u
-         |  WHERE vec_id >= 5),
-         |code AS (SELECT vec_id, j, cid FROM (
-         |  SELECT xs.vec_id, xs.j, cs.cid,
-         |    row_number() OVER (PARTITION BY xs.vec_id, xs.j ORDER BY
-         |      list_sum(list_transform(range(1, 9), i -> (sv[i]-scv[i])*(sv[i]-scv[i]))),
-         |      cs.cid) AS rn
-         |  FROM xs JOIN cs ON cs.j = xs.j) WHERE rn = 1),
-         |rec AS (SELECT c.vec_id, flatten(list(cs.scv ORDER BY c.j)) AS rv
-         |  FROM code c JOIN cs ON cs.j = c.j AND cs.cid = c.cid GROUP BY 1),
-         |rn2 AS (SELECT vec_id, rv,
-         |  sqrt(list_sum(list_transform(range(1, 65), i -> rv[i]*rv[i]))) AS rnrm
-         |  FROM rec),
-         |q AS (SELECT vec_id AS query_id, v AS qv,
-         |  sqrt(list_sum(list_transform(range(1, 65), i -> v[i]*v[i]))) AS qn
-         |  FROM e WHERE vec_id < 5),
-         |sc AS (SELECT query_id, r.vec_id,
-         |  floor(list_sum(list_transform(range(1, 65), i -> qv[i]*r.rv[i]))
-         |    /(qn*r.rnrm)*1000000.0+0.5)/1000000.0 AS cos
-         |  FROM q CROSS JOIN rn2 r)
+      s"""WITH $s49CandCtes
          |SELECT query_id, rnk, vec_id, cos FROM (
          |  SELECT query_id, vec_id, cos,
          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
          |  FROM sc)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // s62 twin: s49's compressed scoring restricted to rank ≤ 32,
+    // then the finalists re-scored on the RAW vectors and re-ranked
+    "s62_retrieve_rerank" ->
+      s"""WITH $s49CandCtes,
+         |cand AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM sc) WHERE rnk <= 32),
+         |ex AS (SELECT c.query_id, c.vec_id,
+         |  floor(list_sum(list_transform(range(1, 65), i -> q.qv[i]*e.v[i]))
+         |    /(q.qn*sqrt(list_sum(list_transform(range(1, 65), i -> e.v[i]*e.v[i]))))
+         |    *1000000.0+0.5)/1000000.0 AS cos
+         |  FROM cand c JOIN q ON q.query_id = c.query_id
+         |  JOIN e ON e.vec_id = c.vec_id)
+         |SELECT query_id, rnk, vec_id, cos FROM (
+         |  SELECT query_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM ex)
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     // s54 twin: s49's CTEs with ONE unrolled per-subspace Lloyd sweep
     // between seed and encode — assign every corpus subvector to its

@@ -1966,6 +1966,32 @@ object Relational {
       .orderBy("grp")
   }
 
+  /** WEEKDAY SEASONAL PROFILE — the robust "what does a normal
+    * Tuesday look like" table per key: the LOWER MEDIAN of daily
+    * event counts per (key, ISO weekday), computed with the q58
+    * histogram-rank discipline (cumulative counts over the
+    * ≤|count-domain| histogram per cell — the fact table contributes
+    * ONE map-side-combined daily aggregate, nothing ever sorts it).
+    * Weekday is ISO (1 = Monday … 7 = Sunday) — Spark's `weekday()+1`
+    * and the twin's `isodow()` agree; Spark's `dayofweek()` does NOT
+    * (Sunday-origin). Output: (grp, wd, n_days, median_daily).
+    */
+  def weekdayMedianProfile(df: DataFrame, grp: Column,
+      dateCol: Column): DataFrame = {
+    val daily = df.select(grp.as("grp"), dateCol.cast("date").as("d"))
+      .groupBy("grp", "d").agg(count(lit(1)).as("x"))
+      .withColumn("wd", (weekday(col("d")) + 1).cast("long"))
+    val hist = daily.groupBy("grp", "wd", "x").agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("grp", "wd").orderBy("x")))
+      .withColumn("n", sum("c").over(Window.partitionBy("grp", "wd")))
+    cum.filter(col("cum") >= expr("(n + 1) DIV 2"))
+      .groupBy("grp", "wd")
+      .agg(max("n").as("n_days"), min("x").as("median_daily"))
+      .orderBy("grp", "wd")
+  }
+
   /** MANN–KENDALL TREND TEST statistic per group — the
     * distribution-free companion to [[linearTrendInt]]: S = Σ_{i<j}
     * sign(x_j − x_i) over the series in t order (Mann 1945 / Kendall,

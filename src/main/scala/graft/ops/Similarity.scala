@@ -1016,6 +1016,39 @@ object Similarity {
     * Recall-for-memory is measured, not guessed: [[recallAtK]] (the
     * s48 harness) takes this as its `approx` side unchanged.
     */
+  /** TWO-STAGE RETRIEVE-RERANK — the production ANN serving shape:
+    * a cheap compressed index (PQ-ADC, [[pqTopK]]) retrieves `cand`
+    * candidates per query, then ONLY those candidates are re-scored
+    * against the full-precision vectors and the top `k` returned.
+    * The rerank touches cand·|queries| raw vectors however big the
+    * corpus — the compressed index absorbs the scan, full precision
+    * pays only for finalists (the standard recall-vs-memory
+    * resolution: PQ's quantization error decides WHO advances, exact
+    * cosine decides the final ORDER). Output:
+    * (query_id, rnk, vec_id, cos) with exact quantized cosines.
+    */
+  def retrieveRerank(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5,
+      cand: Int = 32, m: Int = 8, nCent: Int = 16, dim: Int = 64): DataFrame = {
+    val dp = dotWith(embeddings.sparkSession) _
+    val candidates = pqTopK(embeddings, nQueries, cand, m, nCent, dim)
+      .select(col("query_id"), col("vec_id"))
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dp(col("v"), col("v"))))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    candidates
+      .join(broadcast(q), "query_id")
+      .join(e, "vec_id")
+      .withColumn("cos",
+        Exact.quant6(dp(col("qv"), col("v")) / (col("qn") * col("nrm"))))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy("query_id", "rnk")
+      .select("query_id", "rnk", "vec_id", "cos")
+  }
+
   def pqTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5,
       m: Int = 8, nCent: Int = 16, dim: Int = 64): DataFrame = {
     val dp = dotWith(embeddings.sparkSession) _
