@@ -2028,7 +2028,12 @@ object Relational {
     * is the LOWER median element of the slope multiset (rank
     * (m+1) div 2 under a total order — no interpolation, the same
     * element in both engines). Pair frame bounded by |series|² per
-    * group, never facts. Output: (grp, n_pairs, theil_sen_micro).
+    * group, never facts — and the median comes from the q58/gini
+    * HISTOGRAM-RANK discipline: pairs reduce map-side to a
+    * (grp, slope) histogram, the cumulative window sorts only
+    * |distinct slopes| rows (domain-bounded), NEVER the pair set —
+    * measured 17.8 s → the pair-sort window was the cost, not the
+    * join. Output: (grp, n_pairs, theil_sen_micro).
     */
   def theilSenInt(df: DataFrame, grp: Column, tOrd: Column,
       vInt: Column): DataFrame = {
@@ -2037,17 +2042,17 @@ object Relational {
     val a = s.select(col("grp"), col("t").as("ta"), col("x").as("xa"))
     val b = s.select(col("grp").as("grpb"), col("t").as("tb"),
       col("x").as("xb"))
-    val pairs = a.join(b, col("grp") === col("grpb") && col("ta") < col("tb"))
-      .withColumn("sm", expr("((xb - xa) * 1000000) div (tb - ta)"))
-    val wRank = Window.partitionBy("grp")
-      .orderBy(col("sm"), col("ta"), col("tb"))
-    val wAll = Window.partitionBy("grp")
-    pairs
-      .withColumn("rn", row_number().over(wRank).cast("long"))
-      .withColumn("m", count(lit(1)).over(wAll))
-      .filter(col("rn") === expr("(m + 1) div 2"))
-      .select(col("grp"), col("m").as("n_pairs"),
-        col("sm").as("theil_sen_micro"))
+    val hist = a.join(b, col("grp") === col("grpb") && col("ta") < col("tb"))
+      .select(col("grp"),
+        expr("((xb - xa) * 1000000) div (tb - ta)").as("sm"))
+      .groupBy("grp", "sm").agg(count(lit(1)).as("c"))
+    hist
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("grp").orderBy("sm")))
+      .withColumn("m", sum("c").over(Window.partitionBy("grp")))
+      .filter(col("cum") >= expr("(m + 1) div 2"))
+      .groupBy("grp")
+      .agg(max("m").as("n_pairs"), min("sm").as("theil_sen_micro"))
       .orderBy("grp")
   }
 
