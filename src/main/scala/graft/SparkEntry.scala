@@ -3081,6 +3081,37 @@ object SparkEntry {
     "s61_hard_negatives" -> ((s, d) => { val t = Tables.load(s, d)
       Similarity.hardNegatives(Similarity.plantNearDups(t.embeddings),
         lo = 0.02, hi = 0.9) }),
+    // the SQL-TEXT front door: TPC-H Q1 submitted as ANSI SQL through
+    // spark.sql over a registered view — the Exact quantize formulas
+    // written in SQL directly, proving a user can drive this engine
+    // with query text and get oracle-exact answers (twin = the same
+    // Q1 SQL in DuckDB)
+    "q87_sql_text_api" -> ((s, d) => { val t = Tables.load(s, d)
+      t.lineitem.createOrReplaceTempView("lineitem_sqlv")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+          floor(CAST(sum(CAST(floor(l_extendedprice*10000.0D+0.5D)
+              AS DECIMAL(18,0))) AS DOUBLE)/10000.0D*100.0D+0.5D)/100.0D
+            AS sum_base_price,
+          floor(CAST(sum(CAST(floor(l_extendedprice*(1.0D-l_discount)*10000.0D+0.5D)
+              AS DECIMAL(18,0))) AS DOUBLE)/10000.0D*100.0D+0.5D)/100.0D
+            AS sum_disc_price,
+          floor(CAST(sum(CAST(floor(l_extendedprice*(1.0D-l_discount)*(1.0D+l_tax)*10000.0D+0.5D)
+              AS DECIMAL(18,0))) AS DOUBLE)/10000.0D*100.0D+0.5D)/100.0D
+            AS sum_charge,
+          floor(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+            /count(*)*10000.0D+0.5D)/10000.0D AS avg_qty,
+          floor(CAST(sum(CAST(floor(l_extendedprice*1000000.0D+0.5D)
+              AS DECIMAL(18,0))) AS DOUBLE)/1000000.0D/count(*)*10000.0D+0.5D)/10000.0D
+            AS avg_price,
+          CAST(floor(CAST(sum(CAST(floor(l_discount*1000000.0D+0.5D)
+              AS DECIMAL(18,0))) AS DOUBLE)/1000000.0D/count(*)*10000.0D+0.5D)/10000.0D
+            AS DOUBLE) AS avg_disc,
+          count(*) AS count_order
+        FROM lineitem_sqlv
+        WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-01'
+        GROUP BY 1, 2 ORDER BY 1, 2""") }),
     // explicit GROUPING SETS (cube/rollup's general form): revenue at
     // (flag, status), (flag), and grand-total levels in ONE Expand
     // pass, aggregation level derived from the null pattern (source
@@ -6954,6 +6985,9 @@ object SparkEntry {
          |ORDER BY lvl, l_returnflag, l_linestatus""".stripMargin,
     // ---- TPC-H suite twins (adaptations documented in TpchSuite) --
     "q64_tpch01" -> tpch01Sql,
+    // q87 twin: Q1 again — the spark.sql text path must be value-
+    // exact with the DataFrame path and the oracle alike
+    "q87_sql_text_api" -> tpch01Sql,
     // t230 twin: the MV must equal the one-shot Q1 verbatim
     "t230_stream_tpch_q1" -> tpch01Sql,
     "q65_tpch02" ->
