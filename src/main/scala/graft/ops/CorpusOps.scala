@@ -671,10 +671,18 @@ object CorpusOps {
     val cum = local.join(broadcast(bases), "pid")
       .withColumn("hi", col("cum") + col("base"))
       .withColumn("lo", col("hi") - col("w"))
-    val grid = cum.agg(max("hi").as("wtot"))
-      .select(explode(sequence(lit(0L), lit(k - 1L))).as("j"), col("wtot"))
+    // one-row driver probe of the grand total: W ≤ 0 (empty input or
+    // all-zero weights) makes every grid interval empty — the promise
+    // is "exactly k rows", so the degenerate case must FAIL LOUDLY
+    // (the reservoirK/ancestorClosure discipline), never return 0 rows
+    val wtotRow = cum.agg(max("hi").as("wtot")).head()
+    require(!wtotRow.isNullAt(0) && wtotRow.getLong(0) > 0L,
+      "ppsSystematic: total weight must be positive — empty input or " +
+        "all-zero weights cannot yield an exactly-k PPS sample")
+    val wtot = wtotRow.getLong(0)
+    val grid = spark.range(k.toLong).select(col("id").as("j"))
       .select(col("j"), expr(
-        s"CAST((CAST(wtot AS DECIMAL(38,0)) * (2*j + 1)) div ${2L * k} " +
+        s"CAST((CAST($wtot AS DECIMAL(38,0)) * (2*j + 1)) div ${2L * k} " +
           "AS BIGINT)").as("g"))
     cum.join(broadcast(grid), col("g") >= col("lo") && col("g") < col("hi"))
       .select(col("j").as("sample_ord"), col("id"), col("w"))

@@ -2151,9 +2151,14 @@ object Relational {
       .withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= k)
     if (verified) {
-      val bad = ranked.groupBy("_g")
-        .agg(count(lit(1)).as("_got"), first(col("_cnt")).as("_c"))
-        .filter(col("_got") =!= least(lit(k.toLong), col("_c")))
+      // verify against `counts`, not the survivors: a group whose rows
+      // were ALL removed by the prefix cutoff has no row in `ranked`
+      // and would silently vanish if the grouping started there — the
+      // outer join makes zero-survivor groups detectable too
+      val got = ranked.groupBy("_g").agg(count(lit(1)).as("_got"))
+      val bad = counts.join(got, Seq("_g"), "left_outer")
+        .filter(coalesce(col("_got"), lit(0L)) =!=
+          least(lit(k.toLong), col("_cnt")))
       require(bad.limit(1).isEmpty,
         "reservoirK: hash-prefix pre-filter under-sampled a group — " +
           "raise the margin (probability ~1e-9; this is the loud check)")
