@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.TpchSuite
+import graft.analytics.{TpchSql, TpchSuite}
 import graft.core.Tables
 import graft.ops._
 
@@ -1005,7 +1005,20 @@ object SparkEntry {
        |FROM seqs ORDER BY pos""".stripMargin
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ sqlTextQueries
+
+  /** The SQL-TEXT front door, suite-wide (q88–q109): every TPC-H query
+    * ALSO submitted as Spark-dialect SQL text through `spark.sql` over
+    * registered views (TpchSql.scala) — same DuckDB twin as the
+    * DataFrame body, so SQL-text ≡ DataFrame ≡ oracle three ways. */
+  private def sqlTextQueries: Map[String, (SparkSession, String) => DataFrame] =
+    (1 to 22).map { i =>
+      f"q${87 + i}%d_tpch$i%02d_sql" ->
+        ((s: SparkSession, d: String) => TpchSql.run(s, Tables.load(s, d), i))
+    }.toMap
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> ((s, d) => { val t = Tables.load(s, d)
       Relational.pricingSummary(t.lineitem) }),
     "q02_filter_pushdown" -> ((s, d) => { val t = Tables.load(s, d)
@@ -3110,7 +3123,7 @@ object SparkEntry {
             AS DOUBLE) AS avg_disc,
           count(*) AS count_order
         FROM lineitem_sqlv
-        WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-01'
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01'
         GROUP BY 1, 2 ORDER BY 1, 2""") }),
     // explicit GROUPING SETS (cube/rollup's general form): revenue at
     // (flag, status), (flag), and grand-total levels in ONE Expand
@@ -6983,14 +6996,26 @@ object SparkEntry {
          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
          |  (l_returnflag), ())
          |ORDER BY lvl, l_returnflag, l_linestatus""".stripMargin,
-    // ---- TPC-H suite twins (adaptations documented in TpchSuite) --
-    "q64_tpch01" -> tpch01Sql,
+    // ---- TPC-H suite twins (adaptations documented in TpchSuite).
+    // q64-q85 (DataFrame bodies) and q88-q109 (SQL-text bodies) are
+    // appended programmatically below, BOTH sharing tpchTwin(i)
+    // VERBATIM — the three-way equality contract (TpchSql scaladoc).
     // q87 twin: Q1 again — the spark.sql text path must be value-
     // exact with the DataFrame path and the oracle alike
     "q87_sql_text_api" -> tpch01Sql,
     // t230 twin: the MV must equal the one-shot Q1 verbatim
-    "t230_stream_tpch_q1" -> tpch01Sql,
-    "q65_tpch02" ->
+    "t230_stream_tpch_q1" -> tpch01Sql
+  ) ++ (1 to 22).flatMap(i => Seq(
+    f"q${63 + i}%d_tpch$i%02d" -> tpchTwin(i),
+    f"q${87 + i}%d_tpch$i%02d_sql" -> tpchTwin(i)))
+
+  /** DuckDB twins for the TPC-H suite, keyed by canonical query
+    * number — shared VERBATIM by the DataFrame gates (q64–q85) and
+    * the SQL-text gates (q88–q109): both paths must hash-match the
+    * same oracle rows. */
+  private lazy val tpchTwin: Map[Int, String] = Map(
+    1 -> tpch01Sql,
+    2 ->
       s"""WITH $psCte,
          |eur AS (SELECT s_suppkey, s_name, s_acctbal, n_name
          |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
@@ -7007,7 +7032,7 @@ object SparkEntry {
          |WHERE p_size = 15 AND p_type = 'STANDARD'
          |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
          |LIMIT 100""".stripMargin,
-    "q66_tpch03" ->
+    3 ->
       s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
          |  ${mny(rev)} AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -7017,7 +7042,7 @@ object SparkEntry {
          |  AND l_shipdate > TIMESTAMP '1998-03-15'
          |GROUP BY 1,2,3
          |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
-    "q67_tpch04" ->
+    4 ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
@@ -7026,7 +7051,7 @@ object SparkEntry {
         |    WHERE l_orderkey = o_orderkey
         |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q68_tpch05" ->
+    5 ->
       s"""SELECT n_name, ${mny(rev)} AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |JOIN supplier ON l_suppkey = s_suppkey
@@ -7038,7 +7063,7 @@ object SparkEntry {
          |  AND o_orderdate >= TIMESTAMP '1997-01-01'
          |  AND o_orderdate < TIMESTAMP '1998-01-01'
          |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
-    "q69_tpch06" ->
+    6 ->
       s"""SELECT ${mny("l_extendedprice*l_discount")} AS revenue,
          |  count(*) AS n_lines
          |FROM lineitem
@@ -7046,7 +7071,7 @@ object SparkEntry {
          |  AND l_shipdate < TIMESTAMP '1998-01-01'
          |  AND l_discount >= 0.05 AND l_discount <= 0.07
          |  AND l_quantity < 24""".stripMargin,
-    "q70_tpch07" ->
+    7 ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          |  CAST(year(l_shipdate) AS BIGINT) AS l_year, ${mny(rev)} AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -7059,7 +7084,7 @@ object SparkEntry {
          |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
          |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
          |GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
-    "q71_tpch08" ->
+    8 ->
       """WITH r AS (
         | SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
         |   CAST(floor((l_extendedprice*(1.0-l_discount))*10000.0+0.5)
@@ -7083,7 +7108,7 @@ object SparkEntry {
         |  CAST(CASE WHEN den > 0 THEN (num * 1000000) // den END AS BIGINT)
         |    AS mkt_share_micro
         |FROM m ORDER BY o_year""".stripMargin,
-    "q72_tpch09" ->
+    9 ->
       s"""WITH $psCte
          |SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
          | CAST(sum(CAST(floor((l_extendedprice*(1.0-l_discount))*10000.0+0.5)
@@ -7097,7 +7122,7 @@ object SparkEntry {
          |JOIN orders ON l_orderkey = o_orderkey
          |WHERE p_brand IN ('Brand#1','Brand#2','Brand#3')
          |GROUP BY 1,2 ORDER BY nation, o_year DESC""".stripMargin,
-    "q73_tpch10" ->
+    10 ->
       s"""SELECT c_custkey, c_name, c_acctbal, n_name, ${mny(rev)} AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
@@ -7106,7 +7131,7 @@ object SparkEntry {
          |  AND o_orderdate >= TIMESTAMP '1997-10-01'
          |  AND o_orderdate < TIMESTAMP '1998-01-01'
          |GROUP BY 1,2,3,4 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
-    "q74_tpch11" ->
+    11 ->
       s"""WITH $psCte,
          |v AS (SELECT ps_partkey,
          |   CAST(sum(ps_supplycost_cents * ps_availqty) AS BIGINT)
@@ -7118,7 +7143,7 @@ object SparkEntry {
          |SELECT ps_partkey, value_cents FROM v CROSS JOIN g
          |WHERE value_cents * 10000 > global_cents
          |ORDER BY value_cents DESC, ps_partkey""".stripMargin,
-    "q75_tpch12" ->
+    12 ->
       """SELECT l_returnflag AS ship_mode,
         | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
         |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
@@ -7130,14 +7155,14 @@ object SparkEntry {
         |  AND l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q76_tpch13" ->
+    13 ->
       """WITH co AS (SELECT c_custkey, count(o_orderkey) AS c_count
         |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |    AND o_orderpriority <> '1-URGENT'
         |  GROUP BY 1)
         |SELECT CAST(c_count AS BIGINT) AS c_count, count(*) AS custdist
         |FROM co GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
-    "q77_tpch14" ->
+    14 ->
       """WITH r AS (SELECT
         |  CAST(floor((l_extendedprice*(1.0-l_discount))*10000.0+0.5)
         |    AS BIGINT) AS v, p_type
@@ -7150,7 +7175,7 @@ object SparkEntry {
         |  CAST(sum(v) AS HUGEINT) AS den, count(*) AS n_lines FROM r)
         |SELECT CAST(CASE WHEN den > 0 THEN (num * 1000000) // den END
         |  AS BIGINT) AS promo_share_micro, n_lines FROM m""".stripMargin,
-    "q78_tpch15" ->
+    15 ->
       """WITH rev AS (SELECT l_suppkey AS supplier_no,
         |  CAST(sum(CAST(floor((l_extendedprice*(1.0-l_discount))*10000.0+0.5)
         |    AS BIGINT)) AS BIGINT) AS total_rev_tmil
@@ -7161,7 +7186,7 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, total_rev_tmil
         |FROM rev CROSS JOIN m JOIN supplier ON supplier_no = s_suppkey
         |WHERE total_rev_tmil = max_rev ORDER BY s_suppkey""".stripMargin,
-    "q79_tpch16" ->
+    16 ->
       s"""WITH $psCte
          |SELECT p_brand, p_type, p_size,
          |  count(DISTINCT ps_suppkey) AS supplier_cnt
@@ -7172,7 +7197,7 @@ object SparkEntry {
          |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
          |GROUP BY 1,2,3
          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
-    "q80_tpch17" ->
+    17 ->
       """WITH b AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
         |   CAST(floor(l_extendedprice*10000.0+0.5) AS BIGINT) AS pt
         | FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -7183,7 +7208,7 @@ object SparkEntry {
         |  count(*) AS n_lines
         |FROM b JOIN a ON l_partkey = ap_key
         |WHERE q * 5 * n_q < sum_q""".stripMargin,
-    "q81_tpch18" ->
+    18 ->
       """WITH big AS (SELECT l_orderkey AS big_okey,
         |  CAST(sum(l_quantity) AS BIGINT) AS total_qty
         | FROM lineitem GROUP BY 1
@@ -7193,7 +7218,7 @@ object SparkEntry {
         |FROM orders JOIN big ON o_orderkey = big_okey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
-    "q82_tpch19" ->
+    19 ->
       s"""SELECT ${mny(rev)} AS revenue, count(*) AS n_lines
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
@@ -7202,7 +7227,7 @@ object SparkEntry {
          |    AND l_quantity BETWEEN 10 AND 20)
          |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
          |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
-    "q83_tpch20" ->
+    20 ->
       s"""WITH $psCte,
          |sh AS (SELECT l_partkey AS sh_pkey, l_suppkey AS sh_skey,
          |  CAST(sum(l_quantity) AS BIGINT) AS sh_qty
@@ -7219,7 +7244,7 @@ object SparkEntry {
          |    (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_4')
          |  AND s_suppkey IN (SELECT ps_suppkey FROM ex)
          |ORDER BY s_suppkey""".stripMargin,
-    "q84_tpch21" ->
+    21 ->
       """WITH ofo AS (SELECT o_orderkey, o_orderdate FROM orders
         |  WHERE o_orderstatus = 'F'),
         |ln AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
@@ -7236,7 +7261,7 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM late la
         |    WHERE la.okey = l1.okey AND la.skey <> l1.skey)
         |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
-    "q85_tpch22" ->
+    22 ->
       """WITH cust AS (SELECT c_custkey, c_acctbal,
         |   CAST(CAST(c_nationkey % 10 AS BIGINT) AS VARCHAR) AS cntrycode
         | FROM customer WHERE c_nationkey % 10 IN (1,3,5,7,9)),

@@ -56,17 +56,38 @@ object TpchSuite {
     * of lineitem: one row per (part, supplier) pair that ever traded,
     * `ps_availqty` = 7 × total quantity shipped, `ps_supplycost_cents`
     * = the cheapest observed unit price in integer cents (BIGINT DIV —
-    * exact in both engines). One map-side-combinable aggregate over
-    * the fact table; at 100 TB this materializes once and is bucketed
-    * by ps_partkey like any real dimension.
+    * exact in both engines).
+    *
+    * MATERIALIZED ONCE per (session, data dir): the frame is memoized
+    * and persisted on first use, so a suite run performs ONE lineitem
+    * aggregate and every consumer (Q2 twice within its own plan, Q9,
+    * Q11, Q16, Q20, and the SQL-text view) probes the in-memory
+    * relation — the same implement-don't-document rule as giniInt /
+    * reservoirK. An external `clearCache()` (the verify loop's
+    * between-query release) only drops the storage; the next consumer
+    * re-persists before use. At 100 TB this is a manifested bucketed
+    * table keyed ps_partkey, written once per refresh.
     */
-  def partsupp(t: Tables): DataFrame =
-    t.lineitem
-      .groupBy(col("l_partkey").as("ps_partkey"),
-        col("l_suppkey").as("ps_suppkey"))
-      .agg((sum(col("l_quantity")).cast("long") * 7).as("ps_availqty"),
-        min(expr("CAST(floor(l_extendedprice*100.0+0.5) AS BIGINT) DIV " +
-          "CAST(l_quantity AS BIGINT)")).as("ps_supplycost_cents"))
+  def partsupp(t: Tables): DataFrame = {
+    val key = t.sessionDir
+    // drop entries of stopped sessions (bench isolation restarts the
+    // context per query) so the memo stays bounded
+    psMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    val df = psMemo.computeIfAbsent(key, _ =>
+      t.lineitem
+        .groupBy(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"))
+        .agg((sum(col("l_quantity")).cast("long") * 7).as("ps_availqty"),
+          min(expr("CAST(floor(l_extendedprice*100.0+0.5) AS BIGINT) DIV " +
+            "CAST(l_quantity AS BIGINT)")).as("ps_supplycost_cents")))
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
+  }
+
+  private val psMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), DataFrame]()
 
   /** Q1 pricing summary: one wide partial-aggregable scan — every
     * measure is a map-side-combined sum/count; no shuffle beyond the

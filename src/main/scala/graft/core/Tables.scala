@@ -15,6 +15,11 @@ import org.apache.spark.sql.functions._
   * swap is purely a change of path here.
   */
 final class Tables(spark: SparkSession, dir: String) {
+  /** Identity of this table set — the memo key for derived frames
+    * that should materialize ONCE per (session, data directory), e.g.
+    * the TPC-H suite's derived partsupp. */
+  private[graft] def sessionDir: (SparkSession, String) = (spark, dir)
+
   /** Scan with small-file fan-out. The gate tables are written as ONE
     * parquet row group each, and a row group is the unit Spark can't
     * split — `maxPartitionBytes` assigns it to a single task, so
