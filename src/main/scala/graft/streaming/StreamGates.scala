@@ -236,18 +236,39 @@ object StreamGates {
     val li = lineitem.select("l_orderkey", "l_returnflag", "l_linestatus",
       "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate")
     val b = li.agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi")).head()
-    require(!b.isNullAt(0) && !b.isNullAt(1),
-      "tpchQ1Gate: empty lineitem — no shard ranges to derive")
-    val (lo, hi) = (b.getLong(0), b.getLong(1))
-    val span = hi - lo + 1
-    val shardFrames = (0 until nShards).map { i =>
-      val l = lo + i * span / nShards
-      val h = lo + (i + 1) * span / nShards
-      if (i == nShards - 1) li.filter(col("l_orderkey") >= l)
-      else li.filter(col("l_orderkey") >= l && col("l_orderkey") < h)
-    }
+    // EMPTY input must not kill the stream (the islandsGate
+    // skip-or-loud-skip discipline): no ranges to derive → one vacuous
+    // shard keeps the restart machinery exercised, and the render
+    // below falls back to an empty state frame with the exact schema
+    val shardFrames =
+      if (b.isNullAt(0)) {
+        System.err.println(
+          "[tpchQ1Gate] empty lineitem — vacuous shard, empty MV output")
+        Seq(li.limit(0))
+      } else {
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val span = hi - lo + 1
+        (0 until nShards).map { i =>
+          val l = lo + i * span / nShards
+          val h = lo + (i + 1) * span / nShards
+          if (i == nShards - 1) li.filter(col("l_orderkey") >= l)
+          else li.filter(col("l_orderkey") >= l && col("l_orderkey") < h)
+        }
+      }
     def q(x: Column, s: Double): Column =
       floor(x * lit(s) + lit(0.5)).cast(dec)
+    def partial(batch: DataFrame): DataFrame = batch
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("l_quantity").cast("long")).cast(dec).as("sqty"),
+        sum(q(col("l_extendedprice"), 10000.0)).as("sb4"),
+        sum(q(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+          10000.0)).as("sd4"),
+        sum(q(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax")), 10000.0)).as("sc4"),
+        sum(q(col("l_extendedprice"), 1000000.0)).as("sp6"),
+        sum(q(col("l_discount"), 1000000.0)).as("sdc6"))
     val tbl = "sgate_tpch_q1_state"
     val root = Files.createTempDirectory("sgate_q1mv").toString
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
@@ -255,18 +276,7 @@ object StreamGates {
       src.writeStream
         .option("checkpointLocation", cp.get)
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val part = batch
-            .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
-            .groupBy("l_returnflag", "l_linestatus")
-            .agg(count(lit(1)).cast(dec).as("n"),
-              sum(col("l_quantity").cast("long")).cast(dec).as("sqty"),
-              sum(q(col("l_extendedprice"), 10000.0)).as("sb4"),
-              sum(q(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
-                10000.0)).as("sd4"),
-              sum(q(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
-                (lit(1.0) + col("l_tax")), 10000.0)).as("sc4"),
-              sum(q(col("l_extendedprice"), 1000000.0)).as("sp6"),
-              sum(q(col("l_discount"), 1000000.0)).as("sdc6"))
+          val part = partial(batch)
           if (!part.isEmpty) {
             val lw = new graft.sinks.LakeWriter(root)
             val exists = spark.catalog.tableExists(tbl)
@@ -289,10 +299,16 @@ object StreamGates {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
     }
-    val state = graft.sinks.LakeWriter
-      .readBucketedTableMerged(spark, tbl,
-        Seq("l_returnflag", "l_linestatus"))
-      .localCheckpoint()
+    // no commit ever landed (empty input, or every row filtered out
+    // by the shipdate cut) → an empty state frame with the partial
+    // schema, so the degenerate stream renders 0 rows instead of
+    // dying on a missing state table
+    val state =
+      if (!spark.catalog.tableExists(tbl)) partial(li.limit(0))
+      else graft.sinks.LakeWriter
+        .readBucketedTableMerged(spark, tbl,
+          Seq("l_returnflag", "l_linestatus"))
+        .localCheckpoint()
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     // render with the identical Exact formulas as the batch query
     import graft.ops.Exact.{quant2, quant4}
@@ -326,19 +342,25 @@ object StreamGates {
     val spark = documents.sparkSession
     val docs = documents.select("doc_id", "text")
     val mxRow = docs.agg(max("doc_id")).head()
-    require(!mxRow.isNullAt(0),
-      "vocabGate: empty documents — no shard ranges to derive")
-    val mx = mxRow.getLong(0)
+    // skip-or-loud-skip (islandsGate discipline): empty corpus → one
+    // vacuous shard + empty-state render, never a require-crash
+    val shardFrames =
+      if (mxRow.isNullAt(0)) {
+        System.err.println(
+          "[vocabGate] empty documents — vacuous shard, empty vocabulary")
+        Seq(docs.limit(0))
+      } else shards(docs, mxRow.getLong(0), nShards)
+    def partial(batch: DataFrame): DataFrame = batch
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
     val root = Files.createTempDirectory("sgate_vocab").toString
     val tbl = "sgate_vocab_state"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    drive(shards(docs, mx, nShards)) { (src, cp) =>
+    drive(shardFrames) { (src, cp) =>
       src.writeStream
         .option("checkpointLocation", cp.get)
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val part = batch
-            .select(explode(TextOps.tokens(col("text"))).as("token"))
-            .groupBy("token").agg(count(lit(1)).as("cnt"))
+          val part = partial(batch)
           if (!part.isEmpty) {
             val lw = new graft.sinks.LakeWriter(root)
             val exists = spark.catalog.tableExists(tbl)
@@ -362,9 +384,11 @@ object StreamGates {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
     }
-    val state = graft.sinks.LakeWriter
-      .readBucketedTableMerged(spark, tbl, Seq("token"))
-      .localCheckpoint()
+    val state =
+      if (!spark.catalog.tableExists(tbl)) partial(docs.limit(0))
+      else graft.sinks.LakeWriter
+        .readBucketedTableMerged(spark, tbl, Seq("token"))
+        .localCheckpoint()
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("cnt").desc, col("token"))
@@ -394,17 +418,37 @@ object StreamGates {
     val dn = datediff(col("o_orderdate"), lit("1970-01-01"))
     val b = o.agg(min(dn).as("lo"), max(dn).as("hi"),
       sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("n_null")).head()
-    require(!b.isNullAt(0) && !b.isNullAt(1), "trendGate: no non-null dates")
-    require(b.getLong(2) == 0L, "trendGate: null dates would vanish")
-    val (lo, hi) = (b.getInt(0).toLong, b.getInt(1).toLong)
-    val span = hi - lo + 1
-    val shardFrames = (0 until nShards).map { i =>
-      val l = lo + i * span / nShards
-      val h2 = lo + (i + 1) * span / nShards
-      if (i == nShards - 1) o.filter(dn >= l)
-      else o.filter(dn >= l && dn < h2)
-    }
+    // null dates stay a LOUD failure — date shards would silently drop
+    // them and diverge from the batch twin; emptiness is graceful
+    require(b.isNullAt(0) || b.getLong(2) == 0L,
+      "trendGate: null dates would vanish")
+    val shardFrames =
+      if (b.isNullAt(0)) {
+        System.err.println(
+          "[trendGate] no non-null dates — vacuous shard, empty trend MV")
+        Seq(o.limit(0))
+      } else {
+        val (lo, hi) = (b.getInt(0).toLong, b.getInt(1).toLong)
+        val span = hi - lo + 1
+        (0 until nShards).map { i =>
+          val l = lo + i * span / nShards
+          val h2 = lo + (i + 1) * span / nShards
+          if (i == nShards - 1) o.filter(dn >= l)
+          else o.filter(dn >= l && dn < h2)
+        }
+      }
     val epoch95 = lit("1995-01-01").cast("date")
+    def partial(batch: DataFrame): DataFrame = batch
+      .groupBy(col("o_orderpriority").as("grp"),
+        datediff(col("o_orderdate").cast("date"), epoch95)
+          .cast("long").as("t"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy("grp")
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("t").cast(dec)).as("st"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("t").cast(dec) * col("t").cast(dec)).as("stt"),
+        sum(col("t").cast(dec) * col("x").cast(dec)).as("stx"))
     val tbl = "sgate_trend_state"
     val root = Files.createTempDirectory("sgate_trend").toString
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
@@ -412,17 +456,7 @@ object StreamGates {
       src.writeStream
         .option("checkpointLocation", cp.get)
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val part = batch
-            .groupBy(col("o_orderpriority").as("grp"),
-              datediff(col("o_orderdate").cast("date"), epoch95)
-                .cast("long").as("t"))
-            .agg(count(lit(1)).as("x"))
-            .groupBy("grp")
-            .agg(count(lit(1)).cast(dec).as("n"),
-              sum(col("t").cast(dec)).as("st"),
-              sum(col("x").cast(dec)).as("sx"),
-              sum(col("t").cast(dec) * col("t").cast(dec)).as("stt"),
-              sum(col("t").cast(dec) * col("x").cast(dec)).as("stx"))
+          val part = partial(batch)
           if (!part.isEmpty) {
             val lw = new graft.sinks.LakeWriter(root)
             val exists = spark.catalog.tableExists(tbl)
@@ -442,9 +476,11 @@ object StreamGates {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
     }
-    val state = graft.sinks.LakeWriter
-      .readBucketedTableMerged(spark, tbl, Seq("grp"))
-      .localCheckpoint()
+    val state =
+      if (!spark.catalog.tableExists(tbl)) partial(o.limit(0))
+      else graft.sinks.LakeWriter
+        .readBucketedTableMerged(spark, tbl, Seq("grp"))
+        .localCheckpoint()
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     state.select(col("grp"), col("n").cast("long").as("n"),
         expr("CAST(CASE WHEN n * stt - st * st > 0 THEN " +
