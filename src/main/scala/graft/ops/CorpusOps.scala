@@ -1435,11 +1435,17 @@ object CorpusOps {
     * the oracle checks.
     */
   private def pairCounts(syms: DataFrame): DataFrame =
+    pairFreqs(syms).orderBy(col("freq").desc, col("pair"))
+
+  /** Unsorted pair frequencies over a symbol frame — the aggregation
+    * behind [[pairCounts]] (which adds the presentation sort); the
+    * trainer's incremental state updates join on `pair` and must not
+    * carry a sort node through every delta fold. */
+  private def pairFreqs(syms: DataFrame): DataFrame =
     syms
       .filter(size(col("sym")) >= 2)
       .select(col("cnt"), explode(TextOps.kgrams(col("sym"), 2)).as("pair"))
       .groupBy("pair").agg(sum("cnt").as("freq"))
-      .orderBy(col("freq").desc, col("pair"))
 
   /** Greedy left-to-right application of one merge (a, b) → ab over a
     * symbol array — overlapping occurrences merge leftmost-first
@@ -1461,36 +1467,86 @@ object CorpusOps {
     * deterministic) → merge it everywhere. Returns the merge table
     * (rank, left, right, freq) — the artifact a tokenizer ships.
     *
-    * Scale shape: iterations run on the word-TYPE table (vocabulary-
-    * sized, see [[wordTypes]]); each is one partial-agg shuffle of
-    * pair counts plus a narrow merge pass. The per-iteration argmax
-    * is a 1-row collect — driver coordination inherent to the
-    * sequential-merge algorithm (same acknowledged pattern as the
-    * clustering convergence check); symbol frames are localCheckpoint-
-    * ed per iteration with eager frees so lineage and storage stay
-    * bounded at any merge count.
+    * Scale shape — the pair-count STATE is maintained INCREMENTALLY
+    * (the standard BPE delta update): after picking (a, b), only the
+    * word types actually CONTAINING the adjacent pair re-count —
+    * their pre-merge pair frequencies retract, their post-merge
+    * frequencies insert, and the signed delta folds into the carried
+    * counts frame. Untouched types (the overwhelming majority once
+    * merges become specific) contribute nothing, so a 30k-merge
+    * production vocabulary pays O(affected types) per step instead of
+    * re-exploding the whole symbol table [the full recount is kept
+    * behind `fullRecount = true` as the differential baseline — the
+    * A/B spec and SCALE.md entry assert the two produce an IDENTICAL
+    * merge table, which they must: the delta maintains the exact
+    * integer counts]. The per-iteration argmax is a 1-row collect —
+    * driver coordination inherent to the sequential-merge algorithm;
+    * symbol and count frames are localCheckpointed per iteration with
+    * eager frees so lineage and storage stay bounded at any merge
+    * count.
     */
-  def bpeTrain(documents: DataFrame, nMerges: Int = 10): DataFrame = {
+  def bpeTrain(documents: DataFrame, nMerges: Int = 10,
+      fullRecount: Boolean = false): DataFrame = {
     val spark = documents.sparkSession
     var (syms, symIds) = Dedup.checkpointTracked(
       wordTypes(documents).select(col("cnt"), split(col("w"), "").as("sym")))
+    var (counts, cntIds) = Dedup.checkpointTracked(pairFreqs(syms))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var i = 0
     var exhausted = false
     while (i < nMerges && !exhausted) {
-      val top = pairCounts(syms).limit(1).collect()
+      val top = counts.orderBy(col("freq").desc, col("pair"))
+        .limit(1).collect()
       if (top.isEmpty) exhausted = true
       else {
         val Array(a, b) = top(0).getString(0).split(" ", 2)
         merges += (((i + 1).toLong, a, b, top(0).getLong(1)))
-        val (next, nextIds) = Dedup.checkpointTracked(
-          syms.select(col("cnt"), applyMergePair(col("sym"), a, b).as("sym")))
+        // CASE keeps kgrams away from single-symbol words (its slice
+        // is undefined below size 2 — same guard pairFreqs applies)
+        val hit = when(size(col("sym")) >= 2,
+          array_contains(TextOps.kgrams(col("sym"), 2), lit(s"$a $b")))
+          .otherwise(lit(false))
+        val affected = syms.filter(hit)
+        val merged = affected.select(col("cnt"),
+          applyMergePair(col("sym"), a, b).as("sym"))
+        // coalesce before the checkpoint: the union's partition count
+        // is the SUM of its children's, and the children derive from
+        // the previous iteration's syms — uncapped, partitions double
+        // per merge (4 → 2^n·4; round-16 lesson: iteration 13 ran a
+        // 28k-task stage over 31 rows). Narrow merge back to the
+        // session's shuffle width each step.
+        val width = spark.sessionState.conf.numShufflePartitions
+        val (nextSyms, nextSymIds) = Dedup.checkpointTracked(
+          syms.filter(!hit).unionByName(merged).coalesce(width))
+        val (nextCounts, nextCntIds) =
+          if (fullRecount) Dedup.checkpointTracked(pairFreqs(nextSyms))
+          else {
+            // the delta update: retract the affected types' pre-merge
+            // pairs, insert their post-merge pairs, fold the signed
+            // difference into the carried counts, drop exhausted pairs
+            val oldP = pairFreqs(affected).withColumnRenamed("freq", "of")
+            val newP = pairFreqs(merged).withColumnRenamed("freq", "nf")
+            val delta = oldP.join(newP, Seq("pair"), "full_outer")
+              .select(col("pair"),
+                (coalesce(col("nf"), lit(0L)) -
+                  coalesce(col("of"), lit(0L))).as("df"))
+              .filter(col("df") =!= 0L)
+            Dedup.checkpointTracked(
+              counts.join(delta, Seq("pair"), "full_outer")
+                .select(col("pair"),
+                  (coalesce(col("freq"), lit(0L)) +
+                    coalesce(col("df"), lit(0L))).as("freq"))
+                .filter(col("freq") > 0L))
+          }
         Dedup.freeRdds(syms, symIds)
-        syms = next; symIds = nextIds
+        Dedup.freeRdds(counts, cntIds)
+        syms = nextSyms; symIds = nextSymIds
+        counts = nextCounts; cntIds = nextCntIds
         i += 1
       }
     }
     Dedup.freeRdds(syms, symIds)
+    Dedup.freeRdds(counts, cntIds)
     import spark.implicits._
     merges.toSeq.toDF("rank", "left", "right", "freq")
   }

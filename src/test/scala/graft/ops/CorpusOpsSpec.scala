@@ -418,6 +418,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(CorpusOps.bpeTrain(d, nMerges = 5).collect().isEmpty)
   }
 
+  test("bpeTrain delta pair-count maintenance equals the full recount " +
+      "(A/B on the real corpus, 25 merges)") {
+    val d = graft.core.Tables.load(spark, "/root/testdata/sf0.001").documents
+    def table(fullRecount: Boolean) =
+      CorpusOps.bpeTrain(d, nMerges = 25, fullRecount = fullRecount)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq
+    val delta = table(fullRecount = false)
+    val full = table(fullRecount = true)
+    assert(delta.size == 25)
+    assert(delta == full,
+      "the delta update must maintain the EXACT pair counts the full " +
+        "recount computes — any divergence is a retraction bug")
+  }
+
   /** Reference single-node BPE ENCODE: apply merges in rank order,
     * greedy leftmost within each word — the application-side twin of
     * [[referenceBpe]].
