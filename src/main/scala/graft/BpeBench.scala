@@ -32,16 +32,17 @@ object BpeBench {
             "substr(md5(concat(cast(id AS string), ':', " +
             s"cast(j AS string))), 1, $wordLen))) AS text")
       else graft.core.Tables.load(spark, sfDir).documents
-    def run(fullRecount: Boolean): (Double, Seq[String]) = {
+    def run(deltaCounts: Boolean): (Double, Seq[String]) = {
       graft.core.GraftCaches.release(spark)
       val t0 = System.nanoTime()
-      val rows = graft.ops.CorpusOps.bpeTrain(docs, nMerges, fullRecount)
+      val rows = graft.ops.CorpusOps.bpeTrain(docs, nMerges,
+          deltaCounts = deltaCounts)
         .collect().map(_.toString).toSeq
       ((System.nanoTime() - t0) / 1e9, rows)
     }
-    val (warmS, _) = run(fullRecount = true) // untimed JIT/codegen warmup
-    val (fullS, fullT) = run(fullRecount = true)
-    val (deltaS, deltaT) = run(fullRecount = false)
+    val (warmS, _) = run(deltaCounts = false) // untimed JIT/codegen warmup
+    val (fullS, fullT) = run(deltaCounts = false)
+    val (deltaS, deltaT) = run(deltaCounts = true)
     require(fullT == deltaT,
       s"merge tables diverge: full=${fullT.take(3)} delta=${deltaT.take(3)}")
     println(f"""{"merges":${fullT.size},"requested":$nMerges,""" +

@@ -876,7 +876,14 @@ object SparkEntry {
   // t54 pack, t91 shuffle), wired in the same order as
   // CorpusOps.crawlCorpusBuild. Constants: blocklist 0.6, decontam
   // and near-dup at 0.9, budget 64, seqLen 512, seed 42.
-  private lazy val t135Sql: String = {
+  private lazy val t135Sql: String = t135SqlFor(0)
+
+  // t240 twin: the SAME capstone chain on the DAY-2 slice — the
+  // multi-day streaming gate's day-2 corpus must equal the batch
+  // build over day-2 input with day-1 in history
+  private lazy val t240Sql: String = t135SqlFor(1)
+
+  private def t135SqlFor(day: Int): String = {
     val sigBlock =
       s"""hb AS (SELECT doc_id,
          |  CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) % $mhP AS h FROM fw),
@@ -890,7 +897,7 @@ object SparkEntry {
               .mkString(" UNION ALL\n         |  ")})""".stripMargin
     val fp = "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
     s"""WITH RECURSIVE
-       |${urlNormCteNamed("s", " WHERE doc_id % 5 = 0")},
+       |${urlNormCteNamed("s", s" WHERE doc_id % 5 = $day")},
        |um AS (SELECT url_norm, min(doc_id) AS canonical_id FROM sn GROUP BY 1),
        |d1 AS (SELECT sn.doc_id, sn.domain FROM sn JOIN um ON um.url_norm = sn.url_norm
        |  AND sn.doc_id = um.canonical_id),
@@ -920,7 +927,7 @@ object SparkEntry {
        |$sigBlock,
        |fn AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM fw GROUP BY 1),
        |evaldocs AS MATERIALIZED (SELECT doc_id FROM documents
-       |  WHERE doc_id % 5 != 0 AND CAST(('0x'||substr($fp,1,4)) AS BIGINT) % 10 >= 8),
+       |  WHERE doc_id % 5 != $day AND CAST(('0x'||substr($fp,1,4)) AS BIGINT) % 10 >= 8),
        |db3 AS (SELECT band.* FROM band JOIN d3 ON d3.doc_id = band.doc_id),
        |dbe AS (SELECT band.* FROM band JOIN evaldocs ev ON ev.doc_id = band.doc_id),
        |dcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -934,7 +941,7 @@ object SparkEntry {
        |d4 AS MATERIALIZED (SELECT d3.doc_id FROM d3
        |  LEFT JOIN contaminated c ON c.doc_id = d3.doc_id WHERE c.doc_id IS NULL),
        |nb4 AS (SELECT band.* FROM band JOIN d4 ON d4.doc_id = band.doc_id),
-       |nbh AS (SELECT band.* FROM band WHERE band.doc_id % 5 != 0),
+       |nbh AS (SELECT band.* FROM band WHERE band.doc_id % 5 != $day),
        |ncand AS (SELECT DISTINCT least(a.doc_id, o.doc_id) AS doc_a,
        |    greatest(a.doc_id, o.doc_id) AS doc_b
        |  FROM nb4 a JOIN (SELECT * FROM nb4 UNION ALL SELECT * FROM nbh) o
@@ -2419,6 +2426,14 @@ object SparkEntry {
     // twin IS t135's SQL unchanged
     "t228_stream_crawl_corpus" -> ((s, d) => { val t = Tables.load(s, d)
       graft.streaming.StreamGates.crawlCorpusGate(
+        t.documents, UrlOps.plantUrls(t.documents)) }),
+    // the capstone across TWO day-closes: day-1 streams and closes,
+    // its URL index carries over the day boundary, day-2 streams
+    // against it (planted refetches make the cross-day probe
+    // falsifiable) and closes — day-2's corpus must equal the batch
+    // build on the day-2 slice with day-1 in history
+    "t240_stream_crawl_multiday" -> ((s, d) => { val t = Tables.load(s, d)
+      graft.streaming.StreamGates.crawlMultiDayGate(
         t.documents, UrlOps.plantUrls(t.documents)) }),
     // BPE merge-pair learning: 3 count→top-1→greedy-apply rounds over
     // the document token streams; the run-parity rule makes greedy
@@ -5729,6 +5744,7 @@ object SparkEntry {
     // t228 twin: the batch capstone's SQL verbatim — the streaming
     // intake must converge to the identical corpus
     "t228_stream_crawl_corpus" -> t135Sql,
+    "t240_stream_crawl_multiday" -> t240Sql,
     // t229 twin: the identical 3 unrolled BPE rounds (builder above)
     "t229_bpe_merges" -> bpeUnrolledSql(steps = 3),
     // capstone twin: the t23 dedup CTE → t55 rule bounds → t51 split

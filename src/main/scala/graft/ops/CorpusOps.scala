@@ -1467,26 +1467,28 @@ object CorpusOps {
     * deterministic) → merge it everywhere. Returns the merge table
     * (rank, left, right, freq) — the artifact a tokenizer ships.
     *
-    * Scale shape — the pair-count STATE is maintained INCREMENTALLY
-    * (the standard BPE delta update): after picking (a, b), only the
-    * word types actually CONTAINING the adjacent pair re-count —
-    * their pre-merge pair frequencies retract, their post-merge
-    * frequencies insert, and the signed delta folds into the carried
-    * counts frame. Untouched types (the overwhelming majority once
-    * merges become specific) contribute nothing, so a 30k-merge
-    * production vocabulary pays O(affected types) per step instead of
-    * re-exploding the whole symbol table [the full recount is kept
-    * behind `fullRecount = true` as the differential baseline — the
-    * A/B spec and SCALE.md entry assert the two produce an IDENTICAL
-    * merge table, which they must: the delta maintains the exact
-    * integer counts]. The per-iteration argmax is a 1-row collect —
-    * driver coordination inherent to the sequential-merge algorithm;
-    * symbol and count frames are localCheckpointed per iteration with
-    * eager frees so lineage and storage stay bounded at any merge
-    * count.
+    * Scale shape — MEASURED, and the single-node intuition does NOT
+    * transfer: the classic BPE delta update (retract the affected
+    * types' pre-merge pairs, insert their post-merge pairs, fold the
+    * signed difference into a carried counts frame) is implemented
+    * behind `deltaCounts = true` and produces a bit-identical merge
+    * table (A/B spec), but it is the SLOWER path in this execution
+    * model at every scale tested (SCALE.md round-16: 1.3–1.6× slower
+    * at 31, 65k, and 390k word types). Why: the full recount is ONE
+    * map-side-combinable explode+aggregate — Spark's cheapest shape —
+    * while the delta is four extra joins per merge, and the dominant
+    * per-iteration cost (rewriting the carried symbol table) is paid
+    * by BOTH paths. The delta only wins with a mutable indexed state
+    * store where unaffected rows are not rewritten (the bucketed
+    * delta-commit pattern of the MV gates) — recorded in SCALE.md as
+    * the upgrade path, with the full recount as the measured default.
+    * The per-iteration argmax is a 1-row collect — driver
+    * coordination inherent to the sequential-merge algorithm; symbol
+    * and count frames are localCheckpointed per iteration with eager
+    * frees so lineage and storage stay bounded at any merge count.
     */
   def bpeTrain(documents: DataFrame, nMerges: Int = 10,
-      fullRecount: Boolean = false): DataFrame = {
+      deltaCounts: Boolean = false): DataFrame = {
     val spark = documents.sparkSession
     var (syms, symIds) = Dedup.checkpointTracked(
       wordTypes(documents).select(col("cnt"), split(col("w"), "").as("sym")))
@@ -1519,7 +1521,7 @@ object CorpusOps {
         val (nextSyms, nextSymIds) = Dedup.checkpointTracked(
           syms.filter(!hit).unionByName(merged).coalesce(width))
         val (nextCounts, nextCntIds) =
-          if (fullRecount) Dedup.checkpointTracked(pairFreqs(nextSyms))
+          if (!deltaCounts) Dedup.checkpointTracked(pairFreqs(nextSyms))
           else {
             // the delta update: retract the affected types' pre-merge
             // pairs, insert their post-merge pairs, fold the signed

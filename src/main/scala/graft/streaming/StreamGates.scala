@@ -143,21 +143,45 @@ object StreamGates {
     val shard = documents.filter(col("doc_id") % 5 === 0)
       .select("doc_id", "source", "text")
     val history = documents.filter(col("doc_id") % 5 =!= 0)
-    val mxRow = shard.agg(max("doc_id")).head()
-    require(!mxRow.isNullAt(0),
-      "crawlCorpusGate: empty crawl shard — no ranges to derive")
-    val mx = mxRow.getLong(0)
     // static context, exactly what the batch capstone derives from
     // the full corpus / history
     val blocked = UrlOps.domainQualityReport(documents, withUrls,
         minDomainQuality)
       .filter(col("blocked")).select("domain").localCheckpoint()
-    val evalDocs = CorpusOps.evalSlice(history).localCheckpoint()
     val root = Files.createTempDirectory("sgate_crawl").toString
     val urlTbl = "sgate_crawl_urls"
     val stagTbl = "sgate_crawl_staged"
     spark.sql(s"DROP TABLE IF EXISTS $urlTbl")
     spark.sql(s"DROP TABLE IF EXISTS $stagTbl")
+    val staged = crawlStreamDay(documents, withUrls, blocked,
+      CorpusOps.evalSlice(history).localCheckpoint(), shard, nShards,
+      root, urlTbl, stagTbl, decontamThreshold)
+    spark.sql(s"DROP TABLE IF EXISTS $urlTbl")
+    spark.sql(s"DROP TABLE IF EXISTS $stagTbl")
+    // day close: stages 5-9, the batch capstone tail verbatim
+    CorpusOps.corpusTail(documents,
+      documents.join(staged, "doc_id").localCheckpoint(),
+      history, nearDupThreshold, budget, seqLen, seed)
+  }
+
+  /** One crawl DAY's intake stream (stages 1–4 of the capstone, per
+    * micro-batch, cold restart per shard): URL canon/dedup first-wins
+    * against the PERSISTED index at `urlTbl` (NOT dropped here — a
+    * multi-day run carries it across day boundaries so day-2 refetches
+    * of day-1 URLs drop), blocklist, Gopher rules, decontamination vs
+    * `evalDocs`, survivors staged into `stagTbl`. Returns the day's
+    * staged doc_ids, localCheckpointed.
+    */
+  private def crawlStreamDay(documents: DataFrame, withUrls: DataFrame,
+      blocked: DataFrame, evalDocs: DataFrame, shard: DataFrame,
+      nShards: Int, root: String, urlTbl: String, stagTbl: String,
+      decontamThreshold: Double): DataFrame = {
+    import graft.ops.{CorpusOps, UrlOps}
+    val spark = documents.sparkSession
+    val mxRow = shard.agg(max("doc_id")).head()
+    require(!mxRow.isNullAt(0),
+      "crawlStreamDay: empty crawl shard — no ranges to derive")
+    val mx = mxRow.getLong(0)
     drive(shards(shard, mx, nShards)) { (src, cp) =>
       src.writeStream
         .option("checkpointLocation", cp.get)
@@ -203,15 +227,95 @@ object StreamGates {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
     }
-    val staged = graft.sinks.LakeWriter
+    graft.sinks.LakeWriter
       .readBucketedTableMerged(spark, stagTbl, Seq("doc_id"))
       .select("doc_id").localCheckpoint()
-    spark.sql(s"DROP TABLE IF EXISTS $urlTbl")
-    spark.sql(s"DROP TABLE IF EXISTS $stagTbl")
-    // day close: stages 5-9, the batch capstone tail verbatim
+  }
+
+  /** MULTI-DAY CRAWL-TO-CORPUS — the daily workflow run across TWO
+    * day-closes, which is the claim a one-day capstone (t228) cannot
+    * make: day 1 (doc_id ≡ 0 mod 5) streams in, closes, and its
+    * persisted URL index SURVIVES the close; day 2 (doc_id ≡ 1 mod 5)
+    * streams against that carried index, closes, and its corpus must
+    * equal the batch capstone on the day-2 shard with day-1 in
+    * history — the twin is t135's SQL parameterized on the day-2
+    * slice.
+    *
+    * The cross-day dependency is made FALSIFIABLE by planting
+    * refetches: every 7th day-1 document re-arrives on day 2 under a
+    * fresh doc_id (+5e6) with the SAME url. Day-1/day-2 URLs can never
+    * collide naturally (urls derive from doc_id mod {2,20,50,25}, so a
+    * url_norm collision forces doc_id congruence mod 100, hence equal
+    * residue mod 5 — impossible across the two slices), so ONLY the
+    * day-1 index can drop the plants; two loud requires fail the gate
+    * if any plant is committed as novel or reaches staging. Because
+    * the planted ids are absent from the corpus context, a broken
+    * index would otherwise drop them silently at stage 3's join — the
+    * requires are the tripwire, not the output diff.
+    *
+    * Two shards per day: each day still exercises a mid-day cold
+    * restart, plus the day-boundary restart (fresh checkpoint), at
+    * half the batch overhead of the one-day gate's three.
+    */
+  def crawlMultiDayGate(documents: DataFrame, withUrls: DataFrame,
+      nShards: Int = 2, minDomainQuality: Double = 0.6,
+      decontamThreshold: Double = 0.9, nearDupThreshold: Double = 0.9,
+      budget: Long = 64L, seqLen: Long = 512L, seed: Long = 42L): DataFrame = {
+    import graft.ops.{CorpusOps, UrlOps}
+    val spark = documents.sparkSession
+    val plantBase = 5000000L
+    val day1 = documents.filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "source", "text")
+    val hist1 = documents.filter(col("doc_id") % 5 =!= 0)
+    val day2Natural = documents.filter(col("doc_id") % 5 === 1)
+      .select("doc_id", "source", "text")
+    val hist2 = documents.filter(col("doc_id") % 5 =!= 1)
+    val refetch = day1.filter(col("doc_id") % 7 === 0)
+    val day2 = day2Natural.unionByName(
+      refetch.withColumn("doc_id", col("doc_id") + plantBase))
+    val urls2 = withUrls.unionByName(
+      withUrls.join(refetch.select("doc_id"), "doc_id")
+        .withColumn("doc_id", col("doc_id") + plantBase))
+    // static context shared by both days (full-corpus blocklist)
+    val blocked = UrlOps.domainQualityReport(documents, withUrls,
+        minDomainQuality)
+      .filter(col("blocked")).select("domain").localCheckpoint()
+    val root = Files.createTempDirectory("sgate_mday").toString
+    val urlTbl = "sgate_mday_urls"
+    val stag1 = "sgate_mday_staged_d1"
+    val stag2 = "sgate_mday_staged_d2"
+    Seq(urlTbl, stag1, stag2).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // ---- DAY 1: stream, close, KEEP the url index
+    val staged1 = crawlStreamDay(documents, withUrls, blocked,
+      CorpusOps.evalSlice(hist1).localCheckpoint(), day1, nShards,
+      root, urlTbl, stag1, decontamThreshold)
+    val day1Corpus = CorpusOps.corpusTail(documents,
+      documents.join(staged1, "doc_id").localCheckpoint(),
+      hist1, nearDupThreshold, budget, seqLen, seed)
+    require(day1Corpus.count() > 0,
+      "crawlMultiDayGate: day-1 close produced an empty corpus")
+    // ---- DAY 2: stream against the CARRIED day-1 url index
+    val staged2 = crawlStreamDay(documents, urls2, blocked,
+      CorpusOps.evalSlice(hist2).localCheckpoint(), day2, nShards,
+      root, urlTbl, stag2, decontamThreshold)
+    // tripwires: a planted refetch either committed as novel or staged
+    // means the cross-day first-wins probe is broken — fail LOUDLY
+    val leakedIdx = graft.sinks.LakeWriter
+      .readBucketedTableMerged(spark, urlTbl, Seq("url_norm"))
+      .filter(col("doc_id") >= plantBase)
+    require(leakedIdx.limit(1).isEmpty,
+      "crawlMultiDayGate: a day-1 refetch passed the persisted URL " +
+        "index — cross-day first-wins is broken")
+    require(staged2.filter(col("doc_id") >= plantBase).limit(1).isEmpty,
+      "crawlMultiDayGate: a day-1 refetch reached day-2 staging")
+    Seq(urlTbl, stag1, stag2).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // ---- DAY-2 close: the batch capstone tail on day-2 survivors
+    // with day-1 in history
     CorpusOps.corpusTail(documents,
-      documents.join(staged, "doc_id").localCheckpoint(),
-      history, nearDupThreshold, budget, seqLen, seed)
+      documents.join(staged2, "doc_id").localCheckpoint(),
+      hist2, nearDupThreshold, budget, seqLen, seed)
   }
 
   /** STREAMING TPC-H Q1 — the pricing-summary aggregate maintained as

@@ -421,13 +421,13 @@ class CorpusOpsSpec extends AnyFunSuite {
   test("bpeTrain delta pair-count maintenance equals the full recount " +
       "(A/B on the real corpus, 25 merges)") {
     val d = graft.core.Tables.load(spark, "/root/testdata/sf0.001").documents
-    def table(fullRecount: Boolean) =
-      CorpusOps.bpeTrain(d, nMerges = 25, fullRecount = fullRecount)
+    def table(deltaCounts: Boolean) =
+      CorpusOps.bpeTrain(d, nMerges = 25, deltaCounts = deltaCounts)
         .collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2),
           r.getLong(3))).toSeq
-    val delta = table(fullRecount = false)
-    val full = table(fullRecount = true)
+    val delta = table(deltaCounts = true)
+    val full = table(deltaCounts = false)
     assert(delta.size == 25)
     assert(delta == full,
       "the delta update must maintain the EXACT pair counts the full " +
