@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{TpchSql, TpchSuite}
+import graft.analytics.{GraftSql, TpchSql, TpchSuite}
 import graft.core.Tables
 import graft.ops._
 
@@ -1023,7 +1023,22 @@ object SparkEntry {
     (1 to 22).map { i =>
       f"q${87 + i}%d_tpch$i%02d_sql" ->
         ((s: SparkSession, d: String) => TpchSql.run(s, Tables.load(s, d), i))
-    }.toMap
+    }.toMap ++ Map[String, (SparkSession, String) => DataFrame](
+      // ---- the front door beyond TPC-H (GraftSql.scala): the
+      // engine's own flagship shapes as SQL text, same twins as the
+      // DataFrame bodies (q22/q08/q58/t204/q51/q12 respectively)
+      "q110_sessionize_sql" ->
+        ((s, d) => GraftSql.run(s, Tables.load(s, d), "sessionize")),
+      "q111_top3_brand_sql" ->
+        ((s, d) => GraftSql.run(s, Tables.load(s, d), "top3_brand")),
+      "q112_exact_median_sql" ->
+        ((s, d) => GraftSql.run(s, Tables.load(s, d), "exact_median")),
+      "q113_islands_sql" ->
+        ((s, d) => GraftSql.run(s, Tables.load(s, d), "islands")),
+      "q114_mode_sql" ->
+        ((s, d) => GraftSql.run(s, Tables.load(s, d), "mode")),
+      "q115_rollup_sql" ->
+        ((s, d) => GraftSql.run(s, Tables.load(s, d), "rollup")))
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> ((s, d) => { val t = Tables.load(s, d)
@@ -3187,6 +3202,61 @@ object SparkEntry {
     "q85_tpch22" -> ((s, d) => TpchSuite.q22(Tables.load(s, d)))
   )
 
+  // twins shared between a DataFrame gate and its SQL-text
+  // front-door sibling (q110-q115) - one string, verbatim
+  private lazy val q08Sql: String =
+    s"""WITH rv AS (
+         |  SELECT p_brand, p_partkey, ${mny(rev)} AS revenue
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1,2)
+         |SELECT p_brand, rnk, p_partkey, revenue FROM (
+         |  SELECT p_brand, p_partkey, revenue,
+         |    row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rnk
+         |  FROM rv)
+         |WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin
+
+  private lazy val q58Sql: String =
+    """WITH x AS (SELECT l_returnflag AS rf, CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem),
+        |c AS (SELECT rf, q, count(*) AS c FROM x GROUP BY 1, 2),
+        |cum AS (SELECT rf, q, sum(c) OVER (PARTITION BY rf ORDER BY q) AS cum,
+        |        sum(c) OVER (PARTITION BY rf) AS n FROM c),
+        |v1 AS (SELECT rf, min(q) AS v1 FROM cum WHERE cum >= (n+1)//2 GROUP BY rf),
+        |v2 AS (SELECT rf, min(q) AS v2 FROM cum WHERE cum >= (n+2)//2 GROUP BY rf)
+        |SELECT v1.rf, CAST(v1.v1 + v2.v2 AS DOUBLE) / 2.0 AS median_qty
+        |FROM v1 JOIN v2 USING (rf) ORDER BY rf""".stripMargin
+
+  private lazy val q51Sql: String =
+    """SELECT l_returnflag, l_quantity, n FROM (
+        |  SELECT l_returnflag, l_quantity, count(*) AS n,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY count(*) DESC, l_quantity) AS rn
+        |  FROM lineitem GROUP BY 1, 2)
+        |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin
+
+  private lazy val q12Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+         | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         | ${mny("l_quantity")} AS sum_qty, count(*) AS n_lines
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  private lazy val q22Sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT user_id, event_id, us,
+        |  CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT user_id, us,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                    ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g),
+        |sess AS (SELECT user_id, session_id, count(*) AS n_events,
+        |  max(us) - min(us) AS dur_us FROM s GROUP BY 1,2)
+        |SELECT user_id, count(*) AS n_sessions,
+        | floor(CAST(sum(n_events) AS DOUBLE)/count(*)*10000.0+0.5)/10000.0 AS avg_events,
+        | max(dur_us) AS max_dur_us
+        |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -3234,15 +3304,9 @@ object SparkEntry {
         |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         |  GROUP BY 1)
         |SELECT n_orders, count(*) AS n_customers FROM pc GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q08_top3_per_brand" ->
-      s"""WITH rv AS (
-         |  SELECT p_brand, p_partkey, ${mny(rev)} AS revenue
-         |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1,2)
-         |SELECT p_brand, rnk, p_partkey, revenue FROM (
-         |  SELECT p_brand, p_partkey, revenue,
-         |    row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rnk
-         |  FROM rv)
-         |WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
+    "q08_top3_per_brand" -> q08Sql,
+    "q111_top3_brand_sql" -> q08Sql,
+
     "q09_running_total" ->
       """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
         | floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) OVER (
@@ -3259,12 +3323,9 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_suppliers,
         | count(DISTINCT l_partkey) AS n_parts, count(*) AS n_lines
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q12_rollup_qty" ->
-      s"""SELECT l_returnflag, l_linestatus,
-         | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-         | ${mny("l_quantity")} AS sum_qty, count(*) AS n_lines
-         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q12_rollup_qty" -> q12Sql,
+    "q115_rollup_sql" -> q12Sql,
+
     "q53_cube_qty" ->
       s"""SELECT l_returnflag, l_linestatus,
          | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
@@ -3325,16 +3386,9 @@ object SparkEntry {
         |ORDER BY o_custkey, dn, o_orderkey""".stripMargin,
     // q58 twin: identical histogram rank math — cumulative counts,
     // min value reaching each middle rank, two-value average
-    "q58_exact_median" ->
-      """WITH x AS (SELECT l_returnflag AS rf, CAST(l_quantity AS BIGINT) AS q
-        |  FROM lineitem),
-        |c AS (SELECT rf, q, count(*) AS c FROM x GROUP BY 1, 2),
-        |cum AS (SELECT rf, q, sum(c) OVER (PARTITION BY rf ORDER BY q) AS cum,
-        |        sum(c) OVER (PARTITION BY rf) AS n FROM c),
-        |v1 AS (SELECT rf, min(q) AS v1 FROM cum WHERE cum >= (n+1)//2 GROUP BY rf),
-        |v2 AS (SELECT rf, min(q) AS v2 FROM cum WHERE cum >= (n+2)//2 GROUP BY rf)
-        |SELECT v1.rf, CAST(v1.v1 + v2.v2 AS DOUBLE) / 2.0 AS median_qty
-        |FROM v1 JOIN v2 USING (rf) ORDER BY rf""".stripMargin,
+    "q58_exact_median" -> q58Sql,
+    "q112_exact_median_sql" -> q58Sql,
+
     // t148 twin: q22's session CTEs -> interval deltas -> ONE global
     // running sum (the oracle can afford the single window the engine
     // replaces with the two-phase prefix sum), day peaks
@@ -4344,6 +4398,7 @@ object SparkEntry {
     // t204 twin: the classic id - row_number() islands form the
     // anti-join boundaries replace
     "t204_islands" -> t204Sql,
+    "q113_islands_sql" -> t204Sql,
     // t220 twin: t204's one-shot SQL VERBATIM — the streamed
     // seam-stitched fold must be indistinguishable
     "t220_stream_islands" -> t204Sql,
@@ -4810,22 +4865,9 @@ object SparkEntry {
         |  user_id, count(*) AS n_events
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
-    "q22_sessionize" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
-        |g AS (SELECT user_id, event_id, us,
-        |  CASE WHEN lag(us) OVER w IS NULL
-        |         OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-        |s AS (SELECT user_id, us,
-        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |                    ROWS UNBOUNDED PRECEDING) AS session_id
-        |  FROM g),
-        |sess AS (SELECT user_id, session_id, count(*) AS n_events,
-        |  max(us) - min(us) AS dur_us FROM s GROUP BY 1,2)
-        |SELECT user_id, count(*) AS n_sessions,
-        | floor(CAST(sum(n_events) AS DOUBLE)/count(*)*10000.0+0.5)/10000.0 AS avg_events,
-        | max(dur_us) AS max_dur_us
-        |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q22_sessionize" -> q22Sql,
+    "q110_sessionize_sql" -> q22Sql,
+
     // q50 twin: identical pre-aggregated full outer + side indicator
     "q50_full_outer" ->
       """WITH c AS (SELECT c_custkey, c_mktsegment FROM customer
@@ -4839,13 +4881,9 @@ object SparkEntry {
         |FROM c FULL OUTER JOIN o ON o.o_custkey = c.c_custkey
         |ORDER BY custkey""".stripMargin,
     // q51 twin: counts + the same (n DESC, value) rank rule
-    "q51_mode" ->
-      """SELECT l_returnflag, l_quantity, n FROM (
-        |  SELECT l_returnflag, l_quantity, count(*) AS n,
-        |    row_number() OVER (PARTITION BY l_returnflag
-        |      ORDER BY count(*) DESC, l_quantity) AS rn
-        |  FROM lineitem GROUP BY 1, 2)
-        |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+    "q51_mode" -> q51Sql,
+    "q114_mode_sql" -> q51Sql,
+
     // t114 twin: the IDENTICAL fold table and planted tail (both
     // interpolated from the same Scala constants), translate/lower/
     // collapse applied in the same order
