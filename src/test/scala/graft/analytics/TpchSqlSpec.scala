@@ -48,6 +48,20 @@ class TpchSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("the SQL-text path earns the same physical plan: Q5's six-table " +
+      "star is all broadcast joins with filters pushed to the scans") {
+    val plan = TpchSql.run(spark, t, 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      "a dim join fell back to sort-merge on the SQL-text path")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4,
+      s"expected a broadcast star, got:\n$plan")
+    val fmt = TpchSql.run(spark, t, 5).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(fmt.contains("EqualTo(r_name,ASIA)"),
+      "the region filter must reach the parquet scan (PushedFilters)")
+  }
+
   test("partsupp materializes ONCE per (session, dir): memoized instance, " +
       "persisted, and suite consumers probe the in-memory relation") {
     val a = TpchSuite.partsupp(t)
