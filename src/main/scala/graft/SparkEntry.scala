@@ -1038,7 +1038,39 @@ object SparkEntry {
       "q114_mode_sql" ->
         ((s, d) => GraftSql.run(s, Tables.load(s, d), "mode")),
       "q115_rollup_sql" ->
-        ((s, d) => GraftSql.run(s, Tables.load(s, d), "rollup")))
+        ((s, d) => GraftSql.run(s, Tables.load(s, d), "rollup")),
+      // the LAKE + SQL front door: a manifested bucketed table built
+      // with TWO commit versions (initial load, then a delta replace
+      // of the keys ≡3 mod 10), its merge-on-read view registered for
+      // spark.sql, and the user's aggregate submitted as SQL TEXT —
+      // a SQL user queries the engine's lake tables and sees exactly
+      // the latest-wins merged state (twin = that state directly)
+      "q116_lake_sql" -> ((s, d) => {
+        val t = Tables.load(s, d)
+        import org.apache.spark.sql.functions.{col, expr}
+        val root = java.nio.file.Files
+          .createTempDirectory("gate_lakesql").toString
+        val lw = new graft.sinks.LakeWriter(root)
+        val tbl = "gate_lake_sql_orders"
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val base = t.orders.select(col("o_orderkey"), col("o_orderstatus"),
+          expr("CAST(floor(o_totalprice*100.0+0.5) AS BIGINT)").as("cents"))
+        lw.commitBucketed(base, tbl, 8, Seq("o_orderkey"), replace = true)
+        lw.commitBucketed(
+          base.filter(col("o_orderkey") % 10 === 3)
+            .withColumn("cents", col("cents") + 100L),
+          tbl, 8, Seq("o_orderkey"))
+        // localCheckpoint so the catalog entry can drop before the
+        // (lazy) result is consumed downstream
+        val merged = graft.sinks.LakeWriter
+          .readBucketedTableMerged(s, tbl, Seq("o_orderkey"))
+          .localCheckpoint()
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        merged.createOrReplaceTempView("lake_orders")
+        s.sql("""SELECT o_orderstatus, count(*) AS n_orders,
+          CAST(sum(cents) AS BIGINT) AS total_cents
+          FROM lake_orders GROUP BY 1 ORDER BY 1""")
+      }))
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> ((s, d) => { val t = Tables.load(s, d)
@@ -4399,6 +4431,16 @@ object SparkEntry {
     // anti-join boundaries replace
     "t204_islands" -> t204Sql,
     "q113_islands_sql" -> t204Sql,
+    // q116 twin: the merged latest-wins state expressed directly —
+    // base rows, with the second commit's +100 applied to keys ≡3
+    // mod 10
+    "q116_lake_sql" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CASE WHEN o_orderkey % 10 = 3
+        |    THEN CAST(floor(o_totalprice*100.0+0.5) AS BIGINT) + 100
+        |    ELSE CAST(floor(o_totalprice*100.0+0.5) AS BIGINT) END)
+        |    AS BIGINT) AS total_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // t220 twin: t204's one-shot SQL VERBATIM — the streamed
     // seam-stitched fold must be indistinguishable
     "t220_stream_islands" -> t204Sql,
