@@ -2532,6 +2532,13 @@ object SparkEntry {
       Relational.theilSenInt(daily, col("pri"),
         datediff(col("dt").cast("date"), lit("1995-01-01").cast("date"))
           .cast("long"), col("x")) }),
+    // EXACT TRIMMED MEAN (5% each side) of order totals per priority:
+    // histogram-rank interval overlap, all integer — the robust
+    // location statistic for heavy-tailed feature columns
+    "t241_trimmed_mean" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{col, expr}
+      Relational.trimmedMeanInt(t.orders, col("o_orderpriority"),
+        expr("CAST(floor(o_totalprice*100.0+0.5) AS BIGINT)")) }),
     // LINEAR TREND per priority: OLS slope/intercept of the daily
     // order-count series in exact integer moments, micro-unit DIV
     "t235_linear_trend" -> ((s, d) => { val t = Tables.load(s, d)
@@ -6100,6 +6107,26 @@ object SparkEntry {
     // t235 twin: the identical HUGEINT moments and micro DIV with the
     // same variance guard (shared with the streamed MV t236)
     "t235_linear_trend" -> trendSql,
+    // t241 twin: the identical histogram-rank interval-overlap math
+    "t241_trimmed_mean" ->
+      """WITH x AS (SELECT o_orderpriority AS grp,
+        |    CAST(floor(o_totalprice*100.0+0.5) AS BIGINT) AS v FROM orders),
+        |h AS (SELECT grp, v, count(*) AS c FROM x GROUP BY 1, 2),
+        |cum AS (SELECT grp, v, c,
+        |  sum(c) OVER (PARTITION BY grp ORDER BY v) AS cum_end,
+        |  sum(c) OVER (PARTITION BY grp) AS n FROM h),
+        |k AS (SELECT grp, v, c, cum_end, cum_end - c AS cum_start, n,
+        |  (n * 50) // 1000 AS k_lo FROM cum),
+        |kp AS (SELECT grp, v, n,
+        |  greatest(0, least(cum_end, n - k_lo) - greatest(cum_start, k_lo))
+        |    AS keep FROM k)
+        |SELECT grp, CAST(min(n) AS BIGINT) AS n,
+        |  CAST(sum(keep) AS BIGINT) AS kept,
+        |  CAST(CASE WHEN sum(keep) > 0 THEN
+        |      (CAST(sum(CAST(v AS HUGEINT) * keep) AS HUGEINT) * 1000000)
+        |        // CAST(sum(keep) AS HUGEINT)
+        |    END AS BIGINT) AS trimmed_mean_micro
+        |FROM kp GROUP BY 1 ORDER BY 1""".stripMargin,
     // t238 twin: the identical pair-slope micro DIV and lower-median
     // rank cut under the same (sm, ta, tb) total order
     "t238_theil_sen" ->

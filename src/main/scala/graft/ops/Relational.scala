@@ -1696,6 +1696,53 @@ object Relational {
       .orderBy("grp")
   }
 
+  /** EXACT TRIMMED MEAN per group — the robust location statistic
+    * (drop the lowest and highest `trimPermille`‰ of rows EXACTLY,
+    * mean of the rest): the outlier-insensitive aggregate a feature
+    * pipeline reaches for when [[giniInt]]/MAD have flagged heavy
+    * tails. Zero floating point and NO fact sort — the [[giniInt]]
+    * histogram-rank discipline: per-(group, value) counts carry a
+    * cumulative-rank window over |distinct values| rows, each value
+    * contributes `overlap([cumStart, cumEnd], [kLo+1, n−kLo])`
+    * multiplicity, and the mean is one integer micro-unit DIV.
+    * k = ⌊n·trim/1000⌋ from EACH side (the standard definition), so
+    * groups smaller than 1000/trim rows trim nothing and degrade to
+    * the plain mean — exact, not a special case. Output: (grp, n,
+    * kept, trimmed_mean_micro) — all bounded integers (driver-hash
+    * discipline).
+    */
+  def trimmedMeanInt(df: DataFrame, grp: Column, vInt: Column,
+      trimPermille: Int = 50): DataFrame = {
+    require(trimPermille >= 0 && trimPermille < 500,
+      "trim must leave a nonempty middle")
+    val dec = DecimalType(38, 0)
+    val hist = df.select(grp.as("grp"), vInt.cast("long").as("v"))
+      .groupBy("grp", "v").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cumEnd", sum("c").over(w))
+      .withColumn("cumStart", col("cumEnd") - col("c"))
+      .withColumn("n", sum("c").over(Window.partitionBy("grp")))
+      .withColumn("kLo", expr(s"(n * $trimPermille) div 1000"))
+      // kept multiplicity of this value = |[cumStart+1, cumEnd] ∩
+      // [kLo+1, n−kLo]| — pure integer interval overlap
+      .withColumn("keep",
+        greatest(lit(0L),
+          least(col("cumEnd"), col("n") - col("kLo")) -
+            greatest(col("cumStart"), col("kLo"))))
+      .groupBy("grp")
+      .agg(first(col("n")).as("n"),
+        sum(col("keep")).as("kept"),
+        sum(col("v").cast(dec) * col("keep").cast(dec)).as("skept"))
+      .select(col("grp"), col("n").cast("long").as("n"),
+        col("kept").cast("long").as("kept"),
+        when(col("kept") > 0,
+          expr("(skept * 1000000) div kept")).cast("long")
+          .as("trimmed_mean_micro"))
+      .orderBy("grp")
+  }
+
   /** L-DIVERSITY release — [[kAnonymize]] hardened against the
     * homogeneity attack: a k-anonymous group whose SENSITIVE value is
     * constant still leaks it ("all 10 people in this ZIP+age band

@@ -161,4 +161,24 @@ class Round14StatsSpec extends AnyFunSuite {
     val s = c.zip(mins).map { case (ct, mn) => math.max(s0 + ct, ct - mn) }
     assert(s == Seq(10L, 7L, 12L))
   }
+
+  test("trimmedMeanInt: exact interval-overlap trim, small groups " +
+      "degrade to the plain mean, ties span the cut") {
+    // group a: 1..10, trim 100 permille → k=1, keep 2..9, mean 5.5
+    // group b: 9 rows of value 7 and one 1000 outlier, k=1 → the
+    //   outlier drops entirely, one 7 drops from the low side
+    // group c: 3 rows (n·100/1000 = 0) → nothing trimmed, plain mean
+    val rows = (1L to 10L).map(v => ("a", v)) ++
+      (Seq.fill(9)(7L) :+ 1000L).map(v => ("b", v)) ++
+      Seq(("c", 1L), ("c", 2L), ("c", 4L))
+    val df = rows.toDF("g", "v")
+    val got = Relational.trimmedMeanInt(df, col("g"), col("v"),
+        trimPermille = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("a", 10L, 8L, 5500000L),
+      ("b", 10L, 8L, 7000000L),
+      ("c", 3L, 3L, (7L * 1000000L) / 3L)))
+  }
 }
