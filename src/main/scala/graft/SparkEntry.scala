@@ -2539,6 +2539,12 @@ object SparkEntry {
       import org.apache.spark.sql.functions.{col, expr}
       Relational.trimmedMeanInt(t.orders, col("o_orderpriority"),
         expr("CAST(floor(o_totalprice*100.0+0.5) AS BIGINT)")) }),
+    // the SAME statistic as a streaming MV across cold restarts: the
+    // trimmed mean is not additive but its VALUE HISTOGRAM is — each
+    // batch folds an O(touched-cells) count delta, day close renders
+    // through the batch gate's own code path; twin = t241 verbatim
+    "t242_stream_trimmed_mean" -> ((s, d) => { val t = Tables.load(s, d)
+      graft.streaming.StreamGates.trimmedMeanGate(t.orders) }),
     // LINEAR TREND per priority: OLS slope/intercept of the daily
     // order-count series in exact integer moments, micro-unit DIV
     "t235_linear_trend" -> ((s, d) => { val t = Tables.load(s, d)
@@ -3295,6 +3301,26 @@ object SparkEntry {
         | floor(CAST(sum(n_events) AS DOUBLE)/count(*)*10000.0+0.5)/10000.0 AS avg_events,
         | max(dur_us) AS max_dur_us
         |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private lazy val trimmedMeanSql: String =
+    """WITH x AS (SELECT o_orderpriority AS grp,
+        |    CAST(floor(o_totalprice*100.0+0.5) AS BIGINT) AS v FROM orders),
+        |h AS (SELECT grp, v, count(*) AS c FROM x GROUP BY 1, 2),
+        |cum AS (SELECT grp, v, c,
+        |  sum(c) OVER (PARTITION BY grp ORDER BY v) AS cum_end,
+        |  sum(c) OVER (PARTITION BY grp) AS n FROM h),
+        |k AS (SELECT grp, v, c, cum_end, cum_end - c AS cum_start, n,
+        |  (n * 50) // 1000 AS k_lo FROM cum),
+        |kp AS (SELECT grp, v, n,
+        |  greatest(0, least(cum_end, n - k_lo) - greatest(cum_start, k_lo))
+        |    AS keep FROM k)
+        |SELECT grp, CAST(min(n) AS BIGINT) AS n,
+        |  CAST(sum(keep) AS BIGINT) AS kept,
+        |  CAST(CASE WHEN sum(keep) > 0 THEN
+        |      (CAST(sum(CAST(v AS HUGEINT) * keep) AS HUGEINT) * 1000000)
+        |        // CAST(sum(keep) AS HUGEINT)
+        |    END AS BIGINT) AS trimmed_mean_micro
+        |FROM kp GROUP BY 1 ORDER BY 1""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -6107,26 +6133,11 @@ object SparkEntry {
     // t235 twin: the identical HUGEINT moments and micro DIV with the
     // same variance guard (shared with the streamed MV t236)
     "t235_linear_trend" -> trendSql,
-    // t241 twin: the identical histogram-rank interval-overlap math
-    "t241_trimmed_mean" ->
-      """WITH x AS (SELECT o_orderpriority AS grp,
-        |    CAST(floor(o_totalprice*100.0+0.5) AS BIGINT) AS v FROM orders),
-        |h AS (SELECT grp, v, count(*) AS c FROM x GROUP BY 1, 2),
-        |cum AS (SELECT grp, v, c,
-        |  sum(c) OVER (PARTITION BY grp ORDER BY v) AS cum_end,
-        |  sum(c) OVER (PARTITION BY grp) AS n FROM h),
-        |k AS (SELECT grp, v, c, cum_end, cum_end - c AS cum_start, n,
-        |  (n * 50) // 1000 AS k_lo FROM cum),
-        |kp AS (SELECT grp, v, n,
-        |  greatest(0, least(cum_end, n - k_lo) - greatest(cum_start, k_lo))
-        |    AS keep FROM k)
-        |SELECT grp, CAST(min(n) AS BIGINT) AS n,
-        |  CAST(sum(keep) AS BIGINT) AS kept,
-        |  CAST(CASE WHEN sum(keep) > 0 THEN
-        |      (CAST(sum(CAST(v AS HUGEINT) * keep) AS HUGEINT) * 1000000)
-        |        // CAST(sum(keep) AS HUGEINT)
-        |    END AS BIGINT) AS trimmed_mean_micro
-        |FROM kp GROUP BY 1 ORDER BY 1""".stripMargin,
+    // t241 twin: the identical histogram-rank interval-overlap math.
+    // t242 (streaming histogram MV) must render the SAME rows — twin
+    // shared verbatim
+    "t241_trimmed_mean" -> trimmedMeanSql,
+    "t242_stream_trimmed_mean" -> trimmedMeanSql,
     // t238 twin: the identical pair-slope micro DIV and lower-median
     // rank cut under the same (sm, ta, tb) total order
     "t238_theil_sen" ->

@@ -1712,12 +1712,22 @@ object Relational {
     * discipline).
     */
   def trimmedMeanInt(df: DataFrame, grp: Column, vInt: Column,
-      trimPermille: Int = 50): DataFrame = {
+      trimPermille: Int = 50): DataFrame =
+    trimmedMeanFromHist(
+      df.select(grp.as("grp"), vInt.cast("long").as("v"))
+        .groupBy("grp", "v").agg(count(lit(1)).as("c")),
+      trimPermille)
+
+  /** [[trimmedMeanInt]]'s render half over a PRE-BUILT value histogram
+    * (grp, v, c) — factored out because the histogram is the
+    * statistic's ADDITIVE sufficient state: the streaming-MV gate
+    * folds per-batch count deltas into a bucketed histogram table and
+    * renders day-close output through THIS exact code path. */
+  private[graft] def trimmedMeanFromHist(hist: DataFrame,
+      trimPermille: Int): DataFrame = {
     require(trimPermille >= 0 && trimPermille < 500,
       "trim must leave a nonempty middle")
     val dec = DecimalType(38, 0)
-    val hist = df.select(grp.as("grp"), vInt.cast("long").as("v"))
-      .groupBy("grp", "v").agg(count(lit(1)).as("c"))
     val w = Window.partitionBy("grp").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hist

@@ -502,6 +502,82 @@ object StreamGates {
       .orderBy("token_id")
   }
 
+  /** STREAMING TRIMMED-MEAN maintenance — the t241 robust statistic
+    * kept as a materialized view across COLD RESTARTS. The trimmed
+    * mean itself is NOT additive, but its sufficient statistic IS:
+    * the per-(group, value) count histogram, additive under ANY
+    * row partition (no grain constraint — unlike trendGate's
+    * complete-day shards, any orderkey range works). Each micro-batch
+    * folds a count delta touching only the batch's (grp, v) pairs
+    * (the vocabGate O(batch-vocabulary) commit shape); day close
+    * renders through [[graft.ops.Relational.trimmedMeanFromHist]] —
+    * the batch gate's own render half, shared code. Twin = t241's
+    * SQL verbatim.
+    */
+  def trimmedMeanGate(orders: DataFrame, nShards: Int = 3,
+      trimPermille: Int = 50): DataFrame = {
+    import graft.ops.Relational
+    val spark = orders.sparkSession
+    val o = orders.select(col("o_orderkey"),
+      col("o_orderpriority").as("grp"),
+      expr("CAST(floor(o_totalprice*100.0+0.5) AS BIGINT)").as("v"))
+    val b = o.agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi")).head()
+    val shardFrames =
+      if (b.isNullAt(0)) {
+        System.err.println(
+          "[trimmedMeanGate] empty orders — vacuous shard, empty MV")
+        Seq(o.limit(0))
+      } else {
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val span = hi - lo + 1
+        (0 until nShards).map { i =>
+          val l = lo + i * span / nShards
+          val h = lo + (i + 1) * span / nShards
+          if (i == nShards - 1) o.filter(col("o_orderkey") >= l)
+          else o.filter(col("o_orderkey") >= l && col("o_orderkey") < h)
+        }
+      }
+    def partial(batch: DataFrame): DataFrame =
+      batch.groupBy("grp", "v").agg(count(lit(1)).as("c"))
+    val tbl = "sgate_trimmean_state"
+    val root = Files.createTempDirectory("sgate_trimmean").toString
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    drive(shardFrames) { (src, cp) =>
+      src.writeStream
+        .option("checkpointLocation", cp.get)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val part = partial(batch)
+          if (!part.isEmpty) {
+            val lw = new graft.sinks.LakeWriter(root)
+            val exists = spark.catalog.tableExists(tbl)
+            val delta =
+              if (!exists) part
+              else {
+                // only the TOUCHED (grp, v) cells re-commit
+                val state = graft.sinks.LakeWriter
+                  .readBucketedTableMerged(spark, tbl, Seq("grp", "v"))
+                  .join(part.select("grp", "v"), Seq("grp", "v"),
+                    "left_semi")
+                part.unionByName(state)
+                  .groupBy("grp", "v").agg(sum("c").as("c"))
+              }
+            lw.commitBucketed(delta, tbl, 8, Seq("grp", "v"),
+              replace = !exists)
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    val state =
+      if (!spark.catalog.tableExists(tbl)) partial(o.limit(0))
+      else graft.sinks.LakeWriter
+        .readBucketedTableMerged(spark, tbl, Seq("grp", "v"))
+        .localCheckpoint()
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    Relational.trimmedMeanFromHist(state, trimPermille)
+  }
+
   /** STREAMING LINEAR-TREND maintenance — the t235 OLS statistic kept
     * as a materialized view across COLD RESTARTS: the five moments
     * (n, Σt, Σy, Σt², Σty) are ADDITIVE in DECIMAL(38,0), so each
