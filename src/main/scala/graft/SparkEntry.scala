@@ -1039,6 +1039,30 @@ object SparkEntry {
         ((s, d) => GraftSql.run(s, Tables.load(s, d), "mode")),
       "q115_rollup_sql" ->
         ((s, d) => GraftSql.run(s, Tables.load(s, d), "rollup")),
+      // the NATIVE-FUNCTION front door: the engine's codegen'd
+      // Catalyst expression graft_max_sorted_run (registered by
+      // GraftExtensions) called from USER SQL TEXT — repetition
+      // scoring end to end as a query string, twin = t48's verbatim
+      "q117_native_fn_sql" -> ((s, d) => {
+        val t = Tables.load(s, d)
+        TpchSql.registerViews(t, Seq("documents"))
+        s.sql("""
+          WITH t AS (SELECT doc_id,
+            regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS tk
+            FROM documents),
+          s AS (SELECT doc_id,
+            CASE WHEN size(tk) >= 3
+              THEN array_sort(transform(sequence(1, size(tk) - 2),
+                i -> concat_ws(' ', slice(tk, i, 3))))
+              ELSE CAST(array() AS ARRAY<STRING>) END AS sh
+            FROM t),
+          m AS (SELECT doc_id, graft_max_sorted_run(sh) AS top_count,
+            CAST(size(sh) AS BIGINT) AS n_shingles FROM s)
+          SELECT doc_id, top_count, n_shingles,
+            floor(CAST(top_count AS DOUBLE)/n_shingles*10000.0D+0.5D)/10000.0D
+              AS rep_ratio
+          FROM m WHERE n_shingles > 0 ORDER BY doc_id""")
+      }),
       // the LAKE + SQL front door: a manifested bucketed table built
       // with TWO commit versions (initial load, then a delta replace
       // of the keys ≡3 mod 10), its merge-on-read view registered for
@@ -3321,6 +3345,18 @@ object SparkEntry {
         |        // CAST(sum(keep) AS HUGEINT)
         |    END AS BIGINT) AS trimmed_mean_micro
         |FROM kp GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private lazy val t48Sql: String =
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |s AS (SELECT doc_id,
+         |  unnest(list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' '))) AS shingle
+         |  FROM t WHERE len(tk) >= 3),
+         |c AS (SELECT doc_id, shingle, count(*) AS c FROM s GROUP BY 1,2),
+         |m AS (SELECT doc_id, max(c) AS top_count, sum(c) AS n_shingles FROM c GROUP BY 1)
+         |SELECT doc_id, CAST(top_count AS BIGINT) AS top_count,
+         | CAST(n_shingles AS BIGINT) AS n_shingles,
+         | ${q4("CAST(top_count AS DOUBLE)/n_shingles")} AS rep_ratio
+         |FROM m ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5761,17 +5797,11 @@ object SparkEntry {
          |  (id = min(r)) AS is_canonical
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     // repeated-3-gram fraction; shingles WITH multiplicity
-    "t48_repetition" ->
-      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
-         |s AS (SELECT doc_id,
-         |  unnest(list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' '))) AS shingle
-         |  FROM t WHERE len(tk) >= 3),
-         |c AS (SELECT doc_id, shingle, count(*) AS c FROM s GROUP BY 1,2),
-         |m AS (SELECT doc_id, max(c) AS top_count, sum(c) AS n_shingles FROM c GROUP BY 1)
-         |SELECT doc_id, CAST(top_count AS BIGINT) AS top_count,
-         | CAST(n_shingles AS BIGINT) AS n_shingles,
-         | ${q4("CAST(top_count AS DOUBLE)/n_shingles")} AS rep_ratio
-         |FROM m ORDER BY doc_id""".stripMargin,
+    "t48_repetition" -> t48Sql,
+    // q117 twin: t48 verbatim — the SQL-text call of the native
+    // codegen expression must render the identical rows
+    "q117_native_fn_sql" -> t48Sql,
+
     // decontamination twin: same stop-shingle cap (df <= 150 over ALL
     // docs), same kept-shingle denominator, same (containment DESC,
     // train_id) tiebreak

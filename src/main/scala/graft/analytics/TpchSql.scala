@@ -67,6 +67,7 @@ object TpchSql {
     case "partsupp" =>
       TpchSuite.partsupp(t).createOrReplaceTempView("partsupp")
     case "events" => t.events.createOrReplaceTempView("events")
+    case "documents" => t.documents.createOrReplaceTempView("documents")
     case other => throw new IllegalArgumentException(s"unknown view $other")
   }
 
