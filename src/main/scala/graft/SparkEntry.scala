@@ -2340,6 +2340,29 @@ object SparkEntry {
       Dedup.jaccardClusters(t.documents) }),
     "t50_decontaminate" -> ((s, d) => { val t = Tables.load(s, d)
       Dedup.containmentReport(t.documents) }),
+    // EXACT 13-gram decontamination (the GPT-3 rule): verbatim-leak
+    // flags over a corpus with PLANTED contamination — every train
+    // doc ≡1 mod 7 gets the first 13 tokens of its floor-multiple-
+    // of-20 eval doc appended, so the exact-hit arm fires beyond the
+    // fixture's two natural collisions; the twin builds the identical
+    // planted corpus
+    "t243_ngram_decontaminate" -> ((s, d) => { val t = Tables.load(s, d)
+      import org.apache.spark.sql.functions.{array_join, col, concat, expr, lit, slice}
+      val docs = t.documents.select(col("doc_id"), col("text"))
+      val evalSpan = docs.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("eid"),
+          array_join(slice(graft.ops.TextOps.tokens(col("text")), 1, 13),
+            " ").as("span"))
+      val toPlant = docs
+        .filter(col("doc_id") % 20 =!= 0 && col("doc_id") % 7 === 1)
+        .withColumn("eid", expr("(doc_id DIV 20) * 20"))
+        .join(evalSpan, "eid")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" "), col("span")).as("text"))
+      val corpus = docs
+        .join(toPlant.select("doc_id"), Seq("doc_id"), "left_anti")
+        .unionByName(toPlant)
+      Dedup.ngramDecontaminate(corpus) }),
     "t51_split_assign" -> ((s, d) => { val t = Tables.load(s, d)
       TextOps.splitAssign(t.documents) }),
     "t52_sample_stratified" -> ((s, d) => { val t = Tables.load(s, d)
@@ -5798,6 +5821,30 @@ object SparkEntry {
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     // repeated-3-gram fraction; shingles WITH multiplicity
     "t48_repetition" -> t48Sql,
+    // t243 twin: identical planting, identical 13-gram hit rule
+    "t243_ngram_decontaminate" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |esp AS (SELECT doc_id AS eid,
+         |  array_to_string(($toks)[1:13], ' ') AS span
+         |  FROM d WHERE doc_id % 20 = 0),
+         |tp AS (SELECT d.doc_id, d.text || ' ' || esp.span AS text
+         |  FROM d JOIN esp ON esp.eid = (d.doc_id // 20) * 20
+         |  WHERE d.doc_id % 20 <> 0 AND d.doc_id % 7 = 1),
+         |corpus AS (SELECT doc_id, text FROM d
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM tp)
+         |  UNION ALL SELECT doc_id, text FROM tp),
+         |t AS (SELECT doc_id, $toks AS tk FROM corpus),
+         |g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-11),
+         |    i -> array_to_string(tk[i:i+12], ' '))) AS ng
+         |  FROM t WHERE len(tk) >= 13),
+         |ev AS (SELECT DISTINCT ng FROM g WHERE doc_id % 20 = 0),
+         |h AS (SELECT doc_id, count(*) AS n_hit FROM g
+         |  WHERE doc_id % 20 <> 0 AND ng IN (SELECT ng FROM ev)
+         |  GROUP BY 1)
+         |SELECT t.doc_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit_grams,
+         |  coalesce(h.n_hit, 0) > 0 AS contaminated
+         |FROM t LEFT JOIN h ON h.doc_id = t.doc_id
+         |WHERE t.doc_id % 20 <> 0 ORDER BY t.doc_id""".stripMargin,
     // q117 twin: t48 verbatim — the SQL-text call of the native
     // codegen expression must render the identical rows
     "q117_native_fn_sql" -> t48Sql,

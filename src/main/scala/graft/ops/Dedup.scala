@@ -859,6 +859,44 @@ object Dedup {
     candOld.unionByName(candNew)
   }
 
+  /** EXACT n-gram decontamination — the GPT-3 rule (Brown et al.
+    * 2020, public): a train document is contaminated iff it shares
+    * ANY run of `n` consecutive tokens with a heldout document
+    * (`isTest`, default the doc_id ≡ 0 mod 20 fixture slice). The
+    * third decontamination mode beside fuzzy containment
+    * ([[containmentReport]]) and banded cross-corpus near-dup
+    * ([[crossNearDups]]): exact hits catch verbatim leakage that
+    * similarity thresholds can miss on long documents, and the rule
+    * is cheap enough to run at full corpus scale.
+    *
+    * Scale shape: heldout n-grams are DISTINCT (the eval set is
+    * always tiny next to train) and BROADCAST into a semi join —
+    * train n-grams stream through map-side with no shuffle of the
+    * corpus; at 100 TB the grams would be 64-bit hashes riding the
+    * same plan. Output: every train doc as (doc_id, n_hit_grams,
+    * contaminated) — instance counts, so a doc quoting one eval
+    * sentence twice scores 2.
+    */
+  def ngramDecontaminate(documents: DataFrame, n: Int = 13,
+      mod: Long = 20): DataFrame = {
+    val base = documents.select(col("doc_id"),
+      TextOps.tokens(col("text")).as("tk"))
+    def grams(df: DataFrame): DataFrame = df
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"), explode(TextOps.kgrams(col("tk"), n)).as("ng"))
+    val evalG = grams(base.filter(col("doc_id") % mod === 0))
+      .select("ng").distinct()
+    val hits = grams(base.filter(col("doc_id") % mod =!= 0))
+      .join(broadcast(evalG), Seq("ng"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit_grams"))
+    base.filter(col("doc_id") % mod =!= 0).select("doc_id")
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        (coalesce(col("n_hit_grams"), lit(0L)) > 0L).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** Decontamination: for each TEST document (doc_id ≡ 0 mod `mod` —
     * a deterministic holdout slice), the TRAIN document with the
     * highest n-gram containment |shingles(test) ∩ shingles(train)| /

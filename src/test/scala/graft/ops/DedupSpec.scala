@@ -302,4 +302,25 @@ class DedupSpec extends AnyFunSuite {
     assert(out.agg(sum("n_kept")).head.getLong(0) == paras.select("para").distinct.count)
     assert(out.agg(sum("n_paras")).head.getLong(0) == paras.count)
   }
+
+  test("ngramDecontaminate: a 13-token verbatim run flags exactly; " +
+      "12 tokens do not; repeats count with multiplicity") {
+    val evalText = (1 to 20).map(i => s"w$i").mkString(" ") // doc 0: heldout
+    val run13 = (1 to 13).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (0L, evalText),
+      (1L, "prefix " + run13), // one 13-run → contaminated, 1 hit
+      (2L, "prefix " + (1 to 12).map(i => s"w$i").mkString(" ")), // 12 only
+      (3L, "totally different content entirely over here right now " +
+        "with plenty of tokens to clear the length floor easily " +
+        "one two three four"),
+      (4L, run13 + " gap " + run13) // two disjoint runs → 2 hits
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramDecontaminate(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(1L) == ((1L, true)))
+    assert(out(2L) == ((0L, false)))
+    assert(out(3L) == ((0L, false)))
+    assert(out(4L) == ((2L, true)))
+  }
 }
