@@ -1039,6 +1039,10 @@ object SparkEntry {
         ((s, d) => GraftSql.run(s, Tables.load(s, d), "mode")),
       "q115_rollup_sql" ->
         ((s, d) => GraftSql.run(s, Tables.load(s, d), "rollup")),
+      "q118_range_frame_sql" ->
+        ((s, d) => GraftSql.run(s, Tables.load(s, d), "range_frame")),
+      "q119_ignore_nulls_sql" ->
+        ((s, d) => GraftSql.run(s, Tables.load(s, d), "ignore_nulls")),
       // the NATIVE-FUNCTION front door: the engine's codegen'd
       // Catalyst expression graft_max_sorted_run (registered by
       // GraftExtensions) called from USER SQL TEXT — repetition
@@ -3381,6 +3385,32 @@ object SparkEntry {
          | ${q4("CAST(top_count AS DOUBLE)/n_shingles")} AS rep_ratio
          |FROM m ORDER BY doc_id""".stripMargin
 
+  private lazy val q57Sql: String =
+    """WITH o AS (SELECT o_custkey, o_orderkey,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dn,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, dn,
+        |  count(*) OVER w AS n_30d,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS cents_30d
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY dn
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, dn, o_orderkey""".stripMargin
+
+  private lazy val q62Sql: String =
+    """WITH r AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CASE WHEN o_totalprice > 150000.0 THEN o_orderpriority END AS big_pri
+        |  FROM orders WHERE o_custkey % 50 = 3)
+        |SELECT o_custkey, o_orderkey,
+        |  last_value(big_pri IGNORE NULLS) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_big_pri,
+        |  first_value(big_pri IGNORE NULLS) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_big_pri
+        |FROM r ORDER BY o_custkey, o_orderkey""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -3496,18 +3526,9 @@ object SparkEntry {
         |WHERE price > cust_avg
         |ORDER BY o_orderkey""".stripMargin,
     // q57 twin: the same integer day-number RANGE frame
-    "q57_range_frame" ->
-      """WITH o AS (SELECT o_custkey, o_orderkey,
-        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dn,
-        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
-        |  FROM orders)
-        |SELECT o_custkey, o_orderkey, dn,
-        |  count(*) OVER w AS n_30d,
-        |  CAST(sum(cents) OVER w AS BIGINT) AS cents_30d
-        |FROM o
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY dn
-        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
-        |ORDER BY o_custkey, dn, o_orderkey""".stripMargin,
+    "q57_range_frame" -> q57Sql,
+    "q118_range_frame_sql" -> q57Sql,
+
     // q58 twin: identical histogram rank math — cumulative counts,
     // min value reaching each middle rank, two-value average
     "q58_exact_median" -> q58Sql,
@@ -3905,18 +3926,9 @@ object SparkEntry {
          |  AND o_orderdate < DATE '1996-01-01'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q62 twin: the ANSI IGNORE NULLS window spelling
-    "q62_ignore_nulls" ->
-      """WITH r AS (SELECT o_custkey, o_orderkey, o_orderdate,
-        |    CASE WHEN o_totalprice > 150000.0 THEN o_orderpriority END AS big_pri
-        |  FROM orders WHERE o_custkey % 50 = 3)
-        |SELECT o_custkey, o_orderkey,
-        |  last_value(big_pri IGNORE NULLS) OVER (PARTITION BY o_custkey
-        |    ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_big_pri,
-        |  first_value(big_pri IGNORE NULLS) OVER (PARTITION BY o_custkey
-        |    ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_big_pri
-        |FROM r ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q62_ignore_nulls" -> q62Sql,
+    "q119_ignore_nulls_sql" -> q62Sql,
+
     // t170 twin: the window-sort form the one-pass aggregate replaces
     "t170_latest_rows" ->
       """WITH v AS (

@@ -38,7 +38,9 @@ object GraftSql {
     "exact_median" -> Seq("lineitem"),
     "islands" -> Seq("orders"),
     "mode" -> Seq("lineitem"),
-    "rollup" -> Seq("lineitem"))
+    "rollup" -> Seq("lineitem"),
+    "range_frame" -> Seq("orders"),
+    "ignore_nulls" -> Seq("orders"))
 
   def run(spark: SparkSession, t: Tables, name: String): DataFrame = {
     TpchSql.registerViews(t, needs(name))
@@ -108,6 +110,34 @@ object GraftSql {
          | CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
          | ${mny("l_quantity")} AS sum_qty, count(*) AS n_lines
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "range_frame" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |    CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')
+        |      AS BIGINT) AS dn,
+        |    CAST(floor(o_totalprice * 100.0D + 0.5D) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, dn,
+        |  count(*) OVER w AS n_30d,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS cents_30d
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY dn
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, dn, o_orderkey""".stripMargin,
+    "ignore_nulls" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CASE WHEN o_totalprice > 150000.0D THEN o_orderpriority END
+        |      AS big_pri
+        |  FROM orders WHERE o_custkey % 50 = 3)
+        |SELECT o_custkey, o_orderkey,
+        |  last_value(big_pri) IGNORE NULLS OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_big_pri,
+        |  first_value(big_pri) IGNORE NULLS OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS first_big_pri
+        |FROM r ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }

@@ -26,6 +26,11 @@ class GraftSqlSpec extends AnyFunSuite {
         col("o_orderkey"))
     case "mode" => Relational.modeQuantity(t.lineitem)
     case "rollup" => Relational.rollupQty(t.lineitem)
+    case "range_frame" => Relational.rolling30dOrders(t.orders)
+    // the q62 body is inline in SparkEntry — compare through the gate
+    case "ignore_nulls" =>
+      graft.SparkEntry.queries("q62_ignore_nulls")(spark,
+        "/root/testdata/sf0.001")
   }
 
   GraftSql.sql.keys.toSeq.sorted.foreach { name =>
