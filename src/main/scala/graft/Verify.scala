@@ -62,6 +62,15 @@ object Verify {
             case scala.util.control.NonFatal(e) =>
               System.err.println(
                 s"[verify] $name: snapshot skipped (${e.getMessage})")
+              // never leave the LAST round's snapshot in place — a
+              // stale file would diff as "no value drift" and quietly
+              // blind the tripwire; overwrite with a sentinel so
+              // diff_snapshot.py reports the file as CHANGED instead
+              try {
+                Files.createDirectories(Paths.get(sd))
+                Files.writeString(Paths.get(s"$sd/$name.json"),
+                  s"__SNAPSHOT_FAILED__ ${e.getClass.getName}\n")
+              } catch { case scala.util.control.NonFatal(_) => () }
           }
         }
         None

@@ -243,7 +243,8 @@ object StreamGates {
     *
     * The cross-day dependency is made FALSIFIABLE by planting
     * refetches: every 7th day-1 document re-arrives on day 2 under a
-    * fresh doc_id (+5e6) with the SAME url. Day-1/day-2 URLs can never
+    * fresh doc_id (+plantBase, a round multiple derived to sit above
+    * every natural id) with the SAME url. Day-1/day-2 URLs can never
     * collide naturally (urls derive from doc_id mod {2,20,50,25}, so a
     * url_norm collision forces doc_id congruence mod 100, hence equal
     * residue mod 5 — impossible across the two slices), so ONLY the
@@ -263,7 +264,16 @@ object StreamGates {
       budget: Long = 64L, seqLen: Long = 512L, seed: Long = 42L): DataFrame = {
     import graft.ops.{CorpusOps, UrlOps}
     val spark = documents.sparkSession
-    val plantBase = 5000000L
+    // plant ids must be DISJOINT from every natural id or the two
+    // tripwires below could fire on (or be masked by) a natural doc —
+    // derive the base from the corpus instead of hardcoding it
+    val plantBase = {
+      val maxId = documents.agg(max(col("doc_id"))).head().getLong(0)
+      require(maxId >= 0, s"crawlMultiDayGate: negative max doc_id $maxId")
+      var p = 1000000L
+      while (p <= maxId) p *= 10L
+      p
+    }
     val day1 = documents.filter(col("doc_id") % 5 === 0)
       .select("doc_id", "source", "text")
     val hist1 = documents.filter(col("doc_id") % 5 =!= 0)
@@ -599,8 +609,11 @@ object StreamGates {
     val b = o.agg(min(dn).as("lo"), max(dn).as("hi"),
       sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("n_null")).head()
     // null dates stay a LOUD failure — date shards would silently drop
-    // them and diverge from the batch twin; emptiness is graceful
-    require(b.isNullAt(0) || b.getLong(2) == 0L,
+    // them and diverge from the batch twin; emptiness is graceful. The
+    // guard keys on the null COUNT, not min(dn): a non-empty all-null
+    // input has min(dn) null but n_null > 0 and must still fail (only
+    // truly-empty input leaves the sum itself null — graceful path).
+    require(b.isNullAt(2) || b.getLong(2) == 0L,
       "trendGate: null dates would vanish")
     val shardFrames =
       if (b.isNullAt(0)) {

@@ -47,6 +47,15 @@ class StreamGatesDegenerateSpec extends AnyFunSuite {
       StreamGates.trendGate(withNull)
     }
     assert(e.getMessage.contains("null dates"))
+    // ALL-null dates is non-empty input too: min(date) is null exactly
+    // as it is for empty input, but the null COUNT is > 0 — the guard
+    // must key on the count, or this silently renders an empty MV
+    val allNull = t.orders.limit(5)
+      .withColumn("o_orderdate", lit(null).cast("timestamp"))
+    val e2 = intercept[IllegalArgumentException] {
+      StreamGates.trendGate(allNull)
+    }
+    assert(e2.getMessage.contains("null dates"))
   }
 
   /** Keep only the first and last sixths of the key span so the
