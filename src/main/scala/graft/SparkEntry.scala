@@ -1069,36 +1069,52 @@ object SparkEntry {
       }),
       // the LAKE + SQL front door: a manifested bucketed table built
       // with TWO commit versions (initial load, then a delta replace
-      // of the keys ≡3 mod 10), its merge-on-read view registered for
-      // spark.sql, and the user's aggregate submitted as SQL TEXT —
-      // a SQL user queries the engine's lake tables and sees exactly
-      // the latest-wins merged state (twin = that state directly)
+      // of the keys ≡3 mod 10), queried as SQL TEXT through the
+      // graft_lake CATALOG (LakeRelationRule) — fully LAZY: the
+      // merge-on-read plan resolves at analysis time, so pruning and
+      // pushdown reach the parquet scan and NOTHING is materialized
+      // before the text query runs (the round-16 localCheckpoint
+      // shape is gone; LakeCatalogSpec pins the plan)
       "q116_lake_sql" -> ((s, d) => {
-        val t = Tables.load(s, d)
-        import org.apache.spark.sql.functions.{col, expr}
-        val root = java.nio.file.Files
-          .createTempDirectory("gate_lakesql").toString
-        val lw = new graft.sinks.LakeWriter(root)
         val tbl = "gate_lake_sql_orders"
-        s.sql(s"DROP TABLE IF EXISTS $tbl")
-        val base = t.orders.select(col("o_orderkey"), col("o_orderstatus"),
-          expr("CAST(floor(o_totalprice*100.0+0.5) AS BIGINT)").as("cents"))
-        lw.commitBucketed(base, tbl, 8, Seq("o_orderkey"), replace = true)
-        lw.commitBucketed(
-          base.filter(col("o_orderkey") % 10 === 3)
-            .withColumn("cents", col("cents") + 100L),
-          tbl, 8, Seq("o_orderkey"))
-        // localCheckpoint so the catalog entry can drop before the
-        // (lazy) result is consumed downstream
-        val merged = graft.sinks.LakeWriter
-          .readBucketedTableMerged(s, tbl, Seq("o_orderkey"))
-          .localCheckpoint()
-        s.sql(s"DROP TABLE IF EXISTS $tbl")
-        merged.createOrReplaceTempView("lake_orders")
-        s.sql("""SELECT o_orderstatus, count(*) AS n_orders,
+        lakeGateTable(s, d, tbl)
+        s.sql(s"""SELECT o_orderstatus, count(*) AS n_orders,
           CAST(sum(cents) AS BIGINT) AS total_cents
-          FROM lake_orders GROUP BY 1 ORDER BY 1""")
+          FROM graft_lake.$tbl GROUP BY 1 ORDER BY 1""")
+      }),
+      // TIME TRAVEL from SQL text: the same two-commit lake table
+      // read at pinned manifest v1 via the `__v1` suffix — the delta
+      // commit must be invisible, so the twin is the plain base
+      // aggregate with no CASE arm
+      "q120_lake_timetravel_sql" -> ((s, d) => {
+        val tbl = "gate_lake_tt_orders"
+        lakeGateTable(s, d, tbl)
+        s.sql(s"""SELECT o_orderstatus, count(*) AS n_orders,
+          CAST(sum(cents) AS BIGINT) AS total_cents
+          FROM graft_lake.${tbl}__v1 GROUP BY 1 ORDER BY 1""")
       }))
+
+  /** Shared fixture for the lake+SQL gates: a manifested bucketed
+    * orders table with two commits — the base load, then a +100-cents
+    * delta replace of the keys ≡3 (mod 10). The catalog entry stays
+    * registered (each run starts with DROP + replace-commit), so the
+    * returned SQL plans stay lazy against the live manifest.
+    */
+  private def lakeGateTable(s: SparkSession, d: String, tbl: String): Unit = {
+    val t = Tables.load(s, d)
+    import org.apache.spark.sql.functions.{col, expr}
+    val root = java.nio.file.Files
+      .createTempDirectory("gate_lakesql").toString
+    val lw = new graft.sinks.LakeWriter(root)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val base = t.orders.select(col("o_orderkey"), col("o_orderstatus"),
+      expr("CAST(floor(o_totalprice*100.0+0.5) AS BIGINT)").as("cents"))
+    lw.commitBucketed(base, tbl, 8, Seq("o_orderkey"), replace = true)
+    lw.commitBucketed(
+      base.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("cents", col("cents") + 100L),
+      tbl, 8, Seq("o_orderkey"))
+  }
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> ((s, d) => { val t = Tables.load(s, d)
@@ -4543,6 +4559,13 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN o_orderkey % 10 = 3
         |    THEN CAST(floor(o_totalprice*100.0+0.5) AS BIGINT) + 100
         |    ELSE CAST(floor(o_totalprice*100.0+0.5) AS BIGINT) END)
+        |    AS BIGINT) AS total_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q120 twin: manifest v1 pins the PRE-delta snapshot, so time
+    // travel must reproduce the plain base aggregate — no CASE arm
+    "q120_lake_timetravel_sql" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice*100.0+0.5) AS BIGINT))
         |    AS BIGINT) AS total_cents
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // t220 twin: t204's one-shot SQL VERBATIM — the streamed

@@ -12,6 +12,10 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // the lake catalog door: `FROM graft_lake.<table>[__v<N>]` in SQL
+    // text resolves (lazily, at analysis time) to the merge-on-read
+    // view of a manifested bucketed table — see LakeRelationRule
+    ext.injectResolutionRule(LakeRelationRule.apply)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       DotProduct.info,
