@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{GraftSql, TpchSql, TpchSuite}
+import graft.analytics.{GraftSql, LlmSql, TpchSql, TpchSuite}
 import graft.core.Tables
 import graft.ops._
 
@@ -309,6 +309,31 @@ object SparkEntry {
        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        |  coalesce(string_agg(CASE WHEN kept THEN para END, chr(10)||chr(10) ORDER BY pos), '') AS clean_text
        |FROM k $where GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // t23/q121 shared twin: normalized-fingerprint exact dedup — the
+  // SQL-text gate reuses the library gate's oracle verbatim
+  private lazy val exactDedupSql: String =
+    """WITH fp AS (SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |c AS (SELECT fp, min(doc_id) AS canonical_id FROM fp GROUP BY 1)
+      |SELECT f.doc_id, c.canonical_id, f.doc_id <> c.canonical_id AS is_dup
+      |FROM fp f JOIN c ON f.fp = c.fp ORDER BY f.doc_id""".stripMargin
+
+  // s31/q123 shared twin: the sequential-fold cosine top-k recompute
+  private lazy val cosineTopKSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nr AS (SELECT vec_id, $sqlNorm AS nrm FROM e),
+       |d AS (SELECT a.vec_id AS qid, b.vec_id AS cid, ${sqlDot("a", "b")} AS dp
+       |  FROM e a JOIN e b ON a.vec_id < 5 AND b.vec_id >= 5),
+       |r AS (SELECT qid AS query_id, cid AS vec_id,
+       |  floor(dp/(na.nrm*nb.nrm)*1000000.0+0.5)/1000000.0 AS cos
+       |  FROM d JOIN nr na ON na.vec_id = qid JOIN nr nb ON nb.vec_id = cid)
+       |SELECT query_id, rnk, vec_id, cos FROM (
+       |  SELECT query_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM r)
+       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
   // t25/t90 shared twin: the seeded minhash-LSH pair recompute —
   // identical affine family, band rule, and quantized exact-Jaccard
@@ -1092,7 +1117,19 @@ object SparkEntry {
         s.sql(s"""SELECT o_orderstatus, count(*) AS n_orders,
           CAST(sum(cents) AS BIGINT) AS total_cents
           FROM graft_lake.${tbl}__v1 GROUP BY 1 ORDER BY 1""")
-      }))
+      }),
+      // the LLM-PIPELINE operator surface as SQL TEXT (LlmSql):
+      // exact dedup, banded MinHash-LSH near-dup detection (the
+      // native graft_minhash_sig / graft_sorted_inter expressions in
+      // a user query string), and cosine top-k through graft_dot —
+      // each against the SAME DuckDB twin as its library body
+      // (t23 / t25 / s31), SQL ≡ DataFrame asserted by LlmSqlSpec
+      "q121_exact_dedup_sql" ->
+        ((s, d) => LlmSql.run(s, Tables.load(s, d), "exact_dedup")),
+      "q122_minhash_lsh_sql" ->
+        ((s, d) => LlmSql.run(s, Tables.load(s, d), "minhash_lsh")),
+      "q123_cosine_topk_sql" ->
+        ((s, d) => LlmSql.run(s, Tables.load(s, d), "cosine_topk")))
 
   /** Shared fixture for the lake+SQL gates: a manifested bucketed
     * orders table with two commits — the base load, then a +100-cents
@@ -5380,13 +5417,11 @@ object SparkEntry {
          |SELECT domain, url_norm, CAST(row_number() OVER (
          |    PARTITION BY domain ORDER BY url_norm) AS BIGINT) AS slot
          |FROM d ORDER BY domain, slot""".stripMargin,
-    "t23_dedup_exact" ->
-      """WITH fp AS (SELECT doc_id,
-        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
-        |  FROM documents),
-        |c AS (SELECT fp, min(doc_id) AS canonical_id FROM fp GROUP BY 1)
-        |SELECT f.doc_id, c.canonical_id, f.doc_id <> c.canonical_id AS is_dup
-        |FROM fp f JOIN c ON f.fp = c.fp ORDER BY f.doc_id""".stripMargin,
+    "t23_dedup_exact" -> exactDedupSql,
+    // q121 twin: t23's verbatim — exact dedup driven from SQL text
+    "q121_exact_dedup_sql" -> exactDedupSql,
+    // q122 twin: t25's verbatim — the banded minhash recompute
+    "q122_minhash_lsh_sql" -> minhashPairsSql,
     // incremental-exact twin: the full recompute restricted to new
     // rows — the global min per fingerprint decomposes into
     // least(indexed canonical, shard minimum), so both forms agree
@@ -6752,19 +6787,10 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
          |  FROM r)
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
-    "s31_cosine_topk" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |nr AS (SELECT vec_id, $sqlNorm AS nrm FROM e),
-         |d AS (SELECT a.vec_id AS qid, b.vec_id AS cid, ${sqlDot("a", "b")} AS dp
-         |  FROM e a JOIN e b ON a.vec_id < 5 AND b.vec_id >= 5),
-         |r AS (SELECT qid AS query_id, cid AS vec_id,
-         |  floor(dp/(na.nrm*nb.nrm)*1000000.0+0.5)/1000000.0 AS cos
-         |  FROM d JOIN nr na ON na.vec_id = qid JOIN nr nb ON nb.vec_id = cid)
-         |SELECT query_id, rnk, vec_id, cos FROM (
-         |  SELECT query_id, vec_id, cos,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
-         |  FROM r)
-         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "s31_cosine_topk" -> cosineTopKSql,
+    // q123 twin: s31's verbatim — the SQL-text rendering through
+    // graft_dot must be indistinguishable from the library body
+    "q123_cosine_topk_sql" -> cosineTopKSql,
     // Twin of the sign-sketch banded-LSH near-dup: the candidate rule
     // (4 bands × 16 sign bits, hamming ≤ 2 probes) is replicated
     // exactly, so Spark and the oracle agree by construction at any

@@ -68,6 +68,7 @@ object TpchSql {
       TpchSuite.partsupp(t).createOrReplaceTempView("partsupp")
     case "events" => t.events.createOrReplaceTempView("events")
     case "documents" => t.documents.createOrReplaceTempView("documents")
+    case "embeddings" => t.embeddings.createOrReplaceTempView("embeddings")
     case other => throw new IllegalArgumentException(s"unknown view $other")
   }
 
