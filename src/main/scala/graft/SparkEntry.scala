@@ -335,6 +335,32 @@ object SparkEntry {
        |  FROM r)
        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  // t243/q124 shared twin: the planted-contamination 13-gram
+  // verbatim-leak recompute — the SQL-text gate reuses it verbatim
+  private lazy val ngramDecontaminateSql: String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents),
+       |esp AS (SELECT doc_id AS eid,
+       |  array_to_string(($toks)[1:13], ' ') AS span
+       |  FROM d WHERE doc_id % 20 = 0),
+       |tp AS (SELECT d.doc_id, d.text || ' ' || esp.span AS text
+       |  FROM d JOIN esp ON esp.eid = (d.doc_id // 20) * 20
+       |  WHERE d.doc_id % 20 <> 0 AND d.doc_id % 7 = 1),
+       |corpus AS (SELECT doc_id, text FROM d
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM tp)
+       |  UNION ALL SELECT doc_id, text FROM tp),
+       |t AS (SELECT doc_id, $toks AS tk FROM corpus),
+       |g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-11),
+       |    i -> array_to_string(tk[i:i+12], ' '))) AS ng
+       |  FROM t WHERE len(tk) >= 13),
+       |ev AS (SELECT DISTINCT ng FROM g WHERE doc_id % 20 = 0),
+       |h AS (SELECT doc_id, count(*) AS n_hit FROM g
+       |  WHERE doc_id % 20 <> 0 AND ng IN (SELECT ng FROM ev)
+       |  GROUP BY 1)
+       |SELECT t.doc_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit_grams,
+       |  coalesce(h.n_hit, 0) > 0 AS contaminated
+       |FROM t LEFT JOIN h ON h.doc_id = t.doc_id
+       |WHERE t.doc_id % 20 <> 0 ORDER BY t.doc_id""".stripMargin
+
   // t25/t90 shared twin: the seeded minhash-LSH pair recompute —
   // identical affine family, band rule, and quantized exact-Jaccard
   // verify; t90 streams the same corpus and must emit the same pairs
@@ -1129,7 +1155,9 @@ object SparkEntry {
       "q122_minhash_lsh_sql" ->
         ((s, d) => LlmSql.run(s, Tables.load(s, d), "minhash_lsh")),
       "q123_cosine_topk_sql" ->
-        ((s, d) => LlmSql.run(s, Tables.load(s, d), "cosine_topk")))
+        ((s, d) => LlmSql.run(s, Tables.load(s, d), "cosine_topk")),
+      "q124_decontaminate_sql" ->
+        ((s, d) => LlmSql.run(s, Tables.load(s, d), "decontaminate_13gram")))
 
   /** Shared fixture for the lake+SQL gates: a manifested bucketed
     * orders table with two commits — the base load, then a +100-cents
@@ -5892,29 +5920,10 @@ object SparkEntry {
     // repeated-3-gram fraction; shingles WITH multiplicity
     "t48_repetition" -> t48Sql,
     // t243 twin: identical planting, identical 13-gram hit rule
-    "t243_ngram_decontaminate" ->
-      s"""WITH d AS (SELECT doc_id, text FROM documents),
-         |esp AS (SELECT doc_id AS eid,
-         |  array_to_string(($toks)[1:13], ' ') AS span
-         |  FROM d WHERE doc_id % 20 = 0),
-         |tp AS (SELECT d.doc_id, d.text || ' ' || esp.span AS text
-         |  FROM d JOIN esp ON esp.eid = (d.doc_id // 20) * 20
-         |  WHERE d.doc_id % 20 <> 0 AND d.doc_id % 7 = 1),
-         |corpus AS (SELECT doc_id, text FROM d
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM tp)
-         |  UNION ALL SELECT doc_id, text FROM tp),
-         |t AS (SELECT doc_id, $toks AS tk FROM corpus),
-         |g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-11),
-         |    i -> array_to_string(tk[i:i+12], ' '))) AS ng
-         |  FROM t WHERE len(tk) >= 13),
-         |ev AS (SELECT DISTINCT ng FROM g WHERE doc_id % 20 = 0),
-         |h AS (SELECT doc_id, count(*) AS n_hit FROM g
-         |  WHERE doc_id % 20 <> 0 AND ng IN (SELECT ng FROM ev)
-         |  GROUP BY 1)
-         |SELECT t.doc_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit_grams,
-         |  coalesce(h.n_hit, 0) > 0 AS contaminated
-         |FROM t LEFT JOIN h ON h.doc_id = t.doc_id
-         |WHERE t.doc_id % 20 <> 0 ORDER BY t.doc_id""".stripMargin,
+    "t243_ngram_decontaminate" -> ngramDecontaminateSql,
+    // q124 twin: t243's verbatim — the 13-gram rule driven from SQL
+    // text must render the identical contamination report
+    "q124_decontaminate_sql" -> ngramDecontaminateSql,
     // q117 twin: t48 verbatim — the SQL-text call of the native
     // codegen expression must render the identical rows
     "q117_native_fn_sql" -> t48Sql,

@@ -31,7 +31,8 @@ object LlmSql {
   private val needs: Map[String, Seq[String]] = Map(
     "exact_dedup" -> Seq("documents"),
     "minhash_lsh" -> Seq("documents"),
-    "cosine_topk" -> Seq("embeddings"))
+    "cosine_topk" -> Seq("embeddings"),
+    "decontaminate_13gram" -> Seq("documents"))
 
   def run(spark: SparkSession, t: Tables, name: String): DataFrame = {
     TpchSql.registerViews(t, needs(name))
@@ -100,5 +101,36 @@ object LlmSql {
         |      ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
         |  FROM sc)
         |SELECT query_id, rnk, vec_id, cos FROM r WHERE rnk <= 5
-        |ORDER BY query_id, rnk""".stripMargin)
+        |ORDER BY query_id, rnk""".stripMargin,
+    // t243's exact 13-gram decontamination (the GPT-3 verbatim-leak
+    // rule) with the identical in-query contamination planting: the
+    // heldout grams stay DISTINCT and broadcast into a LEFT SEMI
+    // JOIN, so the corpus side streams map-side with zero shuffle —
+    // the same 100 TB shape the library body plans
+    "decontaminate_13gram" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |esp AS (SELECT doc_id AS eid,
+        |  array_join(slice(regexp_extract_all(lower(text), '[a-z0-9]+', 0),
+        |    1, 13), ' ') AS span
+        |  FROM d WHERE doc_id % 20 = 0),
+        |tp AS (SELECT d.doc_id, concat(d.text, ' ', esp.span) AS text
+        |  FROM d JOIN esp ON esp.eid = (d.doc_id DIV 20) * 20
+        |  WHERE d.doc_id % 20 <> 0 AND d.doc_id % 7 = 1),
+        |corpus AS (SELECT doc_id, text FROM d
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM tp)
+        |  UNION ALL SELECT doc_id, text FROM tp),
+        |t AS (SELECT doc_id,
+        |  regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS tk FROM corpus),
+        |g AS (SELECT doc_id, explode(transform(sequence(1, size(tk) - 12),
+        |    i -> concat_ws(' ', slice(tk, i, 13)))) AS ng
+        |  FROM t WHERE size(tk) >= 13),
+        |ev AS (SELECT DISTINCT ng FROM g WHERE doc_id % 20 = 0),
+        |h AS (SELECT /*+ BROADCAST(ev) */ g.doc_id,
+        |    count(1) AS n_hit
+        |  FROM g LEFT SEMI JOIN ev ON g.ng = ev.ng
+        |  WHERE g.doc_id % 20 <> 0 GROUP BY g.doc_id)
+        |SELECT t.doc_id, coalesce(h.n_hit, 0L) AS n_hit_grams,
+        |  coalesce(h.n_hit, 0L) > 0L AS contaminated
+        |FROM t LEFT JOIN h ON h.doc_id = t.doc_id
+        |WHERE t.doc_id % 20 <> 0 ORDER BY t.doc_id""".stripMargin)
 }

@@ -21,6 +21,11 @@ class LlmSqlSpec extends AnyFunSuite {
     case "exact_dedup" => Dedup.exactDedup(t.documents)
     case "minhash_lsh" => Dedup.minhashLshPairs(t.documents)
     case "cosine_topk" => Similarity.cosineTopK(t.embeddings)
+    // the t243 body plants its contamination in-query — compare
+    // through the gate (the GraftSqlSpec "ignore_nulls" pattern)
+    case "decontaminate_13gram" =>
+      graft.SparkEntry.queries("t243_ngram_decontaminate")(spark,
+        "/root/testdata/sf0.001")
   }
 
   LlmSql.sql.keys.toSeq.sorted.foreach { name =>
