@@ -1157,7 +1157,17 @@ object SparkEntry {
       "q123_cosine_topk_sql" ->
         ((s, d) => LlmSql.run(s, Tables.load(s, d), "cosine_topk")),
       "q124_decontaminate_sql" ->
-        ((s, d) => LlmSql.run(s, Tables.load(s, d), "decontaminate_13gram")))
+        ((s, d) => LlmSql.run(s, Tables.load(s, d), "decontaminate_13gram")),
+      // DESCRIBE HISTORY from SQL text: the two-commit fixture's
+      // manifest log via `graft_lake.<t>__history` — pure metadata
+      // (manifests are driver-side files), deterministic rows, so the
+      // twin is a VALUES literal
+      "q125_lake_history_sql" -> ((s, d) => {
+        val tbl = "gate_lake_hist_orders"
+        lakeGateTable(s, d, tbl)
+        s.sql(s"""SELECT version, n_live, live_commits
+          FROM graft_lake.${tbl}__history ORDER BY version""")
+      }))
 
   /** Shared fixture for the lake+SQL gates: a manifested bucketed
     * orders table with two commits — the base load, then a +100-cents
@@ -4626,6 +4636,14 @@ object SparkEntry {
         |    ELSE CAST(floor(o_totalprice*100.0+0.5) AS BIGINT) END)
         |    AS BIGINT) AS total_cents
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q125 twin: the fixture commits exactly twice (base replace,
+    // then the ≡3-mod-10 delta), so the manifest log is literal
+    "q125_lake_history_sql" ->
+      """SELECT CAST(version AS BIGINT) AS version,
+        |  CAST(n_live AS BIGINT) AS n_live, live_commits
+        |FROM (VALUES (1, 1, '1'), (2, 2, '1,2'))
+        |  AS t(version, n_live, live_commits)
+        |ORDER BY version""".stripMargin,
     // q120 twin: manifest v1 pins the PRE-delta snapshot, so time
     // travel must reproduce the plain base aggregate — no CASE arm
     "q120_lake_timetravel_sql" ->

@@ -21,6 +21,9 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    so delta commits co-locate with the rows they supersede).
   *  - `graft_lake.<t>__v<N>`  → TIME TRAVEL: the same merged view at
   *    manifest version N, straight from SQL text.
+  *  - `graft_lake.<t>__history` → DESCRIBE HISTORY: one row per
+  *    committed manifest version with its live commit list (pure
+  *    metadata — no data scan).
   *
   * The manifest is resolved at ANALYSIS time, so a query is
   * snapshot-consistent: commits that land between analysis and
@@ -47,23 +50,30 @@ case class LakeRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
             u.multipartIdentifier.head.equalsIgnoreCase(CatalogName) &&
             !u.isStreaming =>
         val name = u.multipartIdentifier(1)
-        val (tbl, version) = name match {
-          case VersionSuffix(t, v) => (t, v.toInt)
-          case _                   => (name, 0)
+        val (tbl, version, history) = name match {
+          case HistorySuffix(t)    => (t, 0, true)
+          case VersionSuffix(t, v) => (t, v.toInt, false)
+          case _                   => (name, 0, false)
         }
         val ident = TableIdentifier(tbl)
         if (!spark.sessionState.catalog.tableExists(ident))
           throw new IllegalArgumentException(
             s"graft_lake: no lake table named $tbl")
-        val keys = spark.sessionState.catalog.getTableMetadata(ident)
-          .bucketSpec.map(_.bucketColumnNames)
-          .getOrElse(throw new IllegalArgumentException(
-            s"graft_lake.$tbl: not a bucketed lake table — merge keys " +
-              "are the bucket columns, and this table has no bucket spec"))
-        SubqueryAlias(tbl,
-          graft.sinks.LakeWriter
-            .readBucketedTableMerged(spark, tbl, keys, version)
-            .queryExecution.analyzed)
+        if (history)
+          SubqueryAlias(name,
+            graft.sinks.LakeWriter.tableHistory(spark, tbl)
+              .queryExecution.analyzed)
+        else {
+          val keys = spark.sessionState.catalog.getTableMetadata(ident)
+            .bucketSpec.map(_.bucketColumnNames)
+            .getOrElse(throw new IllegalArgumentException(
+              s"graft_lake.$tbl: not a bucketed lake table — merge keys " +
+                "are the bucket columns, and this table has no bucket spec"))
+          SubqueryAlias(tbl,
+            graft.sinks.LakeWriter
+              .readBucketedTableMerged(spark, tbl, keys, version)
+              .queryExecution.analyzed)
+        }
     }
 }
 
@@ -71,4 +81,5 @@ object LakeRelationRule {
   /** The pseudo-catalog name SQL text addresses lake tables under. */
   val CatalogName = "graft_lake"
   private val VersionSuffix = "(.+)__v(\\d+)".r
+  private val HistorySuffix = "(.+)__history".r
 }

@@ -963,6 +963,28 @@ object LakeWriter {
       readBucketedTableMerged(spark, table, mergeKeys, version = toVersion),
       key)
 
+  /** DESCRIBE-HISTORY for a manifested bucketed table: one row per
+    * committed manifest version with its live commit list — pure
+    * metadata (manifests are tiny driver-side files, never a data
+    * scan), exposed to SQL text as `graft_lake.<t>__history`. A table
+    * with no committed manifest yields a typed empty frame.
+    */
+  def tableHistory(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc = spark.sessionState.catalog.getTableMetadata(ident)
+      .location.toString.stripSuffix("/")
+    val mdir = s"${loc}__manifests"
+    val fs = new Path(mdir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = latestManifestVersionIn(fs, mdir)
+    val rows = (1 to latest).map { v =>
+      val live = manifestLines(fs, mdir, v).map(_.toInt).sorted
+      (v.toLong, live.size.toLong, live.mkString(","))
+    }
+    spark.createDataFrame(rows)
+      .toDF("version", "n_live", "live_commits")
+  }
+
   def readBucketedTableMerged(
       spark: SparkSession, table: String, keys: Seq[String],
       version: Int = 0): DataFrame = {

@@ -44,6 +44,12 @@ class LakeCatalogSpec extends AnyFunSuite {
         "SELECT k, cents FROM graft_lake.lakecat_t__v1 ORDER BY k").collect()
       assert(v1.toSeq == base.orderBy("k").collect().toSeq,
         "__v1 must read the pre-delta snapshot")
+
+      val hist = spark.sql("SELECT version, n_live, live_commits FROM " +
+        "graft_lake.lakecat_t__history ORDER BY version").collect()
+      assert(hist.map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSeq == Seq((1L, 1L, "1"), (2L, 2L, "1,2")),
+        s"__history must list both manifests: ${hist.mkString(", ")}")
     } finally spark.sql("DROP TABLE IF EXISTS lakecat_t")
   }
 
