@@ -32,3 +32,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Ad-hoc conf injection for perf experiments (A/B a spark.* setting
+// without a code edit): space-separated -D flags, e.g.
+//   SPARK_GRAFT_JAVA_OPTS="-Dspark.foo=1 -Dspark.bar=2" sbt ...
+javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+  .flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -2161,6 +2161,12 @@ object SparkEntry {
       t.orders.select(col("o_orderkey"),
           floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"),
           date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        // cluster by the partition column before the partitioned write
+        // (guide §6): unclustered, every one of the fan-out tasks
+        // writes a file into every month directory — tasks×months tiny
+        // files, which the pruned scan below then pays to list/open.
+        // One exchange here ⇒ one file per month.
+        .repartition(col("month"))
         .write.mode("overwrite").partitionBy("month").parquet(dir)
       val fact = s.read.parquet(dir)
       // the dim must be a FILE source carrying a selective filter —

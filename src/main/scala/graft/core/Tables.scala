@@ -162,5 +162,19 @@ object GraftSession {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // Spark 4.1 writes a sibling .crc checksum file for every
+      // streaming-checkpoint file (offset/commit logs AND every state
+      // store delta/snapshot) and probes for it on every read. For
+      // stateful operators that is 2× the metadata ops per state
+      // commit — measured on the stream-stream join gates: t184 min
+      // 25.2 s → 17.3 s, t100 17.9 s → 12.1 s with checksums off,
+      // identical results. The checksums guard against storage-layer
+      // corruption of checkpoint files; recovery correctness does not
+      // depend on them (format-level validation stays on). Deployments
+      // on storage without strong integrity can re-enable via
+      // spark-defaults; the engine default favors halving checkpoint
+      // I/O — at scale these are object-store PUT/HEAD requests on
+      // the per-batch critical path.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.ui.enabled", "false")
 }

@@ -585,16 +585,24 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  private[ops] def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+  private[ops] def checkpointTracked(
+      df: DataFrame, eager: Boolean = true): (DataFrame, Set[Int]) = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
-    val out = df.localCheckpoint() // eager: materialized on return
-    // keep only RDDs that ARE checkpoints: a caller's lazy Dataset
-    // cache can materialize during this very job and would otherwise
-    // land in the delta and be freed out from under them (plain
-    // caches report isCheckpointed = false)
-    val added = (sc.getPersistentRDDs.keySet.toSet -- before).filter(id =>
-      sc.getPersistentRDDs.get(id).exists(_.isCheckpointed))
+    val out = df.localCheckpoint(eager) // eager: materialized on return
+    // EAGER: a job runs inside the call, so a caller's lazy Dataset
+    // cache can materialize during it and land in the persist-registry
+    // delta — keep only RDDs that ARE checkpoints (plain caches report
+    // isCheckpointed = false) so those caches are never freed out from
+    // under their owners. LAZY: no job runs inside the call, and
+    // persist REGISTRATION is synchronous, so the delta is exactly the
+    // one RDD this call marked (isCheckpointed only flips once
+    // materialized, so the eager filter would drop a lazy checkpoint).
+    val added0 = sc.getPersistentRDDs.keySet.toSet -- before
+    val added =
+      if (eager) added0.filter(id =>
+        sc.getPersistentRDDs.get(id).exists(_.isCheckpointed))
+      else added0
     (out, added)
   }
 
@@ -654,6 +662,20 @@ object Dedup {
     var (labels, labelIds) = checkpointTracked(seedFrom(edges))
     var converged = false
     var i = 0
+    // NOTE (r17, measured): multi-hop sweeps — chaining 2–3
+    // propagation hops into one plan per lineage cut to amortize the
+    // ~0.25 s/sweep driver barrier that dominates long-diameter runs
+    // (t145 needs 58 sweeps of sub-100 ms stages) — were implemented
+    // two ways (lazy-checkpoint intermediates; cached intermediates
+    // with an eager chain-end checkpoint, entered only after 4
+    // unconverged sweeps) and BOTH lost: chained plans forfeit AQE's
+    // per-sweep runtime-stats broadcast decisions, so the hop joins
+    // fall back to full exchanges (t49 shuffle 126 → 142 MB, min
+    // 14.3 → 19.3 s; t145 min 10.9 → 13.7/31.9 s). One sweep per
+    // barrier with eager checkpoints stands; the engine's answer for
+    // diameter-bound graphs remains the big-star contraction
+    // (connectedComponentsBigStar, gated t146 — 6.9 s on the same
+    // graph t145 walks in 16.8 s).
     while (!converged && i < maxIter) {
       val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("label").as("nbr"))

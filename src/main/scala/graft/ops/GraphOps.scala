@@ -475,6 +475,14 @@ object GraphOps {
     * callers checkpoint it.
     */
   private def triangleCountsFrom(canon: DataFrame): DataFrame = {
+    // NOTE (r17, measured): degree-oriented wedge enumeration (orient
+    // each edge toward its (deg, id)-larger endpoint, wedge only at
+    // the minimal corner) was implemented and A/B'd here — shuffle MB
+    // did not move (65.8 → 65.2 on the t120 graph) and the two added
+    // degree joins cost ~2 s on each triangle gate. The a<b form below
+    // IS already an orientation (by id), and the co-purchase graph's
+    // near-uniform degrees leave nothing for degree ordering to win;
+    // skewed-degree graphs route to triangleCountsCapped/Sampled.
     val tri = canon.as("e1")
       .join(canon.as("e2"), col("e1.b") === col("e2.a"))
       .join(canon.as("e3"),

@@ -340,7 +340,23 @@ final class LakeWriter(root: String, mode: String = "overwrite") {
       val tornPart = new Path(s"${ourPath.toString}/${LakeWriter.CvCol}=$v")
       if (fs.exists(tornPart)) fs.delete(tornPart, true)
     }
-    val base = df.withColumn(LakeWriter.CvCol, lit(v))
+    // Cluster rows by the bucket key BEFORE the bucketed write
+    // (Iceberg's write.distribution-mode=hash, guide §6): without it
+    // every input task hash-splits its rows across per-bucket files,
+    // so one commit writes up to tasks×buckets files — per MICRO-BATCH
+    // for the streaming index/MV gates, whose read-back then lists and
+    // opens them all. repartition(buckets, cols) routes rows by
+    // pmod(murmur3(cols), buckets) — exactly the writer's bucket-id
+    // expression — so each task holds one whole bucket and a commit
+    // writes at most `buckets` files. At scale the same shuffle is the
+    // standard pre-write clustering; commit parallelism stays the
+    // bucket count, which production sizes to the cluster.
+    val clustered =
+      if (sys.props.get("graft.lake.clusterWrites").forall(_ != "false"))
+        df.withColumn(LakeWriter.CvCol, lit(v))
+          .repartition(buckets, bucketCols.map(col): _*)
+      else df.withColumn(LakeWriter.CvCol, lit(v))
+    val base = clustered
       .write.mode(if (appendMode) "append" else "overwrite")
       .partitionBy(LakeWriter.CvCol)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
