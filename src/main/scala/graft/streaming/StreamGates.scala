@@ -31,13 +31,20 @@ object StreamGates {
     * ids above it (planted re-ingestions) ride the last shard, i.e.
     * arrive last, as a re-ingestion does.
     */
-  private def shards(docs: DataFrame, mxNatural: Long, n: Int): Seq[DataFrame] =
+  private def shards(docs: DataFrame, mxNatural: Long, n: Int): Seq[DataFrame] = {
+    // materialize the source ONCE: every shard below is written to the
+    // stream's input dir by [[drive]], and without this each write
+    // re-evaluates the full upstream subtree (typically a multi-arm
+    // planted union over the corpus scan) — n passes instead of one.
+    // GraftCaches.release reclaims the checkpoint between bench runs.
+    val d = docs.localCheckpoint()
     (0 until n).map { i =>
       val lo = i * (mxNatural + 1) / n
       val hi = (i + 1) * (mxNatural + 1) / n
-      if (i == n - 1) docs.filter(col("doc_id") >= lo)
-      else docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+      if (i == n - 1) d.filter(col("doc_id") >= lo)
+      else d.filter(col("doc_id") >= lo && col("doc_id") < hi)
     }
+  }
 
   /** Deliver shards as real micro-batches: one coalesced file appended
     * per run, a fresh AvailableNow query per shard against a SHARED
@@ -1077,7 +1084,10 @@ object StreamGates {
     * (shard i+1 starts at or after shard i's max event time), so the
     * late-drop arm never fires and a batch twin stays exact.
     */
-  private def timeShards(ev: DataFrame, n: Int): Seq[DataFrame] = {
+  private def timeShards(ev0: DataFrame, n: Int): Seq[DataFrame] = {
+    // one materialization for the bounds probe + n shard writes (the
+    // [[shards]] rationale); reclaimed by GraftCaches.release
+    val ev = ev0.localCheckpoint()
     val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
       max(unix_micros(col("ts"))).as("hi"),
       sum(when(col("ts").isNull, 1L).otherwise(0L)).as("n_null")).head()
@@ -1124,6 +1134,10 @@ object StreamGates {
     * golden id spaces).
     */
   private def mediaShards(media: DataFrame, bounds: Seq[Long]): Seq[DataFrame] = {
+    // NOT checkpointed like [[shards]]/[[timeShards]] (r17, measured):
+    // media frames carry the decoded pixel/PCM payload columns, and
+    // materializing those costs more than the re-evaluated shard
+    // filters save (t131 min 3.4 → 6.7 s when this was checkpointed).
     val edges = Long.MinValue +: bounds :+ Long.MaxValue
     edges.sliding(2).toSeq.map { case Seq(lo, hi) =>
       media.filter(col("media_id") >= lo && col("media_id") < hi)
