@@ -170,11 +170,15 @@ object GraftSession {
       // 25.2 s → 17.3 s, t100 17.9 s → 12.1 s with checksums off,
       // identical results. The checksums guard against storage-layer
       // corruption of checkpoint files; recovery correctness does not
-      // depend on them (format-level validation stays on). Deployments
-      // on storage without strong integrity can re-enable via
-      // spark-defaults; the engine default favors halving checkpoint
-      // I/O — at scale these are object-store PUT/HEAD requests on
-      // the per-batch critical path.
-      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      // depend on them (format-level validation stays on). This is an
+      // EXPLICIT engine setting, not an accident of the harness:
+      // default off because at scale these are object-store PUT/HEAD
+      // requests on the per-batch critical path; a deployment on
+      // storage WITHOUT strong integrity guarantees opts back into the
+      // upstream-safe value with SPARK_GRAFT_CHECKPOINT_CHECKSUM=true
+      // (or spark-defaults) — no code edit, no knowledge of Spark's
+      // conf key required.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_CHECKSUM", "false"))
       .config("spark.ui.enabled", "false")
 }
