@@ -35,5 +35,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // Ad-hoc conf injection for perf experiments (A/B a spark.* setting
 // without a code edit): space-separated -D flags, e.g.
 //   SPARK_GRAFT_JAVA_OPTS="-Dspark.foo=1 -Dspark.bar=2" sbt ...
+// LIMITATION: split on raw whitespace, no shell-style quoting — a -D
+// value containing a space cannot be expressed here (it would become
+// two broken JVM flags); none of the spark.* confs we A/B need one.
 javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
   .flatMap(_.split("\\s+").filter(_.nonEmpty))

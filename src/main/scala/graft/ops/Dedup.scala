@@ -244,6 +244,11 @@ object Dedup {
   private[graft] def prefixCandidates(setsAsDocs: DataFrame, threshold: Double): DataFrame = {
     val w = setsAsDocs.select(col("doc_id"), explode(col("toks")).as("tok"))
     val df = w.groupBy("tok").agg(count(lit(1)).as("tok_df"))
+    // Threshold in basis points, FLOORED: the integer length/positional
+    // filters below must never be tighter than the real threshold (a
+    // rounded-up T4 could drop a boundary pair the verify would keep;
+    // a floored one only admits a few extra candidates — lossless).
+    val t4 = math.floor(threshold * 10000).toLong
     val prefix = setsAsDocs
       .select(col("doc_id"), col("n"), explode(col("toks")).as("tok"))
       .join(df, "tok")
@@ -251,11 +256,30 @@ object Dedup {
       .agg(array_sort(collect_list(struct(col("tok_df"), col("tok")))).as("ranked"))
       .select(
         col("doc_id"), col("n"),
-        explode(slice(transform(col("ranked"), r => r.getField("tok")), lit(1),
-          (floor(col("n") * (1 - threshold)) + 1).cast("int"))).as("tok"))
+        posexplode(slice(transform(col("ranked"), r => r.getField("tok")), lit(1),
+          (floor(col("n") * (1 - threshold)) + 1).cast("int"))))
+      .select(col("doc_id"), col("n"),
+        (col("pos") + 1).cast("long").as("i"), col("col").as("tok"))
+    // PPJoin's two residual filters ride the candidate join (Xiao et
+    // al. 2008, both lossless given the verify is exact):
+    //  - LENGTH: jac ≥ t forces t·|a| ≤ |b| and t·|b| ≤ |a| — a pair
+    //    of very different sizes can never clear the threshold;
+    //  - POSITIONAL: a qualifying pair's FIRST shared ranked token at
+    //    (1-based) prefix positions i, j bounds the intersection by
+    //    1 + min(na−i, nb−j), which must reach the required overlap
+    //    α = ⌈t·(na+nb)/(1+t)⌉; matches that cannot are dead wedges.
+    //    (x ≥ ⌈p/q⌉ ⟺ x·q ≥ p for positive integers — no float
+    //    boundary risk.)
+    // Both prune candidate OUTPUT volume — the frame every downstream
+    // exchange (distinct, the two array-carrying verify joins) pays
+    // for — at the cost of two small ints riding each prefix row.
     prefix.as("a")
       .join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * t4 <= col("b.n") * 10000L &&
+          col("b.n") * t4 <= col("a.n") * 10000L &&
+          (least(col("a.n") - col("a.i"), col("b.n") - col("b.i")) + 1L) *
+            (10000L + t4) >= (col("a.n") + col("b.n")) * t4)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
   }
 
@@ -585,24 +609,18 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  private[ops] def checkpointTracked(
-      df: DataFrame, eager: Boolean = true): (DataFrame, Set[Int]) = {
+  private[ops] def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
-    val out = df.localCheckpoint(eager) // eager: materialized on return
-    // EAGER: a job runs inside the call, so a caller's lazy Dataset
+    val out = df.localCheckpoint(true) // eager: materialized on return
+    // A job runs inside the eager call, so a caller's lazy Dataset
     // cache can materialize during it and land in the persist-registry
     // delta — keep only RDDs that ARE checkpoints (plain caches report
     // isCheckpointed = false) so those caches are never freed out from
-    // under their owners. LAZY: no job runs inside the call, and
-    // persist REGISTRATION is synchronous, so the delta is exactly the
-    // one RDD this call marked (isCheckpointed only flips once
-    // materialized, so the eager filter would drop a lazy checkpoint).
-    val added0 = sc.getPersistentRDDs.keySet.toSet -- before
-    val added =
-      if (eager) added0.filter(id =>
-        sc.getPersistentRDDs.get(id).exists(_.isCheckpointed))
-      else added0
+    // under their owners. (A lazy variant existed for the r17
+    // multi-hop experiment; it lost and was removed with it.)
+    val added = (sc.getPersistentRDDs.keySet.toSet -- before)
+      .filter(id => sc.getPersistentRDDs.get(id).exists(_.isCheckpointed))
     (out, added)
   }
 
