@@ -63,7 +63,15 @@ object LlmSql {
     // t25's MinHash-LSH near-dup pairs: the native signature
     // expression over sorted-distinct token sets, 4 bands × 4 rows,
     // band-key self-join for candidates, exact-Jaccard verify via the
-    // native sorted-intersect — quantized and thresholded at 0.5
+    // native sorted-intersect — quantized and thresholded at 0.5.
+    // NO canonical-set collapse — MEASURED, r18: the library body's
+    // collapse was ported here (set-level sid/signatures/candidates,
+    // doc expansion at the end; row-identical output, oracle green)
+    // and LOST 1.9× (5.9 → 11.3 s min, shuffle 91 → 154 MB at sf0.1):
+    // SQL text cannot persist the canonical-set frame (Spark inlines
+    // CTEs), so every consumer re-tokenized the corpus and re-shuffled
+    // the full token arrays through the set DISTINCT. The library API
+    // (t25), which persistTracks those frames, stays the scale path.
     "minhash_lsh" ->
       s"""WITH t AS (SELECT doc_id, array_sort(array_distinct(
          |    regexp_extract_all(lower(text), '[a-z0-9]+', 0))) AS toks
